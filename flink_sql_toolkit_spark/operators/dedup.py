@@ -1,0 +1,309 @@
+"""Deduplication operators for training-data pipelines (100 TB path).
+
+Beyond the reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash signatures, n-gram Jaccard verification
+over the ``documents`` fixture.
+
+Scale design:
+
+- Everything is shuffle-on-key DataFrame code — no driver collection,
+  no pairwise O(n²): candidate pairs come only from LSH band buckets
+  (or shared rare shingles), then exact Jaccard verifies candidates.
+- Hashes are md5-derived so the DuckDB oracle can reproduce them
+  bit-for-bit (cross-engine determinism; murmur/xxhash seeds differ
+  between engines). At production scale you'd swap md5 for
+  ``xxhash64`` — one line, same topology.
+- MinHash is the lexicographic MIN of ``md5(seed || shingle)`` per
+  seed — an order-free, associative reduction (plain min-agg →
+  map-side partial aggregation works).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.registry import register
+from flink_sql_toolkit_spark.tables import load_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 minhashes
+SHINGLE_K = 5  # word 5-grams
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Canonical form for exact dedup: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+NORMALIZED_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Explode each doc into its word k-gram shingles (distinct).
+
+    Linear in corpus size; the explode factor is ~words-per-doc.
+    """
+    words = F.split(normalized_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+# DuckDB mirror of `shingles` (list comprehension over the word list)
+SHINGLES_SQL = f"""
+    SELECT doc_id, UNNEST(list_distinct([
+             array_to_string(words[i : i + {SHINGLE_K} - 1], ' ')
+             FOR i IN range(1, greatest(len(words) - {SHINGLE_K}, 0) + 2)
+           ])) AS shingle
+    FROM (SELECT doc_id, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({NORMALIZED_SQL}) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content.
+
+    One shuffle on the 128-bit content hash; keeper = min doc_id.
+    At 100 TB this is the canonical first pass — partial aggregation
+    collapses duplicates map-side before the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+        .select("content_hash", "n_copies", "keeper_doc_id")
+        .orderBy("content_hash")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → [minhash_0..minhash_{k-1}] (lexicographic min of
+    md5(seed||shingle) per seed)."""
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sig_entries"))
+        .select("doc_id", F.col("sig_entries.mh").alias("sig"))
+    )
+
+
+MINHASH_SQL = f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, seed.i AS seed, MIN(md5(seed.i || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, {N_HASHES})) AS i) seed
+      GROUP BY doc_id, seed.i
+    ),
+    sigs AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {MINHASH_SQL},
+    bands AS (
+      SELECT doc_id, b.i AS band,
+             md5(array_to_string(sig[b.i * {BAND_SIZE} + 1 : (b.i + 1) * {BAND_SIZE}], ',')) AS band_key
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_HASHES // BAND_SIZE})) AS i) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: near-duplicate candidate pairs.
+
+    shingle→minhash→band→bucket-join: the join is on (band, band_key)
+    so the shuffle only carries (doc_id, 16-byte key) pairs and only
+    colliding docs ever meet — no O(n²). Bucket skew (giant clusters
+    of one template) is the known hazard at 100 TB; AQE skew-join
+    splitting handles it, and a bucket-size cap can drop degenerate
+    buckets.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",", F.slice(F.col("sig"), F.col("band") * BAND_SIZE + 1, BAND_SIZE)
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {MINHASH_SQL},
+    bands AS (
+      SELECT doc_id, b.i AS band,
+             md5(array_to_string(sig[b.i * {BAND_SIZE} + 1 : (b.i + 1) * {BAND_SIZE}], ',')) AS band_key
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_HASHES // BAND_SIZE})) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidate pairs.
+
+    Join candidates back to the shingle table (shuffle on doc_id /
+    shingle — both bounded), count intersections, compute exact
+    jaccard, keep >= 0.5. This is the verify stage after
+    dedup_minhash_lsh's recall stage.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(s1, "doc_a")
+        .join(s2, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split({NORMALIZED_SQL}, ' '))) AS word
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN substring(md5(word), CAST(b.i // 4 AS INTEGER) + 1, 1) IN
+                       ('8','9','a','b','c','d','e','f') AND b.i % 4 = 0
+                  OR substring(md5(word), CAST(b.i // 4 AS INTEGER) + 1, 1) IN
+                       ('4','5','6','7','c','d','e','f') AND b.i % 4 = 1
+                  OR substring(md5(word), CAST(b.i // 4 AS INTEGER) + 1, 1) IN
+                       ('2','3','6','7','a','b','e','f') AND b.i % 4 = 2
+                  OR substring(md5(word), CAST(b.i // 4 AS INTEGER) + 1, 1) IN
+                       ('1','3','5','7','9','b','d','f') AND b.i % 4 = 3
+                  THEN 1 ELSE -1 END AS v
+      FROM words CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) b
+    )
+    SELECT doc_id,
+           array_to_string(list(CASE WHEN s > 0 THEN '1' ELSE '0' END ORDER BY bit), '') AS simhash
+    FROM (SELECT doc_id, bit, SUM(v) AS s FROM bits GROUP BY doc_id, bit)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit here; 64-bit in production) over distinct words.
+
+    Bit i of the signature = sign of Σ_words (±1 by bit i of
+    md5(word)). Expressed as explode(word)×explode(bit)→groupBy —
+    pure shuffle-reduce, linear scale. Hamming-close signatures =
+    near-dups; signatures are grouped by bit-bands downstream exactly
+    like MinHash-LSH.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text(), " "))).alias("word"),
+    )
+    bitval = F.expr(
+        "(shiftright(CAST(conv(substring(md5(word), CAST(bit DIV 4 AS INT) + 1, 1), 16, 10)"
+        " AS INT), CAST(3 - bit % 4 AS INT)) & 1)"
+    )
+    return (
+        words.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .withColumn("v", F.when(bitval == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bit", F.when(F.col("s") > 0, "1").otherwise("0").alias("c")))
+                    ),
+                    lambda e: e["c"],
+                ),
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

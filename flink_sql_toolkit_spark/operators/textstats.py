@@ -1,0 +1,156 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (n-gram/stopword heuristic), quality scoring, token
+counting, and document fingerprinting over the ``documents`` fixture
+— all pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen'd; no Python in the hot path), each with an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.registry import register
+from flink_sql_toolkit_spark.operators.dedup import NORMALIZED_SQL, normalized_text
+from flink_sql_toolkit_spark.tables import load_table
+
+# tiny built-in stopword sets for the language-ID heuristic
+STOP_EN = ("the", "a", "of", "and", "to")
+STOP_ES = ("el", "la", "de", "y", "que")
+STOP_FR = ("le", "la", "de", "et", "que")
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(words, w -> w IN ({inlist})))"
+
+
+def _hits(words_col, words: tuple[str, ...]):
+    return F.size(F.filter(words_col, lambda w: w.isin(*words)))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split({NORMALIZED_SQL}, ' ')) AS n_tokens,
+           len(list_distinct(string_split({NORMALIZED_SQL}, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_raw
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (BPE-ish regex split on normalized
+    text). Pure projection — no shuffle, trivially 100 TB-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_raw"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split({NORMALIZED_SQL}, ' ')) AS n_words,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             {_hits_sql(STOP_EN)} AS n_stop
+      FROM (SELECT doc_id, text, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
+    )
+    SELECT doc_id, n_chars, n_words,
+           CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CASE WHEN n_words >= 10 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length / punctuation / stopword ratios plus a
+    pass/fail gate — the standard pre-training corpus filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(), " ")
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"\p{Punct}", ""))
+    n_stop = _hits(words, STOP_EN)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        F.when((n_words >= 10) & (n_punct.cast("double") / n_chars < 0.2), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             {_hits_sql(STOP_EN)} AS hits_en,
+             {_hits_sql(STOP_ES)} AS hits_es,
+             {_hits_sql(STOP_FR)} AS hits_fr
+      FROM (SELECT doc_id, lang, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID heuristic (argmax over per-language
+    stopword hit counts, deterministic tie-break en>es>fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(), " ")
+    hits_en, hits_es, hits_fr = (
+        _hits(words, STOP_EN),
+        _hits(words, STOP_ES),
+        _hits(words, STOP_FR),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when((hits_en >= hits_es) & (hits_en >= hits_fr) & (hits_en > 0), "en")
+        .when((hits_es >= hits_fr) & (hits_es > 0), "es")
+        .when(hits_fr > 0, "fr")
+        .otherwise("und")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split({NORMALIZED_SQL}, ' '))), ' ')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct word set (the classic "fingerprint" key for clustering
+    reorder-edits together)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
+    ).orderBy("doc_id")

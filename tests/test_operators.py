@@ -1,0 +1,79 @@
+"""Operator correctness smoke tests (full differential parity is
+tools/verify_local.py; the driver re-runs it at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_sql_toolkit_spark.operators import ORACLES, QUERIES
+from flink_sql_toolkit_spark.operators import (  # noqa: F401 (registration)
+    dedup,
+    relational,
+    similarity,
+    textstats,
+    tvf,
+)
+from flink_sql_toolkit_spark.tables import TPCH_TABLES
+
+# sample of oracle-checked queries compared in-test (one per family)
+PARITY_SAMPLE = [
+    "q1_pricing_summary",
+    "join_full_outer",
+    "agg_rollup",
+    "window_topk_per_group",
+    "setop_intersect",
+    "subq_correlated_exists",
+    "tvf_session",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_fingerprint",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 50
+    # every oracle has a query
+    assert set(ORACLES) <= set(QUERIES)
+    # the vast majority of queries are oracle-checked
+    assert len(ORACLES) >= len(QUERIES) - 5
+
+
+@pytest.mark.parametrize("name", PARITY_SAMPLE)
+def test_parity_sample(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+
+
+def test_every_query_builds_a_plan(spark, sf_dir):
+    """Each registered query must at least produce an analyzable plan."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.schema is not None, name
+
+
+def test_q1_known_groups(spark, sf_dir):
+    rows = QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    flags = {(r.l_returnflag, r.l_linestatus) for r in rows}
+    assert len(rows) > 0
+    assert all(r.count_order > 0 for r in rows)
+    assert all(len(f) == 2 for f in flags)
+
+
+def test_broadcast_in_q3_plan(spark, sf_dir):
+    """The customer dim must be broadcast — no lineitem shuffle for it."""
+    plan = QUERIES["q3_shipping_priority"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,86 @@
+"""Unit tests for the LLM-data-pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.dedup import (
+    minhash_signatures,
+    normalized_text,
+    shingles,
+)
+from flink_sql_toolkit_spark.operators.registry import QUERIES
+from flink_sql_toolkit_spark.operators.similarity import dot
+
+
+def test_normalized_text(spark):
+    df = spark.createDataFrame([("  Hello   WORLD  x ",)], ["text"])
+    assert df.select(normalized_text().alias("t")).first().t == "hello world x"
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    out = shingles(df, k=5).collect()
+    assert [r.shingle for r in out] == ["a b c"]
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(1, " ".join(str(i) for i in range(10)))], ["doc_id", "text"])
+    out = shingles(df, k=5).collect()
+    assert len(out) == 6  # 10 - 5 + 1
+
+
+def test_minhash_signature_width(spark, sf_dir):
+    sig = minhash_signatures(spark, sf_dir).first()
+    assert len(sig.sig) == 8
+
+
+def test_dot_product(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
+    assert df.select(dot(F.col("a"), F.col("b")).alias("d")).first().d == 32.0
+
+
+def test_exact_dedup_matches_groundtruth(spark, sf_dir):
+    """dedup_exact groups must equal a direct text-equality count.
+
+    (The fixture corpus has no planted exact dupes at small SF — the
+    operator must then return exactly zero groups, not noise.)
+    """
+    out = QUERIES["dedup_exact"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = (
+        docs.select(normalized_text().alias("t"))
+        .groupBy("t")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert len(out) == truth
+    assert all(r.n_copies >= 2 for r in out)
+
+
+def test_lsh_catches_exact_dupes(spark, sf_dir):
+    """Every exact-dup pair must also be an LSH candidate pair."""
+    exact = QUERIES["dedup_exact"](spark, sf_dir)
+    cand = {(r.doc_a, r.doc_b) for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.content_hash") == F.col("b.content_hash"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .collect()
+    )
+    for r in pairs:
+        assert (r["doc_id"], r[3]) in cand or (r[0], r[3]) in cand
+
+
+def test_topk_is_k_per_query(spark, sf_dir):
+    out = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r.cosine)
+    for sims in per_query.values():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)
