@@ -1,0 +1,237 @@
+"""Engine command layer: SHOW / DESCRIBE / USE / SET / EXPLAIN / jobs.
+
+Implements the reference's metadata-and-admin statement surface
+(test/syntax-test.fsql:517-560; src/flinkClient.ts:350-500) with
+Flink-shaped outputs — notably the six-column DESCRIBE the
+reference's webview consumes (src/objectDetailsProvider.ts:122-133)
+and SHOW JOBS over the streaming job registry.
+
+Each handler returns ``(columns, rows)`` where columns are
+``[{name, logicalType}]`` dicts, matching the result wire format
+(src/flinkClient.ts:12-27).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:  # pragma: no cover
+    from flink_sql_toolkit_spark.engine import EngineSession
+
+Cols = list[dict[str, str]]
+Rows = list[list[Any]]
+
+
+def _c(*names_types: tuple[str, str]) -> Cols:
+    return [{"name": n, "logicalType": t} for n, t in names_types]
+
+
+# SET key translation (SURVEY §2.1): Flink exec conf → Spark conf
+_SET_TRANSLATION = {
+    "parallelism.default": "spark.sql.shuffle.partitions",
+    "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
+    "table.optimizer.join-reorder-enabled": "spark.sql.cbo.joinReorder.enabled",
+    "table.exec.sort.default-limit": "spark.sql.execution.topKSortFallbackThreshold",
+}
+
+# keys kept engine-side and applied where an analogue exists
+_ENGINE_KEYS = {
+    "execution.runtime-mode",            # streaming|batch → dispatch mode
+    "execution.checkpointing.interval",  # → streaming trigger interval
+    "table.exec.state.ttl",              # no per-op TTL in Spark → recorded
+    "pipeline.name",                     # → job name
+    "sql-client.execution.result-mode",
+}
+
+
+def handle_set(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    m = re.match(r"(?is)^SET\s*(?:'([^']+)'\s*=\s*'([^']*)')?\s*;?\s*$", stmt)
+    if not m:
+        return None
+    key, val = m.group(1), m.group(2)
+    cols = _c(("key", "string"), ("value", "string"))
+    if key is None:  # bare SET lists the session's conf (Flink behavior)
+        return cols, [[k, v] for k, v in sorted(session.flink_conf.items())]
+    session.flink_conf[key] = val
+    if key in _SET_TRANSLATION:
+        session.spark.conf.set(_SET_TRANSLATION[key], val)
+    elif key.startswith("spark."):
+        session.spark.conf.set(key, val)
+    return _c(("result", "string")), [["OK"]]
+
+
+def handle_reset(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    m = re.match(r"(?is)^RESET\s*(?:'([^']+)')?\s*;?\s*$", stmt)
+    if not m:
+        return None
+    key = m.group(1)
+    if key is None:
+        session.flink_conf.clear()
+    else:
+        session.flink_conf.pop(key, None)
+        if key in _SET_TRANSLATION:
+            session.spark.conf.unset(_SET_TRANSLATION[key])
+        elif key.startswith("spark."):
+            session.spark.conf.unset(key)
+    return _c(("result", "string")), [["OK"]]
+
+
+def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    s = re.sub(r"\s+", " ", stmt.strip().rstrip(";")).upper()
+    spark = session.spark
+
+    if s == "SHOW CURRENT CATALOG":
+        return _c(("current catalog name", "string")), [[spark.catalog.currentCatalog()]]
+    if s == "SHOW CURRENT DATABASE":
+        return _c(("current database name", "string")), [[spark.catalog.currentDatabase()]]
+    if s == "SHOW CATALOGS":
+        return _c(("catalog name", "string")), [[c.name] for c in spark.catalog.listCatalogs()]
+    if s.startswith("SHOW DATABASES"):
+        return _c(("database name", "string")), [[d.name] for d in spark.catalog.listDatabases()]
+    if s.startswith("SHOW TABLES"):
+        rows = [[t.name] for t in spark.catalog.listTables()]
+        rows += [[name] for name in session.connector_tables if [name] not in rows]
+        return _c(("table name", "string")), sorted(rows)
+    if s.startswith("SHOW VIEWS"):
+        return (
+            _c(("view name", "string")),
+            sorted([t.name] for t in spark.catalog.listTables() if t.tableType in ("TEMPORARY", "VIEW")),
+        )
+    if s.startswith("SHOW FUNCTIONS"):
+        return (
+            _c(("function name", "string")),
+            [[f.name] for f in spark.catalog.listFunctions()],
+        )
+    if s == "SHOW JOBS":
+        return (
+            _c(("job id", "string"), ("job name", "string"), ("status", "string"), ("start time", "string")),
+            [
+                [j.job_id, j.name, j.status, j.start_time.isoformat()]
+                for j in session.jobs.list()
+            ],
+        )
+    if s.startswith("SHOW MODULES") or s.startswith("SHOW FULL MODULES"):
+        cols = _c(("module name", "string"), ("used", "boolean"))
+        return cols, [[m, True] for m in session.modules]
+    if s == "SHOW JARS":
+        rows = [[str(j)] for j in spark.sql("LIST JAR").collect()] if session.jars else []
+        return _c(("jars", "string")), [[j] for j in session.jars] or rows
+    if s.startswith("SHOW CREATE TABLE"):
+        name = stmt.strip().rstrip(";").split()[-1].strip("`")
+        if name in session.connector_tables:
+            return _c(("result", "string")), [[session.connector_ddl.get(name, "")]]
+        df = spark.sql(f"SHOW CREATE TABLE {name}")
+        return _c(("result", "string")), [[r[0]] for r in df.collect()]
+    if s.startswith("SHOW PARTITIONS") or s.startswith("SHOW COLUMNS"):
+        df = spark.sql(stmt.rstrip(";"))
+        cols = [{"name": f.name, "logicalType": f.dataType.simpleString()} for f in df.schema.fields]
+        return cols, [list(r) for r in df.collect()]
+    return None
+
+
+def handle_describe(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+(?!EXTENDED|FORMATTED)([\w.`]+)\s*;?\s*$", stmt.strip())
+    if not m:
+        return None
+    name = m.group(1).strip("`")
+    cols = _c(
+        ("name", "string"),
+        ("type", "string"),
+        ("null", "boolean"),
+        ("key", "string"),
+        ("extras", "string"),
+        ("watermark", "string"),
+    )
+    rows: Rows = []
+    ct = session.connector_tables.get(name)
+    if ct is not None:
+        pk = set(ct.primary_key)
+        wm = f"`{ct.watermark.column}` AS {ct.watermark.delay_expr}" if ct.watermark else None
+        for c in ct.columns:
+            rows.append(
+                [c.name, c.spark_type.upper(), c.nullable, "PRI(NOT ENFORCED)" if c.name in pk else None, None,
+                 wm if ct.watermark and ct.watermark.column == c.name else None]
+            )
+        for mc in ct.metadata:
+            rows.append([mc.name, mc.spark_type.upper(), True, None,
+                         f"METADATA FROM '{mc.key}'" + (" VIRTUAL" if mc.virtual else ""), None])
+        for cc in ct.computed:
+            rows.append([cc.name, "", True, None, f"AS {cc.expr}", None])
+        return cols, rows
+    for f in session.spark.sql(f"SELECT * FROM {name} WHERE 1=0").schema.fields:
+        rows.append([f.name, f.dataType.simpleString().upper(), f.nullable, None, None, None])
+    return cols, rows
+
+
+def handle_use(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    m = re.match(r"(?is)^USE\s+CATALOG\s+([\w.`]+)\s*;?\s*$", stmt)
+    if m:
+        session.spark.catalog.setCurrentCatalog(m.group(1).strip("`"))
+        return _c(("result", "string")), [["OK"]]
+    m = re.match(r"(?is)^USE\s+([\w.`]+)\s*;?\s*$", stmt)
+    if m:
+        session.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))
+        return _c(("result", "string")), [["OK"]]
+    return None
+
+
+def handle_jobs_admin(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    m = re.match(r"(?is)^STOP\s+JOB\s+'([^']+)'(\s+WITH\s+SAVEPOINT)?(\s+WITH\s+DRAIN)?\s*;?\s*$", stmt)
+    if m:
+        session.jobs.stop(m.group(1))
+        # the Spark checkpoint directory IS the savepoint (SURVEY §2.1)
+        return _c(("savepoint path", "string")), [[session.checkpoint_root]]
+    m = re.match(r"(?is)^ADD\s+JAR\s+'([^']+)'\s*;?\s*$", stmt)
+    if m:
+        session.spark.sql(f"ADD JAR {m.group(1)!r}")
+        session.jars.append(m.group(1))
+        return _c(("result", "string")), [["OK"]]
+    m = re.match(r"(?is)^REMOVE\s+JAR\s+'([^']+)'\s*;?\s*$", stmt)
+    if m:
+        # Spark cannot unload a jar from a running JVM — warn, record
+        if m.group(1) in session.jars:
+            session.jars.remove(m.group(1))
+        return _c(("result", "string")), [["OK (jar unlinked from registry; JVM classpath unchanged)"]]
+    m = re.match(r"(?is)^(LOAD|UNLOAD)\s+MODULE\s+([\w`]+).*?;?\s*$", stmt)
+    if m:
+        name = m.group(2).strip("`")
+        if m.group(1).upper() == "LOAD":
+            if name not in session.modules:
+                session.modules.append(name)
+        elif name in session.modules:
+            session.modules.remove(name)
+        return _c(("result", "string")), [["OK"]]
+    return None
+
+
+def handle_explain(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    m = re.match(
+        r"(?is)^EXPLAIN\s+(PLAN\s+FOR\s+|ESTIMATED_COST\s+|CHANGELOG_MODE\s+|JSON_EXECUTION_PLAN\s+)?(.*)$",
+        stmt.strip().rstrip(";"),
+        re.DOTALL,
+    )
+    if not m or not m.group(2).strip():
+        return None
+    variant = (m.group(1) or "PLAN FOR").strip().upper()
+    query = m.group(2)
+    from flink_sql_toolkit_spark.dialect.rewriter import rewrite  # noqa: PLC0415
+
+    df = session.spark.sql(rewrite(query))
+    qe = df._jdf.queryExecution()
+    if variant.startswith("ESTIMATED_COST"):
+        text = qe.stringWithStats()
+    elif variant.startswith("JSON_EXECUTION_PLAN"):
+        text = qe.optimizedPlan().toJSON()
+    elif variant.startswith("CHANGELOG_MODE"):
+        mode = "append-only" if not df.isStreaming else session.flink_conf.get(
+            "changelog-mode", "append (update/complete depend on the sink's outputMode)"
+        )
+        text = f"changelog mode: {mode}\n" + qe.explainString(
+            session.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    else:
+        text = qe.explainString(
+            session.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    return _c(("plan", "string")), [[text]]

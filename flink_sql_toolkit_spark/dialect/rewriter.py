@@ -1,0 +1,330 @@
+"""Flink-SQL → Spark-SQL textual rewriter.
+
+Handles the dialect constructs Spark SQL does not share (SURVEY.md
+§2.6, §2.10, §4.1), as SQL-to-SQL preprocessing before ``spark.sql``:
+
+- window TVFs ``TABLE(TUMBLE|HOP|SESSION|CUMULATE(...))`` →
+  ``window()`` / ``session_window()`` / explode-based cumulate
+  subqueries (test/syntax-test.fsql:199-239)
+- legacy group windows ``GROUP BY TUMBLE(ts, i)`` +
+  ``TUMBLE_START/END`` auxiliaries (tmLanguage.json:395)
+- ``ARRAY[...]`` / ``MAP[...]`` constructors → ``array()`` / ``map()``
+- 1-based subscripts ``arr[i]`` → ``element_at(arr, i)`` (Flink
+  collections are 1-based; Spark SQL ``[]`` is 0-based but
+  ``element_at`` is 1-based — syntax-test.fsql:452)
+- ``SIMILAR TO`` → anchored ``RLIKE`` (syntax-test.fsql:618)
+- Flink-only type names (``TIMESTAMP(3)``, ``TIMESTAMP_LTZ``,
+  ``BYTES``, ``MULTISET<T>``) → Spark types
+- ``FETCH FIRST n ROWS ONLY`` → ``LIMIT n``
+
+String literals / quoted identifiers / comments are masked during
+rewriting so patterns never fire inside them. Function-name shims
+(SPLIT_INDEX, DAYNAME, …) are *not* textual — they are registered as
+SQL UDFs per session (functions/shims.py) so they behave like real
+functions (arbitrary nesting, aliasing).
+"""
+
+from __future__ import annotations
+
+import re
+
+_MASK = "\x00{}\x00"
+
+
+def _mask(sql: str) -> tuple[str, list[str]]:
+    """Replace literals/quoted identifiers/comments with placeholders."""
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            lits.append(sql[i:j])
+            out.append(_MASK.format(len(lits) - 1))
+            i = j
+        elif ch == "/" and nxt == "*":
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            lits.append(sql[i : j + 2])
+            out.append(_MASK.format(len(lits) - 1))
+            i = j + 2
+        elif ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            lits.append(sql[i : j + 1])
+            out.append(_MASK.format(len(lits) - 1))
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask(sql: str, lits: list[str]) -> str:
+    def repl(m: re.Match) -> str:
+        return lits[int(m.group(1))]
+
+    return re.sub("\x00(\\d+)\x00", repl, sql)
+
+
+_UNIT_MAP = {
+    "MILLISECOND": "millisecond",
+    "MILLISECONDS": "millisecond",
+    "SECOND": "second",
+    "SECONDS": "second",
+    "MINUTE": "minute",
+    "MINUTES": "minute",
+    "HOUR": "hour",
+    "HOURS": "hour",
+    "DAY": "day",
+    "DAYS": "day",
+}
+
+
+def _interval_to_duration(masked: str, lits: list[str]) -> str | None:
+    """``INTERVAL '<n>' UNIT`` (masked) → Spark duration string "'n unit'"."""
+    m = re.match(r"(?is)^\s*INTERVAL\s+\x00(\d+)\x00\s+(\w+)\s*$", masked)
+    if not m:
+        return None
+    value = lits[int(m.group(1))].strip("'")
+    unit = _UNIT_MAP.get(m.group(2).upper())
+    if unit is None:
+        return None
+    return f"'{value} {unit}'"
+
+
+def _interval_seconds(masked: str, lits: list[str]) -> int | None:
+    m = re.match(r"(?is)^\s*INTERVAL\s+\x00(\d+)\x00\s+(\w+)\s*$", masked)
+    if not m:
+        return None
+    value = float(lits[int(m.group(1))].strip("'"))
+    unit = _UNIT_MAP.get(m.group(2).upper())
+    factor = {"millisecond": 0.001, "second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit is None:
+        return None
+    return int(value * factor[unit])
+
+
+def _split_args(arglist: str) -> list[str]:
+    """Split a TVF argument list on top-level commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(arglist):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(arglist[start:i].strip())
+            start = i + 1
+    parts.append(arglist[start:].strip())
+    return parts
+
+
+_TVF_RE = re.compile(
+    r"(?is)TABLE\s*\(\s*(TUMBLE|HOP|SESSION|CUMULATE)\s*\((.*)", re.DOTALL
+)
+
+
+def _find_tvf(masked: str):
+    """Locate the next TABLE(<tvf>(...)) call; return (start, end, name, args)."""
+    m = _TVF_RE.search(masked)
+    if not m:
+        return None
+    name = m.group(1).upper()
+    args_start = m.end(2) - len(m.group(2))
+    depth = 1
+    i = args_start
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    inner_end = i - 1  # position of the TVF's closing paren
+    # consume the outer TABLE( ... ) closing paren
+    j = inner_end + 1
+    while j < len(masked) and masked[j].isspace():
+        j += 1
+    outer_end = j + 1 if j < len(masked) and masked[j] == ")" else inner_end + 1
+    return m.start(), outer_end, name, masked[args_start:inner_end]
+
+
+def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
+    while True:
+        found = _find_tvf(masked)
+        if found is None:
+            return masked
+        start, end, name, argstr = found
+        args = _split_args(argstr)
+        tm = re.match(r"(?is)^\s*TABLE\s+([\w.\x00]+)\s*$", args[0])
+        table = tm.group(1) if tm else args[0]
+        dm = re.match(r"(?is)^\s*DESCRIPTOR\s*\(\s*([\w.\x00]+)\s*\)\s*$", args[1])
+        col = dm.group(1) if dm else args[1]
+        if name == "TUMBLE":
+            size = _interval_to_duration(args[2], lits)
+            sub = (
+                f"(SELECT *, _w.start AS window_start, _w.end AS window_end FROM "
+                f"(SELECT *, window({col}, {size}) AS _w FROM {table}) ) "
+            )
+        elif name == "HOP":
+            slide = _interval_to_duration(args[2], lits)
+            size = _interval_to_duration(args[3], lits)
+            # Spark's TimeWindowing rule expands sliding windows into
+            # size/slide rows per input itself — no explode needed
+            sub = (
+                f"(SELECT *, _w.start AS window_start, _w.end AS window_end FROM "
+                f"(SELECT *, window({col}, {size}, {slide}) AS _w FROM {table}) ) "
+            )
+        elif name == "SESSION":
+            gap = _interval_to_duration(args[-1], lits)
+            sub = (
+                f"(SELECT *, _w.start AS window_start, _w.end AS window_end FROM "
+                f"(SELECT *, session_window({col}, {gap}) AS _w FROM {table}) ) "
+            )
+        else:  # CUMULATE
+            step = _interval_seconds(args[2], lits)
+            max_s = _interval_seconds(args[3], lits)
+            if step is None or max_s is None or max_s % step != 0:
+                raise ValueError("CUMULATE requires integer step/max with max % step == 0")
+            nk = max_s // step
+            sub = (
+                f"(SELECT *, timestamp_seconds(_ws) AS window_start, "
+                f"timestamp_seconds(_ws + _k * {step}) AS window_end FROM "
+                f"(SELECT *, CAST(floor(unix_timestamp({col}) / {max_s}) * {max_s} AS LONG) AS _ws FROM {table}) "
+                f"LATERAL VIEW explode(sequence(CAST(floor((unix_timestamp({col}) - _ws) / {step}) + 1 AS INT), {nk})) AS _k ) "
+            )
+        masked = masked[:start] + sub + masked[end:]
+
+
+def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
+    """``GROUP BY TUMBLE(ts, i)`` + TUMBLE_START/END → window()."""
+
+    def aux(m: re.Match) -> str:
+        fn, field = m.group(1).upper(), m.group(2).upper()
+        args = _split_args(m.group(3))
+        col = args[0]
+        if fn == "HOP":
+            slide = _interval_to_duration(args[1], lits)
+            size = _interval_to_duration(args[2], lits)
+            w = f"window({col}, {size}, {slide})"
+        else:
+            size = _interval_to_duration(args[1], lits)
+            fname = "session_window" if fn == "SESSION" else "window"
+            w = f"{fname}({col}, {size})"
+        return f"{w}.{'start' if field == 'START' else 'end'}"
+
+    masked = re.sub(
+        r"(?is)\b(TUMBLE|HOP|SESSION)_(START|END)\s*\(([^()]*)\)", aux, masked
+    )
+
+    def grp(m: re.Match) -> str:
+        fn = m.group(1).upper()
+        args = _split_args(m.group(2))
+        col = args[0]
+        if fn == "HOP":
+            slide = _interval_to_duration(args[1], lits)
+            size = _interval_to_duration(args[2], lits)
+            return f"window({col}, {size}, {slide})"
+        size = _interval_to_duration(args[1], lits)
+        fname = "session_window" if fn == "SESSION" else "window"
+        return f"{fname}({col}, {size})"
+
+    return re.sub(
+        r"(?is)\b(TUMBLE|HOP|SESSION)\s*\(([^()]*\x00\d+\x00[^()]*)\)", grp, masked
+    )
+
+
+def _rewrite_constructors(masked: str) -> str:
+    """ARRAY[...] / MAP[...] → array(...) / map(...)."""
+
+    def swap(m: re.Match) -> str:
+        return f"{m.group(1).lower()}({m.group(2)})"
+
+    # no nesting of [] inside the constructor in the corpus
+    return re.sub(r"(?is)\b(ARRAY|MAP)\s*\[([^\[\]]*)\]", swap, masked)
+
+
+def _rewrite_subscripts(masked: str) -> str:
+    """``expr[i]`` (1-based in Flink) → ``element_at(expr, i)``.
+
+    element_at is 1-based in Spark for both arrays and maps, so the
+    index itself passes through unchanged; map access by key also
+    goes through element_at (semantics identical).
+    """
+    pat = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*\[\s*([^\[\]]+?)\s*\]")
+    while True:
+        new = pat.sub(lambda m: f"element_at({m.group(1)}, {m.group(2)})", masked)
+        if new == masked:
+            return new
+        masked = new
+
+
+def _rewrite_similar_to(masked: str, lits: list[str]) -> str:
+    """``x SIMILAR TO 'pat'`` → ``x RLIKE '^(?:pat′)$'`` with SQL
+    wildcards translated (% → .*, _ → .)."""
+
+    def repl(m: re.Match) -> str:
+        neg = m.group(1) or ""
+        idx = int(m.group(2))
+        pat = lits[idx][1:-1]
+        pat = pat.replace("%", ".*").replace("_", ".")
+        lits.append(f"'^(?:{pat})$'")
+        return f"{'NOT ' if neg else ''}RLIKE \x00{len(lits) - 1}\x00"
+
+    return re.sub(r"(?is)\b(NOT\s+)?SIMILAR\s+TO\s+\x00(\d+)\x00", repl, masked)
+
+
+_TYPE_REWRITES = [
+    (re.compile(r"(?is)\bTIMESTAMP_LTZ\s*(\(\s*\d+\s*\))?"), "TIMESTAMP"),
+    (re.compile(r"(?is)\bTIMESTAMP\s*\(\s*\d+\s*\)"), "TIMESTAMP_NTZ"),
+    (re.compile(r"(?is)\bBYTES\b"), "BINARY"),
+    (re.compile(r"(?is)\bVARBINARY\s*\(\s*\d+\s*\)"), "BINARY"),
+    (re.compile(r"(?is)\bMULTISET\s*<([^<>]*)>"), r"MAP<\1, INT>"),
+    (re.compile(r"(?is)\bROW\s*<"), "STRUCT<"),
+]
+
+
+def _rewrite_types(masked: str) -> str:
+    for pat, rep in _TYPE_REWRITES:
+        masked = pat.sub(rep, masked)
+    return masked
+
+
+def _rewrite_misc(masked: str) -> str:
+    # FETCH FIRST n ROWS ONLY → LIMIT n (syntax-test.fsql / tmLanguage.json:271)
+    masked = re.sub(
+        r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY", r"LIMIT \1", masked
+    )
+    # PROCTIME() → current_timestamp() (documented semantic gap, SURVEY §7)
+    masked = re.sub(r"(?is)\bPROCTIME\s*\(\s*\)", "current_timestamp()", masked)
+    # Flink DAYNAME/MONTHNAME return full names; Spark's builtins
+    # abbreviate and cannot be shadowed by SQL UDFs → rewrite
+    masked = re.sub(
+        r"(?is)\bDAYNAME\s*\(([^()]*)\)", r"date_format(\1, 'EEEE')", masked
+    )
+    masked = re.sub(
+        r"(?is)\bMONTHNAME\s*\(([^()]*)\)", r"date_format(\1, 'MMMM')", masked
+    )
+    return masked
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite one Flink-SQL statement into Spark SQL."""
+    masked, lits = _mask(sql)
+    masked = _rewrite_tvfs(masked, lits)
+    masked = _rewrite_legacy_group_windows(masked, lits)
+    masked = _rewrite_constructors(masked)
+    masked = _rewrite_subscripts(masked)
+    masked = _rewrite_similar_to(masked, lits)
+    masked = _rewrite_types(masked)
+    masked = _rewrite_misc(masked)
+    return _unmask(masked, lits)

@@ -1,0 +1,339 @@
+"""Gateway-shaped engine: Engine ≙ SQL Gateway, EngineSession ≙
+sessionHandle, Operation ≙ statementHandle with token-paged fetch.
+
+Re-expresses the reference's execution lifecycle (SURVEY.md §3):
+statement submit → operation handle → token-paged result fetch with
+``NOT_READY | PAYLOAD | EOS`` (src/flinkClient.ts:144-172), distinct
+batch vs streaming result loops (src/notebookController.ts:169-294),
+best-effort idempotent cancel (src/flinkClient.ts:269-296), and
+session auto-recovery (src/sessionManager.ts:257-288) — on Spark:
+``spark.sql`` + Catalyst for queries, Structured Streaming for
+continuous jobs, a 1000-row ring buffer for live results.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_sql_toolkit_spark import commands
+from flink_sql_toolkit_spark.dialect import rewrite, split_statements
+from flink_sql_toolkit_spark.functions.shims import register_function_shims
+from flink_sql_toolkit_spark.sources.connectors import build_reader, build_writer
+from flink_sql_toolkit_spark.sources.ddl import (
+    ConnectorTable,
+    matches_create_table_with,
+    parse_create_table,
+)
+from flink_sql_toolkit_spark.streaming.buffer import EOS, PAYLOAD, StreamResultBuffer
+from flink_sql_toolkit_spark.streaming.jobs import JobRegistry
+
+PAGE_SIZE = 1000
+
+_COMMAND_HANDLERS = (
+    commands.handle_set,
+    commands.handle_reset,
+    commands.handle_show,
+    commands.handle_describe,
+    commands.handle_use,
+    commands.handle_jobs_admin,
+    commands.handle_explain,
+)
+
+_UNSUPPORTED = {
+    re.compile(r"(?is)^COMPILE\s"): "COMPILE PLAN is Flink-specific and out of scope",
+    re.compile(r"(?is)^(UPDATE|DELETE|MERGE)\s"): (
+        "UPDATE/DELETE/MERGE require a transactional table format "
+        "(Delta/Iceberg); plain parquet/connector tables are immutable "
+        "(Flink restricts these by connector the same way)"
+    ),
+}
+
+
+class Operation:
+    """A submitted statement: status + token-paged result fetch."""
+
+    def __init__(self, session: "EngineSession", statement: str):
+        self.handle = str(uuid.uuid4())
+        self.session = session
+        self.statement = statement.strip()
+        self.status = "PENDING"
+        self.is_query_result = False
+        self.job_id: str | None = None
+        self.error: Exception | None = None
+        self._columns: list[dict[str, str]] = []
+        self._rows: list[list[Any]] = []
+        self._stream_buffer: StreamResultBuffer | None = None
+        self._stream_query = None
+
+    # -- execution ----------------------------------------------------
+
+    def execute(self) -> "Operation":
+        try:
+            self._execute()
+            if self.status == "PENDING":
+                self.status = "FINISHED"
+        except Exception as e:  # noqa: BLE001
+            self.status = "ERROR"
+            self.error = e
+            raise
+        return self
+
+    def _execute(self) -> None:
+        stmt = self.statement.rstrip(";").strip()
+        sess = self.session
+        for pat, msg in _UNSUPPORTED.items():
+            if pat.match(stmt):
+                raise NotImplementedError(msg)
+        for handler in _COMMAND_HANDLERS:
+            out = handler(sess, stmt)
+            if out is not None:
+                self._columns, self._rows = out
+                return
+        if matches_create_table_with(stmt + ";"):
+            self._columns, self._rows = sess.register_connector_table(stmt)
+            return
+        if re.match(r"(?is)^(BEGIN\s+STATEMENT\s+SET|EXECUTE\s+STATEMENT\s+SET)", stmt):
+            self._execute_statement_set(stmt)
+            return
+        m = re.match(r"(?is)^INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s*(\(.*?\))?\s+(SELECT.*|VALUES.*|TABLE.*)$", stmt, re.DOTALL)
+        if m and m.group(2).strip("`") in sess.connector_tables:
+            self._execute_insert(m.group(2).strip("`"), m.group(4), overwrite=m.group(1).upper() == "OVERWRITE")
+            return
+        # everything else: the dialect rewrite + spark.sql
+        df = sess.spark.sql(rewrite(stmt))
+        if df.isStreaming:
+            self._start_stream_select(df)
+            return
+        self.is_query_result = bool(df.schema.fields)
+        self._columns = [
+            {"name": f.name, "logicalType": f.dataType.simpleString()} for f in df.schema.fields
+        ]
+        self._rows = [list(r) for r in df.collect()]
+
+    def _execute_insert(self, target: str, query: str, *, overwrite: bool) -> None:
+        sess = self.session
+        table = sess.connector_tables[target]
+        df = sess.spark.sql(rewrite(query))
+        name = sess.flink_conf.get("pipeline.name", f"insert-{target}")
+        q = build_writer(
+            df,
+            table,
+            query_name=name,
+            checkpoint=sess.new_checkpoint(name),
+            trigger_interval=sess.trigger_interval(),
+        )
+        if q is not None:
+            info = sess.jobs.register(q, name)
+            self.job_id = info.job_id
+            self._columns = [{"name": "job id", "logicalType": "string"}]
+            self._rows = [[info.job_id]]
+        else:
+            self._columns = [{"name": "result", "logicalType": "string"}]
+            self._rows = [["OK"]]
+
+    def _execute_statement_set(self, stmt: str) -> None:
+        inner = re.sub(r"(?is)^BEGIN\s+STATEMENT\s+SET\s*;", "", stmt)
+        inner = re.sub(r"(?is)^EXECUTE\s+STATEMENT\s+SET\s*", "", inner)
+        inner = re.sub(r"(?is)\bEND\s*;?\s*$", "", inner).strip()
+        job_ids = []
+        for sub in split_statements(inner):
+            op = Operation(self.session, sub).execute()
+            if op.job_id:
+                job_ids.append(op.job_id)
+        self._columns = [{"name": "job id", "logicalType": "string"}]
+        self._rows = [[j] for j in job_ids] or [["OK"]]
+
+    def _start_stream_select(self, df: DataFrame) -> None:
+        """Streaming SELECT → ring-buffered incremental results."""
+        sess = self.session
+        self.is_query_result = True
+        self._columns = [
+            {"name": f.name, "logicalType": f.dataType.simpleString()} for f in df.schema.fields
+        ]
+        self._stream_buffer = StreamResultBuffer()
+        name = f"select-{self.handle[:8]}"
+        q = (
+            df.writeStream.foreachBatch(self._stream_buffer.foreach_batch)
+            .queryName(name)
+            .option("checkpointLocation", sess.new_checkpoint(name))
+            .trigger(processingTime=sess.trigger_interval() or "1 second")
+            .outputMode("update")
+            .start()
+        )
+        self._stream_query = q
+        info = sess.jobs.register(q, name)
+        self.job_id = info.job_id
+        self.status = "RUNNING"
+
+    # -- result fetch (token-paged, src/flinkClient.ts:154-172) -------
+
+    def fetch(self, token: int = 0) -> dict[str, Any]:
+        if self.status == "ERROR":
+            raise self.error if self.error else RuntimeError("operation failed")
+        if self._stream_buffer is not None:
+            if self._stream_query is not None and not self._stream_query.isActive:
+                self._stream_buffer.finish(
+                    None
+                )
+            page = self._stream_buffer.fetch(token)
+            page.update(
+                {
+                    "columns": self._columns,
+                    "isQueryResult": True,
+                    "jobID": self.job_id,
+                    "isStreaming": True,
+                }
+            )
+            return page
+        start = token * PAGE_SIZE
+        rows = self._rows[start : start + PAGE_SIZE]
+        return {
+            "columns": self._columns,
+            "data": rows,
+            "resultType": PAYLOAD if rows else EOS,
+            "isQueryResult": self.is_query_result,
+            "nextResultToken": token + 1,
+            "isStreaming": False,
+            "jobID": self.job_id,
+        }
+
+    def cancel(self) -> None:
+        """Best-effort, idempotent (reference tolerates every state)."""
+        if self._stream_query is not None:
+            try:
+                if self._stream_query.isActive:
+                    self._stream_query.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            self._stream_buffer.finish(None)
+        self.status = "CANCELED"
+
+
+class EngineSession:
+    """≙ gateway sessionHandle over an isolated SparkSession."""
+
+    def __init__(self, engine: "Engine", name: str, spark: SparkSession):
+        self.engine = engine
+        self.name = name
+        self.handle = str(uuid.uuid4())
+        # newSession(): shared SparkContext/cache, isolated temp views,
+        # UDFs and SQL conf — exactly Flink's per-session catalog scope
+        self.spark = spark.newSession()
+        self.flink_conf: dict[str, str] = {}
+        self.connector_tables: dict[str, ConnectorTable] = {}
+        self.connector_ddl: dict[str, str] = {}
+        self.jobs = JobRegistry()
+        self.modules = ["core"]
+        self.jars: list[str] = []
+        self.operations: dict[str, Operation] = {}
+        self.checkpoint_root = tempfile.mkdtemp(prefix=f"fstk-{name}-")
+        register_function_shims(self.spark)
+
+    # -- statement lifecycle -----------------------------------------
+
+    @property
+    def runtime_mode(self) -> str:
+        """Flink defaults to streaming (SET 'execution.runtime-mode')."""
+        return self.flink_conf.get("execution.runtime-mode", "streaming")
+
+    def execute_statement(self, statement: str) -> Operation:
+        op = Operation(self, statement)
+        self.operations[op.handle] = op
+        op.execute()
+        # switching batch/streaming re-registers connector views in
+        # the new mode (Flink re-plans per mode the same way)
+        if re.match(r"(?is)^\s*SET\s+'execution\.runtime-mode'", statement):
+            self.refresh_connector_views()
+        return op
+
+    def execute_script(self, script: str) -> list[Operation]:
+        return [self.execute_statement(s) for s in split_statements(script)]
+
+    # -- connector tables --------------------------------------------
+
+    def register_connector_table(self, stmt: str):
+        table = parse_create_table(stmt + ";")
+        if table.name in self.connector_tables and table.if_not_exists:
+            return [{"name": "result", "logicalType": "string"}], [["OK"]]
+        self.connector_tables[table.name] = table
+        self.connector_ddl[table.name] = stmt
+        self._register_view(table)
+        return [{"name": "result", "logicalType": "string"}], [["OK"]]
+
+    def _register_view(self, table: ConnectorTable) -> None:
+        """Register the connector's reader as a temp view so plain SQL
+        sees it; mode follows 'execution.runtime-mode'."""
+        from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
+            is_streaming_connector,
+        )
+
+        try:
+            streaming = (
+                is_streaming_connector(table.connector) and self.runtime_mode == "streaming"
+            )
+            df = build_reader(self.spark, table, streaming=streaming)
+            df.createOrReplaceTempView(table.name)
+        except ValueError:
+            pass  # write-only connectors (print/blackhole) have no reader
+
+    def refresh_connector_views(self) -> None:
+        for table in self.connector_tables.values():
+            self._register_view(table)
+
+    # -- conf-derived behaviors --------------------------------------
+
+    def trigger_interval(self) -> str | None:
+        iv = self.flink_conf.get("execution.checkpointing.interval")
+        if iv is None:
+            return None
+        m = re.match(r"(\d+)\s*(ms|s|sec|min)?", iv)
+        if not m:
+            return None
+        unit = {"ms": "milliseconds", "s": "seconds", "sec": "seconds", "min": "minutes"}.get(
+            m.group(2) or "ms", "milliseconds"
+        )
+        return f"{m.group(1)} {unit}"
+
+    def new_checkpoint(self, name: str) -> str:
+        return f"{self.checkpoint_root}/{name}-{uuid.uuid4().hex[:8]}"
+
+    def close(self) -> None:
+        for op in self.operations.values():
+            if op.status == "RUNNING":
+                op.cancel()
+        for job in self.jobs.list():
+            try:
+                self.jobs.stop(job.job_id)
+            except Exception:  # noqa: BLE001
+                pass
+
+
+class Engine:
+    """≙ the SQL Gateway: session registry with auto-recovery."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.sessions: dict[str, EngineSession] = {}
+
+    def open_session(self, name: str = "default") -> EngineSession:
+        sess = EngineSession(self, name, self.spark)
+        self.sessions[sess.handle] = sess
+        return sess
+
+    def get_session(self, handle: str) -> EngineSession:
+        """Invalid handle → auto-recover a fresh 'default' session,
+        mirroring src/sessionManager.ts:257-288."""
+        sess = self.sessions.get(handle)
+        if sess is None:
+            return self.open_session("default")
+        return sess
+
+    def close_session(self, handle: str) -> None:
+        sess = self.sessions.pop(handle, None)
+        if sess is not None:
+            sess.close()

@@ -1,0 +1,94 @@
+"""Flink scalar-function shims (SURVEY.md §2.10).
+
+Most Flink built-ins exist in Spark under the same name. The
+remainder are registered per-session as **SQL UDFs** (Spark 4
+``CREATE TEMPORARY FUNCTION ... RETURN <expr>``): they inline into
+the plan as Catalyst expressions — codegen'd, no Python in the hot
+path, safe at any scale. Python UDFs are used only where an
+expression cannot express the semantics (GCD/LCM loops).
+
+Reference citations: split/hash/string functions
+test/syntax-test.fsql:351-374; math :377-401; datetime :404-429;
+tmLanguage.json:431-467.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name → (args, return type, body expression)
+_SQL_SHIMS: dict[str, tuple[str, str, str]] = {
+    # string
+    "SPLIT_INDEX": (
+        "(s STRING, sep STRING, i INT)",
+        "STRING",
+        "element_at(split(s, concat('\\\\Q', sep, '\\\\E')), i + 1)",
+    ),
+    "SIMILARITY": (
+        "(a STRING, b STRING)",
+        "DOUBLE",
+        "1.0 - CAST(levenshtein(a, b) AS DOUBLE) / greatest(length(a), length(b), 1)",
+    ),
+    "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),
+    "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
+    "FROM_BASE64": ("(s STRING)", "STRING", "decode(unbase64(s), 'UTF-8')"),
+    "TO_BASE64": ("(s STRING)", "STRING", "base64(CAST(s AS BINARY))"),
+    "HASH_CODE": ("(s STRING)", "INT", "hash(s)"),
+    "MURMUR_HASH": ("(s STRING)", "INT", "hash(s)"),
+    "MURMUR_HASH_64": ("(s STRING)", "BIGINT", "xxhash64(s)"),
+    "XXH3_64": ("(s STRING)", "BIGINT", "xxhash64(s)"),
+    # math — COT/LOG2/CBRT/FACTORIAL/WIDTH_BUCKET/PI/E are Spark
+    # builtins already (as are TIME_TRUNC and abbreviated
+    # DAYNAME/MONTHNAME; Flink's full-name DAYNAME is a dialect
+    # rewrite since builtins cannot be shadowed by SQL UDFs)
+    "RAND_INTEGER": ("(bound INT)", "INT", "CAST(floor(rand() * bound) AS INT)"),
+    "TRUNCATE": (
+        "(x DOUBLE, d INT)",
+        "DOUBLE",
+        "CAST(CAST(x * pow(10, d) AS BIGINT) AS DOUBLE) / pow(10, d)",
+    ),
+    # datetime
+    "IS_LEAP_YEAR": (
+        "(d DATE)",
+        "BOOLEAN",
+        "(year(d) % 4 = 0 AND year(d) % 100 <> 0) OR year(d) % 400 = 0",
+    ),
+    "CURRENT_ROW_TIMESTAMP": ("()", "TIMESTAMP", "current_timestamp()"),
+    # JSON (Flink SQL/JSON → Spark JSON path functions)
+    "JSON_VALUE": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
+    "JSON_EXISTS": ("(j STRING, p STRING)", "BOOLEAN", "get_json_object(j, p) IS NOT NULL"),
+    "JSON_STRING": ("(j STRING)", "STRING", "to_json(struct(j))"),
+    "IS_JSON": ("(j STRING)", "BOOLEAN", "try_parse_json(j) IS NOT NULL"),
+}
+
+
+def _gcd(a: int, b: int) -> int:
+    import math
+
+    return math.gcd(int(a), int(b))
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return abs(int(a) * int(b)) // math.gcd(int(a), int(b)) if a and b else 0
+
+
+def register_function_shims(spark: SparkSession) -> list[str]:
+    """Register all shims on the session; return registered names."""
+    registered = []
+    for name, (args, rtype, body) in _SQL_SHIMS.items():
+        sql_name = name.rstrip("_")
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {sql_name}{args} "
+                f"RETURNS {rtype} RETURN {body}"
+            )
+            registered.append(sql_name)
+        except Exception:  # noqa: BLE001 — leave missing shims discoverable
+            pass
+    # iterative algorithms: Python UDFs (slow path, off the hot loop)
+    spark.udf.register("GCD", _gcd, "bigint")
+    spark.udf.register("LCM", _lcm, "bigint")
+    registered += ["GCD", "LCM"]
+    return registered

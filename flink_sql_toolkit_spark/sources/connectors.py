@@ -1,0 +1,315 @@
+"""Connector registry: ConnectorTable → Spark readers/writers.
+
+Implements the reference's connector vocabulary
+(syntaxes/flink.tmLanguage.json:513; DDL corpus
+test/syntax-test.fsql:626-720) on Spark primitives:
+
+| connector  | read                         | write                    |
+|------------|------------------------------|--------------------------|
+| filesystem | spark.read/readStream + fmt  | write/writeStream + fmt  |
+| datagen    | rate source + typed exprs    | —                        |
+| values     | createDataFrame from option  | —                        |
+| print      | —                            | console sink             |
+| blackhole  | —                            | noop sink                |
+| kafka      | kafka source + format decode | kafka sink, to_json      |
+| upsert-kafka | kafka + latest-per-key     | kafka keyed by PK        |
+| jdbc       | spark.read.jdbc              | df.write.jdbc            |
+
+Metadata columns map name-for-name onto the Kafka source's
+``timestamp``/``partition``/``offset``/``topic`` columns
+(test/syntax-test.fsql:33-38); computed columns are projected on
+read; watermarks become ``withWatermark`` on streaming reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+from flink_sql_toolkit_spark.sources.ddl import ConnectorTable
+
+_STREAMING_CONNECTORS = {"kafka", "upsert-kafka", "datagen"}
+
+
+def is_streaming_connector(connector: str) -> bool:
+    return connector in _STREAMING_CONNECTORS
+
+
+_STARTUP_MODES = {
+    "earliest-offset": ("startingOffsets", "earliest"),
+    "latest-offset": ("startingOffsets", "latest"),
+    # group-offsets has no Spark analogue (Spark tracks offsets in its
+    # own checkpoint) — documented approximation
+    "group-offsets": ("startingOffsets", "latest"),
+}
+
+
+def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
+    """Decode the Kafka value column per the declared format + schema."""
+    fmt = table.format
+    schema = table.schema_ddl()
+    value = F.col("value").cast("string")
+    if fmt == "json" or fmt.endswith("-json"):
+        # debezium/canal/maxwell envelopes: decode payload from the
+        # 'after' image (CUSTOM changelog decode, SURVEY §2.2)
+        if fmt == "debezium-json":
+            parsed = F.from_json(value, f"before struct<{schema}>, after struct<{schema}>, op string")
+            raw = raw.withColumn("_env", parsed)
+            return raw.select(F.col("_env.after.*"), F.col("_env.op").alias("_op"), "timestamp", "partition", "offset", "topic")
+        if fmt in ("canal-json", "maxwell-json"):
+            parsed = F.from_json(value, f"data array<struct<{schema}>>, type string")
+            raw = raw.withColumn("_env", parsed)
+            return (
+                raw.select(F.explode("_env.data").alias("_row"), F.col("_env.type").alias("_op"), "timestamp", "partition", "offset", "topic")
+                .select("_row.*", "_op", "timestamp", "partition", "offset", "topic")
+            )
+        return raw.select(
+            F.from_json(value, f"struct<{schema}>").alias("_row"),
+            "timestamp",
+            "partition",
+            "offset",
+            "topic",
+        ).select("_row.*", "timestamp", "partition", "offset", "topic")
+    if fmt == "csv":
+        return raw.select(
+            F.from_csv(value, schema).alias("_row"), "timestamp", "partition", "offset", "topic"
+        ).select("_row.*", "timestamp", "partition", "offset", "topic")
+    if fmt == "raw":
+        first = table.columns[0].name
+        return raw.select(value.alias(first), "timestamp", "partition", "offset", "topic")
+    if fmt == "avro":
+        try:
+            from pyspark.sql.avro.functions import from_avro  # noqa: PLC0415
+
+            schema_str = table.options.get("avro.schema", "")
+            return raw.select(
+                from_avro(F.col("value"), schema_str).alias("_row"),
+                "timestamp", "partition", "offset", "topic",
+            ).select("_row.*", "timestamp", "partition", "offset", "topic")
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"avro decode unavailable: {e}") from e
+    raise ValueError(f"unsupported format '{fmt}'")
+
+
+def _apply_extensions(df: DataFrame, table: ConnectorTable, streaming: bool) -> DataFrame:
+    """Computed columns, metadata columns, watermark (SURVEY §1.4)."""
+    for meta in table.metadata:
+        if meta.key in df.columns and meta.key != meta.name:
+            df = df.withColumn(meta.name, F.col(meta.key).cast(meta.spark_type))
+        elif meta.key == "file.path":
+            df = df.withColumn(meta.name, F.input_file_name())
+        elif meta.name not in df.columns:
+            df = df.withColumn(meta.name, F.lit(None).cast(meta.spark_type))
+    for comp in table.computed:
+        df = df.withColumn(comp.name, F.expr(rewrite(comp.expr)))
+    declared = (
+        [c.name for c in table.columns]
+        + [m.name for m in table.metadata]
+        + [c.name for c in table.computed]
+    )
+    df = df.select(*[c for c in declared if c in df.columns])
+    if streaming and table.watermark is not None:
+        wcol = table.watermark.column
+        # Spark watermarks require TIMESTAMP (LTZ); Flink watermark
+        # columns are TIMESTAMP(3) (NTZ wall-clock). With the session
+        # TZ pinned to UTC the two are value-identical → cast.
+        if dict(df.dtypes).get(wcol) == "timestamp_ntz":
+            df = df.withColumn(wcol, F.col(wcol).cast("timestamp"))
+        df = df.withWatermark(wcol, table.watermark.delay)
+    return df
+
+
+def _datagen_columns(spark_value_col, table: ConnectorTable):
+    """Deterministic per-type generator expressions from the rate
+    source's monotonically increasing ``value`` (test corpus datagen —
+    syntax-test.fsql:679-687; fields.<col>.min/max honored)."""
+    cols = []
+    for i, c in enumerate(table.columns):
+        opts = table.options
+        lo = opts.get(f"fields.{c.name}.min")
+        hi = opts.get(f"fields.{c.name}.max")
+        length = int(opts.get(f"fields.{c.name}.length", "10"))
+        v = spark_value_col + i
+        t = c.spark_type
+        if t in ("int", "bigint", "smallint", "tinyint") or t.startswith("decimal"):
+            if lo is not None and hi is not None:
+                expr = (v % (int(hi) - int(lo) + 1) + int(lo)).cast(t)
+            else:
+                expr = v.cast(t)
+        elif t in ("double", "float"):
+            expr = (F.pmod(F.xxhash64(v), F.lit(10000)) / 100.0).cast(t)
+        elif t == "string":
+            expr = F.concat(F.lit(c.name[:length] + "_"), v.cast("string"))
+        elif t in ("timestamp", "timestamp_ntz"):
+            expr = F.col("timestamp").cast(t)
+        elif t == "boolean":
+            expr = (v % 2 == 0)
+        else:
+            expr = F.lit(None).cast(t)
+        cols.append(expr.alias(c.name))
+    return cols
+
+
+def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | None = None) -> DataFrame:
+    conn = table.connector
+    opts = table.options
+    if streaming is None:
+        streaming = is_streaming_connector(conn)
+
+    if conn == "filesystem":
+        fmt = table.format
+        path = opts["path"]
+        reader = (spark.readStream if streaming else spark.read).format(fmt)
+        schema = table.schema_ddl()
+        if schema:
+            reader = reader.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("sep", opts.get("csv.field-delimiter", ","))
+        df = reader.load(path)
+        return _apply_extensions(df, table, streaming)
+
+    if conn == "datagen":
+        rps = int(float(opts.get("rows-per-second", "1000")))
+        if streaming:
+            raw = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", rps)
+                .load()
+            )
+        else:
+            n = int(opts.get("number-of-rows", "1000"))
+            raw = spark.range(n).select(
+                F.col("id").alias("value"), F.current_timestamp().alias("timestamp")
+            )
+        # keep the rate source's timestamp column so METADATA FROM
+        # 'timestamp' columns can map onto it
+        keep = [F.col("timestamp")] if "timestamp" not in [c.name for c in table.columns] else []
+        df = raw.select(*keep, *_datagen_columns(F.col("value"), table))
+        return _apply_extensions(df, table, streaming)
+
+    if conn == "values":
+        import json  # noqa: PLC0415
+
+        data = json.loads(opts.get("data", "[]"))
+        df = spark.createDataFrame(data, schema=table.schema_ddl())
+        return _apply_extensions(df, table, False)
+
+    if conn in ("kafka", "upsert-kafka"):
+        reader = (spark.readStream if streaming else spark.read).format("kafka")
+        reader = reader.option(
+            "kafka.bootstrap.servers", opts.get("properties.bootstrap.servers", "")
+        ).option("subscribe", opts["topic"])
+        mode = opts.get("scan.startup.mode", "group-offsets")
+        if mode == "timestamp":
+            reader = reader.option(
+                "startingTimestamp", opts.get("scan.startup.timestamp-millis", "0")
+            )
+        elif mode == "specific-offsets":
+            reader = reader.option(
+                "startingOffsets", opts.get("scan.startup.specific-offsets", "earliest")
+            )
+        else:
+            key, val = _STARTUP_MODES.get(mode, ("startingOffsets", "earliest"))
+            reader = reader.option(key, val)
+        df = _decode_payload(reader.load(), table)
+        if conn == "upsert-kafka" and table.primary_key and not streaming:
+            # batch upsert view: latest record per key
+            from pyspark.sql import Window as W  # noqa: PLC0415
+
+            w = W.partitionBy(*table.primary_key).orderBy(F.desc("offset"))
+            df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        return _apply_extensions(df, table, streaming)
+
+    if conn == "jdbc":
+        props = {
+            k.removeprefix("properties."): v
+            for k, v in opts.items()
+            if k.startswith("properties.")
+        }
+        if "username" in opts:
+            props["user"] = opts["username"]
+        if "password" in opts:
+            props["password"] = opts["password"]
+        if "driver" in opts:
+            props["driver"] = opts["driver"]
+        df = spark.read.jdbc(opts["url"], opts["table-name"], properties=props)
+        return _apply_extensions(df, table, False)
+
+    if conn in ("print", "blackhole"):
+        raise ValueError(f"connector '{conn}' is write-only")
+    raise ValueError(
+        f"connector '{conn}' is not bundled (kafka/filesystem/jdbc/datagen/"
+        f"print/blackhole/values are); see SURVEY.md §2.2 for the mapping"
+    )
+
+
+def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, checkpoint: str, trigger_interval: str | None = None):
+    """Write ``df`` into the connector table.
+
+    Streaming df → returns the started StreamingQuery; batch df →
+    performs the write and returns None.
+    """
+    conn = table.connector
+    opts = table.options
+    streaming = df.isStreaming
+
+    if conn == "print":
+        if streaming:
+            return _start(df.writeStream.format("console"), query_name, checkpoint, trigger_interval)
+        df.write.format("console").save()
+        return None
+    if conn == "blackhole":
+        if streaming:
+            return _start(df.writeStream.format("noop"), query_name, checkpoint, trigger_interval)
+        df.write.format("noop").mode("overwrite").save()
+        return None
+    if conn == "filesystem":
+        fmt, path = table.format, opts["path"]
+        if streaming:
+            w = df.writeStream.format(fmt).option("path", path)
+            if table.partitioned_by:
+                w = w.partitionBy(*table.partitioned_by)
+            return _start(w, query_name, checkpoint, trigger_interval)
+        w = df.write.format(fmt).mode("append")
+        if table.partitioned_by:
+            w = w.partitionBy(*table.partitioned_by)
+        w.save(path)
+        return None
+    if conn in ("kafka", "upsert-kafka"):
+        key_cols = table.primary_key or [table.columns[0].name]
+        payload = df.select(
+            F.to_json(F.struct(*[c.name for c in table.columns])).alias("value"),
+            F.to_json(F.struct(*key_cols)).alias("key"),
+        )
+        servers = opts.get("properties.bootstrap.servers", "")
+        if streaming:
+            w = (
+                payload.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", servers)
+                .option("topic", opts["topic"])
+            )
+            return _start(w, query_name, checkpoint, trigger_interval)
+        payload.write.format("kafka").option("kafka.bootstrap.servers", servers).option(
+            "topic", opts["topic"]
+        ).save()
+        return None
+    if conn == "jdbc":
+        if streaming:
+            # streaming JDBC sink: per-micro-batch writes (foreachBatch)
+            def _write_batch(batch_df: DataFrame, _bid: int) -> None:
+                batch_df.write.mode("append").jdbc(opts["url"], opts["table-name"])
+
+            return _start(
+                df.writeStream.foreachBatch(_write_batch), query_name, checkpoint, trigger_interval
+            )
+        df.write.mode("append").jdbc(opts["url"], opts["table-name"])
+        return None
+    raise ValueError(f"connector '{conn}' does not support writes here")
+
+
+def _start(writer, query_name: str, checkpoint: str, trigger_interval: str | None):
+    writer = writer.queryName(query_name).option("checkpointLocation", checkpoint)
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -1,0 +1,216 @@
+"""``CREATE TABLE ... WITH ('connector'=..., ...)`` DDL parser.
+
+Parses the Flink table-DDL surface the corpus exercises
+(test/syntax-test.fsql:11-63, 626-720): physical columns, computed
+columns (``ts AS PROCTIME()``), metadata columns (``... METADATA
+[FROM 'key'] [VIRTUAL]``), ``WATERMARK FOR col AS col - INTERVAL
+'n' UNIT``, ``PRIMARY KEY (...) NOT ENFORCED``, ``PARTITIONED BY``,
+and the WITH-options map. Produces a ``ConnectorTable`` the
+connector registry (connectors.py) turns into Spark readers/writers.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TYPE_MAP = [
+    (re.compile(r"(?i)^TIMESTAMP_LTZ(\(\d+\))?$"), "timestamp"),
+    (re.compile(r"(?i)^TIMESTAMP(\(\d+\))?$"), "timestamp_ntz"),
+    (re.compile(r"(?i)^(DEC|NUMERIC)(\(.*\))?$"), lambda m: "decimal" + (m.group(2) or "")),
+    (re.compile(r"(?i)^(CHARACTER|CHAR|VARCHAR)(\(\d+\))?$"), "string"),
+    (re.compile(r"(?i)^BYTES$"), "binary"),
+    (re.compile(r"(?i)^VARBINARY(\(\d+\))?$"), "binary"),
+    (re.compile(r"(?i)^RAW$"), "binary"),
+    (re.compile(r"(?i)^TIME(\(\d+\))?$"), "string"),  # Spark has no TimeType (documented gap)
+    (re.compile(r"(?i)^INTEGER$"), "int"),
+    (re.compile(r"(?i)^MULTISET<(.*)>$"), lambda m: f"map<{flink_type_to_spark(m.group(1))}, int>"),
+    (re.compile(r"(?i)^ROW<(.*)>$"), lambda m: f"struct<{m.group(1)}>"),
+]
+
+
+def flink_type_to_spark(t: str) -> str:
+    t = t.strip()
+    for pat, rep in _TYPE_MAP:
+        m = pat.match(t)
+        if m:
+            return rep(m) if callable(rep) else rep
+    # recurse into ARRAY<>/MAP<> element types
+    m = re.match(r"(?i)^ARRAY\s*<(.*)>$", t)
+    if m:
+        return f"array<{flink_type_to_spark(m.group(1))}>"
+    m = re.match(r"(?i)^MAP\s*<(.*),(.*)>$", t)
+    if m:
+        return f"map<{flink_type_to_spark(m.group(1))}, {flink_type_to_spark(m.group(2))}>"
+    return t.lower()
+
+
+@dataclass
+class Column:
+    name: str
+    spark_type: str
+    nullable: bool = True
+    comment: str | None = None
+
+
+@dataclass
+class ComputedColumn:
+    name: str
+    expr: str
+
+
+@dataclass
+class MetadataColumn:
+    name: str
+    spark_type: str
+    key: str  # source metadata key, e.g. 'timestamp', 'partition'
+    virtual: bool = False
+
+
+@dataclass
+class Watermark:
+    column: str
+    delay_expr: str  # original '<col> - INTERVAL ...' expression
+    delay: str  # Spark duration string, e.g. '5 seconds'
+
+
+@dataclass
+class ConnectorTable:
+    name: str
+    columns: list[Column] = field(default_factory=list)
+    computed: list[ComputedColumn] = field(default_factory=list)
+    metadata: list[MetadataColumn] = field(default_factory=list)
+    watermark: Watermark | None = None
+    primary_key: list[str] = field(default_factory=list)
+    partitioned_by: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+    temporary: bool = False
+    if_not_exists: bool = False
+    comment: str | None = None
+
+    @property
+    def connector(self) -> str:
+        return self.options.get("connector", "")
+
+    @property
+    def format(self) -> str:
+        return self.options.get("format", self.options.get("value.format", "json"))
+
+    def schema_ddl(self) -> str:
+        return ", ".join(
+            f"{c.name} {c.spark_type}" + ("" if c.nullable else " NOT NULL")
+            for c in self.columns
+        )
+
+
+_CREATE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.`]+)\s*\((.*?)\)\s*(COMMENT\s+'([^']*)'\s*)?"
+    r"(PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+    r"WITH\s*\((.*?)\)\s*;?\s*$"
+)
+
+_INTERVAL_RE = re.compile(r"(?is)INTERVAL\s+'([\d.]+)'\s+(\w+)")
+
+_UNITS = {
+    "MILLISECOND": "milliseconds",
+    "SECOND": "seconds",
+    "MINUTE": "minutes",
+    "HOUR": "hours",
+    "DAY": "days",
+}
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    in_str = False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = text[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def matches_create_table_with(sql: str) -> bool:
+    return bool(_CREATE_RE.match(sql))
+
+
+def parse_create_table(sql: str) -> ConnectorTable:
+    m = _CREATE_RE.match(sql)
+    if not m:
+        raise ValueError("not a CREATE TABLE ... WITH(...) statement")
+    table = ConnectorTable(
+        name=m.group(3).strip("`"),
+        temporary=bool(m.group(1)),
+        if_not_exists=bool(m.group(2)),
+        comment=m.group(6),
+    )
+    if m.group(8):
+        table.partitioned_by = [c.strip().strip("`") for c in m.group(8).split(",")]
+    for kv in _split_top(m.group(9)):
+        km = re.match(r"(?s)^\s*'([^']*)'\s*=\s*'((?:[^']|'')*)'\s*$", kv)
+        if km:
+            table.options[km.group(1)] = km.group(2).replace("''", "'")
+
+    for part in _split_top(m.group(4)):
+        wm = re.match(r"(?is)^WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*)$", part)
+        if wm:
+            expr = wm.group(2).strip()
+            im = _INTERVAL_RE.search(expr)
+            delay = "0 seconds"
+            if im:
+                unit = _UNITS.get(im.group(2).upper().rstrip("S") if im.group(2).upper().endswith("S") else im.group(2).upper(), None)
+                unit = unit or _UNITS.get(im.group(2).upper(), "seconds")
+                delay = f"{im.group(1)} {unit}"
+            table.watermark = Watermark(wm.group(1).strip("`"), expr, delay)
+            continue
+        pm = re.match(r"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", part)
+        if pm:
+            table.primary_key = [c.strip().strip("`") for c in pm.group(1).split(",")]
+            continue
+        mm = re.match(
+            r"(?is)^([\w`]+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']*)')?(\s+VIRTUAL)?$",
+            part,
+        )
+        if mm:
+            name = mm.group(1).strip("`")
+            table.metadata.append(
+                MetadataColumn(
+                    name=name,
+                    spark_type=flink_type_to_spark(mm.group(2)),
+                    key=mm.group(3) or name,
+                    virtual=bool(mm.group(4)),
+                )
+            )
+            continue
+        cm = re.match(r"(?is)^([\w`]+)\s+AS\s+(.*)$", part)
+        if cm and not re.match(r"(?is)^[\w`]+\s+(ARRAY|MAP|ROW|MULTISET)\s*<", part):
+            table.computed.append(ComputedColumn(cm.group(1).strip("`"), cm.group(2)))
+            continue
+        fm = re.match(
+            r"(?is)^([\w`]+)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", part
+        )
+        if fm:
+            table.columns.append(
+                Column(
+                    name=fm.group(1).strip("`"),
+                    spark_type=flink_type_to_spark(fm.group(2)),
+                    nullable=not fm.group(3),
+                    comment=fm.group(5),
+                )
+            )
+    return table

@@ -1,0 +1,57 @@
+"""Streaming job registry (SHOW JOBS / STOP JOB surface).
+
+Maps the reference's JobManager view (src/jobsProvider.ts:91-127,
+PATCH /jobs/{id}?mode=cancel — src/flinkClient.ts:174-188) onto
+``spark.streams``: every continuous ``INSERT INTO`` becomes a named
+``StreamingQuery``; ``query.id`` is the jobID; ``stop()`` is the
+cancel (checkpoint ≙ savepoint).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+
+@dataclass
+class JobInfo:
+    job_id: str
+    name: str
+    query: object  # StreamingQuery
+    start_time: dt.datetime = field(default_factory=lambda: dt.datetime.now(dt.timezone.utc))
+
+    @property
+    def status(self) -> str:
+        try:
+            if self.query.isActive:
+                return "RUNNING"
+            return "FAILED" if self.query.exception() else "FINISHED"
+        except Exception:  # noqa: BLE001
+            return "FINISHED"
+
+
+class JobRegistry:
+    def __init__(self) -> None:
+        self._jobs: dict[str, JobInfo] = {}
+
+    def register(self, query, name: str) -> JobInfo:
+        info = JobInfo(job_id=str(query.id), name=name, query=query)
+        self._jobs[info.job_id] = info
+        return info
+
+    def list(self) -> list[JobInfo]:
+        return list(self._jobs.values())
+
+    def stop(self, job_id: str) -> bool:
+        """Idempotent stop (reference tolerates FINISHED/CANCELED —
+        src/flinkClient.ts:269-296)."""
+        info = self._jobs.get(job_id)
+        if info is None:
+            raise KeyError(f"Job '{job_id}' not found")
+        try:
+            if info.query.isActive:
+                info.query.stop()
+                return True
+        except Exception:  # noqa: BLE001
+            pass
+        return False

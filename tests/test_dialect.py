@@ -1,0 +1,132 @@
+"""Dialect layer unit tests: splitter + rewriter + shims."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_sql_toolkit_spark.dialect import rewrite, split_statements
+from flink_sql_toolkit_spark.sources.ddl import flink_type_to_spark, parse_create_table
+
+
+class TestSplitter:
+    def test_basic(self):
+        assert split_statements("SELECT 1; SELECT 2") == ["SELECT 1", "SELECT 2"]
+
+    def test_semicolon_in_literal(self):
+        assert split_statements("SELECT 'a;b'; SELECT 2") == ["SELECT 'a;b'", "SELECT 2"]
+
+    def test_comments(self):
+        out = split_statements("-- x;\nSELECT 1; /* y; */ SELECT 2")
+        assert len(out) == 2
+
+    def test_statement_set_is_one(self):
+        out = split_statements(
+            "BEGIN STATEMENT SET; INSERT INTO a SELECT 1; INSERT INTO b SELECT 2; END; SELECT 3"
+        )
+        assert len(out) == 2
+        assert out[0].upper().startswith("BEGIN STATEMENT SET")
+
+    def test_escaped_quote(self):
+        assert split_statements("SELECT 'it''s; fine'; SELECT 1") == [
+            "SELECT 'it''s; fine'",
+            "SELECT 1",
+        ]
+
+
+class TestRewriter:
+    def test_tumble(self):
+        out = rewrite(
+            "SELECT window_start, COUNT(*) FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR)) GROUP BY window_start"
+        )
+        assert "window(ts, '1 hour')" in out
+        assert "TUMBLE" not in out.upper()
+
+    def test_hop_arg_order_swapped(self):
+        out = rewrite(
+            "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))"
+        )
+        # Flink: (slide, size); Spark window(): (size, slide)
+        assert "window(ts, '10 minute', '5 minute')" in out
+
+    def test_session_and_cumulate(self):
+        out = rewrite(
+            "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), INTERVAL '30' SECOND))"
+        )
+        assert "session_window(ts, '30 second')" in out
+        out = rewrite(
+            "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+        )
+        assert "LATERAL VIEW explode(sequence" in out
+
+    def test_constructors_and_subscripts(self):
+        assert rewrite("SELECT ARRAY[1,2,3][2]") == "SELECT element_at(array(1,2,3), 2)"
+        assert rewrite("SELECT MAP['k', 1]['k']") == "SELECT element_at(map('k', 1), 'k')"
+        assert rewrite("SELECT tags[1] FROM t") == "SELECT element_at(tags, 1) FROM t"
+
+    def test_similar_to(self):
+        assert rewrite("SELECT x SIMILAR TO 'a%'") == "SELECT x RLIKE '^(?:a.*)$'"
+        assert "NOT RLIKE" in rewrite("SELECT x NOT SIMILAR TO 'a_'")
+
+    def test_types(self):
+        assert rewrite("CAST(x AS TIMESTAMP(3))") == "CAST(x AS TIMESTAMP_NTZ)"
+        assert rewrite("CAST(x AS TIMESTAMP_LTZ(3))") == "CAST(x AS TIMESTAMP)"
+        assert rewrite("CAST(x AS MULTISET<STRING>)") == "CAST(x AS MAP<STRING, INT>)"
+
+    def test_fetch_first(self):
+        assert rewrite("SELECT * FROM t FETCH FIRST 7 ROWS ONLY").endswith("LIMIT 7")
+
+    def test_literals_untouched(self):
+        sql = "SELECT 'ARRAY[1]', '%SIMILAR TO%' FROM t"
+        assert rewrite(sql) == sql
+
+    def test_dayname(self):
+        assert rewrite("SELECT DAYNAME(d)") == "SELECT date_format(d, 'EEEE')"
+
+
+class TestDDLParser:
+    def test_full_table(self):
+        t = parse_create_table(
+            """
+            CREATE TABLE orders (
+              order_id BIGINT NOT NULL,
+              price DECIMAL(10,2),
+              tags ARRAY<STRING>,
+              proc AS PROCTIME(),
+              event_time TIMESTAMP(3) METADATA FROM 'timestamp' VIRTUAL,
+              WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND,
+              PRIMARY KEY (order_id) NOT ENFORCED
+            ) PARTITIONED BY (dt) WITH (
+              'connector' = 'kafka',
+              'topic' = 'orders',
+              'properties.bootstrap.servers' = 'localhost:9092'
+            );
+            """
+        )
+        assert t.name == "orders"
+        assert [c.name for c in t.columns] == ["order_id", "price", "tags"]
+        assert t.columns[0].nullable is False
+        assert t.columns[2].spark_type == "array<string>"
+        assert t.computed[0].name == "proc"
+        assert t.metadata[0].key == "timestamp"
+        assert t.metadata[0].virtual is True
+        assert t.watermark.column == "event_time"
+        assert t.watermark.delay == "5 seconds"
+        assert t.primary_key == ["order_id"]
+        assert t.partitioned_by == ["dt"]
+        assert t.connector == "kafka"
+
+    @pytest.mark.parametrize(
+        ("flink", "spark"),
+        [
+            ("TIMESTAMP(3)", "timestamp_ntz"),
+            ("TIMESTAMP_LTZ(3)", "timestamp"),
+            ("VARCHAR(255)", "string"),
+            ("BYTES", "binary"),
+            ("MULTISET<STRING>", "map<string, int>"),
+            ("ROW<name STRING, age INT>", "struct<name STRING, age INT>"),
+            ("ARRAY<INTEGER>", "array<int>"),
+            ("DECIMAL(10,2)", "decimal(10,2)"),
+        ],
+    )
+    def test_types(self, flink, spark):
+        assert flink_type_to_spark(flink) == spark

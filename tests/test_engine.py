@@ -1,0 +1,165 @@
+"""Engine lifecycle tests: sessions, statements, commands, DDL,
+streaming jobs — the reference's gateway contract (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from flink_sql_toolkit_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture()
+def session(engine):
+    s = engine.open_session("test")
+    yield s
+    s.close()
+
+
+def test_batch_select_paged(session, sf_dir):
+    session.spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation")
+    op = session.execute_statement("SELECT n_name FROM nation ORDER BY n_nationkey")
+    page = op.fetch(0)
+    assert page["resultType"] == "PAYLOAD"
+    assert page["isQueryResult"] is True
+    assert len(page["data"]) == 25
+    assert page["columns"][0]["name"] == "n_name"
+    assert op.fetch(1)["resultType"] == "EOS"
+
+
+def test_multi_statement_script(session):
+    ops = session.execute_script(
+        "SET 'pipeline.name'='demo'; SELECT 1 AS one; SELECT 'a;b' AS s"
+    )
+    assert len(ops) == 3
+    assert ops[1].fetch()["data"] == [[1]]
+    assert ops[2].fetch()["data"] == [["a;b"]]
+
+
+def test_set_show_reset(session):
+    session.execute_statement("SET 'execution.runtime-mode'='streaming'")
+    page = session.execute_statement("SET").fetch()
+    assert ["execution.runtime-mode", "streaming"] in page["data"]
+    session.execute_statement("RESET 'execution.runtime-mode'")
+    page = session.execute_statement("SET").fetch()
+    assert ["execution.runtime-mode", "streaming"] not in page["data"]
+
+
+def test_show_commands(session):
+    assert session.execute_statement("SHOW CURRENT CATALOG").fetch()["data"] == [["spark_catalog"]]
+    assert session.execute_statement("SHOW CURRENT DATABASE").fetch()["data"] == [["default"]]
+    mods = session.execute_statement("SHOW MODULES").fetch()["data"]
+    assert ["core", True] in mods
+    session.execute_statement("LOAD MODULE hive")
+    assert ["hive", True] in session.execute_statement("SHOW MODULES").fetch()["data"]
+    session.execute_statement("UNLOAD MODULE hive")
+
+
+def test_create_connector_table_and_describe(session):
+    session.execute_statement(
+        """
+        CREATE TABLE gen_orders (
+          order_id BIGINT,
+          price DOUBLE,
+          quantity INT,
+          order_time TIMESTAMP(3) METADATA FROM 'timestamp' VIRTUAL,
+          total AS price * quantity,
+          WATERMARK FOR order_time AS order_time - INTERVAL '5' SECOND,
+          PRIMARY KEY (order_id) NOT ENFORCED
+        ) WITH ('connector' = 'datagen', 'rows-per-second' = '100', 'number-of-rows' = '10')
+        """
+    )
+    page = session.execute_statement("DESCRIBE gen_orders").fetch()
+    names = [r[0] for r in page["data"]]
+    assert names == ["order_id", "price", "quantity", "order_time", "total"]
+    keys = {r[0]: r[3] for r in page["data"]}
+    assert keys["order_id"] == "PRI(NOT ENFORCED)"
+    assert [c["name"] for c in page["columns"]] == ["name", "type", "null", "key", "extras", "watermark"]
+    # in batch mode the registered view is queryable through plain SQL
+    session.execute_statement("SET 'execution.runtime-mode'='batch'")
+    rows = session.execute_statement("SELECT order_id, total FROM gen_orders").fetch()["data"]
+    assert len(rows) == 10
+    session.execute_statement("SET 'execution.runtime-mode'='streaming'")
+
+
+def test_streaming_insert_job_lifecycle(session):
+    session.execute_statement(
+        "CREATE TABLE src (v BIGINT) WITH ('connector'='datagen', 'rows-per-second'='50')"
+    )
+    session.execute_statement(
+        "CREATE TABLE sink (v BIGINT) WITH ('connector'='blackhole')"
+    )
+    op = session.execute_statement("INSERT INTO sink SELECT v FROM src")
+    assert op.job_id is not None
+    jobs = session.execute_statement("SHOW JOBS").fetch()["data"]
+    assert any(j[0] == op.job_id and j[2] == "RUNNING" for j in jobs)
+    session.execute_statement(f"STOP JOB '{op.job_id}'")
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        jobs = session.execute_statement("SHOW JOBS").fetch()["data"]
+        if all(j[2] != "RUNNING" for j in jobs if j[0] == op.job_id):
+            break
+        time.sleep(0.2)
+    assert all(j[2] != "RUNNING" for j in jobs if j[0] == op.job_id)
+
+
+def test_streaming_select_ring_buffer(session):
+    session.execute_statement(
+        "CREATE TABLE ticks (v BIGINT) WITH ('connector'='datagen', 'rows-per-second'='200')"
+    )
+    op = session.execute_statement("SELECT v FROM ticks")
+    assert op.status == "RUNNING"
+    token, got = 0, 0
+    deadline = time.time() + 30
+    while time.time() < deadline and got == 0:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got += len(page["data"])
+        assert page["resultType"] in ("PAYLOAD", "NOT_READY")
+        time.sleep(0.3)
+    assert got > 0
+    op.cancel()
+    assert op.status == "CANCELED"
+
+
+def test_explain_variants(session, sf_dir):
+    session.spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation")
+    plan = session.execute_statement("EXPLAIN PLAN FOR SELECT * FROM nation").fetch()["data"][0][0]
+    assert "Physical Plan" in plan
+    cost = session.execute_statement("EXPLAIN ESTIMATED_COST SELECT * FROM nation").fetch()["data"][0][0]
+    assert "sizeInBytes" in cost or "Statistics" in cost
+
+
+def test_unsupported_statements(session):
+    with pytest.raises(NotImplementedError):
+        session.execute_statement("UPDATE t SET x = 1")
+    with pytest.raises(NotImplementedError):
+        session.execute_statement("COMPILE PLAN '/tmp/p.json' FOR INSERT INTO a SELECT 1")
+
+
+def test_session_auto_recovery(engine):
+    sess = engine.get_session("nonexistent-handle")
+    assert sess.name == "default"
+    assert sess.execute_statement("SELECT 1 AS x").fetch()["data"] == [[1]]
+
+
+def test_tvf_through_engine(session, sf_dir):
+    session.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    session.spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("raw_events")
+    session.execute_statement(
+        "CREATE TEMPORARY VIEW events AS SELECT event_id, timestamp_micros(ts div 1000) AS ts, user_id FROM raw_events"
+    )
+    op = session.execute_statement(
+        "SELECT window_start, window_end, COUNT(*) AS n FROM "
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    )
+    rows = op.fetch()["data"]
+    assert len(rows) > 0
+    assert sum(r[2] for r in rows) == 1000
