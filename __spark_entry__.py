@@ -22,7 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # Importing the operator modules populates the registry.
 from flink_sql_toolkit_spark.operators import ORACLES, QUERIES  # noqa: E402
 from flink_sql_toolkit_spark.operators import (  # noqa: E402,F401
+    asof,
     dedup,
+    functions_battery,
+    match_recognize,
+    multimodal,
     relational,
     similarity,
     textstats,

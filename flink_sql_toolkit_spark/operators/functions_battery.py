@@ -1,0 +1,313 @@
+"""Scalar-function coverage batteries (SURVEY.md §2.10).
+
+One oracle-checked query per function family — string, math,
+datetime, collection, JSON, hash — each exercising the Flink
+built-ins the corpus declares (test/syntax-test.fsql:351-461) through
+their Spark equivalents. All pure projections: no shuffle, trivially
+scale-safe; the point is cross-engine semantic parity.
+
+Cross-engine notes (empirically verified):
+- exp/sin/cos/pow/sqrt/round are bit-identical Spark↔DuckDB on the
+  fixture data; ln/log10/cbrt differ by 1 ulp on some inputs (libm
+  differences) → those live in the rows-only ``func_math_libm``.
+- Spark DAYOFWEEK is 1=Sunday; DuckDB is 0=Sunday → oracle adds 1.
+- array_distinct/union/except order is engine-specific → always
+  sorted before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.registry import register
+from flink_sql_toolkit_spark.tables import load_table
+
+
+@register(
+    "func_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           substring(p_name, 2, 5) AS sub,
+           replace(p_name, 'a', '#') AS repl,
+           lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+           reverse(p_type) AS rev,
+           repeat(left(p_brand, 2), 3) AS rep,
+           translate(p_name, 'ae', '43') AS tr,
+           ascii(p_brand) AS asc_, chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS ch,
+           length(p_name) AS len, position('a' IN p_name) AS pos,
+           split_part(p_type, ' ', 1) AS sp1,
+           concat_ws('-', p_brand, p_type) AS cw,
+           levenshtein(p_brand, left(p_type, 5)) AS lev,
+           left(p_name, 4) AS l4, right(p_name, 4) AS r4
+    FROM part ORDER BY p_partkey
+    """,
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER/LOWER/TRIM/SUBSTRING/REPLACE/LPAD/RPAD/REVERSE/REPEAT/
+    TRANSLATE/ASCII/CHR/CHAR_LENGTH/POSITION/SPLIT_INDEX/CONCAT_WS/
+    LEVENSHTEIN/LEFT/RIGHT (syntax-test.fsql:351-374)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("#")).alias("repl"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "*").alias("rp"),
+        F.reverse("p_type").alias("rev"),
+        F.repeat(F.left("p_brand", F.lit(2)), 3).alias("rep"),
+        F.translate("p_name", "ae", "43").alias("tr"),
+        F.ascii("p_brand").alias("asc_"),
+        F.chr(F.lit(65) + F.col("p_partkey") % 26).alias("ch"),
+        F.length("p_name").alias("len"),
+        F.locate("a", "p_name").alias("pos"),
+        F.element_at(F.split("p_type", " "), 1).alias("sp1"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+        F.levenshtein("p_brand", F.left("p_type", F.lit(5))).alias("lev"),
+        F.left("p_name", F.lit(4)).alias("l4"),
+        F.right("p_name", F.lit(4)).alias("r4"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "func_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           abs(l_discount - 0.05) AS ab,
+           sign(l_discount - 0.05) AS sg,
+           ceil(l_extendedprice / 100) AS ce,
+           floor(l_extendedprice / 100) AS fl,
+           round(l_extendedprice / 7, 2) AS rd,
+           sqrt(l_extendedprice) AS sq,
+           exp(l_discount) AS ex,
+           sin(l_discount) AS si, cos(l_tax) AS co,
+           pow(l_quantity, 2) AS pw,
+           mod(CAST(l_quantity AS BIGINT), 7) AS md,
+           degrees(l_discount) AS dg, radians(l_tax) AS ra,
+           pi() AS pi_,
+           CAST(l_quantity AS BIGINT) & 12 AS ba,
+           CAST(l_quantity AS BIGINT) | 5 AS bo,
+           xor(CAST(l_quantity AS BIGINT), 9) AS bx
+    FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, l_partkey
+    """,
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABS/SIGN/CEIL/FLOOR/ROUND/SQRT/EXP/SIN/COS/POWER/MOD/DEGREES/
+    RADIANS/PI/BITAND/BITOR/BITXOR (syntax-test.fsql:377-401).
+    ln/log10/cbrt are in func_math_libm (rows-only; libm ulp
+    divergence across engines)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    q = F.col("l_quantity").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("ce"),
+        F.floor(F.col("l_extendedprice") / 100).alias("fl"),
+        F.round(F.col("l_extendedprice") / 7, 2).alias("rd"),
+        F.sqrt("l_extendedprice").alias("sq"),
+        F.exp("l_discount").alias("ex"),
+        F.sin("l_discount").alias("si"),
+        F.cos("l_tax").alias("co"),
+        F.pow("l_quantity", F.lit(2)).alias("pw"),
+        (q % 7).alias("md"),
+        F.degrees("l_discount").alias("dg"),
+        F.radians("l_tax").alias("ra"),
+        F.lit(3.141592653589793).alias("pi_"),
+        q.bitwiseAND(F.lit(12)).alias("ba"),
+        q.bitwiseOR(F.lit(5)).alias("bo"),
+        q.bitwiseXOR(F.lit(9)).alias("bx"),
+    ).orderBy("l_orderkey", "l_linenumber", "l_partkey")
+
+
+@register("func_math_libm")
+def func_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LN/LOG10/LOG2/CBRT/TAN/ATAN/ASIN/ACOS/TANH/COT — correct but
+    excluded from the hash oracle: libm implementations differ by
+    1 ulp between the JVM and DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.log("l_extendedprice").alias("ln_"),
+        F.log10("l_extendedprice").alias("l10"),
+        F.log2("l_extendedprice").alias("l2"),
+        F.cbrt("l_extendedprice").alias("cb"),
+        F.tan("l_discount").alias("tn"),
+        F.atan("l_discount").alias("at"),
+        F.expr("cot(l_discount + 0.01)").alias("ct"),
+        F.tanh("l_discount").alias("th"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "func_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m, day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dw,
+           dayofyear(o_orderdate) AS dy,
+           weekofyear(o_orderdate) AS wk,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+           o_orderdate + INTERVAL 5 DAY AS plus5,
+           o_orderdate - INTERVAL 3 MONTH AS minus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ep
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+    """,
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR/QUARTER/MONTH/DAYOFMONTH/DAYOFWEEK/DAYOFYEAR/WEEK/
+    DATE_TRUNC/TIMESTAMPADD/LAST_DAY/TIMESTAMPDIFF/UNIX_TIMESTAMP
+    (syntax-test.fsql:404-429). Spark DAYOFWEEK is 1=Sunday vs
+    DuckDB 0=Sunday — oracle compensates."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofweek(d).alias("dw"),
+        F.dayofyear(d).alias("dy"),
+        F.weekofyear(d).alias("wk"),
+        F.date_trunc("month", d).alias("mstart"),
+        (d + F.expr("INTERVAL 5 DAY")).alias("plus5"),
+        (d - F.expr("INTERVAL 3 MONTH")).alias("minus3m"),
+        F.last_day(d.cast("date")).cast("timestamp").alias("ld"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("dd"),
+        F.unix_timestamp(d).alias("ep"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "func_collection",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey, [n_name, r_name, 'zz'] AS arr,
+             string_split(n_name, 'A') AS parts
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT n_nationkey,
+           len(arr) AS card,
+           arr[2] AS second_elem,
+           list_contains(arr, 'zz') AS has_zz,
+           list_position(arr, 'zz') AS pos_zz,
+           list_sort(list_distinct(arr)) AS dedup_sorted,
+           array_to_string(arr, '|') AS joined,
+           list_max(arr) AS mx, list_min(arr) AS mn,
+           list_sort(arr) AS sorted_arr,
+           arr[1:2] AS sliced,
+           list_reverse(arr) AS rev,
+           len(parts) AS n_parts,
+           flatten([arr, parts]) AS flat
+    FROM t ORDER BY n_nationkey
+    """,
+)
+def func_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CARDINALITY/element access/ARRAY_CONTAINS/ARRAY_POSITION/
+    ARRAY_DISTINCT/ARRAY_JOIN/ARRAY_MAX/MIN/ARRAY_SORT/ARRAY_SLICE/
+    ARRAY_REVERSE/FLATTEN (syntax-test.fsql:450-461). Flink index
+    access is 1-based → element_at."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    t = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey",
+        F.array(F.col("n_name"), F.col("r_name"), F.lit("zz")).alias("arr"),
+        F.split("n_name", "A").alias("parts"),
+    )
+    return t.select(
+        "n_nationkey",
+        F.size("arr").alias("card"),
+        F.element_at("arr", 2).alias("second_elem"),
+        F.array_contains("arr", "zz").alias("has_zz"),
+        F.array_position("arr", "zz").alias("pos_zz"),
+        F.array_sort(F.array_distinct("arr")).alias("dedup_sorted"),
+        F.array_join("arr", "|").alias("joined"),
+        F.array_max("arr").alias("mx"),
+        F.array_min("arr").alias("mn"),
+        F.array_sort("arr").alias("sorted_arr"),
+        F.slice("arr", 1, 2).alias("sliced"),
+        F.reverse("arr").alias("rev"),
+        F.size("parts").alias("n_parts"),
+        F.flatten(F.array(F.col("arr"), F.col("parts"))).alias("flat"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "func_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_path,
+           json_valid(props) AS is_valid,
+           json_array_length('[1,2,3]') AS arr_len
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_VALUE/JSON_EXISTS/IS_JSON and friends
+    (syntax-test.fsql:371-372) via get_json_object/json paths."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+        F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
+        F.json_array_length(F.lit("[1,2,3]")).alias("arr_len"),
+    ).orderBy("event_id")
+
+
+@register(
+    "func_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           to_base64(CAST(left(text, 48) AS BLOB)) AS b64,
+           CAST(from_base64(to_base64(CAST(left(text, 48) AS BLOB))) AS VARCHAR) AS roundtrip
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5/SHA256/TO_BASE64/FROM_BASE64 (syntax-test.fsql:366-370;
+    SHA1/CRC32/MURMUR exist Spark-side but DuckDB lacks them —
+    covered by func_hash_extra rows-only)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        # 48-char payloads: Spark's base64 MIME-chunks beyond 76 chars
+        # (inserts CRLF) while DuckDB never does
+        F.base64(F.left(F.col("text"), F.lit(48)).cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.left(F.col("text"), F.lit(48)).cast("binary")))
+        .cast("string")
+        .alias("roundtrip"),
+    ).orderBy("doc_id")
+
+
+@register("func_hash_extra")
+def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA1/CRC32/HASH_CODE(murmur3)/XXH3_64 — rows-only (no DuckDB
+    equivalents to diff against)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.sha1("text").alias("h_sha1"),
+        F.crc32(F.col("text").cast("binary")).alias("h_crc32"),
+        F.hash("text").alias("h_murmur"),
+        F.xxhash64("text").alias("h_xxh64"),
+    ).orderBy("doc_id")

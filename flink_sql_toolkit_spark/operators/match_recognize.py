@@ -1,0 +1,227 @@
+"""MATCH_RECOGNIZE (CEP) — restricted pattern subset (SURVEY.md §2.11).
+
+The reference corpus uses PARTITION BY / ORDER BY / MEASURES with
+FIRST/LAST / ONE ROW PER MATCH / AFTER MATCH SKIP PAST LAST ROW /
+PATTERN with quantifiers / DEFINE with PREV()
+(test/syntax-test.fsql:467-482). Spark has no CEP operator; this is
+the (b)-tier custom operator from the build rules:
+
+1. **Symbol predicates are evaluated in Spark** — each DEFINE
+   condition becomes a boolean column via ``F.expr`` (PREV(col)
+   rewritten to a lag column), so the Python stage sees only
+   booleans; the expression work stays JVM-side.
+2. **The NFA runs per partition-key group in ``applyInPandas``** —
+   greedy quantifier matching with backtracking and AFTER MATCH SKIP
+   PAST LAST ROW. Group state is one user's ordered events: bounded,
+   Arrow-batched.
+
+Supported: concatenation, quantifiers ``+ * ?``, measures
+``FIRST(S.col) | LAST(S.col) | COUNT(S.*)``, ONE ROW PER MATCH,
+SKIP PAST LAST ROW. (Alternation/PERMUTE/RUNNING-FINAL: rejected
+with a clear error.)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.registry import register
+from flink_sql_toolkit_spark.tables import load_table
+
+
+@dataclass
+class PatternToken:
+    symbol: str
+    quantifier: str  # '', '+', '*', '?'
+
+
+def _parse_pattern(pattern: str) -> list[PatternToken]:
+    tokens = []
+    for tok in pattern.strip().split():
+        m = re.match(r"^(\w+)([+*?]?)$", tok)
+        if not m:
+            raise ValueError(
+                f"unsupported PATTERN element '{tok}' (subset: symbols with + * ?)"
+            )
+        tokens.append(PatternToken(m.group(1), m.group(2)))
+    return tokens
+
+
+_MEASURE_RE = re.compile(r"(?i)^(FIRST|LAST|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$")
+
+
+def _rewrite_prev(cond: str, order_cols: list[str]) -> tuple[str, dict[str, str]]:
+    """PREV(col) → a generated lag column reference."""
+    lags: dict[str, str] = {}
+
+    def repl(m: re.Match) -> str:
+        col = m.group(1)
+        name = f"_prev_{col}"
+        lags[name] = col
+        return name
+
+    return re.sub(r"(?i)\bPREV\s*\(\s*(\w+)\s*\)", repl, cond), lags
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: str,
+    define: dict[str, str],
+    measures: dict[str, str],
+) -> DataFrame:
+    tokens = _parse_pattern(pattern)
+    for t in tokens:
+        if t.symbol not in define:
+            # undefined symbols match every row (SQL standard default)
+            define[t.symbol] = "true"
+
+    # 1) JVM-side: lag columns for PREV + boolean symbol predicates
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    all_lags: dict[str, str] = {}
+    sym_cols: dict[str, str] = {}
+    work = df
+    for sym, cond in define.items():
+        rewritten, lags = _rewrite_prev(cond, order_by)
+        all_lags.update(lags)
+        sym_cols[sym] = rewritten
+    for lag_name, col in all_lags.items():
+        work = work.withColumn(lag_name, F.lag(col).over(w))
+    for sym, cond in sym_cols.items():
+        work = work.withColumn(f"_sym_{sym}", F.coalesce(F.expr(cond), F.lit(False)))
+
+    # 2) measures → output schema + per-match evaluation plan
+    plans = []  # (out_name, fn, symbol, col)
+    out_fields = []
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for key in partition_by:
+        out_fields.append(f"{key} {in_schema[key]}")
+    for out_name, mexpr in measures.items():
+        m = _MEASURE_RE.match(mexpr.strip())
+        if not m:
+            raise ValueError(
+                f"unsupported MEASURE '{mexpr}' (subset: FIRST/LAST/COUNT(sym.col))"
+            )
+        fn, sym, col = m.group(1).upper(), m.group(2), m.group(3)
+        plans.append((out_name, fn, sym, col))
+        out_fields.append(f"{out_name} {'bigint' if fn == 'COUNT' else in_schema[col]}")
+    out_schema = ", ".join(out_fields)
+
+    sort_cols = list(order_by)
+    key_cols = list(partition_by)
+
+    def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        sym_vals = {t.symbol: pdf[f"_sym_{t.symbol}"].to_numpy() for t in tokens}
+
+        def match_at(pos: int, ti: int) -> list[tuple[int, str]] | None:
+            """Greedy with backtracking; returns [(row_idx, symbol)]."""
+            if ti == len(tokens):
+                return []
+            tok = tokens[ti]
+            ok = sym_vals[tok.symbol]
+            if tok.quantifier == "":
+                if pos < n and ok[pos]:
+                    rest = match_at(pos + 1, ti + 1)
+                    if rest is not None:
+                        return [(pos, tok.symbol)] + rest
+                return None
+            if tok.quantifier == "?":
+                if pos < n and ok[pos]:
+                    rest = match_at(pos + 1, ti + 1)
+                    if rest is not None:
+                        return [(pos, tok.symbol)] + rest
+                return match_at(pos, ti + 1)
+            # + / * : consume greedily, backtrack down
+            max_k = 0
+            while pos + max_k < n and ok[pos + max_k]:
+                max_k += 1
+            min_k = 1 if tok.quantifier == "+" else 0
+            for k in range(max_k, min_k - 1, -1):
+                rest = match_at(pos + k, ti + 1)
+                if rest is not None:
+                    return [(pos + i, tok.symbol) for i in range(k)] + rest
+            return None
+
+        out_rows = []
+        pos = 0
+        while pos < n:
+            assignment = match_at(pos, 0)
+            if assignment:
+                row: dict = {k: pdf.iloc[0][k] for k in key_cols}
+                for out_name, fn, sym, col in plans:
+                    idxs = [i for i, s in assignment if s == sym]
+                    if fn == "COUNT":
+                        row[out_name] = len(idxs)
+                    elif not idxs:
+                        row[out_name] = None
+                    elif fn == "FIRST":
+                        row[out_name] = pdf.iloc[idxs[0]][col]
+                    else:
+                        row[out_name] = pdf.iloc[idxs[-1]][col]
+                out_rows.append(row)
+                pos = assignment[-1][0] + 1  # AFTER MATCH SKIP PAST LAST ROW
+            else:
+                pos += 1
+        cols = key_cols + [p[0] for p in plans]
+        return pd.DataFrame(out_rows, columns=cols)
+
+    return work.groupBy(*partition_by).applyInPandas(run_nfa, out_schema)
+
+
+@register(
+    "match_recognize_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, p_before AS seg_id, COUNT(*) AS n_before, MIN(ts) AS start_ts
+      FROM base WHERE event_type <> 'purchase'
+      GROUP BY user_id, p_before
+    )
+    SELECT b.user_id AS user_id, s.start_ts, b.ts AS purchase_ts, s.n_before
+    FROM base b JOIN seg s ON s.user_id = b.user_id AND s.seg_id = b.p_before
+    WHERE b.event_type = 'purchase'
+    ORDER BY 1, purchase_ts
+    """,
+)
+def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (A+ B): one-or-more non-purchase events followed by a
+    purchase, per user, AFTER MATCH SKIP PAST LAST ROW — the classic
+    funnel. The oracle reconstructs identical matches with window
+    SQL (possible for this pattern because B-rows can't also be
+    A-rows, so matches never overlap)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    out = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="A+ B",
+        define={
+            "A": "event_type <> 'purchase'",
+            "B": "event_type = 'purchase'",
+        },
+        measures={
+            "start_ts": "FIRST(A.ts)",
+            "purchase_ts": "LAST(B.ts)",
+            "n_before": "COUNT(A.*)",
+        },
+    )
+    return out.select("user_id", "start_ts", "purchase_ts", "n_before").orderBy(
+        "user_id", "purchase_ts"
+    )

@@ -1,0 +1,92 @@
+"""Multimodal columns: binary payloads + typed metadata (north star).
+
+Treats image/audio/video as opaque ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched ``mapInPandas`` — the
+Spark-side plumbing (schema, batch shape, partitioning) is real and
+tested; the actual media decode is stubbed (image/audio libraries
+are not in this environment) behind ``decode_image``, which raises
+``NotImplementedError`` unless the deterministic fake is requested.
+
+At 100 TB: binary payloads stay columnar in parquet; mapInPandas
+streams Arrow batches through Python without materializing a
+partition; feature extraction is embarrassingly parallel (no
+shuffle). Frame-sampling / resize land in the same iterator shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.registry import register
+from flink_sql_toolkit_spark.tables import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, header_hex string, "
+    "content_sha256 string, fake_width int, fake_height int"
+)
+
+
+def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> tuple[int, int]:
+    """Decode an image payload → (width, height).
+
+    STUB: real decoding needs an image library not present in this
+    container. ``deterministic_fake=True`` derives a stable fake size
+    from the payload hash so pipelines are testable end-to-end.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library; pass "
+            "deterministic_fake=True for the testable stub"
+        )
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary column → feature rows via Arrow-batched mapInPandas."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            width_height = [
+                decode_image(p, deterministic_fake=True) for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "header_hex": payloads.map(lambda p: p[:8].hex()),
+                    "content_sha256": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                    ),
+                    "fake_width": pd.Series([w for w, _ in width_height], dtype="int32"),
+                    "fake_height": pd.Series([h for _, h in width_height], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(feature_batches, FEATURE_SCHEMA)
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-pipeline plumbing demo over synthetic binary payloads
+    (documents' text bytes standing in for media blobs; rows-only —
+    sha256-of-binary has no cheap DuckDB twin through Spark's binary
+    path, and the decode is a stub)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+    return extract_media_features(media).orderBy("doc_id")

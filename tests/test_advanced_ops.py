@@ -1,0 +1,113 @@
+"""Tests for as-of join, MATCH_RECOGNIZE, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_sql_toolkit_spark.operators.asof import asof_join
+from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+from flink_sql_toolkit_spark.operators.multimodal import decode_image, extract_media_features
+from flink_sql_toolkit_spark.operators.registry import QUERIES
+
+
+def test_asof_join_picks_latest_version(spark):
+    probe = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10)), (2, dt.datetime(2024, 1, 1))], ["id", "ts"]
+    )
+    build = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), "v1"),
+            (1, dt.datetime(2024, 1, 5), "v2"),
+            (1, dt.datetime(2024, 1, 20), "v3"),  # future → invisible
+            (9, dt.datetime(2024, 1, 1), "other-key"),
+        ],
+        ["bid", "vts", "version"],
+    )
+    out = asof_join(
+        probe,
+        build,
+        (probe.id == build.bid) & (build.vts <= probe.ts),
+        version_order=[F.desc("vts")],
+        probe_unique=["id"],
+    ).collect()
+    by_id = {r.id: r.version for r in out}
+    assert by_id[1] == "v2"
+    assert by_id[2] is None  # no version yet → left join null
+
+
+def test_match_recognize_simple_pattern(spark):
+    rows = [
+        ("u1", 1, "view"),
+        ("u1", 2, "view"),
+        ("u1", 3, "purchase"),
+        ("u1", 4, "purchase"),   # no A before → not a match
+        ("u1", 5, "view"),
+        ("u1", 6, "purchase"),
+        ("u2", 1, "purchase"),   # partition starts with B → no match
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "event_type"])
+    out = match_recognize(
+        df,
+        partition_by=["user_id"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "event_type <> 'purchase'", "B": "event_type = 'purchase'"},
+        measures={"first_seq": "FIRST(A.seq)", "buy_seq": "LAST(B.seq)", "n": "COUNT(A.*)"},
+    ).collect()
+    matches = sorted([(r.user_id, r.first_seq, r.buy_seq, r.n) for r in out])
+    assert matches == [("u1", 1, 3, 2), ("u1", 5, 6, 1)]
+
+
+def test_match_recognize_optional_and_star(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 5.0), ("k", 3, 8.0)], ["k", "seq", "v"]
+    )
+    # DOWN then zero-or-more UP: greedy
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="D U*",
+        define={"D": "v < PREV(v)", "U": "v > PREV(v)"},
+        measures={"d_seq": "FIRST(D.seq)", "last_seq": "LAST(U.seq)"},
+    ).collect()
+    assert [(r.d_seq, r.last_seq) for r in out] == [(2, 3)]
+
+
+def test_match_recognize_rejects_unsupported(spark):
+    df = spark.createDataFrame([("k", 1)], ["k", "seq"])
+    with pytest.raises(ValueError):
+        match_recognize(df, ["k"], ["seq"], "A | B", {}, {"x": "FIRST(A.seq)"})
+    with pytest.raises(ValueError):
+        match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "SUM(A.seq)"})
+
+
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"payload")
+    w, h = decode_image(b"payload", deterministic_fake=True)
+    assert 64 <= w < 256 and 64 <= h < 256
+    assert (w, h) == decode_image(b"payload", deterministic_fake=True)
+
+
+def test_media_feature_schema(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG12345678"), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = extract_media_features(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_bytes == 12
+    assert r.header_hex == b"\x89PNG1234".hex()
+    assert len(r.content_sha256) == 64
+
+
+def test_funnel_query_counts(spark, sf_dir):
+    out = QUERIES["match_recognize_funnel"](spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r.n_before >= 1 for r in out)
+    assert all(r.start_ts <= r.purchase_ts for r in out)
