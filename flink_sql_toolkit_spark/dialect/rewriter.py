@@ -317,9 +317,42 @@ def _rewrite_misc(masked: str) -> str:
     return masked
 
 
+# Flink-only hints: accepted + dropped (conf analogues are applied at
+# the SET layer where they exist — SURVEY §2.13); join-strategy hints
+# map to Spark's names.
+_DROP_HINTS = {
+    "OPTIONS",
+    "LOOKUP",
+    "STATE_TTL",
+    "MINI_BATCH",
+    "SPLIT_DISTINCT_AGG",
+    "AGG_STRATEGY",
+    "ASYNC_LOOKUP",
+    "RETRY_STRATEGY",
+}
+_HINT_NAME_MAP = {"SHUFFLE_MERGE": "MERGE", "NEST_LOOP": "SHUFFLE_REPLICATE_NL"}
+
+
+def _rewrite_hints(lits: list[str]) -> None:
+    """Translate /*+ ... */ hint comments in the masked-literal pool."""
+    hint_item = re.compile(r"(?is)(\w+)\s*(\([^()]*\))?")
+    for i, lit in enumerate(lits):
+        if not lit.startswith("/*+"):
+            continue
+        body = lit[3:-2]
+        kept = []
+        for m in hint_item.finditer(body):
+            name = m.group(1).upper()
+            if name in _DROP_HINTS:
+                continue
+            kept.append(_HINT_NAME_MAP.get(name, m.group(1)) + (m.group(2) or ""))
+        lits[i] = f"/*+ {', '.join(kept)} */" if kept else ""
+
+
 def rewrite(sql: str) -> str:
     """Rewrite one Flink-SQL statement into Spark SQL."""
     masked, lits = _mask(sql)
+    _rewrite_hints(lits)
     masked = _rewrite_tvfs(masked, lits)
     masked = _rewrite_legacy_group_windows(masked, lits)
     masked = _rewrite_constructors(masked)

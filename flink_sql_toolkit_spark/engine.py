@@ -177,9 +177,13 @@ class Operation:
             raise self.error if self.error else RuntimeError("operation failed")
         if self._stream_buffer is not None:
             if self._stream_query is not None and not self._stream_query.isActive:
-                self._stream_buffer.finish(
-                    None
-                )
+                # surface the stream's failure instead of a clean EOS
+                exc = None
+                try:
+                    exc = self._stream_query.exception()
+                except Exception:  # noqa: BLE001
+                    pass
+                self._stream_buffer.finish(exc)
             page = self._stream_buffer.fetch(token)
             page.update(
                 {

@@ -93,30 +93,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → [minhash_0..minhash_{k-1}] (lexicographic min of
-    md5(seed||shingle) per seed)."""
+    """doc_id → [minhash_0..minhash_{k-1}].
+
+    The k hash functions are the k fixed-width hex slices of
+    ``md5(shingle)`` and ``md5('x'||shingle)`` — two digests yield 8
+    independent 16-hex-bit functions, so there is **no seed explode**
+    (the naive seed-crossjoin costs k× rows and k× hashing; this is
+    one row per shingle and 2 digests). Lexicographic min over
+    fixed-width lowercase hex == numeric min, and min is associative
+    → map-side partial aggregation does the heavy lifting.
+    """
     sh = shingles(load_table(spark, sf_dir, "documents"))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+    h1, h2 = F.md5(F.col("shingle")), F.md5(F.concat(F.lit("x"), F.col("shingle")))
+    width = 32 // (N_HASHES // 2)  # hex chars per slice over 2 digests
+    slices = [
+        F.min(F.substring(h, i * width + 1, width)).alias(f"mh{d * (N_HASHES // 2) + i}")
+        for d, h in enumerate((h1, h2))
+        for i in range(N_HASHES // 2)
+    ]
     return (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sig_entries"))
-        .select("doc_id", F.col("sig_entries.mh").alias("sig"))
+        sh.groupBy("doc_id")
+        .agg(*slices)
+        .select("doc_id", F.array(*[f"mh{i}" for i in range(N_HASHES)]).alias("sig"))
     )
 
 
+_W = 32 // (N_HASHES // 2)
+_SLICES_SQL = ", ".join(
+    f"MIN(substring(md5({pre}shingle), {i * _W + 1}, {_W})) AS mh{d * (N_HASHES // 2) + i}"
+    for d, pre in enumerate(("", "'x' || "))
+    for i in range(N_HASHES // 2)
+)
 MINHASH_SQL = f"""
     WITH sh AS ({SHINGLES_SQL}),
     mh AS (
-      SELECT doc_id, seed.i AS seed, MIN(md5(seed.i || ':' || shingle)) AS mh
-      FROM sh CROSS JOIN (SELECT UNNEST(range(0, {N_HASHES})) AS i) seed
-      GROUP BY doc_id, seed.i
+      SELECT doc_id, {_SLICES_SQL}
+      FROM sh GROUP BY doc_id
     ),
     sigs AS (
-      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+      SELECT doc_id, [{", ".join(f"mh{i}" for i in range(N_HASHES))}] AS sig FROM mh
     )
 """
 

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 from flink_sql_toolkit_spark.dialect.rewriter import rewrite
 from flink_sql_toolkit_spark.sources.ddl import ConnectorTable
 
-_STREAMING_CONNECTORS = {"kafka", "upsert-kafka", "datagen"}
+# connectors that act as unbounded sources when the session's
+# runtime-mode is streaming (filesystem monitors the path in Flink's
+# streaming mode; Spark's file stream source does the same)
+_STREAMING_CONNECTORS = {"kafka", "upsert-kafka", "datagen", "filesystem"}
 
 
 def is_streaming_connector(connector: str) -> bool:
@@ -158,6 +161,8 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
         streaming = is_streaming_connector(conn)
 
     if conn == "filesystem":
+        import os  # noqa: PLC0415
+
         fmt = table.format
         path = opts["path"]
         reader = (spark.readStream if streaming else spark.read).format(fmt)
@@ -166,6 +171,11 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
             reader = reader.schema(schema)
         if fmt == "csv":
             reader = reader.option("sep", opts.get("csv.field-delimiter", ","))
+        # Spark's file STREAM source requires a directory; a direct
+        # file path becomes parent-dir + pathGlobFilter
+        if streaming and os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
         df = reader.load(path)
         return _apply_extensions(df, table, streaming)
 
