@@ -117,12 +117,17 @@ def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None
     if s == "SHOW JARS":
         rows = [[str(j)] for j in spark.sql("LIST JAR").collect()] if session.jars else []
         return _c(("jars", "string")), [[j] for j in session.jars] or rows
-    if s.startswith("SHOW CREATE TABLE"):
+    if s.startswith("SHOW CREATE TABLE") or s.startswith("SHOW CREATE VIEW"):
         name = stmt.strip().rstrip(";").split()[-1].strip("`")
         if name in session.connector_tables:
             return _c(("result", "string")), [[session.connector_ddl.get(name, "")]]
-        df = spark.sql(f"SHOW CREATE TABLE {name}")
-        return _c(("result", "string")), [[r[0]] for r in df.collect()]
+        try:
+            df = spark.sql(f"SHOW CREATE TABLE {name}")
+            return _c(("result", "string")), [[r[0]] for r in df.collect()]
+        except Exception:  # noqa: BLE001 — temp views: synthesize from schema
+            fields = spark.sql(f"SELECT * FROM {name} WHERE 1=0").schema.fields
+            cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in fields)
+            return _c(("result", "string")), [[f"CREATE TEMPORARY VIEW {name} (\n  {cols}\n)"]]
     if s.startswith("SHOW PARTITIONS") or s.startswith("SHOW COLUMNS"):
         df = spark.sql(stmt.rstrip(";"))
         cols = [{"name": f.name, "logicalType": f.dataType.simpleString()} for f in df.schema.fields]
@@ -201,6 +206,67 @@ def handle_jobs_admin(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] 
                 session.modules.append(name)
         elif name in session.modules:
             session.modules.remove(name)
+        return _c(("result", "string")), [["OK"]]
+    return None
+
+
+def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    """Flink ``ALTER TABLE t SET ('k'='v')`` / ``RENAME TO`` on
+    connector-registry tables (syntax-test.fsql ALTER section)."""
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+SET\s*\((.*)\)\s*;?\s*$", stmt)
+    if m:
+        name = m.group(1).strip("`")
+        table = session.connector_tables.get(name)
+        if table is None:
+            # real catalog table → Spark TBLPROPERTIES
+            props = m.group(2)
+            session.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({props})")
+            return _c(("result", "string")), [["OK"]]
+        for kv in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group(2)):
+            table.options[kv[0]] = kv[1]
+        return _c(("result", "string")), [["OK"]]
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+COLUMN\s+([\w`]+)\s+(.+?)\s*;?\s*$", stmt
+    )
+    if m:
+        name = m.group(1).strip("`")
+        table = session.connector_tables.get(name)
+        if table is not None:
+            from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+                Column,
+                flink_type_to_spark,
+            )
+
+            table.columns.append(Column(m.group(2).strip("`"), flink_type_to_spark(m.group(3))))
+            session._register_view(table)
+            return _c(("result", "string")), [["OK"]]
+        try:
+            session.spark.sql(stmt.rstrip(";"))
+        except Exception:  # noqa: BLE001 — temp view target: widen in place
+            from pyspark.sql import functions as F  # noqa: PLC0415
+            from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+                flink_type_to_spark as _ftts,
+            )
+
+            col = m.group(2).strip("`")
+            df = session.spark.table(name).withColumn(
+                col, F.lit(None).cast(_ftts(m.group(3)))
+            )
+            df.createOrReplaceTempView(name)
+        return _c(("result", "string")), [["OK"]]
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+TO\s+([\w`]+)\s*;?\s*$", stmt)
+    if m:
+        old, new = m.group(1).strip("`"), m.group(2).strip("`")
+        table = session.connector_tables.pop(old, None)
+        if table is not None:
+            table.name = new
+            session.connector_tables[new] = table
+            session.connector_ddl[new] = session.connector_ddl.pop(old, "")
+            df = session.spark.table(old)
+            session.spark.catalog.dropTempView(old)
+            df.createOrReplaceTempView(new)
+            return _c(("result", "string")), [["OK"]]
+        session.spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
         return _c(("result", "string")), [["OK"]]
     return None
 

@@ -7,7 +7,7 @@ Flink-only constructs into Spark SQL, and classifies statements for
 the engine's dispatcher.
 """
 
-from flink_sql_toolkit_spark.dialect.splitter import split_statements
+from flink_sql_toolkit_spark.dialect.splitter import split_statements, strip_leading_comments
 from flink_sql_toolkit_spark.dialect.rewriter import rewrite
 
-__all__ = ["split_statements", "rewrite"]
+__all__ = ["split_statements", "strip_leading_comments", "rewrite"]

@@ -299,7 +299,34 @@ def _rewrite_types(masked: str) -> str:
     return masked
 
 
+def _rewrite_temporal_join(masked: str) -> str:
+    """``JOIN t FOR SYSTEM_TIME AS OF x [AS a]`` → ``JOIN t [AS a]``.
+
+    Processing-time lookup joins (the corpus's
+    test/syntax-test.fsql:158-162 and :507-510 shapes) are exactly
+    Spark's stream-static / snapshot joins, so dropping the clause
+    preserves semantics; event-time *versioned* temporal joins are
+    approximated to the current version (the exact batch as-of is the
+    ``operators.asof.asof_join`` API — SURVEY §2.4).
+    """
+    return re.sub(r"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.\x00]+", "", masked)
+
+
+def _rewrite_lateral_unnest(masked: str) -> str:
+    """``CROSS JOIN LATERAL UNNEST(x) AS t(c)`` → LATERAL VIEW explode."""
+    masked = re.sub(
+        r"(?is)\bCROSS\s+JOIN\s+LATERAL\s+UNNEST\s*\(([^()]*)\)\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)",
+        r"LATERAL VIEW explode(\1) \2 AS \3",
+        masked,
+    )
+    # bare UNNEST in FROM-position: LATERAL TABLE(f(x)) handled by TVF;
+    # UNNEST(arr) in select stays → explode
+    return re.sub(r"(?is)\bUNNEST\s*\(", "explode(", masked)
+
+
 def _rewrite_misc(masked: str) -> str:
+    # FROM dual → no FROM clause (Spark allows table-less SELECT)
+    masked = re.sub(r"(?is)\bFROM\s+dual\b", "", masked)
     # FETCH FIRST n ROWS ONLY → LIMIT n (syntax-test.fsql / tmLanguage.json:271)
     masked = re.sub(
         r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY", r"LIMIT \1", masked
@@ -314,6 +341,13 @@ def _rewrite_misc(masked: str) -> str:
     masked = re.sub(
         r"(?is)\bMONTHNAME\s*\(([^()]*)\)", r"date_format(\1, 'MMMM')", masked
     )
+    # COLLECT (multiset agg, syntax-test.fsql:269) → collect_list
+    masked = re.sub(r"(?is)\bCOLLECT\s*\(", "collect_list(", masked)
+    # ELEMENT(arr) — sole element of a 1-element array (:452)
+    masked = re.sub(r"(?is)\bELEMENT\s*\(", "element_at_single(", masked)
+    masked = re.sub(r"(?is)\belement_at_single\s*\(([^()]*)\)", r"element_at(\1, 1)", masked)
+    # ARRAY_CONCAT → concat (Spark's concat is array-polymorphic)
+    masked = re.sub(r"(?is)\bARRAY_CONCAT\s*\(", "concat(", masked)
     return masked
 
 
@@ -355,6 +389,8 @@ def rewrite(sql: str) -> str:
     _rewrite_hints(lits)
     masked = _rewrite_tvfs(masked, lits)
     masked = _rewrite_legacy_group_windows(masked, lits)
+    masked = _rewrite_temporal_join(masked)
+    masked = _rewrite_lateral_unnest(masked)
     masked = _rewrite_constructors(masked)
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_similar_to(masked, lits)

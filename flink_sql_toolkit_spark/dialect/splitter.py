@@ -14,6 +14,24 @@ from __future__ import annotations
 import re
 
 
+def strip_leading_comments(stmt: str) -> str:
+    """Remove leading -- and /* */ comments (statement dispatch is
+    anchored at the first real token)."""
+    i, n = 0, len(stmt)
+    while i < n:
+        if stmt[i].isspace():
+            i += 1
+        elif stmt.startswith("--", i):
+            j = stmt.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif stmt.startswith("/*", i) and not stmt.startswith("/*+", i):
+            j = stmt.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            break
+    return stmt[i:]
+
+
 def split_statements(script: str) -> list[str]:
     statements: list[str] = []
     buf: list[str] = []

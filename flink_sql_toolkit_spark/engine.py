@@ -21,7 +21,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_sql_toolkit_spark import commands
-from flink_sql_toolkit_spark.dialect import rewrite, split_statements
+from flink_sql_toolkit_spark.dialect import (
+    rewrite,
+    split_statements,
+    strip_leading_comments,
+)
 from flink_sql_toolkit_spark.functions.shims import register_function_shims
 from flink_sql_toolkit_spark.sources.connectors import build_reader, build_writer
 from flink_sql_toolkit_spark.sources.ddl import (
@@ -41,6 +45,7 @@ _COMMAND_HANDLERS = (
     commands.handle_describe,
     commands.handle_use,
     commands.handle_jobs_admin,
+    commands.handle_alter,
     commands.handle_explain,
 )
 
@@ -84,8 +89,11 @@ class Operation:
         return self
 
     def _execute(self) -> None:
-        stmt = self.statement.rstrip(";").strip()
+        stmt = strip_leading_comments(self.statement).rstrip(";").strip()
         sess = self.session
+        if not stmt:  # comment-only statement
+            self._columns, self._rows = [{"name": "result", "logicalType": "string"}], [["OK"]]
+            return
         for pat, msg in _UNSUPPORTED.items():
             if pat.match(stmt):
                 raise NotImplementedError(msg)
@@ -103,6 +111,29 @@ class Operation:
         m = re.match(r"(?is)^INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s*(\(.*?\))?\s+(SELECT.*|VALUES.*|TABLE.*)$", stmt, re.DOTALL)
         if m and m.group(2).strip("`") in sess.connector_tables:
             self._execute_insert(m.group(2).strip("`"), m.group(4), overwrite=m.group(1).upper() == "OVERWRITE")
+            return
+        # session-scoped view semantics: an unqualified CREATE VIEW in
+        # a gateway session is a session object → temp view (Spark
+        # refuses persistent views over temp relations)
+        vm = re.match(r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+AS\s+(.*)$", stmt, re.DOTALL)
+        if vm and "." not in vm.group(4):
+            sess.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {vm.group(4)} AS {rewrite(vm.group(5))}"
+            )
+            self._columns, self._rows = [{"name": "result", "logicalType": "string"}], [["OK"]]
+            return
+        dm = re.match(r"(?is)^DROP\s+(TABLE|TEMPORARY\s+TABLE|VIEW|TEMPORARY\s+VIEW)\s+(IF\s+EXISTS\s+)?([\w`]+)\s*$", stmt)
+        if dm and "." not in dm.group(3):
+            name = dm.group(3).strip("`")
+            existed = sess.spark.catalog.dropTempView(name)
+            sess.connector_tables.pop(name, None)
+            sess.connector_ddl.pop(name, None)
+            if not existed and not dm.group(2):
+                try:
+                    sess.spark.sql(rewrite(stmt)).collect()
+                except Exception:
+                    raise LookupError(f"table or view '{name}' not found") from None
+            self._columns, self._rows = [{"name": "result", "logicalType": "string"}], [["OK"]]
             return
         # everything else: the dialect rewrite + spark.sql
         df = sess.spark.sql(rewrite(stmt))
@@ -231,6 +262,7 @@ class EngineSession:
         self.flink_conf: dict[str, str] = {}
         self.connector_tables: dict[str, ConnectorTable] = {}
         self.connector_ddl: dict[str, str] = {}
+        self.unreadable_tables: dict[str, str] = {}
         self.jobs = JobRegistry()
         self.modules = ["core"]
         self.jars: list[str] = []
@@ -282,8 +314,12 @@ class EngineSession:
             )
             df = build_reader(self.spark, table, streaming=streaming)
             df.createOrReplaceTempView(table.name)
-        except ValueError:
-            pass  # write-only connectors (print/blackhole) have no reader
+            self.unreadable_tables.pop(table.name, None)
+        except Exception as e:  # noqa: BLE001
+            # write-only connectors (print/blackhole) have no reader;
+            # external systems may be unreachable — the table stays
+            # registered, reads surface the recorded reason
+            self.unreadable_tables[table.name] = str(e)
 
     def refresh_connector_views(self) -> None:
         for table in self.connector_tables.values():

@@ -32,6 +32,12 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
     "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),
     "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
     "FROM_BASE64": ("(s STRING)", "STRING", "decode(unbase64(s), 'UTF-8')"),
+    "SHA256": ("(s STRING)", "STRING", "sha2(s, 256)"),
+    "CONVERT_TZ": (
+        "(ts STRING, tz_from STRING, tz_to STRING)",
+        "STRING",
+        "date_format(convert_timezone(tz_from, tz_to, CAST(ts AS TIMESTAMP_NTZ)), 'yyyy-MM-dd HH:mm:ss')",
+    ),
     "TO_BASE64": ("(s STRING)", "STRING", "base64(CAST(s AS BINARY))"),
     "HASH_CODE": ("(s STRING)", "INT", "hash(s)"),
     "MURMUR_HASH": ("(s STRING)", "INT", "hash(s)"),

@@ -47,7 +47,7 @@ class JobRegistry:
         src/flinkClient.ts:269-296)."""
         info = self._jobs.get(job_id)
         if info is None:
-            raise KeyError(f"Job '{job_id}' not found")
+            raise LookupError(f"job '{job_id}' not found")
         try:
             if info.query.isActive:
                 info.query.stop()

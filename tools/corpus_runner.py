@@ -1,0 +1,230 @@
+"""Conformance runner for the reference's syntax corpus.
+
+The reference's de-facto conformance suite is
+``/root/reference/test/syntax-test.fsql`` — 725 lines exercising
+every statement class the toolkit claims (SURVEY.md §5). The
+reference only ever syntax-highlights it; here every statement is
+**executed** through the engine against fixture tables and the
+outcome is classified:
+
+- OK                 executed successfully
+- EXPECTED_REJECT    typed NotImplementedError (UPDATE/DELETE/COMPILE…)
+- ENV_LIMITED        needs an external system this container lacks
+                     (kafka broker, JDBC endpoint, CDC source, hive…)
+- MISSING_OBJECT     statement references an object the corpus never
+                     creates readably (sinks over external systems)
+- FAIL               anything else — a real engine defect
+
+Usage: python tools/corpus_runner.py [--verbose]
+Exit code 1 iff any FAIL.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+CORPUS = "/root/reference/test/syntax-test.fsql"
+
+_ENV_PATTERNS = re.compile(
+    r"(?i)kafka|jdbc|elasticsearch|hbase|mysql|postgres|mongodb|oracle|sqlserver|"
+    r"kinesis|pulsar|dynamodb|rabbitmq|hive|UnknownHost|Connection|bootstrap"
+)
+_MISSING_RE = re.compile(
+    r"(?i)TABLE_OR_VIEW_NOT_FOUND|cannot be found|UNRESOLVED|not found|"
+    r"UNSUPPORTED_INSERT"  # INSERT into a fixture *view* (corpus-land table)
+)
+
+
+def build_fixture_views(spark: SparkSession) -> list[str]:
+    """Corpus-shaped tables (FIXTURES.md §A), deterministic, tiny."""
+    base = spark.range(200)
+    orders = base.select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 30).cast("int").alias("customer_id"),
+        F.concat(F.lit("product_"), (F.col("id") % 20).cast("string")).alias("product_name"),
+        (F.pmod(F.xxhash64("id"), F.lit(490000)) / 100.0 + 1.0).alias("price"),
+        (F.col("id") % 50 + 1).cast("int").alias("quantity"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("id") * 61)
+        ).alias("order_time"),
+        F.array(F.lit("tag_a"), F.concat(F.lit("tag_"), (F.col("id") % 5).cast("string"))).alias(
+            "tags"
+        ),
+        (F.col("id") % 10).cast("int").alias("product_id"),
+        (F.col("id") % 3 == 0).alias("is_valid"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("type"),
+        (F.col("id") % 4).cast("int").alias("status"),
+        (F.pmod(F.xxhash64("id") + 7, F.lit(10000)) / 100.0).alias("amount"),
+        (F.col("id") % 30).cast("int").alias("user_id"),
+    )
+    customers = spark.range(25).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("customer "), F.col("id").cast("string")).alias("customer_name"),
+        (F.col("id") % 5).cast("int").alias("region_id"),
+        (F.col("id") % 3 == 0).alias("is_vip"),
+    )
+    products = spark.range(30).select(
+        (F.col("id") % 10).cast("int").alias("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(90000)) / 100.0 + 10).alias("product_price"),
+        (
+            F.lit("2023-12-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(F.lit(0), F.col("id").cast("int"), F.lit(0), F.lit(0))
+        ).alias("valid_from"),
+    )
+    users = spark.range(20).select(
+        F.concat(F.lit("First Last "), F.col("id").cast("string")).alias("name"),
+        F.lit("First").alias("first_name"),
+        F.lit("Last").alias("last_name"),
+        F.concat(F.lit('{"name": "u'), F.col("id").cast("string"), F.lit('", "items": [1,2]}')).alias(
+            "json_col"
+        ),
+        F.concat(F.lit("https://example.com/p"), F.col("id").cast("string"), F.lit("?q=1")).alias(
+            "url"
+        ),
+        F.base64(F.concat(F.lit("user"), F.col("id").cast("string")).cast("binary")).alias(
+            "encoded"
+        ),
+        (F.col("id") % 40).cast("int").alias("age"),
+        F.col("id").cast("int").alias("user_id"),
+    )
+    events = orders.select(
+        F.col("order_id").alias("event_id"),
+        F.col("user_id"),
+        F.col("order_time").alias("event_time"),
+        F.col("order_time").alias("ts"),
+        F.concat(F.lit("type_"), (F.col("order_id") % 4).cast("string")).alias("event_type"),
+        F.col("amount").alias("value"),
+        F.col("amount").alias("temperature"),
+        F.col("order_time").alias("start_time"),
+        (F.col("order_time") + F.expr("INTERVAL 2 DAY")).alias("end_time"),
+        F.col("order_time").cast("date").alias("start_date"),
+        (F.col("order_time") + F.expr("INTERVAL 9 DAY")).cast("date").alias("end_date"),
+        F.unix_timestamp("order_time").alias("unix_ts"),
+    )
+    data = orders.select(
+        "order_id",
+        F.col("amount").alias("value"),
+        F.when(F.col("order_id") % 3 == 0, F.col("type")).alias("nullable_col"),
+        F.col("amount").alias("a"),
+        F.col("price").alias("b"),
+        (F.col("price") + 1).alias("c"),
+        F.col("is_valid").alias("condition"),
+        F.lit("yes").alias("true_value"),
+        F.lit("no").alias("false_value"),
+    )
+    collections = orders.select(
+        "order_id",
+        F.col("tags").alias("array_col"),
+        F.create_map(F.lit("k1"), F.col("price"), F.lit("k2"), F.col("amount")).alias("map_col"),
+        F.col("tags").alias("arr1"),
+        F.array(F.lit("x"), F.lit("y")).alias("arr2"),
+    )
+    fixture = {
+        "orders": orders,
+        "customers": customers,
+        "products": products,
+        "users": users,
+        "events": events,
+        "user_actions": events,
+        "source": orders.select("order_id", "type", F.col("amount").alias("data")),
+        "source_table": orders.select("order_id", "price"),
+        "staging_orders": orders,
+        "vip_customers": customers.filter("is_vip"),
+        "small_table": customers.select("id", "customer_name"),
+        "dim_table": customers.select("id", "customer_name"),
+        "user_table": users,
+        "clicks": events,
+        "impressions": events,
+        "left_table": customers.select("id", "customer_name"),
+        "right_table": customers.select("id", "customer_name"),
+        "data": data,
+        "collections": collections,
+        "sensor_readings": events,
+        "temp_table": orders.select("order_id", "price"),
+        "page_views": events,
+        "t": orders.select("order_id", F.col("tags").alias("arr"), "price"),
+        "target_table": orders.select("order_id", "price"),
+    }
+    for name, df in fixture.items():
+        df.createOrReplaceTempView(name)
+    return list(fixture)
+
+
+def classify_error(stmt: str, err: Exception) -> str:
+    text = f"{type(err).__name__}: {err}"
+    if isinstance(err, NotImplementedError):
+        return "EXPECTED_REJECT"
+    if _ENV_PATTERNS.search(text) or _ENV_PATTERNS.search(stmt):
+        return "ENV_LIMITED"
+    if _MISSING_RE.search(text):
+        return "MISSING_OBJECT"
+    return "FAIL"
+
+
+def main() -> int:
+    verbose = "--verbose" in sys.argv
+    from flink_sql_toolkit_spark.dialect import split_statements
+    from flink_sql_toolkit_spark.engine import Engine
+    from flink_sql_toolkit_spark.session import build_spark
+
+    spark = build_spark("corpus", shuffle_partitions=8)
+    engine = Engine(spark)
+    session = engine.open_session("corpus")
+    fixture_names = set(build_fixture_views(session.spark))
+    # corpus sinks that must accept INSERTs → blackhole connector tables
+    for sink in ("sink1", "sink2", "target_table", "sink"):
+        session.execute_statement(
+            f"CREATE TABLE {sink} (order_id BIGINT, price DOUBLE) WITH ('connector'='blackhole')"
+        )
+    fixture_names -= {"target_table"}
+
+    script = Path(CORPUS).read_text()
+    statements = split_statements(script)
+    tally: dict[str, int] = {}
+    failures: list[tuple[str, str]] = []
+    for stmt in statements:
+        bare = stmt.strip()
+        if not bare or bare.startswith("--") and "\n" not in bare:
+            continue
+        # MATCH_RECOGNIZE SQL syntax: API-level operator only (§2.11)
+        if re.search(r"(?is)\bMATCH_RECOGNIZE\b", bare):
+            tally["EXPECTED_REJECT"] = tally.get("EXPECTED_REJECT", 0) + 1
+            continue
+        try:
+            op = session.execute_statement(bare)
+            if op.job_id:  # don't leave corpus streaming jobs running
+                session.jobs.stop(op.job_id)
+            outcome = "OK"
+        except Exception as e:  # noqa: BLE001
+            outcome = classify_error(bare, e)
+            if outcome == "FAIL":
+                failures.append((bare, f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"))
+        tally[outcome] = tally.get(outcome, 0) + 1
+        # external-connector DDL / DROPs shadow fixture views → restore
+        if re.match(r"(?is)^\s*(--[^\n]*\n\s*)*(CREATE|DROP|ALTER)\s", bare):
+            build_fixture_views(session.spark)
+
+    total = sum(tally.values())
+    print(f"corpus statements: {total}")
+    for k in sorted(tally):
+        print(f"  {k:16s} {tally[k]}")
+    if failures:
+        print("\nFAILURES:")
+        for stmt, err in failures:
+            print(f"--- {stmt[:160]}\n    {err}")
+    elif verbose:
+        print("no failures")
+    session.close()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
