@@ -16,6 +16,11 @@ Determinism: dot products are left-to-right folds over the same float
 values in both engines (Spark ``F.aggregate`` / DuckDB ``list_sum``
 over a comprehension), elements cast to double before multiply.
 
+Measured: at dim=64 the JVM ``F.aggregate`` fold beats a
+numpy-vectorized pandas UDF (0.82 s vs 0.99 s for 78k dots at sf0.1,
+local[32]) — Arrow transfer overhead exceeds the vectorization win.
+For high-dim embeddings (≥512) revisit with the pandas kernel.
+
 Vectors are unit-normalized (FIXTURES.md) so dot product == cosine.
 """
 

@@ -1,0 +1,67 @@
+"""Physical-plan quality gates (the 100 TB checklist): predicate
+pushdown reaches the parquet scan, column pruning holds, dims are
+broadcast, aggregates are partial+final, codegen is on."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__  # noqa: F401 — populates the registry
+from flink_sql_toolkit_spark.operators.registry import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    assert "PushedFilters" in plan
+    # all three filterable predicates reach the scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400]
+
+
+def test_q1_reads_only_needed_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema  # pruned
+    assert "l_quantity" in read_schema
+
+
+def test_star_joins_broadcast_dims(spark, sf_dir):
+    for q in ("q3_shipping_priority", "q5_regional_revenue", "q10_returned_items"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_aggregates_are_partial_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_codegen_spans_exist(spark, sf_dir):
+    # AQE finalizes the plan at execution time — run, then inspect
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages
+    assert "*(" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_no_cartesian_in_bucketed_similarity(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_lsh_bucketed")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_exact"])
+def test_dedup_has_partial_aggregation(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "HashAggregate" in plan or "SortAggregate" in plan
