@@ -143,6 +143,21 @@ def test_unsupported_statements(session):
         session.execute_statement("COMPILE PLAN '/tmp/p.json' FOR INSERT INTO a SELECT 1")
 
 
+def test_create_function_through_engine(session):
+    """§2.12: CREATE [TEMPORARY] FUNCTION — SQL UDFs inline into the
+    plan; SHOW FUNCTIONS lists them."""
+    session.execute_statement(
+        "CREATE TEMPORARY FUNCTION plus_one(x INT) RETURNS INT RETURN x + 1"
+    )
+    assert session.execute_statement("SELECT plus_one(41) AS v").fetch()["data"] == [[42]]
+    names = [r[0] for r in session.execute_statement("SHOW FUNCTIONS").fetch()["data"]]
+    assert "plus_one" in names
+    # the built-in shim surface is present too
+    assert session.execute_statement("SELECT SPLIT_INDEX('a.b.c', '.', 0) AS s").fetch()[
+        "data"
+    ] == [["a"]]
+
+
 def test_session_auto_recovery(engine):
     sess = engine.get_session("nonexistent-handle")
     assert sess.name == "default"
