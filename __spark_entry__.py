@@ -24,6 +24,7 @@ from flink_sql_toolkit_spark.operators import ORACLES, QUERIES  # noqa: E402
 from flink_sql_toolkit_spark.operators import (  # noqa: E402,F401
     asof,
     dedup,
+    dialect_queries,
     functions_battery,
     match_recognize,
     multimodal,

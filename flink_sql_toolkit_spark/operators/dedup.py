@@ -39,17 +39,24 @@ def normalized_text(col: str = "text") -> Column:
 NORMALIZED_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
-def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """Explode each doc into its word k-gram shingles (distinct).
+def shingles(
+    df: DataFrame, text_col: str = "text", k: int = SHINGLE_K, distinct: bool = True
+) -> DataFrame:
+    """Explode each doc into its word k-gram shingles.
 
     Linear in corpus size; the explode factor is ~words-per-doc.
+    ``distinct=False`` skips the per-doc ``array_distinct`` — that
+    call is O(words²) string comparisons and dominates the pipeline;
+    idempotent consumers (MIN-aggregating minhash) don't need it.
     """
     words = F.split(normalized_text(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
-    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return df.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 # DuckDB mirror of `shingles` (list comprehension over the word list)
@@ -103,7 +110,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width lowercase hex == numeric min, and min is associative
     → map-side partial aggregation does the heavy lifting.
     """
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    sh = shingles(load_table(spark, sf_dir, "documents"), distinct=False)
     h1, h2 = F.md5(F.col("shingle")), F.md5(F.concat(F.lit("x"), F.col("shingle")))
     width = 32 // (N_HASHES // 2)  # hex chars per slice over 2 digests
     slices = [

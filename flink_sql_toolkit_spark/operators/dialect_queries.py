@@ -1,0 +1,211 @@
+"""Oracle-gated queries that run through the DIALECT layer.
+
+These call ``rewrite()`` on Flink-SQL text and execute via
+``spark.sql`` — so the statement rewriter itself sits inside the
+driver's differential correctness gate, not just unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_sql_toolkit_spark.dialect import rewrite
+from flink_sql_toolkit_spark.operators.registry import register
+from flink_sql_toolkit_spark.tables import load_table
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], flink_sql: str) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(rewrite(flink_sql))
+
+
+@register(
+    "dialect_tumble_tvf",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus TUMBLE TVF shape (syntax-test.fsql:199-208)
+    executed through the rewriter."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("events",),
+        """
+        SELECT window_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        GROUP BY window_start ORDER BY window_start
+        """,
+    )
+
+
+@register(
+    "dialect_lateral_unnest",
+    oracle="""
+    SELECT n_nationkey, t.w AS word
+    FROM (SELECT n_nationkey, string_split(n_name, ' ') AS words FROM nation),
+         UNNEST(words) AS t(w)
+    ORDER BY n_nationkey, word
+    """,
+)
+def dialect_lateral_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN LATERAL UNNEST (syntax-test.fsql:164-167) through
+    the rewriter → LATERAL VIEW explode."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("nation",),
+        """
+        SELECT n_nationkey, t.word
+        FROM (SELECT n_nationkey, SPLIT(n_name, ' ') AS words FROM nation) s
+        CROSS JOIN LATERAL UNNEST(s.words) AS t(word)
+        ORDER BY n_nationkey, word
+        """,
+    )
+
+
+@register(
+    "dialect_subscripts_ctors",
+    oracle="""
+    SELECT n_nationkey,
+           ['x', n_name][2] AS second,
+           map_extract(MAP(['k'], [n_regionkey]), 'k')[1] AS mapped,
+           (n_name SIMILAR TO 'A%') AS starts_a
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def dialect_subscripts_ctors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-based subscripts + ARRAY/MAP constructors + SIMILAR TO
+    (syntax-test.fsql:450-461, 566-620) through the rewriter."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("nation",),
+        """
+        SELECT n_nationkey,
+               ARRAY['x', n_name][2] AS second,
+               MAP['k', n_regionkey]['k'] AS mapped,
+               n_name SIMILAR TO 'A%' AS starts_a
+        FROM nation ORDER BY n_nationkey
+        """,
+    )
+
+
+@register(
+    "dialect_natural_join",
+    oracle="""
+    SELECT n_name, r_name
+    FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
+    NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+    ORDER BY n_name
+    """,
+)
+def dialect_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN (tmLanguage.json:247)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("nation", "region"),
+        """
+        SELECT n_name, r_name
+        FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
+        NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+        ORDER BY n_name
+        """,
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100.00 AS DOUBLE) *
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE)
+           AS promo_revenue_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share — broadcast part, exact
+    decimal conditional aggregation."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from flink_sql_toolkit_spark.operators.relational import revenue_col  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue_col()).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue_col()).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: IN over a grouped
+    HAVING subquery — Catalyst decorrelates to a semi join; the
+    inner aggregate is partial+final on the same key as the outer
+    join (no extra shuffle of lineitem)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from flink_sql_toolkit_spark.operators.relational import dec  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
