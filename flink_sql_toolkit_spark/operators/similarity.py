@@ -147,12 +147,20 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_lsh_bucketed",
     oracle=f"""
     WITH {BUCKET_SQL},
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM buckets
-          WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS query_id, qv, probe FROM (
+            SELECT vec_id, embedding AS qv, UNNEST(
+              [bucket] || [
+                substring(bucket, 1, i) ||
+                CAST(1 - CAST(substring(bucket, i + 1, 1) AS INTEGER) AS VARCHAR) ||
+                substring(bucket, i + 2)
+                FOR i IN range(0, {N_ANCHORS})
+              ]) AS probe
+            FROM buckets WHERE vec_id % {QUERY_MOD} = 0)
+    ),
     scored AS (
-      SELECT q.query_id, b.vec_id AS neighbor_id,
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
              {_dot_sql('q.qv', 'b.embedding')} AS cosine
-      FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+      FROM q JOIN buckets b ON b.bucket = q.probe AND b.vec_id <> q.query_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,
@@ -166,16 +174,31 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: score only within the query's LSH bucket.
+    """ANN top-k with multi-probe LSH: each query searches its own
+    bucket plus every Hamming-distance-1 bucket (bits+1 probes).
 
-    The bucket join is an equi-join on the bucket key — shuffle
-    partitions by bucket, each query scans ~N/2^bits vectors. Recall
-    is tunable with multi-probe (flip one bit) or more tables; the
-    exact kernel within a bucket is sim_topk_bruteforce's.
+    Still an equi-join on the bucket key — the corpus is hashed once;
+    only the (tiny) query side explodes by bits+1. Multi-probe is the
+    standard recall lever that avoids duplicating the corpus into
+    multiple hash tables.
     """
     buckets = lsh_buckets(spark, sf_dir)
-    q = buckets.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
+    flips = F.array(
+        F.col("bucket"),
+        *[
+            F.concat(
+                F.substring("bucket", 1, i),
+                (1 - F.substring("bucket", i + 1, 1).cast("int")).cast("string"),
+                F.substring("bucket", i + 2, N_ANCHORS),
+            )
+            for i in range(N_ANCHORS)
+        ],
+    )
+    q = qb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(flips).alias("bucket"),
     )
     scored = (
         buckets.join(F.broadcast(q), "bucket")
@@ -185,6 +208,106 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             dot(F.col("qv"), F.col("embedding")).alias("cosine"),
         )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+    )
+
+
+IVF_ASSIGN_SQL = f"""
+    ivf AS (
+      SELECT e.vec_id, e.embedding,
+             list_position(l, list_max(l)) AS cluster_id,
+             list_position(l, list_max(list_filter(l, x -> x <> list_max(l)))) AS cluster2_id
+      FROM (
+        SELECT e.vec_id, e.embedding,
+               list({_dot_sql('e.embedding', 'a.av')} ORDER BY a.aid) AS l
+        FROM embeddings e CROSS JOIN ({ANCHORS_SQL}) a
+        GROUP BY e.vec_id, e.embedding
+      ) e
+    )
+"""
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id → coarse cluster id (argmax dot against the anchor set).
+
+    IVF's coarse quantizer with fixed anchors as centroids (a k-means
+    fit would refine them; assignment topology is identical). One
+    broadcast pass — the corpus never shuffles for assignment.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    dots = (
+        emb.crossJoin(F.broadcast(anchors))
+        .select("vec_id", "embedding", "aid", dot(F.col("embedding"), F.col("av")).alias("d"))
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("aid", "d"))), lambda e: e["d"]
+            ).alias("l")
+        )
+    )
+    top1 = F.array_max("l")
+    second = F.array_max(F.filter(F.col("l"), lambda x: x != top1))
+    return dots.select(
+        "vec_id",
+        "embedding",
+        F.array_position(F.col("l"), top1).alias("cluster_id"),
+        F.array_position(F.col("l"), second).alias("cluster2_id"),
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv,
+                 UNNEST([cluster_id, cluster2_id]) AS probe
+          FROM ivf WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+             {_dot_sql('q.qv', 'b.embedding')} AS cosine
+      FROM q JOIN ivf b ON b.cluster_id = q.probe AND b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rn
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into anchor cells,
+    search only the query's cell (nprobe=1; recall grows with nprobe
+    by unioning the next-nearest cells). The inverted-list join is an
+    equi-join on cluster_id — at 100 TB each cell is a partition-
+    local scan of ~N/k vectors."""
+    ivf = ivf_assignments(spark, sf_dir)
+    q = ivf.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(F.array("cluster_id", "cluster2_id")).alias("cluster_id"),
+    )
+    scored = (
+        ivf.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -76,6 +76,23 @@ def test_lsh_catches_exact_dupes(spark, sf_dir):
         assert (r["doc_id"], r[3]) in cand or (r[0], r[3]) in cand
 
 
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF and LSH top-k must recover a reasonable share of the true
+    neighbors (fixture embeddings are clustered, so cells/buckets
+    align with true neighborhoods)."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    # floors calibrated to the toy 4-bit/4-anchor setting (16 buckets
+    # over 500 vectors); production uses 12+ bits where multi-probe
+    # covers a far smaller corpus fraction at equal-or-better recall
+    for name, floor in (("sim_ivf_topk", 0.5), ("sim_lsh_bucketed", 0.35)):
+        approx = {(r.query_id, r.neighbor_id) for r in QUERIES[name](spark, sf_dir).collect()}
+        recall = len(truth & approx) / len(truth)
+        assert recall >= floor, f"{name} recall {recall:.2f}"
+
+
 def test_topk_is_k_per_query(spark, sf_dir):
     out = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
     per_query = {}
