@@ -158,6 +158,15 @@ def test_create_function_through_engine(session):
     ] == [["a"]]
 
 
+def test_truncate_analyze(session):
+    session.execute_statement("CREATE TABLE IF NOT EXISTS perm_probe (a INT) USING parquet")
+    session.execute_statement("INSERT INTO perm_probe VALUES (1), (2)")
+    session.execute_statement("ANALYZE TABLE perm_probe COMPUTE STATISTICS")
+    session.execute_statement("TRUNCATE TABLE perm_probe")
+    assert session.execute_statement("SELECT COUNT(*) AS n FROM perm_probe").fetch()["data"] == [[0]]
+    session.execute_statement("DROP TABLE perm_probe")
+
+
 def test_session_auto_recovery(engine):
     sess = engine.get_session("nonexistent-handle")
     assert sess.name == "default"
