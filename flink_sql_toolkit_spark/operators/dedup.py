@@ -95,7 +95,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_copies") > 1)
         .select("content_hash", "n_copies", "keeper_doc_id")
-        .orderBy("content_hash")
     )
 
 
@@ -195,7 +194,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -261,7 +259,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -327,5 +324,4 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("simhash")
         )
-        .orderBy("doc_id")
     )

@@ -123,7 +123,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -250,7 +249,6 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -466,7 +464,6 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -508,7 +505,6 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_qty"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -530,7 +526,6 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
-        .orderBy("n_regionkey")
     )
 
 
@@ -546,7 +541,6 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
-        .orderBy("l_returnflag")
     )
 
 
@@ -639,7 +633,6 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_spent"),
         )
         .filter(F.col("n_orders") >= 12)
-        .orderBy("o_custkey")
     )
 
 

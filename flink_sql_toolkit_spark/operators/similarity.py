@@ -100,7 +100,6 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .orderBy("query_id", "rn")
     )
 
 
@@ -214,7 +213,6 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .orderBy("query_id", "rn")
     )
 
 
@@ -313,7 +311,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .orderBy("query_id", "rn")
     )
 
 
@@ -348,5 +345,4 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", dot(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.99)
         .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
     )

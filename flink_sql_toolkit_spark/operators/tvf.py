@@ -103,7 +103,6 @@ def tvf_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -140,7 +139,6 @@ def tvf_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("window_start")
     )
 
 
@@ -191,7 +189,6 @@ def tvf_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "window_start")
     )
 
 
@@ -224,5 +221,4 @@ def tvf_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
-        .orderBy("window_start", "window_end")
     )
