@@ -33,13 +33,18 @@ HEADLINE = [
     "q5_regional_revenue",
     "q6_revenue_forecast",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "window_topk_per_group",
     "tvf_tumble",
     "tvf_session",
+    "asof_prev_order",
+    "match_recognize_funnel",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",
+    "sim_ivf_topk",
     "text_quality_score",
 ]
 

@@ -206,6 +206,16 @@ class Operation:
     def fetch(self, token: int = 0) -> dict[str, Any]:
         if self.status == "ERROR":
             raise self.error if self.error else RuntimeError("operation failed")
+        if not getattr(self, "_ready", True) and self._stream_buffer is None:
+            return {
+                "columns": [],
+                "data": [],
+                "resultType": "NOT_READY",
+                "isQueryResult": False,
+                "nextResultToken": token,
+                "isStreaming": False,
+                "jobID": None,
+            }
         if self._stream_buffer is not None:
             if self._stream_query is not None and not self._stream_query.isActive:
                 # surface the stream's failure instead of a clean EOS
@@ -285,6 +295,31 @@ class EngineSession:
         # the new mode (Flink re-plans per mode the same way)
         if re.match(r"(?is)^\s*SET\s+'execution\.runtime-mode'", statement):
             self.refresh_connector_views()
+        return op
+
+    def submit_statement(self, statement: str) -> Operation:
+        """Async submit: returns the handle immediately; ``fetch``
+        answers NOT_READY until execution completes — the reference's
+        readiness-poll contract (src/notebookController.ts:122-140)."""
+        import threading  # noqa: PLC0415
+
+        op = Operation(self, statement)
+        self.operations[op.handle] = op
+        op.status = "RUNNING"
+        op._ready = False
+
+        def run() -> None:
+            try:
+                op._execute()
+                if op.status == "RUNNING" and op._stream_buffer is None:
+                    op.status = "FINISHED"
+            except Exception as e:  # noqa: BLE001
+                op.status = "ERROR"
+                op.error = e
+            finally:
+                op._ready = True
+
+        threading.Thread(target=run, daemon=True).start()
         return op
 
     def execute_script(self, script: str) -> list[Operation]:

@@ -119,10 +119,15 @@ def match_recognize(
     sort_cols = list(order_by)
     key_cols = list(partition_by)
 
+    measure_cols = {col for _, fn, _, col in plans if fn != "COUNT"}
+
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
         sym_vals = {t.symbol: pdf[f"_sym_{t.symbol}"].to_numpy() for t in tokens}
+        # numpy views for measure extraction — .iloc per match is slow
+        col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
+        key_row = {k: pdf.iloc[0][k] for k in key_cols}
 
         def match_at(pos: int, ti: int) -> list[tuple[int, str]] | None:
             """Greedy with backtracking; returns [(row_idx, symbol)]."""
@@ -158,7 +163,7 @@ def match_recognize(
         while pos < n:
             assignment = match_at(pos, 0)
             if assignment:
-                row: dict = {k: pdf.iloc[0][k] for k in key_cols}
+                row: dict = dict(key_row)
                 for out_name, fn, sym, col in plans:
                     idxs = [i for i, s in assignment if s == sym]
                     if fn == "COUNT":
@@ -166,9 +171,9 @@ def match_recognize(
                     elif not idxs:
                         row[out_name] = None
                     elif fn == "FIRST":
-                        row[out_name] = pdf.iloc[idxs[0]][col]
+                        row[out_name] = col_vals[col][idxs[0]]
                     else:
-                        row[out_name] = pdf.iloc[idxs[-1]][col]
+                        row[out_name] = col_vals[col][idxs[-1]]
                 out_rows.append(row)
                 pos = assignment[-1][0] + 1  # AFTER MATCH SKIP PAST LAST ROW
             else:
@@ -176,7 +181,47 @@ def match_recognize(
         cols = key_cols + [p[0] for p in plans]
         return pd.DataFrame(out_rows, columns=cols)
 
-    return work.groupBy(*partition_by).applyInPandas(run_nfa, out_schema)
+    out_cols = key_cols + [p[0] for p in plans]
+
+    def process_partition(batches) -> "pd.DataFrame":
+        """Run the NFA over a whole sorted partition.
+
+        applyInPandas pays per-group invocation overhead — with many
+        small key groups (the normal CEP shape) that dominates wall
+        time. Here the partition is hash-distributed by key and
+        sorted (key, time), so groups are contiguous: buffer rows
+        across Arrow batch boundaries, flush every completed group
+        through the NFA. One python call per partition, not per key.
+        """
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            keys = pdf[key_cols[0]] if len(key_cols) == 1 else list(
+                zip(*[pdf[k] for k in key_cols])
+            )
+            keys = pd.Series(keys)
+            last_key = keys.iloc[-1]
+            complete = pdf[keys != last_key]
+            leftover = pdf[keys == last_key]
+            if len(complete):
+                groups = [g for _, g in complete.groupby(key_cols, sort=False)]
+                results = [run_nfa(g.reset_index(drop=True)) for g in groups]
+                results = [r for r in results if len(r)]
+                if results:
+                    yield pd.concat(results, ignore_index=True)
+        if leftover is not None and len(leftover):
+            r = run_nfa(leftover.reset_index(drop=True))
+            if len(r):
+                yield r
+
+    return (
+        work.repartition(*partition_by)
+        .sortWithinPartitions(*(partition_by + order_by))
+        .mapInPandas(process_partition, out_schema)
+    )
 
 
 @register(

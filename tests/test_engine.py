@@ -158,6 +158,31 @@ def test_create_function_through_engine(session):
     ] == [["a"]]
 
 
+def test_async_submit_not_ready_then_payload(session, sf_dir):
+    session.spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders_a")
+    op = session.submit_statement(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders_a GROUP BY o_orderstatus"
+    )
+    deadline = time.time() + 60
+    page = op.fetch(0)
+    while page["resultType"] == "NOT_READY" and time.time() < deadline:
+        time.sleep(0.1)
+        page = op.fetch(0)
+    assert page["resultType"] == "PAYLOAD"
+    assert sum(r[1] for r in page["data"]) == 1500
+    assert op.status == "FINISHED"
+
+
+def test_async_submit_error_surfaces(session):
+    op = session.submit_statement("SELECT * FROM no_such_table_xyz")
+    deadline = time.time() + 30
+    while op.status == "RUNNING" and time.time() < deadline:
+        time.sleep(0.1)
+    assert op.status == "ERROR"
+    with pytest.raises(Exception, match="no_such_table_xyz"):
+        op.fetch(0)
+
+
 def test_truncate_analyze(session):
     session.execute_statement("CREATE TABLE IF NOT EXISTS perm_probe (a INT) USING parquet")
     session.execute_statement("INSERT INTO perm_probe VALUES (1), (2)")
