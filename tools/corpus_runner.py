@@ -152,6 +152,16 @@ def build_fixture_views(spark: SparkSession) -> list[str]:
         "page_views": events,
         "t": orders.select("order_id", F.col("tags").alias("arr"), "price"),
         "target_table": orders.select("order_id", "price"),
+        "table1": orders.select("order_id", "price"),
+        "table2": orders.select("order_id", "price"),
+        "large_table": orders.select("order_id", F.col("customer_id").alias("id"), "price"),
+        "fact_table": orders.select(
+            "order_id",
+            F.col("customer_id").alias("dim_id"),
+            "price",
+            F.col("order_time").alias("proc_time"),
+        ),
+        "discontinued_products": products.select("id"),
     }
     for name, df in fixture.items():
         df.createOrReplaceTempView(name)
@@ -185,6 +195,7 @@ def main() -> int:
             f"CREATE TABLE {sink} (order_id BIGINT, price DOUBLE) WITH ('connector'='blackhole')"
         )
     fixture_names -= {"target_table"}
+    session.spark.sql("CREATE DATABASE IF NOT EXISTS my_database")
 
     script = Path(CORPUS).read_text()
     statements = split_statements(script)
