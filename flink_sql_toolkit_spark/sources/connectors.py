@@ -81,17 +81,26 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     if fmt == "raw":
         first = table.columns[0].name
         return raw.select(value.alias(first), "timestamp", "partition", "offset", "topic")
-    if fmt == "avro":
+    if fmt in ("avro", "avro-confluent"):
+        payload = F.col("value")
+        if fmt == "avro-confluent":
+            # Confluent wire format: magic byte + 4-byte schema id
+            # before the avro body (syntax-test.fsql:626-636) — strip 5
+            payload = F.expr("substring(value, 6, length(value) - 5)")
         try:
             from pyspark.sql.avro.functions import from_avro  # noqa: PLC0415
 
-            schema_str = table.options.get("avro.schema", "")
+            schema_str = table.options.get(
+                "avro.schema", table.options.get("avro-confluent.schema", "")
+            )
             return raw.select(
-                from_avro(F.col("value"), schema_str).alias("_row"),
+                from_avro(payload, schema_str).alias("_row"),
                 "timestamp", "partition", "offset", "topic",
             ).select("_row.*", "timestamp", "partition", "offset", "topic")
         except Exception as e:  # noqa: BLE001
-            raise ValueError(f"avro decode unavailable: {e}") from e
+            raise ValueError(
+                f"avro decode needs the spark-avro package: {e}"
+            ) from e
     raise ValueError(f"unsupported format '{fmt}'")
 
 

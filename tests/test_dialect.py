@@ -115,6 +115,18 @@ class TestDDLParser:
         assert t.partitioned_by == ["dt"]
         assert t.connector == "kafka"
 
+    def test_source_watermark(self):
+        t = parse_create_table(
+            """
+            CREATE TABLE s (id BIGINT, ts TIMESTAMP_LTZ(3),
+              WATERMARK FOR ts AS SOURCE_WATERMARK()
+            ) WITH ('connector' = 'kafka', 'topic' = 't');
+            """
+        )
+        # SOURCE_WATERMARK() → source-default 0-delay watermark (§2.11)
+        assert t.watermark.column == "ts"
+        assert t.watermark.delay == "0 seconds"
+
     @pytest.mark.parametrize(
         ("flink", "spark"),
         [
