@@ -299,6 +299,64 @@ def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "func_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(left(text, 60), '[aeiou]', '*', 'g') AS vowels_masked,
+           regexp_extract(left(text, 60), '([a-z]+)', 1) AS first_word,
+           regexp_matches(text, 'data') AS has_data,
+           regexp_replace(lang, '^(e)', 'E', '') AS lang_cap
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def func_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP_REPLACE/REGEXP_EXTRACT/REGEXP (syntax-test.fsql:358-360).
+
+    Patterns kept inside the Java-regex ∩ RE2 common subset (no
+    backrefs/lookahead) so both engines agree; Spark's
+    regexp_replace is global like DuckDB's 'g' flag.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    head = F.left(F.col("text"), F.lit(60))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(head, "[aeiou]", "*").alias("vowels_masked"),
+        F.regexp_extract(head, "([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("data").alias("has_data"),
+        F.regexp_replace(F.col("lang"), "^(e)", "E").alias("lang_cap"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator over GROUPING SETS (syntax-test.fsql:277;
+    distinguishes 'NULL because rolled up' from data NULLs)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
 @register("func_hash_extra")
 def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHA1/CRC32/HASH_CODE(murmur3)/XXH3_64 — rows-only (no DuckDB
