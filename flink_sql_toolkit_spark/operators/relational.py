@@ -444,6 +444,84 @@ def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(v.event_id) AS views_before,
+           CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE) AS viewed_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE
+     AND v.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (the stream-stream time-bounded join of §2.4/
+    §2.11, batch-verified): views within 10 min before each purchase.
+
+    In streaming this is exactly
+    ``left.join(right, expr(key ∧ time-range))`` with watermarks on
+    both sides bounding state; here the batch plan shuffles both
+    sides on user_id once and range-filters within the key group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    return (
+        p.join(
+            v,
+            (p.user_id == v.v_user)
+            & (v.v_ts >= p.p_ts - F.expr("INTERVAL 10 MINUTE"))
+            & (v.v_ts < p.p_ts),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("v_id").alias("views_before"),
+            F.sum(dec("v_value")).cast("double").alias("viewed_value"),
+        )
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a time interval (syntax-test.fsql:252 frame
+    specs): 10-minute rolling sum per user. RANGE includes peer rows
+    (ties in ts) identically in both engines, so no tiebreaker is
+    needed; decimal-exact sum."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS rolling_value
+        FROM events
+        """
+    )
+
+
+@register(
     "agg_count_distinct",
     oracle="""
     SELECT o_orderstatus,
