@@ -357,6 +357,27 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("func_string_extra")
+def func_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAY/INITCAP/SOUNDEX/FORMAT/PARSE_URL/WIDTH_BUCKET/FACTORIAL
+    (syntax-test.fsql:361-365,377-401) — rows-only: DuckDB lacks
+    these functions, so there is no differential oracle."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    return part.select(
+        "p_partkey",
+        F.overlay("p_name", F.lit("XX"), 2, 2).alias("ov"),
+        F.initcap("p_name").alias("ic"),
+        F.soundex("p_brand").alias("sx"),
+        F.format_string("%s=%d", F.col("p_brand"), F.col("p_size")).alias("fmt"),
+        F.parse_url(
+            F.concat(F.lit("https://example.com/p?id="), F.col("p_partkey").cast("string")),
+            F.lit("QUERY"),
+        ).alias("query_part"),
+        F.width_bucket(F.col("p_retailprice"), F.lit(0.0), F.lit(2000.0), F.lit(10)).alias("wb"),
+        F.factorial(F.col("p_size") % 10).alias("fact"),
+    ).orderBy("p_partkey")
+
+
 @register("func_hash_extra")
 def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHA1/CRC32/HASH_CODE(murmur3)/XXH3_64 — rows-only (no DuckDB
