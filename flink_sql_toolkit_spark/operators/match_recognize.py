@@ -121,6 +121,72 @@ def match_recognize(
 
     measure_cols = {col for _, fn, _, col in plans if fn != "COUNT"}
 
+    # Vectorized fast path for PATTERN (A+ B): a match is a maximal
+    # run of A-rows immediately followed by a B-row — computable with
+    # numpy run-length arithmetic, no per-row python. Valid whenever
+    # the two symbols are disjoint within the group (a row satisfying
+    # both forces the generic backtracking NFA). Produces exactly the
+    # greedy + SKIP PAST LAST ROW result: runs cannot cross a B-row
+    # (disjointness) nor a neither-row (breaks the run), which is
+    # precisely where the NFA restarts.
+    two_sym_plus = (
+        len(tokens) == 2 and tokens[0].quantifier == "+" and tokens[1].quantifier == ""
+    )
+
+    def run_fast_plus(pdf: pd.DataFrame):
+        """Whole-partition vectorized matcher for PATTERN (A+ B).
+
+        One numpy pass over the sorted partition — group boundaries
+        are run barriers, so no per-key pandas grouping at all. A
+        match is a maximal A-run immediately followed by a B-row in
+        the same group, which is exactly the greedy NFA + SKIP PAST
+        LAST ROW outcome when A and B are disjoint (a row satisfying
+        both falls back to the generic NFA).
+        """
+        import numpy as np  # noqa: PLC0415
+
+        a_sym, b_sym = tokens[0].symbol, tokens[1].symbol
+        a = pdf[f"_sym_{a_sym}"].to_numpy(dtype=bool)
+        b = pdf[f"_sym_{b_sym}"].to_numpy(dtype=bool)
+        if (a & b).any():
+            return None  # overlapping predicates → generic NFA
+        n = len(pdf)
+        idx = np.arange(n)
+        if len(key_cols) == 1:
+            keys = pdf[key_cols[0]].to_numpy()
+            group_start = np.ones(n, dtype=bool)
+            group_start[1:] = keys[1:] != keys[:-1]
+        else:
+            kf = pdf[key_cols]
+            group_start = np.ones(n, dtype=bool)
+            group_start[1:] = (kf.iloc[1:].values != kf.iloc[:-1].values).any(axis=1)
+        # run barrier value per position: a non-A row resets at its own
+        # index; a group start additionally bars anything before it
+        val = np.where(~a, idx, -1)
+        val = np.maximum(val, np.where(group_start, idx - 1, -1))
+        last_reset = np.maximum.accumulate(val)
+        b_pos = idx[b]
+        prev = np.maximum(b_pos - 1, 0)
+        run = b_pos - 1 - last_reset[prev]
+        run = np.where(group_start[b_pos], 0, run)
+        keep = run >= 1
+        b_pos, run = b_pos[keep], run[keep]
+        out_cols = key_cols + [p[0] for p in plans]
+        if not len(b_pos):
+            return pd.DataFrame(columns=out_cols)
+        col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
+        out = {k: pdf[k].to_numpy()[b_pos] for k in key_cols}
+        for out_name, fn, sym, col in plans:
+            if fn == "COUNT":
+                out[out_name] = run if sym == a_sym else np.ones_like(run)
+            elif sym == b_sym:
+                out[out_name] = col_vals[col][b_pos]
+            elif fn == "FIRST":
+                out[out_name] = col_vals[col][b_pos - run]
+            else:  # LAST(A.col)
+                out[out_name] = col_vals[col][b_pos - 1]
+        return pd.DataFrame(out, columns=out_cols)
+
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
         # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
@@ -193,6 +259,23 @@ def match_recognize(
         across Arrow batch boundaries, flush every completed group
         through the NFA. One python call per partition, not per key.
         """
+        if two_sym_plus:
+            # partition-level vectorized path: one concat, one numpy
+            # pass, group boundaries handled as run barriers
+            all_batches = [p for p in batches if len(p)]
+            if not all_batches:
+                return
+            whole = (
+                pd.concat(all_batches, ignore_index=True)
+                if len(all_batches) > 1
+                else all_batches[0]
+            )
+            fast = run_fast_plus(whole)
+            if fast is not None:
+                if len(fast):
+                    yield fast
+                return
+            batches = iter([whole])  # overlap detected → generic loop
         leftover: pd.DataFrame | None = None
         for pdf in batches:
             if leftover is not None and len(leftover):

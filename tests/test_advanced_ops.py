@@ -77,6 +77,42 @@ def test_match_recognize_optional_and_star(spark):
     assert [(r.d_seq, r.last_seq) for r in out] == [(2, 3)]
 
 
+def test_fast_path_matches_generic_nfa(spark, sf_dir):
+    """The vectorized A+ B path must be byte-identical to the generic
+    NFA (forced by a 3-token pattern with an always-false filler)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["expr"]).expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    common = dict(
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        define={"A": "event_type <> 'purchase'", "B": "event_type = 'purchase'", "Z": "false"},
+        measures={"s": "FIRST(A.ts)", "p": "LAST(B.ts)", "n": "COUNT(A.*)"},
+    )
+    fast = match_recognize(ev, pattern="A+ B", **common)
+    generic = match_recognize(ev, pattern="A+ B Z?", **common)  # 3 tokens → generic
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, generic.collect()))
+
+
+def test_fast_path_falls_back_on_overlap(spark):
+    """Overlapping symbol predicates must route to the generic NFA."""
+    df = spark.createDataFrame(
+        [("k", 1, "x"), ("k", 2, "x"), ("k", 3, "y")], ["k", "seq", "v"]
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "v IN ('x', 'y')", "B": "v = 'y'"},  # overlap on 'y'
+        measures={"first_a": "FIRST(A.seq)", "b": "LAST(B.seq)", "n": "COUNT(A.*)"},
+    ).collect()
+    # greedy A+ consumes rows 1,2 then B matches row 3
+    assert [(r.first_a, r.b, r.n) for r in out] == [(1, 3, 2)]
+
+
 def test_match_recognize_rejects_unsupported(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "seq"])
     with pytest.raises(ValueError):
