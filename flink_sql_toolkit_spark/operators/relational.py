@@ -915,6 +915,23 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_except_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (syntax-test.fsql:311) — bag semantics: each right
+    occurrence cancels one left occurrence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select(F.col("l_suppkey").alias("k"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    return n.exceptAll(a)
+
+
+@register(
     "setop_intersect_all",
     oracle="""
     SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'

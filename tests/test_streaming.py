@@ -86,6 +86,35 @@ def test_stop_all_jobs_on_close(engine, sf_dir):
     assert all(j.status != "RUNNING" for j in s.jobs.list())
 
 
+def test_stream_static_lookup_join(session, sf_dir, tmp_path):
+    """Lookup-join shape (§2.4): a file stream enriched against a
+    static dim via plain SQL through the engine — Spark's
+    stream-static join re-reads the dim per micro-batch, which is
+    exactly Flink's processing-time lookup join semantics."""
+    session.spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_dim")
+    session.execute_statement(
+        f"""
+        CREATE TABLE supp_stream (s_suppkey BIGINT, s_name STRING, s_nationkey INT)
+        WITH ('connector'='filesystem', 'path'='{sf_dir}/supplier.parquet', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT s.s_name, n.n_name FROM supp_stream s "
+        "JOIN nation_dim n ON s.s_nationkey = n.n_nationkey"
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 10:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert len(got) == 10  # every supplier enriched exactly once
+    assert all(r[1] is not None for r in got)
+
+
 def test_hint_stripping_through_engine(session):
     # Flink-only hints must not break Spark; join hints pass through
     page = session.execute_statement(
