@@ -357,6 +357,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "func_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST('100' AS INTEGER) AS lit_int,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+           IF(o_orderstatus = 'O', 'open', 'closed') AS status_if,
+           IFNULL(TRY_CAST(o_orderpriority AS INTEGER), -1) AS with_default
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+    """,
+)
+def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST / TRY_CAST / IF / IFNULL (syntax-test.fsql:432-447).
+
+    TRY_CAST of malformed input → NULL in both engines. Spark's
+    double→bigint CAST truncates toward zero while DuckDB's rounds —
+    the oracle applies trunc() first to state the same semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.lit("100").cast("int").alias("lit_int"),
+        F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.col("o_totalprice").cast("bigint").alias("price_trunc"),
+        F.when(F.col("o_orderstatus") == "O", "open").otherwise("closed").alias("status_if"),
+        F.coalesce(F.expr("TRY_CAST(o_orderpriority AS INT)"), F.lit(-1)).alias("with_default"),
+    ).orderBy("o_orderkey")
+
+
 @register("func_string_extra")
 def func_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OVERLAY/INITCAP/SOUNDEX/FORMAT/PARSE_URL/WIDTH_BUCKET/FACTORIAL
