@@ -1,0 +1,139 @@
+"""MATCH_RECOGNIZE SQL syntax → the DataFrame CEP operator.
+
+The reference ships MATCH_RECOGNIZE as first-class SQL
+(test/syntax-test.fsql:467-482: PARTITION BY / ORDER BY / MEASURES
+with FIRST/LAST/AVG / ONE ROW PER MATCH / AFTER MATCH SKIP PAST LAST
+ROW / PATTERN (A+ B) / DEFINE with symbol-qualified predicates).
+Spark SQL has no MATCH_RECOGNIZE clause, so the engine intercepts the
+statement here: the clause is parsed out of the (literal-masked)
+text, executed through ``operators.match_recognize`` (predicates
+JVM-side, NFA vectorized per partition), and the surrounding SELECT
+is rewritten to read the result from a temp view — after which it
+flows through the normal dialect-rewrite + Catalyst path.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import SparkSession
+
+from flink_sql_toolkit_spark.dialect.rewriter import _mask, _split_args, _unmask
+
+_MR_FROM = re.compile(
+    r"(?is)\bFROM\s+([\w.\x00]+)\s+MATCH_RECOGNIZE\s*\("
+)
+
+# clause boundary lookahead inside the MATCH_RECOGNIZE body
+_NEXT = (
+    r"(?=\s*(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+    r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\(|DEFINE)|\s*\Z)"
+)
+
+_view_ids = itertools.count()
+
+
+def _clause(body: str, head: str) -> str | None:
+    m = re.search(rf"(?is)\b{head}\s+(.*?){_NEXT}", body)
+    return m.group(1).strip() if m else None
+
+
+def _matching_paren(text: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
+
+
+def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
+    """Replace each ``FROM <t> MATCH_RECOGNIZE (...)`` with a temp
+    view holding the operator's result; return the remaining SQL."""
+    from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+
+    masked, lits = _mask(stmt)
+    while True:
+        m = _MR_FROM.search(masked)
+        if not m:
+            return _unmask(masked, lits)
+        open_idx = masked.index("(", m.end() - 1)
+        close_idx = _matching_paren(masked, open_idx)
+        body = masked[open_idx + 1 : close_idx]
+
+        if re.search(r"(?is)\bALL\s+ROWS\s+PER\s+MATCH\b", body):
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE ALL ROWS PER MATCH is not supported "
+                "(subset: ONE ROW PER MATCH, as in the reference corpus)"
+            )
+        after = re.search(r"(?is)\bAFTER\s+MATCH\s+(SKIP\s+[A-Z\s]+?)" + _NEXT, body)
+        after_match = "past_last_row"
+        if after:
+            skip = re.sub(r"\s+", " ", after.group(1).strip().upper())
+            if skip == "SKIP PAST LAST ROW":
+                after_match = "past_last_row"
+            elif skip == "SKIP TO NEXT ROW":
+                after_match = "to_next_row"
+            else:
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE AFTER MATCH '{skip}' not supported "
+                    "(subset: SKIP PAST LAST ROW, SKIP TO NEXT ROW)"
+                )
+
+        part = _clause(body, r"PARTITION\s+BY")
+        order = _clause(body, r"ORDER\s+BY")
+        measures_txt = _clause(body, r"MEASURES")
+        pat = re.search(r"(?is)\bPATTERN\s*\(([^()]*)\)", body)
+        define_txt = _clause(body, r"DEFINE")
+        if not (part and order and measures_txt and pat and define_txt):
+            raise ValueError(
+                "MATCH_RECOGNIZE requires PARTITION BY, ORDER BY, MEASURES, "
+                "PATTERN and DEFINE clauses"
+            )
+        order_cols = []
+        for c in _split_args(order):
+            if re.search(r"(?is)\bDESC\b", c):
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE ORDER BY ... DESC not supported "
+                    "(event order must be ascending time)"
+                )
+            order_cols.append(re.sub(r"(?is)\s+ASC\b", "", c).strip())
+        measures: dict[str, str] = {}
+        for item in _split_args(measures_txt):
+            mm = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)$", item.strip())
+            if not mm:
+                raise ValueError(f"MEASURES item '{item}' must be '<expr> AS <name>'")
+            measures[mm.group(2)] = _unmask(mm.group(1).strip(), lits)
+        define: dict[str, str] = {}
+        for item in _split_args(define_txt):
+            dm = re.match(r"(?is)^(\w+)\s+AS\s+(.*)$", item.strip())
+            if not dm:
+                raise ValueError(f"DEFINE item '{item}' must be '<symbol> AS <cond>'")
+            define[dm.group(1)] = _unmask(dm.group(2).strip(), lits)
+
+        table = _unmask(m.group(1), lits).strip("`")
+        out = match_recognize(
+            spark.table(table),
+            partition_by=[c.strip() for c in _split_args(_unmask(part, lits))],
+            order_by=[_unmask(c, lits) for c in order_cols],
+            pattern=_unmask(pat.group(1), lits).strip(),
+            define=define,
+            measures=measures,
+            after_match=after_match,
+        )
+        view = f"_mr_out_{next(_view_ids)}"
+        out.createOrReplaceTempView(view)
+        # optional trailing alias: FROM t MATCH_RECOGNIZE (...) [AS] x
+        tail = masked[close_idx + 1 :]
+        am = re.match(r"(?is)^\s+(?:AS\s+)?(\w+)", tail)
+        alias = f" {am.group(1)}" if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "JOIN",
+            "LEFT", "RIGHT", "FULL", "CROSS", "ON",
+        ) else ""
+        if alias:
+            tail = tail[am.end() :]
+        masked = f"{masked[: m.start()]}FROM {view}{alias}{tail}"

@@ -348,6 +348,18 @@ def _rewrite_misc(masked: str) -> str:
     masked = re.sub(r"(?is)\belement_at_single\s*\(([^()]*)\)", r"element_at(\1, 1)", masked)
     # ARRAY_CONCAT → concat (Spark's concat is array-polymorphic)
     masked = re.sub(r"(?is)\bARRAY_CONCAT\s*\(", "concat(", masked)
+    # three-valued-logic literal (syntax-test.fsql literals section):
+    # `x IS [NOT] UNKNOWN` ≡ IS [NOT] NULL on a boolean; the bare
+    # UNKNOWN literal is a NULL boolean
+    masked = re.sub(r"(?is)\bIS\s+(NOT\s+)?UNKNOWN\b", r"IS \1NULL", masked)
+    masked = re.sub(r"(?is)\bUNKNOWN\b", "CAST(NULL AS BOOLEAN)", masked)
+    # hex integer literal 0xFF — Spark lexes it as an identifier;
+    # fold to decimal (DuckDB/MySQL integer-context semantics)
+    masked = re.sub(
+        r"(?i)\b0x([0-9A-F]+)\b",
+        lambda m: str(int(m.group(1), 16)),
+        masked,
+    )
     return masked
 
 

@@ -135,6 +135,15 @@ class Operation:
                     raise LookupError(f"table or view '{name}' not found") from None
             self._columns, self._rows = [{"name": "result", "logicalType": "string"}], [["OK"]]
             return
+        # MATCH_RECOGNIZE: no Spark SQL equivalent — the CEP operator
+        # runs as a DataFrame op and the statement is rewritten to
+        # read its temp-view result (dialect/mr_sql.py)
+        if re.search(r"(?is)\bMATCH_RECOGNIZE\s*\(", stmt):
+            from flink_sql_toolkit_spark.dialect.mr_sql import (  # noqa: PLC0415
+                rewrite_match_recognize_sql,
+            )
+
+            stmt = rewrite_match_recognize_sql(sess.spark, stmt)
         # everything else: the dialect rewrite + spark.sql
         df = sess.spark.sql(rewrite(stmt))
         if df.isStreaming:

@@ -16,9 +16,10 @@ the (b)-tier custom operator from the build rules:
    Arrow-batched.
 
 Supported: concatenation, quantifiers ``+ * ?``, measures
-``FIRST(S.col) | LAST(S.col) | COUNT(S.*)``, ONE ROW PER MATCH,
-SKIP PAST LAST ROW. (Alternation/PERMUTE/RUNNING-FINAL: rejected
-with a clear error.)
+``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col)``, ONE ROW
+PER MATCH, AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW.
+(Alternation/PERMUTE/RUNNING-FINAL: rejected with a clear error —
+Flink's own MATCH_RECOGNIZE rejects alternation too.)
 """
 
 from __future__ import annotations
@@ -53,7 +54,20 @@ def _parse_pattern(pattern: str) -> list[PatternToken]:
     return tokens
 
 
-_MEASURE_RE = re.compile(r"(?i)^(FIRST|LAST|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$")
+_MEASURE_RE = re.compile(
+    r"(?i)^(FIRST|LAST|COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$"
+)
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _strip_symbol_quals(cond: str, symbols: set[str]) -> str:
+    """``A.price`` → ``price`` — inside DEFINE, a symbol qualifier
+    just means "the current row being classified" (Flink semantics
+    for the running row), so the qualifier drops out."""
+    for sym in symbols:
+        cond = re.sub(rf"(?i)\b{re.escape(sym)}\s*\.\s*", "", cond)
+    return cond
 
 
 def _rewrite_prev(cond: str, order_cols: list[str]) -> tuple[str, dict[str, str]]:
@@ -76,12 +90,21 @@ def match_recognize(
     pattern: str,
     define: dict[str, str],
     measures: dict[str, str],
+    after_match: str = "past_last_row",
 ) -> DataFrame:
+    if after_match not in ("past_last_row", "to_next_row"):
+        raise ValueError(
+            f"unsupported AFTER MATCH strategy '{after_match}' "
+            "(subset: past_last_row, to_next_row)"
+        )
+    skip_past = after_match == "past_last_row"
     tokens = _parse_pattern(pattern)
     for t in tokens:
         if t.symbol not in define:
             # undefined symbols match every row (SQL standard default)
             define[t.symbol] = "true"
+    symbols = {t.symbol for t in tokens} | set(define)
+    define = {s: _strip_symbol_quals(c, symbols) for s, c in define.items()}
 
     # 1) JVM-side: lag columns for PREV + boolean symbol predicates
     from pyspark.sql import Window as W  # noqa: PLC0415
@@ -113,7 +136,15 @@ def match_recognize(
             )
         fn, sym, col = m.group(1).upper(), m.group(2), m.group(3)
         plans.append((out_name, fn, sym, col))
-        out_fields.append(f"{out_name} {'bigint' if fn == 'COUNT' else in_schema[col]}")
+        if fn == "COUNT":
+            otype = "bigint"
+        elif fn == "AVG":
+            otype = "double"
+        elif fn == "SUM":
+            otype = "bigint" if in_schema[col] in _INT_TYPES else "double"
+        else:  # FIRST/LAST/MIN/MAX keep the input type
+            otype = in_schema[col]
+        out_fields.append(f"{out_name} {otype}")
     out_schema = ", ".join(out_fields)
 
     sort_cols = list(order_by)
@@ -130,7 +161,10 @@ def match_recognize(
     # (disjointness) nor a neither-row (breaks the run), which is
     # precisely where the NFA restarts.
     two_sym_plus = (
-        len(tokens) == 2 and tokens[0].quantifier == "+" and tokens[1].quantifier == ""
+        skip_past
+        and len(tokens) == 2
+        and tokens[0].quantifier == "+"
+        and tokens[1].quantifier == ""
     )
 
     def run_fast_plus(pdf: pd.DataFrame):
@@ -175,16 +209,57 @@ def match_recognize(
         if not len(b_pos):
             return pd.DataFrame(columns=out_cols)
         col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
+        # A-side AVG/SUM/MIN/MAX need per-run aggregates; computable
+        # with reset-at-barrier cumulative aggregates (groups keyed by
+        # last_reset are exactly {barrier} ∪ run) — but only for
+        # numeric columns (the ±inf identity trick).
+        for out_name, fn, sym, col in plans:
+            if fn in ("AVG", "SUM", "MIN", "MAX") and sym == a_sym:
+                if not np.issubdtype(col_vals[col].dtype, np.number):
+                    return None  # non-numeric A-agg → generic NFA
+
+        cum_cache: dict = {}
+
+        def a_run_agg(fn: str, col: str) -> "np.ndarray":
+            """Aggregate of col over each match's A-run, one value
+            per kept B-row. Cumulative agg grouped by last_reset:
+            within a group, rows before the run contribute the
+            identity, so the value at b_pos-1 is the run aggregate."""
+            key = (fn, col)
+            if key not in cum_cache:
+                vals = col_vals[col]
+                if fn in ("SUM", "AVG"):
+                    contrib = np.where(a, vals if fn == "SUM" else vals.astype("float64"), 0)
+                    cum = pd.Series(contrib).groupby(last_reset).cumsum().to_numpy()
+                elif fn == "MIN":
+                    contrib = np.where(a, vals.astype("float64"), np.inf)
+                    cum = pd.Series(contrib).groupby(last_reset).cummin().to_numpy()
+                else:
+                    contrib = np.where(a, vals.astype("float64"), -np.inf)
+                    cum = pd.Series(contrib).groupby(last_reset).cummax().to_numpy()
+                cum_cache[key] = cum
+            return cum_cache[key][b_pos - 1]
+
         out = {k: pdf[k].to_numpy()[b_pos] for k in key_cols}
         for out_name, fn, sym, col in plans:
             if fn == "COUNT":
                 out[out_name] = run if sym == a_sym else np.ones_like(run)
             elif sym == b_sym:
-                out[out_name] = col_vals[col][b_pos]
+                v = col_vals[col][b_pos]
+                out[out_name] = v.astype("float64") if fn == "AVG" else v
             elif fn == "FIRST":
                 out[out_name] = col_vals[col][b_pos - run]
-            else:  # LAST(A.col)
+            elif fn == "LAST":
                 out[out_name] = col_vals[col][b_pos - 1]
+            elif fn == "AVG":
+                out[out_name] = a_run_agg("AVG", col) / run
+            else:  # SUM/MIN/MAX over the A-run
+                v = a_run_agg(fn, col)
+                if fn in ("MIN", "MAX") and np.issubdtype(
+                    col_vals[col].dtype, np.integer
+                ):
+                    v = v.astype(col_vals[col].dtype)
+                out[out_name] = v
         return pd.DataFrame(out, columns=out_cols)
 
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -238,10 +313,19 @@ def match_recognize(
                         row[out_name] = None
                     elif fn == "FIRST":
                         row[out_name] = col_vals[col][idxs[0]]
-                    else:
+                    elif fn == "LAST":
                         row[out_name] = col_vals[col][idxs[-1]]
+                    elif fn == "AVG":
+                        row[out_name] = float(col_vals[col][idxs].mean())
+                    elif fn == "SUM":
+                        row[out_name] = col_vals[col][idxs].sum()
+                    elif fn == "MIN":
+                        row[out_name] = col_vals[col][idxs].min()
+                    else:
+                        row[out_name] = col_vals[col][idxs].max()
                 out_rows.append(row)
-                pos = assignment[-1][0] + 1  # AFTER MATCH SKIP PAST LAST ROW
+                # AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+                pos = assignment[-1][0] + 1 if skip_past else assignment[0][0] + 1
             else:
                 pos += 1
         cols = key_cols + [p[0] for p in plans]
@@ -350,6 +434,66 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_before": "COUNT(A.*)",
         },
     )
-    return out.select("user_id", "start_ts", "purchase_ts", "n_before").orderBy(
-        "user_id", "purchase_ts"
+    return out.select("user_id", "start_ts", "purchase_ts", "n_before")
+
+
+@register(
+    "match_recognize_sql",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, p_before AS seg_id, COUNT(*) AS n_before, MIN(ts) AS start_ts,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM base WHERE event_type <> 'purchase'
+      GROUP BY user_id, p_before
     )
+    SELECT b.user_id AS user_id, s.start_ts, b.ts AS purchase_ts, s.n_before,
+           s.min_value, s.max_value
+    FROM base b JOIN seg s ON s.user_id = b.user_id AND s.seg_id = b.p_before
+    WHERE b.event_type = 'purchase'
+    """,
+)
+def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same funnel expressed as MATCH_RECOGNIZE *SQL syntax*
+    (reference: test/syntax-test.fsql:467-482) — exercises the
+    dialect/mr_sql.py parse → CEP operator → temp-view rewrite path,
+    plus the MIN/MAX aggregate measures (exact, order-insensitive,
+    so they hash-match the DuckDB oracle; AVG/SUM float measures are
+    covered by unit tests instead)."""
+    from flink_sql_toolkit_spark.dialect.mr_sql import (  # noqa: PLC0415
+        rewrite_match_recognize_sql,
+    )
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).createOrReplaceTempView("events_mr_sql")
+    stmt = rewrite_match_recognize_sql(
+        spark,
+        """
+        SELECT user_id, start_ts, purchase_ts, n_before, min_value, max_value
+        FROM events_mr_sql
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                FIRST(A.ts) AS start_ts,
+                LAST(B.ts) AS purchase_ts,
+                COUNT(A.*) AS n_before,
+                MIN(A.value) AS min_value,
+                MAX(A.value) AS max_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE
+                A AS A.event_type <> 'purchase',
+                B AS B.event_type = 'purchase'
+        )
+        """,
+    )
+    return spark.sql(stmt)

@@ -113,12 +113,112 @@ def test_fast_path_falls_back_on_overlap(spark):
     assert [(r.first_a, r.b, r.n) for r in out] == [(1, 3, 2)]
 
 
+def test_match_recognize_agg_measures(spark):
+    """AVG/SUM/MIN/MAX over a symbol's rows — fast path (A+ B) vs
+    hand-computed values."""
+    rows = [
+        ("k", 1, 4.0, "a"), ("k", 2, 10.0, "a"), ("k", 3, 1.0, "a"),
+        ("k", 4, 99.0, "b"),
+        ("k", 5, 7.0, "a"), ("k", 6, 50.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "v", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={
+            "avg_v": "AVG(A.v)", "sum_v": "SUM(A.v)",
+            "min_v": "MIN(A.v)", "max_v": "MAX(A.v)", "b_v": "LAST(B.v)",
+        },
+    ).collect()
+    got = sorted((r.avg_v, r.sum_v, r.min_v, r.max_v, r.b_v) for r in out)
+    assert got == [(5.0, 15.0, 1.0, 10.0, 99.0), (7.0, 7.0, 7.0, 7.0, 50.0)]
+    # generic NFA path (3-token pattern) must agree
+    out2 = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B Z?",
+        define={"A": "t = 'a'", "B": "t = 'b'", "Z": "false"},
+        measures={
+            "avg_v": "AVG(A.v)", "sum_v": "SUM(A.v)",
+            "min_v": "MIN(A.v)", "max_v": "MAX(A.v)", "b_v": "LAST(B.v)",
+        },
+    ).collect()
+    assert sorted((r.avg_v, r.sum_v, r.min_v, r.max_v, r.b_v) for r in out2) == got
+
+
+def test_match_recognize_int_sum_and_skip_to_next_row(spark):
+    rows = [("k", 1, 2, "a"), ("k", 2, 3, "a"), ("k", 3, 0, "b")]
+    df = spark.createDataFrame(rows, ["k", "seq", "iv", "t"])
+    common = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={"s": "SUM(A.iv)", "f": "FIRST(A.seq)"},
+    )
+    out = match_recognize(df, **common).collect()
+    assert out[0].s == 5 and isinstance(out[0].s, int)
+    # SKIP TO NEXT ROW restarts at match-start+1 → overlapping matches
+    out2 = match_recognize(df, **common, after_match="to_next_row").collect()
+    assert sorted((r.f, r.s) for r in out2) == [(1, 5), (2, 3)]
+
+
+def test_match_recognize_sql_via_engine(spark):
+    """The reference corpus statement shape (syntax-test.fsql:467-482)
+    through the engine's SQL interception path."""
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session("mr_sql_test")
+    sess.spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, s), 50.0 + s) for s in range(3)
+        ] + [(1, dt.datetime(2024, 1, 1, 0, 0, 3), 150.0)],
+        ["customer_id", "order_time", "price"],
+    ).createOrReplaceTempView("orders_mr")
+    op = sess.execute_statement("""
+        SELECT *
+        FROM orders_mr
+        MATCH_RECOGNIZE (
+            PARTITION BY customer_id
+            ORDER BY order_time
+            MEASURES
+                FIRST(A.order_time) AS start_time,
+                LAST(B.order_time) AS end_time,
+                AVG(A.price) AS avg_price
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE
+                A AS A.price < 100,
+                B AS B.price >= 100
+        )""")
+    assert [c["name"] for c in op._columns] == [
+        "customer_id", "start_time", "end_time", "avg_price"
+    ]
+    assert len(op._rows) == 1
+    assert op._rows[0][3] == pytest.approx(51.0)
+    with pytest.raises(NotImplementedError):
+        sess.execute_statement(
+            "SELECT * FROM orders_mr MATCH_RECOGNIZE (PARTITION BY customer_id "
+            "ORDER BY order_time MEASURES FIRST(A.price) AS p ALL ROWS PER MATCH "
+            "PATTERN (A+) DEFINE A AS A.price < 100)"
+        )
+    sess.close()
+
+
 def test_match_recognize_rejects_unsupported(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "seq"])
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A | B", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
-        match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "SUM(A.seq)"})
+        match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "STDDEV(A.seq)"})
+    with pytest.raises(ValueError):
+        match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "FIRST(A.seq)"}, after_match="to_last_a")
 
 
 def test_decode_image_stub_contract():

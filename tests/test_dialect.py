@@ -67,6 +67,16 @@ class TestRewriter:
         assert rewrite("SELECT x SIMILAR TO 'a%'") == "SELECT x RLIKE '^(?:a.*)$'"
         assert "NOT RLIKE" in rewrite("SELECT x NOT SIMILAR TO 'a_'")
 
+    def test_unknown_and_hex_literals(self):
+        # syntax-test.fsql literals section: UNKNOWN / 0xFF
+        assert rewrite("SELECT TRUE AND UNKNOWN") == (
+            "SELECT TRUE AND CAST(NULL AS BOOLEAN)"
+        )
+        assert rewrite("SELECT x IS NOT UNKNOWN") == "SELECT x IS NOT NULL"
+        assert rewrite("SELECT 0xFF") == "SELECT 255"
+        # masked literals stay untouched
+        assert rewrite("SELECT '0xFF UNKNOWN'") == "SELECT '0xFF UNKNOWN'"
+
     def test_types(self):
         assert rewrite("CAST(x AS TIMESTAMP(3))") == "CAST(x AS TIMESTAMP_NTZ)"
         assert rewrite("CAST(x AS TIMESTAMP_LTZ(3))") == "CAST(x AS TIMESTAMP)"

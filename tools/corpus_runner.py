@@ -205,10 +205,6 @@ def main() -> int:
         bare = stmt.strip()
         if not bare or bare.startswith("--") and "\n" not in bare:
             continue
-        # MATCH_RECOGNIZE SQL syntax: API-level operator only (§2.11)
-        if re.search(r"(?is)\bMATCH_RECOGNIZE\b", bare):
-            tally["EXPECTED_REJECT"] = tally.get("EXPECTED_REJECT", 0) + 1
-            continue
         try:
             op = session.execute_statement(bare)
             if op.job_id:  # don't leave corpus streaming jobs running
