@@ -51,11 +51,6 @@ _COMMAND_HANDLERS = (
 
 _UNSUPPORTED = {
     re.compile(r"(?is)^COMPILE\s"): "COMPILE PLAN is Flink-specific and out of scope",
-    re.compile(r"(?is)^(UPDATE|DELETE|MERGE)\s"): (
-        "UPDATE/DELETE/MERGE require a transactional table format "
-        "(Delta/Iceberg); plain parquet/connector tables are immutable "
-        "(Flink restricts these by connector the same way)"
-    ),
 }
 
 
@@ -97,6 +92,13 @@ class Operation:
         for pat, msg in _UNSUPPORTED.items():
             if pat.match(stmt):
                 raise NotImplementedError(msg)
+        # row-level DML: copy-on-write on filesystem tables; typed
+        # rejection elsewhere (sources/dml.py)
+        if re.match(r"(?is)^(UPDATE|DELETE|MERGE)\s", stmt):
+            from flink_sql_toolkit_spark.sources.dml import try_execute_dml  # noqa: PLC0415
+
+            self._columns, self._rows = try_execute_dml(sess, stmt)
+            return
         for handler in _COMMAND_HANDLERS:
             out = handler(sess, stmt)
             if out is not None:

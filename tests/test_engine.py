@@ -212,3 +212,76 @@ def test_tvf_through_engine(session, sf_dir):
     rows = op.fetch()["data"]
     assert len(rows) > 0
     assert sum(r[2] for r in rows) == 1000
+
+
+def _make_fs_table(session, tmp_path, name="dml_t"):
+    session.execute_statement("SET 'execution.runtime-mode'='batch'")
+    path = tmp_path / name
+    session.spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, tag string, amt double",
+    ).write.parquet(str(path))
+    session.execute_statement(
+        f"CREATE TABLE {name} (id BIGINT, tag STRING, amt DOUBLE) WITH "
+        f"('connector'='filesystem', 'path'='{path}', 'format'='parquet')"
+    )
+    return name
+
+
+def _fetch_all(session, name):
+    op = session.execute_statement(f"SELECT id, tag, amt FROM {name} ORDER BY id")
+    return [tuple(r) for r in op.fetch()["data"]]
+
+
+def test_update_copy_on_write(session, tmp_path):
+    t = _make_fs_table(session, tmp_path)
+    op = session.execute_statement(f"UPDATE {t} SET amt = amt * 2, tag = 'hi' WHERE id <= 2")
+    assert op.fetch()["data"] == [[2]]
+    assert _fetch_all(session, t) == [
+        (1, "hi", 20.0), (2, "hi", 40.0), (3, "c", 30.0), (4, "d", 40.0),
+    ]
+
+
+def test_delete_copy_on_write(session, tmp_path):
+    t = _make_fs_table(session, tmp_path)
+    assert session.execute_statement(f"DELETE FROM {t} WHERE tag = 'c'").fetch()["data"] == [[1]]
+    assert [r[0] for r in _fetch_all(session, t)] == [1, 2, 4]
+    # DELETE without WHERE empties the table but keeps the schema
+    assert session.execute_statement(f"DELETE FROM {t}").fetch()["data"] == [[3]]
+    assert _fetch_all(session, t) == []
+
+
+def test_merge_copy_on_write(session, tmp_path):
+    t = _make_fs_table(session, tmp_path)
+    session.spark.createDataFrame(
+        [(2, 200.0), (3, -1.0), (5, 500.0)], "id long, amt double"
+    ).createOrReplaceTempView("dml_src")
+    op = session.execute_statement(f"""
+        MERGE INTO {t} tgt USING dml_src s ON tgt.id = s.id
+        WHEN MATCHED AND s.amt < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amt = s.amt
+        WHEN NOT MATCHED THEN INSERT (id, tag, amt) VALUES (s.id, 'new', s.amt)
+    """)
+    assert op.fetch()["data"] == [[3]]  # 1 update + 1 delete + 1 insert
+    assert _fetch_all(session, t) == [
+        (1, "a", 10.0), (2, "b", 200.0), (4, "d", 40.0), (5, "new", 500.0),
+    ]
+
+
+def test_merge_subquery_source_and_insert_star(session, tmp_path):
+    t = _make_fs_table(session, tmp_path, name="dml_t2")
+    op = session.execute_statement(f"""
+        MERGE INTO {t} AS tgt
+        USING (SELECT 9 AS id, 'z' AS tag, 9.0 AS amt) AS s ON tgt.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert op.fetch()["data"] == [[1]]
+    assert _fetch_all(session, t)[-1] == (9, "z", 9.0)
+
+
+def test_dml_rejected_on_non_filesystem(session):
+    session.execute_statement(
+        "CREATE TABLE dml_bh (id BIGINT) WITH ('connector'='blackhole')"
+    )
+    with pytest.raises(NotImplementedError, match="filesystem"):
+        session.execute_statement("DELETE FROM dml_bh WHERE id = 1")
