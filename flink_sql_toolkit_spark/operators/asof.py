@@ -91,7 +91,7 @@ def asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "o_orderkey", "o_custkey", "o_orderdate", "prev_orderkey", "prev_totalprice"
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -135,4 +135,4 @@ def asof_lookup_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "latest_orderkey", "latest_totalprice"
-    ).orderBy("event_id")
+    )

@@ -176,12 +176,17 @@ MINHASH_SQL = f"""
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: near-duplicate candidate pairs.
 
-    shingle→minhash→band→bucket-join: the join is on (band, band_key)
-    so the shuffle only carries (doc_id, 16-byte key) pairs and only
-    colliding docs ever meet — no O(n²). Bucket skew (giant clusters
-    of one template) is the known hazard at 100 TB; AQE skew-join
-    splitting handles it, and a bucket-size cap can drop degenerate
-    buckets.
+    shingle→minhash→band→bucket-group: docs are grouped by
+    (band, band_key) and pairs are expanded *inside* each bucket
+    (sorted collect_set → posexplode × tail-slice), so only colliding
+    docs ever meet — no O(n²) — and the signature pipeline runs ONCE
+    (a band self-join would recompute the whole shingle→minhash
+    lineage for each side and shuffle it twice). The one shuffle
+    carries (16-byte key, doc_id). Bucket skew (giant clusters of one
+    template) is the known hazard at 100 TB: pair expansion is
+    quadratic per bucket, so degenerate buckets should be capped
+    (drop or sample buckets over ~10⁴ docs — their members are
+    already near-identical to everything in the bucket).
     """
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
@@ -197,16 +202,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+        .select("doc_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"))
         .distinct()
     )
 

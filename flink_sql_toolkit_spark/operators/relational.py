@@ -522,6 +522,48 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_groups_frame",
+    # DuckDB hasn't implemented GROUPS frames either, so the oracle
+    # states the same peer-group identity independently
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, value,
+             DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS grp
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+    FROM g
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame (SQL:2011 frame unit; syntax-test.fsql frame
+    specs). Spark has no GROUPS frames, so the peer groups are made
+    explicit: DENSE_RANK numbers each ORDER-BY peer group, then a
+    numeric RANGE frame over that rank is exactly ``GROUPS BETWEEN n
+    PRECEDING AND CURRENT ROW``. Both windows share PARTITION BY
+    user_id, so Catalyst plans a single shuffle for the two passes;
+    decimal-exact sum for oracle parity."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT event_id, user_id, value,
+                 DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS grp
+          FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY grp
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+        FROM g
+        """
+    )
+
+
+@register(
     "agg_count_distinct",
     oracle="""
     SELECT o_orderstatus,
