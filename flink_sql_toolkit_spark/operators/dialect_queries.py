@@ -183,10 +183,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-style large-volume customers: IN over a grouped
-    HAVING subquery — Catalyst decorrelates to a semi join; the
-    inner aggregate is partial+final on the same key as the outer
-    join (no extra shuffle of lineitem)."""
+    """TPC-H Q18-style large-volume customers. The SQL's outer
+    GROUP BY (c_name, o_orderkey, o_orderdate) re-sums the same
+    lineitem rows the HAVING subquery already aggregated — o_orderkey
+    functionally determines the other keys — so the plan aggregates
+    lineitem ONCE, filters > 150, and joins the (tiny, post-HAVING)
+    per-order totals to orders + customer: one lineitem scan instead
+    of two and no re-join of raw lineitem. AQE broadcasts the
+    filtered aggregate at runtime; orderBy+limit compiles to
+    TakeOrderedAndProject (no global sort)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from flink_sql_toolkit_spark.operators.relational import dec  # noqa: PLC0415
@@ -198,14 +203,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
