@@ -348,6 +348,10 @@ def _rewrite_misc(masked: str) -> str:
     masked = re.sub(r"(?is)\belement_at_single\s*\(([^()]*)\)", r"element_at(\1, 1)", masked)
     # ARRAY_CONCAT → concat (Spark's concat is array-polymorphic)
     masked = re.sub(r"(?is)\bARRAY_CONCAT\s*\(", "concat(", masked)
+    # LOCALTIMESTAMP keyword → function call (Spark only has the
+    # function form; LOCALTIME likewise)
+    masked = re.sub(r"(?is)\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", masked)
+    masked = re.sub(r"(?is)\bLOCALTIME\b(?!\s*\()", "current_time()", masked)
     # three-valued-logic literal (syntax-test.fsql literals section):
     # `x IS [NOT] UNKNOWN` ≡ IS [NOT] NULL on a boolean; the bare
     # UNKNOWN literal is a NULL boolean

@@ -62,6 +62,9 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
     "CURRENT_ROW_TIMESTAMP": ("()", "TIMESTAMP", "current_timestamp()"),
     # JSON (Flink SQL/JSON → Spark JSON path functions)
     "JSON_VALUE": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
+    # JSON_QUERY returns the matched JSON *fragment* (object/array)
+    # as text — get_json_object does exactly that for non-scalars
+    "JSON_QUERY": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
     "JSON_EXISTS": ("(j STRING, p STRING)", "BOOLEAN", "get_json_object(j, p) IS NOT NULL"),
     "JSON_STRING": ("(j STRING)", "STRING", "to_json(struct(j))"),
     "IS_JSON": ("(j STRING)", "BOOLEAN", "try_parse_json(j) IS NOT NULL"),

@@ -42,6 +42,9 @@ _MISSING_RE = re.compile(
 )
 
 
+_ORDERS_DIR: str | None = None
+
+
 def build_fixture_views(spark: SparkSession) -> list[str]:
     """Corpus-shaped tables (FIXTURES.md §A), deterministic, tiny."""
     base = spark.range(200)
@@ -94,10 +97,16 @@ def build_fixture_views(spark: SparkSession) -> list[str]:
         ),
         (F.col("id") % 40).cast("int").alias("age"),
         F.col("id").cast("int").alias("user_id"),
+        F.concat(F.lit("payload"), F.col("id").cast("string")).alias("data"),
+        F.col("id").cast("int").alias("id"),
+        F.lit("alpha").alias("a"),
+        F.lit("beta").alias("b"),
+        F.lit("gamma").alias("c"),
     )
     events = orders.select(
         F.col("order_id").alias("event_id"),
         F.col("user_id"),
+        F.col("order_time"),
         F.col("order_time").alias("event_time"),
         F.col("order_time").alias("ts"),
         F.concat(F.lit("type_"), (F.col("order_id") % 4).cast("string")).alias("event_type"),
@@ -164,7 +173,25 @@ def build_fixture_views(spark: SparkSession) -> list[str]:
         "discontinued_products": products.select("id"),
     }
     for name, df in fixture.items():
-        df.createOrReplaceTempView(name)
+        if name == "orders":
+            # the corpus INSERTs into `orders` (syntax-test.fsql:180-
+            # 185) — a DataFrame temp view rejects INSERT as
+            # RDD-based, so back it with a parquet-path temp view
+            # (path-based datasource relations accept INSERT, and a
+            # temp view resolves regardless of the current database,
+            # which the corpus switches with USE my_database)
+            global _ORDERS_DIR
+            if _ORDERS_DIR is None:
+                import tempfile  # noqa: PLC0415
+
+                _ORDERS_DIR = tempfile.mkdtemp(prefix="corpus-orders-")
+            df.write.mode("overwrite").parquet(_ORDERS_DIR)
+            spark.sql(
+                "CREATE OR REPLACE TEMPORARY VIEW orders "
+                f"USING parquet OPTIONS (path '{_ORDERS_DIR}')"
+            )
+        else:
+            df.createOrReplaceTempView(name)
     return list(fixture)
 
 
