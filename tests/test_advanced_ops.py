@@ -247,3 +247,39 @@ def test_funnel_query_counts(spark, sf_dir):
     assert len(out) > 0
     assert all(r.n_before >= 1 for r in out)
     assert all(r.start_ts <= r.purchase_ts for r in out)
+
+
+def test_match_recognize_fast_path_equals_nfa_randomized(spark):
+    """Property check: on random symbol sequences (runs, barriers,
+    neither-rows, duplicate values) the vectorized (A+ B) fast path
+    and the generic NFA produce identical matches and measures."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = [
+        (f"k{rng.randrange(20)}", i, rng.randrange(-5, 50), rng.choice("aabbn"))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "v", "t"])
+    measures = {
+        "f": "FIRST(A.seq)", "l": "LAST(A.seq)", "n": "COUNT(A.*)",
+        "avg_v": "AVG(A.v)", "sum_v": "SUM(A.v)",
+        "min_v": "MIN(A.v)", "max_v": "MAX(A.v)", "b_v": "LAST(B.v)",
+    }
+    common = dict(
+        partition_by=["k"], order_by=["seq"],
+        define={"A": "t = 'a'", "B": "t = 'b'"}, measures=measures,
+    )
+    fast = match_recognize(df, pattern="A+ B", **common).collect()
+    # Z matches nothing → same language, but 3 tokens forces the NFA
+    nfa = match_recognize(
+        df, pattern="A+ B Z?",
+        partition_by=["k"], order_by=["seq"],
+        define={"A": "t = 'a'", "B": "t = 'b'", "Z": "false"},
+        measures=measures,
+    ).collect()
+    as_tuples = lambda out: sorted(  # noqa: E731
+        (r.k, r.f, r.l, r.n, r.avg_v, r.sum_v, r.min_v, r.max_v, r.b_v) for r in out
+    )
+    assert len(fast) > 20  # the generator actually produced matches
+    assert as_tuples(fast) == as_tuples(nfa)
