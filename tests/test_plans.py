@@ -65,3 +65,18 @@ def test_no_cartesian_in_bucketed_similarity(spark, sf_dir):
 def test_dedup_has_partial_aggregation(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_q18_scans_lineitem_once(spark, sf_dir):
+    """The HAVING aggregate is reused as the output total — a second
+    lineitem scan/join is a regression (see dialect_queries.q18)."""
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_minhash_signature_pipeline_runs_once(spark, sf_dir):
+    """Candidate pairs come from bucket grouping, not a band
+    self-join — the documents scan (and the whole shingle→signature
+    lineage above it) must appear exactly once."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert plan.count("documents.parquet") == 1
