@@ -285,3 +285,27 @@ def test_dml_rejected_on_non_filesystem(session):
     )
     with pytest.raises(NotImplementedError, match="filesystem"):
         session.execute_statement("DELETE FROM dml_bh WHERE id = 1")
+
+
+def test_update_preserves_partitioned_layout(session, tmp_path):
+    session.execute_statement("SET 'execution.runtime-mode'='batch'")
+    path = tmp_path / "part_t"
+    session.spark.createDataFrame(
+        [(1, "eu", 1.0), (2, "us", 2.0), (3, "eu", 3.0)], "id long, region string, amt double"
+    ).write.partitionBy("region").parquet(str(path))
+    session.execute_statement(
+        f"CREATE TABLE part_t (id BIGINT, region STRING, amt DOUBLE) "
+        f"PARTITIONED BY (region) WITH "
+        f"('connector'='filesystem', 'path'='{path}', 'format'='parquet')"
+    )
+    op = session.execute_statement("UPDATE part_t SET amt = 0.0 WHERE region = 'eu'")
+    assert op.fetch()["data"] == [[2]]
+    # the staged rewrite kept the hive-style partition directories
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("region=")) == [
+        "region=eu", "region=us",
+    ]
+    rows = session.execute_statement(
+        "SELECT id, amt FROM part_t ORDER BY id"
+    ).fetch()["data"]
+    assert rows == [[1, 0.0], [2, 2.0], [3, 0.0]]
