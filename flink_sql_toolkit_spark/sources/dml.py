@@ -104,6 +104,70 @@ def _cow_swap(spark: SparkSession, table: ConnectorTable, new_df: DataFrame) -> 
     spark.catalog.refreshByPath(path)
 
 
+def _partition_filter(pcols: list[str], affected: list[tuple]) -> F.Column:
+    cond = F.lit(False)
+    for vals in affected:
+        row = F.lit(True)
+        for c, v in zip(pcols, vals):
+            row = row & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
+        cond = cond | row
+    return cond
+
+
+def _cow_swap_partitions(
+    spark: SparkSession, table: ConnectorTable, new_df: DataFrame, affected: list[tuple]
+) -> None:
+    """Partition-pruned copy-on-write: stage only the affected
+    partitions, then swap each partition directory individually —
+    untouched partitions are never read for the write nor rewritten
+    (the Delta/Iceberg COW granularity, at partition level). A
+    partition whose rows were all deleted has no staged directory and
+    is removed. Partition values are formatted as Spark's hive-style
+    layout does for plain string/numeric values (exotic characters
+    needing URL-escaping fall back to the full rewrite upstream)."""
+    pcols = table.partitioned_by
+    path = table.options["path"].rstrip("/")
+    stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
+    w = new_df.write.format(table.format).mode("overwrite").partitionBy(*pcols)
+    if table.format == "csv":
+        w = w.option("sep", table.options.get("csv.field-delimiter", ","))
+    w.save(stage)  # executes the (partition-pruned) read of the OLD snapshot
+    trash = f"{path}__cow_old_{uuid.uuid4().hex[:8]}"
+    os.makedirs(trash)
+    try:
+        for vals in affected:
+            rel = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in zip(pcols, vals)
+            )
+            old_dir, new_dir = os.path.join(path, rel), os.path.join(stage, rel)
+            if os.path.exists(old_dir):
+                os.rename(old_dir, os.path.join(trash, rel.replace("/", "%2F")))
+            if os.path.exists(new_dir):
+                os.makedirs(os.path.dirname(old_dir), exist_ok=True)
+                os.rename(new_dir, old_dir)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+
+
+_HIVE_SAFE_RE = re.compile(r"^[A-Za-z0-9_.\-]*$")
+
+
+def _prunable(table: ConnectorTable, affected: list[tuple]) -> bool:
+    """Partition-pruned swap only when every value round-trips to the
+    hive directory name verbatim (no URL-escaping) and the partition
+    count stays sane."""
+    if not (0 < len(affected) <= 1000):
+        return False
+    return all(
+        v is None or _HIVE_SAFE_RE.match(str(v))
+        for vals in affected
+        for v in vals
+    )
+
+
 def _result(n: int):
     return [{"name": "rows_affected", "logicalType": "bigint"}], [[n]]
 
@@ -157,6 +221,18 @@ def _execute_update(
         else F.col(c)
         for c in types
     ]
+    pcols = table.partitioned_by
+    # partition-pruned rewrite: only partitions holding matching rows
+    # are re-read and re-written (unless a SET touches a partition
+    # column, which can move rows across partitions)
+    if pcols and where != "true" and not (set(assigns) & set(pcols)):
+        if affected == 0:
+            return _result(0)
+        parts = [tuple(r) for r in df.filter(hit).select(*pcols).distinct().collect()]
+        if _prunable(table, parts):
+            sub = df.filter(_partition_filter(pcols, parts))
+            _cow_swap_partitions(spark, table, sub.select(*proj), parts)
+            return _result(affected)
     _cow_swap(spark, table, df.select(*proj))
     return _result(affected)
 
@@ -165,8 +241,17 @@ def _execute_delete(spark: SparkSession, table: ConnectorTable, where: str) -> t
     df = build_reader(spark, table, streaming=False)
     hit = _bool(where)
     affected = df.filter(hit).count()
-    keep = df.filter(~hit).select(*[c.name for c in table.columns])
-    _cow_swap(spark, table, keep)
+    phys = [c.name for c in table.columns]
+    pcols = table.partitioned_by
+    if pcols and where != "true":
+        if affected == 0:
+            return _result(0)
+        parts = [tuple(r) for r in df.filter(hit).select(*pcols).distinct().collect()]
+        if _prunable(table, parts):
+            sub = df.filter(_partition_filter(pcols, parts))
+            _cow_swap_partitions(spark, table, sub.filter(~hit).select(*phys), parts)
+            return _result(affected)
+    _cow_swap(spark, table, df.filter(~hit).select(*phys))
     return _result(affected)
 
 

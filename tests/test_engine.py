@@ -298,14 +298,36 @@ def test_update_preserves_partitioned_layout(session, tmp_path):
         f"PARTITIONED BY (region) WITH "
         f"('connector'='filesystem', 'path'='{path}', 'format'='parquet')"
     )
+    import os
+
+    us_inodes = {
+        f: os.stat(path / "region=us" / f).st_ino
+        for f in os.listdir(path / "region=us")
+        if f.endswith(".parquet")
+    }
     op = session.execute_statement("UPDATE part_t SET amt = 0.0 WHERE region = 'eu'")
     assert op.fetch()["data"] == [[2]]
     # the staged rewrite kept the hive-style partition directories
-    import os
     assert sorted(d for d in os.listdir(path) if d.startswith("region=")) == [
         "region=eu", "region=us",
     ]
+    # partition-pruned COW: the untouched partition's files are the
+    # SAME files (same inode), not a rewrite
+    assert {
+        f: os.stat(path / "region=us" / f).st_ino
+        for f in os.listdir(path / "region=us")
+        if f.endswith(".parquet")
+    } == us_inodes
     rows = session.execute_statement(
         "SELECT id, amt FROM part_t ORDER BY id"
     ).fetch()["data"]
     assert rows == [[1, 0.0], [2, 2.0], [3, 0.0]]
+    # deleting every row of a partition removes its directory,
+    # leaving the other partition untouched
+    assert session.execute_statement(
+        "DELETE FROM part_t WHERE region = 'eu'"
+    ).fetch()["data"] == [[2]]
+    assert sorted(d for d in os.listdir(path) if d.startswith("region=")) == ["region=us"]
+    assert [r[0] for r in session.execute_statement(
+        "SELECT id FROM part_t"
+    ).fetch()["data"]] == [2]
