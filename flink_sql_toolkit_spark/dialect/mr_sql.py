@@ -65,11 +65,7 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
         close_idx = _matching_paren(masked, open_idx)
         body = masked[open_idx + 1 : close_idx]
 
-        if re.search(r"(?is)\bALL\s+ROWS\s+PER\s+MATCH\b", body):
-            raise NotImplementedError(
-                "MATCH_RECOGNIZE ALL ROWS PER MATCH is not supported "
-                "(subset: ONE ROW PER MATCH, as in the reference corpus)"
-            )
+        all_rows = bool(re.search(r"(?is)\bALL\s+ROWS\s+PER\s+MATCH\b", body))
         after = re.search(r"(?is)\bAFTER\s+MATCH\s+(SKIP\s+[A-Z\s]+?)" + _NEXT, body)
         after_match = "past_last_row"
         if after:
@@ -124,6 +120,7 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
             define=define,
             measures=measures,
             after_match=after_match,
+            all_rows=all_rows,
         )
         view = f"_mr_out_{next(_view_ids)}"
         out.createOrReplaceTempView(view)

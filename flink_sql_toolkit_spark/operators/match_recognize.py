@@ -17,9 +17,10 @@ the (b)-tier custom operator from the build rules:
 
 Supported: concatenation, quantifiers ``+ * ?``, measures
 ``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col)``, ONE ROW
-PER MATCH, AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW.
-(Alternation/PERMUTE/RUNNING-FINAL: rejected with a clear error —
-Flink's own MATCH_RECOGNIZE rejects alternation too.)
+PER MATCH and ALL ROWS PER MATCH (running measures per matched row),
+AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW.
+(Alternation/PERMUTE/explicit RUNNING-FINAL keywords: rejected with a
+clear error — Flink's own MATCH_RECOGNIZE rejects alternation too.)
 """
 
 from __future__ import annotations
@@ -91,6 +92,7 @@ def match_recognize(
     define: dict[str, str],
     measures: dict[str, str],
     after_match: str = "past_last_row",
+    all_rows: bool = False,
 ) -> DataFrame:
     if after_match not in ("past_last_row", "to_next_row"):
         raise ValueError(
@@ -126,7 +128,10 @@ def match_recognize(
     plans = []  # (out_name, fn, symbol, col)
     out_fields = []
     in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for key in partition_by:
+    # ALL ROWS PER MATCH keeps every input column (SQL:2016 row-per-
+    # matched-row output); ONE ROW PER MATCH keeps the partition keys
+    emit_cols = list(in_schema) if all_rows else list(partition_by)
+    for key in emit_cols:
         out_fields.append(f"{key} {in_schema[key]}")
     for out_name, mexpr in measures.items():
         m = _MEASURE_RE.match(mexpr.strip())
@@ -135,6 +140,11 @@ def match_recognize(
                 f"unsupported MEASURE '{mexpr}' (subset: FIRST/LAST/COUNT(sym.col))"
             )
         fn, sym, col = m.group(1).upper(), m.group(2), m.group(3)
+        if all_rows and out_name in in_schema:
+            raise ValueError(
+                f"measure '{out_name}' collides with an input column "
+                "(ALL ROWS PER MATCH emits every input column)"
+            )
         plans.append((out_name, fn, sym, col))
         if fn == "COUNT":
             otype = "bigint"
@@ -162,6 +172,7 @@ def match_recognize(
     # precisely where the NFA restarts.
     two_sym_plus = (
         skip_past
+        and not all_rows
         and len(tokens) == 2
         and tokens[0].quantifier == "+"
         and tokens[1].quantifier == ""
@@ -299,39 +310,51 @@ def match_recognize(
                     return [(pos + i, tok.symbol) for i in range(k)] + rest
             return None
 
+        def fill_measures(row: dict, assigned: list[tuple[int, str]]) -> None:
+            for out_name, fn, sym, col in plans:
+                idxs = [i for i, s in assigned if s == sym]
+                if fn == "COUNT":
+                    row[out_name] = len(idxs)
+                elif not idxs:
+                    row[out_name] = None
+                elif fn == "FIRST":
+                    row[out_name] = col_vals[col][idxs[0]]
+                elif fn == "LAST":
+                    row[out_name] = col_vals[col][idxs[-1]]
+                elif fn == "AVG":
+                    row[out_name] = float(col_vals[col][idxs].mean())
+                elif fn == "SUM":
+                    row[out_name] = col_vals[col][idxs].sum()
+                elif fn == "MIN":
+                    row[out_name] = col_vals[col][idxs].min()
+                else:
+                    row[out_name] = col_vals[col][idxs].max()
+
+        in_vals = {c: pdf[c].to_numpy() for c in emit_cols} if all_rows else {}
         out_rows = []
         pos = 0
         while pos < n:
             assignment = match_at(pos, 0)
             if assignment:
-                row: dict = dict(key_row)
-                for out_name, fn, sym, col in plans:
-                    idxs = [i for i, s in assignment if s == sym]
-                    if fn == "COUNT":
-                        row[out_name] = len(idxs)
-                    elif not idxs:
-                        row[out_name] = None
-                    elif fn == "FIRST":
-                        row[out_name] = col_vals[col][idxs[0]]
-                    elif fn == "LAST":
-                        row[out_name] = col_vals[col][idxs[-1]]
-                    elif fn == "AVG":
-                        row[out_name] = float(col_vals[col][idxs].mean())
-                    elif fn == "SUM":
-                        row[out_name] = col_vals[col][idxs].sum()
-                    elif fn == "MIN":
-                        row[out_name] = col_vals[col][idxs].min()
-                    else:
-                        row[out_name] = col_vals[col][idxs].max()
-                out_rows.append(row)
+                if all_rows:
+                    # one output row per matched input row, measures
+                    # evaluated RUNNING (over the match prefix)
+                    for j, (idx, _) in enumerate(assignment):
+                        row = {c: in_vals[c][idx] for c in emit_cols}
+                        fill_measures(row, assignment[: j + 1])
+                        out_rows.append(row)
+                else:
+                    row = dict(key_row)
+                    fill_measures(row, assignment)
+                    out_rows.append(row)
                 # AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                 pos = assignment[-1][0] + 1 if skip_past else assignment[0][0] + 1
             else:
                 pos += 1
-        cols = key_cols + [p[0] for p in plans]
+        cols = emit_cols + [p[0] for p in plans]
         return pd.DataFrame(out_rows, columns=cols)
 
-    out_cols = key_cols + [p[0] for p in plans]
+    out_cols = emit_cols + [p[0] for p in plans]
 
     def process_partition(batches) -> "pd.DataFrame":
         """Run the NFA over a whole sorted partition.

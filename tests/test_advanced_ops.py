@@ -202,12 +202,16 @@ def test_match_recognize_sql_via_engine(spark):
     ]
     assert len(op._rows) == 1
     assert op._rows[0][3] == pytest.approx(51.0)
-    with pytest.raises(NotImplementedError):
-        sess.execute_statement(
-            "SELECT * FROM orders_mr MATCH_RECOGNIZE (PARTITION BY customer_id "
-            "ORDER BY order_time MEASURES FIRST(A.price) AS p ALL ROWS PER MATCH "
-            "PATTERN (A+) DEFINE A AS A.price < 100)"
-        )
+    # ALL ROWS PER MATCH: every matched input row, running measures
+    op2 = sess.execute_statement(
+        "SELECT * FROM orders_mr MATCH_RECOGNIZE (PARTITION BY customer_id "
+        "ORDER BY order_time MEASURES COUNT(A.*) AS n ALL ROWS PER MATCH "
+        "PATTERN (A+) DEFINE A AS A.price < 100)"
+    )
+    assert [c["name"] for c in op2._columns] == [
+        "customer_id", "order_time", "price", "n"
+    ]
+    assert [r[3] for r in op2._rows] == [1, 2, 3]  # running COUNT
     sess.close()
 
 
@@ -283,3 +287,33 @@ def test_match_recognize_fast_path_equals_nfa_randomized(spark):
     )
     assert len(fast) > 20  # the generator actually produced matches
     assert as_tuples(fast) == as_tuples(nfa)
+
+
+def test_match_recognize_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH emits every matched input row with RUNNING
+    measures over the match prefix."""
+    rows = [
+        ("k", 1, 50.0, "a"), ("k", 2, 52.0, "a"), ("k", 3, 150.0, "b"),
+        ("k", 4, 99.0, "n"),  # not part of any match
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "v", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={"avg_a": "AVG(A.v)", "n_a": "COUNT(A.*)", "b_v": "LAST(B.v)"},
+        all_rows=True,
+    ).collect()
+    got = [(r.seq, r.v, r.avg_a, r.n_a, r.b_v) for r in sorted(out, key=lambda r: r.seq)]
+    assert got == [
+        (1, 50.0, 50.0, 1, None),
+        (2, 52.0, 51.0, 2, None),
+        (3, 150.0, 51.0, 2, 150.0),
+    ]
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(
+            df, ["k"], ["seq"], "A+ B",
+            {"A": "t = 'a'", "B": "t = 'b'"}, {"v": "LAST(B.v)"}, all_rows=True,
+        )
