@@ -16,9 +16,10 @@ the (b)-tier custom operator from the build rules:
    Arrow-batched.
 
 Supported: concatenation, quantifiers ``+ * ?``, measures
-``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col)``, ONE ROW
-PER MATCH and ALL ROWS PER MATCH (running measures per matched row),
-AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW.
+``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col) |
+CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
+MATCH (running measures per matched row), AFTER MATCH SKIP PAST LAST
+ROW / SKIP TO NEXT ROW.
 (Alternation/PERMUTE/explicit RUNNING-FINAL keywords: rejected with a
 clear error — Flink's own MATCH_RECOGNIZE rejects alternation too.)
 """
@@ -134,10 +135,19 @@ def match_recognize(
     for key in emit_cols:
         out_fields.append(f"{key} {in_schema[key]}")
     for out_name, mexpr in measures.items():
+        nm = re.match(r"(?i)^(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)$", mexpr.strip())
+        if nm:
+            fn = nm.group(1).upper()
+            if all_rows and out_name in in_schema:
+                raise ValueError(f"measure '{out_name}' collides with an input column")
+            plans.append((out_name, fn, None, None))
+            out_fields.append(f"{out_name} {'string' if fn == 'CLASSIFIER' else 'bigint'}")
+            continue
         m = _MEASURE_RE.match(mexpr.strip())
         if not m:
             raise ValueError(
-                f"unsupported MEASURE '{mexpr}' (subset: FIRST/LAST/COUNT(sym.col))"
+                f"unsupported MEASURE '{mexpr}' (subset: FIRST/LAST/COUNT/AVG/SUM/"
+                "MIN/MAX(sym.col), CLASSIFIER(), MATCH_NUMBER())"
             )
         fn, sym, col = m.group(1).upper(), m.group(2), m.group(3)
         if all_rows and out_name in in_schema:
@@ -160,7 +170,7 @@ def match_recognize(
     sort_cols = list(order_by)
     key_cols = list(partition_by)
 
-    measure_cols = {col for _, fn, _, col in plans if fn != "COUNT"}
+    measure_cols = {col for _, fn, _, col in plans if col is not None and fn != "COUNT"}
 
     # Vectorized fast path for PATTERN (A+ B): a match is a maximal
     # run of A-rows immediately followed by a B-row — computable with
@@ -253,7 +263,13 @@ def match_recognize(
 
         out = {k: pdf[k].to_numpy()[b_pos] for k in key_cols}
         for out_name, fn, sym, col in plans:
-            if fn == "COUNT":
+            if fn == "CLASSIFIER":
+                # FINAL semantics: the symbol of the match's last row
+                out[out_name] = np.full(len(b_pos), b_sym, dtype=object)
+            elif fn == "MATCH_NUMBER":
+                gid = np.cumsum(group_start)[b_pos]
+                out[out_name] = pd.Series(gid).groupby(gid).cumcount().to_numpy() + 1
+            elif fn == "COUNT":
                 out[out_name] = run if sym == a_sym else np.ones_like(run)
             elif sym == b_sym:
                 v = col_vals[col][b_pos]
@@ -310,8 +326,16 @@ def match_recognize(
                     return [(pos + i, tok.symbol) for i in range(k)] + rest
             return None
 
-        def fill_measures(row: dict, assigned: list[tuple[int, str]]) -> None:
+        def fill_measures(
+            row: dict, assigned: list[tuple[int, str]], match_no: int
+        ) -> None:
             for out_name, fn, sym, col in plans:
+                if fn == "CLASSIFIER":
+                    row[out_name] = assigned[-1][1]  # current/last row's symbol
+                    continue
+                if fn == "MATCH_NUMBER":
+                    row[out_name] = match_no
+                    continue
                 idxs = [i for i, s in assigned if s == sym]
                 if fn == "COUNT":
                     row[out_name] = len(idxs)
@@ -333,19 +357,21 @@ def match_recognize(
         in_vals = {c: pdf[c].to_numpy() for c in emit_cols} if all_rows else {}
         out_rows = []
         pos = 0
+        match_no = 0  # run_nfa sees one key group → counter is per-key
         while pos < n:
             assignment = match_at(pos, 0)
             if assignment:
+                match_no += 1
                 if all_rows:
                     # one output row per matched input row, measures
                     # evaluated RUNNING (over the match prefix)
                     for j, (idx, _) in enumerate(assignment):
                         row = {c: in_vals[c][idx] for c in emit_cols}
-                        fill_measures(row, assignment[: j + 1])
+                        fill_measures(row, assignment[: j + 1], match_no)
                         out_rows.append(row)
                 else:
                     row = dict(key_row)
-                    fill_measures(row, assignment)
+                    fill_measures(row, assignment, match_no)
                     out_rows.append(row)
                 # AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                 pos = assignment[-1][0] + 1 if skip_past else assignment[0][0] + 1

@@ -317,3 +317,36 @@ def test_match_recognize_all_rows_per_match(spark):
             df, ["k"], ["seq"], "A+ B",
             {"A": "t = 'a'", "B": "t = 'b'"}, {"v": "LAST(B.v)"}, all_rows=True,
         )
+
+
+def test_classifier_and_match_number(spark):
+    rows = [
+        ("k", 1, "a"), ("k", 2, "b"),        # match 1
+        ("k", 3, "a"), ("k", 4, "a"), ("k", 5, "b"),  # match 2
+        ("j", 1, "a"), ("j", 2, "b"),        # other key → numbering restarts
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    common = dict(
+        partition_by=["k"], order_by=["seq"],
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={"mn": "MATCH_NUMBER()", "cls": "CLASSIFIER()", "f": "FIRST(A.seq)"},
+    )
+    # fast path (A+ B): FINAL classifier is the B row's symbol
+    fast = match_recognize(df, pattern="A+ B", **common).collect()
+    assert sorted((r.k, r.mn, r.cls, r.f) for r in fast) == [
+        ("j", 1, "B", 1), ("k", 1, "B", 1), ("k", 2, "B", 3),
+    ]
+    # generic NFA must agree
+    nfa = match_recognize(
+        df, pattern="A+ B Z?",
+        partition_by=["k"], order_by=["seq"],
+        define={"A": "t = 'a'", "B": "t = 'b'", "Z": "false"},
+        measures=common["measures"],
+    ).collect()
+    assert sorted((r.k, r.mn, r.cls, r.f) for r in nfa) == sorted(
+        (r.k, r.mn, r.cls, r.f) for r in fast
+    )
+    # ALL ROWS: running classifier is the current row's symbol
+    all_rows = match_recognize(df, pattern="A+ B", all_rows=True, **common).collect()
+    k1 = [(r.seq, r.cls, r.mn) for r in sorted(all_rows, key=lambda r: (r.k, r.seq)) if r.k == "k"]
+    assert k1 == [(1, "A", 1), (2, "B", 1), (3, "A", 2), (4, "A", 2), (5, "B", 2)]
