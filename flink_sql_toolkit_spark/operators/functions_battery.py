@@ -79,9 +79,9 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey,
            abs(l_discount - 0.05) AS ab,
-           sign(l_discount - 0.05) AS sg,
-           ceil(l_extendedprice / 100) AS ce,
-           floor(l_extendedprice / 100) AS fl,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+           CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ce,
+           CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
            round(l_extendedprice / 7, 2) AS rd,
            sqrt(l_extendedprice) AS sq,
            exp(l_discount) AS ex,
@@ -100,7 +100,9 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABS/SIGN/CEIL/FLOOR/ROUND/SQRT/EXP/SIN/COS/POWER/MOD/DEGREES/
     RADIANS/PI/BITAND/BITOR/BITXOR (syntax-test.fsql:377-401).
     ln/log10/cbrt are in func_math_libm (rows-only; libm ulp
-    divergence across engines)."""
+    divergence across engines). Oracle casts sign→DOUBLE and
+    ceil/floor→BIGINT: DuckDB returns TINYINT/DOUBLE where Spark
+    returns DOUBLE/BIGINT — values identical, types not."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     q = F.col("l_quantity").cast("bigint")
     return li.select(
@@ -203,14 +205,14 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            arr[2] AS second_elem,
            list_contains(arr, 'zz') AS has_zz,
            list_position(arr, 'zz') AS pos_zz,
-           list_sort(list_distinct(arr)) AS dedup_sorted,
+           array_to_string(list_sort(list_distinct(arr)), '|') AS dedup_sorted,
            array_to_string(arr, '|') AS joined,
            list_max(arr) AS mx, list_min(arr) AS mn,
-           list_sort(arr) AS sorted_arr,
-           arr[1:2] AS sliced,
-           list_reverse(arr) AS rev,
+           array_to_string(list_sort(arr), '|') AS sorted_arr,
+           array_to_string(arr[1:2], '|') AS sliced,
+           array_to_string(list_reverse(arr), '|') AS rev,
            len(parts) AS n_parts,
-           flatten([arr, parts]) AS flat
+           array_to_string(flatten([arr, parts]), '|') AS flat
     FROM t ORDER BY n_nationkey
     """,
 )
@@ -218,7 +220,9 @@ def func_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CARDINALITY/element access/ARRAY_CONTAINS/ARRAY_POSITION/
     ARRAY_DISTINCT/ARRAY_JOIN/ARRAY_MAX/MIN/ARRAY_SORT/ARRAY_SLICE/
     ARRAY_REVERSE/FLATTEN (syntax-test.fsql:450-461). Flink index
-    access is 1-based → element_at."""
+    access is 1-based → element_at. Array-typed outputs are
+    array_join'd to '|' strings on BOTH sides: the driver's row
+    hasher cannot hash Python lists (round-1 red row)."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     t = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")).select(
@@ -232,15 +236,15 @@ def func_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("arr", 2).alias("second_elem"),
         F.array_contains("arr", "zz").alias("has_zz"),
         F.array_position("arr", "zz").alias("pos_zz"),
-        F.array_sort(F.array_distinct("arr")).alias("dedup_sorted"),
+        F.array_join(F.array_sort(F.array_distinct("arr")), "|").alias("dedup_sorted"),
         F.array_join("arr", "|").alias("joined"),
         F.array_max("arr").alias("mx"),
         F.array_min("arr").alias("mn"),
-        F.array_sort("arr").alias("sorted_arr"),
-        F.slice("arr", 1, 2).alias("sliced"),
-        F.reverse("arr").alias("rev"),
+        F.array_join(F.array_sort("arr"), "|").alias("sorted_arr"),
+        F.array_join(F.slice("arr", 1, 2), "|").alias("sliced"),
+        F.array_join(F.reverse("arr"), "|").alias("rev"),
         F.size("parts").alias("n_parts"),
-        F.flatten(F.array(F.col("arr"), F.col("parts"))).alias("flat"),
+        F.array_join(F.flatten(F.array(F.col("arr"), F.col("parts"))), "|").alias("flat"),
     ).orderBy("n_nationkey")
 
 

@@ -32,8 +32,11 @@ def normalize_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Deliberately NOT collapsing 437.0 -> "437": the driver's
+        # pandas-based hasher distinguishes int from float columns,
+        # and round 1's func_math red row was exactly this (Spark
+        # BIGINT ceil/floor vs DuckDB DOUBLE). Stay as strict as
+        # the real gate.
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(normalize_cell(x) for x in v) + "]"
