@@ -37,6 +37,10 @@ from flink_sql_toolkit_spark.streaming.buffer import EOS, PAYLOAD, StreamResultB
 from flink_sql_toolkit_spark.streaming.jobs import JobRegistry
 
 PAGE_SIZE = 1000
+# batch SELECT results are pulled lazily from toLocalIterator; only the
+# most recent RETAIN_ROWS rows stay on the driver for page replay — a
+# client paging a 100 TB result never materializes it driver-side
+RETAIN_ROWS = 100 * PAGE_SIZE
 
 _COMMAND_HANDLERS = (
     commands.handle_set,
@@ -67,6 +71,8 @@ class Operation:
         self.error: Exception | None = None
         self._columns: list[dict[str, str]] = []
         self._rows: list[list[Any]] = []
+        self._row_iter = None  # lazy batch-result iterator (toLocalIterator)
+        self._row_offset = 0  # absolute index of self._rows[0] (after eviction)
         self._stream_buffer: StreamResultBuffer | None = None
         self._stream_query = None
 
@@ -112,7 +118,15 @@ class Operation:
             return
         m = re.match(r"(?is)^INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s*(\(.*?\))?\s+(SELECT.*|VALUES.*|TABLE.*)$", stmt, re.DOTALL)
         if m and m.group(2).strip("`") in sess.connector_tables:
-            self._execute_insert(m.group(2).strip("`"), m.group(4), overwrite=m.group(1).upper() == "OVERWRITE")
+            cols = None
+            if m.group(3):
+                cols = [c.strip().strip("`") for c in m.group(3).strip("()").split(",")]
+            self._execute_insert(
+                m.group(2).strip("`"),
+                m.group(4),
+                overwrite=m.group(1).upper() == "OVERWRITE",
+                columns=cols,
+            )
             return
         # session-scoped view semantics: an unqualified CREATE VIEW in
         # a gateway session is a session object → temp view (Spark
@@ -155,12 +169,52 @@ class Operation:
         self._columns = [
             {"name": f.name, "logicalType": f.dataType.simpleString()} for f in df.schema.fields
         ]
-        self._rows = [list(r) for r in df.collect()]
+        # Lazy token-paged fetch (src/flinkClient.ts:154-172): rows are
+        # pulled partition-by-partition as the client pages, never
+        # collected wholesale — a full-table SELECT at 100 TB streams
+        # through the driver instead of OOMing it. prefetchPartitions
+        # keeps the next partition in flight so sequential paging does
+        # not stall between partitions.
+        self._rows = []
+        self._row_offset = 0
+        self._row_iter = df.toLocalIterator(prefetchPartitions=True)
 
-    def _execute_insert(self, target: str, query: str, *, overwrite: bool) -> None:
+    def _execute_insert(
+        self, target: str, query: str, *, overwrite: bool, columns: list[str] | None = None
+    ) -> None:
         sess = self.session
         table = sess.connector_tables[target]
         df = sess.spark.sql(rewrite(query))
+        if columns:
+            # explicit column list: map SELECT output positionally onto
+            # the declared columns, NULL-fill the rest — Flink/ANSI
+            # INSERT INTO t (b, a) semantics (previously the list was
+            # silently ignored → positional misalignment)
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            declared = {c.name: c.spark_type for c in table.columns}
+            unknown = [c for c in columns if c not in declared]
+            if unknown:
+                raise ValueError(
+                    f"INSERT column list names unknown column(s) {unknown} "
+                    f"for table '{target}'"
+                )
+            if len(set(columns)) != len(columns):
+                raise ValueError("INSERT column list has duplicate columns")
+            if len(columns) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(columns)} column(s) but the "
+                    f"query produces {len(df.columns)}"
+                )
+            by_name = df.select(
+                *[df[df.columns[i]].alias(c) for i, c in enumerate(columns)]
+            )
+            df = by_name.select(
+                *[
+                    (F.col(c) if c in columns else F.lit(None)).cast(ty).alias(c)
+                    for c, ty in declared.items()
+                ]
+            )
         name = sess.flink_conf.get("pipeline.name", f"insert-{target}")
         q = build_writer(
             df,
@@ -175,6 +229,11 @@ class Operation:
             self._columns = [{"name": "job id", "logicalType": "string"}]
             self._rows = [[info.job_id]]
         else:
+            # batch write completed inline: refresh cached file listings
+            # so subsequent reads through the connector view see it
+            if "path" in table.options:
+                sess.spark.catalog.refreshByPath(table.options["path"])
+            sess.refresh_connector_views()
             self._columns = [{"name": "result", "logicalType": "string"}]
             self._rows = [["OK"]]
 
@@ -247,7 +306,15 @@ class Operation:
             )
             return page
         start = token * PAGE_SIZE
-        rows = self._rows[start : start + PAGE_SIZE]
+        self._pull_until(start + PAGE_SIZE)
+        if start < self._row_offset:
+            raise ValueError(
+                f"result page {token} was evicted (retention window "
+                f"{RETAIN_ROWS} rows); batch results are fetched "
+                "forward like the reference's token-paged loop"
+            )
+        lo = start - self._row_offset
+        rows = self._rows[lo : lo + PAGE_SIZE]
         return {
             "columns": self._columns,
             "data": rows,
@@ -257,6 +324,35 @@ class Operation:
             "isStreaming": False,
             "jobID": self.job_id,
         }
+
+    def _pull_until(self, n_abs: int) -> None:
+        """Advance the lazy batch iterator until ``n_abs`` rows have
+        been produced in total (or it is exhausted), evicting rows that
+        fall out of the replay window."""
+        it = self._row_iter
+        if it is None:
+            return
+        try:
+            while self._row_offset + len(self._rows) < n_abs:
+                self._rows.append(list(next(it)))
+        except StopIteration:
+            self._row_iter = None
+        overflow = len(self._rows) - RETAIN_ROWS
+        if overflow > 0:
+            del self._rows[:overflow]
+            self._row_offset += overflow
+
+    def result_rows(self) -> list[list[Any]]:
+        """Drain the whole result into memory (test/driver convenience
+        — production clients should page via ``fetch``)."""
+        rows: list[list[Any]] = []
+        token = 0
+        while True:
+            page = self.fetch(token)
+            rows.extend(page["data"])
+            if page["resultType"] != PAYLOAD or not page["data"]:
+                return rows
+            token = page["nextResultToken"]
 
     def cancel(self) -> None:
         """Best-effort, idempotent (reference tolerates every state)."""

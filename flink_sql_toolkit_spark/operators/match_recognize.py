@@ -63,13 +63,22 @@ _MEASURE_RE = re.compile(
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
-def _strip_symbol_quals(cond: str, symbols: set[str]) -> str:
-    """``A.price`` → ``price`` — inside DEFINE, a symbol qualifier
-    just means "the current row being classified" (Flink semantics
-    for the running row), so the qualifier drops out."""
-    for sym in symbols:
-        cond = re.sub(rf"(?i)\b{re.escape(sym)}\s*\.\s*", "", cond)
-    return cond
+def _strip_symbol_quals(cond: str, own: str, others: set[str]) -> str:
+    """Inside ``DEFINE <own> AS ...``, ``<own>.col`` means "the current
+    row being classified", so that qualifier drops out. A qualifier
+    naming a DIFFERENT symbol (``B AS B.price > A.price`` — Flink: the
+    column of the last row already mapped to A) is cross-symbol match
+    state this subset does not model; silently rewriting it to the
+    current row would produce wrong matches, so reject loudly."""
+    for sym in others:
+        if re.search(rf"(?i)\b{re.escape(sym)}\s*\.\s*\w", cond):
+            raise NotImplementedError(
+                f"DEFINE for symbol '{own}' references another symbol "
+                f"'{sym}' ({cond.strip()!r}); cross-symbol DEFINE state "
+                "is outside the supported subset — use PREV(col) to "
+                "compare against the previous row instead"
+            )
+    return re.sub(rf"(?i)\b{re.escape(own)}\s*\.\s*", "", cond)
 
 
 def _rewrite_prev(cond: str, order_cols: list[str]) -> tuple[str, dict[str, str]]:
@@ -107,7 +116,9 @@ def match_recognize(
             # undefined symbols match every row (SQL standard default)
             define[t.symbol] = "true"
     symbols = {t.symbol for t in tokens} | set(define)
-    define = {s: _strip_symbol_quals(c, symbols) for s, c in define.items()}
+    define = {
+        s: _strip_symbol_quals(c, s, symbols - {s}) for s, c in define.items()
+    }
 
     # 1) JVM-side: lag columns for PREV + boolean symbol predicates
     from pyspark.sql import Window as W  # noqa: PLC0415

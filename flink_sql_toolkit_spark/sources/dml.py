@@ -31,7 +31,7 @@ import re
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_sql_toolkit_spark.dialect.rewriter import (
@@ -114,6 +114,22 @@ def _partition_filter(pcols: list[str], affected: list[tuple]) -> F.Column:
     return cond
 
 
+def _hive_part_value(v) -> str:
+    """Format a partition value exactly as Spark's hive-style writer
+    names the directory (``ExternalCatalogUtils.escapePathName``
+    semantics for the value types `_prunable` admits): NULL →
+    ``__HIVE_DEFAULT_PARTITION__``, booleans lowercase (Python's
+    ``str(True)`` is ``'True'`` but Spark writes ``true``), dates in
+    ISO form; ints/safe strings verbatim."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if hasattr(v, "isoformat") and not hasattr(v, "hour"):  # datetime.date
+        return v.isoformat()
+    return str(v)
+
+
 def _cow_swap_partitions(
     spark: SparkSession, table: ConnectorTable, new_df: DataFrame, affected: list[tuple]
 ) -> None:
@@ -122,9 +138,12 @@ def _cow_swap_partitions(
     untouched partitions are never read for the write nor rewritten
     (the Delta/Iceberg COW granularity, at partition level). A
     partition whose rows were all deleted has no staged directory and
-    is removed. Partition values are formatted as Spark's hive-style
-    layout does for plain string/numeric values (exotic characters
-    needing URL-escaping fall back to the full rewrite upstream)."""
+    is removed. Partition dir names come from `_hive_part_value`; an
+    affected partition whose live directory cannot be found raises
+    instead of silently skipping (it means name derivation diverged
+    from what Spark wrote). On failure mid-swap, already-trashed
+    partitions are restored before the error propagates — the table is
+    never left missing data."""
     pcols = table.partitioned_by
     path = table.options["path"].rstrip("/")
     stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
@@ -134,38 +153,69 @@ def _cow_swap_partitions(
     w.save(stage)  # executes the (partition-pruned) read of the OLD snapshot
     trash = f"{path}__cow_old_{uuid.uuid4().hex[:8]}"
     os.makedirs(trash)
+    moved: list[tuple[str, str]] = []  # (trash location, original live dir)
     try:
         for vals in affected:
             rel = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
-                for c, v in zip(pcols, vals)
+                f"{c}={_hive_part_value(v)}" for c, v in zip(pcols, vals)
             )
             old_dir, new_dir = os.path.join(path, rel), os.path.join(stage, rel)
+            if not os.path.exists(old_dir) and not os.path.exists(new_dir):
+                raise RuntimeError(
+                    f"partition-pruned COW: derived directory '{rel}' exists in "
+                    f"neither the live table nor the staged write — partition "
+                    f"value formatting diverged from Spark's layout"
+                )
             if os.path.exists(old_dir):
-                os.rename(old_dir, os.path.join(trash, rel.replace("/", "%2F")))
+                trashed = os.path.join(trash, rel.replace("/", "%2F"))
+                os.rename(old_dir, trashed)
+                moved.append((trashed, old_dir))
             if os.path.exists(new_dir):
                 os.makedirs(os.path.dirname(old_dir), exist_ok=True)
                 os.rename(new_dir, old_dir)
-    finally:
+    except BaseException:
+        # roll back: restore every partition already moved to trash so
+        # no committed data is lost (mirrors _cow_swap's snapshot
+        # restore). A partition whose new dir was already swapped in is
+        # replaced by its original.
+        for trashed, old_dir in reversed(moved):
+            try:
+                if os.path.exists(old_dir):
+                    shutil.rmtree(old_dir, ignore_errors=True)
+                os.rename(trashed, old_dir)
+            except OSError:
+                pass  # leave remains in trash rather than mask the error
         shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
+        raise
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
     spark.catalog.refreshByPath(path)
 
 
-_HIVE_SAFE_RE = re.compile(r"^[A-Za-z0-9_.\-]*$")
+_HIVE_SAFE_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
 
 
 def _prunable(table: ConnectorTable, affected: list[tuple]) -> bool:
-    """Partition-pruned swap only when every value round-trips to the
-    hive directory name verbatim (no URL-escaping) and the partition
-    count stays sane."""
+    """Partition-pruned swap only for value types whose hive directory
+    name we can derive exactly (`_hive_part_value`): NULL, bool, int,
+    date, and non-empty strings that need no URL-escaping. Anything
+    else (floats, timestamps, empty strings, exotic characters) falls
+    back to the full-table rewrite — correct, just not pruned."""
     if not (0 < len(affected) <= 1000):
         return False
-    return all(
-        v is None or _HIVE_SAFE_RE.match(str(v))
-        for vals in affected
-        for v in vals
-    )
+    for vals in affected:
+        for v in vals:
+            if v is None or isinstance(v, bool):
+                continue
+            if isinstance(v, int) or (
+                hasattr(v, "isoformat") and not hasattr(v, "hour")
+            ):
+                continue
+            if isinstance(v, str) and _HIVE_SAFE_RE.match(v):
+                continue
+            return False
+    return True
 
 
 def _result(n: int):
@@ -321,9 +371,14 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
     tgt = (
         build_reader(spark, table, streaming=False)
         .withColumn("_cow_t", F.lit(True))
+        .withColumn("_cow_tid", F.monotonically_increasing_id())
         .alias(t_alias)
     )
-    src = src_df.withColumn("_cow_s", F.lit(True)).alias(s_alias)
+    src = (
+        src_df.withColumn("_cow_s", F.lit(True))
+        .withColumn("_cow_sid", F.monotonically_increasing_id())
+        .alias(s_alias)
+    )
     joined = tgt.join(src, on=F.expr(on_cond), how="full_outer")
 
     t_only = F.col("_cow_s").isNull()
@@ -384,13 +439,51 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
     any_delete = F.lit(False)
     for d in del_applies:
         any_delete = any_delete | d
-    keep = t_only | (matched & ~any_delete)
-    if ins_applies is not None:
-        keep = keep | ins_applies
-
     any_update = F.lit(False)
     for applies, _ in upd_applies:
         any_update = any_update | applies
+    # A target row matched by several source rows where NO update/delete
+    # clause applies must still come out exactly once (the cardinality
+    # error below only covers applicable clauses — the standard keeps
+    # non-applying duplicates silent). Rank join rows per target id,
+    # applying-clause rows first; keep rank 1. Source-only rows get a
+    # synthetic negative partition key so they stay one-per-partition
+    # (a single NULL-tid window partition would serialize all inserts
+    # through one task at scale).
+    _dedup_key = F.coalesce(F.col("_cow_tid"), -F.col("_cow_sid") - F.lit(1))
+    joined = joined.withColumn(
+        "_cow_rn",
+        F.row_number().over(
+            Window.partitionBy(_dedup_key).orderBy(
+                F.when(any_update | any_delete, F.lit(0)).otherwise(F.lit(1)),
+                F.col("_cow_sid"),
+            )
+        ),
+    )
+    keep = t_only | (matched & ~any_delete & (F.col("_cow_rn") == 1))
+    if ins_applies is not None:
+        keep = keep | ins_applies
+
+    # SQL-standard cardinality check (also Delta/Iceberg behavior): a
+    # target row matched by more than one source row with an applicable
+    # UPDATE/DELETE clause is ambiguous — raise rather than emit one
+    # output row per duplicate match.
+    if upd_applies or del_applies:
+        dup = (
+            joined.filter(matched & (any_update | any_delete))
+            .groupBy("_cow_tid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE INTO failed: a target row matched multiple source "
+                "rows with an applicable UPDATE/DELETE clause; deduplicate "
+                "the source or tighten the ON condition"
+            )
+
     counts = joined.select(
         F.sum(any_update.cast("long")).alias("u"),
         F.sum(any_delete.cast("long")).alias("d"),

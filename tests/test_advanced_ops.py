@@ -200,8 +200,9 @@ def test_match_recognize_sql_via_engine(spark):
     assert [c["name"] for c in op._columns] == [
         "customer_id", "start_time", "end_time", "avg_price"
     ]
-    assert len(op._rows) == 1
-    assert op._rows[0][3] == pytest.approx(51.0)
+    rows = op.fetch()["data"]
+    assert len(rows) == 1
+    assert rows[0][3] == pytest.approx(51.0)
     # ALL ROWS PER MATCH: every matched input row, running measures
     op2 = sess.execute_statement(
         "SELECT * FROM orders_mr MATCH_RECOGNIZE (PARTITION BY customer_id "
@@ -211,7 +212,7 @@ def test_match_recognize_sql_via_engine(spark):
     assert [c["name"] for c in op2._columns] == [
         "customer_id", "order_time", "price", "n"
     ]
-    assert [r[3] for r in op2._rows] == [1, 2, 3]  # running COUNT
+    assert [r[3] for r in op2.fetch()["data"]] == [1, 2, 3]  # running COUNT
     sess.close()
 
 
