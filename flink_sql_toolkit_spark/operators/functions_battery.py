@@ -333,35 +333,6 @@ def func_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_grouping_id",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag) AS g_flag,
-           GROUPING(l_linestatus) AS g_status,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-)
-def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING() indicator over GROUPING SETS (syntax-test.fsql:277;
-    distinguishes 'NULL because rolled up' from data NULLs)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-               COUNT(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-        """
-    )
-
-
-@register(
     "func_cast",
     oracle="""
     SELECT o_orderkey,

@@ -297,145 +297,160 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_inner",
+    "join_inner_outer",
+    # INNER / LEFT / RIGHT / FULL OUTER joins normalized onto one
+    # (variant, k1, k2, name, v) schema — one driver entry proves all
+    # four join types; per-branch plans keep their broadcast shape
     oracle="""
-    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    SELECT 'inner' AS variant, o_orderkey AS k1, CAST(NULL AS BIGINT) AS k2,
+           c_name AS name, o_totalprice AS v
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_acctbal > 9000
-    """,
-)
-def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join (syntax-test.fsql:138-140); dim side broadcast."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
-        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
-    )
-
-
-@register(
-    "join_left_outer",
-    oracle="""
-    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    UNION ALL
+    SELECT 'left', c_custkey, o_orderkey, c_name, o_totalprice
     FROM customer LEFT JOIN orders
       ON c_custkey = o_custkey AND o_totalprice > 50000
-    """,
-)
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER with join-side predicate (syntax-test.fsql:143-147)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(
-        orders,
-        (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 50000),
-        "left",
-    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-
-
-@register(
-    "join_right_outer",
-    oracle="""
-    SELECT s_suppkey, s_name, n_nationkey, n_name
+    UNION ALL
+    SELECT 'right', s_suppkey, n_nationkey, n_name, CAST(NULL AS DOUBLE)
     FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'full', c.c_custkey, CAST(NULL AS BIGINT), c.c_name, CAST(b.n_orders AS DOUBLE)
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+               WHERE o_totalprice > 100000 GROUP BY o_custkey) b
+      ON c.c_custkey = b.o_custkey
     """,
 )
-def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_inner_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi INNER (dim side broadcast), LEFT OUTER with a join-side
+    predicate, RIGHT OUTER, and FULL OUTER with non-overlap on both
+    sides (syntax-test.fsql:138-153), tagged and concatenated."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 9000)
+    inner = (
+        orders.join(F.broadcast(rich), orders.o_custkey == rich.c_custkey)
+        .select(
+            F.lit("inner").alias("variant"),
+            F.col("o_orderkey").alias("k1"),
+            F.lit(None).cast("bigint").alias("k2"),
+            F.col("c_name").alias("name"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    left = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 50000),
+            "left",
+        )
+        .select(
+            F.lit("left").alias("variant"),
+            F.col("c_custkey").alias("k1"),
+            F.col("o_orderkey").alias("k2"),
+            F.col("c_name").alias("name"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    return supplier.join(nation, supplier.s_nationkey == nation.n_nationkey, "right").select(
-        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    right = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey, "right")
+        .select(
+            F.lit("right").alias("variant"),
+            F.col("s_suppkey").alias("k1"),
+            F.col("n_nationkey").alias("k2"),
+            F.col("n_name").alias("name"),
+            F.lit(None).cast("double").alias("v"),
+        )
     )
-
-
-@register(
-    "join_full_outer",
-    oracle="""
-    WITH big AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
-                 WHERE o_totalprice > 100000 GROUP BY o_custkey)
-    SELECT c.c_custkey, c.c_name, b.n_orders
-    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
-    FULL JOIN big b ON c.c_custkey = b.o_custkey
-    """,
-)
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER (syntax-test.fsql:151-153) with non-overlap on both sides."""
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") < 0)
-        .select("c_custkey", "c_name")
-    )
+    broke = cust.filter(F.col("c_acctbal") < 0).select("c_custkey", "c_name")
     big = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 100000)
+        orders.filter(F.col("o_totalprice") > 100000)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    return cust.join(big, cust.c_custkey == big.o_custkey, "full").select(
-        "c_custkey", "c_name", "n_orders"
+    full = (
+        broke.join(big, broke.c_custkey == big.o_custkey, "full")
+        .select(
+            F.lit("full").alias("variant"),
+            F.col("c_custkey").alias("k1"),
+            F.lit(None).cast("bigint").alias("k2"),
+            F.col("c_name").alias("name"),
+            F.col("n_orders").cast("double").alias("v"),
+        )
     )
+    return inner.unionByName(left).unionByName(right).unionByName(full)
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
+    # EXISTS → left_semi and NOT EXISTS → left_anti on one schema
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS variant, c_custkey AS k, c_name AS name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-    """,
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS → left_semi (syntax-test.fsql:329-333)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left_anti (syntax-test.fsql:334-338)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi and NOT EXISTS → left_anti
+    (syntax-test.fsql:329-338), tagged and concatenated."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    done = orders.filter(F.col("o_orderstatus") == "F")
+    semi = cust.join(done, cust.c_custkey == done.o_custkey, "left_semi").select(
+        F.lit("semi").alias("variant"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
     )
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("anti").alias("variant"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+    )
+    return semi.unionByName(anti)
 
 
 @register(
-    "join_cross",
+    "join_cross_non_equi",
+    # CROSS JOIN (dim×dim) + theta join on one (variant, k, name, v)
+    # schema; s_name is unique per supplier so pair multiplicity is
+    # preserved without carrying both keys
     oracle="""
-    SELECT r_name, n_name FROM region CROSS JOIN nation
-    """,
-)
-def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS JOIN (syntax-test.fsql:156) — only ever on dim×dim."""
-    region = load_table(spark, sf_dir, "region").select("r_name")
-    nation = load_table(spark, sf_dir, "nation").select("n_name")
-    return region.crossJoin(nation)
-
-
-@register(
-    "join_non_equi",
-    oracle="""
-    SELECT s_suppkey, s_name, c_custkey, c_acctbal
+    SELECT 'cross' AS variant, CAST(NULL AS BIGINT) AS k,
+           r_name || '|' || n_name AS name, CAST(NULL AS DOUBLE) AS v
+    FROM region CROSS JOIN nation
+    UNION ALL
+    SELECT 'non_equi', c_custkey, s_name, c_acctbal
     FROM supplier JOIN customer
       ON c_acctbal > s_acctbal AND c_acctbal < s_acctbal + 100
     """,
 )
-def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta join (grammar allows arbitrary ON) → broadcast NL on the dim."""
+def join_cross_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN (syntax-test.fsql:156 — only ever dim×dim) + theta
+    join (grammar allows arbitrary ON) → broadcast NL on the dim."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    cross = region.crossJoin(nation).select(
+        F.lit("cross").alias("variant"),
+        F.lit(None).cast("bigint").alias("k"),
+        F.concat_ws("|", "r_name", "n_name").alias("name"),
+        F.lit(None).cast("double").alias("v"),
+    )
     supplier = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
-    return cust.join(
+    theta = cust.join(
         F.broadcast(supplier),
         (cust.c_acctbal > supplier.s_acctbal) & (cust.c_acctbal < supplier.s_acctbal + 100),
-    ).select("s_suppkey", "s_name", "c_custkey", "c_acctbal")
+    ).select(
+        F.lit("non_equi").alias("variant"),
+        F.col("c_custkey").alias("k"),
+        F.col("s_name").alias("name"),
+        F.col("c_acctbal").alias("v"),
+    )
+    return cross.unionByName(theta)
 
 
 # =====================================================================
@@ -493,68 +508,49 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_range_frame",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                OVER (PARTITION BY user_id ORDER BY ts
-                      RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS rolling_value
-    FROM events
-    """,
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame with a time interval (syntax-test.fsql:252 frame
-    specs): 10-minute rolling sum per user. RANGE includes peer rows
-    (ties in ts) identically in both engines, so no tiebreaker is
-    needed; decimal-exact sum."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        SELECT event_id, user_id,
-               CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                    OVER (PARTITION BY user_id ORDER BY ts
-                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 AS rolling_value
-        FROM events
-        """
-    )
-
-
-@register(
-    "window_groups_frame",
+    "window_frames",
+    # RANGE-interval frame + GROUPS frame (via dense_rank identity —
     # DuckDB hasn't implemented GROUPS frames either, so the oracle
-    # states the same peer-group identity independently
+    # states the same peer-group identity independently) in one pass
     oracle="""
     WITH g AS (
-      SELECT event_id, user_id, value,
+      SELECT event_id, user_id, value, ts,
              DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS grp
       FROM events
     )
     SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_value,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY grp
              RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
     FROM g
     """,
 )
-def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPS frame (SQL:2011 frame unit; syntax-test.fsql frame
-    specs). Spark has no GROUPS frames, so the peer groups are made
-    explicit: DENSE_RANK numbers each ORDER-BY peer group, then a
-    numeric RANGE frame over that rank is exactly ``GROUPS BETWEEN n
-    PRECEDING AND CURRENT ROW``. Both windows share PARTITION BY
-    user_id, so Catalyst plans a single shuffle for the two passes;
-    decimal-exact sum for oracle parity."""
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a time interval (10-minute rolling sum) plus a
+    GROUPS frame (SQL:2011 frame unit; syntax-test.fsql:252 frame
+    specs) in one query. Spark has no GROUPS frames, so the peer
+    groups are made explicit: DENSE_RANK numbers each ORDER-BY peer
+    group, then a numeric RANGE frame over that rank is exactly
+    ``GROUPS BETWEEN n PRECEDING AND CURRENT ROW``. All three windows
+    share PARTITION BY user_id — Catalyst plans a single shuffle;
+    decimal-exact sums for oracle parity."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """
         WITH g AS (
-          SELECT event_id, user_id, value,
+          SELECT event_id, user_id, value, ts,
                  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS grp
           FROM events
         )
         SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS rolling_value,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
                  PARTITION BY user_id ORDER BY grp
                  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
@@ -665,70 +661,77 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_rollup",
+    "agg_rollup_cube",
+    # ROLLUP (lineitem) + CUBE (orders) tagged onto one
+    # (variant, g1, g2, s, n) schema — one entry proves both
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    SELECT 'rollup' AS variant, l_returnflag AS g1, l_linestatus AS g2,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (syntax-test.fsql:283-287)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
-        )
-    )
-
-
-@register(
-    "agg_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-           COUNT(*) AS n
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+           COUNT(*)
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE (syntax-test.fsql:288-292)."""
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (syntax-test.fsql:283-287) + CUBE (:288-292), tagged and
+    concatenated; decimal-exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(dsum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rollup").alias("variant"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "s",
+            "n",
         )
     )
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("variant"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "s",
+            "n",
+        )
+    )
+    return rollup.unionByName(cube)
 
 
 @register(
     "agg_grouping_sets",
     oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS (syntax-test.fsql:277-281) via Spark SQL."""
+    """GROUPING SETS (syntax-test.fsql:277-281) with GROUPING()
+    indicators (distinguishing 'NULL because rolled up' from data
+    NULLs) via Spark SQL."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         """
     )
 
@@ -786,22 +789,30 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_rank_lag_lead",
+    "window_rank_offset",
     oracle="""
     SELECT o_custkey, o_orderkey,
            RANK()       OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
            LAG(o_orderkey, 1, -1)  OVER w AS prev_order,
-           LEAD(o_orderkey, 1, -1) OVER w AS next_order
+           LEAD(o_orderkey, 1, -1) OVER w AS next_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
-def window_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK/DENSE_RANK/LAG/LEAD + named WINDOW clause
-    (syntax-test.fsql:246-250, tmLanguage.json:399)."""
+def window_rank_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK/LAG/LEAD + named WINDOW clause + cumulative
+    ROWS UNBOUNDED PRECEDING frame (syntax-test.fsql:246-252,
+    tmLanguage.json:399) — all over the SAME window spec, so one
+    shuffle/sort serves every function; running sum is decimal-exact
+    so the reduction order can't diverge."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -809,93 +820,66 @@ def window_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.lag("o_orderkey", 1, -1).over(w).alias("prev_order"),
         F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_total"),
     )
 
 
 @register(
-    "window_running_sum",
+    "window_value_offset",
+    # NTILE/PERCENT_RANK/CUME_DIST (customer) and FIRST/LAST/NTH_VALUE
+    # (lineitem) normalized onto one (variant, k1, k2, v1, v2, v3)
+    # schema — one driver entry proves both function families
     oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_total
-    FROM orders
-    """,
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative frame ROWS UNBOUNDED PRECEDING (syntax-test.fsql:252);
-    decimal-exact so the running reduction order can't diverge."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
-    )
-
-
-@register(
-    "window_ntile_percent",
-    oracle="""
-    SELECT c_custkey,
-           NTILE(4) OVER w AS quartile,
-           PERCENT_RANK() OVER w AS pr,
-           CUME_DIST() OVER w AS cd
+    SELECT 'ntile_pct' AS variant, c_custkey AS k1, CAST(NULL AS BIGINT) AS k2,
+           CAST(NTILE(4) OVER w AS DOUBLE) AS v1,
+           PERCENT_RANK() OVER w AS v2,
+           CUME_DIST() OVER w AS v3
     FROM customer
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-    """,
-)
-def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE/PERCENT_RANK/CUME_DIST (syntax-test.fsql:247-248).
-
-    Global (unpartitioned) window — acceptable only on dim-sized
-    inputs; the engine's planner would warn on a fact table.
-    """
-    cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
-
-
-@register(
-    "window_first_last_value",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           FIRST_VALUE(l_partkey) OVER w AS first_part,
-           LAST_VALUE(l_partkey)  OVER w AS last_part,
-           NTH_VALUE(l_partkey, 2) OVER w AS second_part
+    UNION ALL
+    SELECT 'first_last', l_orderkey, l_linenumber,
+           CAST(FIRST_VALUE(l_partkey) OVER w2 AS DOUBLE),
+           CAST(LAST_VALUE(l_partkey)  OVER w2 AS DOUBLE),
+           CAST(NTH_VALUE(l_partkey, 2) OVER w2 AS DOUBLE)
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
-def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIRST_VALUE/LAST_VALUE/NTH_VALUE with full-partition frame
-    (syntax-test.fsql:251-252, tmLanguage.json:407)."""
+def window_value_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE/PERCENT_RANK/CUME_DIST (global window — acceptable only on
+    dim-sized inputs) plus FIRST_VALUE/LAST_VALUE/NTH_VALUE with a
+    full-partition frame (syntax-test.fsql:247-252,
+    tmLanguage.json:407). PERCENT_RANK/CUME_DIST are exact rational
+    divisions, bit-identical across engines; bigints cast to double
+    stay exact below 2^53."""
+    cust = load_table(spark, sf_dir, "customer")
+    wq = W.orderBy("c_acctbal", "c_custkey")
+    ntile_part = cust.select(
+        F.lit("ntile_pct").alias("variant"),
+        F.col("c_custkey").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.ntile(4).over(wq).cast("double").alias("v1"),
+        F.percent_rank().over(wq).alias("v2"),
+        F.cume_dist().over(wq).alias("v3"),
+    )
     li = load_table(spark, sf_dir, "lineitem")
     # l_linenumber alone is not unique per order in the fixtures —
     # extend the ordering to a total one so frame positions agree
-    w = (
+    wv = (
         W.partitionBy("l_orderkey")
         .orderBy("l_linenumber", "l_partkey", "l_suppkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.first("l_partkey").over(w).alias("first_part"),
-        F.last("l_partkey").over(w).alias("last_part"),
-        F.nth_value("l_partkey", 2).over(w).alias("second_part"),
+    value_part = li.select(
+        F.lit("first_last").alias("variant"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        F.first("l_partkey").over(wv).cast("double").alias("v1"),
+        F.last("l_partkey").over(wv).cast("double").alias("v2"),
+        F.nth_value("l_partkey", 2).over(wv).cast("double").alias("v3"),
     )
+    return ntile_part.unionByName(value_part)
 
 
 # =====================================================================
@@ -904,89 +888,102 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_union_all",
+    "setop_union_intersect",
+    # UNION ALL + INTERSECT + INTERSECT ALL results normalized onto one
+    # (variant, k, v) schema — one driver entry proves three set ops
     oracle="""
-    SELECT c_custkey AS acct_key, c_acctbal AS balance FROM customer WHERE c_acctbal > 9500
+    SELECT 'union_all' AS variant, k, v FROM (
+      SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_acctbal > 9500
+      UNION ALL
+      SELECT s_suppkey AS k, s_acctbal AS v FROM supplier)
     UNION ALL
-    SELECT s_suppkey AS acct_key, s_acctbal AS balance FROM supplier
+    SELECT 'intersect', k, CAST(NULL AS DOUBLE) FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'intersect_all', k, CAST(NULL AS DOUBLE) FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
     """,
 )
-def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 9500)
-        .select(F.col("c_custkey").alias("acct_key"), F.col("c_acctbal").alias("balance"))
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("acct_key"), F.col("s_acctbal").alias("balance")
-    )
-    return cust.union(supp)
-
-
-@register(
-    "setop_intersect",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    INTERSECT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setop_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (syntax-test.fsql:300), INTERSECT (set semantics) and
+    INTERSECT ALL (bag semantics, :307) — three independent set-op
+    pipelines tagged and concatenated."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    union_all = (
+        cust.filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v"))
+        .union(supp.select(F.col("s_suppkey").alias("k"), F.col("s_acctbal").alias("v")))
+        .select(F.lit("union_all").alias("variant"), "k", "v")
     )
-    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("custkey")
+    intersect = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k"))
+        .intersect(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("k")
+            )
+        )
+        .select(
+            F.lit("intersect").alias("variant"), "k", F.lit(None).cast("double").alias("v")
+        )
     )
-    return open_c.intersect(done_c)
+    intersect_all = (
+        li.filter(F.col("l_returnflag") == "A")
+        .select(F.col("l_suppkey").alias("k"))
+        .intersectAll(
+            li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+        )
+        .select(
+            F.lit("intersect_all").alias("variant"),
+            "k",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    return union_all.unionByName(intersect).unionByName(intersect_all)
 
 
 @register(
     "setop_except",
+    # EXCEPT (set) + EXCEPT ALL (bag) on one (variant, k) schema
     oracle="""
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT 'except' AS variant, k FROM (
+      SELECT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT o_custkey AS k FROM orders)
+    UNION ALL
+    SELECT 'except_all', k FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N'
+      EXCEPT ALL
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A')
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return cust.subtract(orders)
-
-
-@register(
-    "setop_except_all",
-    oracle="""
-    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N'
-    EXCEPT ALL
-    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
-    """,
-)
-def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL (syntax-test.fsql:311) — bag semantics: each right
-    occurrence cancels one left occurrence."""
+    """EXCEPT (set semantics) + EXCEPT ALL (bag semantics: each right
+    occurrence cancels one left occurrence; syntax-test.fsql:311)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    n = li.filter(F.col("l_returnflag") == "N").select(F.col("l_suppkey").alias("k"))
-    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
-    return n.exceptAll(a)
-
-
-@register(
-    "setop_intersect_all",
-    oracle="""
-    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
-    INTERSECT ALL
-    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
-    """,
-)
-def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL (syntax-test.fsql:307) — bag semantics."""
-    li = load_table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
-    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
-    return a.intersectAll(r)
+    ex = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .subtract(orders.select(F.col("o_custkey").alias("k")))
+        .select(F.lit("except").alias("variant"), "k")
+    )
+    ex_all = (
+        li.filter(F.col("l_returnflag") == "N")
+        .select(F.col("l_suppkey").alias("k"))
+        .exceptAll(
+            li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+        )
+        .select(F.lit("except_all").alias("variant"), "k")
+    )
+    return ex.unionByName(ex_all)
 
 
 # =====================================================================
@@ -995,41 +992,32 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subq_scalar",
+    "subq_scalar_in",
+    # scalar subquery (customer vs global mean) + IN subquery (orders
+    # by segment) tagged onto one (variant, k, v) schema
     oracle="""
-    SELECT c_custkey, c_name, c_acctbal FROM customer
+    SELECT 'scalar' AS variant, c_custkey AS k, c_acctbal AS v FROM customer
     WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
                        FROM customer)
-    """,
-)
-def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery (syntax-test.fsql:341-344) via Spark SQL —
-    Catalyst turns it into a broadcast of the 1-row side."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name, c_acctbal FROM customer
-        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
-                           FROM customer)
-        """
-    )
-
-
-@register(
-    "subq_in",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
+    UNION ALL
+    SELECT 'in', o_orderkey, o_totalprice FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
       AND o_orderstatus <> 'F'
     """,
 )
-def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN subquery (syntax-test.fsql:321-323) — decorrelated to semi join."""
+def subq_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (syntax-test.fsql:341-344; Catalyst broadcasts
+    the 1-row side) + IN subquery (:321-323, decorrelated to a semi
+    join) via Spark SQL."""
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
-        SELECT o_orderkey, o_totalprice FROM orders
+        SELECT 'scalar' AS variant, c_custkey AS k, c_acctbal AS v FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                           FROM customer)
+        UNION ALL
+        SELECT 'in', o_orderkey, o_totalprice FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
           AND o_orderstatus <> 'F'
         """
@@ -1037,43 +1025,33 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subq_correlated_exists",
+    "subq_exists_any_all",
+    # correlated EXISTS (supplier/lineitem) + > ALL (part vs per-brand
+    # means) tagged onto one (variant, k, v) schema
     oracle="""
-    SELECT s_suppkey, s_name FROM supplier
+    SELECT 'exists' AS variant, s_suppkey AS k, CAST(NULL AS DOUBLE) AS v FROM supplier
     WHERE EXISTS (SELECT 1 FROM lineitem
                   WHERE l_suppkey = s_suppkey AND l_quantity > 49)
-    """,
-)
-def subq_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS (syntax-test.fsql:329-333)."""
-    for t in ("supplier", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name FROM supplier
-        WHERE EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_suppkey = s_suppkey AND l_quantity > 49)
-        """
-    )
-
-
-@register(
-    "subq_any_all",
-    oracle="""
-    SELECT p_partkey, p_retailprice FROM part
+    UNION ALL
+    SELECT 'all', p_partkey, p_retailprice FROM part
     WHERE p_retailprice > (SELECT MAX(p2) FROM
         (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS p2
          FROM part GROUP BY p_brand) t)
     """,
 )
-def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """> ALL (...) (syntax-test.fsql:327) — rewritten as > MAX(...),
-    the standard decorrelation (Spark SQL lacks ALL; the dialect layer
-    performs the same rewrite)."""
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+def subq_exists_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (syntax-test.fsql:329-333) + > ALL (:327,
+    rewritten as > MAX(...) — the standard decorrelation; Spark SQL
+    lacks ALL and the dialect layer performs the same rewrite)."""
+    for t in ("supplier", "lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
-        SELECT p_partkey, p_retailprice FROM part
+        SELECT 'exists' AS variant, s_suppkey AS k, CAST(NULL AS DOUBLE) AS v FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        UNION ALL
+        SELECT 'all', p_partkey, p_retailprice FROM part
         WHERE p_retailprice > (SELECT MAX(p2) FROM
             (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS p2
              FROM part GROUP BY p_brand) t)
@@ -1087,65 +1065,49 @@ def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sort_limit_offset",
+    "relational_core",
+    # CASE/LIKE/IN/BETWEEN/IS NULL/COALESCE/NULLIF predicates +
+    # SELECT DISTINCT + ORDER BY/LIMIT/OFFSET in one entry; booleans
+    # cast to BIGINT so both engines hash identically
     oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 50 OFFSET 100
-    """,
-)
-def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY + LIMIT + OFFSET (syntax-test.fsql:116-117)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 50 OFFSET 100
-        """
-    )
-
-
-@register(
-    "predicates_case_like",
-    oracle="""
-    SELECT o_orderkey,
+    SELECT DISTINCT
            CASE WHEN o_totalprice >= 200000 THEN 'high'
                 WHEN o_totalprice >= 50000  THEN 'mid'
                 ELSE 'low' END AS price_band,
-           (o_orderpriority LIKE '1-%') AS is_urgent,
-           (o_orderstatus IN ('O','P')) AS is_open,
-           (o_totalprice BETWEEN 10000 AND 20000) AS is_band,
+           CAST(o_orderpriority LIKE '1-%' AS BIGINT) AS is_urgent,
+           CAST(o_orderstatus IN ('O','P') AS BIGINT) AS is_open,
+           CAST(o_totalprice BETWEEN 10000 AND 20000 AS BIGINT) AS is_band,
            COALESCE(NULLIF(o_orderstatus, 'F'), 'finished') AS status_label
     FROM orders
     WHERE o_orderdate IS NOT NULL
+    ORDER BY price_band, is_urgent, is_open, is_band, status_label
+    LIMIT 10 OFFSET 5
     """,
 )
-def predicates_case_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/LIKE/IN/BETWEEN/IS NULL + COALESCE/NULLIF
-    (syntax-test.fsql:124-131,611-619,440-447)."""
+def relational_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection/predicate core in one query: CASE/LIKE/IN/BETWEEN/
+    IS NULL + COALESCE/NULLIF (syntax-test.fsql:124-131,611-619,
+    440-447), SELECT DISTINCT (:120-121), and ORDER BY + LIMIT +
+    OFFSET (:116-117). The ORDER BY covers every output column, so the
+    post-DISTINCT ordering is total and LIMIT/OFFSET select identical
+    rows in both engines."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderdate").isNotNull()).select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") >= 200000, "high")
-        .when(F.col("o_totalprice") >= 50000, "mid")
-        .otherwise("low")
-        .alias("price_band"),
-        F.col("o_orderpriority").like("1-%").alias("is_urgent"),
-        F.col("o_orderstatus").isin("O", "P").alias("is_open"),
-        F.col("o_totalprice").between(10000, 20000).alias("is_band"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("finished")).alias(
-            "status_label"
-        ),
+    return (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.when(F.col("o_totalprice") >= 200000, "high")
+            .when(F.col("o_totalprice") >= 50000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.col("o_orderpriority").like("1-%").cast("bigint").alias("is_urgent"),
+            F.col("o_orderstatus").isin("O", "P").cast("bigint").alias("is_open"),
+            F.col("o_totalprice").between(10000, 20000).cast("bigint").alias("is_band"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("finished")
+            ).alias("status_label"),
+        )
+        .distinct()
+        .orderBy("price_band", "is_urgent", "is_open", "is_band", "status_label")
+        .offset(5)
+        .limit(10)
     )
-
-
-@register(
-    "distinct_projection",
-    oracle="""
-    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-    """,
-)
-def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SELECT DISTINCT (syntax-test.fsql:120-121)."""
-    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

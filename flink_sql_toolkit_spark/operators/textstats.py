@@ -32,40 +32,18 @@ def _hits(words_col, words: tuple[str, ...]):
 
 
 @register(
-    "text_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           len(string_split({NORMALIZED_SQL}, ' ')) AS n_tokens,
-           len(list_distinct(string_split({NORMALIZED_SQL}, ' '))) AS n_distinct_tokens,
-           length(text) AS n_chars_raw
-    FROM documents ORDER BY doc_id
-    """,
-)
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting (BPE-ish regex split on normalized
-    text). Pure projection — no shuffle, trivially 100 TB-safe."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(normalized_text(), " ")
-    return docs.select(
-        "doc_id",
-        F.size(words).alias("n_tokens"),
-        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_raw"),
-    ).orderBy("doc_id")
-
-
-@register(
     "text_quality_score",
     oracle=f"""
     WITH feats AS (
       SELECT doc_id,
              length(text) AS n_chars,
-             len(string_split({NORMALIZED_SQL}, ' ')) AS n_words,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct_tokens,
              length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
              {_hits_sql(STOP_EN)} AS n_stop
       FROM (SELECT doc_id, text, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
     )
-    SELECT doc_id, n_chars, n_words,
+    SELECT doc_id, n_chars, n_words, n_distinct_tokens,
            CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
            CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
            CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
@@ -75,8 +53,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features: length / punctuation / stopword ratios plus a
-    pass/fail gate — the standard pre-training corpus filter shape."""
+    """Quality features + token counting in one projection: whitespace
+    token counts (BPE-ish regex split on normalized text), length /
+    punctuation / stopword ratios, and a pass/fail gate — the standard
+    pre-training corpus filter shape. Pure projection — no shuffle,
+    trivially 100 TB-safe."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(), " ")
     n_chars = F.length("text")
@@ -87,6 +68,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
         (n_chars.cast("double") / n_words).alias("avg_word_len"),
         (n_punct.cast("double") / n_chars).alias("punct_ratio"),
         (n_stop.cast("double") / n_words).alias("stopword_ratio"),
@@ -100,7 +82,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_language_id",
     oracle=f"""
     WITH feats AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, words,
              {_hits_sql(STOP_EN)} AS hits_en,
              {_hits_sql(STOP_ES)} AS hits_es,
              {_hits_sql(STOP_FR)} AS hits_fr
@@ -110,13 +92,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
                 WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
                 WHEN hits_fr > 0 THEN 'fr'
-                ELSE 'und' END AS predicted_lang
+                ELSE 'und' END AS predicted_lang,
+           md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint
     FROM feats ORDER BY doc_id
     """,
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (argmax over per-language
-    stopword hit counts, deterministic tie-break en>es>fr)."""
+    stopword hit counts, deterministic tie-break en>es>fr), plus the
+    order-insensitive document fingerprint: md5 over the sorted
+    distinct word set (the classic "fingerprint" key for clustering
+    reorder-edits together). Both pure projections over one pass."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(), " ")
     hits_en, hits_es, hits_fr = (
@@ -132,25 +118,5 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits_fr > 0, "fr")
         .otherwise("und")
         .alias("predicted_lang"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split({NORMALIZED_SQL}, ' '))), ' ')) AS fingerprint
-    FROM documents ORDER BY doc_id
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive document fingerprint: md5 over the sorted
-    distinct word set (the classic "fingerprint" key for clustering
-    reorder-edits together)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(normalized_text(), " ")
-    return docs.select(
-        "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
     ).orderBy("doc_id")

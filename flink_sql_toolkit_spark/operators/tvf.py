@@ -107,39 +107,66 @@ def tvf_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tvf_hop",
+    "tvf_hop_cumulate",
+    # HOP and CUMULATE windows tagged onto one
+    # (variant, window_start, window_end, n_events, v) schema
     oracle="""
     WITH k AS (SELECT UNNEST(range(0, 5)) AS i),
-    exploded AS (
+    hop_exploded AS (
       SELECT make_timestamp(CAST((floor((epoch(ts) - i * 60) / 300) * 300) + i * 60 AS BIGINT) * 1000000) AS window_start,
              e.*
       FROM events e CROSS JOIN k
       WHERE epoch(ts) >= (floor((epoch(ts) - i * 60) / 300) * 300) + i * 60
+    ),
+    cum_exploded AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
+             make_timestamp((CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) + k.i * 900) * 1000000) AS window_end,
+             e.*
+      FROM events e
+      CROSS JOIN (SELECT UNNEST(range(1, 5)) AS i) k
+      WHERE floor(epoch(ts) / 3600) * 3600 + k.i * 900 > epoch(ts)
     )
-    SELECT window_start,
+    SELECT 'hop' AS variant, window_start,
            window_start + INTERVAL 300 SECOND AS window_end,
            COUNT(*) AS n_events,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM exploded
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v
+    FROM hop_exploded
     GROUP BY window_start
-    ORDER BY window_start
+    UNION ALL
+    SELECT 'cumulate', window_start, window_end,
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM cum_exploded
+    GROUP BY window_start, window_end
     """,
 )
-def tvf_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOP size=5min slide=1min (syntax-test.fsql:210-218).
-
-    Spark's window(ts, size, slide) assigns each row to its
-    size/slide covering windows — same explode Flink does.
-    """
+def tvf_hop_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP size=5min slide=1min (syntax-test.fsql:210-218; Spark's
+    window(ts, size, slide) assigns each row to its size/slide
+    covering windows — same explode Flink does) + CUMULATE step=15min
+    max=1h (:231-239), tagged and concatenated."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    hopped = (
         hop(ev, "ts", "1 minute", "5 minutes")
         .groupBy("window_start", "window_end")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("user_id").cast("double").alias("v"),
+        )
+        .select(F.lit("hop").alias("variant"), "window_start", "window_end", "n_events", "v")
+    )
+    cumulated = (
+        cumulate(ev, "ts", 900, 3600)
+        .groupBy("window_start", "window_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("v"),
+        )
+        .select(
+            F.lit("cumulate").alias("variant"), "window_start", "window_end", "n_events", "v"
         )
     )
+    return hopped.unionByName(cumulated)
 
 
 @register(
@@ -192,33 +219,3 @@ def tvf_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tvf_cumulate",
-    oracle="""
-    WITH exploded AS (
-      SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
-             make_timestamp((CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) + k.i * 900) * 1000000) AS window_end,
-             e.*
-      FROM events e
-      CROSS JOIN (SELECT UNNEST(range(1, 5)) AS i) k
-      WHERE floor(epoch(ts) / 3600) * 3600 + k.i * 900 > epoch(ts)
-    )
-    SELECT window_start, window_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-    FROM exploded
-    GROUP BY window_start, window_end
-    ORDER BY window_start, window_end
-    """,
-)
-def tvf_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUMULATE step=15min max=1h (syntax-test.fsql:231-239)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        cumulate(ev, "ts", 900, 3600)
-        .groupBy("window_start", "window_end")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
-        )
-    )

@@ -19,15 +19,15 @@ from flink_sql_toolkit_spark.tables import TPCH_TABLES
 # sample of oracle-checked queries compared in-test (one per family)
 PARITY_SAMPLE = [
     "q1_pricing_summary",
-    "join_full_outer",
-    "agg_rollup",
+    "join_inner_outer",
+    "agg_rollup_cube",
     "window_topk_per_group",
-    "setop_intersect",
-    "subq_correlated_exists",
+    "setop_union_intersect",
+    "subq_exists_any_all",
     "tvf_session",
     "dedup_exact",
     "sim_topk_bruteforce",
-    "text_fingerprint",
+    "text_language_id",
 ]
 
 
