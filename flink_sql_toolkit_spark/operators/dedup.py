@@ -30,6 +30,15 @@ N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 minhashes
 SHINGLE_K = 5  # word 5-grams
 
+# Degenerate-bucket cap: one boilerplate template shared by 10^6 docs
+# puts them all in one LSH bucket, and in-bucket pair expansion is
+# quadratic — 10^12 pairs from a single bucket. Buckets above the cap
+# are excluded from pair expansion and surfaced via
+# `lsh_template_clusters` instead: their members are already
+# near-identical to everything in the bucket, so the cluster id IS the
+# dedup verdict — emitting the pairs adds no information.
+LSH_BUCKET_CAP = 10_000
+
 
 def normalized_text(col: str = "text") -> Column:
     """Canonical form for exact dedup: lowercase, collapsed whitespace."""
@@ -165,9 +174,15 @@ MINHASH_SQL = f"""
              md5(array_to_string(sig[b.i * {BAND_SIZE} + 1 : (b.i + 1) * {BAND_SIZE}], ',')) AS band_key
       FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_HASHES // BAND_SIZE})) AS i) b
     ),
+    ok AS (
+      SELECT band, band_key FROM bands GROUP BY band, band_key
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {LSH_BUCKET_CAP}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN ok USING (band, band_key)
+      JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
@@ -183,13 +198,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a band self-join would recompute the whole shingle→minhash
     lineage for each side and shuffle it twice). The one shuffle
     carries (16-byte key, doc_id). Bucket skew (giant clusters of one
-    template) is the known hazard at 100 TB: pair expansion is
-    quadratic per bucket, so degenerate buckets should be capped
-    (drop or sample buckets over ~10⁴ docs — their members are
-    already near-identical to everything in the bucket).
+    template) is quadratic per bucket, so buckets larger than
+    ``LSH_BUCKET_CAP`` are excluded here and surfaced as flagged
+    template clusters by `lsh_template_clusters`.
     """
+    ok, _flagged = _lsh_grouped_buckets(spark, sf_dir)
+    return (
+        ok.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+        .select("doc_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"))
+        .distinct()
+    )
+
+
+def _lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1))).alias("band"),
@@ -202,16 +225,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    buckets = (
-        bands.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+
+
+def _lsh_grouped_buckets(
+    spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(pair-expandable buckets, flagged template clusters).
+
+    Buckets with 2..cap members go to pair expansion; buckets above
+    the cap are the degenerate "template cluster" side-output —
+    returned as (band, band_key, n_docs, sample_ids) so the pipeline
+    can count/report them without ever paying the quadratic expansion.
+
+    Note: the single-pass collect_set still materializes a flagged
+    bucket's id list as one array row (8 MB per 10^6-doc bucket) —
+    fine up to ~10^6; past that the production variant counts bucket
+    sizes in a first pass (pure partial-agg, no arrays) and anti-joins
+    oversized keys before any collect.
+    """
+    bands = _lsh_band_keys(spark, sf_dir)
+    grouped = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
-    return (
-        buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
-        .select("doc_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"))
-        .distinct()
+    ok = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= cap))
+    flagged = grouped.filter(F.size("ids") > cap).select(
+        "band",
+        "band_key",
+        F.size("ids").alias("n_docs"),
+        F.slice("ids", 1, 10).alias("sample_ids"),
     )
+    return ok, flagged
+
+
+def lsh_template_clusters(
+    spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Flagged degenerate LSH buckets (template clusters) — the
+    side-output companion to `dedup_minhash_lsh`."""
+    return _lsh_grouped_buckets(spark, sf_dir, cap)[1]
 
 
 @register(
@@ -223,9 +274,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(sig[b.i * {BAND_SIZE} + 1 : (b.i + 1) * {BAND_SIZE}], ',')) AS band_key
       FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_HASHES // BAND_SIZE})) AS i) b
     ),
+    ok AS (
+      SELECT band, band_key FROM bands GROUP BY band, band_key
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN ok USING (band, band_key)
+      JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -37,6 +37,33 @@ N_ANCHORS = 4  # → 16 buckets; production: 12-16 bits
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
 TOP_K = 5
 
+# A query side is only broadcast when it is verifiably small. The
+# registered queries derive Q from the corpus (vec_id % 50 == 0 — 2%
+# of it), and a corpus-proportional F.broadcast would grow to TBs at
+# the 100 TB target while overriding AQE's size sanity check. Past the
+# limit the join runs unhinted: shuffle equi-join on the bucket /
+# cluster key for the ANN paths, partitioned nested-loop for brute
+# force.
+BROADCAST_QUERY_LIMIT = 100_000
+
+# Same degenerate-bucket hazard as dedup's LSH banding: a bucket with
+# B members yields B² near-dup pairs. Oversized buckets are excluded
+# from the pair self-join and surfaced via `neardup_dense_buckets`.
+NEARDUP_BUCKET_CAP = 10_000
+
+
+def _query_side(q: DataFrame, limit: int = BROADCAST_QUERY_LIMIT) -> DataFrame:
+    """Broadcast ``q`` only when it is known-small.
+
+    The probe is `limit(n+1).count()` — Spark's CollectLimit
+    terminates the scan early, so the check never pays a full corpus
+    pass. Above the limit the frame is returned unhinted and
+    Catalyst/AQE picks the shuffle strategy.
+    """
+    if q.limit(limit + 1).count() <= limit:
+        return F.broadcast(q)
+    return q
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product, elements cast to double."""
@@ -76,20 +103,32 @@ def _dot_sql(a: str, b: str) -> str:
     ORDER BY query_id, rn
     """,
 )
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set over the corpus.
+def sim_topk_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame | None = None,
+    broadcast_limit: int = BROADCAST_QUERY_LIMIT,
+) -> DataFrame:
+    """Exact cosine top-k over a parameterized query set.
 
-    The corpus never shuffles — queries are broadcast, scoring is
-    map-side, and the only shuffle is the window top-k on query_id
-    (|Q|·N rows pre-filtered to k per query by the window). This is
-    the plan shape that survives a 100 TB corpus.
+    With a small Q the query side is broadcast, scoring is map-side,
+    and the only shuffle is the window top-k on query_id (|Q|·N rows
+    pre-filtered to k per query by the window) — the plan shape that
+    survives a 100 TB corpus. Past ``broadcast_limit`` the hint is
+    dropped and Spark falls back to a partitioned nested-loop; at that
+    size brute force is the wrong tool anyway — use the LSH/IVF paths.
+    ``queries`` defaults to the fixture's fixed (query_id, qv) slice.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    q = (
+        queries
+        if queries is not None
+        else emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        emb.join(_query_side(q, broadcast_limit), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -172,14 +211,20 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rn
     """,
 )
-def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_limit: int = BROADCAST_QUERY_LIMIT,
+) -> DataFrame:
     """ANN top-k with multi-probe LSH: each query searches its own
     bucket plus every Hamming-distance-1 bucket (bits+1 probes).
 
-    Still an equi-join on the bucket key — the corpus is hashed once;
-    only the (tiny) query side explodes by bits+1. Multi-probe is the
-    standard recall lever that avoids duplicating the corpus into
-    multiple hash tables.
+    An equi-join on the bucket key — the corpus is hashed once; only
+    the query side explodes by bits+1. Multi-probe is the standard
+    recall lever that avoids duplicating the corpus into multiple hash
+    tables. A small Q is broadcast; past ``broadcast_limit`` the join
+    runs as a shuffle equi-join on the bucket key (both sides
+    partition by bucket — no corpus-sized broadcast ever).
     """
     buckets = lsh_buckets(spark, sf_dir)
     qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -200,7 +245,7 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(flips).alias("bucket"),
     )
     scored = (
-        buckets.join(F.broadcast(q), "bucket")
+        buckets.join(_query_side(q, broadcast_limit), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -285,12 +330,17 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rn
     """,
 )
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_limit: int = BROADCAST_QUERY_LIMIT,
+) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into anchor cells,
-    search only the query's cell (nprobe=1; recall grows with nprobe
-    by unioning the next-nearest cells). The inverted-list join is an
-    equi-join on cluster_id — at 100 TB each cell is a partition-
-    local scan of ~N/k vectors."""
+    search only the query's cell plus its second-nearest (nprobe=2).
+    The inverted-list join is an equi-join on cluster_id — at 100 TB
+    each cell is a partition-local scan of ~N/k vectors. A small Q is
+    broadcast; past ``broadcast_limit`` the join shuffles both sides
+    on cluster_id instead."""
     ivf = ivf_assignments(spark, sf_dir)
     q = ivf.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -298,7 +348,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("cluster_id", "cluster2_id")).alias("cluster_id"),
     )
     scored = (
-        ivf.join(F.broadcast(q), "cluster_id")
+        ivf.join(_query_side(q, broadcast_limit), "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -317,26 +367,40 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_embedding_neardup",
     oracle=f"""
-    WITH {BUCKET_SQL}
+    WITH {BUCKET_SQL},
+    ok AS (
+      SELECT bucket FROM buckets GROUP BY bucket
+      HAVING COUNT(*) <= {NEARDUP_BUCKET_CAP}
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_dot_sql('a.embedding', 'b.embedding')} AS cosine
-    FROM buckets a JOIN buckets b
+    FROM buckets a
+    JOIN ok USING (bucket)
+    JOIN buckets b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_dot_sql('a.embedding', 'b.embedding')} >= 0.99
     ORDER BY vec_a, vec_b
     """,
 )
-def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_embedding_neardup(
+    spark: SparkSession, sf_dir: str, cap: int = NEARDUP_BUCKET_CAP
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets.
 
     Same-bucket self-join (equi on bucket) keeps the pair count near
     linear; the 0.99 threshold is exact cosine on the surviving pairs.
+    Buckets over ``cap`` members are excluded from the quadratic
+    self-join (their B² pairs would dominate everything) and surfaced
+    by `neardup_dense_buckets` as flagged dense clusters instead.
     """
     buckets = lsh_buckets(spark, sf_dir)
-    a = buckets.select(
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    ok = sizes.filter(F.col("n_vecs") <= cap).select("bucket")
+    capped = buckets.join(F.broadcast(ok), "bucket")
+    a = capped.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
     )
-    b = buckets.select(
+    b = capped.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
     )
     return (
@@ -345,4 +409,19 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", dot(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.99)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def neardup_dense_buckets(
+    spark: SparkSession, sf_dir: str, cap: int = NEARDUP_BUCKET_CAP
+) -> DataFrame:
+    """Flagged dense-bucket side-output for `sim_embedding_neardup`:
+    (bucket, n_vecs) for buckets whose size exceeds the cap. The
+    distinct bucket key set is tiny (2^bits), so the ok-set broadcast
+    in the main path is bounded regardless of corpus size."""
+    buckets = lsh_buckets(spark, sf_dir)
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > cap)
     )

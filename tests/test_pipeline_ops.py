@@ -101,3 +101,58 @@ def test_topk_is_k_per_query(spark, sf_dir):
     for sims in per_query.values():
         assert len(sims) == 5
         assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_cap_flags_template_clusters(spark, sf_dir):
+    """With an artificially tiny cap, oversized buckets move to the
+    flagged side-output instead of pair expansion — capped expansion
+    is the 100 TB guard against quadratic template clusters."""
+    from flink_sql_toolkit_spark.operators.dedup import (
+        _lsh_grouped_buckets,
+        lsh_template_clusters,
+    )
+
+    ok, flagged = _lsh_grouped_buckets(spark, sf_dir, cap=2)
+    ok_sizes = [r.n for r in ok.select(F.size("ids").alias("n")).collect()]
+    assert all(2 <= n <= 2 for n in ok_sizes)
+    fl = lsh_template_clusters(spark, sf_dir, cap=2).collect()
+    assert all(r.n_docs > 2 for r in fl)
+    assert all(len(r.sample_ids) <= 10 for r in fl)
+    # nothing lost: every multi-doc bucket lands on exactly one side
+    default_ok, _ = _lsh_grouped_buckets(spark, sf_dir)
+    assert default_ok.count() == len(ok_sizes) + len(fl)
+
+
+def test_neardup_bucket_cap(spark, sf_dir):
+    from flink_sql_toolkit_spark.operators.similarity import (
+        neardup_dense_buckets,
+        sim_embedding_neardup,
+    )
+
+    # cap=1 excludes every pair-capable bucket -> no pairs, all flagged
+    assert sim_embedding_neardup(spark, sf_dir, cap=1).count() == 0
+    dense = neardup_dense_buckets(spark, sf_dir, cap=1).collect()
+    assert dense and all(r.n_vecs > 1 for r in dense)
+    # default cap leaves the fixture result unchanged
+    assert sim_embedding_neardup(spark, sf_dir).count() == QUERIES[
+        "sim_embedding_neardup"
+    ](spark, sf_dir).count()
+
+
+def test_large_query_set_not_broadcast(spark, sf_dir):
+    """Past the broadcast limit, the ANN joins must not hint a
+    broadcast of the corpus-derived query side (the anchors broadcast
+    — a bounded dim — is the only one allowed)."""
+    from flink_sql_toolkit_spark.operators.similarity import sim_lsh_bucketed
+
+    def n_broadcast_hints(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("strategy=broadcast")
+
+    hinted = sim_lsh_bucketed(spark, sf_dir)
+    unhinted = sim_lsh_bucketed(spark, sf_dir, broadcast_limit=0)
+    assert n_broadcast_hints(unhinted) < n_broadcast_hints(hinted)
+    # and the fallback plan computes the identical result
+    a = {tuple(r) for r in hinted.collect()}
+    b = {tuple(r) for r in unhinted.collect()}
+    assert a == b
