@@ -5,16 +5,21 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count of a cached-free plan —
-results are fully materialized, nothing collected to the driver
-beyond the count). A warm-up query amortizes JVM/codegen startup so
-numbers reflect steady-state engine throughput.
+Each query is executed to completion (noop-sink write — results are
+fully materialized, nothing collected to the driver). A warm-up query
+amortizes JVM/codegen startup; each query then runs ITERS times and
+the reported number is the per-query MEDIAN (single-shot numbers at
+this scale have run-to-run variance comparable to a real 30%
+regression — round-2's bench drifted 1.24× with zero benched-path
+code changes). The max-min spread per query is reported alongside so
+a reader can tell signal from noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -56,18 +61,20 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer reads
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        # best-of-2: the first run pays file-listing/codegen noise
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(iters):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "iters": iters,
+                "spread": spread,
             }
         )
     )

@@ -52,15 +52,25 @@ BROADCAST_QUERY_LIMIT = 100_000
 NEARDUP_BUCKET_CAP = 10_000
 
 
-def _query_side(q: DataFrame, limit: int = BROADCAST_QUERY_LIMIT) -> DataFrame:
+def _query_side(
+    q: DataFrame,
+    limit: int = BROADCAST_QUERY_LIMIT,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Broadcast ``q`` only when it is known-small.
 
     The probe is `limit(n+1).count()` — Spark's CollectLimit
     terminates the scan early, so the check never pays a full corpus
-    pass. Above the limit the frame is returned unhinted and
-    Catalyst/AQE picks the shuffle strategy.
+    pass. Callers whose ``q`` has an expensive derived lineage
+    (bucketing, cluster assignment) pass ``probe`` = the cheap
+    upstream frame whose row count upper-bounds |Q| to within the
+    caller's known fan-out (the probe job is then a pushed-filter
+    parquet scan, not a re-run of the corpus-wide lineage). Above the
+    limit the frame is returned unhinted and Catalyst/AQE picks the
+    shuffle strategy.
     """
-    if q.limit(limit + 1).count() <= limit:
+    counted = probe if probe is not None else q
+    if counted.limit(limit + 1).count() <= limit:
         return F.broadcast(q)
     return q
 
@@ -244,8 +254,11 @@ def sim_lsh_bucketed(
         F.col("embedding").alias("qv"),
         F.explode(flips).alias("bucket"),
     )
+    q_probe = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0
+    )
     scored = (
-        buckets.join(_query_side(q, broadcast_limit), "bucket")
+        buckets.join(_query_side(q, broadcast_limit, probe=q_probe), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -347,8 +360,11 @@ def sim_ivf_topk(
         F.col("embedding").alias("qv"),
         F.explode(F.array("cluster_id", "cluster2_id")).alias("cluster_id"),
     )
+    q_probe = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0
+    )
     scored = (
-        ivf.join(_query_side(q, broadcast_limit), "cluster_id")
+        ivf.join(_query_side(q, broadcast_limit, probe=q_probe), "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
