@@ -82,25 +82,55 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         first = table.columns[0].name
         return raw.select(value.alias(first), "timestamp", "partition", "offset", "topic")
     if fmt in ("avro", "avro-confluent"):
-        payload = F.col("value")
-        if fmt == "avro-confluent":
-            # Confluent wire format: magic byte + 4-byte schema id
-            # before the avro body (syntax-test.fsql:626-636) — strip 5
-            payload = F.expr("substring(value, 6, length(value) - 5)")
+        import json as _json  # noqa: PLC0415
+
+        from flink_sql_toolkit_spark.sources.avro_codec import (  # noqa: PLC0415
+            avro_decode_mapper,
+            avro_schema_for_columns,
+            parse_schema,
+        )
+
+        confluent = fmt == "avro-confluent"
+        schema_str = table.options.get(
+            "avro.schema", table.options.get("avro-confluent.schema", "")
+        )
+        # Flink derives the avro schema from the DDL when no explicit
+        # schema option is given — mirror that.
+        avro_schema = (
+            parse_schema(schema_str)
+            if schema_str
+            else avro_schema_for_columns(table.columns)
+        )
         try:
+            # Preferred: JVM from_avro (external spark-avro module) —
+            # whole-stage, no Python in the decode path.
             from pyspark.sql.avro.functions import from_avro  # noqa: PLC0415
 
-            schema_str = table.options.get(
-                "avro.schema", table.options.get("avro-confluent.schema", "")
+            payload = (
+                # Confluent wire format: magic byte + 4-byte schema id
+                # before the avro body (syntax-test.fsql:626-636)
+                F.expr("substring(value, 6, length(value) - 5)")
+                if confluent
+                else F.col("value")
             )
             return raw.select(
-                from_avro(payload, schema_str).alias("_row"),
+                from_avro(payload, _json.dumps(avro_schema)).alias("_row"),
                 "timestamp", "partition", "offset", "topic",
             ).select("_row.*", "timestamp", "partition", "offset", "topic")
-        except Exception as e:  # noqa: BLE001
-            raise ValueError(
-                f"avro decode needs the spark-avro package: {e}"
-            ) from e
+        except Exception:  # noqa: BLE001  (spark-avro jar not bundled)
+            from pyspark.sql.types import StructType  # noqa: PLC0415
+
+            picked = raw.select("value", "timestamp", "partition", "offset", "topic")
+            out_schema = StructType(
+                list(StructType.fromDDL(schema).fields)
+                + [f for f in picked.schema.fields if f.name != "value"]
+            )
+            return picked.mapInPandas(
+                avro_decode_mapper(
+                    avro_schema, [c.name for c in table.columns], confluent
+                ),
+                schema=out_schema,
+            )
     raise ValueError(f"unsupported format '{fmt}'")
 
 
