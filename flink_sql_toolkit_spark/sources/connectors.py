@@ -48,24 +48,70 @@ _STARTUP_MODES = {
 }
 
 
+def _decode_envelope(
+    raw: DataFrame, table: ConnectorTable, value, extras: list[str]
+) -> DataFrame:
+    """Decode a CDC changelog envelope (debezium/canal/maxwell JSON)
+    into declared columns + ``_op`` + ``_ts_ms`` (CUSTOM changelog
+    decode, SURVEY §2.2). Delete events carry the *before* image (the
+    after image is null for 'd'), so downstream latest-per-key
+    materialization can resolve the deleted key. ``_ts_ms`` is the
+    envelope's event time, the ordering column for the standard Flink
+    dedup recipe (ROW_NUMBER per PK DESC, keep rn=1, drop deletes)."""
+    fmt = table.format
+    schema = table.schema_ddl()
+    if fmt == "debezium-json":
+        parsed = F.from_json(
+            value,
+            f"before struct<{schema}>, after struct<{schema}>, op string, ts_ms bigint",
+        )
+        env = raw.withColumn("_env", parsed)
+        img = F.when(F.col("_env.op") == "d", F.col("_env.before")).otherwise(
+            F.col("_env.after")
+        )
+        return env.withColumn("_img", img).select(
+            "_img.*",
+            F.col("_env.op").alias("_op"),
+            F.col("_env.ts_ms").alias("_ts_ms"),
+            *extras,
+        )
+    if fmt == "canal-json":
+        # canal: data is an ARRAY of row images; old is the prior image
+        parsed = F.from_json(
+            value, f"data array<struct<{schema}>>, type string, ts bigint"
+        )
+        env = raw.withColumn("_env", parsed)
+        return env.select(
+            F.explode("_env.data").alias("_row"),
+            F.col("_env.type").alias("_op"),
+            F.col("_env.ts").alias("_ts_ms"),
+            *extras,
+        ).select("_row.*", "_op", "_ts_ms", *extras)
+    if fmt == "maxwell-json":
+        # maxwell: data is a single OBJECT per message, ts in seconds
+        parsed = F.from_json(value, f"data struct<{schema}>, type string, ts bigint")
+        env = raw.withColumn("_env", parsed)
+        return env.select(
+            F.col("_env.data.*"),
+            F.col("_env.type").alias("_op"),
+            (F.col("_env.ts") * 1000).alias("_ts_ms"),
+            *extras,
+        )
+    raise ValueError(f"not a changelog envelope format: {fmt!r}")
+
+
+_ENVELOPE_FORMATS = ("debezium-json", "canal-json", "maxwell-json")
+
+
 def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     """Decode the Kafka value column per the declared format + schema."""
     fmt = table.format
     schema = table.schema_ddl()
     value = F.col("value").cast("string")
     if fmt == "json" or fmt.endswith("-json"):
-        # debezium/canal/maxwell envelopes: decode payload from the
-        # 'after' image (CUSTOM changelog decode, SURVEY §2.2)
-        if fmt == "debezium-json":
-            parsed = F.from_json(value, f"before struct<{schema}>, after struct<{schema}>, op string")
-            raw = raw.withColumn("_env", parsed)
-            return raw.select(F.col("_env.after.*"), F.col("_env.op").alias("_op"), "timestamp", "partition", "offset", "topic")
-        if fmt in ("canal-json", "maxwell-json"):
-            parsed = F.from_json(value, f"data array<struct<{schema}>>, type string")
-            raw = raw.withColumn("_env", parsed)
-            return (
-                raw.select(F.explode("_env.data").alias("_row"), F.col("_env.type").alias("_op"), "timestamp", "partition", "offset", "topic")
-                .select("_row.*", "_op", "timestamp", "partition", "offset", "topic")
+        if fmt in _ENVELOPE_FORMATS:
+            return _decode_envelope(
+                raw, table, value, ["timestamp", "partition", "offset", "topic"]
             )
         return raw.select(
             F.from_json(value, f"struct<{schema}>").alias("_row"),
@@ -149,6 +195,9 @@ def _apply_extensions(df: DataFrame, table: ConnectorTable, streaming: bool) -> 
         [c.name for c in table.columns]
         + [m.name for m in table.metadata]
         + [c.name for c in table.computed]
+        # changelog pseudo-columns survive so SQL over a CDC table can
+        # run the latest-per-key dedup recipe / inspect the op kind
+        + [c for c in ("_op", "_ts_ms") if c in df.columns]
     )
     df = df.select(*[c for c in declared if c in df.columns])
     if streaming and table.watermark is not None:
@@ -204,18 +253,25 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
 
         fmt = table.format
         path = opts["path"]
-        reader = (spark.readStream if streaming else spark.read).format(fmt)
-        schema = table.schema_ddl()
-        if schema:
-            reader = reader.schema(schema)
-        if fmt == "csv":
-            reader = reader.option("sep", opts.get("csv.field-delimiter", ","))
+        if fmt in _ENVELOPE_FORMATS:
+            # file-backed CDC: each line is one changelog envelope;
+            # read as text, decode to declared columns + _op/_ts_ms
+            reader = (spark.readStream if streaming else spark.read).format("text")
+        else:
+            reader = (spark.readStream if streaming else spark.read).format(fmt)
+            schema = table.schema_ddl()
+            if schema:
+                reader = reader.schema(schema)
+            if fmt == "csv":
+                reader = reader.option("sep", opts.get("csv.field-delimiter", ","))
         # Spark's file STREAM source requires a directory; a direct
         # file path becomes parent-dir + pathGlobFilter
         if streaming and os.path.isfile(path):
             reader = reader.option("pathGlobFilter", os.path.basename(path))
             path = os.path.dirname(path)
         df = reader.load(path)
+        if fmt in _ENVELOPE_FORMATS:
+            df = _decode_envelope(df, table, F.col("value"), [])
         return _apply_extensions(df, table, streaming)
 
     if conn == "datagen":
