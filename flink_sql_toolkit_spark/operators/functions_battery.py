@@ -366,17 +366,44 @@ def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@register("func_string_extra")
+@register(
+    "func_string_extra",
+    # DuckDB lacks these functions natively; the oracle reconstructs
+    # each from primitives so the entry is differential after all:
+    #   OVERLAY        -> substr splice
+    #   INITCAP        -> per-word upper(head)||lower(tail)
+    #   FORMAT_STRING  -> printf
+    #   PARSE_URL QUERY-> regexp after '?'
+    #   WIDTH_BUCKET   -> closed-form bucket arithmetic (double math
+    #                     identical to Spark's (v-lo)/((hi-lo)/n))
+    #   FACTORIAL      -> factorial() (hugeint -> BIGINT)
+    oracle=r"""
+    SELECT p_partkey,
+           substr(p_name, 1, 1) || 'XX' || substr(p_name, 4) AS ov,
+           array_to_string(
+             list_transform(str_split(p_name, ' '),
+                            x -> upper(substr(x, 1, 1)) || lower(substr(x, 2))),
+             ' ') AS ic,
+           printf('%s=%d', p_brand, p_size) AS fmt,
+           regexp_extract('https://example.com/p?id=' || CAST(p_partkey AS VARCHAR),
+                          '\?(.*)$', 1) AS query_part,
+           CASE WHEN CAST(p_retailprice AS DOUBLE) < 0.0 THEN 0
+                WHEN CAST(p_retailprice AS DOUBLE) >= 2000.0 THEN 11
+                ELSE CAST(floor(CAST(p_retailprice AS DOUBLE) / (2000.0 / 10)) AS BIGINT) + 1
+           END AS wb,
+           CAST(factorial(p_size % 10) AS BIGINT) AS fact
+    FROM part WHERE p_partkey < 50 ORDER BY p_partkey
+    """,
+)
 def func_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OVERLAY/INITCAP/SOUNDEX/FORMAT/PARSE_URL/WIDTH_BUCKET/FACTORIAL
-    (syntax-test.fsql:361-365,377-401) — rows-only: DuckDB lacks
-    these functions, so there is no differential oracle."""
+    """OVERLAY/INITCAP/FORMAT/PARSE_URL/WIDTH_BUCKET/FACTORIAL
+    (syntax-test.fsql:361-365,377-401). SOUNDEX lives in the rows-only
+    ``func_hash_extra`` (no tractable DuckDB reconstruction)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
     return part.select(
         "p_partkey",
         F.overlay("p_name", F.lit("XX"), 2, 2).alias("ov"),
         F.initcap("p_name").alias("ic"),
-        F.soundex("p_brand").alias("sx"),
         F.format_string("%s=%d", F.col("p_brand"), F.col("p_size")).alias("fmt"),
         F.parse_url(
             F.concat(F.lit("https://example.com/p?id="), F.col("p_partkey").cast("string")),
@@ -389,8 +416,8 @@ def func_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("func_hash_extra")
 def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SHA1/CRC32/HASH_CODE(murmur3)/XXH3_64 — rows-only (no DuckDB
-    equivalents to diff against)."""
+    """SHA1/CRC32/HASH_CODE(murmur3)/XXH3_64/SOUNDEX — rows-only (no
+    DuckDB equivalents to diff against)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select(
         "doc_id",
@@ -398,4 +425,5 @@ def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("text").cast("binary")).alias("h_crc32"),
         F.hash("text").alias("h_murmur"),
         F.xxhash64("text").alias("h_xxh64"),
+        F.soundex(F.split(F.col("text"), " ").getItem(0)).alias("sx"),
     ).orderBy("doc_id")

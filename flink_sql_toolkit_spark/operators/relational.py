@@ -645,18 +645,43 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    # Sketch estimates are engine-specific, so the raw estimate can't
+    # be diffed — but the entry IS hash-matchable by emitting the
+    # exact count alongside a bounded-error assertion on the estimate:
+    # HLL++ at default rsd 0.05 stays well inside ±15% on this data,
+    # so `approx_ok` is deterministically TRUE and the oracle pins it.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT (syntax-test.fsql:271) — HLL++ sketch.
 
-    No oracle: sketch estimates are engine-specific (driver records the
-    rows-only check). The point at 100 TB: one pass, fixed-size state,
-    no expand like exact distinct.
+    The point at 100 TB: one pass, fixed-size state, no expand like
+    exact distinct. The exact companion column is for the differential
+    gate only (it is the expensive thing the sketch replaces).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.15
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
