@@ -15,13 +15,16 @@ the (b)-tier custom operator from the build rules:
    PAST LAST ROW. Group state is one user's ordered events: bounded,
    Arrow-batched.
 
-Supported: concatenation, quantifiers ``+ * ?``, measures
+Supported: concatenation, quantifiers ``+ * ?``, alternation
+``A B | C`` (SQL:2016 ordered choice, leftmost branch preferred;
+declared by the reference grammar at
+syntaxes/flink.tmLanguage.json:363-367), measures
 ``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col) |
 CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
 MATCH (running measures per matched row), AFTER MATCH SKIP PAST LAST
 ROW / SKIP TO NEXT ROW.
-(Alternation/PERMUTE/explicit RUNNING-FINAL keywords: rejected with a
-clear error — Flink's own MATCH_RECOGNIZE rejects alternation too.)
+(PERMUTE / explicit RUNNING-FINAL keywords / empty-branch matches:
+rejected with a clear error.)
 """
 
 from __future__ import annotations
@@ -44,16 +47,26 @@ class PatternToken:
     quantifier: str  # '', '+', '*', '?'
 
 
-def _parse_pattern(pattern: str) -> list[PatternToken]:
-    tokens = []
-    for tok in pattern.strip().split():
-        m = re.match(r"^(\w+)([+*?]?)$", tok)
-        if not m:
-            raise ValueError(
-                f"unsupported PATTERN element '{tok}' (subset: symbols with + * ?)"
-            )
-        tokens.append(PatternToken(m.group(1), m.group(2)))
-    return tokens
+def _parse_pattern(pattern: str) -> list[list[PatternToken]]:
+    """Parse ``PATTERN`` body into alternation branches (SQL:2016
+    ordered choice: ``A B | C`` tries the ``A B`` concatenation first,
+    then ``C``). Each branch is a concatenation of quantified
+    symbols."""
+    branches: list[list[PatternToken]] = []
+    for branch in pattern.split("|"):
+        tokens = []
+        for tok in branch.strip().split():
+            m = re.match(r"^(\w+)([+*?]?)$", tok)
+            if not m:
+                raise ValueError(
+                    f"unsupported PATTERN element '{tok}' (subset: symbols "
+                    "with + * ?, alternation with |)"
+                )
+            tokens.append(PatternToken(m.group(1), m.group(2)))
+        if not tokens:
+            raise ValueError(f"empty alternation branch in PATTERN '{pattern}'")
+        branches.append(tokens)
+    return branches
 
 
 _MEASURE_RE = re.compile(
@@ -110,12 +123,13 @@ def match_recognize(
             "(subset: past_last_row, to_next_row)"
         )
     skip_past = after_match == "past_last_row"
-    tokens = _parse_pattern(pattern)
-    for t in tokens:
+    branches = _parse_pattern(pattern)
+    all_tokens = [t for br in branches for t in br]
+    for t in all_tokens:
         if t.symbol not in define:
             # undefined symbols match every row (SQL standard default)
             define[t.symbol] = "true"
-    symbols = {t.symbol for t in tokens} | set(define)
+    symbols = {t.symbol for t in all_tokens} | set(define)
     define = {
         s: _strip_symbol_quals(c, s, symbols - {s}) for s, c in define.items()
     }
@@ -194,10 +208,12 @@ def match_recognize(
     two_sym_plus = (
         skip_past
         and not all_rows
-        and len(tokens) == 2
-        and tokens[0].quantifier == "+"
-        and tokens[1].quantifier == ""
+        and len(branches) == 1
+        and len(branches[0]) == 2
+        and branches[0][0].quantifier == "+"
+        and branches[0][1].quantifier == ""
     )
+    fast_tokens = branches[0] if two_sym_plus else None
 
     def run_fast_plus(pdf: pd.DataFrame):
         """Whole-partition vectorized matcher for PATTERN (A+ B).
@@ -211,7 +227,7 @@ def match_recognize(
         """
         import numpy as np  # noqa: PLC0415
 
-        a_sym, b_sym = tokens[0].symbol, tokens[1].symbol
+        a_sym, b_sym = fast_tokens[0].symbol, fast_tokens[1].symbol
         a = pdf[f"_sym_{a_sym}"].to_numpy(dtype=bool)
         b = pdf[f"_sym_{b_sym}"].to_numpy(dtype=bool)
         if (a & b).any():
@@ -303,38 +319,51 @@ def match_recognize(
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
         # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
-        sym_vals = {t.symbol: pdf[f"_sym_{t.symbol}"].to_numpy() for t in tokens}
+        sym_vals = {
+            t.symbol: pdf[f"_sym_{t.symbol}"].to_numpy() for t in all_tokens
+        }
         # numpy views for measure extraction — .iloc per match is slow
         col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
         key_row = {k: pdf.iloc[0][k] for k in key_cols}
 
-        def match_at(pos: int, ti: int) -> list[tuple[int, str]] | None:
+        def match_at(
+            toks: list[PatternToken], pos: int, ti: int
+        ) -> list[tuple[int, str]] | None:
             """Greedy with backtracking; returns [(row_idx, symbol)]."""
-            if ti == len(tokens):
+            if ti == len(toks):
                 return []
-            tok = tokens[ti]
+            tok = toks[ti]
             ok = sym_vals[tok.symbol]
             if tok.quantifier == "":
                 if pos < n and ok[pos]:
-                    rest = match_at(pos + 1, ti + 1)
+                    rest = match_at(toks, pos + 1, ti + 1)
                     if rest is not None:
                         return [(pos, tok.symbol)] + rest
                 return None
             if tok.quantifier == "?":
                 if pos < n and ok[pos]:
-                    rest = match_at(pos + 1, ti + 1)
+                    rest = match_at(toks, pos + 1, ti + 1)
                     if rest is not None:
                         return [(pos, tok.symbol)] + rest
-                return match_at(pos, ti + 1)
+                return match_at(toks, pos, ti + 1)
             # + / * : consume greedily, backtrack down
             max_k = 0
             while pos + max_k < n and ok[pos + max_k]:
                 max_k += 1
             min_k = 1 if tok.quantifier == "+" else 0
             for k in range(max_k, min_k - 1, -1):
-                rest = match_at(pos + k, ti + 1)
+                rest = match_at(toks, pos + k, ti + 1)
                 if rest is not None:
                     return [(pos + i, tok.symbol) for i in range(k)] + rest
+            return None
+
+        def match_any(pos: int) -> list[tuple[int, str]] | None:
+            """SQL:2016 alternation = ordered choice: the first branch
+            (left to right) with a non-empty match at ``pos`` wins."""
+            for br in branches:
+                assignment = match_at(br, pos, 0)
+                if assignment:
+                    return assignment
             return None
 
         def fill_measures(
@@ -370,7 +399,7 @@ def match_recognize(
         pos = 0
         match_no = 0  # run_nfa sees one key group → counter is per-key
         while pos < n:
-            assignment = match_at(pos, 0)
+            assignment = match_any(pos)
             if assignment:
                 match_no += 1
                 if all_rows:
@@ -495,6 +524,54 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.select("user_id", "start_ts", "purchase_ts", "n_before")
+
+
+@register(
+    "match_recognize_alternation",
+    # Single-row branches make every match reconstructible row-wise:
+    # a row matches P (purchase) or else H (high-value); ordered
+    # choice means a high-value purchase classifies as 'P'. Match
+    # numbering restarts per user and counts matches in event order.
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CASE WHEN event_type = 'purchase' THEN 'P' ELSE 'H' END AS kind,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mn
+    FROM events
+    WHERE event_type = 'purchase' OR value > 75
+    ORDER BY user_id, mn
+    """,
+)
+def match_recognize_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (P | H): alternation with overlapping DEFINEs — a row
+    that is both a purchase and high-value must classify as 'P'
+    (SQL:2016 leftmost-branch preference). CLASSIFIER() +
+    MATCH_NUMBER() prove which branch won and per-key numbering."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="P | H",
+        define={
+            "P": "event_type = 'purchase'",
+            "H": "value > 75",
+        },
+        measures={
+            "p_event": "FIRST(P.event_id)",
+            "h_event": "FIRST(H.event_id)",
+            "kind": "CLASSIFIER()",
+            "mn": "MATCH_NUMBER()",
+        },
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("p_event", "h_event").alias("event_id"),
+        "kind",
+        "mn",
+    ).orderBy("user_id", "mn")
 
 
 @register(

@@ -219,7 +219,9 @@ def test_match_recognize_sql_via_engine(spark):
 def test_match_recognize_rejects_unsupported(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "seq"])
     with pytest.raises(ValueError):
-        match_recognize(df, ["k"], ["seq"], "A | B", {}, {"x": "FIRST(A.seq)"})
+        match_recognize(df, ["k"], ["seq"], "PERMUTE(A, B)", {}, {"x": "FIRST(A.seq)"})
+    with pytest.raises(ValueError):
+        match_recognize(df, ["k"], ["seq"], "A | ", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "STDDEV(A.seq)"})
     with pytest.raises(ValueError):
@@ -351,3 +353,75 @@ def test_classifier_and_match_number(spark):
     all_rows = match_recognize(df, pattern="A+ B", all_rows=True, **common).collect()
     k1 = [(r.seq, r.cls, r.mn) for r in sorted(all_rows, key=lambda r: (r.k, r.seq)) if r.k == "k"]
     assert k1 == [(1, "A", 1), (2, "B", 1), (3, "A", 2), (4, "A", 2), (5, "B", 2)]
+
+
+def test_match_recognize_alternation_ordered_choice(spark):
+    """PATTERN (P | H): a row satisfying both branches classifies as
+    the LEFTMOST branch (SQL:2016 ordered choice)."""
+    rows = [
+        ("u", 1, "purchase", 10.0),   # P only
+        ("u", 2, "view", 90.0),       # H only
+        ("u", 3, "purchase", 99.0),   # both -> must be P
+        ("u", 4, "view", 5.0),        # neither -> no match
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "t", "v"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="P | H",
+        define={"P": "t = 'purchase'", "H": "v > 75"},
+        measures={"cls": "CLASSIFIER()", "mn": "MATCH_NUMBER()",
+                  "p_seq": "FIRST(P.seq)", "h_seq": "FIRST(H.seq)"},
+    ).collect()
+    got = sorted((r.mn, r.cls, r.p_seq, r.h_seq) for r in out)
+    assert got == [(1, "P", 1, None), (2, "H", None, 2), (3, "P", 3, None)]
+
+
+def test_match_recognize_alternation_multi_token_branch(spark):
+    """PATTERN (A B | C): the two-row branch is preferred where it
+    fits; SKIP PAST LAST ROW advances past the whole branch match."""
+    rows = [
+        ("u", 1, "a"),  # A
+        ("u", 2, "b"),  # B -> match 1 = (A B), skips past seq 2
+        ("u", 3, "c"),  # match 2 = (C)
+        ("u", 4, "a"),  # A with no following B -> no match
+        ("u", 5, "c"),  # match 3 = (C)
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B | C",
+        define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+        measures={"cls": "CLASSIFIER()", "mn": "MATCH_NUMBER()",
+                  "a_seq": "FIRST(A.seq)", "c_seq": "FIRST(C.seq)"},
+    ).collect()
+    got = sorted((r.mn, r.cls, r.a_seq, r.c_seq) for r in out)
+    assert got == [(1, "B", 1, None), (2, "C", None, 3), (3, "C", None, 5)]
+
+
+def test_match_recognize_alternation_sql_path(spark):
+    """Alternation through the MATCH_RECOGNIZE SQL clause."""
+    from flink_sql_toolkit_spark.dialect.mr_sql import rewrite_match_recognize_sql
+
+    rows = [("u", 1, "x"), ("u", 2, "y"), ("u", 3, "z")]
+    spark.createDataFrame(rows, ["k", "seq", "t"]).createOrReplaceTempView("alt_src")
+    stmt = rewrite_match_recognize_sql(
+        spark,
+        """
+        SELECT k, cls FROM alt_src
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (X | Y)
+            DEFINE X AS X.t = 'x', Y AS Y.t = 'y'
+        )
+        """,
+    )
+    got = sorted(r.cls for r in spark.sql(stmt).collect())
+    assert got == ["X", "Y"]
