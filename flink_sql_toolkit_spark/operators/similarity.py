@@ -70,9 +70,22 @@ def _query_side(
     shuffle strategy.
     """
     counted = probe if probe is not None else q
-    if counted.limit(limit + 1).count() <= limit:
+    if _probe_is_small(counted, limit):
         return F.broadcast(q)
     return q
+
+
+# (plan-fingerprint, limit) -> bool. The probe verdict for a given
+# lineage is stable within a session, so repeated query builds (bench
+# iterations, paged re-execution) skip the extra count job.
+_PROBE_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def _probe_is_small(counted: DataFrame, limit: int) -> bool:
+    key = (counted._jdf.queryExecution().logical().semanticHash(), limit)
+    if key not in _PROBE_CACHE:
+        _PROBE_CACHE[key] = counted.limit(limit + 1).count() <= limit
+    return _PROBE_CACHE[key]
 
 
 def dot(a: Column, b: Column) -> Column:
