@@ -85,23 +85,21 @@ def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None
         return _c(("current catalog name", "string")), [[spark.catalog.currentCatalog()]]
     if s == "SHOW CURRENT DATABASE":
         return _c(("current database name", "string")), [[spark.catalog.currentDatabase()]]
+    # listing commands read through the session's TTL metadata cache
+    # (src/catalogProvider.ts:349-377) — repeated SHOW calls within
+    # the TTL cost no catalog round-trip
     if s == "SHOW CATALOGS":
-        return _c(("catalog name", "string")), [[c.name] for c in spark.catalog.listCatalogs()]
+        return _c(("catalog name", "string")), [[c] for c in session.metadata.catalogs()]
     if s.startswith("SHOW DATABASES"):
-        return _c(("database name", "string")), [[d.name] for d in spark.catalog.listDatabases()]
+        return _c(("database name", "string")), [[d] for d in session.metadata.databases()]
     if s.startswith("SHOW TABLES"):
-        rows = [[t.name] for t in spark.catalog.listTables()]
-        rows += [[name] for name in session.connector_tables if [name] not in rows]
-        return _c(("table name", "string")), sorted(rows)
+        return _c(("table name", "string")), [[t] for t in session.metadata.tables()]
     if s.startswith("SHOW VIEWS"):
-        return (
-            _c(("view name", "string")),
-            sorted([t.name] for t in spark.catalog.listTables() if t.tableType in ("TEMPORARY", "VIEW")),
-        )
+        return _c(("view name", "string")), [[v] for v in session.metadata.views()]
     if s.startswith("SHOW FUNCTIONS"):
         return (
             _c(("function name", "string")),
-            [[f.name] for f in spark.catalog.listFunctions()],
+            [[f] for f in session.metadata.functions()],
         )
     if s == "SHOW JOBS":
         return (
@@ -148,35 +146,41 @@ def handle_describe(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | 
         ("extras", "string"),
         ("watermark", "string"),
     )
-    rows: Rows = []
-    ct = session.connector_tables.get(name)
-    if ct is not None:
-        pk = set(ct.primary_key)
-        wm = f"`{ct.watermark.column}` AS {ct.watermark.delay_expr}" if ct.watermark else None
-        for c in ct.columns:
-            rows.append(
-                [c.name, c.spark_type.upper(), c.nullable, "PRI(NOT ENFORCED)" if c.name in pk else None, None,
-                 wm if ct.watermark and ct.watermark.column == c.name else None]
-            )
-        for mc in ct.metadata:
-            rows.append([mc.name, mc.spark_type.upper(), True, None,
-                         f"METADATA FROM '{mc.key}'" + (" VIRTUAL" if mc.virtual else ""), None])
-        for cc in ct.computed:
-            rows.append([cc.name, "", True, None, f"AS {cc.expr}", None])
-        return cols, rows
-    for f in session.spark.sql(f"SELECT * FROM {name} WHERE 1=0").schema.fields:
-        rows.append([f.name, f.dataType.simpleString().upper(), f.nullable, None, None, None])
-    return cols, rows
+
+    def fetch() -> Rows:
+        rows: Rows = []
+        ct = session.connector_tables.get(name)
+        if ct is not None:
+            pk = set(ct.primary_key)
+            wm = f"`{ct.watermark.column}` AS {ct.watermark.delay_expr}" if ct.watermark else None
+            for c in ct.columns:
+                rows.append(
+                    [c.name, c.spark_type.upper(), c.nullable, "PRI(NOT ENFORCED)" if c.name in pk else None, None,
+                     wm if ct.watermark and ct.watermark.column == c.name else None]
+                )
+            for mc in ct.metadata:
+                rows.append([mc.name, mc.spark_type.upper(), True, None,
+                             f"METADATA FROM '{mc.key}'" + (" VIRTUAL" if mc.virtual else ""), None])
+            for cc in ct.computed:
+                rows.append([cc.name, "", True, None, f"AS {cc.expr}", None])
+            return rows
+        for f in session.spark.sql(f"SELECT * FROM {name} WHERE 1=0").schema.fields:
+            rows.append([f.name, f.dataType.simpleString().upper(), f.nullable, None, None, None])
+        return rows
+
+    return cols, session.metadata.describe_rows(name, fetch)
 
 
 def handle_use(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
     m = re.match(r"(?is)^USE\s+CATALOG\s+([\w.`]+)\s*;?\s*$", stmt)
     if m:
         session.spark.catalog.setCurrentCatalog(m.group(1).strip("`"))
+        session.metadata.invalidate()  # current-context listings changed
         return _c(("result", "string")), [["OK"]]
     m = re.match(r"(?is)^USE\s+([\w.`]+)\s*;?\s*$", stmt)
     if m:
         session.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))
+        session.metadata.invalidate()
         return _c(("result", "string")), [["OK"]]
     return None
 
@@ -230,6 +234,7 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
     )
     if m:
         name = m.group(1).strip("`")
+        session.metadata.invalidate_table(name)
         table = session.connector_tables.get(name)
         if table is not None:
             from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
@@ -257,6 +262,7 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
     m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+TO\s+([\w`]+)\s*;?\s*$", stmt)
     if m:
         old, new = m.group(1).strip("`"), m.group(2).strip("`")
+        session.metadata.invalidate()  # listings + both names' columns stale
         table = session.connector_tables.pop(old, None)
         if table is not None:
             table.name = new

@@ -136,6 +136,7 @@ class Operation:
             sess.spark.sql(
                 f"CREATE OR REPLACE TEMPORARY VIEW {vm.group(4)} AS {rewrite(vm.group(5))}"
             )
+            sess.metadata.invalidate()
             self._columns, self._rows = [{"name": "result", "logicalType": "string"}], [["OK"]]
             return
         dm = re.match(r"(?is)^DROP\s+(TABLE|TEMPORARY\s+TABLE|VIEW|TEMPORARY\s+VIEW)\s+(IF\s+EXISTS\s+)?([\w`]+)\s*$", stmt)
@@ -144,6 +145,7 @@ class Operation:
             existed = sess.spark.catalog.dropTempView(name)
             sess.connector_tables.pop(name, None)
             sess.connector_ddl.pop(name, None)
+            sess.metadata.invalidate()
             if not existed and not dm.group(2):
                 try:
                     sess.spark.sql(rewrite(stmt)).collect()
@@ -162,6 +164,12 @@ class Operation:
             stmt = rewrite_match_recognize_sql(sess.spark, stmt)
         # everything else: the dialect rewrite + spark.sql
         df = sess.spark.sql(rewrite(stmt))
+        # catalog-mutating statements taking this generic path (CREATE
+        # TABLE/FUNCTION/DATABASE, qualified DROPs, …) stale the
+        # metadata cache — drop it wholesale, like the reference's
+        # full refresh (catalogProvider.ts:49-50)
+        if re.match(r"(?is)^(CREATE|DROP|ALTER)\s", stmt):
+            sess.metadata.invalidate()
         if df.isStreaming:
             self._start_stream_select(df)
             return
@@ -385,7 +393,21 @@ class EngineSession:
         self.jars: list[str] = []
         self.operations: dict[str, Operation] = {}
         self.checkpoint_root = tempfile.mkdtemp(prefix=f"fstk-{name}-")
+        # TTL-cached metadata listings with in-flight dedup
+        # (src/catalogProvider.ts:349-377); SHOW/DESCRIBE and the
+        # completion API read through this, DDL invalidates it
+        from flink_sql_toolkit_spark.metadata import CatalogMetadata  # noqa: PLC0415
+
+        self.metadata = CatalogMetadata(self)
         register_function_shims(self.spark)
+
+    def completions(self, sql_text: str, line_prefix: str | None = None):
+        """Completion items at a cursor position — the engine analogue
+        of the reference's completion provider
+        (src/completionProvider.ts:69-99)."""
+        from flink_sql_toolkit_spark.metadata import completions  # noqa: PLC0415
+
+        return completions(self, sql_text, line_prefix)
 
     # -- statement lifecycle -----------------------------------------
 
@@ -441,6 +463,11 @@ class EngineSession:
         self.connector_tables[table.name] = table
         self.connector_ddl[table.name] = stmt
         self._register_view(table)
+        # per-node refresh (catalogProvider.ts:248-260): only listings
+        # and this table's columns go stale
+        self.metadata.invalidate("tables")
+        self.metadata.invalidate("views")
+        self.metadata.invalidate_table(table.name)
         return [{"name": "result", "logicalType": "string"}], [["OK"]]
 
     def _register_view(self, table: ConnectorTable) -> None:

@@ -1,0 +1,213 @@
+"""Metadata TTL cache, in-flight dedup, and completion API.
+
+Mirrors the reference's cache semantics (src/catalogProvider.ts:
+349-377: TTL hit, concurrent-request dedup, failed-fetch eviction)
+and the completion-provider metadata contract
+(src/completionProvider.ts:69-172).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from flink_sql_toolkit_spark.engine import Engine
+from flink_sql_toolkit_spark.metadata import (
+    BUILTIN_FUNCTIONS,
+    MetadataCache,
+    extract_table_references,
+)
+
+
+# -- MetadataCache unit behavior (no Spark needed) --------------------
+
+
+class FakeClock:
+    def __init__(self) -> None:
+        self.t = 0.0
+
+    def __call__(self) -> float:
+        return self.t
+
+
+def test_cache_hit_within_ttl_and_refetch_after():
+    clock = FakeClock()
+    cache = MetadataCache(ttl_s=60.0, clock=clock)
+    calls = []
+
+    def fetch():
+        calls.append(1)
+        return ["a", "b"]
+
+    assert cache.get("k", fetch) == ["a", "b"]
+    clock.t = 59.0
+    assert cache.get("k", fetch) == ["a", "b"]
+    assert len(calls) == 1  # served from cache inside the TTL
+    clock.t = 121.0
+    assert cache.get("k", fetch) == ["a", "b"]
+    assert len(calls) == 2  # expired → refetched
+
+
+def test_concurrent_requests_share_one_fetch():
+    cache = MetadataCache(ttl_s=60.0)
+    started = threading.Event()
+    release = threading.Event()
+    calls = []
+
+    def slow_fetch():
+        calls.append(1)
+        started.set()
+        release.wait(5)
+        return "data"
+
+    results = []
+    t1 = threading.Thread(target=lambda: results.append(cache.get("k", slow_fetch)))
+    t1.start()
+    assert started.wait(5)
+    # second caller arrives while the first fetch is in flight
+    t2 = threading.Thread(target=lambda: results.append(cache.get("k", slow_fetch)))
+    t2.start()
+    release.set()
+    t1.join(5)
+    t2.join(5)
+    assert results == ["data", "data"]
+    assert len(calls) == 1  # deduplicated: one real fetch
+
+
+def test_failed_fetch_is_evicted_and_retried():
+    cache = MetadataCache(ttl_s=60.0)
+    calls = []
+
+    def failing():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        cache.get("k", failing)
+    # failure was not cached: the next call retries and can succeed
+    assert cache.get("k", lambda: "ok") == "ok"
+    assert len(calls) == 1
+
+
+def test_follower_sees_leader_failure():
+    cache = MetadataCache(ttl_s=60.0)
+    started = threading.Event()
+    release = threading.Event()
+
+    def failing():
+        started.set()
+        release.wait(5)
+        raise RuntimeError("boom")
+
+    errors = []
+
+    def leader():
+        try:
+            cache.get("k", failing)
+        except RuntimeError as e:
+            errors.append(e)
+
+    def follower():
+        try:
+            cache.get("k", failing)
+        except RuntimeError as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=leader)
+    t1.start()
+    assert started.wait(5)
+    t2 = threading.Thread(target=follower)
+    t2.start()
+    release.set()
+    t1.join(5)
+    t2.join(5)
+    assert len(errors) == 2
+
+
+def test_prefix_invalidation():
+    cache = MetadataCache(ttl_s=60.0)
+    cache.get("tables:current", lambda: ["t1"])
+    cache.get("columns:orders", lambda: ["a"])
+    cache.invalidate("tables")
+    assert cache.get("tables:current", lambda: ["t2"]) == ["t2"]  # dropped
+    assert cache.get("columns:orders", lambda: ["b"]) == ["a"]  # kept
+    cache.invalidate()
+    assert cache.get("columns:orders", lambda: ["b"]) == ["b"]
+
+
+def test_extract_table_references():
+    refs = extract_table_references(
+        "SELECT o.x FROM orders AS o JOIN `lineitem` l ON o.id = l.id"
+    )
+    assert {"tableName": "orders", "alias": "o", "fullPath": "orders"} in refs
+    assert {"tableName": "lineitem", "alias": "l", "fullPath": "lineitem"} in refs
+    # implicit alias = table name; qualified path keeps last part
+    refs2 = extract_table_references("SELECT * FROM cat.db.orders WHERE x > 1")
+    assert refs2[0]["alias"] == "orders"
+    assert refs2[0]["fullPath"] == "cat.db.orders"
+
+
+# -- engine integration ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def session(spark):
+    engine = Engine(spark)
+    sess = engine.open_session("meta-test")
+    yield sess
+    sess.close()
+
+
+def test_show_tables_cached_and_invalidated_by_ddl(session):
+    session.execute_statement(
+        "CREATE TABLE meta_t1 (id INT, v STRING) WITH ('connector'='datagen')"
+    )
+    op = session.execute_statement("SHOW TABLES")
+    assert ["meta_t1"] in op.result_rows()
+    before = session.metadata.cache.fetch_count
+    session.execute_statement("SHOW TABLES")
+    assert session.metadata.cache.fetch_count == before  # cache hit
+    # DDL invalidates: the new table appears without waiting out the TTL
+    session.execute_statement(
+        "CREATE TABLE meta_t2 (id INT) WITH ('connector'='datagen')"
+    )
+    op = session.execute_statement("SHOW TABLES")
+    assert ["meta_t2"] in op.result_rows()
+
+
+def test_describe_cached_and_refreshed_on_alter(session):
+    op = session.execute_statement("DESCRIBE meta_t1")
+    names = [r[0] for r in op.result_rows()]
+    assert names == ["id", "v"]
+    before = session.metadata.cache.fetch_count
+    session.execute_statement("DESCRIBE meta_t1")
+    assert session.metadata.cache.fetch_count == before
+    session.execute_statement("ALTER TABLE meta_t1 ADD COLUMN w DOUBLE")
+    op = session.execute_statement("DESCRIBE meta_t1")
+    assert [r[0] for r in op.result_rows()] == ["id", "v", "w"]
+
+
+def test_completions_keywords_tables_and_columns(session):
+    items = session.completions("SELECT ")
+    labels = {i["label"] for i in items}
+    kinds = {i["kind"] for i in items}
+    assert "FROM" in labels and "SELECT" in labels
+    assert set(BUILTIN_FUNCTIONS) <= labels
+    assert {"keyword", "function", "catalog", "table"} <= kinds
+    assert "meta_t1" in labels
+
+
+def test_completions_alias_dot_gives_columns(session):
+    sql = "SELECT m. FROM meta_t1 m"
+    items = session.completions(sql, line_prefix="SELECT m.")
+    assert items, "dot context should produce column items"
+    assert {i["label"] for i in items} >= {"id", "v", "w"}
+    assert all(i["kind"] == "column" for i in items)  # keywords suppressed
+
+
+def test_completions_catalog_dot_gives_databases(session):
+    cat = session.spark.catalog.currentCatalog()
+    items = session.completions(f"SELECT * FROM {cat}.", line_prefix=f"SELECT * FROM {cat}.")
+    dbs = [i for i in items if i["kind"] == "database"]
+    assert any(d["label"] == "default" for d in dbs)
