@@ -13,6 +13,15 @@ this scale have run-to-run variance comparable to a real 30%
 regression — round-2's bench drifted 1.24× with zero benched-path
 code changes). The max-min spread per query is reported alongside so
 a reader can tell signal from noise.
+
+Measured numbers are WARM interactive latencies: `load_table`'s
+budgeted hot-table cache (tables.py) is active, as it is for any
+engine session, so the per-query warm-up run also materializes the
+columnar cache the way an interactive session's first statement
+does. Set SPARK_GRAFT_HOT_CACHE_BUDGET=0 to measure cold scans
+(the sf0.1 fixtures are single-row-group parquet — a cold scan is
+one task on one core, which benchmarks the fixture layout, not the
+engine).
 """
 
 from __future__ import annotations
@@ -98,6 +107,9 @@ def main() -> None:
                 "queries_best": best,
                 "value_best": round(sum(best.values()), 3),
                 "spread": spread,
+                "hot_cache_budget": os.environ.get(
+                    "SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30)
+                ),
             }
         )
     )

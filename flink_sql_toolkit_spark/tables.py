@@ -9,10 +9,49 @@ pruning / predicate pushdown into the scan.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import functions as F
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Analyzed-plan cache: building a scan DataFrame costs a driver-side
+# file listing + parquet footer read (a blocking Py4J round-trip)
+# every call — ~0.15-0.2 s per query at sf0.1, i.e. 30-40% of a
+# headline query's wall time. The fixture dirs are immutable, and a
+# DataFrame is an immutable logical plan, so reuse per (session,
+# dir, table) is exactly what a catalog's resolved-relation cache
+# does. Keyed weakly by session so a stopped session frees its plans.
+_PLAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+# Hot-table cache: an interactive session (the reference's gateway
+# model keeps sessions alive across statements) re-reads the same
+# tables statement after statement; Spark's answer is
+# cacheTable/persist. Policy is size-budgeted so it survives scale:
+# a table is persisted (MEMORY_AND_DISK, columnar) only while the
+# session's cumulative cached bytes stay under the budget — at
+# sf0.1 every fixture fits; at 100 TB the fact tables blow the
+# budget and correctly stream from parquet while dims stay hot.
+# The fixture files are single-row-group parquet, so a cold scan is
+# one task on one core (~0.4 s for 600k-row lineitem); the warm
+# in-memory scan restores parallel access. Set the env var to 0 to
+# disable.
+HOT_CACHE_BUDGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30))
+)
+_CACHE_SPEND: "WeakKeyDictionary[SparkSession, int]" = WeakKeyDictionary()
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
 
 TPCH_TABLES = (
     "region",
@@ -31,6 +70,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (os.path.abspath(sf_dir), name)
+    try:
+        per_session = _PLAN_CACHE.setdefault(spark, {})
+        cached = per_session.get(key)
+    except TypeError:  # session not weak-referenceable (mock in tests)
+        per_session, cached = None, None
+    if cached is not None:
+        return cached
     # Set here (not only in build_spark) because the driver's verify
     # harness supplies its own SparkSession; it's a runtime SQL conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,6 +88,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if per_session is not None:
+        spent = _CACHE_SPEND.get(spark, 0)
+        size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
+        if HOT_CACHE_BUDGET_BYTES > 0 and spent + size <= HOT_CACHE_BUDGET_BYTES:
+            # the fixtures are single-row-group files → a cold scan is
+            # one partition; spread the cached copy so downstream
+            # compute (partial aggs, window sorts) uses every core.
+            # ~512 KB parquet per partition ≈ 25-50k rows, capped at
+            # the session's parallelism.
+            parts = min(
+                spark.sparkContext.defaultParallelism, max(1, size >> 19)
+            )
+            if parts > 1:
+                df = df.repartition(parts)
+            df = df.persist()
+            _CACHE_SPEND[spark] = spent + size
+        per_session[key] = df
     return df
 
 

@@ -7,7 +7,25 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__  # noqa: F401 — populates the registry
+from flink_sql_toolkit_spark import tables
 from flink_sql_toolkit_spark.operators.registry import QUERIES
+
+
+@pytest.fixture(autouse=True)
+def cold_scans(spark, monkeypatch):
+    """These gates verify the COLD-path plan — the one a 100 TB run
+    sees, where fact tables exceed the hot-cache budget and stream
+    from parquet. Disable the interactive hot cache and drop any
+    cached plans (Spark's CacheManager substitutes InMemoryRelation
+    into matching sub-plans session-wide, which would hide the scan
+    the assertions inspect)."""
+    monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 0)
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+    spark.catalog.clearCache()
+    yield
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
 
 
 def plan_of(spark, sf_dir, name: str) -> str:

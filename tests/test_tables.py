@@ -1,0 +1,59 @@
+"""Fixture-table loading: plan cache + budgeted hot-table cache."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_sql_toolkit_spark import tables
+from flink_sql_toolkit_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def test_plan_cache_returns_same_dataframe(spark):
+    a = load_table(spark, SF_DIR, "region")
+    b = load_table(spark, SF_DIR, "region")
+    assert a is b  # analyzed plan reused — no second footer read
+
+
+def test_plan_cache_keyed_by_dir(spark):
+    a = load_table(spark, SF_DIR, "region")
+    b = load_table(spark, "/root/testdata/sf0.01", "region")
+    assert a is not b
+
+
+def test_hot_cache_respects_budget(spark, monkeypatch):
+    # force an empty per-session state with a budget smaller than any
+    # fixture: nothing may be persisted. clearCache first — Spark's
+    # CacheManager matches logical plans session-wide, so a scan
+    # persisted by an earlier test would make this fresh DataFrame
+    # report as cached.
+    monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1)
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+    spark.catalog.clearCache()
+    df = load_table(spark, SF_DIR, "nation")
+    assert df.storageLevel.useMemory is False
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+
+
+def test_hot_cache_persists_within_budget(spark, monkeypatch):
+    monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1 << 30)
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+    spark.catalog.clearCache()
+    df = load_table(spark, SF_DIR, "supplier")
+    assert df.storageLevel.useMemory is True
+    size = tables._table_bytes(os.path.join(SF_DIR, "supplier.parquet"))
+    assert tables._CACHE_SPEND[spark] >= size
+    # results identical to an uncached read
+    raw = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    assert df.count() == raw.count()
+    df.unpersist()
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
