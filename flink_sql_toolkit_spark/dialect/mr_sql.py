@@ -83,9 +83,15 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
         part = _clause(body, r"PARTITION\s+BY")
         order = _clause(body, r"ORDER\s+BY")
         measures_txt = _clause(body, r"MEASURES")
-        pat = re.search(r"(?is)\bPATTERN\s*\(([^()]*)\)", body)
+        # balanced-paren extraction: the body may nest parens
+        # (PATTERN (PERMUTE(A, B)))
+        pat_head = re.search(r"(?is)\bPATTERN\s*\(", body)
+        pattern_txt = None
+        if pat_head:
+            p_open = body.index("(", pat_head.end() - 1)
+            pattern_txt = body[p_open + 1 : _matching_paren(body, p_open)]
         define_txt = _clause(body, r"DEFINE")
-        if not (part and order and measures_txt and pat and define_txt):
+        if not (part and order and measures_txt and pattern_txt and define_txt):
             raise ValueError(
                 "MATCH_RECOGNIZE requires PARTITION BY, ORDER BY, MEASURES, "
                 "PATTERN and DEFINE clauses"
@@ -116,7 +122,7 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
             spark.table(table),
             partition_by=[c.strip() for c in _split_args(_unmask(part, lits))],
             order_by=[_unmask(c, lits) for c in order_cols],
-            pattern=_unmask(pat.group(1), lits).strip(),
+            pattern=_unmask(pattern_txt, lits).strip(),
             define=define,
             measures=measures,
             after_match=after_match,

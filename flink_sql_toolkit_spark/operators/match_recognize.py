@@ -18,17 +18,21 @@ the (b)-tier custom operator from the build rules:
 Supported: concatenation, quantifiers ``+ * ?``, alternation
 ``A B | C`` (SQL:2016 ordered choice, leftmost branch preferred;
 declared by the reference grammar at
-syntaxes/flink.tmLanguage.json:363-367), measures
+syntaxes/flink.tmLanguage.json:363-367), ``PERMUTE(A, B, ...)`` as
+the whole pattern (expanded per SQL:2016 into the alternation of all
+permutations in declaration order; tmLanguage.json:363-367 declares
+it too), measures
 ``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col) |
 CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
 MATCH (running measures per matched row), AFTER MATCH SKIP PAST LAST
 ROW / SKIP TO NEXT ROW.
-(PERMUTE / explicit RUNNING-FINAL keywords / empty-branch matches:
-rejected with a clear error.)
+(PERMUTE nested inside a larger pattern / explicit RUNNING-FINAL
+keywords / empty-branch matches: rejected with a clear error.)
 """
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
@@ -51,7 +55,23 @@ def _parse_pattern(pattern: str) -> list[list[PatternToken]]:
     """Parse ``PATTERN`` body into alternation branches (SQL:2016
     ordered choice: ``A B | C`` tries the ``A B`` concatenation first,
     then ``C``). Each branch is a concatenation of quantified
-    symbols."""
+    symbols. ``PERMUTE(A, B, ...)`` (as the whole pattern) expands to
+    its SQL:2016 definition — the alternation of every permutation of
+    the listed factors, attempted in lexicographic order of the
+    declaration — so it reuses the alternation machinery verbatim."""
+    perm = re.match(r"(?is)^\s*PERMUTE\s*\(([^()]*)\)\s*$", pattern)
+    if perm:
+        factors = [f.strip() for f in perm.group(1).split(",") if f.strip()]
+        if len(factors) < 2:
+            raise ValueError(f"PERMUTE needs >= 2 factors in PATTERN '{pattern}'")
+        pattern = " | ".join(
+            " ".join(p) for p in itertools.permutations(factors)
+        )
+    elif re.search(r"(?i)\bPERMUTE\b", pattern):
+        raise NotImplementedError(
+            f"PERMUTE inside a larger PATTERN ('{pattern}') is outside "
+            "the supported subset — supported as the entire pattern only"
+        )
     branches: list[list[PatternToken]] = []
     for branch in pattern.split("|"):
         tokens = []

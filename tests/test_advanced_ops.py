@@ -219,7 +219,7 @@ def test_match_recognize_sql_via_engine(spark):
 def test_match_recognize_rejects_unsupported(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "seq"])
     with pytest.raises(ValueError):
-        match_recognize(df, ["k"], ["seq"], "PERMUTE(A, B)", {}, {"x": "FIRST(A.seq)"})
+        match_recognize(df, ["k"], ["seq"], "(A B)+", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A | ", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
@@ -425,3 +425,95 @@ def test_match_recognize_alternation_sql_path(spark):
     )
     got = sorted(r.cls for r in spark.sql(stmt).collect())
     assert got == ["X", "Y"]
+
+
+def test_match_recognize_permute(spark):
+    """PATTERN (PERMUTE(A, B)) = A B | B A (SQL:2016 expansion in
+    declaration order): matches both orderings; a lone symbol with no
+    partner does not match."""
+    rows = [
+        ("u", 1, "a"),  # A
+        ("u", 2, "b"),  # B -> match 1 via branch (A B)
+        ("u", 3, "b"),  # B
+        ("u", 4, "a"),  # A -> match 2 via branch (B A)
+        ("u", 5, "a"),  # A alone -> no match
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="PERMUTE(A, B)",
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={"cls": "CLASSIFIER()", "mn": "MATCH_NUMBER()",
+                  "a_seq": "FIRST(A.seq)", "b_seq": "FIRST(B.seq)"},
+    ).collect()
+    got = sorted((r.mn, r.cls, r.a_seq, r.b_seq) for r in out)
+    # match 1: branch A B -> last row is B; match 2: branch B A -> last row is A
+    assert got == [(1, "B", 1, 2), (2, "A", 4, 3)]
+
+
+def test_match_recognize_permute_equals_manual_alternation(spark):
+    """PERMUTE(X, Y, Z) must agree with its hand-written 6-branch
+    alternation on a randomized-ish event tape."""
+    tape = "xyzzyxzxyyzxzyx"
+    rows = [("u", i, c) for i, c in enumerate(tape)]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    common = dict(
+        partition_by=["k"], order_by=["seq"],
+        define={"X": "t = 'x'", "Y": "t = 'y'", "Z": "t = 'z'"},
+        measures={"mn": "MATCH_NUMBER()", "cls": "CLASSIFIER()",
+                  "fx": "FIRST(X.seq)", "fy": "FIRST(Y.seq)", "fz": "FIRST(Z.seq)"},
+    )
+    perm = match_recognize(df, pattern="PERMUTE(X, Y, Z)", **common).collect()
+    manual = match_recognize(
+        df,
+        pattern="X Y Z | X Z Y | Y X Z | Y Z X | Z X Y | Z Y X",
+        **common,
+    ).collect()
+    key = lambda r: (r.mn, r.cls, r.fx, r.fy, r.fz)  # noqa: E731
+    assert sorted(map(key, perm)) == sorted(map(key, manual))
+    assert len(perm) > 0
+
+
+def test_match_recognize_permute_sql_path(spark):
+    """PERMUTE through the SQL clause — exercises balanced-paren
+    PATTERN extraction (nested parens inside PATTERN (...))."""
+    from flink_sql_toolkit_spark.dialect.mr_sql import rewrite_match_recognize_sql
+
+    rows = [("u", 1, "b"), ("u", 2, "a"), ("u", 3, "a"), ("u", 4, "b")]
+    spark.createDataFrame(rows, ["k", "seq", "t"]).createOrReplaceTempView(
+        "permute_src"
+    )
+    stmt = rewrite_match_recognize_sql(
+        spark,
+        """
+        SELECT k, cls, fa FROM permute_src
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls, FIRST(A.seq) AS fa
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (PERMUTE(A, B))
+            DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )
+        """,
+    )
+    got = sorted((r.cls, r.fa) for r in spark.sql(stmt).collect())
+    # rows 1-2 match branch (B A) ending on A; rows 3-4 match (A B) ending on B
+    assert got == [("A", 2), ("B", 3)]
+
+
+def test_match_recognize_permute_nested_rejected(spark):
+    rows = [("u", 1, "a")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    with pytest.raises(NotImplementedError, match="PERMUTE"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="C PERMUTE(A, B)",
+            define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+            measures={"cls": "CLASSIFIER()"},
+        )
