@@ -125,3 +125,88 @@ def test_hint_stripping_through_engine(session):
         "SELECT /*+ BROADCAST(t) */ * FROM (SELECT 2 AS y) t"
     ).fetch()
     assert page["data"] == [[2]]
+
+
+def test_late_data_side_output(spark, tmp_path):
+    """Rows older than the event-time watermark land in the late
+    side output instead of being silently dropped (streaming/late.py
+    — SURVEY §2.11's declared gap). Two single-file micro-batches:
+    batch 1 advances the watermark; batch 2 carries one row behind it
+    and one ahead of it."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    from flink_sql_toolkit_spark.streaming.late import start_with_late_split
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop_file(rows, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    # batch 1: max event time 10:10 -> watermark after batch = 10:05
+    drop_file([(1, t(0)), (2, t(10))], "b1", 1_000_000)
+    # batch 2: id 3 at 10:02 is behind the 10:05 watermark -> late
+    drop_file([(3, t(2)), (4, t(30))], "b2", 1_000_100)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    on_rows, late_rows = [], []
+    query, split = start_with_late_split(
+        stream,
+        "ts",
+        "5 minutes",
+        on_time=lambda df, _b: on_rows.extend(r.id for r in df.collect()),
+        late=lambda df, _b: late_rows.extend(r.id for r in df.collect()),
+        trigger={"availableNow": True},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert query.awaitTermination(120)
+    assert split.batches == 2
+    assert sorted(late_rows) == [3]
+    assert sorted(on_rows) == [1, 2, 4]
+
+
+def test_late_split_watermark_reconstruction():
+    """The split reproduces Spark's watermark update rule from
+    progress metadata: running max of per-batch event-time max minus
+    the delay, monotonic, and never behind the reported watermark."""
+    from datetime import datetime, timezone
+
+    from flink_sql_toolkit_spark.streaming.late import LateDataSplit, _parse_interval
+
+    class FakeQuery:
+        def __init__(self):
+            self.lastProgress = None
+
+    q = FakeQuery()
+    split = LateDataSplit("ts", "1 hour 30 minutes", lambda *_: None, lambda *_: None)
+    split.attach(q)
+    assert _parse_interval("1 hour 30 minutes").total_seconds() == 5400
+    assert split.current_watermark() is None  # no batch completed yet
+
+    utc = timezone.utc
+    q.lastProgress = {"eventTime": {"max": "2026-01-01T12:00:00.000Z",
+                                    "watermark": "1970-01-01T00:00:00.000Z"}}
+    assert split.current_watermark() == datetime(2026, 1, 1, 10, 30, tzinfo=utc)
+
+    # an out-of-order batch (older max) must not regress the watermark
+    q.lastProgress = {"eventTime": {"max": "2026-01-01T09:00:00.000Z"}}
+    assert split.current_watermark() == datetime(2026, 1, 1, 10, 30, tzinfo=utc)
+
+    # a reported watermark ahead of the reconstruction (checkpoint
+    # restart: the restored watermark pre-dates any observed batch) wins
+    q.lastProgress = {"eventTime": {"watermark": "2026-01-01T11:00:00.000Z"}}
+    assert split.current_watermark() == datetime(2026, 1, 1, 11, 0, tzinfo=utc)
