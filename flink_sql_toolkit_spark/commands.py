@@ -174,7 +174,14 @@ def handle_describe(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | 
 def handle_use(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
     m = re.match(r"(?is)^USE\s+CATALOG\s+([\w.`]+)\s*;?\s*$", stmt)
     if m:
-        session.spark.catalog.setCurrentCatalog(m.group(1).strip("`"))
+        name = m.group(1).strip("`")
+        try:
+            session.spark.catalog.setCurrentCatalog(name)
+        except Exception as e:  # Py4J stack → Flink-style typed error
+            raise LookupError(
+                f"catalog '{name}' cannot be found — register a Spark "
+                f"catalog plugin under spark.sql.catalog.{name}"
+            ) from e
         session.metadata.invalidate()  # current-context listings changed
         return _c(("result", "string")), [["OK"]]
     m = re.match(r"(?is)^USE\s+([\w.`]+)\s*;?\s*$", stmt)

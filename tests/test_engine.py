@@ -331,3 +331,11 @@ def test_update_preserves_partitioned_layout(session, tmp_path):
     assert [r[0] for r in session.execute_statement(
         "SELECT id FROM part_t"
     ).fetch()["data"]] == [2]
+
+
+def test_use_catalog_unknown_is_typed_error(session):
+    with pytest.raises(LookupError, match="cannot be found"):
+        session.execute_statement("USE CATALOG my_catalog")
+    # the built-in catalog still switches fine
+    page = session.execute_statement("USE CATALOG spark_catalog").fetch()
+    assert page["data"] == [["OK"]]
