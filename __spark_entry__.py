@@ -40,33 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate samples the FIRST ~50 registered
-# entries, so the registry is laid out family-first: every operator
-# family from SURVEY.md §2 appears in the first 50. Entries listed in
-# _TAIL are function/agg variants whose oracles passed the gate in
-# earlier rounds — they stay registered (and locally verified via
-# tools/verify_local.py) but yield their sample slots to families the
-# driver has not proven yet.
-_TAIL = [
-    "agg_count_distinct",
-    "agg_stats",
-    "agg_listagg",
-    "func_cast",
-    "func_datetime",
-    "func_json",
-    "func_collection",
-    "func_regex",
-    "dialect_subscripts_ctors",
-    "dialect_natural_join",
-]
+# The driver's correctness gate samples ~50 registered entries, so
+# the registry is consolidated to EXACTLY 50: near-duplicate variants
+# are tagged and unioned into family entries (asof_family,
+# join_theta_family, agg_stats_family, …) whose underlying operator
+# functions remain importable and individually unit-tested. Every
+# entry therefore gets a driver verdict every round — no
+# registered-but-never-sampled tail.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    qs = dict(QUERIES)
-    head = {k: v for k, v in qs.items() if k not in _TAIL}
-    head.update({k: qs[k] for k in _TAIL if k in qs})
-    return head
+    """One entry per implemented operator (family) from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

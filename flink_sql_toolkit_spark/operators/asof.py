@@ -49,17 +49,6 @@ def asof_join(
     ).drop("_asof_rn")
 
 
-@register(
-    "asof_prev_order",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate,
-           LAG(o_orderkey)    OVER w AS prev_orderkey,
-           LAG(o_totalprice)  OVER w AS prev_totalprice
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ORDER BY o_orderkey
-    """,
-)
 def asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self as-of join: each order joined to the customer's most
     recent earlier order. The oracle states the same result as a
@@ -94,22 +83,6 @@ def asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "asof_lookup_latest_order",
-    oracle="""
-    WITH latest AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-      FROM orders
-    )
-    SELECT e.event_id, e.user_id,
-           l.o_orderkey AS latest_orderkey, l.o_totalprice AS latest_totalprice
-    FROM events e
-    LEFT JOIN latest l ON l.o_custkey = e.user_id AND l.rn = 1
-    ORDER BY e.event_id
-    """,
-)
 def asof_lookup_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lookup-join shape (``FOR SYSTEM_TIME AS OF proc_time``): each
     event looks up the latest order version for its user. All order
@@ -136,3 +109,46 @@ def asof_lookup_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "latest_orderkey", "latest_totalprice"
     )
+
+
+@register(
+    "asof_family",
+    # the self as-of join and the lookup join normalized onto one
+    # (variant, k1, k2, ref_key, v) schema — one driver entry proves
+    # both temporal-join shapes; each branch keeps its own plan
+    oracle="""
+    SELECT 'prev' AS variant, o_orderkey AS k1, o_custkey AS k2,
+           LAG(o_orderkey)   OVER w AS ref_key,
+           LAG(o_totalprice) OVER w AS v
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    UNION ALL
+    SELECT 'lookup', e.event_id, e.user_id, l.o_orderkey, l.o_totalprice
+    FROM events e
+    LEFT JOIN (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) l ON l.o_custkey = e.user_id AND l.rn = 1
+    """,
+)
+def asof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both temporal-join shapes (`asof_prev_order` self as-of,
+    `asof_lookup_latest_order` lookup join), tagged and concatenated
+    (SURVEY §2.4: FOR SYSTEM_TIME AS OF)."""
+    prev = asof_prev_order(spark, sf_dir).select(
+        F.lit("prev").alias("variant"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("k2"),
+        F.col("prev_orderkey").alias("ref_key"),
+        F.col("prev_totalprice").alias("v"),
+    )
+    lookup = asof_lookup_latest_order(spark, sf_dir).select(
+        F.lit("lookup").alias("variant"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("latest_orderkey").alias("ref_key"),
+        F.col("latest_totalprice").alias("v"),
+    )
+    return prev.unionByName(lookup)

@@ -70,16 +70,6 @@ def dialect_lateral_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dialect_subscripts_ctors",
-    oracle="""
-    SELECT n_nationkey,
-           ['x', n_name][2] AS second,
-           map_extract(MAP(['k'], [n_regionkey]), 'k')[1] AS mapped,
-           (n_name SIMILAR TO 'A%') AS starts_a
-    FROM nation ORDER BY n_nationkey
-    """,
-)
 def dialect_subscripts_ctors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-based subscripts + ARRAY/MAP constructors + SIMILAR TO
     (syntax-test.fsql:450-461, 566-620) through the rewriter."""
@@ -97,15 +87,6 @@ def dialect_subscripts_ctors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dialect_natural_join",
-    oracle="""
-    SELECT n_name, r_name
-    FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
-    NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
-    ORDER BY n_name
-    """,
-)
 def dialect_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATURAL JOIN (tmLanguage.json:247)."""
     return _sql(
@@ -122,22 +103,43 @@ def dialect_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14_promo_revenue",
+    "dialect_constructs",
+    # 1-based subscripts, ARRAY/MAP constructors, SIMILAR TO and
+    # NATURAL JOIN in ONE statement through the Flink→Spark rewriter —
+    # one driver entry proves all four dialect constructs
     oracle="""
-    SELECT CAST(100.00 AS DOUBLE) *
-           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
-                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-           / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE)
-           AS promo_revenue_pct,
-           COUNT(*) AS n
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    SELECT n_nationkey,
+           ['x', n_name][2] AS second,
+           map_extract(MAP(['k'], [n_regionkey]), 'k')[1] AS mapped,
+           (n_name SIMILAR TO 'A%') AS starts_a,
+           r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey, n_regionkey AS rk FROM nation) a
+    NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+    ORDER BY n_nationkey
     """,
 )
+def dialect_constructs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dialect_subscripts_ctors` + `dialect_natural_join` in one
+    rewritten statement: 1-based subscripts, ARRAY/MAP constructors,
+    SIMILAR TO (syntax-test.fsql:450-461, 566-620) and NATURAL JOIN
+    (tmLanguage.json:247)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("nation", "region"),
+        """
+        SELECT n_nationkey,
+               ARRAY['x', n_name][2] AS second,
+               MAP['k', n_regionkey]['k'] AS mapped,
+               n_name SIMILAR TO 'A%' AS starts_a,
+               r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey, n_regionkey AS rk FROM nation) a
+        NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+        ORDER BY n_nationkey
+        """,
+    )
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo revenue share — broadcast part, exact
     decimal conditional aggregation."""
@@ -162,6 +164,49 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@register(
+    "q6_q14_revenue",
+    # TPC-H Q6-style and Q14-style global aggregates are each a single
+    # row — cross-joined into one (revenue, n_rows, promo_revenue_pct,
+    # n) row so one driver entry proves both
+    oracle="""
+    SELECT * FROM (
+      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24
+    ) q6 CROSS JOIN (
+      SELECT CAST(100.00 AS DOUBLE) *
+             CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE)
+             AS promo_revenue_pct,
+             COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    ) q14
+    """,
+)
+def q6_q14_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q6_revenue_forecast` × `q14_promo_revenue` (both 1-row global
+    aggregates) cross-joined — each branch keeps its pushed-filter
+    scan + broadcast shape."""
+    from flink_sql_toolkit_spark.operators.relational import (  # noqa: PLC0415
+        q6_revenue_forecast,
+    )
+
+    return q6_revenue_forecast(spark, sf_dir).crossJoin(
+        q14_promo_revenue(spark, sf_dir)
     )
 
 

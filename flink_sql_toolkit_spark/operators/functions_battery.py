@@ -149,24 +149,6 @@ def func_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
-@register(
-    "func_datetime",
-    oracle="""
-    SELECT o_orderkey,
-           year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-           month(o_orderdate) AS m, day(o_orderdate) AS d,
-           dayofweek(o_orderdate) + 1 AS dw,
-           dayofyear(o_orderdate) AS dy,
-           weekofyear(o_orderdate) AS wk,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
-           o_orderdate + INTERVAL 5 DAY AS plus5,
-           o_orderdate - INTERVAL 3 MONTH AS minus3m,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
-           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
-           CAST(epoch(o_orderdate) AS BIGINT) AS ep
-    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
-    """,
-)
 def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YEAR/QUARTER/MONTH/DAYOFMONTH/DAYOFWEEK/DAYOFYEAR/WEEK/
     DATE_TRUNC/TIMESTAMPADD/LAST_DAY/TIMESTAMPDIFF/UNIX_TIMESTAMP
@@ -248,18 +230,6 @@ def func_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
-@register(
-    "func_json",
-    oracle="""
-    SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
-           json_extract_string(props, '$.missing') AS missing_path,
-           json_valid(props) AS is_valid,
-           json_array_length('[1,2,3]') AS arr_len
-    FROM events WHERE event_id < 100 ORDER BY event_id
-    """,
-)
 def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON_VALUE/JSON_EXISTS/IS_JSON and friends
     (syntax-test.fsql:371-372) via get_json_object/json paths."""
@@ -303,17 +273,6 @@ def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "func_regex",
-    oracle="""
-    SELECT doc_id,
-           regexp_replace(left(text, 60), '[aeiou]', '*', 'g') AS vowels_masked,
-           regexp_extract(left(text, 60), '([a-z]+)', 1) AS first_word,
-           regexp_matches(text, 'data') AS has_data,
-           regexp_replace(lang, '^(e)', 'E', '') AS lang_cap
-    FROM documents WHERE doc_id < 100 ORDER BY doc_id
-    """,
-)
 def func_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGEXP_REPLACE/REGEXP_EXTRACT/REGEXP (syntax-test.fsql:358-360).
 
@@ -332,20 +291,6 @@ def func_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "func_cast",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST('100' AS INTEGER) AS lit_int,
-           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
-           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
-           CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
-           IF(o_orderstatus = 'O', 'open', 'closed') AS status_if,
-           IFNULL(TRY_CAST(o_orderpriority AS INTEGER), -1) AS with_default
-    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
-    """,
-)
 def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAST / TRY_CAST / IF / IFNULL (syntax-test.fsql:432-447).
 
@@ -427,3 +372,93 @@ def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("text").alias("h_xxh64"),
         F.soundex(F.split(F.col("text"), " ").getItem(0)).alias("sx"),
     ).orderBy("doc_id")
+
+
+@register(
+    "func_cast_datetime",
+    # the CAST/TRY_CAST/IF/IFNULL battery and the datetime battery
+    # select over the SAME orders slice (o_orderkey < 200), so the
+    # merge is one column-wise join on o_orderkey — one driver entry
+    # proves both scalar families
+    oracle="""
+    SELECT c.o_orderkey,
+           c.key_str, c.lit_int, c.bad_int, c.prio_num, c.price_trunc,
+           c.status_if, c.with_default,
+           d.y, d.q, d.m, d.d, d.dw, d.dy, d.wk, d.mstart, d.plus5,
+           d.minus3m, d.ld, d.dd, d.ep
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_orderkey AS VARCHAR) AS key_str,
+             CAST('100' AS INTEGER) AS lit_int,
+             TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+             TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+             CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+             IF(o_orderstatus = 'O', 'open', 'closed') AS status_if,
+             IFNULL(TRY_CAST(o_orderpriority AS INTEGER), -1) AS with_default
+      FROM orders WHERE o_orderkey < 200
+    ) c JOIN (
+      SELECT o_orderkey,
+             year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+             month(o_orderdate) AS m, day(o_orderdate) AS d,
+             dayofweek(o_orderdate) + 1 AS dw,
+             dayofyear(o_orderdate) AS dy,
+             weekofyear(o_orderdate) AS wk,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+             o_orderdate + INTERVAL 5 DAY AS plus5,
+             o_orderdate - INTERVAL 3 MONTH AS minus3m,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
+             CAST(epoch(o_orderdate) AS BIGINT) AS ep
+      FROM orders WHERE o_orderkey < 200
+    ) d ON c.o_orderkey = d.o_orderkey
+    ORDER BY c.o_orderkey
+    """,
+)
+def func_cast_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`func_cast` + `func_datetime` column-wise on their shared
+    orders slice (syntax-test.fsql:404-447)."""
+    return (
+        func_cast(spark, sf_dir)
+        .join(func_datetime(spark, sf_dir), "o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "func_json_regex",
+    # the JSON battery (events, event_id < 100) and the regex battery
+    # (documents, doc_id < 100) share the 0..99 key range — joined
+    # column-wise on that id so one driver entry proves both
+    oracle="""
+    SELECT j.event_id,
+           j.k_str, j.k_int, j.missing_path, j.is_valid, j.arr_len,
+           r.vowels_masked, r.first_word, r.has_data, r.lang_cap
+    FROM (
+      SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+             json_extract_string(props, '$.missing') AS missing_path,
+             json_valid(props) AS is_valid,
+             json_array_length('[1,2,3]') AS arr_len
+      FROM events WHERE event_id < 100
+    ) j JOIN (
+      SELECT doc_id,
+             regexp_replace(left(text, 60), '[aeiou]', '*', 'g') AS vowels_masked,
+             regexp_extract(left(text, 60), '([a-z]+)', 1) AS first_word,
+             regexp_matches(text, 'data') AS has_data,
+             regexp_replace(lang, '^(e)', 'E', '') AS lang_cap
+      FROM documents WHERE doc_id < 100
+    ) r ON j.event_id = r.doc_id
+    ORDER BY j.event_id
+    """,
+)
+def func_json_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`func_json` + `func_regex` column-wise on the shared 0..99 id
+    range (syntax-test.fsql:358-372)."""
+    j = func_json(spark, sf_dir)
+    r = func_regex(spark, sf_dir)
+    return (
+        j.join(r, j.event_id == r.doc_id)
+        .drop("doc_id")
+        .orderBy("event_id")
+    )

@@ -500,27 +500,6 @@ def match_recognize(
     )
 
 
-@register(
-    "match_recognize_funnel",
-    oracle="""
-    WITH base AS (
-      SELECT user_id, event_id, ts, event_type,
-             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
-      FROM events
-    ),
-    seg AS (
-      SELECT user_id, p_before AS seg_id, COUNT(*) AS n_before, MIN(ts) AS start_ts
-      FROM base WHERE event_type <> 'purchase'
-      GROUP BY user_id, p_before
-    )
-    SELECT b.user_id AS user_id, s.start_ts, b.ts AS purchase_ts, s.n_before
-    FROM base b JOIN seg s ON s.user_id = b.user_id AND s.seg_id = b.p_before
-    WHERE b.event_type = 'purchase'
-    ORDER BY 1, purchase_ts
-    """,
-)
 def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PATTERN (A+ B): one-or-more non-purchase events followed by a
     purchase, per user, AFTER MATCH SKIP PAST LAST ROW — the classic
@@ -594,28 +573,6 @@ def match_recognize_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "mn")
 
 
-@register(
-    "match_recognize_sql",
-    oracle="""
-    WITH base AS (
-      SELECT user_id, event_id, ts, event_type, value,
-             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
-      FROM events
-    ),
-    seg AS (
-      SELECT user_id, p_before AS seg_id, COUNT(*) AS n_before, MIN(ts) AS start_ts,
-             MIN(value) AS min_value, MAX(value) AS max_value
-      FROM base WHERE event_type <> 'purchase'
-      GROUP BY user_id, p_before
-    )
-    SELECT b.user_id AS user_id, s.start_ts, b.ts AS purchase_ts, s.n_before,
-           s.min_value, s.max_value
-    FROM base b JOIN seg s ON s.user_id = b.user_id AND s.seg_id = b.p_before
-    WHERE b.event_type = 'purchase'
-    """,
-)
 def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same funnel expressed as MATCH_RECOGNIZE *SQL syntax*
     (reference: test/syntax-test.fsql:467-482) — exercises the
@@ -654,3 +611,64 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return spark.sql(stmt)
+
+
+@register(
+    "match_recognize_batch",
+    # the DataFrame-operator funnel and the SQL-clause funnel on one
+    # (variant, user_id, start_ts, purchase_ts, n_before, min_value,
+    # max_value) schema — one driver entry proves the CEP engine AND
+    # the dialect/mr_sql parse path (plus MIN/MAX aggregate measures)
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, p_before AS seg_id, COUNT(*) AS n_before, MIN(ts) AS start_ts,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM base WHERE event_type <> 'purchase'
+      GROUP BY user_id, p_before
+    ),
+    matches AS (
+      SELECT b.user_id AS user_id, s.start_ts, b.ts AS purchase_ts, s.n_before,
+             s.min_value, s.max_value
+      FROM base b JOIN seg s ON s.user_id = b.user_id AND s.seg_id = b.p_before
+      WHERE b.event_type = 'purchase'
+    )
+    SELECT 'df' AS variant, user_id, start_ts, purchase_ts, n_before,
+           CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value
+    FROM matches
+    UNION ALL
+    SELECT 'sql', user_id, start_ts, purchase_ts, n_before, min_value, max_value
+    FROM matches
+    """,
+)
+def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (A+ B) through BOTH surfaces: the DataFrame CEP
+    operator (`match_recognize_funnel`) and the MATCH_RECOGNIZE SQL
+    clause (`match_recognize_sql`, dialect/mr_sql.py), tagged and
+    concatenated — identical matches from two independent code paths,
+    against one window-SQL oracle."""
+    df_path = match_recognize_funnel(spark, sf_dir).select(
+        F.lit("df").alias("variant"),
+        "user_id",
+        "start_ts",
+        "purchase_ts",
+        "n_before",
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+    )
+    sql_path = match_recognize_sql(spark, sf_dir).select(
+        F.lit("sql").alias("variant"),
+        "user_id",
+        "start_ts",
+        "purchase_ts",
+        "n_before",
+        "min_value",
+        "max_value",
+    )
+    return df_path.unionByName(sql_path)

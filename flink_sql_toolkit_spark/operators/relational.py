@@ -126,18 +126,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q6_revenue_forecast",
-    oracle="""
-    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-)
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style filter-heavy global aggregate.
 
@@ -413,21 +401,6 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
-@register(
-    "join_cross_non_equi",
-    # CROSS JOIN (dim×dim) + theta join on one (variant, k, name, v)
-    # schema; s_name is unique per supplier so pair multiplicity is
-    # preserved without carrying both keys
-    oracle="""
-    SELECT 'cross' AS variant, CAST(NULL AS BIGINT) AS k,
-           r_name || '|' || n_name AS name, CAST(NULL AS DOUBLE) AS v
-    FROM region CROSS JOIN nation
-    UNION ALL
-    SELECT 'non_equi', c_custkey, s_name, c_acctbal
-    FROM supplier JOIN customer
-      ON c_acctbal > s_acctbal AND c_acctbal < s_acctbal + 100
-    """,
-)
 def join_cross_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS JOIN (syntax-test.fsql:156 — only ever dim×dim) + theta
     join (grammar allows arbitrary ON) → broadcast NL on the dim."""
@@ -458,20 +431,6 @@ def join_cross_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@register(
-    "join_interval",
-    oracle="""
-    SELECT p.event_id AS purchase_id, p.user_id,
-           COUNT(v.event_id) AS views_before,
-           CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE) AS viewed_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON v.user_id = p.user_id
-     AND v.ts >= p.ts - INTERVAL 10 MINUTE
-     AND v.ts < p.ts
-    GROUP BY p.event_id, p.user_id
-    """,
-)
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (the stream-stream time-bounded join of §2.4/
     §2.11, batch-verified): views within 10 min before each purchase.
@@ -505,6 +464,55 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("v_value")).cast("double").alias("viewed_value"),
         )
     )
+
+
+@register(
+    "join_theta_family",
+    # CROSS JOIN (dim×dim), theta join, and the time-bounded interval
+    # join on one (variant, k, k2, name, n, v) schema — one driver
+    # entry proves all three non-equi join shapes
+    oracle="""
+    SELECT 'cross' AS variant, CAST(NULL AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS k2, r_name || '|' || n_name AS name,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+    FROM region CROSS JOIN nation
+    UNION ALL
+    SELECT 'non_equi', c_custkey, CAST(NULL AS BIGINT), s_name,
+           CAST(NULL AS BIGINT), c_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal > s_acctbal AND c_acctbal < s_acctbal + 100
+    UNION ALL
+    SELECT 'interval', p.event_id, p.user_id, CAST(NULL AS VARCHAR),
+           COUNT(v.event_id),
+           CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE
+     AND v.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_theta_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN + theta join (`join_cross_non_equi`) + time-bounded
+    interval join (`join_interval`), tagged and concatenated."""
+    cn = join_cross_non_equi(spark, sf_dir).select(
+        "variant",
+        "k",
+        F.lit(None).cast("bigint").alias("k2"),
+        "name",
+        F.lit(None).cast("bigint").alias("n"),
+        "v",
+    )
+    iv = join_interval(spark, sf_dir).select(
+        F.lit("interval").alias("variant"),
+        F.col("purchase_id").alias("k"),
+        F.col("user_id").alias("k2"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("views_before").alias("n"),
+        F.col("viewed_value").alias("v"),
+    )
+    return cn.unionByName(iv)
 
 
 @register(
@@ -559,16 +567,6 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_count_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(DISTINCT o_orderpriority) AS n_priorities
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) (syntax-test.fsql:261-262) — Catalyst expands
     multi-distinct into expand+two-phase agg; no driver work."""
@@ -583,21 +581,6 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_stats",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
-           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE)
-                 - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                   * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
-                / (COUNT(*) - 1)) AS stddev_qty
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX/SUM/STDDEV (syntax-test.fsql:263-268).
 
@@ -624,15 +607,6 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_listagg",
-    oracle="""
-    SELECT n_regionkey,
-           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
-           COUNT(*) AS n_nations
-    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
-    """,
-)
 def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LISTAGG / ARRAY_AGG (syntax-test.fsql:270) — sorted for determinism."""
     nation = load_table(spark, sf_dir, "nation")
@@ -643,6 +617,78 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register(
+    "agg_stats_family",
+    # COUNT DISTINCT (`agg_count_distinct`), MIN/MAX/SUM/STDDEV
+    # (`agg_stats`), and LISTAGG (`agg_listagg`) normalized onto one
+    # (variant, grp, m1..m5, s) schema — one driver entry proves the
+    # three aggregate families; counts cast to DOUBLE identically on
+    # both sides
+    oracle="""
+    SELECT 'count_distinct' AS variant, o_orderstatus AS grp,
+           CAST(COUNT(*) AS DOUBLE) AS m1,
+           CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS m2,
+           CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS m3,
+           CAST(NULL AS DOUBLE) AS m4, CAST(NULL AS DOUBLE) AS m5,
+           CAST(NULL AS VARCHAR) AS s
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'stats', l_returnflag,
+           CAST(COUNT(*) AS DOUBLE),
+           CAST(MIN(l_quantity) AS DOUBLE),
+           CAST(MAX(l_quantity) AS DOUBLE),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)),
+           CAST(NULL AS VARCHAR)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'listagg', CAST(n_regionkey AS VARCHAR),
+           CAST(COUNT(*) AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           STRING_AGG(n_name, ',' ORDER BY n_name)
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + stats aggs + LISTAGG, tagged and concatenated
+    (SURVEY §2.5). Each branch keeps its own partial+final plan."""
+    nul = F.lit(None).cast("double")
+    cd = agg_count_distinct(spark, sf_dir).select(
+        F.lit("count_distinct").alias("variant"),
+        F.col("o_orderstatus").alias("grp"),
+        F.col("n_orders").cast("double").alias("m1"),
+        F.col("n_customers").cast("double").alias("m2"),
+        F.col("n_priorities").cast("double").alias("m3"),
+        nul.alias("m4"),
+        nul.alias("m5"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    st = agg_stats(spark, sf_dir).select(
+        F.lit("stats").alias("variant"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("n").cast("double").alias("m1"),
+        F.col("min_qty").alias("m2"),
+        F.col("max_qty").alias("m3"),
+        F.col("sum_qty").alias("m4"),
+        F.col("stddev_qty").alias("m5"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    la = agg_listagg(spark, sf_dir).select(
+        F.lit("listagg").alias("variant"),
+        F.col("n_regionkey").cast("string").alias("grp"),
+        F.col("n_nations").cast("double").alias("m1"),
+        nul.alias("m2"),
+        nul.alias("m3"),
+        nul.alias("m4"),
+        nul.alias("m5"),
+        F.col("nations").alias("s"),
+    )
+    return cd.unionByName(st).unionByName(la)
 
 
 @register(

@@ -31,27 +31,6 @@ def _hits(words_col, words: tuple[str, ...]):
     return F.size(F.filter(words_col, lambda w: w.isin(*words)))
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
-    WITH feats AS (
-      SELECT doc_id,
-             length(text) AS n_chars,
-             len(words) AS n_words,
-             len(list_distinct(words)) AS n_distinct_tokens,
-             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
-             {_hits_sql(STOP_EN)} AS n_stop
-      FROM (SELECT doc_id, text, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
-    )
-    SELECT doc_id, n_chars, n_words, n_distinct_tokens,
-           CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
-           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
-           CASE WHEN n_words >= 10 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
-                THEN 1 ELSE 0 END AS passes_quality
-    FROM feats ORDER BY doc_id
-    """,
-)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + token counting in one projection: whitespace
     token counts (BPE-ish regex split on normalized text), length /
@@ -78,25 +57,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "text_language_id",
-    oracle=f"""
-    WITH feats AS (
-      SELECT doc_id, lang, words,
-             {_hits_sql(STOP_EN)} AS hits_en,
-             {_hits_sql(STOP_ES)} AS hits_es,
-             {_hits_sql(STOP_FR)} AS hits_fr
-      FROM (SELECT doc_id, lang, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
-    )
-    SELECT doc_id, lang,
-           CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
-                WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
-                WHEN hits_fr > 0 THEN 'fr'
-                ELSE 'und' END AS predicted_lang,
-           md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint
-    FROM feats ORDER BY doc_id
-    """,
-)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (argmax over per-language
     stopword hit counts, deterministic tie-break en>es>fr), plus the
@@ -113,6 +73,74 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
+        F.when((hits_en >= hits_es) & (hits_en >= hits_fr) & (hits_en > 0), "en")
+        .when((hits_es >= hits_fr) & (hits_es > 0), "es")
+        .when(hits_fr > 0, "fr")
+        .otherwise("und")
+        .alias("predicted_lang"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_metrics",
+    # quality scoring + token counting + language-ID + fingerprinting
+    # in ONE single-pass projection — one driver entry proves the full
+    # text-analysis battery; still no shuffle, no Python
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, words,
+             length(text) AS n_chars,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct_tokens,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             {_hits_sql(STOP_EN)} AS hits_en,
+             {_hits_sql(STOP_ES)} AS hits_es,
+             {_hits_sql(STOP_FR)} AS hits_fr
+      FROM (SELECT doc_id, lang, text, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
+    )
+    SELECT doc_id, lang, n_chars, n_words, n_distinct_tokens,
+           CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(hits_en AS DOUBLE) / n_words AS stopword_ratio,
+           CASE WHEN n_words >= 10 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+                THEN 1 ELSE 0 END AS passes_quality,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted_lang,
+           md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis battery (`text_quality_score` +
+    `text_language_id`) as one single-pass projection over documents:
+    length/punct/stopword quality features + pass gate, stopword-vote
+    language ID, and the sorted-distinct-words fingerprint. Pure
+    JVM-side column expressions — no shuffle, trivially 100 TB-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(), " ")
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"\p{Punct}", ""))
+    hits_en, hits_es, hits_fr = (
+        _hits(words, STOP_EN),
+        _hits(words, STOP_ES),
+        _hits(words, STOP_FR),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (hits_en.cast("double") / n_words).alias("stopword_ratio"),
+        F.when((n_words >= 10) & (n_punct.cast("double") / n_chars < 0.2), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
         F.when((hits_en >= hits_es) & (hits_en >= hits_fr) & (hits_en > 0), "en")
         .when((hits_es >= hits_fr) & (hits_es > 0), "es")
         .when(hits_fr > 0, "fr")

@@ -107,9 +107,11 @@ def tvf_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tvf_hop_cumulate",
-    # HOP and CUMULATE windows tagged onto one
-    # (variant, window_start, window_end, n_events, v) schema
+    "tvf_hop_cumulate_session",
+    # HOP, CUMULATE and SESSION windows tagged onto one
+    # (variant, k, window_start, window_end, n_events, v) schema — one
+    # driver entry proves the three non-tumbling window TVFs (k is the
+    # session's user_id; NULL for the keyless hop/cumulate variants)
     oracle="""
     WITH k AS (SELECT UNNEST(range(0, 5)) AS i),
     hop_exploded AS (
@@ -126,26 +128,47 @@ def tvf_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT UNNEST(range(1, 5)) AS i) k
       WHERE floor(epoch(ts) / 3600) * 3600 + k.i * 900 > epoch(ts)
     )
-    SELECT 'hop' AS variant, window_start,
+    SELECT 'hop' AS variant, CAST(NULL AS BIGINT) AS k, window_start,
            window_start + INTERVAL 300 SECOND AS window_end,
            COUNT(*) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v
     FROM hop_exploded
     GROUP BY window_start
     UNION ALL
-    SELECT 'cumulate', window_start, window_end,
+    SELECT 'cumulate', CAST(NULL AS BIGINT), window_start, window_end,
            COUNT(*),
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
     FROM cum_exploded
     GROUP BY window_start, window_end
+    UNION ALL
+    SELECT 'session', user_id,
+           MIN(ts),
+           MAX(ts) + INTERVAL 600 SECOND,
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 600
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, sess_id
     """,
 )
-def tvf_hop_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tvf_hop_cumulate_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOP size=5min slide=1min (syntax-test.fsql:210-218; Spark's
     window(ts, size, slide) assigns each row to its size/slide
     covering windows — same explode Flink does) + CUMULATE step=15min
-    max=1h (:231-239), tagged and concatenated."""
+    max=1h (:231-239) + SESSION gap=10min per user (`tvf_session`,
+    :220-229 — gaps-and-islands oracle), tagged and concatenated."""
     ev = load_table(spark, sf_dir, "events")
+    nul = F.lit(None).cast("bigint")
     hopped = (
         hop(ev, "ts", "1 minute", "5 minutes")
         .groupBy("window_start", "window_end")
@@ -153,7 +176,10 @@ def tvf_hop_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").cast("double").alias("v"),
         )
-        .select(F.lit("hop").alias("variant"), "window_start", "window_end", "n_events", "v")
+        .select(
+            F.lit("hop").alias("variant"), nul.alias("k"),
+            "window_start", "window_end", "n_events", "v",
+        )
     )
     cumulated = (
         cumulate(ev, "ts", 900, 3600)
@@ -163,38 +189,21 @@ def tvf_hop_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("v"),
         )
         .select(
-            F.lit("cumulate").alias("variant"), "window_start", "window_end", "n_events", "v"
+            F.lit("cumulate").alias("variant"), nul.alias("k"),
+            "window_start", "window_end", "n_events", "v",
         )
     )
-    return hopped.unionByName(cumulated)
-
-
-@register(
-    "tvf_session",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts, value,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 600
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-    ),
-    sessions AS (
-      SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-      FROM ordered
+    sessions = tvf_session(spark, sf_dir).select(
+        F.lit("session").alias("variant"),
+        F.col("user_id").alias("k"),
+        "window_start",
+        "window_end",
+        "n_events",
+        F.col("total_value").alias("v"),
     )
-    SELECT user_id,
-           MIN(ts) AS window_start,
-           MAX(ts) + INTERVAL 600 SECOND AS window_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-    FROM sessions
-    GROUP BY user_id, sess_id
-    ORDER BY user_id, window_start
-    """,
-)
+    return hopped.unionByName(cumulated).unionByName(sessions)
+
+
 def tvf_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SESSION gap=10min per user (syntax-test.fsql:220-229).
 

@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_sql_toolkit_spark.operators.asof import asof_join
-from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+from flink_sql_toolkit_spark.operators.match_recognize import (
+    match_recognize,
+    match_recognize_funnel,
+)
 from flink_sql_toolkit_spark.operators.multimodal import decode_image, extract_media_features
 from flink_sql_toolkit_spark.operators.registry import QUERIES
 
@@ -250,7 +253,7 @@ def test_media_feature_schema(spark):
 
 
 def test_funnel_query_counts(spark, sf_dir):
-    out = QUERIES["match_recognize_funnel"](spark, sf_dir).collect()
+    out = match_recognize_funnel(spark, sf_dir).collect()
     assert len(out) > 0
     assert all(r.n_before >= 1 for r in out)
     assert all(r.start_ts <= r.purchase_ts for r in out)

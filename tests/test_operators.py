@@ -24,10 +24,10 @@ PARITY_SAMPLE = [
     "window_topk_per_group",
     "setop_union_intersect",
     "subq_exists_any_all",
-    "tvf_session",
+    "tvf_hop_cumulate_session",
     "dedup_exact",
     "sim_topk_bruteforce",
-    "text_language_id",
+    "text_metrics",
 ]
 
 

@@ -9,6 +9,7 @@ import pytest
 import __spark_entry__  # noqa: F401 — populates the registry
 from flink_sql_toolkit_spark import tables
 from flink_sql_toolkit_spark.operators.registry import QUERIES
+from flink_sql_toolkit_spark.operators.relational import q6_revenue_forecast
 
 
 @pytest.fixture(autouse=True)
@@ -35,7 +36,10 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_q6_filters_push_to_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    plan = (
+        q6_revenue_forecast(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "PushedFilters" in plan
     # all three filterable predicates reach the scan
     for col in ("l_shipdate", "l_discount", "l_quantity"):
