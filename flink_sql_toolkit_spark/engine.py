@@ -371,6 +371,14 @@ class Operation:
             except Exception:  # noqa: BLE001
                 pass
             self._stream_buffer.finish(None)
+        if self._row_iter is not None:
+            # release the lazy batch iterator's socket + any in-flight
+            # prefetch job instead of waiting for GC
+            try:
+                self._row_iter.close()  # Py4J local iterator supports close
+            except Exception:  # noqa: BLE001 — not all iterators have close
+                pass
+            self._row_iter = None
         self.status = "CANCELED"
 
 

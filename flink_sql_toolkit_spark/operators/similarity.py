@@ -19,7 +19,9 @@ over a comprehension), elements cast to double before multiply.
 Measured: at dim=64 the JVM ``F.aggregate`` fold beats a
 numpy-vectorized pandas UDF (0.82 s vs 0.99 s for 78k dots at sf0.1,
 local[32]) — Arrow transfer overhead exceeds the vectorization win.
-For high-dim embeddings (≥512) revisit with the pandas kernel.
+``dot(a, b, dim=...)`` picks the kernel: fold below
+``PANDAS_DOT_MIN_DIM``, Arrow-batched einsum past it (equivalence
+tested to 1e-9 relative).
 
 Vectors are unit-normalized (FIXTURES.md) so dot product == cosine.
 """
@@ -88,8 +90,44 @@ def _probe_is_small(counted: DataFrame, limit: int) -> bool:
     return _PROBE_CACHE[key]
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product, elements cast to double."""
+# Kernel crossover: at the fixture's dim 64 the JVM F.aggregate fold
+# beats Arrow+numpy (no serialization); past this dim the per-element
+# fold's expression-tree cost loses to one BLAS dot per row, so the
+# kernel switches to the vectorized pandas UDF.
+PANDAS_DOT_MIN_DIM = 256
+
+
+def _dot_pandas_kernel():  # deferred: pandas_udf needs an active session
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _dot(a, b):
+        # uniform-length embedding columns stack into one (batch, dim)
+        # matrix → a single vectorized multiply-sum per Arrow batch
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    # explicit SCALAR eval type: the module's deferred annotations
+    # would make pyspark's type-hint inference resolve strings against
+    # module globals where pd is not bound
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    return pandas_udf(_dot, "double", PandasUDFType.SCALAR)
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product, elements cast to double.
+
+    ``dim`` picks the kernel: JVM sequential fold below
+    ``PANDAS_DOT_MIN_DIM`` (codegen, no Python), Arrow-batched
+    numpy past it (one einsum per batch). Unknown dim → fold (the
+    oracle-deterministic default)."""
+    if dim is not None and dim >= PANDAS_DOT_MIN_DIM:
+        return _dot_pandas_kernel()(a, b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

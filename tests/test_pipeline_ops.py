@@ -156,3 +156,28 @@ def test_large_query_set_not_broadcast(spark, sf_dir):
     a = {tuple(r) for r in hinted.collect()}
     b = {tuple(r) for r in unhinted.collect()}
     assert a == b
+
+
+def test_dot_pandas_kernel_matches_fold(spark):
+    """The high-dim Arrow/numpy dot kernel must agree with the JVM
+    fold to float64 round-off (same inputs, both sum the same
+    products; einsum may reassociate — tolerance 1e-9 relative)."""
+    import random
+
+    from flink_sql_toolkit_spark.operators.similarity import dot
+
+    rng = random.Random(7)
+    dim = 512
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    fold = {r.id: r.d for r in df.select("id", dot(F.col("a"), F.col("b")).alias("d")).collect()}
+    fast = {
+        r.id: r.d
+        for r in df.select("id", dot(F.col("a"), F.col("b"), dim=dim).alias("d")).collect()
+    }
+    assert fold.keys() == fast.keys()
+    for k in fold:
+        assert abs(fold[k] - fast[k]) <= 1e-9 * max(1.0, abs(fold[k]))
