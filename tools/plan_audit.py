@@ -21,14 +21,20 @@ Usage: python tools/plan_audit.py [sf_dir] [name_filter]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# audit the COLD-path plan — the one a 100 TB run sees: with the
+# hot-table cache on, scans read from InMemoryTableScan and the
+# pushdown/pruning facts this audit exists to verify disappear
+os.environ["SPARK_GRAFT_HOT_CACHE_BUDGET"] = "0"
+
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, UNREGISTERED  # noqa: E402
 from flink_sql_toolkit_spark.session import build_spark  # noqa: E402
 
 
@@ -65,7 +71,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     spark = build_spark("plan-audit", shuffle_partitions=8)
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **UNREGISTERED}
     bad = 0
     for name in HEADLINE:
         if name_filter and name_filter not in name:
