@@ -77,3 +77,20 @@ def test_broadcast_in_q3_plan(spark, sf_dir):
     """The customer dim must be broadcast — no lineitem shuffle for it."""
     plan = QUERIES["q3_shipping_priority"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_registry_fits_driver_sample():
+    """The correctness gate samples ~50 registry entries per round;
+    anything past 50 is registered-but-never-proven. Adding an entry
+    must come with merging another (variant-tag union, see
+    asof_family / join_theta_family) — not with silently exceeding
+    the sample."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert len(qs) <= 50, (
+        f"{len(qs)} registered entries exceed the driver's ~50-entry "
+        "sample — merge near-duplicates into a family entry"
+    )
+    # every oracle refers to a registered query
+    assert set(entrymod.oracle_sql()) <= set(qs)
