@@ -216,30 +216,49 @@ BUCKET_SQL = f"""
 """
 
 
+# anchor vectors per fixture dir — N_ANCHORS constant-size rows, the
+# LSH "model parameters". Fetched once (pushed-filter scan of
+# vec_id < N_ANCHORS) and inlined as literals, exactly the
+# random-Gaussian-planes-broadcast shape production uses.
+_ANCHOR_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _anchor_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    import os  # noqa: PLC0415
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ANCHOR_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < N_ANCHORS)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _ANCHOR_CACHE[key] = [
+            list(r.embedding) for r in sorted(rows, key=lambda r: r.vec_id)
+        ]
+    return _ANCHOR_CACHE[key]
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id → sign-bit bucket string from the anchor hyperplanes."""
+    """vec_id → sign-bit bucket string from the anchor hyperplanes.
+
+    Anchors are inlined as literal arrays, so bucketing is a pure
+    projection over one corpus pass — no crossJoin fan-out, no
+    per-vector groupBy shuffle. (The previous formulation exploded the
+    corpus ×N_ANCHORS and reduced it back with a full-corpus shuffle —
+    a real cost at 100 TB for something that is a map.) The dot fold
+    is arithmetically identical, so bucket strings (and the DuckDB
+    oracle) are unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < N_ANCHORS).select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
-    )
-    return (
-        emb.crossJoin(F.broadcast(anchors))
-        .select(
-            "vec_id",
-            "embedding",
-            "aid",
-            F.when(dot(F.col("embedding"), F.col("av")) >= 0, "1").otherwise("0").alias("bit"),
-        )
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("aid", "bit"))), lambda e: e["bit"]
-                ),
-            ).alias("bucket")
-        )
-    )
+    bits = [
+        F.when(
+            dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av])) >= 0,
+            "1",
+        ).otherwise("0")
+        for av in _anchor_vectors(spark, sf_dir)
+    ]
+    return emb.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
 
 
 @register(
@@ -348,18 +367,18 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pass — the corpus never shuffles for assignment.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < N_ANCHORS).select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
-    )
-    dots = (
-        emb.crossJoin(F.broadcast(anchors))
-        .select("vec_id", "embedding", "aid", dot(F.col("embedding"), F.col("av")).alias("d"))
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("aid", "d"))), lambda e: e["d"]
-            ).alias("l")
-        )
+    # centroids inlined as literals (same shape as lsh_buckets): the
+    # per-cell dots become one projected array — no crossJoin fan-out,
+    # no per-vector groupBy shuffle, same values in the same aid order
+    dots = emb.select(
+        "vec_id",
+        "embedding",
+        F.array(
+            *[
+                dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av]))
+                for av in _anchor_vectors(spark, sf_dir)
+            ]
+        ).alias("l"),
     )
     top1 = F.array_max("l")
     second = F.array_max(F.filter(F.col("l"), lambda x: x != top1))
