@@ -31,9 +31,11 @@ from __future__ import annotations
 
 import json
 import struct
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from decimal import Decimal
 from typing import Any, Callable, Iterator
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 # ---------------------------------------------------------------- varints
 
@@ -104,10 +106,12 @@ def decode(buf: bytes, sch: Any, pos: int = 0) -> tuple[Any, int]:
     if t in ("int", "long"):
         n, pos = _read_varint(buf, pos)
         lt = sch.get("logicalType") if isinstance(sch, dict) else None
+        # integer arithmetic: float division rounds microseconds for
+        # post-2004 epochs (1e15 µs exceeds float64's exact range)
         if lt == "timestamp-millis":
-            return datetime.fromtimestamp(n / 1000.0, tz=timezone.utc), pos
+            return _EPOCH + timedelta(milliseconds=n), pos
         if lt == "timestamp-micros":
-            return datetime.fromtimestamp(n / 1e6, tz=timezone.utc), pos
+            return _EPOCH + timedelta(microseconds=n), pos
         return n, pos
     if t == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
@@ -188,10 +192,18 @@ def encode(out: bytearray, value: Any, sch: Any) -> None:
         return
     if t in ("int", "long"):
         lt = sch.get("logicalType") if isinstance(sch, dict) else None
-        if lt == "timestamp-millis" and isinstance(value, datetime):
-            value = int(value.timestamp() * 1000)
-        elif lt == "timestamp-micros" and isinstance(value, datetime):
-            value = int(value.timestamp() * 1e6)
+        if isinstance(value, datetime) and lt in (
+            "timestamp-millis",
+            "timestamp-micros",
+        ):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            unit = (
+                timedelta(milliseconds=1)
+                if lt == "timestamp-millis"
+                else timedelta(microseconds=1)
+            )
+            value = (value - _EPOCH) // unit  # exact integer epoch units
         _write_varint(out, value)
         return
     if t == "float":

@@ -212,3 +212,25 @@ def test_avro_rich_types_e2e(spark):
     assert row.id == 3
     assert row.price == Decimal("19.99")
     assert row.ts == dt.datetime(2024, 6, 1, 8, 0, 0)
+
+
+def test_timestamp_micros_exact_roundtrip():
+    """Post-2004 epoch micros exceed float64's exact integer range —
+    the codec must round-trip them without the 1-us float rounding."""
+    from datetime import datetime, timezone
+
+    from flink_sql_toolkit_spark.sources.avro_codec import decode_record, encode_record
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "tus", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "tms", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        ],
+    }
+    # an epoch whose microsecond count is NOT float64-representable
+    ts = datetime(2026, 8, 13, 12, 34, 56, 789123, tzinfo=timezone.utc)
+    out = decode_record(encode_record({"tus": ts, "tms": ts}, sch), sch)
+    assert out["tus"] == ts
+    assert out["tms"] == ts.replace(microsecond=789000)
