@@ -511,3 +511,55 @@ def neardup_dense_buckets(
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .filter(F.col("n_vecs") > cap)
     )
+
+
+def ivf_build_bucketed(
+    spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 16
+) -> None:
+    """Materialize the IVF inverted lists as a BUCKETED table — the
+    100 TB serving layout SCALE.md describes: the corpus is written
+    once, hash-distributed (and sorted) by cluster_id, so every later
+    cell-probe join reads co-located buckets with ZERO corpus-side
+    shuffle (the bucketed scan already satisfies the join's required
+    hash distribution). Build cost is one corpus pass + one write."""
+    ivf = ivf_assignments(spark, sf_dir)
+    (
+        ivf.write.bucketBy(n_buckets, "cluster_id")
+        .sortBy("cluster_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def sim_ivf_topk_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    queries: DataFrame,
+    nprobe_cols: tuple[str, str] = ("cluster_id", "cluster2_id"),
+) -> DataFrame:
+    """`sim_ivf_topk`'s serve path against a pre-built bucketed
+    inverted-list table: equi-join on cluster_id with the corpus side
+    already distributed by the join key — only the (small) query side
+    moves. ``queries`` must carry (query_id, qv, cluster_id,
+    cluster2_id)."""
+    corpus = spark.table(table_name)
+    q = queries.select(
+        "query_id",
+        "qv",
+        F.explode(F.array(*nprobe_cols)).alias("cluster_id"),
+    )
+    scored = (
+        corpus.join(q, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )

@@ -181,3 +181,45 @@ def test_dot_pandas_kernel_matches_fold(spark):
     assert fold.keys() == fast.keys()
     for k in fold:
         assert abs(fold[k] - fast[k]) <= 1e-9 * max(1.0, abs(fold[k]))
+
+
+def test_ivf_bucketed_layout_joins_without_corpus_shuffle(spark, sf_dir):
+    """SCALE.md's serving-layout claim, plan-asserted: with the
+    inverted lists bucketed by cluster_id, the cell-probe join needs
+    NO corpus-side Exchange even when broadcast is disabled — only
+    the query side shuffles."""
+    from flink_sql_toolkit_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_build_bucketed,
+        sim_ivf_topk_bucketed,
+    )
+
+    ivf_build_bucketed(spark, sf_dir, "ivf_lists_test", n_buckets=4)
+    try:
+        queries = (
+            ivf_assignments(spark, sf_dir)
+            .filter(F.col("vec_id") % 50 == 0)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                "cluster_id",
+                "cluster2_id",
+            )
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = sim_ivf_topk_bucketed(spark, "ivf_lists_test", queries)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "ivf_lists_test" in plan
+        # the full plan carries only the shuffles the query side +
+        # downstream distinct/window need (≤3); a corpus-side
+        # re-partition would add a fourth
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 3, plan
+        # and the result is non-trivial
+        assert out.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_lists_test")
