@@ -274,3 +274,24 @@ def test_batch_select_is_lazily_paged(session, sf_dir):
         total += len(page["data"])
         token = page["nextResultToken"]
     assert total == 1500
+
+
+def test_batch_fetch_eviction_raises_on_rewind(session, sf_dir, monkeypatch):
+    """Pages past the retention window are evicted; rewinding to one
+    raises the documented forward-fetch error instead of silently
+    returning wrong rows."""
+    from flink_sql_toolkit_spark import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "RETAIN_ROWS", engine_mod.PAGE_SIZE)
+    session.spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_evict"
+    )
+    op = session.execute_statement(
+        "SELECT o_orderkey FROM orders_evict ORDER BY o_orderkey"
+    )
+    first = op.fetch(0)["data"]
+    assert len(first) == engine_mod.PAGE_SIZE
+    op.fetch(1)  # advances past the window → page 0 evicted
+    assert op.fetch(1)["data"]  # replay of the current page still works
+    with pytest.raises(ValueError, match="evicted"):
+        op.fetch(0)
