@@ -554,3 +554,38 @@ class Engine:
         sess = self.sessions.pop(handle, None)
         if sess is not None:
             sess.close()
+
+    def cluster_overview(self) -> dict:
+        """Cluster + "TaskManager" snapshot — the engine analogue of
+        the reference's jobs/overview + taskmanagers polling
+        (src/taskManagersProvider.ts:64-105, src/statusBar.ts:21-45):
+        Spark executors stand in for TaskManagers, cores for slots.
+        Driver-side metadata only (status tracker), no job run."""
+        sc = self.spark.sparkContext
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()  # noqa: SLF001
+        taskmanagers = []
+        running_tasks = 0
+        for i in infos:
+            n_tasks = i.numRunningTasks()
+            running_tasks += n_tasks
+            taskmanagers.append(
+                {
+                    "host": i.host(),
+                    "port": i.port(),
+                    "numRunningTasks": n_tasks,
+                    "cacheSize": i.cacheSize(),
+                }
+            )
+        slots_total = sc.defaultParallelism
+        jobs_running = sum(
+            1
+            for sess in self.sessions.values()
+            for j in sess.jobs.list()
+            if j.status == "RUNNING"
+        )
+        return {
+            "taskmanagers": taskmanagers,
+            "slots_total": slots_total,
+            "slots_available": max(0, slots_total - running_tasks),
+            "jobs_running": jobs_running,
+        }

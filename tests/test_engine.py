@@ -339,3 +339,16 @@ def test_use_catalog_unknown_is_typed_error(session):
     # the built-in catalog still switches fine
     page = session.execute_statement("USE CATALOG spark_catalog").fetch()
     assert page["data"] == [["OK"]]
+
+
+def test_cluster_overview(engine, session):
+    """Engine analogue of the reference's cluster/TaskManager
+    polling: executors as taskmanagers, cores as slots, running jobs
+    from the session registries."""
+    ov = engine.cluster_overview()
+    assert ov["slots_total"] >= 1
+    assert 0 <= ov["slots_available"] <= ov["slots_total"]
+    assert isinstance(ov["taskmanagers"], list) and ov["taskmanagers"]
+    tm = ov["taskmanagers"][0]
+    assert {"host", "port", "numRunningTasks", "cacheSize"} <= set(tm)
+    assert ov["jobs_running"] >= 0
