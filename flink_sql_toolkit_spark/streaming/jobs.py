@@ -42,6 +42,30 @@ class JobRegistry:
     def list(self) -> list[JobInfo]:
         return list(self._jobs.values())
 
+    def detail(self, job_id: str) -> dict:
+        """Job detail — the reference's GET /jobs/{id} fetch
+        (src/flinkClient.ts:241-267) mapped onto the query's progress
+        metadata: throughput/duration/state metrics come from
+        ``StreamingQueryProgress`` instead of Flink job vertices."""
+        info = self._jobs.get(job_id)
+        if info is None:
+            raise LookupError(f"job '{job_id}' not found")
+        progress = None
+        exception = None
+        try:
+            progress = info.query.lastProgress
+            exception = info.query.exception()
+        except Exception:  # noqa: BLE001 — a torn-down query has neither
+            pass
+        return {
+            "jobID": info.job_id,
+            "name": info.name,
+            "status": info.status,
+            "startTime": info.start_time.isoformat(),
+            "lastProgress": progress,
+            "exception": str(exception) if exception else None,
+        }
+
     def stop(self, job_id: str) -> bool:
         """Idempotent stop (reference tolerates FINISHED/CANCELED —
         src/flinkClient.ts:269-296)."""

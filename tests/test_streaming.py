@@ -210,3 +210,29 @@ def test_late_split_watermark_reconstruction():
     # restart: the restored watermark pre-dates any observed batch) wins
     q.lastProgress = {"eventTime": {"watermark": "2026-01-01T11:00:00.000Z"}}
     assert split.current_watermark() == datetime(2026, 1, 1, 11, 0, tzinfo=utc)
+
+
+def test_job_detail(session):
+    """jobs.detail(job_id): the GET /jobs/{id} analogue — status +
+    StreamingQueryProgress metadata for a named continuous INSERT."""
+    session.execute_statement(
+        "CREATE TABLE det_src (v BIGINT) WITH ('connector'='datagen', 'rows-per-second'='50')"
+    )
+    session.execute_statement(
+        "CREATE TABLE det_sink (v BIGINT) WITH ('connector'='blackhole')"
+    )
+    op = session.execute_statement("INSERT INTO det_sink SELECT v FROM det_src")
+    try:
+        d = session.jobs.detail(op.job_id)
+        assert d["jobID"] == op.job_id
+        assert d["status"] == "RUNNING"
+        assert d["exception"] is None
+        deadline = time.time() + 30
+        while time.time() < deadline and session.jobs.detail(op.job_id)["lastProgress"] is None:
+            time.sleep(0.5)
+        progress = session.jobs.detail(op.job_id)["lastProgress"]
+        assert progress and "batchId" in progress
+    finally:
+        session.jobs.stop(op.job_id)
+    with pytest.raises(LookupError):
+        session.jobs.detail("nope")
