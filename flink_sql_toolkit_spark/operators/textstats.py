@@ -148,3 +148,70 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("predicted_lang"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training pipelines: bin documents into
+    packs whose summed token counts stay under ``max_tokens`` (the
+    context-length budget), first-fit-decreasing WITHIN each
+    partition.
+
+    Scale shape: packing is embarrassingly partition-local — each
+    partition packs its own docs over one Arrow batch stream
+    (``applyInPandas`` per partition id), no shuffle of document
+    content, no global coordination. Per-partition FFD is the
+    standard approximation (global optimal packing is NP-hard and
+    irrelevant at 10^9 docs); fill ratio only improves as partitions
+    get bigger. Docs longer than the budget become single-doc
+    overflow packs, flagged ``truncate_needed`` rather than silently
+    dropped.
+
+    Output: one row per pack — (pack_id, doc_ids, n_docs,
+    total_tokens, truncate_needed).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = (
+        "pack_id string, doc_ids array<long>, n_docs int, "
+        "total_tokens long, truncate_needed boolean"
+    )
+
+    def pack(key, pdf: "pd.Series") -> "pd.DataFrame":
+        pid = key[0]
+        rows = sorted(
+            zip(pdf[id_col], pdf[token_col]), key=lambda r: (-r[1], r[0])
+        )
+        bins: list[list] = []  # [remaining, [doc_ids], total]
+        overflow = []
+        for doc_id, n in rows:
+            n = int(n)
+            if n > max_tokens:
+                overflow.append((doc_id, n))
+                continue
+            for b in bins:
+                if b[0] >= n:
+                    b[0] -= n
+                    b[1].append(doc_id)
+                    b[2] += n
+                    break
+            else:
+                bins.append([max_tokens - n, [doc_id], n])
+        out = [
+            (f"{pid}-{i}", ids, len(ids), total, False)
+            for i, (_rem, ids, total) in enumerate(bins)
+        ] + [
+            (f"{pid}-of-{i}", [doc_id], 1, n, True)
+            for i, (doc_id, n) in enumerate(overflow)
+        ]
+        return pd.DataFrame(
+            out,
+            columns=["pack_id", "doc_ids", "n_docs", "total_tokens", "truncate_needed"],
+        )
+
+    work = df.select(id_col, token_col, F.spark_partition_id().alias("_pid"))
+    return work.groupBy("_pid").applyInPandas(pack, out_schema)

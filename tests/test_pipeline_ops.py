@@ -223,3 +223,29 @@ def test_ivf_bucketed_layout_joins_without_corpus_shuffle(spark, sf_dir):
         assert out.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_lists_test")
+
+
+def test_pack_sequences(spark, sf_dir):
+    """Sequence packing: every doc lands in exactly one pack, no pack
+    exceeds the token budget (except flagged single-doc overflows),
+    and FFD fill is non-degenerate."""
+    from flink_sql_toolkit_spark.operators.textstats import pack_sequences, text_metrics
+
+    docs = text_metrics(spark, sf_dir).select(
+        "doc_id", F.col("n_words").alias("n_tokens")
+    )
+    budget = 200
+    packs = pack_sequences(docs, budget).collect()
+    assert packs
+    seen = [d for p in packs for d in p.doc_ids]
+    assert sorted(seen) == sorted(r.doc_id for r in docs.collect())  # exactly-once
+    for p in packs:
+        if p.truncate_needed:
+            assert p.n_docs == 1 and p.total_tokens > budget
+        else:
+            assert p.total_tokens <= budget
+    # FFD within a partition should do far better than one-doc-per-pack
+    n_regular = sum(1 for p in packs if not p.truncate_needed)
+    n_docs_regular = sum(p.n_docs for p in packs if not p.truncate_needed)
+    if n_regular:
+        assert n_docs_regular / n_regular >= 1.5
