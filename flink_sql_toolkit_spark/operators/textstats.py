@@ -215,3 +215,34 @@ def pack_sequences(
 
     work = df.select(id_col, token_col, F.spark_partition_id().alias("_pid"))
     return work.groupBy("_pid").applyInPandas(pack, out_schema)
+
+
+# PII patterns kept in the Java-regex subset; applied as chained
+# JVM-side regexp_replace — no Python in the path, linear scans.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?\d[\d\-\s().]{7,}\d", "<PHONE>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", kinds: tuple[str, ...] = tuple(PII_PATTERNS)
+) -> DataFrame:
+    """Scrub common PII shapes from a text column before training —
+    chained ``regexp_replace`` (codegen'd, no shuffle), with per-kind
+    hit counts so the pipeline can report/threshold redaction rates.
+    IP/SSN before phone: the phone pattern would otherwise swallow
+    dotted/dashed digit runs that are really IPs or SSNs."""
+    order = sorted(kinds, key=lambda k: 0 if k in ("ipv4", "ssn") else 1)
+    out = df
+    cleaned = F.col(text_col)
+    for kind in order:
+        pattern, token = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(cleaned, F.lit(pattern), F.lit(0))),
+        )
+        cleaned = F.regexp_replace(cleaned, pattern, token)
+    return out.withColumn(f"{text_col}_redacted", cleaned)

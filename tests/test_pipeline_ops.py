@@ -249,3 +249,27 @@ def test_pack_sequences(spark, sf_dir):
     n_docs_regular = sum(p.n_docs for p in packs if not p.truncate_needed)
     if n_regular:
         assert n_docs_regular / n_regular >= 1.5
+
+
+def test_redact_pii(spark):
+    from flink_sql_toolkit_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "server 192.168.0.1 leaked ssn 123-45-6789"),
+        (3, "clean text with no identifiers"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "jo.doe" not in out[1].text_redacted
+    assert "<IP>" in out[2].text_redacted and "<SSN>" in out[2].text_redacted
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert "192.168" not in out[2].text_redacted and "6789" not in out[2].text_redacted
+    assert out[3].text_redacted == "clean text with no identifiers"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn == 0
