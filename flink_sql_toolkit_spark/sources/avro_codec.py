@@ -23,8 +23,8 @@ schema is parsed once per executor batch-iterator, not per row. This
 is the documented slow path relative to JVM ``from_avro``; the
 connector prefers the JVM module whenever its jar is present.
 
-The encoder exists for fixtures/tests and for the kafka writer's
-avro output path.
+The encoder exists for fixtures/tests — it produces the payloads the
+decode path is verified against (round-trip property tests).
 """
 
 from __future__ import annotations
