@@ -28,6 +28,14 @@ Scale: the split is two JVM-side filters over the micro-batch; the
 watermark read is O(1) driver-side metadata from
 ``StreamingQueryProgress``. Handlers receive DataFrames and write
 distributed — nothing is collected to the driver here.
+
+Restart caveat (documented divergence): immediately after a
+checkpoint restart no progress exists yet, so the FIRST batch is
+classified against the epoch — rows behind the restored watermark
+land in ``on_time`` (where a downstream stateful op would still drop
+them, exactly as without this split) rather than in ``late``. From
+the second batch on, the reported watermark is taken where it is
+ahead of the reconstruction and classification is exact again.
 """
 
 from __future__ import annotations
