@@ -352,3 +352,24 @@ def test_cluster_overview(engine, session):
     tm = ov["taskmanagers"][0]
     assert {"host", "port", "numRunningTasks", "cacheSize"} <= set(tm)
     assert ov["jobs_running"] >= 0
+
+
+def test_concurrent_sessions_are_isolated(engine):
+    """Gateway property: several sessions submit statements in
+    parallel over the shared SparkContext; results do not bleed
+    across sessions and temp views stay session-scoped."""
+    import concurrent.futures
+
+    def run(i: int):
+        s = engine.open_session(f"conc{i}")
+        try:
+            s.execute_statement(
+                f"CREATE TEMPORARY VIEW conc_v AS SELECT {i} AS v"
+            )
+            return s.execute_statement("SELECT v FROM conc_v").fetch()["data"][0][0]
+        finally:
+            s.close()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = sorted(ex.map(run, range(4)))
+    assert results == [0, 1, 2, 3]
