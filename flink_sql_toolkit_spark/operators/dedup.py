@@ -399,3 +399,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash")
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = SHINGLE_K, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (the MOSS scheme): hash
+    every word k-gram, slide a ``window`` over consecutive k-gram
+    hashes, keep each window's minimum — any two documents sharing a
+    run of at least ``window + k - 1`` words are GUARANTEED to share
+    a fingerprint, unlike the whole-document fingerprint in
+    `text_metrics` which only clusters full reorder-edits.
+
+    Scale shape: same lineage as `shingles` (posexplode + lead window,
+    one token-stream shuffle on doc_id) plus a second frame over the
+    already-partitioned hashes — Catalyst reuses the exchange, so no
+    extra shuffle; collect_set per doc is bounded by shingles/window.
+
+    Output: (doc_id, fingerprints array<string> sorted).
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    words = F.split(normalized_text(text_col), " ")
+    wdf = df.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("w", i).over(win) for i in range(1, k)]
+    grams = (
+        wdf.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("w"), *lead_cols).alias("shingle"),
+            F.lead("w", k - 1).over(win).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", "pos", F.md5("shingle").alias("h"))
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("wmin", F.min("h").over(frame))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("wmin")).alias("fingerprints"))
+    )

@@ -273,3 +273,31 @@ def test_redact_pii(spark):
     assert "192.168" not in out[2].text_redacted and "6789" not in out[2].text_redacted
     assert out[3].text_redacted == "clean text with no identifiers"
     assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn == 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of >= window+k-1 words
+    share at least one fingerprint; unrelated docs share none; a doc
+    is identical to itself."""
+    from flink_sql_toolkit_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        (1, f"intro words here {shared} closing remarks"),
+        (2, f"{shared} and then a totally different continuation follows"),
+        (3, "completely unrelated content about spark query planning internals"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df, k=5, window=4).collect()
+    }
+    assert fps[1] & fps[2]  # 11-word shared run >= 4+5-1=8 -> overlap guaranteed
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    # deterministic: same input -> same fingerprint set
+    again = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df, k=5, window=4).collect()
+    }
+    assert again == fps
