@@ -83,10 +83,10 @@ def test_match_recognize_optional_and_star(spark):
 def test_fast_path_matches_generic_nfa(spark, sf_dir):
     """The vectorized A+ B path must be byte-identical to the generic
     NFA (forced by a 3-token pattern with an always-false filler)."""
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["expr"]).expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "event_id", "ts", "event_type")
+    from flink_sql_toolkit_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
     )
     common = dict(
         partition_by=["user_id"],

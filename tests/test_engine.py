@@ -200,9 +200,17 @@ def test_session_auto_recovery(engine):
 
 def test_tvf_through_engine(session, sf_dir):
     session.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    session.spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("raw_events")
+    raw = session.spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.createOrReplaceTempView("raw_events")
+    # testdata has shipped ts as both TIMESTAMP(NANOS)-as-long and
+    # timestamp[us]; normalize to a timestamp either way
+    ts_expr = (
+        "timestamp_micros(ts div 1000)"
+        if dict(raw.dtypes)["ts"] == "bigint"
+        else "ts"
+    )
     session.execute_statement(
-        "CREATE TEMPORARY VIEW events AS SELECT event_id, timestamp_micros(ts div 1000) AS ts, user_id FROM raw_events"
+        f"CREATE TEMPORARY VIEW events AS SELECT event_id, {ts_expr} AS ts, user_id FROM raw_events"
     )
     op = session.execute_statement(
         "SELECT window_start, window_end, COUNT(*) AS n FROM "
