@@ -327,6 +327,12 @@ def sim_lsh_bucketed(
     q_probe = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % QUERY_MOD == 0
     )
+    # No distinct needed: a corpus vector lives in exactly ONE bucket
+    # and a query's bits+1 probes are pairwise-distinct strings (each
+    # flips a different bit), so at most one probe can equal a given
+    # neighbor's bucket — (query_id, neighbor_id) is already unique.
+    # The oracle's SELECT DISTINCT is a no-op for the same reason;
+    # skipping it here removes a full shuffle of the candidate set.
     scored = (
         buckets.join(_query_side(q, broadcast_limit, probe=q_probe), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -335,7 +341,6 @@ def sim_lsh_bucketed(
             F.col("vec_id").alias("neighbor_id"),
             dot(F.col("qv"), F.col("embedding")).alias("cosine"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -425,10 +430,16 @@ def sim_ivf_topk(
     broadcast; past ``broadcast_limit`` the join shuffles both sides
     on cluster_id instead."""
     ivf = ivf_assignments(spark, sf_dir)
+    # array_distinct guards the cluster2==cluster1 edge (tied dots);
+    # with distinct probes and one cluster_id per corpus vector,
+    # (query_id, neighbor_id) is unique without a distinct — same
+    # argument as sim_lsh_bucketed, one less candidate-set shuffle.
     q = ivf.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.explode(F.array("cluster_id", "cluster2_id")).alias("cluster_id"),
+        F.explode(
+            F.array_distinct(F.array("cluster_id", "cluster2_id"))
+        ).alias("cluster_id"),
     )
     q_probe = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % QUERY_MOD == 0
@@ -441,7 +452,6 @@ def sim_ivf_topk(
             F.col("vec_id").alias("neighbor_id"),
             dot(F.col("qv"), F.col("embedding")).alias("cosine"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -544,10 +554,13 @@ def sim_ivf_topk_bucketed(
     moves. ``queries`` must carry (query_id, qv, cluster_id,
     cluster2_id)."""
     corpus = spark.table(table_name)
+    # probes deduped per query up front (tiny arrays) so the join
+    # emits unique (query_id, neighbor_id) pairs — no candidate-set
+    # distinct shuffle (each corpus vector has one cluster_id)
     q = queries.select(
         "query_id",
         "qv",
-        F.explode(F.array(*nprobe_cols)).alias("cluster_id"),
+        F.explode(F.array_distinct(F.array(*nprobe_cols))).alias("cluster_id"),
     )
     scored = (
         corpus.join(q, "cluster_id")
@@ -557,7 +570,6 @@ def sim_ivf_topk_bucketed(
             F.col("vec_id").alias("neighbor_id"),
             dot(F.col("qv"), F.col("embedding")).alias("cosine"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(

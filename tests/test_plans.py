@@ -102,3 +102,17 @@ def test_minhash_signature_pipeline_runs_once(spark, sf_dir):
     lineage above it) must appear exactly once."""
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert plan.count("documents.parquet") == 1
+
+
+@pytest.mark.parametrize("name", ["sim_lsh_bucketed", "sim_ivf_topk"])
+def test_ann_single_shuffle(spark, sf_dir, name):
+    """Candidate (query, neighbor) pairs are unique by construction
+    (one bucket/cell per corpus vector × pairwise-distinct probes),
+    so the ANN paths need no post-join distinct — the ONLY shuffle
+    is the per-query top-k window. A second Exchange here means a
+    redundant candidate-set shuffle crept back in."""
+    plan = plan_of(spark, sf_dir, name)
+    import re as _re
+
+    exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
+    assert exchanges == 1, f"{name}: expected 1 shuffle, plan has {exchanges}"
