@@ -96,10 +96,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # one partition; spread the cached copy so downstream
             # compute (partial aggs, window sorts) uses every core.
             # ~512 KB parquet per partition ≈ 25-50k rows, capped at
-            # the session's parallelism.
+            # the session's parallelism. documents/embeddings get a
+            # full-parallelism floor instead: their operators fan out
+            # 5-50× per row AFTER the scan (shingle explode + md5,
+            # 64-float dot folds), so bytes-on-disk underestimates
+            # their compute by an order of magnitude — and their
+            # aggregation keys are either colocated per input row
+            # (doc_id: explode preserves locality, partial agg stays
+            # one row per doc) or tiny (2^bits buckets), so extra
+            # partitions don't inflate partial-agg output the way
+            # they do for events' medium-cardinality window keys.
             parts = min(
                 spark.sparkContext.defaultParallelism, max(1, size >> 19)
             )
+            if name in ("documents", "embeddings"):
+                parts = spark.sparkContext.defaultParallelism
             if parts > 1:
                 df = df.repartition(parts)
             df = df.persist()
