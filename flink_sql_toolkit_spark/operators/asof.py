@@ -50,36 +50,25 @@ def asof_join(
 
 
 def asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self as-of join: each order joined to the customer's most
-    recent earlier order. The oracle states the same result as a
-    LAG window — an independent formulation that catches both
-    range-predicate and tie-break bugs in asof_join."""
+    """Self as-of: each order paired with the customer's most recent
+    earlier order.
+
+    A self as-of over one table is exactly ``lag()`` over
+    (key, version-order) — one shuffle on o_custkey, linear work,
+    no fan-out. The generic ``asof_join`` (join + row_number prune)
+    is reserved for the genuine two-table versioned-dim shape
+    (``asof_lookup_latest_order``): there the bounded
+    versions-per-key keeps join fan-out safe, whereas a self-join
+    here would be O(orders-per-customer²) per key — a scale-killer
+    on a skewed customer."""
     orders = load_table(spark, sf_dir, "orders")
-    probe = orders.select(
-        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderdate")
-    )
-    build = orders.select(
-        F.col("o_custkey").alias("b_custkey"),
-        F.col("o_orderkey").alias("prev_orderkey"),
-        F.col("o_orderdate").alias("b_orderdate"),
-        F.col("o_totalprice").alias("prev_totalprice"),
-    )
-    on = (probe.o_custkey == build.b_custkey) & (
-        (build.b_orderdate < probe.o_orderdate)
-        | (
-            (build.b_orderdate == probe.o_orderdate)
-            & (build.prev_orderkey < probe.o_orderkey)
-        )
-    )
-    out = asof_join(
-        probe,
-        build,
-        on,
-        version_order=[F.desc("b_orderdate"), F.desc("prev_orderkey")],
-        probe_unique=["o_orderkey"],
-    )
-    return out.select(
-        "o_orderkey", "o_custkey", "o_orderdate", "prev_orderkey", "prev_totalprice"
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"),
     )
 
 

@@ -93,24 +93,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
         if HOT_CACHE_BUDGET_BYTES > 0 and spent + size <= HOT_CACHE_BUDGET_BYTES:
             # the fixtures are single-row-group files → a cold scan is
-            # one partition; spread the cached copy so downstream
-            # compute (partial aggs, window sorts) uses every core.
-            # ~512 KB parquet per partition ≈ 25-50k rows, capped at
-            # the session's parallelism. documents/embeddings get a
-            # full-parallelism floor instead: their operators fan out
-            # 5-50× per row AFTER the scan (shingle explode + md5,
-            # 64-float dot folds), so bytes-on-disk underestimates
-            # their compute by an order of magnitude — and their
-            # aggregation keys are either colocated per input row
-            # (doc_id: explode preserves locality, partial agg stays
-            # one row per doc) or tiny (2^bits buckets), so extra
-            # partitions don't inflate partial-agg output the way
-            # they do for events' medium-cardinality window keys.
-            parts = min(
-                spark.sparkContext.defaultParallelism, max(1, size >> 19)
-            )
-            if name in ("documents", "embeddings"):
-                parts = spark.sparkContext.defaultParallelism
+            # one partition; spread the cached copy across every core.
+            # Sizing by bytes-on-disk (tried in r3: ~512 KB/partition)
+            # under-parallelized snappy-compressed fact tables — at
+            # sf0.1 `orders` (2.7 MB) got 5 partitions and `events`
+            # (2.0 MB) got 3, serializing every window sort over them
+            # for a measured 3-3.7× regression on the TVF/window
+            # bench queries. Compressed bytes underestimate rows by
+            # ~5-10×, and the one-time repartition shuffle is paid at
+            # cache build, not per query — so the floor is simply the
+            # session's parallelism for every cached table. At real
+            # cluster scale the cache budget rejects the fact tables
+            # entirely and splittable multi-row-group parquet makes
+            # scan parallelism a non-issue; this floor is a
+            # local-mode/fixture concern only.
+            parts = spark.sparkContext.defaultParallelism
             if parts > 1:
                 df = df.repartition(parts)
             df = df.persist()

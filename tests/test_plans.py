@@ -110,9 +110,28 @@ def test_ann_single_shuffle(spark, sf_dir, name):
     (one bucket/cell per corpus vector × pairwise-distinct probes),
     so the ANN paths need no post-join distinct — the ONLY shuffle
     is the per-query top-k window. A second Exchange here means a
-    redundant candidate-set shuffle crept back in."""
+    redundant candidate-set shuffle crept back in.
+
+    Assumes the query side broadcasts (fixture query count under
+    similarity.BROADCAST_QUERY_LIMIT); past the limit the join
+    legitimately shuffles both sides and this gate doesn't apply."""
     plan = plan_of(spark, sf_dir, name)
     import re as _re
 
     exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
     assert exchanges == 1, f"{name}: expected 1 shuffle, plan has {exchanges}"
+
+
+def test_asof_self_is_window_not_join(spark, sf_dir):
+    """Self as-of over one table must compile to a lag() window —
+    one shuffle, linear — never a self-join + row_number prune
+    (O(orders-per-customer²) fan-out; see asof.asof_prev_order)."""
+    from flink_sql_toolkit_spark.operators.asof import asof_prev_order
+
+    plan = (
+        asof_prev_order(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("orders.parquet") == 1
