@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_sql_toolkit_spark.functions import ref_hashes
 from flink_sql_toolkit_spark.operators.registry import register
 from flink_sql_toolkit_spark.tables import load_table
 
@@ -129,23 +130,50 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber", "l_partkey")
 
 
-@register("func_math_libm")
+@register(
+    "func_math_libm",
+    # JVM and DuckDB libm implementations differ by 1 ulp (16th
+    # significant digit); both sides format to 6 decimals so the
+    # comparison checks ~7 significant digits — far above ulp noise,
+    # far below any real implementation bug. Exact .5 ties at the
+    # 6th decimal (where HALF_UP vs round-to-even could split) are
+    # unreachable for transcendental outputs of double inputs.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           printf('%.6f', ln(CAST(l_extendedprice AS DOUBLE)))    AS ln_,
+           printf('%.6f', log10(CAST(l_extendedprice AS DOUBLE))) AS l10,
+           printf('%.6f', log2(CAST(l_extendedprice AS DOUBLE)))  AS l2,
+           printf('%.6f', cbrt(CAST(l_extendedprice AS DOUBLE)))  AS cb,
+           printf('%.6f', tan(CAST(l_discount AS DOUBLE)))        AS tn,
+           printf('%.6f', atan(CAST(l_discount AS DOUBLE)))       AS at,
+           printf('%.6f', cot(CAST(l_discount AS DOUBLE) + 0.01)) AS ct,
+           -- DuckDB 1.0 has no tanh(); (e^2x-1)/(e^2x+1) agrees with
+           -- libm tanh to well under the 6-decimal comparison grain
+           printf('%.6f', (exp(2 * CAST(l_discount AS DOUBLE)) - 1)
+                        / (exp(2 * CAST(l_discount AS DOUBLE)) + 1)) AS th
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
 def func_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LN/LOG10/LOG2/CBRT/TAN/ATAN/ASIN/ACOS/TANH/COT — correct but
-    excluded from the hash oracle: libm implementations differ by
-    1 ulp between the JVM and DuckDB."""
+    """LN/LOG10/LOG2/CBRT/TAN/ATAN/COT/TANH (syntax-test.fsql:377-401)
+    — diffed against DuckDB through fixed 6-decimal formatting on
+    both sides (see oracle comment on the ulp rationale)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    price = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    fmt = lambda c: F.format_string("%.6f", c)  # noqa: E731
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.log("l_extendedprice").alias("ln_"),
-        F.log10("l_extendedprice").alias("l10"),
-        F.log2("l_extendedprice").alias("l2"),
-        F.cbrt("l_extendedprice").alias("cb"),
-        F.tan("l_discount").alias("tn"),
-        F.atan("l_discount").alias("at"),
-        F.expr("cot(l_discount + 0.01)").alias("ct"),
-        F.tanh("l_discount").alias("th"),
+        fmt(F.log(price)).alias("ln_"),
+        fmt(F.log10(price)).alias("l10"),
+        fmt(F.log2(price)).alias("l2"),
+        fmt(F.cbrt(price)).alias("cb"),
+        fmt(F.tan(disc)).alias("tn"),
+        fmt(F.atan(disc)).alias("at"),
+        fmt(F.expr("cot(CAST(l_discount AS DOUBLE) + 0.01)")).alias("ct"),
+        fmt(F.tanh(disc)).alias("th"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -359,18 +387,57 @@ def func_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@register("func_hash_extra")
+# Soundex probe names: classic test vectors (Ashcraft exercises the
+# H-transparency rule; Tymczak the vowel-separator rule).
+_SOUNDEX_NAMES = ("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "Honeyman")
+
+
+def _hash_extra_oracle() -> str:
+    """DuckDB 1.0 has no sha1/crc32/murmur3/xxh64/soundex, so the
+    oracle embeds expected values computed by the from-spec
+    pure-Python implementations in ``functions/ref_hashes.py``
+    (themselves differentially pinned against Spark in
+    tests/test_operators.py). Inputs are deterministic in doc_id —
+    ``fstk-<doc_id>`` — so the literals hold at every SF; joining
+    back to ``documents`` keeps the row set honest."""
+    rows = []
+    for doc_id in range(50):
+        data = f"fstk-{doc_id}".encode()
+        name = _SOUNDEX_NAMES[doc_id % len(_SOUNDEX_NAMES)]
+        rows.append(
+            f"({doc_id}, '{ref_hashes.sha1_hex(data)}', "
+            f"{ref_hashes.crc32_long(data)}, {ref_hashes.murmur3_32(data)}, "
+            f"{ref_hashes.xxh64(data)}, '{ref_hashes.soundex(name)}')"
+        )
+    return f"""
+    SELECT d.doc_id, e.h_sha1, e.h_crc32, e.h_murmur, e.h_xxh64, e.sx
+    FROM documents d
+    JOIN (VALUES {", ".join(rows)})
+      AS e(doc_id, h_sha1, h_crc32, h_murmur, h_xxh64, sx)
+      ON e.doc_id = d.doc_id
+    WHERE d.doc_id < 50 ORDER BY d.doc_id
+    """
+
+
+@register("func_hash_extra", oracle=_hash_extra_oracle())
 def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SHA1/CRC32/HASH_CODE(murmur3)/XXH3_64/SOUNDEX — rows-only (no
-    DuckDB equivalents to diff against)."""
+    """SHA1/CRC32/HASH_CODE(murmur3)/XXHASH64/SOUNDEX
+    (syntax-test.fsql:366-370) over doc_id-derived strings, diffed
+    against independently computed literals (see
+    ``_hash_extra_oracle``)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    s = F.concat(F.lit("fstk-"), F.col("doc_id").cast("string"))
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _SOUNDEX_NAMES]),
+        (F.col("doc_id") % len(_SOUNDEX_NAMES) + 1).cast("int"),
+    )
     return docs.select(
         "doc_id",
-        F.sha1("text").alias("h_sha1"),
-        F.crc32(F.col("text").cast("binary")).alias("h_crc32"),
-        F.hash("text").alias("h_murmur"),
-        F.xxhash64("text").alias("h_xxh64"),
-        F.soundex(F.split(F.col("text"), " ").getItem(0)).alias("sx"),
+        F.sha1(s).alias("h_sha1"),
+        F.crc32(s.cast("binary")).alias("h_crc32"),
+        F.hash(s).alias("h_murmur"),
+        F.xxhash64(s).alias("h_xxh64"),
+        F.soundex(name).alias("sx"),
     ).orderBy("doc_id")
 
 

@@ -74,12 +74,37 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     return df.mapInPandas(feature_batches, FEATURE_SCHEMA)
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    # The payloads are the documents' UTF-8 text bytes, and the
+    # fixture text is pure ASCII (verified at every gate SF), so
+    # byte offsets == character offsets and every feature — length,
+    # 8-byte header hex, sha256, and the fake decode dims derived
+    # from the first digest bytes — is restatable in DuckDB SQL.
+    # The hex-pair → int arithmetic mirrors `h[0]`/`h[1]` of the
+    # digest in decode_image's deterministic fake.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           strlen(text) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+           sha256(text) AS content_sha256,
+           64 + ((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+               +  (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) % 192
+             AS fake_width,
+           64 + ((strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+               +  (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1)) % 192
+             AS fake_height
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-pipeline plumbing demo over synthetic binary payloads
-    (documents' text bytes standing in for media blobs; rows-only —
-    sha256-of-binary has no cheap DuckDB twin through Spark's binary
-    path, and the decode is a stub)."""
+    (documents' text bytes standing in for media blobs). The decode
+    is a stub, but every emitted feature is value-checked against a
+    DuckDB restatement over the same bytes."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         "doc_id",

@@ -94,3 +94,35 @@ def test_registry_fits_driver_sample():
     )
     # every oracle refers to a registered query
     assert set(entrymod.oracle_sql()) <= set(qs)
+
+
+def test_ref_hashes_match_spark(spark):
+    """Pin the from-spec pure-Python hash implementations (the
+    func_hash_extra oracle's literal generator) against Spark's JVM
+    builtins across every tail-handling branch (lengths 0-40) and
+    the soundex rule set (H/W transparency, vowel separators,
+    non-letter heads)."""
+    from pyspark.sql import functions as F
+
+    from flink_sql_toolkit_spark.functions import ref_hashes as R
+
+    strs = ["", "a", "ab", "abc", "abcd"]
+    strs += ["x" * n + "-Test123" for n in range(1, 40)]
+    strs += ["Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+             "Honeyman", "lee", "O2", "wu", "hh", "2pac"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    rows = df.select(
+        "s",
+        F.sha1("s").alias("sha1"),
+        F.crc32(F.col("s").cast("binary")).alias("crc"),
+        F.hash("s").alias("mur"),
+        F.xxhash64("s").alias("xxh"),
+        F.soundex("s").alias("sx"),
+    ).collect()
+    for r in rows:
+        b = r.s.encode()
+        assert r.sha1 == R.sha1_hex(b), r.s
+        assert r.crc == R.crc32_long(b), r.s
+        assert r.mur == R.murmur3_32(b), r.s
+        assert r.xxh == R.xxh64(b), r.s
+        assert r.sx == R.soundex(r.s), r.s
