@@ -97,10 +97,31 @@ def _decode_envelope(
             (F.col("_env.ts") * 1000).alias("_ts_ms"),
             *extras,
         )
+    if fmt == "ogg-json":
+        # GoldenGate trail JSON: before/after images + op_type in
+        # {'I','U','D'} + op_ts as a 'yyyy-MM-dd HH:mm:ss.SSSSSS'
+        # wall-clock string (Flink's ogg-json format vocabulary,
+        # syntaxes/flink.tmLanguage.json:518). Deletes carry the
+        # before image, like debezium.
+        parsed = F.from_json(
+            value,
+            f"before struct<{schema}>, after struct<{schema}>, "
+            "op_type string, op_ts string",
+        )
+        env = raw.withColumn("_env", parsed)
+        img = F.when(F.col("_env.op_type") == "D", F.col("_env.before")).otherwise(
+            F.col("_env.after")
+        )
+        return env.withColumn("_img", img).select(
+            "_img.*",
+            F.col("_env.op_type").alias("_op"),
+            F.unix_millis(F.to_timestamp("_env.op_ts")).alias("_ts_ms"),
+            *extras,
+        )
     raise ValueError(f"not a changelog envelope format: {fmt!r}")
 
 
-_ENVELOPE_FORMATS = ("debezium-json", "canal-json", "maxwell-json")
+_ENVELOPE_FORMATS = ("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
 
 def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
@@ -177,6 +198,40 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
                 ),
                 schema=out_schema,
             )
+    if fmt == "protobuf":
+        # Flink DDL: 'protobuf.message-class-name' names the message,
+        # compiled descriptors come as a file. Spark's equivalent is
+        # the external spark-protobuf module's from_protobuf with a
+        # descriptor-set file — JVM-side, whole-stage. The module jar
+        # isn't bundled in every deployment, so absence is a typed
+        # rejection, not a crash mid-plan.
+        message = table.options.get(
+            "protobuf.message-class-name", table.options.get("protobuf.message-name", "")
+        )
+        desc_file = table.options.get("protobuf.descriptor-file", "")
+        if desc_file:
+            # surface a missing descriptor as its own error, not as
+            # the module-absent rejection below
+            open(desc_file, "rb").close()
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf  # noqa: PLC0415
+
+            decoded = from_protobuf(F.col("value"), message, descFilePath=desc_file)
+            return raw.select(
+                decoded.alias("_row"), "timestamp", "partition", "offset", "topic"
+            ).select("_row.*", "timestamp", "partition", "offset", "topic")
+        except Exception as exc:  # noqa: BLE001 — AnalysisException
+            # [PROTOBUF_NOT_LOADED_...] surfaces at plan analysis
+            # when the jar is absent
+            if "PROTOBUF_NOT_LOADED" not in str(exc) and not isinstance(
+                exc, ImportError
+            ):
+                raise
+            raise NotImplementedError(
+                "format 'protobuf' needs the spark-protobuf module "
+                "(org.apache.spark:spark-protobuf) on the classpath; "
+                "add it via ADD JAR or --packages"
+            ) from exc
     raise ValueError(f"unsupported format '{fmt}'")
 
 

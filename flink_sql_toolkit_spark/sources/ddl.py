@@ -171,6 +171,11 @@ def parse_create_table(sql: str) -> ConnectorTable:
         if wm:
             expr = wm.group(2).strip()
             im = _INTERVAL_RE.search(expr)
+            # SOURCE_WATERMARK() (connector-provided watermark,
+            # syntaxes/flink.tmLanguage.json:467) and a bare
+            # strictly-ascending `AS col` both map to a zero-delay
+            # Spark watermark — Spark has no connector-watermark
+            # channel, and 0-delay is the tightest sound bound.
             delay = "0 seconds"
             if im:
                 unit = _UNITS.get(im.group(2).upper().rstrip("S") if im.group(2).upper().endswith("S") else im.group(2).upper(), None)

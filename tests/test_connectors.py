@@ -125,3 +125,64 @@ def test_unknown_connector_message(spark):
     )
     with pytest.raises(ValueError, match="not bundled"):
         build_reader(spark, t)
+
+
+def test_ogg_envelope_decode(spark):
+    """GoldenGate JSON: before/after images, op_type I/U/D, op_ts
+    wall-clock string -> _ts_ms millis; deletes carry the before
+    image (same contract as debezium)."""
+    events = [
+        {"before": None, "after": {"id": 1, "name": "a"}, "op_type": "I",
+         "op_ts": "2020-05-13 15:40:06.000000"},
+        {"before": {"id": 1, "name": "a"}, "after": {"id": 1, "name": "a2"},
+         "op_type": "U", "op_ts": "2020-05-13 15:40:07.500000"},
+        {"before": {"id": 1, "name": "a2"}, "after": None, "op_type": "D",
+         "op_ts": "2020-05-13 15:40:08.000000"},
+    ]
+    raw = kafka_frame(spark, [json.dumps(e) for e in events])
+    out = _decode_payload(raw, table_for("ogg-json")).orderBy("_ts_ms").collect()
+    assert [(r.id, r.name, r._op) for r in out] == [
+        (1, "a", "I"), (1, "a2", "U"), (1, "a2", "D")
+    ]
+    assert out[1]._ts_ms - out[0]._ts_ms == 1500
+
+
+def test_filesystem_orc_roundtrip(spark, tmp_path):
+    """ORC is a Spark builtin columnar format — the filesystem
+    connector passes it straight through to the reader/writer
+    (reference format vocabulary: syntaxes/flink.tmLanguage.json:518)."""
+    path = str(tmp_path / "orc_tbl")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    t = parse_create_table(
+        f"""
+        CREATE TABLE o (id BIGINT, name STRING)
+        WITH ('connector'='filesystem', 'path'='{path}', 'format'='orc');
+        """
+    )
+    from flink_sql_toolkit_spark.sources.connectors import build_writer
+
+    build_writer(src, t, query_name="w", checkpoint=str(tmp_path / "ck"))
+    out = build_reader(spark, t, streaming=False).orderBy("id").collect()
+    assert [(r.id, r.name) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_protobuf_without_module_is_typed_rejection(spark, tmp_path):
+    desc = tmp_path / "schema.desc"
+    desc.write_bytes(b"")
+    t = table_for(
+        "protobuf",
+        f", 'protobuf.message-class-name'='M', 'protobuf.descriptor-file'='{desc}'",
+    )
+    raw = kafka_frame(spark, ["x"])
+    with pytest.raises(NotImplementedError, match="spark-protobuf"):
+        _decode_payload(raw, t)
+
+
+def test_protobuf_missing_descriptor_is_file_error(spark):
+    t = table_for(
+        "protobuf",
+        ", 'protobuf.message-class-name'='M', 'protobuf.descriptor-file'='/nonexistent.desc'",
+    )
+    raw = kafka_frame(spark, ["x"])
+    with pytest.raises(FileNotFoundError):
+        _decode_payload(raw, t)

@@ -71,6 +71,25 @@ def test_watermark_reaches_the_plan(session):
     assert "10 seconds" in analyzed
 
 
+def test_source_watermark_reaches_the_plan(session):
+    """WATERMARK FOR ts AS SOURCE_WATERMARK() (connector-provided
+    watermark, tmLanguage.json:467) maps to a zero-delay Spark
+    watermark — the tightest sound bound, per SURVEY §2.11."""
+    session.execute_statement(
+        """
+        CREATE TABLE wm_src2 (
+          v BIGINT,
+          ts TIMESTAMP_LTZ(3) METADATA FROM 'timestamp',
+          WATERMARK FOR ts AS SOURCE_WATERMARK()
+        ) WITH ('connector'='datagen', 'rows-per-second'='10')
+        """
+    )
+    df = session.spark.table("wm_src2")
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    assert "EventTimeWatermark" in analyzed
+    assert "0 seconds" in analyzed
+
+
 def test_stop_all_jobs_on_close(engine, sf_dir):
     s = engine.open_session("closing")
     s.execute_statement(
