@@ -66,18 +66,24 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
         body = masked[open_idx + 1 : close_idx]
 
         all_rows = bool(re.search(r"(?is)\bALL\s+ROWS\s+PER\s+MATCH\b", body))
-        after = re.search(r"(?is)\bAFTER\s+MATCH\s+(SKIP\s+[A-Z\s]+?)" + _NEXT, body)
+        after = re.search(r"(?is)\bAFTER\s+MATCH\s+(SKIP\s+[\w\s]+?)" + _NEXT, body)
         after_match = "past_last_row"
         if after:
-            skip = re.sub(r"\s+", " ", after.group(1).strip().upper())
-            if skip == "SKIP PAST LAST ROW":
+            skip = re.sub(r"\s+", " ", after.group(1).strip())
+            to_sym = re.match(r"(?i)^SKIP TO (FIRST|LAST) (\w+)$", skip)
+            if skip.upper() == "SKIP PAST LAST ROW":
                 after_match = "past_last_row"
-            elif skip == "SKIP TO NEXT ROW":
+            elif skip.upper() == "SKIP TO NEXT ROW":
                 after_match = "to_next_row"
+            elif to_sym:
+                # symbol case preserved — PATTERN symbols are
+                # case-sensitive identifiers
+                after_match = f"to_{to_sym.group(1).lower()} {to_sym.group(2)}"
             else:
                 raise NotImplementedError(
                     f"MATCH_RECOGNIZE AFTER MATCH '{skip}' not supported "
-                    "(subset: SKIP PAST LAST ROW, SKIP TO NEXT ROW)"
+                    "(subset: SKIP PAST LAST ROW, SKIP TO NEXT ROW, "
+                    "SKIP TO FIRST|LAST <symbol>)"
                 )
 
         part = _clause(body, r"PARTITION\s+BY")

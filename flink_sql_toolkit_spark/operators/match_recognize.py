@@ -18,14 +18,16 @@ the (b)-tier custom operator from the build rules:
 Supported: concatenation, quantifiers ``+ * ?``, alternation
 ``A B | C`` (SQL:2016 ordered choice, leftmost branch preferred;
 declared by the reference grammar at
-syntaxes/flink.tmLanguage.json:363-367), ``PERMUTE(A, B, ...)`` as
+syntaxes/flink.tmLanguage.json:363-367), nested parenthesized groups
+with quantifiers (``((A B)+ C)``), ``PERMUTE(A, B, ...)`` as
 the whole pattern (expanded per SQL:2016 into the alternation of all
 permutations in declaration order; tmLanguage.json:363-367 declares
 it too), measures
 ``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col) |
 CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
 MATCH (running measures per matched row), AFTER MATCH SKIP PAST LAST
-ROW / SKIP TO NEXT ROW.
+ROW / SKIP TO NEXT ROW / SKIP TO FIRST|LAST <sym> (with the SQL:2016
+runtime rejection of a skip that re-anchors at the match's start).
 (PERMUTE nested inside a larger pattern / explicit RUNNING-FINAL
 keywords / empty-branch matches: rejected with a clear error.)
 """
@@ -51,14 +53,24 @@ class PatternToken:
     quantifier: str  # '', '+', '*', '?'
 
 
-def _parse_pattern(pattern: str) -> list[list[PatternToken]]:
-    """Parse ``PATTERN`` body into alternation branches (SQL:2016
-    ordered choice: ``A B | C`` tries the ``A B`` concatenation first,
-    then ``C``). Each branch is a concatenation of quantified
-    symbols. ``PERMUTE(A, B, ...)`` (as the whole pattern) expands to
-    its SQL:2016 definition — the alternation of every permutation of
-    the listed factors, attempted in lexicographic order of the
-    declaration — so it reuses the alternation machinery verbatim."""
+@dataclass
+class PatternAlt:
+    """Ordered-choice alternation of concatenation branches, with an
+    optional quantifier when it came from a parenthesized group —
+    ``((A B)+ C)`` parses to Alt[[Alt[[A, B]]+ , C]]."""
+
+    branches: list[list]  # each branch: list[PatternToken | PatternAlt]
+    quantifier: str = ""
+
+
+def _parse_pattern(pattern: str) -> PatternAlt:
+    """Recursive-descent parse of the ``PATTERN`` body (SQL:2016
+    row-pattern grammar subset: symbols, quantifiers ``+ * ?``,
+    ordered-choice ``|``, and parenthesized groups — nested and
+    quantified, e.g. ``((A B)+ C)``; reference grammar
+    syntaxes/flink.tmLanguage.json:363-367). ``PERMUTE(A, B, ...)``
+    (as the whole pattern) expands to its SQL:2016 definition — the
+    alternation of every permutation in declaration order."""
     perm = re.match(r"(?is)^\s*PERMUTE\s*\(([^()]*)\)\s*$", pattern)
     if perm:
         factors = [f.strip() for f in perm.group(1).split(",") if f.strip()]
@@ -72,21 +84,70 @@ def _parse_pattern(pattern: str) -> list[list[PatternToken]]:
             f"PERMUTE inside a larger PATTERN ('{pattern}') is outside "
             "the supported subset — supported as the entire pattern only"
         )
-    branches: list[list[PatternToken]] = []
-    for branch in pattern.split("|"):
-        tokens = []
-        for tok in branch.strip().split():
-            m = re.match(r"^(\w+)([+*?]?)$", tok)
-            if not m:
-                raise ValueError(
-                    f"unsupported PATTERN element '{tok}' (subset: symbols "
-                    "with + * ?, alternation with |)"
-                )
-            tokens.append(PatternToken(m.group(1), m.group(2)))
-        if not tokens:
+    toks = re.findall(r"\w+|[()|+*?]", pattern)
+    unknown = re.sub(r"\w+|[()|+*?]|\s+", "", pattern)
+    if unknown:
+        raise ValueError(
+            f"unsupported PATTERN characters {unknown!r} in '{pattern}' "
+            "(subset: symbols, + * ?, |, parenthesized groups)"
+        )
+    pos = 0
+
+    def parse_alt() -> PatternAlt:
+        nonlocal pos
+        branches = [parse_seq()]
+        while pos < len(toks) and toks[pos] == "|":
+            pos += 1
+            branches.append(parse_seq())
+        return PatternAlt(branches)
+
+    def parse_seq() -> list:
+        nonlocal pos
+        items: list = []
+        while pos < len(toks) and toks[pos] not in ("|", ")"):
+            items.append(parse_item())
+        if not items:
             raise ValueError(f"empty alternation branch in PATTERN '{pattern}'")
-        branches.append(tokens)
-    return branches
+        return items
+
+    def parse_item():
+        nonlocal pos
+        if toks[pos] == "(":
+            pos += 1
+            inner = parse_alt()
+            if pos >= len(toks) or toks[pos] != ")":
+                raise ValueError(f"unbalanced parentheses in PATTERN '{pattern}'")
+            pos += 1
+            inner.quantifier = _take_quant()
+            return inner
+        tok = toks[pos]
+        if not re.match(r"^\w+$", tok):
+            raise ValueError(f"unexpected '{tok}' in PATTERN '{pattern}'")
+        pos += 1
+        return PatternToken(tok, _take_quant())
+
+    def _take_quant() -> str:
+        nonlocal pos
+        if pos < len(toks) and toks[pos] in ("+", "*", "?"):
+            q = toks[pos]
+            pos += 1
+            return q
+        return ""
+
+    tree = parse_alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing '{toks[pos]}' in PATTERN '{pattern}'")
+    return tree
+
+
+def _pattern_symbols(node) -> set[str]:
+    if isinstance(node, PatternToken):
+        return {node.symbol}
+    syms: set[str] = set()
+    for br in node.branches:
+        for item in br:
+            syms |= _pattern_symbols(item)
+    return syms
 
 
 _MEASURE_RE = re.compile(
@@ -137,19 +198,35 @@ def match_recognize(
     after_match: str = "past_last_row",
     all_rows: bool = False,
 ) -> DataFrame:
-    if after_match not in ("past_last_row", "to_next_row"):
+    skip_to_sym: str | None = None
+    skip_to_first = False
+    skip_m = re.match(r"(?i)^to_(first|last)\s+(\w+)$", after_match)
+    if skip_m:
+        # AFTER MATCH SKIP TO FIRST|LAST <sym>: resume AT the first/
+        # last row the match mapped to <sym> (that row participates
+        # in the next match attempt) — SQL:2016 / Flink semantics,
+        # including the runtime rejection of a skip that would
+        # re-anchor at the match's own start row (infinite loop).
+        skip_to_first = skip_m.group(1).lower() == "first"
+        skip_to_sym = skip_m.group(2)
+    elif after_match not in ("past_last_row", "to_next_row"):
         raise ValueError(
             f"unsupported AFTER MATCH strategy '{after_match}' "
-            "(subset: past_last_row, to_next_row)"
+            "(subset: past_last_row, to_next_row, to_first <sym>, "
+            "to_last <sym>)"
         )
     skip_past = after_match == "past_last_row"
-    branches = _parse_pattern(pattern)
-    all_tokens = [t for br in branches for t in br]
-    for t in all_tokens:
-        if t.symbol not in define:
+    tree = _parse_pattern(pattern)
+    if skip_to_sym is not None and skip_to_sym not in _pattern_symbols(tree):
+        raise ValueError(
+            f"AFTER MATCH SKIP TO references '{skip_to_sym}', which is "
+            f"not a PATTERN symbol of '{pattern}'"
+        )
+    for sym in sorted(_pattern_symbols(tree)):
+        if sym not in define:
             # undefined symbols match every row (SQL standard default)
-            define[t.symbol] = "true"
-    symbols = {t.symbol for t in all_tokens} | set(define)
+            define[sym] = "true"
+    symbols = _pattern_symbols(tree) | set(define)
     define = {
         s: _strip_symbol_quals(c, s, symbols - {s}) for s, c in define.items()
     }
@@ -228,12 +305,14 @@ def match_recognize(
     two_sym_plus = (
         skip_past
         and not all_rows
-        and len(branches) == 1
-        and len(branches[0]) == 2
-        and branches[0][0].quantifier == "+"
-        and branches[0][1].quantifier == ""
+        and tree.quantifier == ""
+        and len(tree.branches) == 1
+        and len(tree.branches[0]) == 2
+        and all(isinstance(t, PatternToken) for t in tree.branches[0])
+        and tree.branches[0][0].quantifier == "+"
+        and tree.branches[0][1].quantifier == ""
     )
-    fast_tokens = branches[0] if two_sym_plus else None
+    fast_tokens = tree.branches[0] if two_sym_plus else None
 
     def run_fast_plus(pdf: pd.DataFrame):
         """Whole-partition vectorized matcher for PATTERN (A+ B).
@@ -340,48 +419,68 @@ def match_recognize(
         # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
         sym_vals = {
-            t.symbol: pdf[f"_sym_{t.symbol}"].to_numpy() for t in all_tokens
+            sym: pdf[f"_sym_{sym}"].to_numpy() for sym in _pattern_symbols(tree)
         }
         # numpy views for measure extraction — .iloc per match is slow
         col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
         key_row = {k: pdf.iloc[0][k] for k in key_cols}
 
-        def match_at(
-            toks: list[PatternToken], pos: int, ti: int
-        ) -> list[tuple[int, str]] | None:
-            """Greedy with backtracking; returns [(row_idx, symbol)]."""
-            if ti == len(toks):
-                return []
-            tok = toks[ti]
-            ok = sym_vals[tok.symbol]
-            if tok.quantifier == "":
-                if pos < n and ok[pos]:
-                    rest = match_at(toks, pos + 1, ti + 1)
-                    if rest is not None:
-                        return [(pos, tok.symbol)] + rest
-                return None
-            if tok.quantifier == "?":
-                if pos < n and ok[pos]:
-                    rest = match_at(toks, pos + 1, ti + 1)
-                    if rest is not None:
-                        return [(pos, tok.symbol)] + rest
-                return match_at(toks, pos, ti + 1)
-            # + / * : consume greedily, backtrack down
-            max_k = 0
-            while pos + max_k < n and ok[pos + max_k]:
-                max_k += 1
-            min_k = 1 if tok.quantifier == "+" else 0
-            for k in range(max_k, min_k - 1, -1):
-                rest = match_at(toks, pos + k, ti + 1)
-                if rest is not None:
-                    return [(pos + i, tok.symbol) for i in range(k)] + rest
-            return None
+        # Generator-based backtracking over the pattern TREE: each
+        # generator yields (end_pos, [(row_idx, symbol)]) candidates
+        # in greedy-preference order (more repetitions first, leftmost
+        # alternation branch first), so the first yield of the root is
+        # the SQL:2016 preferred match. Recursion depth is bounded by
+        # the match length (per-key CEP groups are bounded by
+        # construction).
+
+        def gen_seq(items: list, i: int, pos: int):
+            if i == len(items):
+                yield pos, []
+                return
+            for p1, a1 in gen_item(items[i], pos):
+                for p2, a2 in gen_seq(items, i + 1, p1):
+                    yield p2, a1 + a2
+
+        def gen_alt_body(node: PatternAlt, pos: int):
+            for br in node.branches:
+                yield from gen_seq(br, 0, pos)
+
+        def gen_item(node, pos: int):
+            quant = node.quantifier
+            if isinstance(node, PatternToken):
+                ok = sym_vals[node.symbol]
+
+                def base(p: int):
+                    if p < n and ok[p]:
+                        yield p + 1, [(p, node.symbol)]
+
+            else:
+
+                def base(p: int):
+                    yield from gen_alt_body(node, p)
+
+            if quant == "":
+                yield from base(pos)
+            elif quant == "?":
+                yield from base(pos)
+                yield pos, []
+            else:  # + / * : greedy — more repetitions preferred
+
+                def reps(p: int, count: int):
+                    for p1, a1 in base(p):
+                        if p1 == p:
+                            continue  # empty repetition → no progress
+                        for p2, a2 in reps(p1, count + 1):
+                            yield p2, a1 + a2
+                    if count >= (1 if quant == "+" else 0):
+                        yield p, []
+
+                yield from reps(pos, 0)
 
         def match_any(pos: int) -> list[tuple[int, str]] | None:
-            """SQL:2016 alternation = ordered choice: the first branch
-            (left to right) with a non-empty match at ``pos`` wins."""
-            for br in branches:
-                assignment = match_at(br, pos, 0)
+            """First non-empty candidate of the root = the SQL:2016
+            preferred (greedy, leftmost-branch) match at ``pos``."""
+            for _end, assignment in gen_alt_body(tree, pos):
                 if assignment:
                     return assignment
             return None
@@ -433,8 +532,31 @@ def match_recognize(
                     row = dict(key_row)
                     fill_measures(row, assignment, match_no)
                     out_rows.append(row)
-                # AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
-                pos = assignment[-1][0] + 1 if skip_past else assignment[0][0] + 1
+                # AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW |
+                # TO FIRST/LAST <sym>
+                if skip_to_sym is not None:
+                    targets = [i for i, s in assignment if s == skip_to_sym]
+                    if not targets:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO "
+                            f"{'FIRST' if skip_to_first else 'LAST'} "
+                            f"{skip_to_sym}: the match mapped no row to "
+                            f"'{skip_to_sym}'"
+                        )
+                    target = targets[0] if skip_to_first else targets[-1]
+                    if target == assignment[0][0]:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO "
+                            f"{'FIRST' if skip_to_first else 'LAST'} "
+                            f"{skip_to_sym} re-anchors at the match's own "
+                            "start row — infinite loop (SQL:2016 rejects "
+                            "this at runtime)"
+                        )
+                    pos = target
+                elif skip_past:
+                    pos = assignment[-1][0] + 1
+                else:  # to_next_row
+                    pos = assignment[0][0] + 1
             else:
                 pos += 1
         cols = emit_cols + [p[0] for p in plans]

@@ -222,13 +222,104 @@ def test_match_recognize_sql_via_engine(spark):
 def test_match_recognize_rejects_unsupported(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "seq"])
     with pytest.raises(ValueError):
-        match_recognize(df, ["k"], ["seq"], "(A B)+", {}, {"x": "FIRST(A.seq)"})
+        match_recognize(df, ["k"], ["seq"], "A{2,3}", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A | ", {}, {"x": "FIRST(A.seq)"})
+    with pytest.raises(ValueError):
+        match_recognize(df, ["k"], ["seq"], "(A B", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "STDDEV(A.seq)"})
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "FIRST(A.seq)"}, after_match="to_last_a")
+    with pytest.raises(ValueError):
+        # SKIP TO a symbol the pattern doesn't contain
+        match_recognize(df, ["k"], ["seq"], "A", {}, {"x": "FIRST(A.seq)"}, after_match="to_last Z")
+
+
+def test_match_recognize_nested_group_pattern(spark):
+    """((A B)+ C): one-or-more A-B pairs followed by a C — the
+    quantified-group shape the reference grammar declares
+    (tmLanguage.json:363-367). Greedy: the pair run extends as far
+    as possible before C."""
+    rows = [
+        ("k", 1, "a"), ("k", 2, "b"), ("k", 3, "a"), ("k", 4, "b"),
+        ("k", 5, "c"),
+        ("k", 6, "a"), ("k", 7, "c"),          # dangling A: (A B)+ fails
+        ("k", 8, "a"), ("k", 9, "b"), ("k", 10, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="(A B)+ C",
+        define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+        measures={
+            "start": "FIRST(A.seq)", "end_": "LAST(C.seq)",
+            "pairs": "COUNT(A.*)",
+        },
+    ).collect()
+    assert sorted((r.start, r.end_, r.pairs) for r in out) == [
+        (1, 5, 2), (8, 10, 1)
+    ]
+
+
+def test_match_recognize_group_alternation_and_star(spark):
+    """(A | B)* C — alternation inside a starred group; every row
+    before the C classifies as A (preferred branch) or B."""
+    rows = [("k", 1, "a"), ("k", 2, "b"), ("k", 3, "c"), ("k", 4, "c")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="(A | B)* C",
+        define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+        measures={"na": "COUNT(A.*)", "nb": "COUNT(B.*)", "c_seq": "FIRST(C.seq)"},
+    ).collect()
+    assert sorted((r.na, r.nb, r.c_seq) for r in out) == [(0, 0, 4), (1, 1, 3)]
+
+
+def test_match_recognize_skip_to_last(spark):
+    """A B+ with AFTER MATCH SKIP TO LAST B: the next match attempt
+    re-anchors AT the last B row, so a B row that also satisfies A
+    can start the following match (overlapping chains)."""
+    rows = [("k", 1, 10), ("k", 2, 20), ("k", 3, 30), ("k", 4, 40)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    common = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B+",
+        define={"A": "true", "B": "v > PREV(v)"},
+        measures={"f": "FIRST(A.seq)", "l": "LAST(B.seq)"},
+    )
+    # SKIP PAST LAST ROW: one maximal chain 1→4
+    assert [(r.f, r.l) for r in match_recognize(df, **common).collect()] == [(1, 4)]
+    # SKIP TO LAST B re-anchors at row 4 → no further match (no B after)
+    out = match_recognize(df, **common, after_match="to_last B").collect()
+    assert [(r.f, r.l) for r in out] == [(1, 4)]
+    # rows where chains break: 1..3 ascending, 4 drops, 5..6 ascending
+    rows2 = [("k", 1, 10), ("k", 2, 20), ("k", 3, 30), ("k", 4, 5), ("k", 5, 50)]
+    df2 = spark.createDataFrame(rows2, ["k", "seq", "v"])
+    out2 = match_recognize(df2, **common, after_match="to_last B").collect()
+    # chain 1→3; re-anchor AT row 3: A=row3 but B fails at row4
+    # (5 < 30); scan on: A=row4, B=row5 (50 > 5) → second match 4→5
+    assert sorted((r.f, r.l) for r in out2) == [(1, 3), (4, 5)]
+
+
+def test_match_recognize_skip_to_first_infinite_loop_rejected(spark):
+    rows = [("k", 1, "a"), ("k", 2, "b")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    with pytest.raises(Exception, match="infinite loop"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B",
+            define={"A": "t = 'a'", "B": "t = 'b'"},
+            measures={"f": "FIRST(A.seq)"},
+            after_match="to_first A",
+        ).collect()
 
 
 def test_decode_image_stub_contract():
