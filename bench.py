@@ -89,7 +89,11 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer reads
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # 5 iters (r3 ran 3): the set's dominant noise is JVM GC/JIT
+    # landing inside a measured run — a 5-sample median tolerates two
+    # polluted runs, and the requested-GC below keeps collections out
+    # of the measured window. r3's q18 spread was 0.88 s on 3 iters.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -97,14 +101,17 @@ def main() -> None:
         if name not in queries:
             continue
         runs = []
+        # drain accumulated garbage before each query's runs so a
+        # major GC from the previous query doesn't land mid-measure
+        spark.sparkContext._jvm.System.gc()
         # one uncounted warm-up run per query (file listing, codegen,
         # broadcast build), then ITERS measured runs
         for it in range(iters + 1):
-            t0 = time.time()
+            t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             if it > 0:
-                runs.append(time.time() - t0)
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         best[name] = round(min(runs), 3)
         spread[name] = round(max(runs) - min(runs), 3)

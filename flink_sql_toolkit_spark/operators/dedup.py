@@ -68,7 +68,11 @@ def shingles(
     words = F.split(normalized_text(text_col), " ")
     n_starts = F.greatest(F.size("words") - (k - 1), F.lit(1))
     out = (
-        df.select("doc_id", words.alias("words"))
+        # NULL text must yield no shingle rows (matching UNNEST in the
+        # oracle) — without the filter, non-ANSI size(NULL) = -1 makes
+        # greatest(-1-(k-1), 1) emit one empty-string shingle
+        df.filter(F.col(text_col).isNotNull())
+        .select("doc_id", words.alias("words"))
         .select("doc_id", F.explode(F.sequence(F.lit(1), n_starts)).alias("i"), "words")
         .select(
             "doc_id",
@@ -233,22 +237,39 @@ def _lsh_grouped_buckets(
     returned as (band, band_key, n_docs, sample_ids) so the pipeline
     can count/report them without ever paying the quadratic expansion.
 
-    Note: the single-pass collect_set still materializes a flagged
-    bucket's id list as one array row (8 MB per 10^6-doc bucket) —
-    fine up to ~10^6; past that the production variant counts bucket
-    sizes in a first pass (pure partial-agg, no arrays) and anti-joins
-    oversized keys before any collect.
-    """
+    Bounded memory by construction: bucket sizes come from a COUNT
+    window over (band, band_key), and the cap filter runs BEFORE any
+    ``collect_set`` — so no aggregation ever materializes an
+    oversized bucket's id array (a 10^6-doc template bucket would be
+    an 8 MB single row under collect-then-filter). The window and
+    the aggregate share the (band, band_key) hash partitioning, so
+    it's still exactly ONE shuffle of (16-byte key, doc_id); the
+    flagged sample is row_number-capped at 10 ids pre-aggregation."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
     bands = _lsh_band_keys(spark, sf_dir)
-    grouped = bands.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
-    )
-    ok = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= cap))
-    flagged = grouped.filter(F.size("ids") > cap).select(
+    w = W.partitionBy("band", "band_key").orderBy("doc_id")
+    sized = bands.select(
         "band",
         "band_key",
-        F.size("ids").alias("n_docs"),
-        F.slice("ids", 1, 10).alias("sample_ids"),
+        "doc_id",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("_n"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    ok = (
+        sized.filter((F.col("_n") > 1) & (F.col("_n") <= cap))
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    flagged = (
+        sized.filter((F.col("_n") > cap) & (F.col("_rn") <= 10))
+        .groupBy("band", "band_key")
+        .agg(
+            F.first("_n").alias("n_docs"),
+            F.sort_array(F.collect_set("doc_id")).alias("sample_ids"),
+        )
     )
     return ok, flagged
 
@@ -407,10 +428,13 @@ def winnow_fingerprints(
     a fingerprint, unlike the whole-document fingerprint in
     `text_metrics` which only clusters full reorder-edits.
 
-    Scale shape: same lineage as `shingles` (posexplode + lead window,
-    one token-stream shuffle on doc_id) plus a second frame over the
-    already-partitioned hashes — Catalyst reuses the exchange, so no
-    extra shuffle; collect_set per doc is bounded by shingles/window.
+    Scale shape: intentionally keeps the posexplode + lead-window
+    form (unlike `shingles`, which moved to the shuffle-free
+    explode(sequence)+slice) because winnowing needs per-POSITION
+    k-gram hashes for the sliding min frame; the window-min frame
+    then runs over the already-partitioned hashes — Catalyst reuses
+    the doc_id exchange, so it is still one token-stream shuffle;
+    collect_set per doc is bounded by shingles/window.
 
     Output: (doc_id, fingerprints array<string> sorted).
     """

@@ -430,10 +430,13 @@ def sim_ivf_topk(
     broadcast; past ``broadcast_limit`` the join shuffles both sides
     on cluster_id instead."""
     ivf = ivf_assignments(spark, sf_dir)
-    # array_distinct guards the cluster2==cluster1 edge (tied dots);
-    # with distinct probes and one cluster_id per corpus vector,
-    # (query_id, neighbor_id) is unique without a distinct — same
-    # argument as sim_lsh_bucketed, one less candidate-set shuffle.
+    # cluster2_id is the argmax over values strictly different from
+    # the top-1 cluster, so the two probes are distinct by
+    # construction; the array_distinct is belt-and-braces documenting
+    # that precondition. With distinct probes and one cluster_id per
+    # corpus vector, (query_id, neighbor_id) is unique without a
+    # post-join distinct — same argument as sim_lsh_bucketed, one
+    # less candidate-set shuffle.
     q = ivf.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

@@ -104,6 +104,21 @@ def test_minhash_signature_pipeline_runs_once(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
 
 
+def test_minhash_lsh_shuffle_topology(spark, sf_dir):
+    """Exactly 3 shuffles: doc_id (signature agg), band/band_key
+    (bucket window + collect_set share one Exchange — the cap filter
+    runs between them, BEFORE aggregation, so no oversized bucket is
+    ever materialized as an array), and pair distinct. A 4th
+    Exchange means the size-gate regressed into a separate pass."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
+    assert exchanges == 3, f"expected 3 shuffles, plan has {exchanges}"
+    # the cap filter sits between the Window and the collect_set
+    assert "Window" in plan
+
+
 @pytest.mark.parametrize("name", ["sim_lsh_bucketed", "sim_ivf_topk"])
 def test_ann_single_shuffle(spark, sf_dir, name):
     """Candidate (query, neighbor) pairs are unique by construction
