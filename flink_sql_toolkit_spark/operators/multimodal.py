@@ -35,14 +35,23 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> tuple[int, int]:
     """Decode an image payload → (width, height).
 
-    STUB: real decoding needs an image library not present in this
-    container. ``deterministic_fake=True`` derives a stable fake size
-    from the payload hash so pipelines are testable end-to-end.
+    Recognized containers (PNG/JPEG/GIF/BMP) are decoded FOR REAL by
+    the from-spec header parsers in ``media_probe`` — no imaging
+    library needed for geometry. Pixel-level decode (resize, crop)
+    would need a codec library this container doesn't ship; for
+    unrecognized bytes, ``deterministic_fake=True`` derives a stable
+    size from the payload hash so pipelines stay testable end-to-end.
     """
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media  # noqa: PLC0415
+
+    info = probe_media(payload)
+    if info.kind == "image" and info.width is not None:
+        return info.width, info.height
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library; pass "
-            "deterministic_fake=True for the testable stub"
+            f"payload is not a recognized image container "
+            f"(probe: {info.format}); pass deterministic_fake=True "
+            "for the testable stub"
         )
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
@@ -72,6 +81,42 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
             )
 
     return df.mapInPandas(feature_batches, FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = (
+    "doc_id bigint, format string, kind string, width int, height int, "
+    "channels int, sample_rate int, duration_ms bigint"
+)
+
+
+def probe_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real header metadata per payload (media_probe parsers) via
+    Arrow-batched mapInPandas — the typed-metadata extraction stage
+    of the multimodal pipeline. Same scale shape as
+    extract_media_features: embarrassingly parallel, no shuffle."""
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media  # noqa: PLC0415
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = [probe_media(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [i.format for i in infos],
+                    "kind": [i.kind for i in infos],
+                    "width": pd.array([i.width for i in infos], dtype="Int32"),
+                    "height": pd.array([i.height for i in infos], dtype="Int32"),
+                    "channels": pd.array([i.channels for i in infos], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [i.sample_rate for i in infos], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [i.duration_ms for i in infos], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(probe_batches, PROBE_SCHEMA)
 
 
 @register(
