@@ -41,6 +41,20 @@ _PLAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]"
 HOT_CACHE_BUDGET_BYTES = int(
     os.environ.get("SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30))
 )
+# Caching has a floor as well as a budget: for a table under a few
+# MB the raw parquet re-scan is CHEAPER than reading back columnar
+# in-memory batches (measured at sf0.1: events/orders-backed window
+# and TVF queries run ~0.1-0.15 s faster against raw parquet than
+# against a 32-partition cache — scan cost is trivial at that size,
+# so the cache's deserialization + extra task overhead is pure loss).
+# Exception: tables whose operators fan out heavy per-row compute
+# AFTER the scan (shingle explode + md5 over documents, vector dots
+# over embeddings) — there the repartitioned cache buys parallelism
+# for the compute, not the scan, and wins at any size.
+HOT_CACHE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_HOT_CACHE_MIN", str(8 << 20))
+)
+_FANOUT_TABLES = ("documents", "embeddings")
 _CACHE_SPEND: "WeakKeyDictionary[SparkSession, int]" = WeakKeyDictionary()
 
 
@@ -91,7 +105,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if per_session is not None:
         spent = _CACHE_SPEND.get(spark, 0)
         size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
-        if HOT_CACHE_BUDGET_BYTES > 0 and spent + size <= HOT_CACHE_BUDGET_BYTES:
+        if (
+            HOT_CACHE_BUDGET_BYTES > 0
+            and (size >= HOT_CACHE_MIN_BYTES or name in _FANOUT_TABLES)
+            and spent + size <= HOT_CACHE_BUDGET_BYTES
+        ):
             # the fixtures are single-row-group files → a cold scan is
             # one partition; spread the cached copy across every core.
             # Sizing by bytes-on-disk (tried in r3: ~512 KB/partition)

@@ -44,6 +44,9 @@ def test_hot_cache_respects_budget(spark, monkeypatch):
 
 def test_hot_cache_persists_within_budget(spark, monkeypatch):
     monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1 << 30)
+    # supplier is tiny — drop the size floor so this test exercises
+    # the budget/persist path (the floor has its own test below)
+    monkeypatch.setattr(tables, "HOT_CACHE_MIN_BYTES", 0)
     tables._PLAN_CACHE.pop(spark, None)
     tables._CACHE_SPEND.pop(spark, None)
     spark.catalog.clearCache()
@@ -55,5 +58,24 @@ def test_hot_cache_persists_within_budget(spark, monkeypatch):
     raw = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
     assert df.count() == raw.count()
     df.unpersist()
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+
+
+def test_hot_cache_size_floor_skips_tiny_tables(spark, monkeypatch):
+    """Tables under HOT_CACHE_MIN_BYTES re-scan faster than they read
+    back from a columnar cache — they must NOT persist. Fan-out
+    tables (documents/embeddings) are exempt: their cache buys
+    compute parallelism, not scan speed."""
+    monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1 << 30)
+    monkeypatch.setattr(tables, "HOT_CACHE_MIN_BYTES", 8 << 20)
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+    spark.catalog.clearCache()
+    tiny = load_table(spark, SF_DIR, "supplier")
+    assert tiny.storageLevel.useMemory is False
+    fanout = load_table(spark, SF_DIR, "documents")
+    assert fanout.storageLevel.useMemory is True
+    fanout.unpersist()
     tables._PLAN_CACHE.pop(spark, None)
     tables._CACHE_SPEND.pop(spark, None)
