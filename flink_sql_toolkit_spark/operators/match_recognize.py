@@ -454,28 +454,44 @@ def match_recognize(
                     if p < n and ok[p]:
                         yield p + 1, [(p, node.symbol)]
 
+                if quant in ("+", "*"):
+                    # quantified SYMBOL: iterative greedy scan —
+                    # recursion here would be one frame per matched
+                    # row and overflow on long runs (a 10^4-row A-run
+                    # under `A+ B Z?` is a normal CEP input)
+                    max_k = 0
+                    while pos + max_k < n and ok[pos + max_k]:
+                        max_k += 1
+                    min_k = 1 if quant == "+" else 0
+                    for k in range(max_k, min_k - 1, -1):
+                        yield pos + k, [(pos + i, node.symbol) for i in range(k)]
+                    return
             else:
 
                 def base(p: int):
                     yield from gen_alt_body(node, p)
 
+                if quant in ("+", "*"):
+                    # quantified GROUP: recursion is one frame per
+                    # group REPETITION (not per row) — bounded by
+                    # match length / group width
+                    def reps(p: int, count: int):
+                        for p1, a1 in base(p):
+                            if p1 == p:
+                                continue  # empty repetition → no progress
+                            for p2, a2 in reps(p1, count + 1):
+                                yield p2, a1 + a2
+                        if count >= (1 if quant == "+" else 0):
+                            yield p, []
+
+                    yield from reps(pos, 0)
+                    return
+
             if quant == "":
                 yield from base(pos)
-            elif quant == "?":
+            else:  # '?'
                 yield from base(pos)
                 yield pos, []
-            else:  # + / * : greedy — more repetitions preferred
-
-                def reps(p: int, count: int):
-                    for p1, a1 in base(p):
-                        if p1 == p:
-                            continue  # empty repetition → no progress
-                        for p2, a2 in reps(p1, count + 1):
-                            yield p2, a1 + a2
-                    if count >= (1 if quant == "+" else 0):
-                        yield p, []
-
-                yield from reps(pos, 0)
 
         def match_any(pos: int) -> list[tuple[int, str]] | None:
             """First non-empty candidate of the root = the SQL:2016

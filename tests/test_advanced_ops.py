@@ -695,3 +695,20 @@ def test_probe_media_features_through_spark(spark):
     assert (out[1].kind, out[1].sample_rate, out[1].duration_ms) == ("audio", 8000, 2000)
     assert (out[2].format, out[2].duration_ms) == ("mp4", 5000)
     assert out[3].format == "unknown" and out[3].width is None
+
+
+def test_match_recognize_long_run_no_recursion_limit(spark):
+    """A 5000-row A-run through the GENERIC NFA (3-token pattern
+    forces it off the numpy fast path) must not hit Python's
+    recursion limit — symbol quantifiers scan iteratively."""
+    rows = [("k", i, "a") for i in range(5000)] + [("k", 5000, "b")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B Z?",
+        define={"A": "t = 'a'", "B": "t = 'b'", "Z": "false"},
+        measures={"n": "COUNT(A.*)", "b": "FIRST(B.seq)"},
+    ).collect()
+    assert [(r.n, r.b) for r in out] == [(5000, 5000)]
