@@ -27,9 +27,13 @@ it too), measures
 CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
 MATCH (running measures per matched row), AFTER MATCH SKIP PAST LAST
 ROW / SKIP TO NEXT ROW / SKIP TO FIRST|LAST <sym> (with the SQL:2016
-runtime rejection of a skip that re-anchors at the match's start).
+runtime rejection of a skip that re-anchors at the match's start),
+cross-symbol DEFINE navigation (``B AS B.price > LAST(A.price)``,
+compiled to dynamic predicates evaluated against the match context —
+see ``_compile_dynamic_define``).
 (PERMUTE nested inside a larger pattern / explicit RUNNING-FINAL
-keywords / empty-branch matches: rejected with a clear error.)
+keywords / own-symbol running navigation / empty-branch matches:
+rejected with a clear error.)
 """
 
 from __future__ import annotations
@@ -159,20 +163,133 @@ _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 def _strip_symbol_quals(cond: str, own: str, others: set[str]) -> str:
     """Inside ``DEFINE <own> AS ...``, ``<own>.col`` means "the current
-    row being classified", so that qualifier drops out. A qualifier
-    naming a DIFFERENT symbol (``B AS B.price > A.price`` — Flink: the
-    column of the last row already mapped to A) is cross-symbol match
-    state this subset does not model; silently rewriting it to the
-    current row would produce wrong matches, so reject loudly."""
-    for sym in others:
-        if re.search(rf"(?i)\b{re.escape(sym)}\s*\.\s*\w", cond):
-            raise NotImplementedError(
-                f"DEFINE for symbol '{own}' references another symbol "
-                f"'{sym}' ({cond.strip()!r}); cross-symbol DEFINE state "
-                "is outside the supported subset — use PREV(col) to "
-                "compare against the previous row instead"
-            )
+    row being classified", so that qualifier drops out. Conditions
+    naming a DIFFERENT symbol route through the dynamic-predicate
+    compiler instead (``_compile_dynamic_define``)."""
     return re.sub(rf"(?i)\b{re.escape(own)}\s*\.\s*", "", cond)
+
+
+_DEFINE_TOKEN = re.compile(
+    r"\s+|'(?:[^']|'')*'|>=|<=|<>|!=|=|[<>()+\-*/%]|"
+    r"[A-Za-z_][A-Za-z_0-9]*(?:\s*\.\s*[A-Za-z_0-9]+)?|\d+(?:\.\d+)?|(.)"
+)
+_DEFINE_KEYWORDS = {"and": "and", "or": "or", "not": "not",
+                    "true": "True", "false": "False", "null": "None"}
+
+
+def _compile_dynamic_define(
+    cond: str, own: str, others: set[str]
+) -> tuple["object", dict[str, str], set[str]]:
+    """Compile a cross-symbol DEFINE condition (``B AS B.price >
+    LAST(A.price)`` — Flink: navigate rows already mapped in the
+    current match attempt) into a Python code object evaluated during
+    NFA matching with the partial assignment as context.
+
+    Supported subset: comparisons and arithmetic over columns,
+    numeric/string literals, AND/OR/NOT, IS [NOT] NULL, PREV(col)
+    (pre-computed JVM lag), ``X.col`` / ``LAST(X.col)`` (last row
+    mapped to X so far), ``FIRST(X.col)``. NULL operands make the
+    predicate UNKNOWN → row not matched (SQL three-valued logic).
+    Own-symbol FIRST/LAST (running navigation over the symbol's own
+    rows) is rejected — its Flink semantics depend on in-progress
+    greedy state this evaluator doesn't model.
+
+    Returns (code, lag_columns, referenced_columns)."""
+    toks: list[str] = []
+    for m in _DEFINE_TOKEN.finditer(cond):
+        if m.group(1):
+            raise NotImplementedError(
+                f"unsupported character {m.group(1)!r} in cross-symbol "
+                f"DEFINE {cond.strip()!r}"
+            )
+        if not m.group(0).isspace():
+            toks.append(m.group(0))
+    out: list[str] = []
+    lags: dict[str, str] = {}
+    refcols: set[str] = set()
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower()
+        nxt = toks[i + 1] if i + 1 < len(toks) else ""
+        if t.startswith("'"):
+            out.append(repr(t[1:-1].replace("''", "'")))
+            i += 1
+        elif t == "=":
+            out.append("==")
+            i += 1
+        elif t == "<>":
+            out.append("!=")
+            i += 1
+        elif low == "is":
+            rest = [x.lower() for x in toks[i + 1 : i + 3]]
+            if rest[:1] == ["null"]:
+                out.append("is None")
+                i += 2
+            elif rest == ["not", "null"]:
+                out.append("is not None")
+                i += 3
+            else:
+                raise NotImplementedError(f"IS … in DEFINE {cond.strip()!r}")
+        elif low in _DEFINE_KEYWORDS:
+            out.append(_DEFINE_KEYWORDS[low])
+            i += 1
+        elif low in ("first", "last", "prev") and nxt == "(":
+            if i + 3 >= len(toks) or toks[i + 3] != ")":
+                raise NotImplementedError(
+                    f"{t}() needs a single column argument in "
+                    f"DEFINE {cond.strip()!r}"
+                )
+            arg = re.sub(r"\s+", "", toks[i + 2])
+            if low == "prev":
+                col = arg.split(".")[-1]  # PREV(S.col) ≡ PREV(col)
+                name = f"_prev_{col}"
+                lags[name] = col
+                refcols.add(name)
+                out.append(f"_cur({name!r})")
+            else:
+                if "." not in arg:
+                    raise NotImplementedError(
+                        f"{t}() in DEFINE needs a sym.col argument"
+                    )
+                sym, col = arg.split(".", 1)
+                if sym == own:
+                    raise NotImplementedError(
+                        f"{t}({arg}) navigates '{own}''s own rows inside "
+                        "its own DEFINE (running greedy state) — outside "
+                        "the supported subset"
+                    )
+                refcols.add(col)
+                out.append(f"_{low}({sym!r}, {col!r})")
+            i += 4
+        elif re.match(r"^[A-Za-z_]", t):
+            ident = re.sub(r"\s+", "", t)
+            if nxt == "(":
+                raise NotImplementedError(
+                    f"function {ident}() in cross-symbol DEFINE "
+                    f"{cond.strip()!r} is outside the supported subset"
+                )
+            if "." in ident:
+                sym, col = ident.split(".", 1)
+                refcols.add(col)
+                if sym == own:
+                    out.append(f"_cur({col!r})")
+                elif sym in others:
+                    # bare X.col = the LAST row mapped to X (Flink)
+                    out.append(f"_last({sym!r}, {col!r})")
+                else:
+                    raise NotImplementedError(
+                        f"unknown qualifier '{sym}' in DEFINE "
+                        f"{cond.strip()!r}"
+                    )
+            else:
+                refcols.add(ident)
+                out.append(f"_cur({ident!r})")
+            i += 1
+        else:  # numbers, operators, parens
+            out.append(t)
+            i += 1
+    return compile(" ".join(out), "<define>", "eval"), lags, refcols
 
 
 def _rewrite_prev(cond: str, order_cols: list[str]) -> tuple[str, dict[str, str]]:
@@ -227,9 +344,20 @@ def match_recognize(
             # undefined symbols match every row (SQL standard default)
             define[sym] = "true"
     symbols = _pattern_symbols(tree) | set(define)
-    define = {
-        s: _strip_symbol_quals(c, s, symbols - {s}) for s, c in define.items()
-    }
+    # Cross-symbol DEFINEs (navigate rows already mapped in the match
+    # attempt) can't be pre-computed as boolean columns — they compile
+    # to dynamic predicates the NFA evaluates with the partial
+    # assignment; everything else stays on the JVM fast path.
+    static_define: dict[str, str] = {}
+    dynamic_src: dict[str, str] = {}
+    for s, c in define.items():
+        if any(
+            re.search(rf"(?i)\b{re.escape(o)}\s*\.\s*\w", c)
+            for o in symbols - {s}
+        ):
+            dynamic_src[s] = c
+        else:
+            static_define[s] = _strip_symbol_quals(c, s, symbols - {s})
 
     # 1) JVM-side: lag columns for PREV + boolean symbol predicates
     from pyspark.sql import Window as W  # noqa: PLC0415
@@ -238,14 +366,27 @@ def match_recognize(
     all_lags: dict[str, str] = {}
     sym_cols: dict[str, str] = {}
     work = df
-    for sym, cond in define.items():
+    for sym, cond in static_define.items():
         rewritten, lags = _rewrite_prev(cond, order_by)
         all_lags.update(lags)
         sym_cols[sym] = rewritten
+    compiled_dynamic: dict[str, tuple[object, set[str]]] = {}
+    for sym, cond in dynamic_src.items():
+        code, lags, refcols = _compile_dynamic_define(cond, sym, symbols - {sym})
+        all_lags.update(lags)
+        compiled_dynamic[sym] = (code, refcols)
     for lag_name, col in all_lags.items():
         work = work.withColumn(lag_name, F.lag(col).over(w))
     for sym, cond in sym_cols.items():
         work = work.withColumn(f"_sym_{sym}", F.coalesce(F.expr(cond), F.lit(False)))
+    in_cols = set(work.columns)
+    for sym, (_code, refcols) in compiled_dynamic.items():
+        missing = refcols - in_cols
+        if missing:
+            raise ValueError(
+                f"DEFINE for '{sym}' references unknown column(s) "
+                f"{sorted(missing)}"
+            )
 
     # 2) measures → output schema + per-match evaluation plan
     plans = []  # (out_name, fn, symbol, col)
@@ -305,6 +446,7 @@ def match_recognize(
     two_sym_plus = (
         skip_past
         and not all_rows
+        and not compiled_dynamic
         and tree.quantifier == ""
         and len(tree.branches) == 1
         and len(tree.branches[0]) == 2
@@ -419,40 +561,99 @@ def match_recognize(
         # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
         sym_vals = {
-            sym: pdf[f"_sym_{sym}"].to_numpy() for sym in _pattern_symbols(tree)
+            sym: pdf[f"_sym_{sym}"].to_numpy()
+            for sym in _pattern_symbols(tree)
+            if sym not in compiled_dynamic
         }
         # numpy views for measure extraction — .iloc per match is slow
         col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
         key_row = {k: pdf.iloc[0][k] for k in key_cols}
 
+        # dynamic (cross-symbol) predicates: evaluate the compiled
+        # condition with the partial assignment as navigation context
+        dyn_preds: dict = {}
+        for dsym, (code, refcols) in compiled_dynamic.items():
+            arrays = {c: pdf[c].to_numpy() for c in refcols}
+
+            def make_pred(code=code, arrays=arrays):
+                def pred(p: int, ctx: list) -> bool:
+                    def _cur(col):
+                        v = arrays[col][p]
+                        return None if pd.isna(v) else v
+
+                    def _nav(sym2, col, first):
+                        it = ctx if first else reversed(ctx)
+                        for idx, s2 in it:
+                            if s2 == sym2:
+                                v = arrays[col][idx]
+                                return None if pd.isna(v) else v
+                        return None
+
+                    try:
+                        return bool(
+                            eval(  # noqa: S307 — compiled from the
+                                # whitelisted-token translation above
+                                code,
+                                {"__builtins__": {}},
+                                {
+                                    "_cur": _cur,
+                                    "_last": lambda s2, c: _nav(s2, c, False),
+                                    "_first": lambda s2, c: _nav(s2, c, True),
+                                },
+                            )
+                        )
+                    except TypeError:  # NULL operand → UNKNOWN
+                        return False
+
+                return pred
+
+            dyn_preds[dsym] = make_pred()
+
         # Generator-based backtracking over the pattern TREE: each
         # generator yields (end_pos, [(row_idx, symbol)]) candidates
         # in greedy-preference order (more repetitions first, leftmost
         # alternation branch first), so the first yield of the root is
-        # the SQL:2016 preferred match. Recursion depth is bounded by
-        # the match length (per-key CEP groups are bounded by
-        # construction).
+        # the SQL:2016 preferred match. ``ctx`` is the assignment
+        # accumulated left-to-right in the current candidate — the
+        # navigation context for cross-symbol DEFINE predicates.
+        # Recursion depth is bounded by pattern size + group
+        # repetitions (per-row symbol runs scan iteratively).
 
-        def gen_seq(items: list, i: int, pos: int):
+        def gen_seq(items: list, i: int, pos: int, ctx: list):
             if i == len(items):
                 yield pos, []
                 return
-            for p1, a1 in gen_item(items[i], pos):
-                for p2, a2 in gen_seq(items, i + 1, p1):
+            for p1, a1 in gen_item(items[i], pos, ctx):
+                for p2, a2 in gen_seq(items, i + 1, p1, ctx + a1):
                     yield p2, a1 + a2
 
-        def gen_alt_body(node: PatternAlt, pos: int):
+        def gen_alt_body(node: PatternAlt, pos: int, ctx: list):
             for br in node.branches:
-                yield from gen_seq(br, 0, pos)
+                yield from gen_seq(br, 0, pos, ctx)
 
-        def gen_item(node, pos: int):
+        def gen_item(node, pos: int, ctx: list):
             quant = node.quantifier
             if isinstance(node, PatternToken):
-                ok = sym_vals[node.symbol]
+                sym = node.symbol
+                if sym in dyn_preds:
+                    pred = dyn_preds[sym]
+
+                    def okfn(p: int) -> bool:
+                        # other symbols' rows are frozen during this
+                        # symbol's scan (own-symbol running navigation
+                        # is rejected at compile), so ctx is constant
+                        # across the run
+                        return p < n and pred(p, ctx)
+
+                else:
+                    ok = sym_vals[sym]
+
+                    def okfn(p: int) -> bool:
+                        return p < n and bool(ok[p])
 
                 def base(p: int):
-                    if p < n and ok[p]:
-                        yield p + 1, [(p, node.symbol)]
+                    if okfn(p):
+                        yield p + 1, [(p, sym)]
 
                 if quant in ("+", "*"):
                     # quantified SYMBOL: iterative greedy scan —
@@ -460,31 +661,31 @@ def match_recognize(
                     # row and overflow on long runs (a 10^4-row A-run
                     # under `A+ B Z?` is a normal CEP input)
                     max_k = 0
-                    while pos + max_k < n and ok[pos + max_k]:
+                    while okfn(pos + max_k):
                         max_k += 1
                     min_k = 1 if quant == "+" else 0
                     for k in range(max_k, min_k - 1, -1):
-                        yield pos + k, [(pos + i, node.symbol) for i in range(k)]
+                        yield pos + k, [(pos + i, sym) for i in range(k)]
                     return
             else:
 
                 def base(p: int):
-                    yield from gen_alt_body(node, p)
+                    yield from gen_alt_body(node, p, ctx)
 
                 if quant in ("+", "*"):
                     # quantified GROUP: recursion is one frame per
                     # group REPETITION (not per row) — bounded by
                     # match length / group width
-                    def reps(p: int, count: int):
-                        for p1, a1 in base(p):
+                    def reps(p: int, count: int, rctx: list):
+                        for p1, a1 in gen_alt_body(node, p, rctx):
                             if p1 == p:
                                 continue  # empty repetition → no progress
-                            for p2, a2 in reps(p1, count + 1):
+                            for p2, a2 in reps(p1, count + 1, rctx + a1):
                                 yield p2, a1 + a2
                         if count >= (1 if quant == "+" else 0):
                             yield p, []
 
-                    yield from reps(pos, 0)
+                    yield from reps(pos, 0, ctx)
                     return
 
             if quant == "":
@@ -496,7 +697,7 @@ def match_recognize(
         def match_any(pos: int) -> list[tuple[int, str]] | None:
             """First non-empty candidate of the root = the SQL:2016
             preferred (greedy, leftmost-branch) match at ``pos``."""
-            for _end, assignment in gen_alt_body(tree, pos):
+            for _end, assignment in gen_alt_body(tree, pos, []):
                 if assignment:
                     return assignment
             return None

@@ -712,3 +712,85 @@ def test_match_recognize_long_run_no_recursion_limit(spark):
         measures={"n": "COUNT(A.*)", "b": "FIRST(B.seq)"},
     ).collect()
     assert [(r.n, r.b) for r in out] == [(5000, 5000)]
+
+
+def test_cross_symbol_define_first_nav_and_group(spark):
+    """C fires only when its value exceeds the FIRST A row's value —
+    navigation against the match context, inside a quantified
+    pattern (A B+ C)."""
+    rows = [("k", 1, 10.0, "a"), ("k", 2, 1.0, "b"), ("k", 3, 2.0, "b"),
+            ("k", 4, 15.0, "c"),
+            ("k", 5, 50.0, "a"), ("k", 6, 1.0, "b"), ("k", 7, 20.0, "c")]
+    df = spark.createDataFrame(rows, ["k", "seq", "v", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B+ C",
+        define={
+            "A": "t = 'a'",
+            "B": "t = 'b'",
+            "C": "t = 'c' AND C.v > FIRST(A.v)",
+        },
+        measures={"a": "FIRST(A.seq)", "c": "FIRST(C.seq)", "nb": "COUNT(B.*)"},
+    ).collect()
+    # first window: C.v=15 > A.v=10 → match; second: 20 > 50 fails
+    assert sorted((r.a, r.c, r.nb) for r in out) == [(1, 4, 2)]
+
+
+def test_cross_symbol_define_null_is_unknown(spark):
+    """A NULL navigated value makes the predicate UNKNOWN → row not
+    matched (SQL three-valued logic), not an error."""
+    rows = [("k", 1, None, "a"), ("k", 2, 20.0, "b")]
+    df = spark.createDataFrame(rows, "k string, seq int, v double, t string")
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B",
+        define={"A": "t = 'a'", "B": "t = 'b' AND B.v > A.v"},
+        measures={"b": "FIRST(B.seq)"},
+    ).collect()
+    assert out == []
+
+
+def test_cross_symbol_define_own_running_nav_rejected(spark):
+    df = spark.createDataFrame([("k", 1, 1.0)], ["k", "seq", "v"])
+    with pytest.raises(NotImplementedError, match="running"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B+",
+            define={"B": "B.v > LAST(B.v) AND B.v > A.v"},
+            measures={"n": "COUNT(B.*)"},
+        ).collect()
+
+
+def test_cross_symbol_define_sql_clause(spark):
+    """The Flink-classic price-dip shape through the SQL surface:
+    recovery row must beat the pre-dip price."""
+    from flink_sql_toolkit_spark.dialect.mr_sql import rewrite_match_recognize_sql
+
+    rows = [("u", 1, 100.0), ("u", 2, 90.0), ("u", 3, 80.0), ("u", 4, 120.0)]
+    spark.createDataFrame(rows, ["k", "seq", "price"]).createOrReplaceTempView(
+        "ticks_mr"
+    )
+    stmt = rewrite_match_recognize_sql(
+        spark,
+        """
+        SELECT * FROM ticks_mr
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES FIRST(S.price) AS start_price,
+                     LAST(U.price) AS recovery_price
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (S D+ U)
+            DEFINE D AS D.price < PREV(D.price),
+                   U AS U.price > S.price
+        )
+        """,
+    )
+    out = spark.sql(stmt).collect()
+    assert [(r.start_price, r.recovery_price) for r in out] == [(100.0, 120.0)]

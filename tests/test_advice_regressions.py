@@ -134,21 +134,27 @@ def test_cow_partition_swap_failure_restores_trash(session, tmp_path, monkeypatc
 # -- 3: MATCH_RECOGNIZE cross-symbol DEFINE --------------------------
 
 
-def test_match_recognize_cross_symbol_define_raises(spark):
+def test_match_recognize_cross_symbol_define_now_matches(spark):
+    """Cross-symbol DEFINE (B compares against the row mapped to A)
+    is now a dynamic predicate, not a rejection — the advice item's
+    concern (silently rewriting to the current row) stays impossible:
+    the reference resolves against the match context."""
     from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
 
     df = spark.createDataFrame(
-        [("u", 1, 10.0), ("u", 2, 20.0)], "k string, seq int, price double"
+        [("u", 1, 10.0), ("u", 2, 20.0), ("u", 3, 5.0), ("u", 4, 4.0)],
+        "k string, seq int, price double",
     )
-    with pytest.raises(NotImplementedError, match="cross-symbol"):
-        match_recognize(
-            df,
-            partition_by=["k"],
-            order_by=["seq"],
-            pattern="A B",
-            define={"B": "B.price > A.price"},
-            measures={"p": "LAST(B.price)"},
-        )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B",
+        define={"B": "B.price > A.price"},
+        measures={"a": "FIRST(A.seq)", "p": "LAST(B.price)"},
+    ).collect()
+    # A=row1 (any row), B=row2 (20 > 10); rows 3,4 descend → no match
+    assert sorted((r.a, r.p) for r in out) == [(1, 20.0)]
 
 
 def test_match_recognize_own_symbol_qualifier_still_works(spark):
