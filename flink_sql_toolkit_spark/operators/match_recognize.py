@@ -25,15 +25,15 @@ permutations in declaration order; tmLanguage.json:363-367 declares
 it too), measures
 ``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col) |
 CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
-MATCH (running measures per matched row), AFTER MATCH SKIP PAST LAST
+MATCH (running measures per matched row; explicit ``RUNNING`` /
+``FINAL`` measure prefixes per SQL:2016 12.4), AFTER MATCH SKIP PAST LAST
 ROW / SKIP TO NEXT ROW / SKIP TO FIRST|LAST <sym> (with the SQL:2016
 runtime rejection of a skip that re-anchors at the match's start),
 cross-symbol DEFINE navigation (``B AS B.price > LAST(A.price)``,
 compiled to dynamic predicates evaluated against the match context —
 see ``_compile_dynamic_define``).
-(PERMUTE nested inside a larger pattern / explicit RUNNING-FINAL
-keywords / own-symbol running navigation / empty-branch matches:
-rejected with a clear error.)
+(PERMUTE nested inside a larger pattern / own-symbol running
+navigation / empty-branch matches: rejected with a clear error.)
 """
 
 from __future__ import annotations
@@ -397,6 +397,18 @@ def match_recognize(
     emit_cols = list(in_schema) if all_rows else list(partition_by)
     for key in emit_cols:
         out_fields.append(f"{key} {in_schema[key]}")
+    # explicit RUNNING|FINAL measure prefixes (SQL:2016 12.4): the two
+    # only differ under ALL ROWS PER MATCH, where RUNNING (the
+    # default) evaluates over the match prefix up to the current row
+    # and FINAL over the whole match on every row; under ONE ROW PER
+    # MATCH both are the final value.
+    final_measures: set[str] = set()
+    for out_name, mexpr in list(measures.items()):
+        pm = re.match(r"(?is)^(RUNNING|FINAL)\s+(.*)$", mexpr.strip())
+        if pm:
+            measures[out_name] = mexpr = pm.group(2)
+            if pm.group(1).upper() == "FINAL":
+                final_measures.add(out_name)
     for out_name, mexpr in measures.items():
         nm = re.match(r"(?i)^(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)$", mexpr.strip())
         if nm:
@@ -703,16 +715,24 @@ def match_recognize(
             return None
 
         def fill_measures(
-            row: dict, assigned: list[tuple[int, str]], match_no: int
+            row: dict,
+            assigned: list[tuple[int, str]],
+            match_no: int,
+            full: list[tuple[int, str]] | None = None,
         ) -> None:
             for out_name, fn, sym, col in plans:
+                use = (
+                    full
+                    if full is not None and out_name in final_measures
+                    else assigned
+                )
                 if fn == "CLASSIFIER":
-                    row[out_name] = assigned[-1][1]  # current/last row's symbol
+                    row[out_name] = use[-1][1]  # current/last row's symbol
                     continue
                 if fn == "MATCH_NUMBER":
                     row[out_name] = match_no
                     continue
-                idxs = [i for i, s in assigned if s == sym]
+                idxs = [i for i, s in use if s == sym]
                 if fn == "COUNT":
                     row[out_name] = len(idxs)
                 elif not idxs:
@@ -743,7 +763,9 @@ def match_recognize(
                     # evaluated RUNNING (over the match prefix)
                     for j, (idx, _) in enumerate(assignment):
                         row = {c: in_vals[c][idx] for c in emit_cols}
-                        fill_measures(row, assignment[: j + 1], match_no)
+                        fill_measures(
+                            row, assignment[: j + 1], match_no, assignment
+                        )
                         out_rows.append(row)
                 else:
                     row = dict(key_row)

@@ -794,3 +794,27 @@ def test_cross_symbol_define_sql_clause(spark):
     )
     out = spark.sql(stmt).collect()
     assert [(r.start_price, r.recovery_price) for r in out] == [(100.0, 120.0)]
+
+
+def test_running_vs_final_measures_all_rows(spark):
+    """Explicit RUNNING/FINAL prefixes (SQL:2016 12.4): under ALL
+    ROWS PER MATCH, RUNNING COUNT grows per row while FINAL COUNT is
+    the whole-match value on every row; under ONE ROW PER MATCH both
+    are final (covered implicitly by every other test)."""
+    rows = [("k", 1, "a"), ("k", 2, "a"), ("k", 3, "b")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={
+            "rc": "RUNNING COUNT(A.*)",
+            "fc": "FINAL COUNT(A.*)",
+            "fcls": "FINAL CLASSIFIER()",
+        },
+        all_rows=True,
+    ).collect()
+    got = sorted((r.seq, r.rc, r.fc, r.fcls) for r in out)
+    assert got == [(1, 1, 2, "B"), (2, 2, 2, "B"), (3, 2, 2, "B")]
