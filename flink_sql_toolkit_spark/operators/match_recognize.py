@@ -19,10 +19,10 @@ Supported: concatenation, quantifiers ``+ * ?``, alternation
 ``A B | C`` (SQL:2016 ordered choice, leftmost branch preferred;
 declared by the reference grammar at
 syntaxes/flink.tmLanguage.json:363-367), nested parenthesized groups
-with quantifiers (``((A B)+ C)``), ``PERMUTE(A, B, ...)`` as
-the whole pattern (expanded per SQL:2016 into the alternation of all
-permutations in declaration order; tmLanguage.json:363-367 declares
-it too), measures
+with quantifiers (``((A B)+ C)``), ``PERMUTE(A, B, ...)``
+anywhere in the pattern (expanded per SQL:2016 into the alternation
+of all permutations in declaration order; tmLanguage.json:363-367
+declares it too), measures
 ``FIRST/LAST(S.col) | COUNT(S.*) | AVG/SUM/MIN/MAX(S.col) |
 CLASSIFIER() | MATCH_NUMBER()``, ONE ROW PER MATCH and ALL ROWS PER
 MATCH (running measures per matched row; explicit ``RUNNING`` /
@@ -32,7 +32,7 @@ runtime rejection of a skip that re-anchors at the match's start),
 cross-symbol DEFINE navigation (``B AS B.price > LAST(A.price)``,
 compiled to dynamic predicates evaluated against the match context —
 see ``_compile_dynamic_define``).
-(PERMUTE nested inside a larger pattern / own-symbol running
+(PERMUTE with parenthesized-group factors / own-symbol running
 navigation / empty-branch matches: rejected with a clear error.)
 """
 
@@ -75,18 +75,27 @@ def _parse_pattern(pattern: str) -> PatternAlt:
     syntaxes/flink.tmLanguage.json:363-367). ``PERMUTE(A, B, ...)``
     (as the whole pattern) expands to its SQL:2016 definition — the
     alternation of every permutation in declaration order."""
-    perm = re.match(r"(?is)^\s*PERMUTE\s*\(([^()]*)\)\s*$", pattern)
-    if perm:
+    # PERMUTE(A, B, ...) — anywhere in the pattern — expands to its
+    # SQL:2016 definition: the ordered-choice alternation of every
+    # permutation of the factors, as a parenthesized group the tree
+    # parser handles like any other. Innermost-first loop, so
+    # PERMUTE composing with groups/quantifiers around it is fine;
+    # only group-valued FACTORS (PERMUTE((A B), C)) stay rejected.
+    while True:
+        perm = re.search(r"(?is)\bPERMUTE\s*\(([^()]*)\)", pattern)
+        if not perm:
+            break
         factors = [f.strip() for f in perm.group(1).split(",") if f.strip()]
         if len(factors) < 2:
             raise ValueError(f"PERMUTE needs >= 2 factors in PATTERN '{pattern}'")
-        pattern = " | ".join(
-            " ".join(p) for p in itertools.permutations(factors)
+        alt = " | ".join(
+            "( " + " ".join(p) + " )" for p in itertools.permutations(factors)
         )
-    elif re.search(r"(?i)\bPERMUTE\b", pattern):
+        pattern = f"{pattern[: perm.start()]}( {alt} ){pattern[perm.end():]}"
+    if re.search(r"(?i)\bPERMUTE\b", pattern):
         raise NotImplementedError(
-            f"PERMUTE inside a larger PATTERN ('{pattern}') is outside "
-            "the supported subset — supported as the entire pattern only"
+            f"PERMUTE with parenthesized-group factors ('{pattern}') is "
+            "outside the supported subset — use symbol factors"
         )
     toks = re.findall(r"\w+|[()|+*?]", pattern)
     unknown = re.sub(r"\w+|[()|+*?]|\s+", "", pattern)

@@ -599,7 +599,9 @@ def test_match_recognize_permute_sql_path(spark):
     assert got == [("A", 2), ("B", 3)]
 
 
-def test_match_recognize_permute_nested_rejected(spark):
+def test_match_recognize_permute_group_factor_rejected(spark):
+    """PERMUTE inside a larger pattern is supported now; only
+    parenthesized-GROUP factors remain outside the subset."""
     rows = [("u", 1, "a")]
     df = spark.createDataFrame(rows, ["k", "seq", "t"])
     with pytest.raises(NotImplementedError, match="PERMUTE"):
@@ -607,7 +609,7 @@ def test_match_recognize_permute_nested_rejected(spark):
             df,
             partition_by=["k"],
             order_by=["seq"],
-            pattern="C PERMUTE(A, B)",
+            pattern="PERMUTE((A B), C)",
             define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
             measures={"cls": "CLASSIFIER()"},
         )
@@ -818,3 +820,22 @@ def test_running_vs_final_measures_all_rows(spark):
     ).collect()
     got = sorted((r.seq, r.rc, r.fc, r.fcls) for r in out)
     assert got == [(1, 1, 2, "B"), (2, 2, 2, "B"), (3, 2, 2, "B")]
+
+
+def test_permute_inside_larger_pattern(spark):
+    """PERMUTE composes with surrounding pattern elements now that it
+    expands to an ordinary alternation group: S PERMUTE(A, B) means
+    S then A B or B A."""
+    rows = [("k", 1, "s"), ("k", 2, "b"), ("k", 3, "a"),
+            ("k", 4, "s"), ("k", 5, "a"), ("k", 6, "b"),
+            ("k", 7, "s"), ("k", 8, "a"), ("k", 9, "x")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="S PERMUTE(A, B)",
+        define={"S": "t = 's'", "A": "t = 'a'", "B": "t = 'b'"},
+        measures={"s": "FIRST(S.seq)", "a": "FIRST(A.seq)", "b": "FIRST(B.seq)"},
+    ).collect()
+    assert sorted((r.s, r.a, r.b) for r in out) == [(1, 3, 2), (4, 5, 6)]
