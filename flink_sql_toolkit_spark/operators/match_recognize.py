@@ -163,6 +163,15 @@ def _pattern_symbols(node) -> set[str]:
     return syms
 
 
+def _nullable(node) -> bool:
+    """Can the (sub)pattern match zero rows?"""
+    if node.quantifier in ("*", "?"):
+        return True
+    if isinstance(node, PatternToken):
+        return False
+    return any(all(_nullable(i) for i in br) for br in node.branches)
+
+
 _MEASURE_RE = re.compile(
     r"(?i)^(FIRST|LAST|COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$"
 )
@@ -343,6 +352,16 @@ def match_recognize(
         )
     skip_past = after_match == "past_last_row"
     tree = _parse_pattern(pattern)
+    if _nullable(tree):
+        # Flink's rule, adopted verbatim: a pattern whose preferred
+        # match can be EMPTY ("A*", "(B? | C*)") is rejected up front.
+        # Silently skipping the empty match and backtracking to a
+        # longer candidate would invert SQL:2016's preference order.
+        raise NotImplementedError(
+            f"PATTERN '{pattern}' can produce empty matches, which is "
+            "not supported (same restriction as Flink CEP) — anchor "
+            "the pattern with at least one required symbol"
+        )
     if skip_to_sym is not None and skip_to_sym not in _pattern_symbols(tree):
         raise ValueError(
             f"AFTER MATCH SKIP TO references '{skip_to_sym}', which is "
@@ -697,13 +716,21 @@ def match_recognize(
                     # quantified GROUP: recursion is one frame per
                     # group REPETITION (not per row) — bounded by
                     # match length / group width
+                    min_reps = 1 if quant == "+" else 0
+
                     def reps(p: int, count: int, rctx: list):
+                        empty_iter = False
                         for p1, a1 in gen_alt_body(node, p, rctx):
                             if p1 == p:
-                                continue  # empty repetition → no progress
+                                # zero-width body match: regex/SQL:2016
+                                # semantics — it ends the iteration but
+                                # COUNTS toward the quantifier minimum
+                                # ((C*)+ over no Cs still satisfies +)
+                                empty_iter = True
+                                continue
                             for p2, a2 in reps(p1, count + 1, rctx + a1):
                                 yield p2, a1 + a2
-                        if count >= (1 if quant == "+" else 0):
+                        if count >= min_reps or empty_iter:
                             yield p, []
 
                     yield from reps(pos, 0, ctx)

@@ -839,3 +839,105 @@ def test_permute_inside_larger_pattern(spark):
         measures={"s": "FIRST(S.seq)", "a": "FIRST(A.seq)", "b": "FIRST(B.seq)"},
     ).collect()
     assert sorted((r.s, r.a, r.b) for r in out) == [(1, 3, 2), (4, 5, 6)]
+
+
+def test_nfa_matches_regex_oracle_randomized(spark):
+    """Property test for the tree NFA: SQL:2016 row-pattern
+    preference (greedy quantifiers, leftmost alternation branch,
+    non-empty match, SKIP PAST LAST ROW restart) is exactly Python
+    re's leftmost-greedy semantics when each row satisfies at most
+    one symbol. Random patterns × random row sequences are compared
+    span-for-span against the independent regex engine."""
+    import random
+    import re as pyre
+
+    rng = random.Random(20260813)
+
+    def rand_item(depth):
+        q = rng.choice(["", "", "+", "*", "?"])
+        if depth > 0 and rng.random() < 0.4:
+            inner = rand_alt(depth - 1)
+            return f"( {inner} ){q}", None
+        sym = rng.choice("ABC")
+        return f"{sym}{q}", sym
+
+    def rand_seq(depth):
+        return " ".join(rand_item(depth)[0] for _ in range(rng.randint(1, 3)))
+
+    def rand_alt(depth):
+        branches = [rand_seq(depth) for _ in range(rng.randint(1, 2))]
+        return " | ".join(branches)
+
+    def to_regex(pat):
+        out = pat.replace("( ", "(?:").replace(" )", ")")
+        for sym, ch in (("A", "a"), ("B", "b"), ("C", "c")):
+            out = out.replace(sym, ch)
+        return pyre.compile(out.replace(" ", ""))
+
+    def regex_spans(rx, s):
+        spans, pos = [], 0
+        while pos < len(s):
+            m = rx.match(s, pos)
+            if m and m.end() > m.start():
+                spans.append((pos if False else m.start(), m.end() - 1))
+                pos = m.end()
+            else:
+                pos += 1
+        return spans
+
+    tested = 0
+    for _trial in range(40):
+        if tested >= 8:
+            break
+        pat = rand_alt(2)
+        rx = to_regex(pat)
+        seqs = {
+            f"k{i}": "".join(rng.choice("abcx") for _ in range(rng.randint(0, 14)))
+            for i in range(6)
+        }
+        rows = [
+            (k, i, ch) for k, s in seqs.items() for i, ch in enumerate(s)
+        ]
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, ["k", "seq", "t"])
+        try:
+            out = match_recognize(
+                df,
+                partition_by=["k"],
+                order_by=["seq"],
+                pattern=pat,
+                define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+                measures={"mn": "MATCH_NUMBER()"},
+                all_rows=True,
+            ).collect()
+        except NotImplementedError:
+            continue  # nullable pattern — rejected by design
+        tested += 1
+        got: dict = {}
+        for r in out:
+            lo, hi = got.setdefault(r.k, {}).setdefault(r.mn, [10**9, -1])
+            got[r.k][r.mn] = [min(lo, r.seq), max(hi, r.seq)]
+        for k, s in seqs.items():
+            expected = regex_spans(rx, s)
+            actual = [tuple(v) for _, v in sorted(got.get(k, {}).items())]
+            assert actual == expected, (
+                f"pattern {pat!r} key {k} seq {s!r}: "
+                f"engine {actual} != regex {expected}"
+            )
+
+
+def test_nullable_pattern_rejected(spark):
+    """Flink's restriction, adopted verbatim: a pattern whose
+    preferred match can be empty is rejected up front."""
+    df = spark.createDataFrame([("k", 1, "a")], ["k", "seq", "t"])
+    for pat in ("A*", "A? B?", "( A+ | B* ) C?"):
+        with pytest.raises(NotImplementedError, match="empty matches"):
+            match_recognize(
+                df,
+                partition_by=["k"],
+                order_by=["seq"],
+                pattern=pat,
+                define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+                measures={"n": "COUNT(A.*)"},
+            )
