@@ -246,3 +246,51 @@ def redact_pii(
         )
         cleaned = F.regexp_replace(cleaned, pattern, token)
     return out.withColumn(f"{text_col}_redacted", cleaned)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into max-token chunks with overlap — the
+    standard pre-training / RAG chunking stage.
+
+    Same shuffle-free lineage as ``dedup.shingles``: split to a word
+    array, ``explode(sequence(...))`` over chunk starts, slice the
+    parent array per chunk — one WholeStageCodegen projection, a
+    doc's chunks never leave its partition, no Python anywhere.
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk) with chunk_id
+    dense from 0 per doc; short docs yield exactly one chunk.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    words = F.split(normalized_text(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size("words") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                "words", F.col("chunk_id") * stride + 1, max_tokens
+            ).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_toks").alias("chunk"),
+        )
+    )

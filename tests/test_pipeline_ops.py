@@ -301,3 +301,47 @@ def test_winnow_fingerprints_guarantee(spark):
         for r in winnow_fingerprints(df, k=5, window=4).collect()
     }
     assert again == fps
+
+
+def test_chunk_documents_shapes_and_coverage(spark):
+    """Chunks tile every token with the configured overlap, short
+    docs yield one chunk, and reassembling strided chunks recovers
+    the normalized text exactly."""
+    from flink_sql_toolkit_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(25))), (1, "only four words here"),
+         (2, None)],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, max_tokens=10, overlap=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 0: 25 tokens, stride 8 -> ceil((25-2)/8) = 3 chunks
+    assert sorted(by_doc[0]) == [0, 1, 2]
+    assert [by_doc[0][i].n_chunk_tokens for i in range(3)] == [10, 10, 9]
+    # consecutive chunks overlap by exactly 2 tokens
+    c0, c1 = by_doc[0][0].chunk.split(), by_doc[0][1].chunk.split()
+    assert c0[-2:] == c1[:2]
+    # stride-reassembly recovers the document
+    joined = c0 + c1[2:] + by_doc[0][2].chunk.split()[2:]
+    assert joined == [f"w{i}" for i in range(25)]
+    # short doc: single truncated chunk
+    assert list(by_doc[1]) == [0] and by_doc[1][0].n_chunk_tokens == 4
+    # NULL text contributes no chunks
+    assert 2 not in by_doc
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark, sf_dir):
+    from flink_sql_toolkit_spark.operators.textstats import chunk_documents
+    from flink_sql_toolkit_spark.tables import load_table
+
+    plan = (
+        chunk_documents(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the hot-cache layer may round-robin-repartition the cached scan;
+    # the OPERATOR itself must add no key shuffle and no Python
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
