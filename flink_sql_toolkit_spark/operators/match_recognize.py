@@ -73,7 +73,7 @@ def _parse_pattern(pattern: str) -> PatternAlt:
     ordered-choice ``|``, and parenthesized groups — nested and
     quantified, e.g. ``((A B)+ C)``; reference grammar
     syntaxes/flink.tmLanguage.json:363-367). ``PERMUTE(A, B, ...)``
-    (as the whole pattern) expands to its SQL:2016 definition — the
+    anywhere in the pattern expands to its SQL:2016 definition — the
     alternation of every permutation in declaration order."""
     # PERMUTE(A, B, ...) — anywhere in the pattern — expands to its
     # SQL:2016 definition: the ordered-choice alternation of every
