@@ -13,7 +13,9 @@ implements the Avro 1.x binary encoding spec (public format) directly:
 - unions (branch index + value), arrays and maps (block runs with a
   zero terminator), enums (index), fixed
 - logical types: decimal (big-endian two's-complement unscaled bytes),
-  timestamp-millis / timestamp-micros on long
+  timestamp-millis / timestamp-micros on long, date on int,
+  time-millis / time-micros on int/long (decoded to the wall-clock
+  string this engine's DDL uses for TIME columns)
 - Confluent wire format: 1 magic byte (0) + 4-byte big-endian schema
   id + avro body
 
@@ -31,7 +33,7 @@ from __future__ import annotations
 
 import json
 import struct
-from datetime import datetime, timedelta, timezone
+from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 from typing import Any, Callable, Iterator
 
@@ -112,6 +114,14 @@ def decode(buf: bytes, sch: Any, pos: int = 0) -> tuple[Any, int]:
             return _EPOCH + timedelta(milliseconds=n), pos
         if lt == "timestamp-micros":
             return _EPOCH + timedelta(microseconds=n), pos
+        if lt == "date":
+            return _EPOCH.date() + timedelta(days=n), pos
+        if lt in ("time-millis", "time-micros"):
+            # Flink TIME maps to string in this engine's DDL (see
+            # README known gaps) — decode to the wall-clock string
+            us = n * 1000 if lt == "time-millis" else n
+            t_ = (datetime.min + timedelta(microseconds=us)).time()
+            return t_.strftime("%H:%M:%S.%f" if us % 1_000_000 else "%H:%M:%S"), pos
         return n, pos
     if t == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
@@ -192,7 +202,13 @@ def encode(out: bytearray, value: Any, sch: Any) -> None:
         return
     if t in ("int", "long"):
         lt = sch.get("logicalType") if isinstance(sch, dict) else None
-        if isinstance(value, datetime) and lt in (
+        if lt == "date" and isinstance(value, date) and not isinstance(value, datetime):
+            value = (value - _EPOCH.date()).days
+        elif lt in ("time-millis", "time-micros") and isinstance(value, str):
+            h, m, s = value.split(":")
+            us = (int(h) * 3600 + int(m) * 60) * 1_000_000 + round(float(s) * 1e6)
+            value = us // 1000 if lt == "time-millis" else us
+        elif isinstance(value, datetime) and lt in (
             "timestamp-millis",
             "timestamp-micros",
         ):
@@ -320,6 +336,8 @@ def avro_schema_for_columns(columns, name: str = "row") -> dict:
             }
         elif t.startswith("timestamp"):
             avro_t = {"type": "long", "logicalType": "timestamp-millis"}
+        elif t == "date":
+            avro_t = {"type": "int", "logicalType": "date"}
         else:
             raise ValueError(f"no avro mapping for spark type {t!r}")
         fields.append({"name": c.name, "type": ["null", avro_t]})

@@ -234,3 +234,34 @@ def test_timestamp_micros_exact_roundtrip():
     out = decode_record(encode_record({"tus": ts, "tms": ts}, sch), sch)
     assert out["tus"] == ts
     assert out["tms"] == ts.replace(microsecond=789000)
+
+
+def test_date_and_time_logical_types_roundtrip():
+    """Flink DATE / TIME avro logical types: date as epoch days on
+    int; time-millis/micros decoded to the wall-clock string this
+    engine's DDL uses for TIME columns."""
+    import datetime as dt
+
+    from flink_sql_toolkit_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        ],
+    }
+    row = {"d": dt.date(2024, 3, 1), "tm": "13:45:30", "tu": "13:45:30.250000"}
+    out = decode_record(encode_record(row, schema), schema)
+    assert out["d"] == dt.date(2024, 3, 1)
+    assert out["tm"] == "13:45:30"
+    assert out["tu"] == "13:45:30.250000"
+    # ints pass through encode unchanged (pre-encoded epoch units)
+    raw = decode_record(encode_record({"d": 0, "tm": 1000, "tu": 1_000_000}, schema), schema)
+    assert raw["d"] == dt.date(1970, 1, 1)
+    assert raw["tm"] == "00:00:01" and raw["tu"] == "00:00:01"
