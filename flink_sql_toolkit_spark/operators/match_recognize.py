@@ -192,7 +192,31 @@ _DEFINE_TOKEN = re.compile(
     r"[A-Za-z_][A-Za-z_0-9]*(?:\s*\.\s*[A-Za-z_0-9]+)?|\d+(?:\.\d+)?|(.)"
 )
 _DEFINE_KEYWORDS = {"and": "and", "or": "or", "not": "not",
-                    "true": "True", "false": "False", "null": "None"}
+                    "true": "True", "false": "False", "null": "_NULL"}
+
+
+class _NullType:
+    """SQL NULL sentinel for dynamic DEFINE evaluation: every
+    comparison/arithmetic touching it raises TypeError, which the
+    evaluator maps to UNKNOWN → row not matched. A plain ``None``
+    can't do this — Python happily answers ``None == x`` (False) and
+    ``None != x`` (True), silently inverting SQL's NULL semantics
+    for the ``=``/``<>`` operators."""
+
+    def _unknown(self, *_a):
+        raise TypeError("SQL NULL in comparison")
+
+    __eq__ = __ne__ = __lt__ = __le__ = __gt__ = __ge__ = _unknown
+    __add__ = __radd__ = __sub__ = __rsub__ = _unknown
+    __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _unknown
+    __bool__ = _unknown
+    __hash__ = None  # type: ignore[assignment]
+
+    def __repr__(self) -> str:
+        return "NULL"
+
+
+_NULL = _NullType()
 
 
 def _compile_dynamic_define(
@@ -206,11 +230,15 @@ def _compile_dynamic_define(
     Supported subset: comparisons and arithmetic over columns,
     numeric/string literals, AND/OR/NOT, IS [NOT] NULL, PREV(col)
     (pre-computed JVM lag), ``X.col`` / ``LAST(X.col)`` (last row
-    mapped to X so far), ``FIRST(X.col)``. NULL operands make the
-    predicate UNKNOWN → row not matched (SQL three-valued logic).
-    Own-symbol FIRST/LAST (running navigation over the symbol's own
-    rows) is rejected — its Flink semantics depend on in-progress
-    greedy state this evaluator doesn't model.
+    mapped to X so far), ``FIRST(X.col)``. NULL handling: navigated/
+    column NULLs are a sentinel whose comparisons (including ``=`` /
+    ``<>``) raise → UNKNOWN → row not matched. This is pessimistic
+    three-valued logic: an evaluated UNKNOWN subterm fails the whole
+    predicate even where SQL's ``UNKNOWN OR TRUE = TRUE`` would
+    rescue it, unless Python's short-circuit already skipped it —
+    sound (never emits a match SQL would reject), documented
+    approximation. Own-symbol FIRST/LAST (running navigation over
+    the symbol's own rows) and ``%`` are rejected.
 
     Returns (code, lag_columns, referenced_columns)."""
     toks: list[str] = []
@@ -242,10 +270,10 @@ def _compile_dynamic_define(
         elif low == "is":
             rest = [x.lower() for x in toks[i + 1 : i + 3]]
             if rest[:1] == ["null"]:
-                out.append("is None")
+                out.append("is _NULL")
                 i += 2
             elif rest == ["not", "null"]:
-                out.append("is not None")
+                out.append("is not _NULL")
                 i += 3
             else:
                 raise NotImplementedError(f"IS … in DEFINE {cond.strip()!r}")
@@ -277,6 +305,11 @@ def _compile_dynamic_define(
                         "its own DEFINE (running greedy state) — outside "
                         "the supported subset"
                     )
+                if sym not in others:
+                    raise NotImplementedError(
+                        f"unknown qualifier '{sym}' in {t}({arg}) — not a "
+                        f"PATTERN symbol (DEFINE {cond.strip()!r})"
+                    )
                 refcols.add(col)
                 out.append(f"_{low}({sym!r}, {col!r})")
             i += 4
@@ -304,6 +337,14 @@ def _compile_dynamic_define(
                 refcols.add(ident)
                 out.append(f"_cur({ident!r})")
             i += 1
+        elif t == "%":
+            raise NotImplementedError(
+                f"'%' in cross-symbol DEFINE {cond.strip()!r}: SQL MOD "
+                "truncates toward zero but Python's % floors, so the "
+                "same expression would flip truth value on negative "
+                "operands between the JVM and dynamic paths — rewrite "
+                "without modulo"
+            )
         else:  # numbers, operators, parens
             out.append(t)
             i += 1
@@ -431,6 +472,7 @@ def match_recognize(
     # and FINAL over the whole match on every row; under ONE ROW PER
     # MATCH both are the final value.
     final_measures: set[str] = set()
+    measures = dict(measures)  # never mutate the caller's dict
     for out_name, mexpr in list(measures.items()):
         pm = re.match(r"(?is)^(RUNNING|FINAL)\s+(.*)$", mexpr.strip())
         if pm:
@@ -597,9 +639,29 @@ def match_recognize(
                 out[out_name] = v
         return pd.DataFrame(out, columns=out_cols)
 
+    def _has_quantified_group(node) -> bool:
+        if isinstance(node, PatternToken):
+            return False
+        if node.quantifier in ("+", "*"):
+            return True
+        return any(
+            _has_quantified_group(i) for br in node.branches for i in br
+        )
+
+    quantified_groups = _has_quantified_group(tree)
+
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
         # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
+        if quantified_groups:
+            # group repetitions recurse one frame each (symbols scan
+            # iteratively) — size the limit to the group, capped where
+            # CPython's C stack becomes the real bound; past that the
+            # RecursionError below turns into a typed error instead
+            # of a dead executor
+            import sys  # noqa: PLC0415
+
+            sys.setrecursionlimit(max(sys.getrecursionlimit(), min(8 * n + 2000, 60000)))
         sym_vals = {
             sym: pdf[f"_sym_{sym}"].to_numpy()
             for sym in _pattern_symbols(tree)
@@ -619,15 +681,15 @@ def match_recognize(
                 def pred(p: int, ctx: list) -> bool:
                     def _cur(col):
                         v = arrays[col][p]
-                        return None if pd.isna(v) else v
+                        return _NULL if pd.isna(v) else v
 
                     def _nav(sym2, col, first):
                         it = ctx if first else reversed(ctx)
                         for idx, s2 in it:
                             if s2 == sym2:
                                 v = arrays[col][idx]
-                                return None if pd.isna(v) else v
-                        return None
+                                return _NULL if pd.isna(v) else v
+                        return _NULL
 
                     try:
                         return bool(
@@ -639,6 +701,7 @@ def match_recognize(
                                     "_cur": _cur,
                                     "_last": lambda s2, c: _nav(s2, c, False),
                                     "_first": lambda s2, c: _nav(s2, c, True),
+                                    "_NULL": _NULL,
                                 },
                             )
                         )
@@ -791,7 +854,14 @@ def match_recognize(
         pos = 0
         match_no = 0  # run_nfa sees one key group → counter is per-key
         while pos < n:
-            assignment = match_any(pos)
+            try:
+                assignment = match_any(pos)
+            except RecursionError as exc:
+                raise ValueError(
+                    f"PATTERN '{pattern}': a quantified group repeated "
+                    f"past the supported depth (~{n} rows in this key "
+                    "group) — split the input or bound the group"
+                ) from exc
             if assignment:
                 match_no += 1
                 if all_rows:

@@ -133,20 +133,32 @@ def _probe_mp4(p: bytes) -> MediaInfo | None:
         while i + 8 <= hi:
             size = struct.unpack(">I", p[i : i + 4])[0]
             btype = p[i + 4 : i + 8]
-            if size < 8:
+            hdr = 8
+            if size == 1:
+                # 64-bit largesize header (ISO 14496-12 §4.2 — any box
+                # over 4 GiB, commonly mdat before moov)
+                if i + 16 > hi:
+                    return None
+                size = struct.unpack(">Q", p[i + 8 : i + 16])[0]
+                hdr = 16
+            elif size == 0:
+                # box extends to the end of the enclosing container
+                size = hi - i
+            if size < hdr:
                 return None
             if btype == b"moov":
-                inner = walk(i + 8, min(i + size, hi))
+                inner = walk(i + hdr, min(i + size, hi))
                 if inner:
                     return inner
-            elif btype == b"mvhd" and i + 8 + 24 <= hi:
-                version = p[i + 8]
+            elif btype == b"mvhd" and i + hdr + 24 <= hi:
+                base = i + hdr
+                version = p[base]
                 if version == 1:
-                    timescale = struct.unpack(">I", p[i + 28 : i + 32])[0]
-                    duration = struct.unpack(">Q", p[i + 32 : i + 40])[0]
+                    timescale = struct.unpack(">I", p[base + 20 : base + 24])[0]
+                    duration = struct.unpack(">Q", p[base + 24 : base + 32])[0]
                 else:
-                    timescale = struct.unpack(">I", p[i + 20 : i + 24])[0]
-                    duration = struct.unpack(">I", p[i + 24 : i + 28])[0]
+                    timescale = struct.unpack(">I", p[base + 12 : base + 16])[0]
+                    duration = struct.unpack(">I", p[base + 16 : base + 20])[0]
                 ms = int(duration * 1000 / timescale) if timescale else None
                 return MediaInfo("mp4", "video", duration_ms=ms)
             i += size

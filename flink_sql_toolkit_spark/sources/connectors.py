@@ -115,7 +115,19 @@ def _decode_envelope(
         return env.withColumn("_img", img).select(
             "_img.*",
             F.col("_env.op_type").alias("_op"),
-            F.unix_millis(F.to_timestamp("_env.op_ts")).alias("_ts_ms"),
+            # op_ts is a UTC wall-clock string in GoldenGate trails;
+            # to_timestamp alone would interpret it in the SESSION
+            # timezone and shift the epoch under non-UTC sessions
+            # (debezium/canal carry true epoch millis — mixing would
+            # mis-order events). from_utc_timestamp(·, current_
+            # timezone()) cancels the session-tz interpretation, so
+            # _ts_ms is the true epoch under any session timezone.
+            F.unix_millis(
+                F.expr(
+                    "from_utc_timestamp(to_timestamp(_env.op_ts), "
+                    "current_timezone())"
+                )
+            ).alias("_ts_ms"),
             *extras,
         )
     raise ValueError(f"not a changelog envelope format: {fmt!r}")

@@ -879,7 +879,7 @@ def test_nfa_matches_regex_oracle_randomized(spark):
         while pos < len(s):
             m = rx.match(s, pos)
             if m and m.end() > m.start():
-                spans.append((pos if False else m.start(), m.end() - 1))
+                spans.append((m.start(), m.end() - 1))
                 pos = m.end()
             else:
                 pos += 1
@@ -941,3 +941,142 @@ def test_nullable_pattern_rejected(spark):
                 define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
                 measures={"n": "COUNT(A.*)"},
             )
+
+
+def test_cross_symbol_null_equality_is_unknown(spark):
+    """SQL three-valued logic for =/<> too: NULL = x and NULL <> x
+    are UNKNOWN -> no match (a plain-None evaluator would answer
+    False/True and silently invert <>)."""
+    rows = [("k", 1, None, "a"), ("k", 2, 20.0, "b")]
+    df = spark.createDataFrame(rows, "k string, seq int, v double, t string")
+    for op in ("=", "<>"):
+        out = match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B",
+            define={"A": "t = 'a'", "B": f"t = 'b' AND B.v {op} A.v"},
+            measures={"b": "FIRST(B.seq)"},
+        ).collect()
+        assert out == [], f"NULL {op} x must be UNKNOWN, not a match"
+    # IS NULL still works against the sentinel
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B",
+        define={"A": "t = 'a'", "B": "t = 'b' AND A.v IS NULL"},
+        measures={"b": "FIRST(B.seq)"},
+    ).collect()
+    assert [r.b for r in out] == [2]
+
+
+def test_cross_symbol_unknown_qualifier_in_nav_rejected(spark):
+    """A typo'd FIRST/LAST qualifier in a dynamic DEFINE must fail at
+    compile, not silently navigate to nothing and never match. (With
+    no genuine cross-symbol ref the condition stays on the static
+    JVM path, where Spark raises its own analysis error.)"""
+    df = spark.createDataFrame([("k", 1, 1.0)], ["k", "seq", "v"])
+    with pytest.raises(NotImplementedError, match="unknown qualifier"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B",
+            # A.v makes it dynamic; AA is a typo, not a symbol
+            define={"B": "B.v > A.v AND B.v > LAST(AA.v)"},
+            measures={"n": "COUNT(B.*)"},
+        )
+
+
+def test_cross_symbol_modulo_rejected(spark):
+    df = spark.createDataFrame([("k", 1, 1.0)], ["k", "seq", "v"])
+    with pytest.raises(NotImplementedError, match="%"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B",
+            define={"B": "B.v % 2 = 1 AND B.v > A.v"},
+            measures={"n": "COUNT(B.*)"},
+        )
+
+
+def test_final_measures_dict_not_mutated(spark):
+    """The caller's measures dict must survive two calls with FINAL
+    semantics intact."""
+    rows = [("k", 1, "a"), ("k", 2, "a"), ("k", 3, "b")]
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    measures = {"fc": "FINAL COUNT(A.*)"}
+    common = dict(
+        partition_by=["k"], order_by=["seq"], pattern="A+ B",
+        define={"A": "t = 'a'", "B": "t = 'b'"}, measures=measures,
+        all_rows=True,
+    )
+    first = sorted(r.fc for r in match_recognize(df, **common).collect())
+    assert measures == {"fc": "FINAL COUNT(A.*)"}
+    second = sorted(r.fc for r in match_recognize(df, **common).collect())
+    assert first == second == [2, 2, 2]
+
+
+def test_quantified_group_long_run(spark):
+    """(A B)+ C over ~1500 pair repetitions — the recursion-limit
+    guard must carry it (one frame per repetition)."""
+    rows = []
+    for i in range(1500):
+        rows.append(("k", 2 * i, "a"))
+        rows.append(("k", 2 * i + 1, "b"))
+    rows.append(("k", 3000, "c"))
+    df = spark.createDataFrame(rows, ["k", "seq", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="(A B)+ C",
+        define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+        measures={"pairs": "COUNT(A.*)"},
+    ).collect()
+    assert [r.pairs for r in out] == [1500]
+
+
+def test_mp4_largesize_and_to_eof_boxes():
+    """ISO-BMFF 64-bit largesize (mdat > 4 GiB shape) and size==0
+    (box-to-EOF) headers must not hide a later/earlier moov."""
+    import struct
+
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    mvhd_body = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, 7000) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    # largesize mdat before moov (size field == 1, 64-bit size follows)
+    payload = b"\x00" * 32
+    mdat_large = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    info = probe_media(ftyp + mdat_large + moov)
+    assert (info.format, info.duration_ms) == ("mp4", 7000)
+    # trailing size==0 box (extends to EOF) before... after moov
+    free_to_eof = struct.pack(">I", 0) + b"free" + b"\x00" * 10
+    info2 = probe_media(ftyp + moov + free_to_eof)
+    assert (info2.format, info2.duration_ms) == ("mp4", 7000)
+
+
+def test_ogg_ts_ms_is_timezone_independent(spark):
+    """_ts_ms must be the true epoch of the UTC op_ts string, not a
+    session-timezone-shifted value (debezium/canal carry real epoch
+    millis — mixing CDC sources would mis-order events)."""
+    import json as _json
+
+    from flink_sql_toolkit_spark.sources.connectors import _decode_payload
+    from tests.test_connectors import kafka_frame, table_for
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = {"before": None, "after": {"id": 1, "name": "x"}, "op_type": "I",
+              "op_ts": "2020-05-13 15:40:06.000000"}
+        raw = kafka_frame(spark, [_json.dumps(ev)])
+        out = _decode_payload(raw, table_for("ogg-json")).collect()
+        assert out[0]._ts_ms == 1589384406000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
