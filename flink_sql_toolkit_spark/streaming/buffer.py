@@ -7,9 +7,13 @@ arrive, the visible buffer is a ring capped at ``max_rows`` (1000,
 token-paged with ``NOT_READY | PAYLOAD | EOS`` result types
 (src/flinkClient.ts:18-27).
 
-The buffer is fed by a ``foreachBatch`` sink — each micro-batch
-collects **only its own rows** (bounded by the trigger interval ×
-source rate), never the whole stream; memory is bounded by the ring.
+The buffer is fed by a ``foreachBatch`` sink. Driver-side
+materialization is bounded by the ring itself: each micro-batch is
+counted executor-side and only its **last ``max_rows`` rows**
+(``DataFrame.tail``) are ever collected, so even a restart-backlog
+batch containing the entire source history ships at most ``max_rows``
+rows to the driver; the rows before the tail are accounted as evicted
+via ``offset``, exactly as if they had passed through the ring.
 """
 
 from __future__ import annotations
@@ -33,17 +37,39 @@ class StreamResultBuffer:
         self._lock = threading.Lock()
 
     # -- producer side (foreachBatch) ---------------------------------
-    def append_batch(self, rows: list[list[Any]]) -> None:
+    def append_batch(self, rows: list[list[Any]], total: int | None = None) -> None:
+        """Append a batch of ``total`` rows of which only the trailing
+        ``rows`` were materialized.
+
+        ``total - len(rows)`` leading rows are accounted as evicted
+        without ever being held (they would fall out of the ring
+        immediately anyway), keeping token arithmetic exact.
+        """
+        total = len(rows) if total is None else total
         with self._lock:
+            skipped = total - len(rows)
+            self._offset += skipped
             self._rows.extend(rows)
-            self._total += len(rows)
+            self._total += total
             overflow = len(self._rows) - self.max_rows
             if overflow > 0:
                 del self._rows[:overflow]
                 self._offset += overflow
 
     def foreach_batch(self, batch_df, _batch_id: int) -> None:
-        self.append_batch([list(r) for r in batch_df.collect()])
+        # Bound driver materialization: count executor-side, then
+        # collect at most the last ``max_rows`` rows. A catch-up batch
+        # after a restart can hold the whole backlog — collecting it
+        # in full just to trim to the ring would be unbounded.
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            tail = batch_df.tail(self.max_rows)
+            self.append_batch([list(r) for r in tail], total=n)
+        finally:
+            batch_df.unpersist()
 
     def finish(self, error: Exception | None = None) -> None:
         with self._lock:

@@ -255,3 +255,64 @@ def test_job_detail(session):
         session.jobs.stop(op.job_id)
     with pytest.raises(LookupError):
         session.jobs.detail("nope")
+
+
+# -- ring buffer boundedness (VERDICT r4 ask #1) ----------------------
+
+
+def test_buffer_append_batch_total_accounting():
+    from flink_sql_toolkit_spark.streaming.buffer import PAYLOAD, StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=10)
+    # A 5000-row batch of which only the trailing 10 were materialized.
+    tail = [[i] for i in range(4990, 5000)]
+    buf.append_batch(tail, total=5000)
+    page = buf.fetch(0)
+    assert page["resultType"] == PAYLOAD
+    assert page["data"] == tail
+    assert page["offset"] == 4990
+    assert page["totalRows"] == 5000
+    assert page["nextResultToken"] == 5000
+    # A following small batch keeps token arithmetic exact.
+    buf.append_batch([[5000], [5001]])
+    page = buf.fetch(5000)
+    assert page["data"] == [[5000], [5001]]
+    assert page["nextResultToken"] == 5002
+    assert page["totalRows"] == 5002
+
+
+def test_foreach_batch_bounds_driver_materialization(spark, monkeypatch):
+    """A catch-up micro-batch larger than the ring must never collect
+    more than ``max_rows`` rows to the driver."""
+    from flink_sql_toolkit_spark.streaming.buffer import StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=100)
+    materialized = []
+    orig = StreamResultBuffer.append_batch
+
+    def spy(self, rows, total=None):
+        materialized.append(len(rows))
+        return orig(self, rows, total=total)
+
+    monkeypatch.setattr(StreamResultBuffer, "append_batch", spy)
+    backlog = spark.range(0, 5000).selectExpr("id AS v")
+    buf.foreach_batch(backlog, 0)
+    assert materialized == [100]  # tail only, never the full batch
+    page = buf.fetch(0)
+    assert len(page["data"]) == 100
+    assert page["data"][0] == [4900] and page["data"][-1] == [4999]
+    assert page["offset"] == 4900
+    assert page["totalRows"] == 5000
+
+    # Restart-backlog then steady state: a second normal-sized batch
+    # appends after the backlog with exact tokens.
+    small = spark.range(5000, 5005).selectExpr("id AS v")
+    buf.foreach_batch(small, 1)
+    assert materialized == [100, 5]
+    page = buf.fetch(page["nextResultToken"])
+    assert [r[0] for r in page["data"]] == [5000, 5001, 5002, 5003, 5004]
+    assert page["totalRows"] == 5005
+
+    # Empty batch is a no-op.
+    buf.foreach_batch(spark.range(0, 0).selectExpr("id AS v"), 2)
+    assert materialized == [100, 5]
