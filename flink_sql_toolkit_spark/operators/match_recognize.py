@@ -38,7 +38,10 @@ navigation / empty-branch matches: rejected with a clear error.)
 
 from __future__ import annotations
 
+import ast
 import itertools
+import math
+import numbers
 import re
 from dataclasses import dataclass
 
@@ -219,6 +222,47 @@ class _NullType:
 _NULL = _NullType()
 
 
+class _SqlArithRewriter(ast.NodeTransformer):
+    """Rewrite ``/`` and ``%`` in compiled DEFINEs to SQL-semantics
+    helpers: Flink integer division and MOD truncate toward zero
+    (remainder takes the dividend's sign) while Python floors, so an
+    int-typed cross-symbol DEFINE like ``B.v = A.v / 2`` could flip
+    truth value between the static JVM path and this dynamic path."""
+
+    def visit_BinOp(self, node: ast.BinOp) -> ast.AST:
+        self.generic_visit(node)
+        if isinstance(node.op, (ast.Div, ast.Mod)):
+            fn = "_sqldiv" if isinstance(node.op, ast.Div) else "_sqlmod"
+            return ast.copy_location(
+                ast.Call(
+                    func=ast.Name(id=fn, ctx=ast.Load()),
+                    args=[node.left, node.right],
+                    keywords=[],
+                ),
+                node,
+            )
+        return node
+
+
+def _sqldiv(a, b):
+    """SQL division: integer operands truncate toward zero; anything
+    else (floats, _NULL → TypeError → UNKNOWN) defers to Python."""
+    if isinstance(a, numbers.Integral) and isinstance(b, numbers.Integral):
+        q = a // b
+        if q < 0 and q * b != a:
+            q += 1
+        return q
+    return a / b
+
+
+def _sqlmod(a, b):
+    """SQL MOD: remainder carries the DIVIDEND's sign (Python's %
+    carries the divisor's)."""
+    if isinstance(a, numbers.Integral) and isinstance(b, numbers.Integral):
+        return a - _sqldiv(a, b) * b
+    return math.fmod(a, b)
+
+
 def _compile_dynamic_define(
     cond: str, own: str, others: set[str]
 ) -> tuple["object", dict[str, str], set[str]]:
@@ -337,18 +381,12 @@ def _compile_dynamic_define(
                 refcols.add(ident)
                 out.append(f"_cur({ident!r})")
             i += 1
-        elif t == "%":
-            raise NotImplementedError(
-                f"'%' in cross-symbol DEFINE {cond.strip()!r}: SQL MOD "
-                "truncates toward zero but Python's % floors, so the "
-                "same expression would flip truth value on negative "
-                "operands between the JVM and dynamic paths — rewrite "
-                "without modulo"
-            )
-        else:  # numbers, operators, parens
+        else:  # numbers, operators ('/' and '%' rewritten below), parens
             out.append(t)
             i += 1
-    return compile(" ".join(out), "<define>", "eval"), lags, refcols
+    tree = ast.parse(" ".join(out), mode="eval")
+    tree = ast.fix_missing_locations(_SqlArithRewriter().visit(tree))
+    return compile(tree, "<define>", "eval"), lags, refcols
 
 
 def _rewrite_prev(cond: str, order_cols: list[str]) -> tuple[str, dict[str, str]]:
@@ -655,13 +693,17 @@ def match_recognize(
         n = len(pdf)
         if quantified_groups:
             # group repetitions recurse one frame each (symbols scan
-            # iteratively) — size the limit to the group, capped where
-            # CPython's C stack becomes the real bound; past that the
+            # iteratively) — size the limit to the group, but cap WELL
+            # below where CPython's C stack becomes the real bound:
+            # each nested-generator level burns C stack when resumed,
+            # so a too-generous Python limit lets the worker segfault
+            # before RecursionError ever fires. 18k stays comfortably
+            # inside the default 8 MiB thread stack; past it the
             # RecursionError below turns into a typed error instead
-            # of a dead executor
+            # of a dead executor.
             import sys  # noqa: PLC0415
 
-            sys.setrecursionlimit(max(sys.getrecursionlimit(), min(8 * n + 2000, 60000)))
+            sys.setrecursionlimit(max(sys.getrecursionlimit(), min(8 * n + 2000, 18000)))
         sym_vals = {
             sym: pdf[f"_sym_{sym}"].to_numpy()
             for sym in _pattern_symbols(tree)
@@ -702,6 +744,8 @@ def match_recognize(
                                     "_last": lambda s2, c: _nav(s2, c, False),
                                     "_first": lambda s2, c: _nav(s2, c, True),
                                     "_NULL": _NULL,
+                                    "_sqldiv": _sqldiv,
+                                    "_sqlmod": _sqlmod,
                                 },
                             )
                         )

@@ -90,9 +90,21 @@ def _probe_gif(p: bytes) -> MediaInfo | None:
 
 
 def _probe_bmp(p: bytes) -> MediaInfo | None:
-    if len(p) < 26 or p[:2] != b"BM":
+    # 'BM' alone is just ASCII — validate the fixed header fields so a
+    # text payload starting with "BM" isn't misread as a bitmap: the
+    # 4 reserved bytes must be zero, the DIB header size must be one
+    # of the published BITMAPINFOHEADER family sizes, and planes == 1.
+    if len(p) < 30 or p[:2] != b"BM":
+        return None
+    if p[6:10] != b"\x00\x00\x00\x00":
+        return None
+    dib_size = struct.unpack("<I", p[14:18])[0]
+    if dib_size not in (40, 52, 56, 64, 108, 124):
         return None
     width, height = struct.unpack("<ii", p[18:26])
+    planes = struct.unpack("<H", p[26:28])[0]
+    if planes != 1 or width <= 0 or height == 0:
+        return None
     return MediaInfo("bmp", "image", width=width, height=abs(height))
 
 
@@ -154,6 +166,11 @@ def _probe_mp4(p: bytes) -> MediaInfo | None:
                 base = i + hdr
                 version = p[base]
                 if version == 1:
+                    # v1 layout needs 32 bytes past the header; the loop
+                    # guard above only guarantees 24 (the v0 layout) — a
+                    # truncated v1 box must degrade, not struct.error.
+                    if base + 32 > hi:
+                        return MediaInfo("mp4", "video")
                     timescale = struct.unpack(">I", p[base + 20 : base + 24])[0]
                     duration = struct.unpack(">Q", p[base + 24 : base + 32])[0]
                 else:
@@ -175,7 +192,12 @@ def probe_media(payload: bytes) -> MediaInfo:
     """Identify the container and parse its header metadata; returns
     ``MediaInfo('unknown', 'unknown')`` for unrecognized bytes."""
     for probe in _PROBES:
-        info = probe(payload)
+        try:
+            info = probe(payload)
+        except (struct.error, IndexError, ValueError):
+            # A malformed header must degrade to 'unknown', never crash
+            # the mapInPandas job (the documented contract).
+            continue
         if info is not None:
             return info
     return MediaInfo("unknown", "unknown")

@@ -989,17 +989,36 @@ def test_cross_symbol_unknown_qualifier_in_nav_rejected(spark):
         )
 
 
-def test_cross_symbol_modulo_rejected(spark):
-    df = spark.createDataFrame([("k", 1, 1.0)], ["k", "seq", "v"])
-    with pytest.raises(NotImplementedError, match="%"):
-        match_recognize(
-            df,
-            partition_by=["k"],
-            order_by=["seq"],
-            pattern="A B",
-            define={"B": "B.v % 2 = 1 AND B.v > A.v"},
-            measures={"n": "COUNT(B.*)"},
-        )
+def test_cross_symbol_division_sql_semantics(spark):
+    """Int '/' in a dynamic DEFINE must truncate toward zero (Flink),
+    not Python-floor/true-divide: -7 / 2 = -3, not -3.5 or -4."""
+    rows = [("k", 1, -7), ("k", 2, -3)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B",
+        define={"B": "B.v = A.v / 2"},
+        measures={"bv": "LAST(B.v)"},
+    ).collect()
+    assert [r.bv for r in out] == [-3]
+
+
+def test_cross_symbol_modulo_sql_semantics(spark):
+    """'%' in a dynamic DEFINE carries the dividend's sign (SQL MOD):
+    -7 % 2 = -1, where Python's % gives 1."""
+    rows = [("k", 1, 2), ("k", 2, -7)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A B",
+        define={"B": "B.v % A.v = 0 - 1"},
+        measures={"bv": "LAST(B.v)"},
+    ).collect()
+    assert [r.bv for r in out] == [-7]
 
 
 def test_final_measures_dict_not_mutated(spark):
@@ -1080,3 +1099,40 @@ def test_ogg_ts_ms_is_timezone_independent(spark):
         assert out[0]._ts_ms == 1589384406000
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _bmp(w, h):
+    import struct
+    # valid BITMAPINFOHEADER: reserved=0, dib=40, planes=1
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 14 + 40 + len(dib), 0, 0, 54) + dib
+
+
+def test_bmp_probe_validates_header_fields():
+    """ASCII text starting 'BM' must not be misread as a bitmap —
+    reserved/DIB-size/planes are validated, and a real BMP parses."""
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media
+
+    text = b"BMW sales rose sharply in the third quarter of the year."
+    assert probe_media(text).format == "unknown"
+    bmp = probe_media(_bmp(320, 200))
+    assert (bmp.format, bmp.width, bmp.height) == ("bmp", 320, 200)
+    # bottom-up rows (negative height) normalize to positive
+    assert probe_media(_bmp(320, -200)).height == 200
+
+
+def test_mp4_truncated_v1_mvhd_degrades():
+    """A version-1 mvhd cut off mid-duration must yield MediaInfo
+    ('mp4', ...) without duration — not a struct.error from the
+    mapInPandas job."""
+    import struct
+
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media
+
+    # v1 mvhd with only 24 bytes of body (needs 32 for the v1 reads)
+    mvhd_body = b"\x01" + b"\x00" * 23
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    info = probe_media(ftyp + moov)
+    assert (info.format, info.kind, info.duration_ms) == ("mp4", "video", None)
