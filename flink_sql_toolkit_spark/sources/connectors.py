@@ -394,18 +394,9 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
         return _apply_extensions(df, table, streaming)
 
     if conn == "jdbc":
-        props = {
-            k.removeprefix("properties."): v
-            for k, v in opts.items()
-            if k.startswith("properties.")
-        }
-        if "username" in opts:
-            props["user"] = opts["username"]
-        if "password" in opts:
-            props["password"] = opts["password"]
-        if "driver" in opts:
-            props["driver"] = opts["driver"]
-        df = spark.read.jdbc(opts["url"], opts["table-name"], properties=props)
+        df = spark.read.jdbc(
+            opts["url"], opts["table-name"], properties=_jdbc_props(opts)
+        )
         return _apply_extensions(df, table, False)
 
     if conn in ("print", "blackhole"):
@@ -414,6 +405,24 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
         f"connector '{conn}' is not bundled (kafka/filesystem/jdbc/datagen/"
         f"print/blackhole/values are); see SURVEY.md §2.2 for the mapping"
     )
+
+
+def _jdbc_props(opts: dict[str, str]) -> dict[str, str]:
+    """Flink jdbc WITH-options → java.sql connection properties
+    (reference grammar: snippets' 'connector'='jdbc' tables carry
+    url/table-name/username/password/driver)."""
+    props = {
+        k.removeprefix("properties."): v
+        for k, v in opts.items()
+        if k.startswith("properties.")
+    }
+    if "username" in opts:
+        props["user"] = opts["username"]
+    if "password" in opts:
+        props["password"] = opts["password"]
+    if "driver" in opts:
+        props["driver"] = opts["driver"]
+    return props
 
 
 def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, checkpoint: str, trigger_interval: str | None = None):
@@ -467,15 +476,25 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
         ).save()
         return None
     if conn == "jdbc":
+        props = _jdbc_props(opts)
+        if table.columns and len(df.columns) == len(table.columns):
+            # align writer columns to the declared schema positionally:
+            # JDBC writes are by NAME on an existing table (and become
+            # the table DDL on first write), so an INSERT ... VALUES
+            # frame's default col1/col2 names must not leak into the
+            # database
+            df = df.toDF(*[c.name for c in table.columns])
         if streaming:
             # streaming JDBC sink: per-micro-batch writes (foreachBatch)
             def _write_batch(batch_df: DataFrame, _bid: int) -> None:
-                batch_df.write.mode("append").jdbc(opts["url"], opts["table-name"])
+                batch_df.write.mode("append").jdbc(
+                    opts["url"], opts["table-name"], properties=props
+                )
 
             return _start(
                 df.writeStream.foreachBatch(_write_batch), query_name, checkpoint, trigger_interval
             )
-        df.write.mode("append").jdbc(opts["url"], opts["table-name"])
+        df.write.mode("append").jdbc(opts["url"], opts["table-name"], properties=props)
         return None
     raise ValueError(f"connector '{conn}' does not support writes here")
 

@@ -186,3 +186,26 @@ def test_protobuf_missing_descriptor_is_file_error(spark):
     raw = kafka_frame(spark, ["x"])
     with pytest.raises(FileNotFoundError):
         _decode_payload(raw, t)
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    """Real JDBC E2E with zero external deps: Derby's embedded driver
+    ships on Spark's classpath, so jdbc:derby:memory gives a live
+    write → read round-trip (reference surface:
+    test/syntax-test.fsql:639-651)."""
+    from flink_sql_toolkit_spark.sources.connectors import build_writer
+
+    t = parse_create_table(
+        """CREATE TABLE j (a BIGINT, b STRING)
+           WITH ('connector'='jdbc',
+                 'url'='jdbc:derby:memory:conn_rt;create=true',
+                 'table-name'='jtab',
+                 'driver'='org.apache.derby.jdbc.EmbeddedDriver');"""
+    )
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    build_writer(df, t, query_name="j", checkpoint=str(tmp_path / "ckpt"))
+    back = build_reader(spark, t, streaming=False).collect()
+    assert sorted((r.a, r.b) for r in back) == [(1, "x"), (2, "y")]
+    # append semantics: a second write adds rows
+    build_writer(df, t, query_name="j", checkpoint=str(tmp_path / "ckpt2"))
+    assert build_reader(spark, t, streaming=False).count() == 4
