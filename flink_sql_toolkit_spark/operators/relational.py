@@ -859,22 +859,6 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_rank_offset",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           RANK()       OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           LAG(o_orderkey, 1, -1)  OVER w AS prev_order,
-           LEAD(o_orderkey, 1, -1) OVER w AS next_order,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_total
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
 def window_rank_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANK/DENSE_RANK/LAG/LEAD + named WINDOW clause + cumulative
     ROWS UNBOUNDED PRECEDING frame (syntax-test.fsql:246-252,
@@ -895,28 +879,6 @@ def window_rank_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_value_offset",
-    # NTILE/PERCENT_RANK/CUME_DIST (customer) and FIRST/LAST/NTH_VALUE
-    # (lineitem) normalized onto one (variant, k1, k2, v1, v2, v3)
-    # schema — one driver entry proves both function families
-    oracle="""
-    SELECT 'ntile_pct' AS variant, c_custkey AS k1, CAST(NULL AS BIGINT) AS k2,
-           CAST(NTILE(4) OVER w AS DOUBLE) AS v1,
-           PERCENT_RANK() OVER w AS v2,
-           CUME_DIST() OVER w AS v3
-    FROM customer
-    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-    UNION ALL
-    SELECT 'first_last', l_orderkey, l_linenumber,
-           CAST(FIRST_VALUE(l_partkey) OVER w2 AS DOUBLE),
-           CAST(LAST_VALUE(l_partkey)  OVER w2 AS DOUBLE),
-           CAST(NTH_VALUE(l_partkey, 2) OVER w2 AS DOUBLE)
-    FROM lineitem
-    WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
 def window_value_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE/PERCENT_RANK/CUME_DIST (global window — acceptable only on
     dim-sized inputs) plus FIRST_VALUE/LAST_VALUE/NTH_VALUE with a
@@ -951,6 +913,74 @@ def window_value_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("l_partkey", 2).over(wv).cast("double").alias("v3"),
     )
     return ntile_part.unionByName(value_part)
+
+
+@register(
+    "window_over_family",
+    # the former window_rank_offset + window_value_offset entries,
+    # variant-tagged onto one (variant, k1, k2, v1..v5) schema (the
+    # asof_family consolidation pattern): full row coverage of all
+    # three OVER-window shapes in a single driver entry. All values
+    # are bigints/exact rationals cast to double (< 2^53, exact);
+    # the running sum is decimal-exact before the final cast.
+    oracle="""
+    SELECT 'rank_offset' AS variant, o_custkey AS k1, o_orderkey AS k2,
+           CAST(RANK()       OVER w AS DOUBLE) AS v1,
+           CAST(DENSE_RANK() OVER w AS DOUBLE) AS v2,
+           CAST(LAG(o_orderkey, 1, -1)  OVER w AS DOUBLE) AS v3,
+           CAST(LEAD(o_orderkey, 1, -1) OVER w AS DOUBLE) AS v4,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS v5
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    UNION ALL
+    SELECT 'ntile_pct', c_custkey, CAST(NULL AS BIGINT),
+           CAST(NTILE(4) OVER wq AS DOUBLE),
+           PERCENT_RANK() OVER wq,
+           CUME_DIST() OVER wq,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM customer
+    WINDOW wq AS (ORDER BY c_acctbal, c_custkey)
+    UNION ALL
+    SELECT 'first_last', l_orderkey, l_linenumber,
+           CAST(FIRST_VALUE(l_partkey) OVER w2 AS DOUBLE),
+           CAST(LAST_VALUE(l_partkey)  OVER w2 AS DOUBLE),
+           CAST(NTH_VALUE(l_partkey, 2) OVER w2 AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_over_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK/LAG/LEAD + running-sum frame, NTILE/
+    PERCENT_RANK/CUME_DIST, and FIRST/LAST/NTH_VALUE — the
+    `window_rank_offset` + `window_value_offset` shapes consolidated
+    into one variant-tagged entry (SURVEY §2.6); each branch keeps its
+    own window spec and plan."""
+    rank = window_rank_offset(spark, sf_dir).select(
+        F.lit("rank_offset").alias("variant"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("rnk").cast("double").alias("v1"),
+        F.col("drnk").cast("double").alias("v2"),
+        F.col("prev_order").cast("double").alias("v3"),
+        F.col("next_order").cast("double").alias("v4"),
+        F.col("running_total").alias("v5"),
+    )
+    value = window_value_offset(spark, sf_dir).select(
+        "variant",
+        "k1",
+        "k2",
+        "v1",
+        "v2",
+        "v3",
+        F.lit(None).cast("double").alias("v4"),
+        F.lit(None).cast("double").alias("v5"),
+    )
+    return rank.unionByName(value)
 
 
 # =====================================================================

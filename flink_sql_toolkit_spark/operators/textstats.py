@@ -294,3 +294,190 @@ def chunk_documents(
             F.concat_ws(" ", "_toks").alias("chunk"),
         )
     )
+
+
+# -- pipeline_text_ops: driver gate for the four pipeline stages ------
+
+# One family entry (the `asof_family` consolidation pattern) proving
+# chunk_documents + redact_pii + winnow_fingerprints per-doc, plus
+# pack_sequences via global conservation invariants (pack compositions
+# are partition-dependent, but "every doc packed exactly once, no
+# non-overflow pack exceeds the budget, token mass conserved" are
+# deterministic and DuckDB-restatable).
+PIPE_DOC_LIMIT = 300
+PIPE_CHUNK_MAX, PIPE_CHUNK_OVERLAP = 32, 8  # stride 24
+PIPE_PACK_BUDGET = 256
+PIPE_WINNOW_K, PIPE_WINNOW_WINDOW = 5, 4
+
+# deterministic synthetic PII suffix (the fixture text is digit-free,
+# so without it the redaction stage would only ever see zero hits)
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.' "
+    "|| CAST(doc_id % 200 AS VARCHAR) || ' ssn 123-45-6789 call +1 555-123-4567 end'"
+)
+
+
+def _pii_text_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" ssn 123-45-6789 call +1 555-123-4567 end"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    from flink_sql_toolkit_spark.operators.textstats import PII_PATTERNS  # noqa: PLC0415
+
+    ip_re, ip_tok = PII_PATTERNS["ipv4"]
+    ssn_re, ssn_tok = PII_PATTERNS["ssn"]
+    em_re, em_tok = PII_PATTERNS["email"]
+    ph_re, ph_tok = PII_PATTERNS["phone"]
+    stride = PIPE_CHUNK_MAX - PIPE_CHUNK_OVERLAP
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split({NORMALIZED_SQL}, ' ') AS words,
+             text || {_PII_SUFFIX_SQL} AS pii_text
+      FROM documents WHERE doc_id < {PIPE_DOC_LIMIT}
+    ),
+    chunk_agg AS (
+      SELECT doc_id,
+             CAST(greatest(ceil((len(words) - {PIPE_CHUNK_OVERLAP})
+                                / CAST({stride} AS DOUBLE)), 1) AS BIGINT) AS n_chunks,
+             md5(array_to_string(
+               [array_to_string(words[(i-1)*{stride} + 1 : (i-1)*{stride} + {PIPE_CHUNK_MAX}], ' ')
+                FOR i IN range(1, CAST(greatest(ceil((len(words) - {PIPE_CHUNK_OVERLAP})
+                                / CAST({stride} AS DOUBLE)), 1) AS BIGINT) + 1)],
+               '|')) AS chunks_sha
+      FROM base
+    ),
+    red1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(pii_text, '{ip_re}')) AS n_ipv4,
+             regexp_replace(pii_text, '{ip_re}', '{ip_tok}', 'g') AS t
+      FROM base
+    ),
+    red2 AS (
+      SELECT doc_id, n_ipv4,
+             len(regexp_extract_all(t, '{ssn_re}')) AS n_ssn,
+             regexp_replace(t, '{ssn_re}', '{ssn_tok}', 'g') AS t
+      FROM red1
+    ),
+    red3 AS (
+      SELECT doc_id, n_ipv4, n_ssn,
+             len(regexp_extract_all(t, '{em_re}')) AS n_email,
+             regexp_replace(t, '{em_re}', '{em_tok}', 'g') AS t
+      FROM red2
+    ),
+    red4 AS (
+      SELECT doc_id, n_ipv4, n_ssn, n_email,
+             len(regexp_extract_all(t, '{ph_re}')) AS n_phone,
+             md5(regexp_replace(t, '{ph_re}', '{ph_tok}', 'g')) AS redacted_sha
+      FROM red3
+    ),
+    grams AS (
+      SELECT doc_id,
+             [md5(array_to_string(words[i : i + {PIPE_WINNOW_K - 1}], ' '))
+              FOR i IN range(1, greatest(len(words) - {PIPE_WINNOW_K}, 0) + 2)] AS g
+      FROM base
+    ),
+    winnow AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [list_min(g[i : i + {PIPE_WINNOW_WINDOW - 1}])
+                FOR i IN range(1, len(g) + 1)])) AS fps
+      FROM grams
+    ),
+    packinv AS (
+      SELECT TRUE AS packs_ok,
+             count(*) AS n_docs_packed,
+             CAST(sum(len(words)) AS BIGINT) AS tokens_packed
+      FROM base
+    )
+    SELECT b.doc_id, c.n_chunks, c.chunks_sha,
+           r.n_ipv4, r.n_ssn, r.n_email, r.n_phone, r.redacted_sha,
+           len(w.fps) AS n_fingerprints,
+           md5(array_to_string(w.fps, '|')) AS fp_sha,
+           p.packs_ok, p.n_docs_packed, p.tokens_packed
+    FROM base b
+    JOIN chunk_agg c USING (doc_id)
+    JOIN red4 r USING (doc_id)
+    JOIN winnow w USING (doc_id)
+    CROSS JOIN packinv p
+    ORDER BY b.doc_id
+    """
+
+
+@register("pipeline_text_ops", oracle=_pipeline_oracle())
+def pipeline_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family gate for the four pipeline stages (VERDICT r4 ask #3):
+    per-doc chunking (count + content hash), PII redaction (per-kind
+    hit counts + redacted-text hash, IP/SSN-before-phone order),
+    winnowing fingerprints (count + content hash), and FFD packing
+    conservation invariants folded in as constant columns (pack
+    membership is partition-dependent; doc/token conservation and the
+    budget bound are not). Scale shape: every stage is shuffle-free or
+    doc_id-local; the invariant agg is one 1-row broadcast."""
+    from flink_sql_toolkit_spark.operators.dedup import winnow_fingerprints  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PIPE_DOC_LIMIT
+    )
+    chunks = chunk_documents(
+        docs, max_tokens=PIPE_CHUNK_MAX, overlap=PIPE_CHUNK_OVERLAP
+    )
+    chunk_agg = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("chunks_sha"),
+    )
+    red = redact_pii(
+        docs.select("doc_id", _pii_text_spark().alias("text"))
+    ).select(
+        "doc_id",
+        "n_ipv4",
+        "n_ssn",
+        "n_email",
+        "n_phone",
+        F.md5("text_redacted").alias("redacted_sha"),
+    )
+    fp_agg = winnow_fingerprints(
+        docs, k=PIPE_WINNOW_K, window=PIPE_WINNOW_WINDOW
+    ).select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", "fingerprints")).alias("fp_sha"),
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split(normalized_text(), " ")).alias("n_tokens")
+    )
+    packs = pack_sequences(toks, max_tokens=PIPE_PACK_BUDGET, token_col="n_tokens")
+    inv = packs.agg(
+        F.coalesce(
+            F.bool_and(
+                (F.col("total_tokens") <= PIPE_PACK_BUDGET)
+                | F.col("truncate_needed")
+            ),
+            F.lit(True),
+        ).alias("packs_ok"),
+        F.sum("n_docs").cast("bigint").alias("n_docs_packed"),
+        F.sum("total_tokens").cast("bigint").alias("tokens_packed"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(chunk_agg, "doc_id")
+        .join(red, "doc_id")
+        .join(fp_agg, "doc_id")
+        .crossJoin(F.broadcast(inv))
+        .orderBy("doc_id")
+    )
