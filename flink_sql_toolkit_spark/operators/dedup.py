@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_sql_toolkit_spark.operators.registry import register
-from flink_sql_toolkit_spark.tables import load_table
+from flink_sql_toolkit_spark.tables import load_fanout_table, load_table
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 minhashes
@@ -70,7 +70,9 @@ def shingles(
     out = (
         # NULL text must yield no shingle rows (matching UNNEST in the
         # oracle) — without the filter, non-ANSI size(NULL) = -1 makes
-        # greatest(-1-(k-1), 1) emit one empty-string shingle
+        # greatest(-1-(k-1), 1) emit one empty-string shingle.
+        # Callers feed a `load_fanout_table` source: the explode+md5
+        # below is the heavy stage and needs the pre-spread partitions.
         df.filter(F.col(text_col).isNotNull())
         .select("doc_id", words.alias("words"))
         .select("doc_id", F.explode(F.sequence(F.lit(1), n_starts)).alias("i"), "words")
@@ -132,7 +134,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width lowercase hex == numeric min, and min is associative
     → map-side partial aggregation does the heavy lifting.
     """
-    sh = shingles(load_table(spark, sf_dir, "documents"), distinct=False)
+    sh = shingles(load_fanout_table(spark, sf_dir, "documents"), distinct=False)
     h1, h2 = F.md5(F.col("shingle")), F.md5(F.concat(F.lit("x"), F.col("shingle")))
     width = 32 // (N_HASHES // 2)  # hex chars per slice over 2 digests
     slices = [
@@ -328,7 +330,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh's recall stage.
     """
     cand = dedup_minhash_lsh(spark, sf_dir)
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    sh = shingles(load_fanout_table(spark, sf_dir, "documents"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -389,7 +391,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups; signatures are grouped by bit-bands downstream exactly
     like MinHash-LSH.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_fanout_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(normalized_text(), " "))).alias("word"),

@@ -33,7 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flink_sql_toolkit_spark.operators.registry import register
-from flink_sql_toolkit_spark.tables import load_table
+from flink_sql_toolkit_spark.tables import load_fanout_table, load_table
 
 N_ANCHORS = 4  # → 16 buckets; production: 12-16 bits
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
@@ -180,7 +180,9 @@ def sim_topk_bruteforce(
     size brute force is the wrong tool anyway — use the LSH/IVF paths.
     ``queries`` defaults to the fixture's fixed (query_id, qv) slice.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # dot-fold over |Q|×N rows is the heavy stage — use the shared
+    # repartitioned warm copy (tables.load_fanout_table)
+    emb = load_fanout_table(spark, sf_dir, "embeddings")
     q = (
         queries
         if queries is not None
@@ -250,7 +252,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real cost at 100 TB for something that is a map.) The dot fold
     is arithmetically identical, so bucket strings (and the DuckDB
     oracle) are unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_fanout_table(spark, sf_dir, "embeddings")
     bits = [
         F.when(
             dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av])) >= 0,
@@ -371,7 +373,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit would refine them; assignment topology is identical). One
     broadcast pass — the corpus never shuffles for assignment.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_fanout_table(spark, sf_dir, "embeddings")
     # centroids inlined as literals (same shape as lsh_buckets): the
     # per-cell dots become one projected array — no crossJoin fan-out,
     # no per-vector groupBy shuffle, same values in the same aid order

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_sql_toolkit_spark.operators.registry import register
 from flink_sql_toolkit_spark.operators.dedup import NORMALIZED_SQL, normalized_text
-from flink_sql_toolkit_spark.tables import load_table
+from flink_sql_toolkit_spark.tables import load_fanout_table, load_table
 
 # tiny built-in stopword sets for the language-ID heuristic
 STOP_EN = ("the", "a", "of", "and", "to")
@@ -37,7 +37,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation / stopword ratios, and a pass/fail gate — the standard
     pre-training corpus filter shape. Pure projection — no shuffle,
     trivially 100 TB-safe."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_fanout_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(), " ")
     n_chars = F.length("text")
     n_words = F.size(words)
@@ -63,7 +63,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive document fingerprint: md5 over the sorted
     distinct word set (the classic "fingerprint" key for clustering
     reorder-edits together). Both pure projections over one pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_fanout_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(), " ")
     hits_en, hits_es, hits_fr = (
         _hits(words, STOP_EN),
@@ -119,7 +119,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/punct/stopword quality features + pass gate, stopword-vote
     language ID, and the sorted-distinct-words fingerprint. Pure
     JVM-side column expressions — no shuffle, trivially 100 TB-safe."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_fanout_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(), " ")
     n_chars = F.length("text")
     n_words = F.size(words)

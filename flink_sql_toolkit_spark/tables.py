@@ -47,15 +47,53 @@ HOT_CACHE_BUDGET_BYTES = int(
 # and TVF queries run ~0.1-0.15 s faster against raw parquet than
 # against a 32-partition cache — scan cost is trivial at that size,
 # so the cache's deserialization + extra task overhead is pure loss).
-# Exception: tables whose operators fan out heavy per-row compute
-# AFTER the scan (shingle explode + md5 over documents, vector dots
-# over embeddings) — there the repartitioned cache buys parallelism
-# for the compute, not the scan, and wins at any size.
+# Tables whose operators fan out heavy per-row compute AFTER the scan
+# (shingle explode + md5 over documents, vector dots over embeddings)
+# need parallelism for the compute, not the scan — those operators
+# call `fanout_repartition` at use-site. r4 carried the repartition
+# on the shared cache instead, which taxed every light consumer of
+# `documents` (dedup_exact: one trivial 16-byte-key shuffle) to
+# subsidize the shingle/vector pipelines.
 HOT_CACHE_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_HOT_CACHE_MIN", str(8 << 20))
 )
-_FANOUT_TABLES = ("documents", "embeddings")
 _CACHE_SPEND: "WeakKeyDictionary[SparkSession, int]" = WeakKeyDictionary()
+
+
+def fanout_repartition(df: DataFrame) -> DataFrame:
+    """Spread a small single-row-group source across every core before
+    per-row-heavy compute (shingle explode+md5, ≥256-dim dots). The
+    one small shuffle buys a fully parallel compute stage; at cluster
+    scale splittable multi-row-group parquet makes this a no-op-cost
+    rebalance of an already-parallel scan."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts) if parts > 1 else df
+
+
+def load_fanout_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load_table` + `fanout_repartition` + budgeted persist, cached
+    per (session, dir, table) so every heavy consumer (shingle/vector
+    pipelines) shares ONE repartitioned warm copy — while light
+    consumers keep the plain `load_table` plan and never pay the
+    repartition (r4's shared-cache version taxed `dedup_exact` 1.28×
+    to subsidize these pipelines)."""
+    key = (os.path.abspath(sf_dir), name, "__fanout__")
+    try:
+        per_session = _PLAN_CACHE.setdefault(spark, {})
+        cached = per_session.get(key)
+    except TypeError:  # session not weak-referenceable (mock in tests)
+        per_session, cached = None, None
+    if cached is not None:
+        return cached
+    df = fanout_repartition(load_table(spark, sf_dir, name))
+    if per_session is not None:
+        spent = _CACHE_SPEND.get(spark, 0)
+        size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
+        if HOT_CACHE_BUDGET_BYTES > 0 and spent + size <= HOT_CACHE_BUDGET_BYTES:
+            df = df.persist()
+            _CACHE_SPEND[spark] = spent + size
+        per_session[key] = df
+    return df
 
 
 def _table_bytes(path: str) -> int:
@@ -107,7 +145,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
         if (
             HOT_CACHE_BUDGET_BYTES > 0
-            and (size >= HOT_CACHE_MIN_BYTES or name in _FANOUT_TABLES)
+            and size >= HOT_CACHE_MIN_BYTES
             and spent + size <= HOT_CACHE_BUDGET_BYTES
         ):
             # the fixtures are single-row-group files → a cold scan is

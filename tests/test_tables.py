@@ -65,8 +65,9 @@ def test_hot_cache_persists_within_budget(spark, monkeypatch):
 def test_hot_cache_size_floor_skips_tiny_tables(spark, monkeypatch):
     """Tables under HOT_CACHE_MIN_BYTES re-scan faster than they read
     back from a columnar cache — they must NOT persist. Fan-out
-    tables (documents/embeddings) are exempt: their cache buys
-    compute parallelism, not scan speed."""
+    compute parallelism is a use-site concern now
+    (tables.fanout_repartition), not a shared-cache one, so
+    documents/embeddings follow the same floor."""
     monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1 << 30)
     monkeypatch.setattr(tables, "HOT_CACHE_MIN_BYTES", 8 << 20)
     tables._PLAN_CACHE.pop(spark, None)
@@ -75,7 +76,12 @@ def test_hot_cache_size_floor_skips_tiny_tables(spark, monkeypatch):
     tiny = load_table(spark, SF_DIR, "supplier")
     assert tiny.storageLevel.useMemory is False
     fanout = load_table(spark, SF_DIR, "documents")
-    assert fanout.storageLevel.useMemory is True
-    fanout.unpersist()
-    tables._PLAN_CACHE.pop(spark, None)
-    tables._CACHE_SPEND.pop(spark, None)
+    assert fanout.storageLevel.useMemory is False
+
+
+def test_fanout_repartition_spreads_partitions(spark):
+    """fanout_repartition spreads a single-partition source across
+    defaultParallelism partitions at use-site."""
+    df = load_table(spark, SF_DIR, "documents")
+    spread = tables.fanout_repartition(df)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
