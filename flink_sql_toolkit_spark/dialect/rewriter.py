@@ -367,6 +367,147 @@ def _rewrite_misc(masked: str) -> str:
     return masked
 
 
+def _toplevel_find(masked: str, pattern: str, start: int = 0) -> int:
+    """Position of the first regex match at paren-depth 0, or -1."""
+    rx = re.compile(pattern, re.IGNORECASE | re.DOTALL)
+    depth = 0
+    i = start
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(masked, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _matching_paren(masked: str, open_pos: int) -> int:
+    depth = 0
+    for i in range(open_pos, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _split_window_spec(spec: str) -> tuple[str, str, str]:
+    """Split a window spec into (partition_by, order_by, frame) raw
+    text, keywords excluded; missing parts are ''. Depth-0 scan so
+    nested calls in the expressions don't confuse it."""
+    p_pos = _toplevel_find(spec, r"\bPARTITION\s+BY\b")
+    o_pos = _toplevel_find(spec, r"\bORDER\s+BY\b")
+    f_pos = _toplevel_find(spec, r"\b(?:GROUPS|ROWS|RANGE)\b")
+    end = len(spec)
+    frame = spec[f_pos:end].strip() if f_pos != -1 else ""
+    o_end = f_pos if f_pos != -1 else end
+    order = (
+        re.sub(r"(?is)^\s*ORDER\s+BY\s*", "", spec[o_pos:o_end]).strip()
+        if o_pos != -1
+        else ""
+    )
+    p_end = o_pos if o_pos != -1 else o_end
+    part = (
+        re.sub(r"(?is)^\s*PARTITION\s+BY\s*", "", spec[p_pos:p_end]).strip()
+        if p_pos != -1
+        else ""
+    )
+    return part, order, frame
+
+
+def _rewrite_groups_frames(masked: str) -> str:
+    """SQL:2011 GROUPS frames → DENSE_RANK + integer-RANGE rewrite.
+
+    ``GROUPS n PRECEDING/FOLLOWING`` counts peer GROUPS of the ORDER
+    BY key, and neither Spark nor DuckDB implements the frame unit
+    (syntaxes/flink.tmLanguage.json:399). The identity used (general,
+    any integer/UNBOUNDED bounds): number each peer group with
+    DENSE_RANK() over the same partition/order, then the same bounds
+    as a numeric RANGE frame over that rank select exactly the same
+    rows — CURRENT ROW in GROUPS mode includes all peers, and so does
+    RANGE over the rank, since peers share a rank value.
+
+    Supported shape: one top-level SELECT block (no top-level set ops
+    or GROUP BY — window frames over grouped output would need the
+    rank computed post-aggregation). The FROM..WHERE segment is
+    wrapped in a derived table that adds one ``__grp_i`` column per
+    distinct (partition, order) spec; named WINDOW clauses stay
+    outside the wrap and are rewritten in place.
+    """
+    if not re.search(r"(?is)\bGROUPS\s+(?:BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)", masked):
+        return masked
+    if re.search(r"(?is)\bEXCLUDE\s+(?:CURRENT|GROUP|TIES|NO)\b", masked):
+        raise NotImplementedError("GROUPS frame with EXCLUDE clause is not supported")
+
+    # collect window specs: OVER ( ... ) and WINDOW name AS ( ... )
+    spans: list[tuple[int, int]] = []  # paren-content spans
+    for m in re.finditer(r"(?is)\bOVER\s*\(", masked):
+        close = _matching_paren(masked, m.end() - 1)
+        if close != -1:
+            spans.append((m.end(), close))
+    for m in re.finditer(r"(?is)\bWINDOW\s+\w+\s+AS\s*\(", masked):
+        close = _matching_paren(masked, m.end() - 1)
+        if close != -1:
+            spans.append((m.end(), close))
+
+    grp_cols: dict[tuple[str, str], str] = {}
+    edits: list[tuple[int, int, str]] = []
+    for start, end in spans:
+        spec = masked[start:end]
+        if not re.search(r"(?is)\bGROUPS\b", spec):
+            continue
+        part, order, frame = _split_window_spec(spec)
+        if not re.match(r"(?is)GROUPS\b", frame):
+            continue  # GROUPS text belongs to a nested construct
+        if not order:
+            raise NotImplementedError("GROUPS frame requires ORDER BY in the window")
+        key = (re.sub(r"\s+", " ", part), re.sub(r"\s+", " ", order))
+        col = grp_cols.setdefault(key, f"__grp_{len(grp_cols)}")
+        bounds = re.sub(r"(?is)^GROUPS\b", "", frame).strip()
+        new_spec = (
+            (f"PARTITION BY {part} " if part else "")
+            + f"ORDER BY {col} RANGE {bounds}"
+        )
+        edits.append((start, end, new_spec))
+    if not edits:
+        return masked
+    for start, end, new_spec in sorted(edits, reverse=True):
+        masked = masked[:start] + new_spec + masked[end:]
+
+    sel_pos = _toplevel_find(masked, r"\bSELECT\b")
+    from_pos = _toplevel_find(masked, r"\bFROM\b", sel_pos + 1 if sel_pos != -1 else 0)
+    if sel_pos == -1 or from_pos == -1:
+        raise NotImplementedError(
+            "GROUPS frame is supported in a single top-level SELECT ... FROM block"
+        )
+    if _toplevel_find(masked, r"\b(?:GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b") != -1:
+        raise NotImplementedError(
+            "GROUPS frame with top-level GROUP BY / set operations is not supported — "
+            "wrap the aggregation in a subquery"
+        )
+    # the wrapped segment: FROM ... up to the first top-level
+    # WINDOW / ORDER BY / LIMIT (those stay outside, over the derived
+    # table, which exposes * plus the __grp_i columns)
+    tail_pos = _toplevel_find(
+        masked, r"\b(?:WINDOW\b|ORDER\s+BY\b|LIMIT\b|FETCH\b)", from_pos + 4
+    )
+    seg_end = tail_pos if tail_pos != -1 else len(masked)
+    source = masked[from_pos + 4 : seg_end].strip()
+    rank_cols = ", ".join(
+        f"DENSE_RANK() OVER ({('PARTITION BY ' + p + ' ') if p else ''}ORDER BY {o}) AS {c}"
+        for (p, o), c in grp_cols.items()
+    )
+    wrapped = f" FROM (SELECT *, {rank_cols} FROM {source}) __groups_frames "
+    return masked[:from_pos] + wrapped + masked[seg_end:]
+
+
 # Flink-only hints: accepted + dropped (conf analogues are applied at
 # the SET layer where they exist — SURVEY §2.13); join-strategy hints
 # map to Spark's names.
@@ -411,5 +552,6 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_similar_to(masked, lits)
     masked = _rewrite_types(masked)
+    masked = _rewrite_groups_frames(masked)
     masked = _rewrite_misc(masked)
     return _unmask(masked, lits)

@@ -517,9 +517,9 @@ def join_theta_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_frames",
-    # RANGE-interval frame + GROUPS frame (via dense_rank identity —
-    # DuckDB hasn't implemented GROUPS frames either, so the oracle
-    # states the same peer-group identity independently) in one pass
+    # RANGE-interval frame + two GROUPS frames (DuckDB 1.0 hasn't
+    # implemented the GROUPS unit, so the oracle restates the
+    # dense_rank peer-group identity independently) in one pass
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, value, ts,
@@ -533,37 +533,43 @@ def join_theta_family(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS rolling_value,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY grp
-             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY grp
+             RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum2
     FROM g
     """,
 )
 def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame with a time interval (10-minute rolling sum) plus a
-    GROUPS frame (SQL:2011 frame unit; syntax-test.fsql:252 frame
-    specs) in one query. Spark has no GROUPS frames, so the peer
-    groups are made explicit: DENSE_RANK numbers each ORDER-BY peer
-    group, then a numeric RANGE frame over that rank is exactly
-    ``GROUPS BETWEEN n PRECEDING AND CURRENT ROW``. All three windows
-    share PARTITION BY user_id — Catalyst plans a single shuffle;
-    decimal-exact sums for oracle parity."""
+    """RANGE frame with a time interval (10-minute rolling sum) plus
+    GROUPS frames (SQL:2011 frame unit; syntax-test.fsql:252 frame
+    specs) in one query. The GROUPS windows are written in native
+    GROUPS syntax and compiled by the dialect rewriter's general
+    dense_rank + integer-RANGE rewrite (dialect/rewriter.py
+    ``_rewrite_groups_frames``) — any integer/UNBOUNDED bounds,
+    including the FOLLOWING side (grp_sum2 here), not just the
+    n-PRECEDING identity. All windows share PARTITION BY user_id —
+    one shuffle; decimal-exact sums for oracle parity."""
+    from flink_sql_toolkit_spark.dialect.rewriter import rewrite  # noqa: PLC0415
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
-        """
-        WITH g AS (
-          SELECT event_id, user_id, value, ts,
-                 DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS grp
-          FROM events
-        )
+        rewrite(
+            """
         SELECT event_id, user_id,
                CAST(SUM(CAST(value AS DECIMAL(18,4)))
                     OVER (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS rolling_value,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-                 PARTITION BY user_id ORDER BY grp
-                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
-        FROM g
+                 PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                 GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum2
+        FROM events
         """
+        )
     )
 
 

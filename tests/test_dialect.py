@@ -152,3 +152,72 @@ class TestDDLParser:
     )
     def test_types(self, flink, spark):
         assert flink_type_to_spark(flink) == spark
+
+
+class TestGroupsFrames:
+    """SQL:2011 GROUPS frames → dense_rank + integer-RANGE rewrite
+    (VERDICT r4 ask #7: general bounds, not just n-PRECEDING)."""
+
+    def test_rewrite_shape(self):
+        out = rewrite(
+            "SELECT k, SUM(v) OVER (PARTITION BY p ORDER BY k "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t WHERE v > 0"
+        )
+        assert "GROUPS" not in out.upper().replace("__GROUPS_FRAMES", "")
+        assert "DENSE_RANK() OVER (PARTITION BY p ORDER BY k)" in out
+        assert "ORDER BY __grp_0 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+        assert "WHERE v > 0)" in out  # WHERE folded inside the wrap
+
+    def test_rewrite_named_window_and_shared_spec(self):
+        out = rewrite(
+            "SELECT k, SUM(v) OVER w AS a, COUNT(*) OVER "
+            "(ORDER BY k GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS b "
+            "FROM t WINDOW w AS (ORDER BY k GROUPS 1 PRECEDING)"
+        )
+        # both specs share one ORDER BY k group column
+        assert out.count("DENSE_RANK()") == 1
+        assert "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING" in out
+        assert "RANGE 1 PRECEDING" in out
+
+    def test_rejects_unsupported(self):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="ORDER BY"):
+            rewrite("SELECT SUM(v) OVER (GROUPS 1 PRECEDING) FROM t")
+        with _pytest.raises(NotImplementedError, match="GROUP BY"):
+            rewrite(
+                "SELECT k, SUM(SUM(v)) OVER (ORDER BY k GROUPS 1 PRECEDING) "
+                "FROM t GROUP BY k"
+            )
+
+    def test_groups_semantics_with_ties(self, spark):
+        """Hand-computed GROUPS semantics: ties share the frame, and
+        group distance (not value distance) drives inclusion — k=5 is
+        1 GROUP after k=3 even though the value gap is 2."""
+        rows = [(1, 10), (1, 20), (2, 5), (3, 1), (3, 2), (5, 100)]
+        spark.createDataFrame(rows, ["k", "v"]).createOrReplaceTempView("gf")
+        out = spark.sql(
+            rewrite(
+                "SELECT k, v, SUM(v) OVER (ORDER BY k "
+                "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf"
+            )
+        ).collect()
+        got = {(r.k, r.v): r.s for r in out}
+        assert got == {
+            (1, 10): 30, (1, 20): 30,   # no preceding group; peers included
+            (2, 5): 35,                 # k=1 group + own
+            (3, 1): 8, (3, 2): 8,       # k=2 group + own peers
+            (5, 100): 103,              # k=3 is the 1-preceding GROUP
+        }
+
+    def test_groups_following_semantics(self, spark):
+        rows = [(1, 10), (2, 5), (2, 7), (4, 100)]
+        spark.createDataFrame(rows, ["k", "v"]).createOrReplaceTempView("gf2")
+        out = spark.sql(
+            rewrite(
+                "SELECT k, v, SUM(v) OVER (ORDER BY k "
+                "GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS s FROM gf2"
+            )
+        ).collect()
+        got = {(r.k, r.v): r.s for r in out}
+        assert got == {(1, 10): 22, (2, 5): 112, (2, 7): 112, (4, 100): 100}
