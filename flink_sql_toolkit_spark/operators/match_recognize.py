@@ -411,6 +411,7 @@ def match_recognize(
     measures: dict[str, str],
     after_match: str = "past_last_row",
     all_rows: bool = False,
+    _compile_only: bool = False,
 ) -> DataFrame:
     skip_to_sym: str | None = None
     skip_to_first = False
@@ -688,9 +689,28 @@ def match_recognize(
 
     quantified_groups = _has_quantified_group(tree)
 
-    def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_nfa(
+        pdf: pd.DataFrame, streaming: bool = False, match_no_base: int = 0
+    ):
+        """Run the NFA over one sorted key group.
+
+        Batch mode returns the output DataFrame. Streaming mode
+        (``streaming=True``) additionally enforces *prefix-stable*
+        emission: a match is emitted only if NO higher-preference
+        candidate ran out of input while it was being selected — the
+        ``probe`` flag below records every predicate test past the
+        last buffered row, and since the backtracking generators
+        yield in SQL:2016 preference order, everything explored
+        before the first yield IS higher-preference. A probed match
+        (or a probed failure) means future rows could change the
+        answer, so the loop stops and the caller retains the suffix.
+        Returns (out_df, keep_from, match_no): rows < keep_from are
+        decided forever; rows >= keep_from must be re-presented with
+        the next micro-batch.
+        """
         # rows arrive pre-sorted by (partition_by, order_by)
         n = len(pdf)
+        probe = {"end": False}  # any predicate test at p >= n
         if quantified_groups:
             # group repetitions recurse one frame each (symbols scan
             # iteratively) — size the limit to the group, but cap WELL
@@ -790,13 +810,19 @@ def match_recognize(
                         # symbol's scan (own-symbol running navigation
                         # is rejected at compile), so ctx is constant
                         # across the run
-                        return p < n and pred(p, ctx)
+                        if p >= n:
+                            probe["end"] = True
+                            return False
+                        return pred(p, ctx)
 
                 else:
                     ok = sym_vals[sym]
 
                     def okfn(p: int) -> bool:
-                        return p < n and bool(ok[p])
+                        if p >= n:
+                            probe["end"] = True
+                            return False
+                        return bool(ok[p])
 
                 def base(p: int):
                     if okfn(p):
@@ -849,13 +875,16 @@ def match_recognize(
                 yield from base(pos)
                 yield pos, []
 
-        def match_any(pos: int) -> list[tuple[int, str]] | None:
+        def match_any(pos: int) -> tuple[list[tuple[int, str]] | None, bool]:
             """First non-empty candidate of the root = the SQL:2016
-            preferred (greedy, leftmost-branch) match at ``pos``."""
+            preferred (greedy, leftmost-branch) match at ``pos``.
+            Second element: True if selecting it (or failing) probed
+            past the end of input — the result is provisional."""
+            probe["end"] = False
             for _end, assignment in gen_alt_body(tree, pos, []):
                 if assignment:
-                    return assignment
-            return None
+                    return assignment, probe["end"]
+            return None, probe["end"]
 
         def fill_measures(
             row: dict,
@@ -896,16 +925,23 @@ def match_recognize(
         in_vals = {c: pdf[c].to_numpy() for c in emit_cols} if all_rows else {}
         out_rows = []
         pos = 0
-        match_no = 0  # run_nfa sees one key group → counter is per-key
+        # run_nfa sees one key group → counter is per-key; streaming
+        # continues the count carried in operator state
+        match_no = match_no_base
         while pos < n:
             try:
-                assignment = match_any(pos)
+                assignment, pending = match_any(pos)
             except RecursionError as exc:
                 raise ValueError(
                     f"PATTERN '{pattern}': a quantified group repeated "
                     f"past the supported depth (~{n} rows in this key "
                     "group) — split the input or bound the group"
                 ) from exc
+            if streaming and pending:
+                # provisional: a higher-preference candidate (or this
+                # failure) probed past the buffer end — future rows
+                # could change the outcome. Hold everything from here.
+                break
             if assignment:
                 match_no += 1
                 if all_rows:
@@ -949,7 +985,10 @@ def match_recognize(
             else:
                 pos += 1
         cols = emit_cols + [p[0] for p in plans]
-        return pd.DataFrame(out_rows, columns=cols)
+        out = pd.DataFrame(out_rows, columns=cols)
+        if streaming:
+            return out, pos, match_no
+        return out
 
     out_cols = emit_cols + [p[0] for p in plans]
 
@@ -1004,6 +1043,18 @@ def match_recognize(
             if len(r):
                 yield r
 
+    if _compile_only:
+        # internal hook for streaming_match_recognize: the JVM-side
+        # prepared frame + the per-group NFA runner, no batch plan
+        return {
+            "work": work,
+            "run_nfa": run_nfa,
+            "out_schema": out_schema,
+            "out_cols": out_cols,
+            "key_cols": key_cols,
+            "sort_cols": sort_cols,
+            "has_lags": bool(all_lags),
+        }
     return (
         work.repartition(*partition_by)
         .sortWithinPartitions(*(partition_by + order_by))

@@ -97,3 +97,120 @@ def streaming_funnel(
     return work.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: str,
+    define: dict[str, str],
+    measures: dict[str, str],
+    after_match: str = "past_last_row",
+    max_buffer_rows: int = 100_000,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """General streaming MATCH_RECOGNIZE: the batch NFA with its
+    open-match state carried across micro-batches
+    (``applyInPandasWithState``), replacing the fixed-shape funnel for
+    arbitrary PATTERNs (reference grammar
+    syntaxes/flink.tmLanguage.json:363-367; corpus
+    test/syntax-test.fsql:467-482).
+
+    Emission is *prefix-stable*: the NFA (match_recognize.run_nfa in
+    streaming mode) emits a match only when no higher-preference
+    candidate ran out of input while it was selected, so every emitted
+    row is identical to what the batch operator would emit on the full
+    stream — matches spanning micro-batch boundaries simply wait in
+    state until decidable. The undecided suffix (rows from the first
+    provisional position) is the per-key state, bounded by
+    ``max_buffer_rows`` (oldest rows dropped past the cap — the same
+    pressure-valve role as Flink CEP's WITHIN) and optionally by a
+    processing-time TTL that batch-flushes and clears the key
+    (``table.exec.state.ttl``).
+
+    Restrictions (typed errors): ONE ROW PER MATCH only, and no
+    PREV() in DEFINE (the batch path compiles PREV to a lag() window,
+    which Structured Streaming cannot evaluate). Rows are processed
+    in arrival order, sorted by event time within each micro-batch —
+    the module-level semantic note applies.
+    """
+    import pickle  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from flink_sql_toolkit_spark.operators.match_recognize import (  # noqa: PLC0415
+        match_recognize,
+    )
+
+    compiled = match_recognize(
+        df,
+        partition_by=partition_by,
+        order_by=order_by,
+        pattern=pattern,
+        define=define,
+        measures=measures,
+        after_match=after_match,
+        all_rows=False,
+        _compile_only=True,
+    )
+    if compiled["has_lags"]:
+        raise NotImplementedError(
+            "PREV() in DEFINE compiles to a lag() window, which "
+            "Structured Streaming cannot evaluate — rewrite the "
+            "condition over the current row or use the batch operator"
+        )
+    work, run_nfa = compiled["work"], compiled["run_nfa"]
+    out_schema, sort_cols = compiled["out_schema"], compiled["sort_cols"]
+    state_schema = "buf binary, match_no bigint"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            blob, match_no = state.get
+            state.remove()
+            buf = pickle.loads(bytes(blob))
+            if len(buf):
+                # TTL flush: decide the held suffix as if the stream
+                # ended here (batch semantics), then clear the key
+                out = run_nfa(buf.reset_index(drop=True), match_no_base=match_no)
+                if len(out):
+                    yield out
+            return
+        blob_match = state.get if state.exists else None
+        if blob_match is not None:
+            buf = pickle.loads(bytes(blob_match[0]))
+            match_no = blob_match[1]
+        else:
+            buf, match_no = None, 0
+        new = [p for p in pdfs if len(p)]
+        if not new:
+            parts = [buf] if buf is not None and len(buf) else []
+        else:
+            batch = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
+            batch = batch.sort_values(sort_cols, kind="mergesort")
+            parts = ([buf] if buf is not None and len(buf) else []) + [batch]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.reset_index(drop=True)
+        out, keep_from, match_no = run_nfa(
+            pdf, streaming=True, match_no_base=match_no
+        )
+        keep = pdf.iloc[keep_from:]
+        if len(keep) > max_buffer_rows:
+            keep = keep.iloc[-max_buffer_rows:]
+        state.update((bytearray(pickle.dumps(keep)), match_no))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if len(out):
+            yield out
+
+    return work.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

@@ -78,3 +78,119 @@ def test_streaming_dedup_keep_first(spark, tmp_path):
     rows = spark.table("dedup_out").collect()
     assert len(rows) == 2
     assert {r.k for r in rows} == {1, 2}
+
+
+# -- general streaming MATCH_RECOGNIZE (VERDICT r4 ask #6) ------------
+
+
+def _run_stream_mr(spark, tmp_path, files, name, **mr_kwargs):
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_match_recognize
+
+    schema = "user_id long, seq long, event_type string"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/in/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    out = streaming_match_recognize(
+        stream,
+        partition_by=["user_id"],
+        order_by=["seq"],
+        **mr_kwargs,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).collect()
+
+
+def test_streaming_mr_match_spans_batches(spark, tmp_path):
+    """The corpus pattern (A+ B) across 3 micro-batches with the
+    match spanning batch boundaries — must agree with the batch
+    operator over the full input (syntax-test.fsql:467-482)."""
+    from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+
+    b0 = [(1, 1, "view"), (1, 2, "view"), (2, 1, "purchase")]
+    b1 = [(1, 3, "view"), (1, 4, "purchase"), (2, 2, "view")]
+    b2 = [(1, 5, "view"), (1, 6, "purchase"), (2, 3, "purchase")]
+    kwargs = dict(
+        pattern="A+ B",
+        define={"A": "event_type <> 'purchase'", "B": "event_type = 'purchase'"},
+        measures={
+            "start_seq": "FIRST(A.seq)",
+            "end_seq": "LAST(B.seq)",
+            "n_before": "COUNT(A.*)",
+            "mn": "MATCH_NUMBER()",
+        },
+    )
+    got = sorted(
+        (r.user_id, r.start_seq, r.end_seq, r.n_before, r.mn)
+        for r in _run_stream_mr(spark, tmp_path, [b0, b1, b2], "smr1", **kwargs)
+    )
+    # user 1: A(1,2,3)+B(4) spans b0→b1; then A(5)+B(6) inside b2.
+    # user 2: first purchase has no A before; A(2)+B(3) spans b1→b2.
+    assert got == [(1, 1, 4, 3, 1), (1, 5, 6, 1, 2), (2, 2, 3, 1, 1)]
+    batch_df = spark.createDataFrame(
+        b0 + b1 + b2, "user_id long, seq long, event_type string"
+    )
+    batch = sorted(
+        (r.user_id, r.start_seq, r.end_seq, r.n_before, r.mn)
+        for r in match_recognize(
+            batch_df, partition_by=["user_id"], order_by=["seq"], **kwargs
+        ).collect()
+    )
+    assert got == batch
+
+
+def test_streaming_mr_holds_extensible_match(spark, tmp_path):
+    """A match that could still grow (trailing Z?) must be HELD at
+    the batch boundary and emitted only once decidable — prefix-
+    stable emission, not eager emission."""
+    b0 = [(1, 1, "view"), (1, 2, "purchase")]  # A B ... Z? undecided
+    b1 = [(1, 3, "refund")]                    # Z arrives → match is A B Z
+    b2 = [(1, 4, "view"), (1, 5, "purchase"), (1, 6, "view")]  # A B, Z? decided by 'view'
+    rows = _run_stream_mr(
+        spark,
+        tmp_path,
+        [b0, b1, b2],
+        "smr2",
+        pattern="A B Z?",
+        define={
+            "A": "event_type = 'view'",
+            "B": "event_type = 'purchase'",
+            "Z": "event_type = 'refund'",
+        },
+        measures={"s": "FIRST(A.seq)", "z": "FIRST(Z.seq)", "cls": "CLASSIFIER()"},
+    )
+    got = sorted((r.s, r.z, r.cls) for r in rows)
+    # first match waited for b1 and includes the Z row; second match's
+    # Z? was refuted by the trailing view row inside b2
+    assert got == [(1, 3, "Z"), (4, None, "B")]
+
+
+def test_streaming_mr_typed_rejections(spark):
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_match_recognize
+    import pytest as _pytest
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value AS user_id", "value AS seq", "'x' AS event_type")
+    )
+    with _pytest.raises(NotImplementedError, match="PREV"):
+        streaming_match_recognize(
+            stream,
+            partition_by=["user_id"],
+            order_by=["seq"],
+            pattern="A B",
+            define={"A": "seq > 0", "B": "seq > PREV(seq)"},
+            measures={"n": "COUNT(A.*)"},
+        )
