@@ -36,6 +36,7 @@ from flink_sql_toolkit_spark.operators.registry import register
 from flink_sql_toolkit_spark.tables import load_fanout_table, load_table
 
 N_ANCHORS = 4  # → 16 buckets; production: 12-16 bits
+EMBED_DIM = 64  # fixture embedding width (TESTDATA.md)
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
 TOP_K = 5
 
@@ -351,49 +352,134 @@ def sim_lsh_bucketed(
     )
 
 
+# Quantization scale for the centroid refinement sums: embeddings are
+# rounded to 1e-6 fixed-point BIGINTs before summing, making the
+# per-cluster mean an exact, order-free integer reduction (map-side
+# combinable at 100 TB) that both engines reproduce bit-for-bit —
+# float/double decimal casts round differently between Spark and
+# DuckDB, but round(x * 1e6) of a float32-widened double does not.
+_CENTROID_Q = 1_000_000
+
 IVF_ASSIGN_SQL = f"""
-    ivf AS (
-      SELECT e.vec_id, e.embedding,
-             list_position(l, list_max(l)) AS cluster_id,
-             list_position(l, list_max(list_filter(l, x -> x <> list_max(l)))) AS cluster2_id
+    init_ivf AS (
+      SELECT e.vec_id, e.embedding, list_position(l, list_max(l)) AS icid
       FROM (
         SELECT e.vec_id, e.embedding,
                list({_dot_sql('e.embedding', 'a.av')} ORDER BY a.aid) AS l
         FROM embeddings e CROSS JOIN ({ANCHORS_SQL}) a
         GROUP BY e.vec_id, e.embedding
       ) e
+    ),
+    cent_sums AS (
+      SELECT icid, i AS pos,
+             SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * {_CENTROID_Q}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM init_ivf, UNNEST(range(1, {EMBED_DIM} + 1)) AS t(i)
+      GROUP BY icid, i
+    ),
+    cents AS (
+      SELECT icid AS cid,
+             list(CAST(s AS DOUBLE) / ({_CENTROID_Q}.0 * n) ORDER BY pos) AS cv
+      FROM cent_sums GROUP BY icid
+    ),
+    ivf AS (
+      SELECT e.vec_id, e.embedding,
+             ids[list_position(l, list_max(l))] AS cluster_id,
+             ids[list_position(l, list_max(list_filter(l, x -> x <> list_max(l))))] AS cluster2_id
+      FROM (
+        SELECT e.vec_id, e.embedding,
+               list({_dot_sql('e.embedding', 'c.cv')} ORDER BY c.cid) AS l,
+               list(c.cid ORDER BY c.cid) AS ids
+        FROM embeddings e CROSS JOIN cents c
+        GROUP BY e.vec_id, e.embedding
+      ) e
     )
 """
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id → coarse cluster id (argmax dot against the anchor set).
+# refined centroids per fixture dir: (cluster ids, mean vectors)
+_CENTROID_CACHE: dict[str, tuple[list[int], list[list[float]]]] = {}
 
-    IVF's coarse quantizer with fixed anchors as centroids (a k-means
-    fit would refine them; assignment topology is identical). One
-    broadcast pass — the corpus never shuffles for assignment.
-    """
+
+def _refined_centroids(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[list[float]]]:
+    """One k-means refinement pass (VERDICT r4 ask #8): assign the
+    corpus to the anchor cells, then take each cell's element-wise
+    mean as the serving centroid — anchors are only the init. All
+    DataFrame: one argmax projection + one groupBy with 1+dim
+    aggregates (map-side combinable integer sums over the quantized
+    embeddings, see ``_CENTROID_Q``), collecting exactly k mean
+    vectors to the driver — the same O(1)-literals shape as
+    ``_anchor_vectors``. Empty cells keep no centroid (the id list
+    carries the surviving cluster ids)."""
+    import os  # noqa: PLC0415
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CENTROID_CACHE:
+        anchors = _anchor_vectors(spark, sf_dir)
+        dim = len(anchors[0])
+        emb = load_fanout_table(spark, sf_dir, "embeddings")
+        l = F.array(
+            *[
+                dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av]))
+                for av in anchors
+            ]
+        )
+        assigned = emb.select(
+            "embedding", F.array_position(l, F.array_max(l)).alias("icid")
+        )
+        qsums = [
+            F.sum(
+                F.round(F.col("embedding")[i].cast("double") * _CENTROID_Q)
+                .cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("icid").agg(
+            F.count(F.lit(1)).alias("n"), *qsums
+        ).collect()
+        ids, cents = [], []
+        for r in sorted(rows, key=lambda r: r.icid):
+            ids.append(int(r.icid))
+            cents.append([r[f"s{i}"] / (float(_CENTROID_Q) * r.n) for i in range(dim)])
+        _CENTROID_CACHE[key] = (ids, cents)
+    return _CENTROID_CACHE[key]
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id → coarse cluster id (argmax dot against the refined
+    centroid set — anchor init + one k-means refinement pass,
+    ``_refined_centroids``). One broadcast pass — the centroids are
+    O(1) literals, so assignment is a pure projection and the corpus
+    never shuffles."""
     emb = load_fanout_table(spark, sf_dir, "embeddings")
+    ids, cents = _refined_centroids(spark, sf_dir)
     # centroids inlined as literals (same shape as lsh_buckets): the
     # per-cell dots become one projected array — no crossJoin fan-out,
-    # no per-vector groupBy shuffle, same values in the same aid order
+    # no per-vector groupBy shuffle, same values in the same cid order
     dots = emb.select(
         "vec_id",
         "embedding",
         F.array(
             *[
-                dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av]))
-                for av in _anchor_vectors(spark, sf_dir)
+                dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cv]))
+                for cv in cents
             ]
         ).alias("l"),
     )
+    id_arr = F.array(*[F.lit(i) for i in ids])
     top1 = F.array_max("l")
     second = F.array_max(F.filter(F.col("l"), lambda x: x != top1))
     return dots.select(
         "vec_id",
         "embedding",
-        F.array_position(F.col("l"), top1).alias("cluster_id"),
-        F.array_position(F.col("l"), second).alias("cluster2_id"),
+        F.element_at(id_arr, F.array_position(F.col("l"), top1).cast("int")).alias(
+            "cluster_id"
+        ),
+        F.element_at(id_arr, F.array_position(F.col("l"), second).cast("int")).alias(
+            "cluster2_id"
+        ),
     )
 
 
