@@ -124,16 +124,30 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
             define[dm.group(1)] = _unmask(dm.group(2).strip(), lits)
 
         table = _unmask(m.group(1), lits).strip("`")
-        out = match_recognize(
-            spark.table(table),
+        src = spark.table(table)
+        kwargs = dict(
             partition_by=[c.strip() for c in _split_args(_unmask(part, lits))],
             order_by=[_unmask(c, lits) for c in order_cols],
             pattern=_unmask(pattern_txt, lits).strip(),
             define=define,
             measures=measures,
             after_match=after_match,
-            all_rows=all_rows,
         )
+        if src.isStreaming:
+            # streaming table → the stateful cross-micro-batch operator
+            # (prefix-stable emission; streaming/stateful.py)
+            if all_rows:
+                raise NotImplementedError(
+                    "ALL ROWS PER MATCH over a streaming table is not "
+                    "supported — use ONE ROW PER MATCH"
+                )
+            from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+                streaming_match_recognize,
+            )
+
+            out = streaming_match_recognize(src, **kwargs)
+        else:
+            out = match_recognize(src, all_rows=all_rows, **kwargs)
         view = f"_mr_out_{next(_view_ids)}"
         out.createOrReplaceTempView(view)
         # optional trailing alias: FROM t MATCH_RECOGNIZE (...) [AS] x

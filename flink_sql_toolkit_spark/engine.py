@@ -18,6 +18,7 @@ import tempfile
 import uuid
 from typing import Any
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_sql_toolkit_spark import commands
@@ -266,14 +267,29 @@ class Operation:
         ]
         self._stream_buffer = StreamResultBuffer()
         name = f"select-{self.handle[:8]}"
-        q = (
-            df.writeStream.foreachBatch(self._stream_buffer.foreach_batch)
-            .queryName(name)
-            .option("checkpointLocation", sess.new_checkpoint(name))
-            .trigger(processingTime=sess.trigger_interval() or "1 second")
-            .outputMode("update")
-            .start()
-        )
+
+        def _start(mode: str):
+            return (
+                df.writeStream.foreachBatch(self._stream_buffer.foreach_batch)
+                .queryName(name)
+                .option("checkpointLocation", sess.new_checkpoint(name))
+                .trigger(processingTime=sess.trigger_interval() or "1 second")
+                .outputMode(mode)
+                .start()
+            )
+
+        try:
+            # update: required by unwatermarked streaming aggregations
+            # (the common interactive shape, mirroring Flink changelog
+            # results)
+            q = _start("update")
+        except AnalysisException as e:
+            # append-mode stateful operators (streaming
+            # MATCH_RECOGNIZE via applyInPandasWithState) reject an
+            # Update-mode query — rerun the sink in append
+            if "Update output mode" not in str(e):
+                raise
+            q = _start("append")
         self._stream_query = q
         info = sess.jobs.register(q, name)
         self.job_id = info.job_id

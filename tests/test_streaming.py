@@ -316,3 +316,51 @@ def test_foreach_batch_bounds_driver_materialization(spark, monkeypatch):
     # Empty batch is a no-op.
     buf.foreach_batch(spark.range(0, 0).selectExpr("id AS v"), 2)
     assert materialized == [100, 5]
+
+
+def test_streaming_match_recognize_sql(session, tmp_path, spark):
+    """The corpus MATCH_RECOGNIZE statement shape over a STREAMING
+    table routes to the stateful cross-batch operator and pages
+    results through the ring buffer."""
+    rows = [
+        (1, 1, "view"), (1, 2, "view"), (1, 3, "purchase"),
+        (1, 4, "view"), (1, 5, "purchase"),
+        (2, 1, "purchase"),  # no A before → no match
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, seq long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/mrstream")
+    session.execute_statement(
+        f"""
+        CREATE TABLE mr_stream (
+          user_id BIGINT, seq BIGINT, event_type STRING
+        ) WITH ('connector'='filesystem', 'path'='{tmp_path}/mrstream', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        """
+        SELECT * FROM mr_stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS start_seq,
+                     LAST(B.seq) AS end_seq,
+                     COUNT(A.*) AS n_before
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS event_type <> 'purchase',
+                   B AS event_type = 'purchase'
+        )
+        """
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 2:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(tuple(r) for r in page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert sorted(got) == [(1, 1, 3, 2), (1, 4, 5, 1)]
