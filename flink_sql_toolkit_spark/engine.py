@@ -284,10 +284,24 @@ class Operation:
             # results)
             q = _start("update")
         except AnalysisException as e:
+            msg = str(e)
+            if (
+                "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING" in msg
+                or "Non-time-based windows" in msg
+            ):
+                # Spark Structured Streaming has no OVER windows; the
+                # engine ships the Flink-equivalent ROWS-frame operator
+                raise NotImplementedError(
+                    "OVER window functions are not supported in a "
+                    "streaming SELECT (Spark limitation) — use "
+                    "streaming.stateful.streaming_over_rows for "
+                    "ROWS-frame running aggregates, or a window TVF "
+                    "(TUMBLE/HOP/CUMULATE) for time-based frames"
+                ) from e
             # append-mode stateful operators (streaming
             # MATCH_RECOGNIZE via applyInPandasWithState) reject an
             # Update-mode query — rerun the sink in append
-            if "Update output mode" not in str(e):
+            if "Update output mode" not in msg:
                 raise
             q = _start("append")
         self._stream_query = q

@@ -214,3 +214,84 @@ def streaming_match_recognize(
     return work.groupBy(*partition_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_over_rows(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    n_preceding: int,
+    aggs: tuple[str, ...] = ("sum", "cnt", "avg", "min", "max"),
+) -> DataFrame:
+    """Streaming OVER aggregation with a ROWS frame — Spark Structured
+    Streaming rejects window functions outright ("non-time-based
+    windows"), but Flink supports `SUM(x) OVER (PARTITION BY k ORDER
+    BY ts ROWS BETWEEN n PRECEDING AND CURRENT ROW)` on streams
+    (SURVEY §2.6 / "what's hard"). Implemented the way Flink's
+    OverAggregate operator does: per-key state is the last
+    ``n_preceding`` values (bounded, O(frame) not O(stream)), one
+    output row per input row carrying the frame aggregates.
+
+    Rows are processed in arrival order, sorted by ``order_by`` within
+    each micro-batch (the module-level semantic note applies).
+    """
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in partition_by + order_by + [value_col]:
+        if c not in in_schema:
+            raise ValueError(f"column '{c}' not in input")
+    num_t = "double" if in_schema[value_col] in ("double", "float") else "bigint"
+    out_fields = [f"{c} {in_schema[c]}" for c in partition_by + order_by]
+    typed = {
+        "sum": num_t, "cnt": "bigint", "avg": "double",
+        "min": in_schema[value_col], "max": in_schema[value_col],
+    }
+    out_fields.append(f"{value_col} {in_schema[value_col]}")
+    out_fields += [f"{value_col}_{a} {typed[a]}" for a in aggs]
+    out_schema = ", ".join(out_fields)
+    state_schema = "frame array<double>"
+    emit_cols = partition_by + order_by + [value_col]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        frame: list[float] = list(state.get[0]) if state.exists else []
+        out_rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            for row in pdf[emit_cols].itertuples(index=False):
+                v = row[-1]
+                frame.append(float(v))
+                if len(frame) > n_preceding + 1:
+                    frame.pop(0)
+                rec = list(row)
+                for a in aggs:
+                    if a == "sum":
+                        s = sum(frame)
+                        rec.append(s if num_t == "double" else int(s))
+                    elif a == "cnt":
+                        rec.append(len(frame))
+                    elif a == "avg":
+                        rec.append(sum(frame) / len(frame))
+                    elif a == "min":
+                        m = min(frame)
+                        rec.append(m if num_t == "double" else int(m))
+                    else:
+                        m = max(frame)
+                        rec.append(m if num_t == "double" else int(m))
+                out_rows.append(rec)
+        state.update(([float(x) for x in frame],))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=emit_cols + [f"{value_col}_{a}" for a in aggs],
+            )
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -194,3 +194,66 @@ def test_streaming_mr_typed_rejections(spark):
             define={"A": "seq > 0", "B": "seq > PREV(seq)"},
             measures={"n": "COUNT(A.*)"},
         )
+
+
+def test_streaming_over_rows_frame_crosses_batches(spark, tmp_path):
+    """Flink-style streaming OVER with a ROWS frame: per-row running
+    aggregates whose frame spans micro-batch boundaries."""
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_rows
+
+    schema = "k long, seq long, v long"
+    b0 = [(1, 1, 10), (1, 2, 20)]
+    b1 = [(1, 3, 30), (2, 1, 5)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/in/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    out = streaming_over_rows(
+        stream, partition_by=["k"], order_by=["seq"], value_col="v", n_preceding=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("over_rows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.seq): (r.v_sum, r.v_cnt, r.v_avg, r.v_min, r.v_max)
+        for r in spark.table("over_rows").collect()
+    }
+    assert got == {
+        (1, 1): (10, 1, 10.0, 10, 10),
+        (1, 2): (30, 2, 15.0, 10, 20),
+        # frame (20, 30) spans the b0→b1 boundary via state
+        (1, 3): (50, 2, 25.0, 20, 30),
+        (2, 1): (5, 1, 5.0, 5, 5),
+    }
+
+
+def test_streaming_over_sql_typed_rejection(spark, tmp_path):
+    """An OVER window in a streaming SELECT surfaces the engine's
+    typed guidance, not Spark's raw analysis error."""
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session("over-reject")
+    try:
+        sess.execute_statement(
+            "CREATE TABLE over_src (v BIGINT) WITH "
+            "('connector'='datagen', 'rows-per-second'='1')"
+        )
+        with _pytest.raises(NotImplementedError, match="streaming_over_rows"):
+            sess.execute_statement(
+                "SELECT v, SUM(v) OVER (ORDER BY v) AS s FROM over_src"
+            )
+    finally:
+        sess.close()
