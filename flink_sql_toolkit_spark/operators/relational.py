@@ -225,6 +225,13 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # NOTE on the observed local plan: Catalyst builds the cached
+    # (~10 MB) lineitem side of the orders⋈lineitem join because it
+    # sits under the broadcast threshold — cheap at fixture scale,
+    # and purely stats-driven (A/B-measured identical to the flipped
+    # join order), so at 100 TB the same declaration degrades
+    # gracefully to a shuffle join on l_orderkey (the documented
+    # fact-path shuffle). No hard hint on the fact path by design.
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
