@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples ~50 registered entries, so
-# the registry is consolidated to ~50 (currently 51): near-duplicate variants
+# the registry is consolidated to EXACTLY 50: near-duplicate variants
 # are tagged and unioned into family entries (asof_family,
 # join_theta_family, agg_stats_family, …) whose underlying operator
 # functions remain importable and individually unit-tested. Every
