@@ -332,3 +332,35 @@ def test_streaming_mr_buffer_cap_drops_oldest(spark):
     # round-trip through the pickle the operator uses for state
     blob = pickle.dumps(capped)
     assert list(pickle.loads(blob)["seq"]) == [7, 8, 9]
+
+
+def test_streaming_mr_cross_symbol_define_spans_batches(spark, tmp_path):
+    """Dynamic (cross-symbol) DEFINE predicates evaluate against the
+    partial match context carried across micro-batches."""
+    # seq as both order and value: B fires only when its value exceeds
+    # the LAST A value times 2 (dynamic predicate with SQL division)
+    b0 = [(1, 10, "x")]          # A(10) ... B undecided
+    b1 = [(1, 21, "x")]          # 21 > 10*2 → but is 21 an A or a B?
+    kwargs = dict(
+        pattern="A B",
+        define={"A": "event_type = 'x'", "B": "B.seq > A.seq * 2"},
+        measures={"a": "FIRST(A.seq)", "b": "LAST(B.seq)"},
+    )
+    got = sorted(
+        (r.a, r.b)
+        for r in _run_stream_mr(spark, tmp_path, [b0, b1], "smr_dyn", **kwargs)
+    )
+    from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+
+    batch = sorted(
+        (r.a, r.b)
+        for r in match_recognize(
+            spark.createDataFrame(
+                b0 + b1, "user_id long, seq long, event_type string"
+            ),
+            partition_by=["user_id"],
+            order_by=["seq"],
+            **kwargs,
+        ).collect()
+    )
+    assert got == batch == [(10, 21)]
