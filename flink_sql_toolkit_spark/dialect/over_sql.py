@@ -1,0 +1,148 @@
+"""Streaming OVER SQL → the stateful frame-aggregate operators.
+
+Spark Structured Streaming rejects window functions outright
+(NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING), but the reference
+dialect supports OVER aggregations on streams — the grammar declares
+both frame shapes (syntaxes/flink.tmLanguage.json:399) and the corpus
+exercises RANGE bounds (test/syntax-test.fsql:252). When a streaming
+SELECT fails analysis on that error, the engine retries through this
+module: if every OVER clause in the statement shares one supported
+window spec —
+
+    <SUM|COUNT|AVG|MIN|MAX>(<col>) OVER (
+        PARTITION BY <cols> ORDER BY <col>
+        {ROWS BETWEEN <n> PRECEDING AND CURRENT ROW
+         | RANGE BETWEEN INTERVAL '<n>' <UNIT> PRECEDING AND CURRENT ROW}
+    )
+
+— the statement is rewritten to read a temp view produced by
+``streaming.stateful.streaming_over_rows`` / ``streaming_over_range``
+(per-key bounded frame state in ``applyInPandasWithState``), with each
+OVER span replaced by the operator's ``{value}_{agg}`` column. Any
+other shape returns ``None`` and the engine raises its typed guidance
+instead (same interception pattern as dialect/mr_sql.py for
+MATCH_RECOGNIZE).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import SparkSession
+
+from flink_sql_toolkit_spark.dialect.rewriter import _mask, _split_args, _unmask
+
+# AGG(arg) OVER ( — the span's closing paren is found by balance.
+# \x00 admits masked backtick identifiers as the argument.
+_OVER_CALL = re.compile(r"(?is)\b(\w+)\s*\(\s*([\w.\x00]*?)\s*\)\s+OVER\s*\(")
+
+_SPEC = re.compile(
+    r"(?is)^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+(?P<order>[\w.\x00]+)"
+    r"(?:\s+ASC)?\s+(?:"
+    r"ROWS\s+BETWEEN\s+(?P<nrows>\d+)\s+PRECEDING"
+    r"|RANGE\s+BETWEEN\s+(?P<interval>INTERVAL\s+\x00\d+\x00\s+\w+)\s+PRECEDING"
+    r")\s+AND\s+CURRENT\s+ROW\s*$"
+)
+
+_AGG_SUFFIX = {"SUM": "sum", "COUNT": "cnt", "AVG": "avg", "MIN": "min", "MAX": "max"}
+
+_view_ids = itertools.count()
+
+
+def _matching_paren(text: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in OVER clause")
+
+
+def rewrite_streaming_over_sql(spark: SparkSession, stmt: str) -> str | None:
+    """Rewrite a streaming SELECT whose OVER clauses fit the supported
+    shape to read from the stateful operator's temp view; return the
+    rewritten SQL, or ``None`` if the shape is unsupported (the caller
+    raises the typed guidance error)."""
+    from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+        streaming_over_range,
+        streaming_over_rows,
+    )
+
+    masked, lits = _mask(stmt)
+    # single plain FROM <table> source, no joins/subqueries
+    if re.search(r"(?is)\bJOIN\b", masked) or len(
+        re.findall(r"(?is)\bFROM\b", masked)
+    ) != 1:
+        return None
+    fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
+    if not fm:
+        return None
+    table = _unmask(fm.group(1), lits).strip("`")
+    if "." in table:
+        return None
+
+    # collect every AGG(col) OVER (spec) span
+    spans = []  # (start, end, func, arg, masked_spec)
+    for m in _OVER_CALL.finditer(masked):
+        open_idx = masked.index("(", m.end() - 1)
+        close_idx = _matching_paren(masked, open_idx)
+        spans.append(
+            (m.start(), close_idx + 1, m.group(1).upper(), m.group(2).strip(),
+             masked[open_idx + 1 : close_idx])
+        )
+    if not spans:
+        return None
+
+    # all clauses must share one window spec (compare unmasked so two
+    # textually-equal INTERVAL literals with distinct mask ids agree),
+    # one value column, and supported agg functions
+    specs = {
+        re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper() for s in spans
+    }
+    args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
+    funcs = {s[2] for s in spans}
+    if len(specs) != 1 or len(args) != 1 or not funcs <= set(_AGG_SUFFIX):
+        return None
+    value_col = args.pop()
+    if not re.match(r"^\w+$", value_col):
+        return None  # expressions (COUNT(*), a+b) are not routable
+    sm = _SPEC.match(spans[0][4])
+    if not sm:
+        return None
+
+    try:
+        src = spark.table(table)
+    except Exception:  # noqa: BLE001 — unknown table: let spark.sql report it
+        return None
+    if not src.isStreaming:
+        return None
+
+    partition_by = [
+        _unmask(c, lits).strip().strip("`") for c in _split_args(sm.group("part"))
+    ]
+    order_col = _unmask(sm.group("order"), lits).strip("`")
+    if sm.group("nrows") is not None:
+        out = streaming_over_rows(
+            src, partition_by, [order_col], value_col, int(sm.group("nrows"))
+        )
+    else:
+        out = streaming_over_range(
+            src, partition_by, order_col, value_col,
+            _unmask(sm.group("interval"), lits),
+        )
+    view = f"_over_out_{next(_view_ids)}"
+    out.createOrReplaceTempView(view)
+
+    # splice right-to-left: each OVER span → the operator's output
+    # column; then retarget FROM <table> → FROM <view> (any alias or
+    # keyword after the table name is left in place, so aliases keep
+    # working against the pass-through view)
+    for start, end, func, _arg, _spec in sorted(spans, reverse=True):
+        masked = f"{masked[:start]}{value_col}_{_AGG_SUFFIX[func]}{masked[end:]}"
+    fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
+    masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"
+    return _unmask(masked, lits)

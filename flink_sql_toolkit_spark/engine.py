@@ -268,9 +268,9 @@ class Operation:
         self._stream_buffer = StreamResultBuffer()
         name = f"select-{self.handle[:8]}"
 
-        def _start(mode: str):
+        def _start(mode: str, frame: DataFrame = df):
             return (
-                df.writeStream.foreachBatch(self._stream_buffer.foreach_batch)
+                frame.writeStream.foreachBatch(self._stream_buffer.foreach_batch)
                 .queryName(name)
                 .option("checkpointLocation", sess.new_checkpoint(name))
                 .trigger(processingTime=sess.trigger_interval() or "1 second")
@@ -278,32 +278,56 @@ class Operation:
                 .start()
             )
 
+        def _start_any(frame: DataFrame):
+            try:
+                # update: required by unwatermarked streaming
+                # aggregations (the common interactive shape, mirroring
+                # Flink changelog results)
+                return _start("update", frame)
+            except AnalysisException as e:
+                # append-mode stateful operators (applyInPandasWithState:
+                # streaming MATCH_RECOGNIZE / OVER) reject an
+                # Update-mode query — rerun the sink in append
+                if "Update output mode" not in str(e):
+                    raise
+                return _start("append", frame)
+
         try:
-            # update: required by unwatermarked streaming aggregations
-            # (the common interactive shape, mirroring Flink changelog
-            # results)
-            q = _start("update")
+            q = _start_any(df)
         except AnalysisException as e:
             msg = str(e)
-            if (
+            if not (
                 "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING" in msg
                 or "Non-time-based windows" in msg
             ):
-                # Spark Structured Streaming has no OVER windows; the
-                # engine ships the Flink-equivalent ROWS-frame operator
+                raise
+            # Spark Structured Streaming has no OVER windows; route
+            # supported frame shapes to the engine's stateful
+            # operators (dialect/over_sql.py), typed guidance else
+            from flink_sql_toolkit_spark.dialect.over_sql import (  # noqa: PLC0415
+                rewrite_streaming_over_sql,
+            )
+
+            stmt = strip_leading_comments(self.statement).rstrip(";").strip()
+            routed = rewrite_streaming_over_sql(sess.spark, stmt)
+            if routed is None:
                 raise NotImplementedError(
-                    "OVER window functions are not supported in a "
-                    "streaming SELECT (Spark limitation) — use "
-                    "streaming.stateful.streaming_over_rows for "
-                    "ROWS-frame running aggregates, or a window TVF "
+                    "this OVER window shape is not supported in a "
+                    "streaming SELECT — supported: one shared "
+                    "SUM/COUNT/AVG/MIN/MAX(col) OVER (PARTITION BY … "
+                    "ORDER BY … ROWS BETWEEN n PRECEDING AND CURRENT "
+                    "ROW | RANGE BETWEEN INTERVAL … PRECEDING AND "
+                    "CURRENT ROW), executed via "
+                    "streaming.stateful.streaming_over_rows/"
+                    "streaming_over_range; or use a window TVF "
                     "(TUMBLE/HOP/CUMULATE) for time-based frames"
                 ) from e
-            # append-mode stateful operators (streaming
-            # MATCH_RECOGNIZE via applyInPandasWithState) reject an
-            # Update-mode query — rerun the sink in append
-            if "Update output mode" not in msg:
-                raise
-            q = _start("append")
+            df = sess.spark.sql(rewrite(routed))
+            self._columns = [
+                {"name": f.name, "logicalType": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ]
+            q = _start_any(df)
         self._stream_query = q
         info = sess.jobs.register(q, name)
         self.job_id = info.job_id

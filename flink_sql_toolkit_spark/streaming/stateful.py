@@ -18,6 +18,7 @@ watermark.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -216,6 +217,82 @@ def streaming_match_recognize(
     )
 
 
+# value types accepted by the streaming OVER operators; anything else
+# (DECIMAL, STRING, …) is a typed rejection — DECIMAL would silently
+# lose precision through the float state array (ADVICE r5)
+_OVER_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+_OVER_FLOAT_TYPES = ("float", "double")
+
+
+def _over_schemas(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    aggs: tuple[str, ...],
+) -> tuple[str, str, list[str]]:
+    """Shared schema prep for the streaming OVER operators: validates
+    columns + value type, and builds the (out_schema, num_t,
+    emit_cols) triple. All input columns pass through (so a SQL
+    SELECT over the result can project anything), followed by the
+    ``{value}_{agg}`` frame-aggregate columns."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in partition_by + order_by + [value_col]:
+        if c not in in_schema:
+            raise ValueError(f"column '{c}' not in input")
+    vt = in_schema[value_col]
+    if vt in _OVER_FLOAT_TYPES:
+        num_t = "double"
+    elif vt in _OVER_INT_TYPES:
+        num_t = "bigint"
+    else:
+        raise NotImplementedError(
+            f"streaming OVER aggregation supports integral and "
+            f"floating-point value columns; '{value_col}' is {vt} — "
+            "CAST it to BIGINT or DOUBLE first (DECIMAL would lose "
+            "precision silently through the float frame state)"
+        )
+    typed = {
+        "sum": num_t, "cnt": "bigint", "avg": "double",
+        "min": vt, "max": vt,
+    }
+    emit_cols = list(df.columns)
+    out_fields = [f"{c} {in_schema[c]}" for c in emit_cols]
+    out_fields += [f"{value_col}_{a} {typed[a]}" for a in aggs]
+    return ", ".join(out_fields), num_t, emit_cols
+
+
+def _is_null(v) -> bool:
+    try:
+        return v is None or pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+
+
+def _frame_aggs(live: list[float], aggs: tuple[str, ...], num_t: str) -> list:
+    """Aggregates over the non-null frame values. SQL semantics:
+    SUM/AVG/MIN/MAX skip NULLs and are NULL over an all-null frame;
+    cnt counts non-null values (COUNT(x), not COUNT(*))."""
+    out = []
+    for a in aggs:
+        if a == "cnt":
+            out.append(len(live))
+        elif not live:
+            out.append(None)
+        elif a == "sum":
+            s = sum(live)
+            out.append(s if num_t == "double" else int(s))
+        elif a == "avg":
+            out.append(sum(live) / len(live))
+        elif a == "min":
+            m = min(live)
+            out.append(m if num_t == "double" else int(m))
+        else:
+            m = max(live)
+            out.append(m if num_t == "double" else int(m))
+    return out
+
+
 def streaming_over_rows(
     df: DataFrame,
     partition_by: list[str],
@@ -230,32 +307,30 @@ def streaming_over_rows(
     BY ts ROWS BETWEEN n PRECEDING AND CURRENT ROW)` on streams
     (SURVEY §2.6 / "what's hard"). Implemented the way Flink's
     OverAggregate operator does: per-key state is the last
-    ``n_preceding`` values (bounded, O(frame) not O(stream)), one
+    ``n_preceding + 1`` values (bounded, O(frame) not O(stream)), one
     output row per input row carrying the frame aggregates.
 
+    NULL values occupy a frame slot (ROWS frames count rows) but are
+    skipped by the aggregates, which stay NULL over an all-null frame
+    — the row itself is still emitted (Flink OverAggregate behavior).
     Rows are processed in arrival order, sorted by ``order_by`` within
     each micro-batch (the module-level semantic note applies).
     """
+    import math  # noqa: PLC0415
+
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
 
-    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for c in partition_by + order_by + [value_col]:
-        if c not in in_schema:
-            raise ValueError(f"column '{c}' not in input")
-    num_t = "double" if in_schema[value_col] in ("double", "float") else "bigint"
-    out_fields = [f"{c} {in_schema[c]}" for c in partition_by + order_by]
-    typed = {
-        "sum": num_t, "cnt": "bigint", "avg": "double",
-        "min": in_schema[value_col], "max": in_schema[value_col],
-    }
-    out_fields.append(f"{value_col} {in_schema[value_col]}")
-    out_fields += [f"{value_col}_{a} {typed[a]}" for a in aggs]
-    out_schema = ", ".join(out_fields)
+    out_schema, num_t, emit_cols = _over_schemas(
+        df, partition_by, order_by, value_col, aggs
+    )
+    # NaN marks a NULL slot in the frame (array<double> state cannot
+    # hold None; genuine NaN input is treated as NULL, matching the
+    # ADVICE guidance)
     state_schema = "frame array<double>"
-    emit_cols = partition_by + order_by + [value_col]
+    out_cols = emit_cols + [f"{value_col}_{a}" for a in aggs]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         frame: list[float] = list(state.get[0]) if state.exists else []
@@ -264,33 +339,147 @@ def streaming_over_rows(
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(order_by, kind="mergesort")
-            for row in pdf[emit_cols].itertuples(index=False):
-                v = row[-1]
-                frame.append(float(v))
+            vals = pdf[value_col].tolist()
+            for row, v in zip(pdf[emit_cols].itertuples(index=False), vals):
+                frame.append(float("nan") if _is_null(v) else float(v))
                 if len(frame) > n_preceding + 1:
                     frame.pop(0)
-                rec = list(row)
-                for a in aggs:
-                    if a == "sum":
-                        s = sum(frame)
-                        rec.append(s if num_t == "double" else int(s))
-                    elif a == "cnt":
-                        rec.append(len(frame))
-                    elif a == "avg":
-                        rec.append(sum(frame) / len(frame))
-                    elif a == "min":
-                        m = min(frame)
-                        rec.append(m if num_t == "double" else int(m))
-                    else:
-                        m = max(frame)
-                        rec.append(m if num_t == "double" else int(m))
-                out_rows.append(rec)
+                live = [x for x in frame if not math.isnan(x)]
+                out_rows.append(list(row) + _frame_aggs(live, aggs, num_t))
         state.update(([float(x) for x in frame],))
         if out_rows:
-            yield pd.DataFrame(
-                out_rows,
-                columns=emit_cols + [f"{value_col}_{a}" for a in aggs],
-            )
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _interval_us(spec: str | int | float) -> int:
+    """Parse a frame-bound interval to microseconds. Accepts Flink SQL
+    ``INTERVAL '10' MINUTE`` / ``INTERVAL '10' SECOND`` shapes and
+    plain ``"10 minutes"`` / ``"500 ms"`` strings; bare numbers are
+    seconds."""
+    if isinstance(spec, (int, float)):
+        return int(spec * 1_000_000)
+    m = re.match(
+        r"(?is)^\s*(?:INTERVAL\s+)?'?(\d+(?:\.\d+)?)'?\s*"
+        r"(millisecond|milli|ms|second|sec|s|minute|min|hour|h|day|d)s?\s*$",
+        spec,
+    )
+    if not m:
+        raise ValueError(f"cannot parse interval '{spec}'")
+    n = float(m.group(1))
+    unit = m.group(2).lower()
+    us = {
+        "millisecond": 1_000, "milli": 1_000, "ms": 1_000,
+        "second": 1_000_000, "sec": 1_000_000, "s": 1_000_000,
+        "minute": 60_000_000, "min": 60_000_000,
+        "hour": 3_600_000_000, "h": 3_600_000_000,
+        "day": 86_400_000_000, "d": 86_400_000_000,
+    }[unit]
+    return int(n * us)
+
+
+def streaming_over_range(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str | list[str],
+    value_col: str,
+    preceding: str | int | float,
+    aggs: tuple[str, ...] = ("sum", "cnt", "avg", "min", "max"),
+) -> DataFrame:
+    """Streaming OVER aggregation with an event-time RANGE frame —
+    Flink's other OverAggregate shape: ``SUM(x) OVER (PARTITION BY k
+    ORDER BY ts RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND
+    CURRENT ROW)`` (reference grammar
+    syntaxes/flink.tmLanguage.json:399, corpus
+    test/syntax-test.fsql:252).
+
+    ``order_by`` is the single event-time timestamp column;
+    ``preceding`` the frame horizon (``INTERVAL '10' MINUTE``,
+    ``"10 minutes"``, or seconds as a number). Per-key state is the
+    recent (ts, value) list kept sorted by ts and evicted past
+    ``max_seen_ts - 2*horizon`` — O(horizon), not O(stream). Each
+    input row emits one output row whose aggregates cover state
+    entries with ``row_ts - horizon <= ts <= row_ts`` (inclusive
+    bounds, matching batch ``rangeBetween(-h, 0)``). Event-time
+    semantics for out-of-order rows, with the newest event per key
+    standing in for the watermark: a row within ``horizon`` of it is
+    computed with its exact batch frame (the 2× retention guarantees
+    every entry that frame can reach is still in state); an older row
+    is dropped like beyond-watermark late data (Flink's OverAggregate
+    does the same). NULL values are skipped by the aggregates; rows
+    with a NULL order timestamp are dropped (no event time → no
+    frame). Already-emitted peer rows are not retracted when a late
+    peer arrives (append mode; module-level semantic note).
+    """
+    import bisect  # noqa: PLC0415
+    import math  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    if len(order_by) != 1:
+        raise ValueError("RANGE frame requires exactly one ORDER BY timestamp column")
+    ts_col = order_by[0]
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ).get(ts_col)
+    if ts_type not in ("timestamp", "timestamp_ntz"):
+        raise NotImplementedError(
+            f"RANGE frame ORDER BY column '{ts_col}' must be a "
+            f"timestamp (got {ts_type}) — event-time frames need a "
+            "rowtime attribute"
+        )
+    horizon_us = _interval_us(preceding)
+    out_schema, num_t, emit_cols = _over_schemas(
+        df, partition_by, order_by, value_col, aggs
+    )
+    state_schema = "ts array<bigint>, vals array<double>"
+    out_cols = emit_cols + [f"{value_col}_{a}" for a in aggs]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_arr, val_arr = state.get
+            ts_list, val_list = list(ts_arr), list(val_arr)
+        else:
+            ts_list, val_list = [], []
+        max_ts = ts_list[-1] if ts_list else None
+        out_rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            vals = pdf[value_col].tolist()
+            tss = pdf[ts_col].tolist()
+            for row, v, t in zip(pdf[emit_cols].itertuples(index=False), vals, tss):
+                if _is_null(t):
+                    continue  # no rowtime → dropped, like Flink
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if max_ts is not None and t_us < max_ts - horizon_us:
+                    continue  # beyond-watermark late row → dropped
+                fv = float("nan") if _is_null(v) else float(v)
+                i = bisect.bisect_right(ts_list, t_us)
+                ts_list.insert(i, t_us)
+                val_list.insert(i, fv)
+                max_ts = t_us if max_ts is None else max(max_ts, t_us)
+                # 2× retention: an admitted late row (≥ max_ts - h)
+                # frames back to max_ts - 2h at most — keep exactly that
+                cut = bisect.bisect_left(ts_list, max_ts - 2 * horizon_us)
+                if cut:
+                    del ts_list[:cut], val_list[:cut]
+                lo = bisect.bisect_left(ts_list, t_us - horizon_us)
+                hi = bisect.bisect_right(ts_list, t_us)
+                live = [x for x in val_list[lo:hi] if not math.isnan(x)]
+                out_rows.append(list(row) + _frame_aggs(live, aggs, num_t))
+        state.update((ts_list, val_list))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
 
     return df.groupBy(*partition_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -364,3 +364,231 @@ def test_streaming_mr_cross_symbol_define_spans_batches(spark, tmp_path):
         ).collect()
     )
     assert got == batch == [(10, 21)]
+
+
+def _run_available_now(out, tmp_path, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_over_rows_null_values(spark, tmp_path):
+    """NULL values occupy a ROWS-frame slot but are skipped by the
+    aggregates; the row itself is still emitted (ADVICE r5: float(None)
+    must not crash the query, and an all-null frame yields NULLs)."""
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_rows
+
+    schema = "k long, seq long, v long"
+    rows = [(1, 1, 10), (1, 2, None), (1, 3, 30), (2, 1, None)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/in/b0"
+    )
+    stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/in/*")
+    out = streaming_over_rows(
+        stream, partition_by=["k"], order_by=["seq"], value_col="v", n_preceding=1
+    )
+    _run_available_now(out, tmp_path, "over_nulls")
+    got = {
+        (r.k, r.seq): (r.v_sum, r.v_cnt, r.v_avg, r.v_min, r.v_max)
+        for r in spark.table("over_nulls").collect()
+    }
+    assert got == {
+        (1, 1): (10, 1, 10.0, 10, 10),
+        (1, 2): (10, 1, 10.0, 10, 10),  # null holds a slot, aggs skip it
+        (1, 3): (30, 1, 30.0, 30, 30),  # frame = (null, 30)
+        (2, 1): (None, 0, None, None, None),  # all-null frame
+    }
+
+
+def test_streaming_over_decimal_rejected(spark):
+    """DECIMAL value columns are a typed rejection, not a silent
+    float-truncation (ADVICE r5)."""
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_rows
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr(
+            "value AS k", "value AS seq", "CAST(value AS DECIMAL(10,2)) AS v"
+        )
+    )
+    with _pytest.raises(NotImplementedError, match="DECIMAL"):
+        streaming_over_rows(
+            stream, partition_by=["k"], order_by=["seq"], value_col="v",
+            n_preceding=1,
+        )
+
+
+def test_streaming_over_range_crosses_batches(spark, tmp_path):
+    """Event-time RANGE frame across micro-batches — including an
+    in-horizon late row and a NULL value — matches the batch
+    rangeBetween oracle on the same data."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_range
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    schema = "k long, ts timestamp, v long"
+    b0 = [(1, ts(0), 10), (1, ts(5), 20)]
+    b1 = [(1, ts(12), 30)]
+    b2 = [(1, ts(8), 25), (1, ts(13), None), (1, ts(30), 40), (2, ts(0), 5)]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/in/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    out = streaming_over_range(
+        stream, partition_by=["k"], order_by="ts", value_col="v",
+        preceding="10 seconds",
+    )
+    _run_available_now(out, tmp_path, "over_range")
+    got = {
+        (r.k, r.ts): (r.v_sum, r.v_cnt, r.v_avg, r.v_min, r.v_max)
+        for r in spark.table("over_range").collect()
+    }
+    # batch oracle: rangeBetween(-10s, 0) over the union of all batches
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-10, 0)
+    )
+    oracle = {
+        (r.k, r.ts): (r.s, r.c, r.a, r.mn, r.mx)
+        for r in spark.createDataFrame(b0 + b1 + b2, schema)
+        .select(
+            "k", "ts",
+            F.sum("v").over(w).alias("s"),
+            F.count("v").over(w).alias("c"),
+            F.avg("v").over(w).alias("a"),
+            F.min("v").over(w).alias("mn"),
+            F.max("v").over(w).alias("mx"),
+        )
+        .collect()
+    }
+    assert len(got) == len(b0) + len(b1) + len(b2)
+    # (1, 12s) was emitted in batch 1 BEFORE the late 8s row arrived —
+    # append mode never retracts, so its frame legitimately lacks the
+    # late peer the full-data batch oracle sees (documented semantics)
+    assert got.pop((1, ts(12))) == (50, 2, 25.0, 20, 30)
+    oracle.pop((1, ts(12)))
+    # every other row — including the late row itself and the 13s row
+    # arriving after it — matches the batch rangeBetween oracle exactly
+    assert got == oracle
+    # the late row's frame spans two earlier micro-batches
+    assert got[(1, ts(8))] == (55, 3, 55 / 3, 10, 25)
+
+
+def test_over_interval_parse():
+    from flink_sql_toolkit_spark.streaming.stateful import _interval_us
+
+    assert _interval_us("INTERVAL '10' MINUTE") == 600_000_000
+    assert _interval_us("INTERVAL '2' HOUR") == 7_200_000_000
+    assert _interval_us("10 seconds") == 10_000_000
+    assert _interval_us("500 ms") == 500_000
+    assert _interval_us(1.5) == 1_500_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _interval_us("fortnight")
+
+
+def _over_sql_engine_case(spark, tmp_path, name, over_expr, expected):
+    """Create a filesystem STREAMING table, run a SELECT with an OVER
+    clause through the engine (routed to the stateful operator), page
+    results, compare."""
+    import time as _time
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session(f"over-sql-{name}")
+    try:
+        sess.execute_statement(
+            f"""
+            CREATE TABLE {name}_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/{name}',
+                  'format'='parquet')
+            """
+        )
+        op = sess.execute_statement(
+            f"SELECT k, ts, {over_expr} FROM {name}_src"
+        )
+        assert op.status == "RUNNING"
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < len(expected):
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        assert sorted(got) == sorted(expected)
+    finally:
+        sess.close()
+
+
+def test_streaming_over_sql_routed_rows(spark, tmp_path):
+    """`SUM/COUNT(v) OVER (... ROWS BETWEEN 1 PRECEDING AND CURRENT
+    ROW)` in a streaming SELECT routes to streaming_over_rows instead
+    of a typed rejection."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10), (1, t0 + _dt.timedelta(seconds=1), 20),
+            (2, t0, 7)]
+    spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/rsql")
+    _over_sql_engine_case(
+        spark, tmp_path, "rsql",
+        "SUM(v) OVER (PARTITION BY k ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, "
+        "COUNT(v) OVER (PARTITION BY k ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c",
+        [
+            (1, t0, 10, 1),
+            (1, t0 + _dt.timedelta(seconds=1), 30, 2),
+            (2, t0, 7, 1),
+        ],
+    )
+
+
+def test_streaming_over_sql_routed_range(spark, tmp_path):
+    """`AVG(v) OVER (... RANGE BETWEEN INTERVAL '10' SECOND PRECEDING
+    AND CURRENT ROW)` routes to streaming_over_range."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10), (1, t0 + _dt.timedelta(seconds=5), 20),
+            (1, t0 + _dt.timedelta(seconds=20), 40)]
+    spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/gsql")
+    _over_sql_engine_case(
+        spark, tmp_path, "gsql",
+        "AVG(v) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+        "INTERVAL '10' SECOND PRECEDING AND CURRENT ROW) AS a",
+        [
+            (1, t0, 10.0),
+            (1, t0 + _dt.timedelta(seconds=5), 15.0),
+            (1, t0 + _dt.timedelta(seconds=20), 40.0),
+        ],
+    )
