@@ -105,7 +105,11 @@ def main() -> None:
     def trimmed(runs: list[float]) -> list[float]:
         # drop the single best and worst run (two each past 8 samples)
         # — the median never lived in the tails, so their excursions
-        # shouldn't define the reported uncertainty
+        # shouldn't define the reported uncertainty. Under 3 samples
+        # there is nothing to trim (ADVICE r5: [1:-1] of a 1-2 element
+        # list is empty and max() would raise).
+        if len(runs) < 3:
+            return runs
         k = 1 if len(runs) < 9 else 2
         return sorted(runs)[k:-k]
 
@@ -134,7 +138,7 @@ def main() -> None:
             len(runs) < max_iters
             and max(trimmed(runs)) - min(trimmed(runs)) > spread_target
         ):
-            runs.append(one_run())
+            # one run per check so the loop cannot overshoot max_iters
             runs.append(one_run())
         mid = trimmed(runs)
         timings[name] = round(statistics.median(runs), 3)
@@ -143,33 +147,41 @@ def main() -> None:
         spread_raw[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "iters": iters,
-                # medians are the honest headline; best-of mirrors the
-                # round-1 BASELINE statistic (best of repeated runs) so
-                # rounds stay comparable: local run-to-run noise is
-                # ~20-30% and best-of strips it the way BASELINE did
-                "queries_best": best,
-                "value_best": round(sum(best.values()), 3),
-                # spread = max-min of the TRIMMED runs (best/worst
-                # dropped): the uncertainty of the median, which is
-                # what round-over-round comparisons consume. spread_raw
-                # keeps the old max-min for continuity.
-                "spread": spread,
-                "spread_raw": spread_raw,
-                "hot_cache_budget": os.environ.get(
-                    "SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30)
-                ),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_set_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "iters": iters,
+            # medians are the honest headline; best-of mirrors the
+            # round-1 BASELINE statistic (best of repeated runs) so
+            # rounds stay comparable: local run-to-run noise is
+            # ~20-30% and best-of strips it the way BASELINE did
+            "queries_best": best,
+            "value_best": round(sum(best.values()), 3),
+            # spread = max-min of the TRIMMED runs (best/worst
+            # dropped): the uncertainty of the median, which is
+            # what round-over-round comparisons consume. spread_raw
+            # keeps the old max-min for continuity.
+            "spread": spread,
+            "spread_raw": spread_raw,
+            "hot_cache_budget": os.environ.get(
+                "SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30)
+            ),
+        }
     )
+    # stdout scraping can truncate (BENCH_r05.json lost the head + four
+    # medians); the file is the durable artifact, stdout the contract
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", str(Path(__file__).resolve().parent / "BENCH.json")
+    )
+    try:
+        Path(out_path).write_text(payload + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the line
+    print(payload)
 
 
 if __name__ == "__main__":
