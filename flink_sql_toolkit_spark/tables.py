@@ -54,6 +54,14 @@ HOT_CACHE_BUDGET_BYTES = int(
 # on the shared cache instead, which taxed every light consumer of
 # `documents` (dedup_exact: one trivial 16-byte-key shuffle) to
 # subsidize the shingle/vector pipelines.
+# Floor re-measured (r6 A/B over the five queries that regressed
+# best-vs-best in the r5 bench — asof_prev_order, tvf_tumble,
+# tvf_session, sim_topk_bruteforce, q18_large_orders — 9 iters each
+# at sf0.1): floor=8MB beat floor=0 on every one of them, by +70%
+# median on asof (0.272 vs 0.461 s) and tvf_tumble (0.357 vs
+# 0.626 s) down to +2% on sim_topk. The r5 regression was ambient
+# host drift, not this policy — re-caching the small tables makes
+# the cluster strictly worse.
 HOT_CACHE_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_HOT_CACHE_MIN", str(8 << 20))
 )
