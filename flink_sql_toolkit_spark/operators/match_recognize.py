@@ -15,10 +15,12 @@ the (b)-tier custom operator from the build rules:
    PAST LAST ROW. Group state is one user's ordered events: bounded,
    Arrow-batched.
 
-Supported: concatenation, quantifiers ``+ * ?``, alternation
-``A B | C`` (SQL:2016 ordered choice, leftmost branch preferred;
-declared by the reference grammar at
-syntaxes/flink.tmLanguage.json:363-367), nested parenthesized groups
+Supported: concatenation, quantifiers ``+ * ?``, bounded quantifiers
+``{n} {n,} {n,m} {,m}`` and reluctant variants (``+? *? ?? {n,m}?``,
+prefer-fewest; the full SQL:2016 quantifier set the reference grammar
+declares at syntaxes/flink.tmLanguage.json:363-367), alternation
+``A B | C`` (SQL:2016 ordered choice, leftmost branch preferred),
+nested parenthesized groups
 with quantifiers (``((A B)+ C)``), ``PERMUTE(A, B, ...)``
 anywhere in the pattern (expanded per SQL:2016 into the alternation
 of all permutations in declaration order; tmLanguage.json:363-367
@@ -57,7 +59,7 @@ from flink_sql_toolkit_spark.tables import load_table
 @dataclass
 class PatternToken:
     symbol: str
-    quantifier: str  # '', '+', '*', '?'
+    quantifier: str  # '', '+', '*', '?', '{n}', '{n,}', '{n,m}', reluctant trailing '?'
 
 
 @dataclass
@@ -100,12 +102,13 @@ def _parse_pattern(pattern: str) -> PatternAlt:
             f"PERMUTE with parenthesized-group factors ('{pattern}') is "
             "outside the supported subset — use symbol factors"
         )
-    toks = re.findall(r"\w+|[()|+*?]", pattern)
-    unknown = re.sub(r"\w+|[()|+*?]|\s+", "", pattern)
+    toks = re.findall(r"\w+|[(){}|+*?,]", pattern)
+    unknown = re.sub(r"\w+|[(){}|+*?,]|\s+", "", pattern)
     if unknown:
         raise ValueError(
             f"unsupported PATTERN characters {unknown!r} in '{pattern}' "
-            "(subset: symbols, + * ?, |, parenthesized groups)"
+            "(subset: symbols, + * ? {n} {n,m}, reluctant '?' suffix, "
+            "|, parenthesized groups)"
         )
     pos = 0
 
@@ -144,11 +147,32 @@ def _parse_pattern(pattern: str) -> PatternAlt:
 
     def _take_quant() -> str:
         nonlocal pos
+        q = ""
         if pos < len(toks) and toks[pos] in ("+", "*", "?"):
             q = toks[pos]
             pos += 1
-            return q
-        return ""
+        elif pos < len(toks) and toks[pos] == "{":
+            # bounded quantifier {n} / {n,} / {n,m} / {,m}
+            # (SQL:2016 row-pattern quantifiers; reference grammar
+            # syntaxes/flink.tmLanguage.json:363-367)
+            end = pos + 1
+            while end < len(toks) and toks[end] != "}":
+                end += 1
+            if end >= len(toks):
+                raise ValueError(f"unbalanced '{{' in PATTERN '{pattern}'")
+            body = "".join(toks[pos + 1 : end])
+            if not re.match(r"^(\d+|\d+,\d*|,\d+)$", body):
+                raise ValueError(
+                    f"bad bounded quantifier '{{{body}}}' in PATTERN "
+                    f"'{pattern}' (use {{n}}, {{n,}}, {{n,m}} or {{,m}})"
+                )
+            q = "{" + body + "}"
+            pos = end + 1
+        # reluctant suffix: +? *? ?? {n,m}? — prefer FEWER repetitions
+        if q and pos < len(toks) and toks[pos] == "?":
+            q += "?"
+            pos += 1
+        return q
 
     tree = parse_alt()
     if pos != len(toks):
@@ -166,9 +190,39 @@ def _pattern_symbols(node) -> set[str]:
     return syms
 
 
+def _quant_bounds(q: str) -> tuple[int, int | None, bool]:
+    """Quantifier text → (min, max, greedy); max=None is unbounded.
+    '' → exactly once; a trailing '?' on any real quantifier flips it
+    reluctant (prefer fewer repetitions, SQL:2016 / regex semantics).
+    """
+    greedy = True
+    if q.endswith("?") and q != "?":
+        greedy = False
+        q = q[:-1]
+    if q == "":
+        return 1, 1, True
+    if q == "+":
+        return 1, None, greedy
+    if q == "*":
+        return 0, None, greedy
+    if q == "?":
+        return 0, 1, greedy
+    m = re.match(r"^\{(\d*)(,(\d*))?\}$", q)
+    if not m:
+        raise ValueError(f"bad quantifier '{q}'")
+    mn = int(m.group(1)) if m.group(1) else 0
+    if m.group(2) is None:
+        mx: int | None = mn  # {n}
+    else:
+        mx = int(m.group(3)) if m.group(3) else None  # {n,} / {n,m} / {,m}
+    if mx is not None and mx < mn:
+        raise ValueError(f"quantifier '{q}' has max < min")
+    return mn, mx, greedy
+
+
 def _nullable(node) -> bool:
     """Can the (sub)pattern match zero rows?"""
-    if node.quantifier in ("*", "?"):
+    if _quant_bounds(node.quantifier)[0] == 0:
         return True
     if isinstance(node, PatternToken):
         return False
@@ -681,7 +735,8 @@ def match_recognize(
     def _has_quantified_group(node) -> bool:
         if isinstance(node, PatternToken):
             return False
-        if node.quantifier in ("+", "*"):
+        mx = _quant_bounds(node.quantifier)[1]
+        if mx is None or mx > 1:
             return True
         return any(
             _has_quantified_group(i) for br in node.branches for i in br
@@ -799,7 +854,7 @@ def match_recognize(
                 yield from gen_seq(br, 0, pos, ctx)
 
         def gen_item(node, pos: int, ctx: list):
-            quant = node.quantifier
+            mn, mx, greedy_q = _quant_bounds(node.quantifier)
             if isinstance(node, PatternToken):
                 sym = node.symbol
                 if sym in dyn_preds:
@@ -824,56 +879,57 @@ def match_recognize(
                             return False
                         return bool(ok[p])
 
-                def base(p: int):
-                    if okfn(p):
-                        yield p + 1, [(p, sym)]
-
-                if quant in ("+", "*"):
-                    # quantified SYMBOL: iterative greedy scan —
-                    # recursion here would be one frame per matched
-                    # row and overflow on long runs (a 10^4-row A-run
-                    # under `A+ B Z?` is a normal CEP input)
-                    max_k = 0
-                    while okfn(pos + max_k):
-                        max_k += 1
-                    min_k = 1 if quant == "+" else 0
-                    for k in range(max_k, min_k - 1, -1):
-                        yield pos + k, [(pos + i, sym) for i in range(k)]
+                if (mn, mx) == (1, 1):
+                    if okfn(pos):
+                        yield pos + 1, [(pos, sym)]
                     return
-            else:
+                # quantified SYMBOL: iterative scan — recursion here
+                # would be one frame per matched row and overflow on
+                # long runs (a 10^4-row A-run under `A+ B Z?` is a
+                # normal CEP input). The scan stops at the upper bound,
+                # so a bounded quantifier never consumes past its max.
+                max_k = 0
+                while (mx is None or max_k < mx) and okfn(pos + max_k):
+                    max_k += 1
+                ks = (
+                    range(max_k, mn - 1, -1)  # greedy: more rows first
+                    if greedy_q
+                    else range(mn, max_k + 1)  # reluctant: fewer first
+                )
+                for k in ks:
+                    yield pos + k, [(pos + i, sym) for i in range(k)]
+                return
 
-                def base(p: int):
-                    yield from gen_alt_body(node, p, ctx)
+            if (mn, mx) == (1, 1):
+                yield from gen_alt_body(node, pos, ctx)
+                return
+            # quantified GROUP: recursion is one frame per group
+            # REPETITION (not per row) — bounded by match length /
+            # group width, and by mx when the quantifier is bounded
 
-                if quant in ("+", "*"):
-                    # quantified GROUP: recursion is one frame per
-                    # group REPETITION (not per row) — bounded by
-                    # match length / group width
-                    min_reps = 1 if quant == "+" else 0
+            def reps(p: int, count: int, rctx: list):
+                stop_ok = count >= mn
+                if not greedy_q and stop_ok:
+                    # reluctant: offer the shorter expansion FIRST
+                    yield p, []
+                empty_iter = False
+                if mx is None or count < mx:
+                    for p1, a1 in gen_alt_body(node, p, rctx):
+                        if p1 == p:
+                            # zero-width body match: regex/SQL:2016
+                            # semantics — it ends the iteration but
+                            # COUNTS toward the quantifier minimum
+                            # ((C*)+ over no Cs still satisfies +)
+                            empty_iter = True
+                            continue
+                        for p2, a2 in reps(p1, count + 1, rctx + a1):
+                            yield p2, a1 + a2
+                if greedy_q and (stop_ok or empty_iter):
+                    yield p, []
+                elif not greedy_q and not stop_ok and empty_iter:
+                    yield p, []
 
-                    def reps(p: int, count: int, rctx: list):
-                        empty_iter = False
-                        for p1, a1 in gen_alt_body(node, p, rctx):
-                            if p1 == p:
-                                # zero-width body match: regex/SQL:2016
-                                # semantics — it ends the iteration but
-                                # COUNTS toward the quantifier minimum
-                                # ((C*)+ over no Cs still satisfies +)
-                                empty_iter = True
-                                continue
-                            for p2, a2 in reps(p1, count + 1, rctx + a1):
-                                yield p2, a1 + a2
-                        if count >= min_reps or empty_iter:
-                            yield p, []
-
-                    yield from reps(pos, 0, ctx)
-                    return
-
-            if quant == "":
-                yield from base(pos)
-            else:  # '?'
-                yield from base(pos)
-                yield pos, []
+            yield from reps(pos, 0, ctx)
 
         def match_any(pos: int) -> tuple[list[tuple[int, str]] | None, bool]:
             """First non-empty candidate of the root = the SQL:2016
@@ -1177,10 +1233,21 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "match_recognize_batch",
-    # the DataFrame-operator funnel and the SQL-clause funnel on one
-    # (variant, user_id, start_ts, purchase_ts, n_before, min_value,
-    # max_value) schema — one driver entry proves the CEP engine AND
-    # the dialect/mr_sql parse path (plus MIN/MAX aggregate measures)
+    # FAMILY entry (registry cap): the DataFrame-operator funnel, the
+    # SQL-clause funnel, and three quantifier variants on one (variant,
+    # user_id, start_ts, purchase_ts, n_before, min_value, max_value,
+    # n_matches, rows_matched) schema — proves the CEP engine, the
+    # dialect/mr_sql parse path, and the SQL:2016 bounded/reluctant
+    # quantifiers (r6) against closed-form window-SQL oracles.
+    #
+    # Quantifier oracles: a pattern of just `A{...}` (A = non-purchase)
+    # tiles each maximal non-purchase run independently from its start
+    # (earliest-match preference + SKIP PAST LAST ROW), so per-run
+    # match counts have closed forms in the run length n:
+    #   A{2,3} greedy    → chunks of 3, plus one 2-chunk iff n%3=2:
+    #                      n//3 + (n%3=2), rows n - (n%3=1)
+    #   A{2,3}? reluctant→ stops at 2 every time: n//2 pairs, rows 2*(n//2)
+    #   A{2,}  greedy    → one match consuming the whole run iff n>=2
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, ts, event_type, value,
@@ -1200,21 +1267,56 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
              s.min_value, s.max_value
       FROM base b JOIN seg s ON s.user_id = b.user_id AND s.seg_id = b.p_before
       WHERE b.event_type = 'purchase'
+    ),
+    quant AS (
+      SELECT variant, user_id,
+             MIN(CASE WHEN n_before >= 2 THEN start_ts END) AS start_ts,
+             CAST(SUM(n_matches) AS BIGINT) AS n_matches,
+             CAST(SUM(rows_matched) AS BIGINT) AS rows_matched
+      FROM (
+        SELECT 'q_bounded' AS variant, user_id, n_before, start_ts,
+               n_before // 3 + CASE WHEN n_before % 3 = 2 THEN 1 ELSE 0 END AS n_matches,
+               n_before - CASE WHEN n_before % 3 = 1 THEN 1 ELSE 0 END AS rows_matched
+        FROM seg
+        UNION ALL
+        SELECT 'q_reluctant', user_id, n_before, start_ts,
+               n_before // 2, 2 * (n_before // 2)
+        FROM seg
+        UNION ALL
+        SELECT 'q_atleast', user_id, n_before, start_ts,
+               CASE WHEN n_before >= 2 THEN 1 ELSE 0 END,
+               CASE WHEN n_before >= 2 THEN n_before ELSE 0 END
+        FROM seg
+      )
+      GROUP BY variant, user_id
+      HAVING SUM(n_matches) > 0
     )
     SELECT 'df' AS variant, user_id, start_ts, purchase_ts, n_before,
-           CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value
+           CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
+           CAST(NULL AS BIGINT) AS n_matches, CAST(NULL AS BIGINT) AS rows_matched
     FROM matches
     UNION ALL
-    SELECT 'sql', user_id, start_ts, purchase_ts, n_before, min_value, max_value
+    SELECT 'sql', user_id, start_ts, purchase_ts, n_before, min_value, max_value,
+           NULL, NULL
     FROM matches
+    UNION ALL
+    SELECT variant, user_id, start_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), n_matches, rows_matched
+    FROM quant
     """,
 )
 def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PATTERN (A+ B) through BOTH surfaces: the DataFrame CEP
+    """PATTERN (A+ B) through BOTH surfaces — the DataFrame CEP
     operator (`match_recognize_funnel`) and the MATCH_RECOGNIZE SQL
-    clause (`match_recognize_sql`, dialect/mr_sql.py), tagged and
-    concatenated — identical matches from two independent code paths,
-    against one window-SQL oracle."""
+    clause (`match_recognize_sql`, dialect/mr_sql.py) — plus the
+    SQL:2016 bounded/reluctant quantifier variants (``A{2,3}``,
+    ``A{2,3}?``, ``A{2,}``; reference grammar
+    syntaxes/flink.tmLanguage.json:363-367) aggregated per user,
+    tagged and concatenated against one window-SQL oracle."""
+    pad = [
+        F.lit(None).cast("bigint").alias("n_matches"),
+        F.lit(None).cast("bigint").alias("rows_matched"),
+    ]
     df_path = match_recognize_funnel(spark, sf_dir).select(
         F.lit("df").alias("variant"),
         "user_id",
@@ -1223,6 +1325,7 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before",
         F.lit(None).cast("double").alias("min_value"),
         F.lit(None).cast("double").alias("max_value"),
+        *pad,
     )
     sql_path = match_recognize_sql(spark, sf_dir).select(
         F.lit("sql").alias("variant"),
@@ -1232,5 +1335,40 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before",
         "min_value",
         "max_value",
+        *pad,
     )
-    return df_path.unionByName(sql_path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+    def quant_variant(tag: str, pattern: str) -> DataFrame:
+        out = match_recognize(
+            ev,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            pattern=pattern,
+            define={"A": "event_type <> 'purchase'"},
+            measures={"first_ts": "FIRST(A.ts)", "n": "COUNT(A.*)"},
+        )
+        return out.groupBy("user_id").agg(
+            F.min("first_ts").alias("start_ts"),
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.sum("n").cast("bigint").alias("rows_matched"),
+        ).select(
+            F.lit(tag).alias("variant"),
+            "user_id",
+            "start_ts",
+            F.lit(None).cast("timestamp").alias("purchase_ts"),
+            F.lit(None).cast("bigint").alias("n_before"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+            "n_matches",
+            "rows_matched",
+        )
+
+    return (
+        df_path.unionByName(sql_path)
+        .unionByName(quant_variant("q_bounded", "A{2,3}"))
+        .unionByName(quant_variant("q_reluctant", "A{2,3}?"))
+        .unionByName(quant_variant("q_atleast", "A{2,}"))
+    )

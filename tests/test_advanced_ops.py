@@ -222,7 +222,11 @@ def test_match_recognize_sql_via_engine(spark):
 def test_match_recognize_rejects_unsupported(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "seq"])
     with pytest.raises(ValueError):
-        match_recognize(df, ["k"], ["seq"], "A{2,3}", {}, {"x": "FIRST(A.seq)"})
+        # anchors are outside the subset ({n,m} itself is supported, r6)
+        match_recognize(df, ["k"], ["seq"], "^ A $", {}, {"x": "FIRST(A.seq)"})
+    with pytest.raises(ValueError):
+        # malformed bound body
+        match_recognize(df, ["k"], ["seq"], "A{2,1}", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
         match_recognize(df, ["k"], ["seq"], "A | ", {}, {"x": "FIRST(A.seq)"})
     with pytest.raises(ValueError):
@@ -1136,3 +1140,43 @@ def test_mp4_truncated_v1_mvhd_degrades():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
     info = probe_media(ftyp + moov)
     assert (info.format, info.kind, info.duration_ms) == ("mp4", "video", None)
+
+
+def test_match_recognize_bounded_quantifiers(spark):
+    """SQL:2016 bounded quantifiers {n} {n,m} {n,} (reference grammar
+    tmLanguage.json:363-367): greedy takes as many rows as the bound
+    allows, earliest match start wins."""
+
+    def run(pattern, events):
+        rows = [("k", i + 1, e) for i, e in enumerate(events)]
+        df = spark.createDataFrame(rows, "k string, seq long, ev string")
+        out = match_recognize(
+            df, ["k"], ["seq"], pattern,
+            {"A": "ev = 'a'", "B": "ev = 'b'"},
+            {"s": "FIRST(A.seq)", "e": "LAST(A.seq)", "n": "COUNT(A.*)"},
+        )
+        return sorted(tuple(r) for r in out.select("s", "e", "n").collect())
+
+    # exactly two: the contiguous pair immediately before the b
+    assert run("A{2} B", "aaab") == [(2, 3, 2)]
+    # greedy 2..3: takes 3 when available
+    assert run("A{2,3} B", "aaaab") == [(2, 4, 3)]
+    # at least two
+    assert run("A{2,} B", "abaaab") == [(3, 5, 3)]
+    # bounded tiling without a closer: greedy chunks of 3, then a
+    # 2-chunk remainder; a lone trailing row stays unmatched
+    assert run("A{2,3}", "aaaaa") == [(1, 3, 3), (4, 5, 2)]
+    # reluctant tiling: stops at the minimum every time
+    assert run("A{2,3}?", "aaaaa") == [(1, 2, 2), (3, 4, 2)]
+    # reluctant +?: earliest start still wins, so the full run is
+    # consumed when the closer only appears at its end
+    assert run("A+? B", "aaab") == [(1, 3, 3)]
+    # bounded group quantifier
+    rows = [("k", i + 1, e) for i, e in enumerate("ababc")]
+    df = spark.createDataFrame(rows, "k string, seq long, ev string")
+    out = match_recognize(
+        df, ["k"], ["seq"], "(A B){2} C",
+        {"A": "ev = 'a'", "B": "ev = 'b'", "C": "ev = 'c'"},
+        {"s": "FIRST(A.seq)", "e": "LAST(B.seq)", "n": "COUNT(A.*)"},
+    )
+    assert [tuple(r) for r in out.select("s", "e", "n").collect()] == [(1, 4, 2)]

@@ -592,3 +592,37 @@ def test_streaming_over_sql_routed_range(spark, tmp_path):
             (1, t0 + _dt.timedelta(seconds=20), 40.0),
         ],
     )
+
+
+def test_streaming_mr_bounded_quantifier_agrees_with_batch(spark, tmp_path):
+    """A{2,3} B with the A-run and the closing B split across three
+    micro-batches agrees with the batch operator (bounded quantifiers,
+    r6): greedy takes the LAST 3 of the 4 a-rows."""
+    from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+
+    b0 = [(1, 1, "a"), (1, 2, "a")]
+    b1 = [(1, 3, "a"), (1, 4, "a")]
+    b2 = [(1, 5, "b"), (1, 6, "a"), (1, 7, "a"), (1, 8, "b")]
+    kwargs = dict(
+        pattern="A{2,3} B",
+        define={"A": "event_type = 'a'", "B": "event_type = 'b'"},
+        measures={"f": "FIRST(A.seq)", "n": "COUNT(A.*)"},
+    )
+    got = sorted(
+        (r.f, r.n)
+        for r in _run_stream_mr(spark, tmp_path, [b0, b1, b2], "smr_bq", **kwargs)
+    )
+    batch = sorted(
+        (r.f, r.n)
+        for r in match_recognize(
+            spark.createDataFrame(
+                b0 + b1 + b2, "user_id long, seq long, event_type string"
+            ),
+            partition_by=["user_id"],
+            order_by=["seq"],
+            **kwargs,
+        ).collect()
+    )
+    # first match: a-run 1-4 → greedy bounded takes 2,3,4 (earliest
+    # start that still reaches B at seq 5); second: 6,7 + B at 8
+    assert got == batch == [(2, 3), (6, 2)]
