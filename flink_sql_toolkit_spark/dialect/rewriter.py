@@ -446,26 +446,48 @@ def _rewrite_groups_frames(masked: str) -> str:
     if re.search(r"(?is)\bEXCLUDE\s+(?:CURRENT|GROUP|TIES|NO)\b", masked):
         raise NotImplementedError("GROUPS frame with EXCLUDE clause is not supported")
 
-    # collect window specs: OVER ( ... ) and WINDOW name AS ( ... )
-    spans: list[tuple[int, int]] = []  # paren-content spans
+    # collect window specs: OVER ( ... ) and WINDOW name AS ( ... ),
+    # tagging each with whether it sits inside a parenthesized
+    # subquery ("( SELECT …" — derived table, CTE body, IN/EXISTS) —
+    # the __grp_i rank column is only injected at the top-level FROM
+    # wrap, so a GROUPS frame nested inside a subquery would reference
+    # an unresolved column (opaque AnalysisException); reject it typed
+    # instead (ADVICE r5). Expression parens (CAST(… OVER … AS t))
+    # are NOT subqueries and stay rewritable.
+    subq_spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"(?is)\(\s*SELECT\b", masked):
+        close = _matching_paren(masked, m.start())
+        if close != -1:
+            subq_spans.append((m.start(), close))
+
+    def _in_subquery(pos: int) -> bool:
+        return any(a < pos < b for a, b in subq_spans)
+
+    spans: list[tuple[int, int, bool]] = []  # paren-content spans + nested?
     for m in re.finditer(r"(?is)\bOVER\s*\(", masked):
         close = _matching_paren(masked, m.end() - 1)
         if close != -1:
-            spans.append((m.end(), close))
+            spans.append((m.end(), close, _in_subquery(m.start())))
     for m in re.finditer(r"(?is)\bWINDOW\s+\w+\s+AS\s*\(", masked):
         close = _matching_paren(masked, m.end() - 1)
         if close != -1:
-            spans.append((m.end(), close))
+            spans.append((m.end(), close, _in_subquery(m.start())))
 
     grp_cols: dict[tuple[str, str], str] = {}
     edits: list[tuple[int, int, str]] = []
-    for start, end in spans:
+    for start, end, nested in spans:
         spec = masked[start:end]
         if not re.search(r"(?is)\bGROUPS\b", spec):
             continue
         part, order, frame = _split_window_spec(spec)
         if not re.match(r"(?is)GROUPS\b", frame):
             continue  # GROUPS text belongs to a nested construct
+        if nested:
+            raise NotImplementedError(
+                "GROUPS frame inside a subquery/CTE/derived table is "
+                "not supported — hoist the windowed expression to the "
+                "top-level SELECT"
+            )
         if not order:
             raise NotImplementedError("GROUPS frame requires ORDER BY in the window")
         key = (re.sub(r"\s+", " ", part), re.sub(r"\s+", " ", order))

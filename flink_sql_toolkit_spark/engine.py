@@ -59,6 +59,26 @@ _UNSUPPORTED = {
 }
 
 
+def _error_condition(e: Exception) -> str:
+    """Stable error-class code of a Spark exception ('' if none).
+
+    The streaming fallbacks below branch on these instead of raw
+    message text — Spark's messages vary across versions while the
+    error-class registry is a compatibility surface (ADVICE r5).
+    ``getCondition`` is the 4.x name, ``getErrorClass`` the 3.x one.
+    """
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:  # noqa: BLE001 — diagnostic accessor only
+                continue
+            if cond:
+                return str(cond)
+    return ""
+
+
 class Operation:
     """A submitted statement: status + token-paged result fetch."""
 
@@ -287,8 +307,16 @@ class Operation:
             except AnalysisException as e:
                 # append-mode stateful operators (applyInPandasWithState:
                 # streaming MATCH_RECOGNIZE / OVER) reject an
-                # Update-mode query — rerun the sink in append
-                if "Update output mode" not in str(e):
+                # Update-mode query — rerun the sink in append.
+                # Spark 4.1 raises this as _LEGACY_ERROR_TEMP_3102 /
+                # the STREAMING_OUTPUT_MODE family; message substring
+                # is the cross-version fallback.
+                cond = _error_condition(e)
+                if not (
+                    cond == "_LEGACY_ERROR_TEMP_3102"
+                    or cond.startswith("STREAMING_OUTPUT_MODE")
+                    or "Update output mode" in str(e)
+                ):
                     raise
                 return _start("append", frame)
 
@@ -297,7 +325,8 @@ class Operation:
         except AnalysisException as e:
             msg = str(e)
             if not (
-                "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING" in msg
+                _error_condition(e) == "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING"
+                or "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING" in msg
                 or "Non-time-based windows" in msg
             ):
                 raise

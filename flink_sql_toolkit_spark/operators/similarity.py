@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from flink_sql_toolkit_spark.operators.registry import register
 from flink_sql_toolkit_spark.tables import load_fanout_table, load_table
 
-N_ANCHORS = 4  # → 16 buckets; production: 12-16 bits
+# Fixture default for the oracle-gated registry entries (→ 16
+# buckets). Index width is a *parameter* everywhere (``n_bits`` on the
+# LSH path, ``k`` on the IVF path) — production sizing is 12–16 bits /
+# k≈√N, and tests/test_advanced_ops.py exercises 12 bits and k=64 on
+# generated clustered vectors with a recall floor vs brute force.
+N_ANCHORS = 4
 EMBED_DIM = 64  # fixture embedding width (TESTDATA.md)
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 are the query vectors
 TOP_K = 5
@@ -219,21 +224,23 @@ BUCKET_SQL = f"""
 """
 
 
-# anchor vectors per fixture dir — N_ANCHORS constant-size rows, the
-# LSH "model parameters". Fetched once (pushed-filter scan of
-# vec_id < N_ANCHORS) and inlined as literals, exactly the
+# anchor vectors per (fixture dir, width) — n_bits constant-size rows,
+# the LSH "model parameters". Fetched once (pushed-filter scan of
+# vec_id < n_bits) and inlined as literals, exactly the
 # random-Gaussian-planes-broadcast shape production uses.
-_ANCHOR_CACHE: dict[str, list[list[float]]] = {}
+_ANCHOR_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 
 
-def _anchor_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _anchor_vectors(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_ANCHORS
+) -> list[list[float]]:
     import os  # noqa: PLC0415
 
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), n_bits)
     if key not in _ANCHOR_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < N_ANCHORS)
+            .filter(F.col("vec_id") < n_bits)
             .select("vec_id", "embedding")
             .collect()
         )
@@ -243,7 +250,9 @@ def _anchor_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _ANCHOR_CACHE[key]
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_ANCHORS
+) -> DataFrame:
     """vec_id → sign-bit bucket string from the anchor hyperplanes.
 
     Anchors are inlined as literal arrays, so bucketing is a pure
@@ -259,7 +268,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av])) >= 0,
             "1",
         ).otherwise("0")
-        for av in _anchor_vectors(spark, sf_dir)
+        for av in _anchor_vectors(spark, sf_dir, n_bits)
     ]
     return emb.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
 
@@ -298,6 +307,8 @@ def sim_lsh_bucketed(
     spark: SparkSession,
     sf_dir: str,
     broadcast_limit: int = BROADCAST_QUERY_LIMIT,
+    n_bits: int = N_ANCHORS,
+    top_k: int = TOP_K,
 ) -> DataFrame:
     """ANN top-k with multi-probe LSH: each query searches its own
     bucket plus every Hamming-distance-1 bucket (bits+1 probes).
@@ -309,7 +320,7 @@ def sim_lsh_bucketed(
     runs as a shuffle equi-join on the bucket key (both sides
     partition by bucket — no corpus-sized broadcast ever).
     """
-    buckets = lsh_buckets(spark, sf_dir)
+    buckets = lsh_buckets(spark, sf_dir, n_bits)
     qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
     flips = F.array(
         F.col("bucket"),
@@ -317,9 +328,9 @@ def sim_lsh_bucketed(
             F.concat(
                 F.substring("bucket", 1, i),
                 (1 - F.substring("bucket", i + 1, 1).cast("int")).cast("string"),
-                F.substring("bucket", i + 2, N_ANCHORS),
+                F.substring("bucket", i + 2, n_bits),
             )
-            for i in range(N_ANCHORS)
+            for i in range(n_bits)
         ],
     )
     q = qb.select(
@@ -348,7 +359,7 @@ def sim_lsh_bucketed(
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
     )
 
 
@@ -397,12 +408,12 @@ IVF_ASSIGN_SQL = f"""
 """
 
 
-# refined centroids per fixture dir: (cluster ids, mean vectors)
-_CENTROID_CACHE: dict[str, tuple[list[int], list[list[float]]]] = {}
+# refined centroids per (fixture dir, k): (cluster ids, mean vectors)
+_CENTROID_CACHE: dict[tuple[str, int], tuple[list[int], list[list[float]]]] = {}
 
 
 def _refined_centroids(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, k: int = N_ANCHORS
 ) -> tuple[list[int], list[list[float]]]:
     """One k-means refinement pass (VERDICT r4 ask #8): assign the
     corpus to the anchor cells, then take each cell's element-wise
@@ -415,9 +426,9 @@ def _refined_centroids(
     carries the surviving cluster ids)."""
     import os  # noqa: PLC0415
 
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), k)
     if key not in _CENTROID_CACHE:
-        anchors = _anchor_vectors(spark, sf_dir)
+        anchors = _anchor_vectors(spark, sf_dir, k)
         dim = len(anchors[0])
         emb = load_fanout_table(spark, sf_dir, "embeddings")
         l = F.array(
@@ -447,14 +458,16 @@ def _refined_centroids(
     return _CENTROID_CACHE[key]
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, k: int = N_ANCHORS
+) -> DataFrame:
     """vec_id → coarse cluster id (argmax dot against the refined
     centroid set — anchor init + one k-means refinement pass,
     ``_refined_centroids``). One broadcast pass — the centroids are
     O(1) literals, so assignment is a pure projection and the corpus
     never shuffles."""
     emb = load_fanout_table(spark, sf_dir, "embeddings")
-    ids, cents = _refined_centroids(spark, sf_dir)
+    ids, cents = _refined_centroids(spark, sf_dir, k)
     # centroids inlined as literals (same shape as lsh_buckets): the
     # per-cell dots become one projected array — no crossJoin fan-out,
     # no per-vector groupBy shuffle, same values in the same cid order
@@ -510,6 +523,8 @@ def sim_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     broadcast_limit: int = BROADCAST_QUERY_LIMIT,
+    k: int = N_ANCHORS,
+    top_k: int = TOP_K,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into anchor cells,
     search only the query's cell plus its second-nearest (nprobe=2).
@@ -517,7 +532,7 @@ def sim_ivf_topk(
     each cell is a partition-local scan of ~N/k vectors. A small Q is
     broadcast; past ``broadcast_limit`` the join shuffles both sides
     on cluster_id instead."""
-    ivf = ivf_assignments(spark, sf_dir)
+    ivf = ivf_assignments(spark, sf_dir, k)
     # cluster2_id is the argmax over values strictly different from
     # the top-1 cluster, so the two probes are distinct by
     # construction; the array_distinct is belt-and-braces documenting
@@ -547,7 +562,7 @@ def sim_ivf_topk(
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
     )
 
 

@@ -23,6 +23,8 @@ read; watermarks become ``withWatermark`` on streaming reads.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,96 @@ _STARTUP_MODES = {
     # own checkpoint) — documented approximation
     "group-offsets": ("startingOffsets", "latest"),
 }
+
+
+def _specific_offsets_json(topics: str, spec: str) -> str:
+    """Flink ``partition:0,offset:42;partition:1,offset:300`` →
+    Spark's per-topic JSON ``{"t":{"0":42,"1":300}}``. Flink scopes
+    the option to the single configured topic; multi-topic tables get
+    the same partition map per topic (matching Flink, which rejects
+    specific offsets with topic lists anyway)."""
+    import json  # noqa: PLC0415
+
+    parts: dict[str, int] = {}
+    for item in spec.split(";"):
+        item = item.strip()
+        if not item:
+            continue
+        m = re.match(r"(?i)partition\s*:\s*(\d+)\s*,\s*offset\s*:\s*(\d+)$", item)
+        if not m:
+            raise ValueError(
+                f"malformed specific-offsets entry {item!r} — expected "
+                "'partition:<n>,offset:<n>[;...]'"
+            )
+        parts[m.group(1)] = int(m.group(2))
+    return json.dumps({t: parts for t in topics.split(",")})
+
+
+def kafka_reader_options(table: ConnectorTable) -> dict[str, str]:
+    """Flink kafka WITH-options → Spark kafka source options, as a
+    pure dict so the translation is testable without a broker
+    (VERDICT r5 ask #6; reference option surface:
+    syntaxes/flink.tmLanguage.json:509,523).
+
+    - ``topic`` → ``subscribe`` (Flink's ``;`` topic-list separator
+      → Spark's ``,``); ``topic-pattern`` → ``subscribePattern``.
+    - ``properties.*`` client properties pass through as ``kafka.*``
+      (bootstrap.servers, group.id, security/SASL settings, …).
+    - ``scan.startup.mode``: earliest-offset/latest-offset map to
+      ``startingOffsets``; ``timestamp`` → ``startingTimestamp``
+      (ms, same epoch unit both sides); ``specific-offsets`` →
+      ``startingOffsets`` with the Flink partition list translated to
+      Spark's per-topic JSON; ``group-offsets`` has no Spark
+      analogue (offsets live in the checkpoint) → documented
+      approximation of ``latest``.
+    - ``scan.bounded.mode`` (batch reads): latest-offset →
+      ``endingOffsets=latest``, ``timestamp`` → ``endingTimestamp``,
+      ``specific-offsets`` → ``endingOffsets`` JSON; ``group-offsets``
+      bound is a typed rejection.
+    """
+    opts = table.options
+    out: dict[str, str] = {}
+    for k, v in opts.items():
+        if k.startswith("properties."):
+            out["kafka." + k.removeprefix("properties.")] = v
+    if "topic-pattern" in opts:
+        out["subscribePattern"] = opts["topic-pattern"]
+        topics = ""
+    else:
+        topics = ",".join(
+            t.strip() for t in opts["topic"].split(";") if t.strip()
+        )
+        out["subscribe"] = topics
+
+    mode = opts.get("scan.startup.mode", "group-offsets")
+    if mode == "timestamp":
+        out["startingTimestamp"] = opts.get("scan.startup.timestamp-millis", "0")
+    elif mode == "specific-offsets":
+        out["startingOffsets"] = _specific_offsets_json(
+            topics, opts.get("scan.startup.specific-offsets", "")
+        )
+    else:
+        key, val = _STARTUP_MODES.get(mode, ("startingOffsets", "earliest"))
+        out[key] = val
+
+    bounded = opts.get("scan.bounded.mode", "")
+    if bounded in ("latest-offset",):
+        out["endingOffsets"] = "latest"
+    elif bounded == "timestamp":
+        out["endingTimestamp"] = opts.get("scan.bounded.timestamp-millis", "0")
+    elif bounded == "specific-offsets":
+        out["endingOffsets"] = _specific_offsets_json(
+            topics, opts.get("scan.bounded.specific-offsets", "")
+        )
+    elif bounded == "group-offsets":
+        raise NotImplementedError(
+            "scan.bounded.mode = 'group-offsets' has no Spark analogue "
+            "(Spark tracks offsets in its own checkpoint) — use "
+            "latest-offset, timestamp, or specific-offsets"
+        )
+    elif bounded:
+        raise ValueError(f"unknown scan.bounded.mode {bounded!r}")
+    return out
 
 
 def _decode_envelope(
@@ -369,21 +461,8 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
 
     if conn in ("kafka", "upsert-kafka"):
         reader = (spark.readStream if streaming else spark.read).format("kafka")
-        reader = reader.option(
-            "kafka.bootstrap.servers", opts.get("properties.bootstrap.servers", "")
-        ).option("subscribe", opts["topic"])
-        mode = opts.get("scan.startup.mode", "group-offsets")
-        if mode == "timestamp":
-            reader = reader.option(
-                "startingTimestamp", opts.get("scan.startup.timestamp-millis", "0")
-            )
-        elif mode == "specific-offsets":
-            reader = reader.option(
-                "startingOffsets", opts.get("scan.startup.specific-offsets", "earliest")
-            )
-        else:
-            key, val = _STARTUP_MODES.get(mode, ("startingOffsets", "earliest"))
-            reader = reader.option(key, val)
+        for k, v in kafka_reader_options(table).items():
+            reader = reader.option(k, v)
         df = _decode_payload(reader.load(), table)
         if conn == "upsert-kafka" and table.primary_key and not streaming:
             # batch upsert view: latest record per key

@@ -110,6 +110,7 @@ def streaming_match_recognize(
     after_match: str = "past_last_row",
     max_buffer_rows: int = 100_000,
     ttl_ms: int | None = None,
+    truncation_acc=None,
 ) -> DataFrame:
     """General streaming MATCH_RECOGNIZE: the batch NFA with its
     open-match state carried across micro-batches
@@ -126,7 +127,10 @@ def streaming_match_recognize(
     state until decidable. The undecided suffix (rows from the first
     provisional position) is the per-key state, bounded by
     ``max_buffer_rows`` (oldest rows dropped past the cap — the same
-    pressure-valve role as Flink CEP's WITHIN) and optionally by a
+    pressure-valve role as Flink CEP's WITHIN; each trim logs an
+    executor warning and, when ``truncation_acc`` is a Spark
+    accumulator, adds the dropped-row count to it so batch-parity
+    violations are observable) and optionally by a
     processing-time TTL that batch-flushes and clears the key
     (``table.exec.state.ttl``).
 
@@ -205,6 +209,23 @@ def streaming_match_recognize(
         )
         keep = pdf.iloc[keep_from:]
         if len(keep) > max_buffer_rows:
+            # pressure valve engaged — batch parity is no longer
+            # guaranteed for this key; surface it instead of trimming
+            # silently (ADVICE r5): executor-log warning always, plus
+            # a caller-visible Spark accumulator when provided
+            dropped = len(keep) - max_buffer_rows
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "streaming MATCH_RECOGNIZE buffer cap hit for key %r: "
+                "dropped %d oldest undecided rows (max_buffer_rows=%d); "
+                "emitted matches may diverge from batch semantics",
+                key,
+                dropped,
+                max_buffer_rows,
+            )
+            if truncation_acc is not None:
+                truncation_acc.add(dropped)
             keep = keep.iloc[-max_buffer_rows:]
         state.update((bytearray(pickle.dumps(keep)), match_no))
         if ttl_ms:

@@ -209,3 +209,110 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
     # append semantics: a second write adds rows
     build_writer(df, t, query_name="j", checkpoint=str(tmp_path / "ckpt2"))
     assert build_reader(spark, t, streaming=False).count() == 4
+
+
+# -- kafka option-translation contract (VERDICT r5 ask #6) ------------
+# No broker in the sandbox; the reader construction is a pure
+# dict translation, pinned here against golden Spark option dicts for
+# every reference startup/bounded mode (tmLanguage.json:509,523).
+
+
+def _kafka_table(with_extra: str):
+    return parse_create_table(
+        f"""
+        CREATE TABLE k (id BIGINT, name STRING)
+        WITH ('connector'='kafka', 'topic'='t',
+              'properties.bootstrap.servers'='b1:9092,b2:9092',
+              'format'='json'{with_extra});
+        """
+    )
+
+
+def test_kafka_options_startup_modes():
+    from flink_sql_toolkit_spark.sources.connectors import kafka_reader_options
+
+    base = {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "t",
+    }
+    cases = {
+        "": {**base, "startingOffsets": "latest"},  # default = group-offsets
+        ", 'scan.startup.mode'='earliest-offset'": {
+            **base, "startingOffsets": "earliest"
+        },
+        ", 'scan.startup.mode'='latest-offset'": {
+            **base, "startingOffsets": "latest"
+        },
+        ", 'scan.startup.mode'='group-offsets'": {
+            **base, "startingOffsets": "latest"  # documented approximation
+        },
+        ", 'scan.startup.mode'='timestamp', 'scan.startup.timestamp-millis'='1700000000000'": {
+            **base, "startingTimestamp": "1700000000000"
+        },
+        ", 'scan.startup.mode'='specific-offsets', 'scan.startup.specific-offsets'='partition:0,offset:42;partition:1,offset:300'": {
+            **base, "startingOffsets": '{"t": {"0": 42, "1": 300}}'
+        },
+    }
+    for extra, want in cases.items():
+        assert kafka_reader_options(_kafka_table(extra)) == want, extra
+
+
+def test_kafka_options_bounded_and_properties():
+    from flink_sql_toolkit_spark.sources.connectors import kafka_reader_options
+
+    got = kafka_reader_options(
+        _kafka_table(
+            ", 'properties.group.id'='cg1', 'scan.bounded.mode'='timestamp',"
+            " 'scan.bounded.timestamp-millis'='1800000000000'"
+        )
+    )
+    assert got["kafka.group.id"] == "cg1"  # properties.* pass through
+    assert got["endingTimestamp"] == "1800000000000"
+    got = kafka_reader_options(
+        _kafka_table(", 'scan.bounded.mode'='latest-offset'")
+    )
+    assert got["endingOffsets"] == "latest"
+    got = kafka_reader_options(
+        _kafka_table(
+            ", 'scan.bounded.mode'='specific-offsets',"
+            " 'scan.bounded.specific-offsets'='partition:0,offset:9'"
+        )
+    )
+    assert got["endingOffsets"] == '{"t": {"0": 9}}'
+    with pytest.raises(NotImplementedError, match="group-offsets"):
+        kafka_reader_options(_kafka_table(", 'scan.bounded.mode'='group-offsets'"))
+    with pytest.raises(ValueError, match="scan.bounded.mode"):
+        kafka_reader_options(_kafka_table(", 'scan.bounded.mode'='nope'"))
+
+
+def test_kafka_options_topic_list_and_pattern():
+    from flink_sql_toolkit_spark.sources.connectors import kafka_reader_options
+
+    t = parse_create_table(
+        """
+        CREATE TABLE k (id BIGINT) WITH ('connector'='kafka',
+        'topic'='a;b;c', 'format'='json');
+        """
+    )
+    assert kafka_reader_options(t)["subscribe"] == "a,b,c"
+    t = parse_create_table(
+        """
+        CREATE TABLE k (id BIGINT) WITH ('connector'='kafka',
+        'topic-pattern'='events-.*', 'format'='json');
+        """
+    )
+    got = kafka_reader_options(t)
+    assert got["subscribePattern"] == "events-.*"
+    assert "subscribe" not in got
+
+
+def test_kafka_specific_offsets_malformed():
+    from flink_sql_toolkit_spark.sources.connectors import kafka_reader_options
+
+    with pytest.raises(ValueError, match="specific-offsets"):
+        kafka_reader_options(
+            _kafka_table(
+                ", 'scan.startup.mode'='specific-offsets',"
+                " 'scan.startup.specific-offsets'='offset:42'"
+            )
+        )

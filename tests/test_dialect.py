@@ -190,6 +190,30 @@ class TestGroupsFrames:
                 "FROM t GROUP BY k"
             )
 
+    def test_rejects_groups_in_subquery(self):
+        """A GROUPS frame nested in a derived table / CTE would get a
+        __grp_i column the top-level wrap never injects — typed
+        rejection, not an opaque unresolved-column error (ADVICE r5)."""
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="subquery"):
+            rewrite(
+                "SELECT * FROM (SELECT k, SUM(v) OVER (ORDER BY k "
+                "GROUPS 1 PRECEDING) AS s FROM t) d"
+            )
+        with _pytest.raises(NotImplementedError, match="subquery"):
+            rewrite(
+                "WITH c AS (SELECT k, SUM(v) OVER (ORDER BY k "
+                "GROUPS 1 PRECEDING) AS s FROM t) SELECT * FROM c"
+            )
+        # a top-level GROUPS frame still rewrites even when the FROM
+        # source is itself a subquery
+        out = rewrite(
+            "SELECT k, SUM(v) OVER (ORDER BY k GROUPS 1 PRECEDING) AS s "
+            "FROM (SELECT k, v FROM t WHERE v > 0) d"
+        )
+        assert "DENSE_RANK()" in out
+
     def test_groups_semantics_with_ties(self, spark):
         """Hand-computed GROUPS semantics: ties share the frame, and
         group distance (not value distance) drives inclusion — k=5 is

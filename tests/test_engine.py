@@ -420,3 +420,27 @@ def test_jdbc_e2e_through_engine(session):
         assert rows[0][0] == 4
     finally:
         session.execute_statement("SET 'execution.runtime-mode'='streaming'")
+
+
+def test_error_condition_helper():
+    """Error-class extraction prefers getCondition/getErrorClass and
+    degrades to '' — the streaming fallbacks branch on stable codes,
+    not message text (ADVICE r5)."""
+    from flink_sql_toolkit_spark.engine import _error_condition
+
+    class _Modern(Exception):
+        def getCondition(self):
+            return "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING"
+
+    class _Legacy(Exception):
+        def getErrorClass(self):
+            return "_LEGACY_ERROR_TEMP_3102"
+
+    class _Broken(Exception):
+        def getCondition(self):
+            raise RuntimeError("accessor broke")
+
+    assert _error_condition(_Modern()) == "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING"
+    assert _error_condition(_Legacy()) == "_LEGACY_ERROR_TEMP_3102"
+    assert _error_condition(_Broken()) == ""
+    assert _error_condition(ValueError("plain")) == ""

@@ -626,3 +626,27 @@ def test_streaming_mr_bounded_quantifier_agrees_with_batch(spark, tmp_path):
     # first match: a-run 1-4 → greedy bounded takes 2,3,4 (earliest
     # start that still reaches B at seq 5); second: 6,7 + B at 8
     assert got == batch == [(2, 3), (6, 2)]
+
+
+def test_streaming_mr_truncation_is_observable(spark, tmp_path):
+    """When max_buffer_rows trims the undecided suffix, the dropped-row
+    count lands in the caller's accumulator instead of vanishing
+    silently (ADVICE r5) — batch-parity violations are observable."""
+    acc = spark.sparkContext.accumulator(0)
+    b0 = [(1, i, "view") for i in range(1, 9)]  # 8 undecided A-rows
+    b1 = [(1, 9, "purchase")]
+    rows = _run_stream_mr(
+        spark,
+        tmp_path,
+        [b0, b1],
+        "smr_trunc",
+        pattern="A+ B",
+        define={"A": "event_type <> 'purchase'", "B": "event_type = 'purchase'"},
+        measures={"n": "COUNT(A.*)", "f": "FIRST(A.seq)"},
+        max_buffer_rows=3,
+        truncation_acc=acc,
+    )
+    # batch 0 held 8 rows, cap kept 3 → 5 dropped, surfaced via acc
+    assert acc.value == 5
+    # the match that closes in batch 1 only saw the retained suffix
+    assert [(r.f, r.n) for r in rows] == [(6, 3)]
