@@ -352,6 +352,9 @@ def _rewrite_misc(masked: str) -> str:
     # function form; LOCALTIME likewise)
     masked = re.sub(r"(?is)\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", masked)
     masked = re.sub(r"(?is)\bLOCALTIME\b(?!\s*\()", "current_time()", masked)
+    # CURRENT_TIME niladic (Flink) → current_time() — \b can't match
+    # inside CURRENT_TIMESTAMP (E→S is no word boundary)
+    masked = re.sub(r"(?is)\bCURRENT_TIME\b(?!\s*\()", "current_time()", masked)
     # three-valued-logic literal (syntax-test.fsql literals section):
     # `x IS [NOT] UNKNOWN` ≡ IS [NOT] NULL on a boolean; the bare
     # UNKNOWN literal is a NULL boolean

@@ -491,6 +491,11 @@ class EngineSession:
 
         self.metadata = CatalogMetadata(self)
         register_function_shims(self.spark)
+        # runtime SQL conf — newSession() may not inherit builder confs
+        # when the caller supplied its own base session
+        from flink_sql_toolkit_spark.compat import ensure_time_type  # noqa: PLC0415
+
+        ensure_time_type(self.spark)
 
     def completions(self, sql_text: str, line_prefix: str | None = None):
         """Completion items at a cursor position — the engine analogue

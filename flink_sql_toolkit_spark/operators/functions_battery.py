@@ -199,6 +199,22 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d.cast("date")).cast("timestamp").alias("ld"),
         F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("dd"),
         F.unix_timestamp(d).alias("ep"),
+        # TIME battery (Spark 4.1 TimeType; Flink TIME/MAKE_TIME/
+        # EXTRACT — syntax-test.fsql:411): constructed from the key so
+        # the values vary per row
+        F.expr(
+            "make_time(CAST(o_orderkey % 24 AS INT),"
+            " CAST(o_orderkey % 60 AS INT),"
+            " CAST(o_orderkey % 60 AS INT))"
+        ).alias("tm"),
+        F.expr("hour(make_time(CAST(o_orderkey % 24 AS INT), 0, 0))").alias("t_hr"),
+        F.expr(
+            "CAST(make_time(CAST(o_orderkey % 24 AS INT),"
+            " CAST(o_orderkey % 60 AS INT), 0) AS STRING)"
+        ).alias("t_str"),
+        F.expr(
+            "make_time(CAST(o_orderkey % 24 AS INT), 0, 0) < TIME'12:00:00'"
+        ).alias("t_am"),
     ).orderBy("o_orderkey")
 
 
@@ -452,7 +468,7 @@ def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.key_str, c.lit_int, c.bad_int, c.prio_num, c.price_trunc,
            c.status_if, c.with_default,
            d.y, d.q, d.m, d.d, d.dw, d.dy, d.wk, d.mstart, d.plus5,
-           d.minus3m, d.ld, d.dd, d.ep
+           d.minus3m, d.ld, d.dd, d.ep, d.tm, d.t_hr, d.t_str, d.t_am
     FROM (
       SELECT o_orderkey,
              CAST(o_orderkey AS VARCHAR) AS key_str,
@@ -475,7 +491,13 @@ def func_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderdate - INTERVAL 3 MONTH AS minus3m,
              CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
              date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd,
-             CAST(epoch(o_orderdate) AS BIGINT) AS ep
+             CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+             make_time(o_orderkey % 24, o_orderkey % 60,
+                       CAST(o_orderkey % 60 AS DOUBLE)) AS tm,
+             CAST(hour(make_time(o_orderkey % 24, 0, 0.0)) AS INTEGER) AS t_hr,
+             CAST(make_time(o_orderkey % 24, o_orderkey % 60, 0.0)
+                  AS VARCHAR) AS t_str,
+             make_time(o_orderkey % 24, 0, 0.0) < TIME '12:00:00' AS t_am
       FROM orders WHERE o_orderkey < 200
     ) d ON c.o_orderkey = d.o_orderkey
     ORDER BY c.o_orderkey

@@ -42,6 +42,8 @@ def build_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long, tables.py converts to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Flink TIME columns map to Spark 4.1's TimeType (see compat.py)
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for key, value in (extra_conf or {}).items():

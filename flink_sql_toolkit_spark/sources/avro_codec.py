@@ -14,8 +14,9 @@ implements the Avro 1.x binary encoding spec (public format) directly:
   zero terminator), enums (index), fixed
 - logical types: decimal (big-endian two's-complement unscaled bytes),
   timestamp-millis / timestamp-micros on long, date on int,
-  time-millis / time-micros on int/long (decoded to the wall-clock
-  string this engine's DDL uses for TIME columns)
+  time-millis / time-micros on int/long (decoded to wall-clock
+  ``datetime.time`` for Spark 4.1's TimeType; ISO string on builds
+  without it — matching the DDL mapping either way, see compat.py)
 - Confluent wire format: 1 magic byte (0) + 4-byte big-endian schema
   id + avro body
 
@@ -33,9 +34,11 @@ from __future__ import annotations
 
 import json
 import struct
-from datetime import date, datetime, timedelta, timezone
+from datetime import date, datetime, time, timedelta, timezone
 from decimal import Decimal
 from typing import Any, Callable, Iterator
+
+from flink_sql_toolkit_spark.compat import SUPPORTS_TIME_TYPE
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
@@ -117,10 +120,13 @@ def decode(buf: bytes, sch: Any, pos: int = 0) -> tuple[Any, int]:
         if lt == "date":
             return _EPOCH.date() + timedelta(days=n), pos
         if lt in ("time-millis", "time-micros"):
-            # Flink TIME maps to string in this engine's DDL (see
-            # README known gaps) — decode to the wall-clock string
+            # decode to the same shape the DDL maps TIME to: a native
+            # datetime.time on Spark >= 4.1 (TimeType), else the
+            # wall-clock ISO string (compat.py gates both together)
             us = n * 1000 if lt == "time-millis" else n
             t_ = (datetime.min + timedelta(microseconds=us)).time()
+            if SUPPORTS_TIME_TYPE:
+                return t_, pos
             return t_.strftime("%H:%M:%S.%f" if us % 1_000_000 else "%H:%M:%S"), pos
         return n, pos
     if t == "float":
@@ -204,9 +210,15 @@ def encode(out: bytearray, value: Any, sch: Any) -> None:
         lt = sch.get("logicalType") if isinstance(sch, dict) else None
         if lt == "date" and isinstance(value, date) and not isinstance(value, datetime):
             value = (value - _EPOCH.date()).days
-        elif lt in ("time-millis", "time-micros") and isinstance(value, str):
-            h, m, s = value.split(":")
-            us = (int(h) * 3600 + int(m) * 60) * 1_000_000 + round(float(s) * 1e6)
+        elif lt in ("time-millis", "time-micros") and isinstance(value, (str, time)):
+            if isinstance(value, time):
+                us = (
+                    (value.hour * 3600 + value.minute * 60 + value.second) * 1_000_000
+                    + value.microsecond
+                )
+            else:
+                h, m, s = value.split(":")
+                us = (int(h) * 3600 + int(m) * 60) * 1_000_000 + round(float(s) * 1e6)
             value = us // 1000 if lt == "time-millis" else us
         elif isinstance(value, datetime) and lt in (
             "timestamp-millis",
@@ -338,6 +350,15 @@ def avro_schema_for_columns(columns, name: str = "row") -> dict:
             avro_t = {"type": "long", "logicalType": "timestamp-millis"}
         elif t == "date":
             avro_t = {"type": "int", "logicalType": "date"}
+        elif t.startswith("time"):
+            # Flink's avro format maps TIME(<=3) to time-millis on int
+            # and higher precisions to time-micros on long
+            prec = int(t[t.index("(") + 1 : t.index(")")]) if "(" in t else 0
+            avro_t = (
+                {"type": "int", "logicalType": "time-millis"}
+                if prec <= 3
+                else {"type": "long", "logicalType": "time-micros"}
+            )
         else:
             raise ValueError(f"no avro mapping for spark type {t!r}")
         fields.append({"name": c.name, "type": ["null", avro_t]})

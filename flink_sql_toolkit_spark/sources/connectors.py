@@ -514,6 +514,21 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
     opts = table.options
     streaming = df.isStreaming
 
+    if table.columns and len(df.columns) == len(table.columns):
+        # ANSI/Flink INSERT is positional: align the query's output onto
+        # the declared schema by position and cast to the declared types
+        # (no-op when names/types already match). Without this an
+        # `INSERT ... VALUES` frame's default col1/col2 names leak into
+        # by-name sinks — parquet written as col1/col2 reads back as
+        # all-NULL through the declared schema, and JDBC would create
+        # the table with the wrong column names.
+        df = df.select(
+            *[
+                df[df.columns[i]].cast(c.spark_type).alias(c.name)
+                for i, c in enumerate(table.columns)
+            ]
+        )
+
     if conn == "print":
         if streaming:
             return _start(df.writeStream.format("console"), query_name, checkpoint, trigger_interval)
@@ -556,13 +571,6 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
         return None
     if conn == "jdbc":
         props = _jdbc_props(opts)
-        if table.columns and len(df.columns) == len(table.columns):
-            # align writer columns to the declared schema positionally:
-            # JDBC writes are by NAME on an existing table (and become
-            # the table DDL on first write), so an INSERT ... VALUES
-            # frame's default col1/col2 names must not leak into the
-            # database
-            df = df.toDF(*[c.name for c in table.columns])
         if streaming:
             # streaming JDBC sink: per-micro-batch writes (foreachBatch)
             def _write_batch(batch_df: DataFrame, _bid: int) -> None:

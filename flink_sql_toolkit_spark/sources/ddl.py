@@ -14,6 +14,21 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from flink_sql_toolkit_spark.compat import SUPPORTS_TIME_TYPE
+
+
+def _time_type(m: re.Match) -> str:
+    # Spark 4.1+ has a native TimeType (behind spark.sql.timeType.
+    # enabled, which the engine sets on every session); older builds
+    # fall back to the ISO wall-clock string. Flink TIME defaults to
+    # second precision (TIME = TIME(0)); Spark's default is time(6).
+    if SUPPORTS_TIME_TYPE:
+        # Flink allows TIME(0..9); Spark's TimeType caps at micros (6)
+        p = int(m.group(1)[1:-1]) if m.group(1) else 0
+        return f"time({min(p, 6)})"
+    return "string"
+
+
 _TYPE_MAP = [
     (re.compile(r"(?i)^TIMESTAMP_LTZ(\(\d+\))?$"), "timestamp"),
     (re.compile(r"(?i)^TIMESTAMP(\(\d+\))?$"), "timestamp_ntz"),
@@ -22,7 +37,7 @@ _TYPE_MAP = [
     (re.compile(r"(?i)^BYTES$"), "binary"),
     (re.compile(r"(?i)^VARBINARY(\(\d+\))?$"), "binary"),
     (re.compile(r"(?i)^RAW$"), "binary"),
-    (re.compile(r"(?i)^TIME(\(\d+\))?$"), "string"),  # Spark has no TimeType (documented gap)
+    (re.compile(r"(?i)^TIME(\(\d+\))?$"), _time_type),
     (re.compile(r"(?i)^INTEGER$"), "int"),
     (re.compile(r"(?i)^MULTISET<(.*)>$"), lambda m: f"map<{flink_type_to_spark(m.group(1))}, int>"),
     (re.compile(r"(?i)^ROW<(.*)>$"), lambda m: f"struct<{m.group(1)}>"),

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_sql_toolkit_spark.compat import ensure_time_type
+
 # Analyzed-plan cache: building a scan DataFrame costs a driver-side
 # file listing + parquet footer read (a blocking Py4J round-trip)
 # every call — ~0.15-0.2 s per query at sf0.1, i.e. 30-40% of a
@@ -141,6 +143,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Set here (not only in build_spark) because the driver's verify
     # harness supplies its own SparkSession; it's a runtime SQL conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_time_type(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong conf); convert to Spark's micros timestamps. Integer

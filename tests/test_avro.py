@@ -238,10 +238,12 @@ def test_timestamp_micros_exact_roundtrip():
 
 def test_date_and_time_logical_types_roundtrip():
     """Flink DATE / TIME avro logical types: date as epoch days on
-    int; time-millis/micros decoded to the wall-clock string this
-    engine's DDL uses for TIME columns."""
+    int; time-millis/micros decoded to wall-clock ``datetime.time``
+    (the engine's DDL maps TIME to Spark 4.1's TimeType — compat.py
+    gates both; string-in still encodes for back-compat)."""
     import datetime as dt
 
+    from flink_sql_toolkit_spark.compat import SUPPORTS_TIME_TYPE
     from flink_sql_toolkit_spark.sources.avro_codec import (
         decode_record,
         encode_record,
@@ -256,12 +258,19 @@ def test_date_and_time_logical_types_roundtrip():
             {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
         ],
     }
+
+    def norm(v):
+        return v.isoformat() if SUPPORTS_TIME_TYPE else v
+
     row = {"d": dt.date(2024, 3, 1), "tm": "13:45:30", "tu": "13:45:30.250000"}
     out = decode_record(encode_record(row, schema), schema)
     assert out["d"] == dt.date(2024, 3, 1)
-    assert out["tm"] == "13:45:30"
-    assert out["tu"] == "13:45:30.250000"
+    assert norm(out["tm"]) == "13:45:30"
+    assert norm(out["tu"]) == "13:45:30.250000"
+    # datetime.time values (the TimeType path) encode as well
+    row_t = {"d": dt.date(2024, 3, 1), "tm": dt.time(13, 45, 30), "tu": dt.time(13, 45, 30, 250000)}
+    assert decode_record(encode_record(row_t, schema), schema) == out
     # ints pass through encode unchanged (pre-encoded epoch units)
     raw = decode_record(encode_record({"d": 0, "tm": 1000, "tu": 1_000_000}, schema), schema)
     assert raw["d"] == dt.date(1970, 1, 1)
-    assert raw["tm"] == "00:00:01" and raw["tu"] == "00:00:01"
+    assert norm(raw["tm"]) == "00:00:01" and norm(raw["tu"]) == "00:00:01"
