@@ -34,7 +34,13 @@ from flink_sql_toolkit_spark.sources.ddl import (
     matches_create_table_with,
     parse_create_table,
 )
-from flink_sql_toolkit_spark.streaming.buffer import EOS, PAYLOAD, StreamResultBuffer
+from flink_sql_toolkit_spark.streaming.buffer import (
+    EOS,
+    PAYLOAD,
+    ChangelogResultBuffer,
+    StreamResultBuffer,
+    grouping_key_positions,
+)
 from flink_sql_toolkit_spark.streaming.jobs import JobRegistry
 
 PAGE_SIZE = 1000
@@ -282,10 +288,31 @@ class Operation:
         """Streaming SELECT → ring-buffered incremental results."""
         sess = self.session
         self.is_query_result = True
-        self._columns = [
-            {"name": f.name, "logicalType": f.dataType.simpleString()} for f in df.schema.fields
-        ]
-        self._stream_buffer = StreamResultBuffer()
+        # Flink's SQL-client changelog view: rows carry their RowKind
+        # in a leading `op` column (+I / -U / +U), paired on the
+        # update-mode grouping key derived from the analyzed plan
+        changelog = (
+            sess.flink_conf.get("sql-client.execution.result-mode", "")
+            .strip()
+            .lower()
+            == "changelog"
+        )
+
+        def _bind_result(frame: DataFrame) -> None:
+            cols = [
+                {"name": f.name, "logicalType": f.dataType.simpleString()}
+                for f in frame.schema.fields
+            ]
+            if changelog:
+                self._columns = [{"name": "op", "logicalType": "string"}, *cols]
+                self._stream_buffer = ChangelogResultBuffer(
+                    grouping_key_positions(frame)
+                )
+            else:
+                self._columns = cols
+                self._stream_buffer = StreamResultBuffer()
+
+        _bind_result(df)
         name = f"select-{self.handle[:8]}"
 
         def _start(mode: str, frame: DataFrame = df):
@@ -352,10 +379,7 @@ class Operation:
                     "(TUMBLE/HOP/CUMULATE) for time-based frames"
                 ) from e
             df = sess.spark.sql(rewrite(routed))
-            self._columns = [
-                {"name": f.name, "logicalType": f.dataType.simpleString()}
-                for f in df.schema.fields
-            ]
+            _bind_result(df)
             q = _start_any(df)
         self._stream_query = q
         info = sess.jobs.register(q, name)

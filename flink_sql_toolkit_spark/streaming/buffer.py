@@ -19,11 +19,53 @@ via ``offset``, exactly as if they had passed through the ring.
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 from typing import Any
 
 NOT_READY = "NOT_READY"
 PAYLOAD = "PAYLOAD"
 EOS = "EOS"
+
+
+def grouping_key_positions(df) -> list[int] | None:
+    """Output positions of the outermost Aggregate's grouping columns.
+
+    This is the key Spark's update output mode re-emits rows under —
+    and therefore the key a changelog view must pair -U/+U rows on.
+    Walks the analyzed plan (breadth-first, so the aggregate closest
+    to the sink wins) and maps grouping ``AttributeReference``s onto
+    the root output by expression id; grouping expressions hidden
+    behind aliases or dropped by a projection can't be mapped — then
+    (or with no aggregate at all) returns None and the caller treats
+    the stream as append-only (+I rows).
+    """
+    try:
+        jplan = df._jdf.queryExecution().analyzed()
+    except Exception:  # noqa: BLE001 — non-classic DataFrame (mock)
+        return None
+
+    def seq(s) -> list:
+        return [s.apply(i) for i in range(s.size())]
+
+    queue = [jplan]
+    while queue:
+        node = queue.pop(0)
+        if node.getClass().getSimpleName() == "Aggregate":
+            gids = {
+                g.exprId().id()
+                for g in seq(node.groupingExpressions())
+                if g.getClass().getSimpleName() == "AttributeReference"
+            }
+            if not gids:
+                return None
+            pos = [
+                i
+                for i, a in enumerate(seq(jplan.output()))
+                if a.exprId().id() in gids
+            ]
+            return pos or None
+        queue.extend(seq(node.children()))
+    return None
 
 
 class StreamResultBuffer:
@@ -104,3 +146,70 @@ class StreamResultBuffer:
                 "totalRows": self._total,
                 "isComplete": self._finished,
             }
+
+
+class ChangelogResultBuffer(StreamResultBuffer):
+    """Changelog (retract-stream) view of a streaming result — Flink's
+    ``SET 'sql-client.execution.result-mode' = 'changelog'``.
+
+    Each visible row is prefixed with its RowKind ``op``: the first
+    value seen for a key emits ``+I``; a later update-mode re-emission
+    of that key emits the ``-U`` retraction of the previous value
+    followed by the ``+U`` new value — exactly the changelog Flink's
+    SQL client renders. ``key_positions`` are the output positions of
+    the update-mode grouping key (``grouping_key_positions``); with no
+    key (append-only query, or an unmappable grouping) every row is
+    ``+I``.
+
+    Scale bounds: per-batch driver materialization inherits the
+    parent's ``tail(max_rows)`` cap, and the key→last-value map is an
+    LRU capped at ``max_keys`` — evicting a key means a later update
+    for it re-emits as ``+I`` instead of a ``-U``/``+U`` pair (the
+    same degradation Flink's client exhibits when its result table is
+    size-capped); ``evicted_keys`` makes that observable.
+    """
+
+    def __init__(
+        self,
+        key_positions: list[int] | None,
+        max_rows: int = 1000,
+        max_keys: int = 100_000,
+    ):
+        super().__init__(max_rows)
+        self.key_positions = key_positions
+        self.max_keys = max_keys
+        self.evicted_keys = 0
+        self._last: OrderedDict[tuple, list] = OrderedDict()
+
+    def foreach_batch(self, batch_df, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            tail = batch_df.tail(self.max_rows)
+        finally:
+            batch_df.unpersist()
+        skipped = n - len(tail)
+        out: list[list[Any]] = []
+        if self.key_positions is None:
+            out = [["+I", *r] for r in tail]
+        else:
+            for r in tail:
+                row = list(r)
+                key = tuple(row[i] for i in self.key_positions)
+                old = self._last.get(key)
+                if old is None:
+                    out.append(["+I", *row])
+                else:
+                    out.append(["-U", *old])
+                    out.append(["+U", *row])
+                self._last[key] = row
+                self._last.move_to_end(key)
+                if len(self._last) > self.max_keys:
+                    self._last.popitem(last=False)
+                    self.evicted_keys += 1
+        # `skipped` input rows beyond the ring cap are accounted as
+        # evicted without synthesizing their changelog entries (their
+        # -U/+U pairs would fall out of the ring immediately anyway)
+        self.append_batch(out, total=len(out) + skipped)

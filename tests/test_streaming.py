@@ -364,3 +364,104 @@ def test_streaming_match_recognize_sql(session, tmp_path, spark):
         time.sleep(0.5)
     op.cancel()
     assert sorted(got) == [(1, 1, 3, 2), (1, 4, 5, 1)]
+
+
+def test_changelog_result_mode(session, tmp_path):
+    """`SET 'sql-client.execution.result-mode'='changelog'`: streaming
+    aggregate results carry their RowKind in a leading `op` column —
+    +I on a key's first value, then a -U(old)/+U(new) retraction pair
+    on each update-mode re-emission (Flink's changelog view)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "clog"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": ["a", "a", "b"], "v": [1, 2, 10]}), d / "f1.parquet"
+    )
+    session.execute_statement("SET 'sql-client.execution.result-mode'='changelog'")
+    session.execute_statement(
+        f"""CREATE TABLE clog_src (k STRING, v BIGINT)
+        WITH ('connector'='filesystem', 'path'='{d}', 'format'='parquet')"""
+    )
+    op = session.execute_statement("SELECT k, SUM(v) AS s FROM clog_src GROUP BY k")
+    assert op.status == "RUNNING"
+    assert [c["name"] for c in op._columns] == ["op", "k", "s"]
+
+    got, token = [], 0
+
+    def poll_until(pred, timeout=60):
+        nonlocal token
+        deadline = time.time() + timeout
+        while time.time() < deadline and not pred():
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(page["data"])
+            time.sleep(0.3)
+
+    poll_until(lambda: len(got) >= 2)
+    assert sorted(got) == [["+I", "a", 3], ["+I", "b", 10]]
+
+    # second micro-batch updates key 'a' only → retraction pair
+    pq.write_table(pa.table({"k": ["a"], "v": [4]}), d / "f2.parquet")
+    poll_until(lambda: len(got) >= 4)
+    op.cancel()
+    assert got[2:] == [["-U", "a", 3], ["+U", "a", 7]]
+
+
+def test_changelog_append_only_all_inserts(session, sf_dir):
+    """With no aggregation the stream is insert-only: every changelog
+    row is +I (Flink renders an append stream the same way)."""
+    session.execute_statement("SET 'sql-client.execution.result-mode'='changelog'")
+    session.execute_statement(
+        f"""CREATE TABLE clog_nation (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING)
+        WITH ('connector'='filesystem', 'path'='{sf_dir}/nation.parquet', 'format'='parquet')"""
+    )
+    op = session.execute_statement("SELECT n_name FROM clog_nation")
+    got, token = [], 0
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 25:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(page["data"])
+        time.sleep(0.3)
+    op.cancel()
+    assert len(got) == 25
+    assert {r[0] for r in got} == {"+I"}
+
+
+def test_changelog_buffer_key_eviction_unit():
+    """The changelog key map is an LRU: past `max_keys` an evicted
+    key's next update degrades to +I (no stale retraction), and the
+    eviction is counted for observability."""
+    from flink_sql_toolkit_spark.streaming.buffer import ChangelogResultBuffer
+
+    buf = ChangelogResultBuffer(key_positions=[0], max_keys=2)
+
+    class FakeBatch:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            return self
+
+        def count(self):
+            return len(self.rows)
+
+        def tail(self, n):
+            return self.rows[-n:]
+
+    buf.foreach_batch(FakeBatch([["a", 1], ["b", 2], ["c", 3]]), 0)
+    assert buf.evicted_keys == 1  # 'a' fell out of the 2-key LRU
+    buf.foreach_batch(FakeBatch([["a", 9], ["c", 4]]), 1)
+    page = buf.fetch(0)
+    assert page["data"][:3] == [["+I", "a", 1], ["+I", "b", 2], ["+I", "c", 3]]
+    # 'a' was evicted → re-inserts (+I, no -U); 'c' stayed → pair
+    assert page["data"][3:] == [
+        ["+I", "a", 9],
+        ["-U", "c", 3],
+        ["+U", "c", 4],
+    ]
