@@ -393,6 +393,18 @@ def _datagen_columns(spark_value_col, table: ConnectorTable):
             expr = F.concat(F.lit(c.name[:length] + "_"), v.cast("string"))
         elif t in ("timestamp", "timestamp_ntz"):
             expr = F.col("timestamp").cast(t)
+        elif t == "date":
+            expr = F.date_add(
+                F.to_date(F.lit("2024-01-01")), F.pmod(v, F.lit(365)).cast("int")
+            )
+        elif t.startswith("time"):
+            # wall-clock spread over the day, second granularity
+            expr = F.call_function(
+                "make_time",
+                F.pmod(v, F.lit(24)).cast("int"),
+                F.pmod(v, F.lit(60)).cast("int"),
+                F.pmod(v, F.lit(60)).cast("int"),
+            ).cast(t)
         elif t == "boolean":
             expr = (v % 2 == 0)
         else:

@@ -128,3 +128,21 @@ def test_avro_time_roundtrip():
         "t_ms": time(12, 34, 56, 789000),
         "t_us": time(1, 2, 3, 456789),
     }
+
+
+def test_datagen_generates_time_and_date(session):
+    """datagen fills TIME/DATE columns with deterministic wall-clock
+    values instead of NULLs (Flink's datagen generates every declared
+    type — syntax-test.fsql datagen section)."""
+    from datetime import date
+
+    session.execute_statement("SET 'execution.runtime-mode'='batch'")
+    session.execute_statement(
+        """CREATE TABLE dg_t (id BIGINT, t TIME(0), d DATE)
+        WITH ('connector'='datagen', 'number-of-rows'='3')"""
+    )
+    rows = session.execute_statement("SELECT * FROM dg_t ORDER BY id").fetch()["data"]
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert rows[1][1] == time(2, 2, 2)
+    assert rows[1][2] == date(2024, 1, 4)
+    assert all(r[1] is not None and r[2] is not None for r in rows)
