@@ -31,7 +31,12 @@ import re
 
 from pyspark.sql import SparkSession
 
-from flink_sql_toolkit_spark.dialect.rewriter import _mask, _split_args, _unmask
+from flink_sql_toolkit_spark.dialect.rewriter import (
+    _mask,
+    _matching_paren,
+    _split_args,
+    _unmask,
+)
 
 # AGG(arg) OVER ( — the span's closing paren is found by balance.
 # \x00 admits masked backtick identifiers as the argument.
@@ -48,18 +53,6 @@ _SPEC = re.compile(
 _AGG_SUFFIX = {"SUM": "sum", "COUNT": "cnt", "AVG": "avg", "MIN": "min", "MAX": "max"}
 
 _view_ids = itertools.count()
-
-
-def _matching_paren(text: str, open_idx: int) -> int:
-    depth = 0
-    for i in range(open_idx, len(text)):
-        if text[i] == "(":
-            depth += 1
-        elif text[i] == ")":
-            depth -= 1
-            if depth == 0:
-                return i
-    raise ValueError("unbalanced parentheses in OVER clause")
 
 
 def rewrite_streaming_over_sql(spark: SparkSession, stmt: str) -> str | None:
@@ -90,11 +83,19 @@ def rewrite_streaming_over_sql(spark: SparkSession, stmt: str) -> str | None:
     for m in _OVER_CALL.finditer(masked):
         open_idx = masked.index("(", m.end() - 1)
         close_idx = _matching_paren(masked, open_idx)
+        if close_idx < 0:
+            return None  # unbalanced OVER clause: typed guidance path
         spans.append(
             (m.start(), close_idx + 1, m.group(1).upper(), m.group(2).strip(),
              masked[open_idx + 1 : close_idx])
         )
     if not spans:
+        return None
+    # every OVER in the statement must be one of the collected spans —
+    # an uncollectable clause (COUNT(*), expression argument, nested
+    # call) would otherwise survive the splice and fail downstream
+    # with a raw AnalysisException instead of the typed guidance
+    if len(re.findall(r"(?is)\bOVER\s*\(", masked)) != len(spans):
         return None
 
     # all clauses must share one window spec (compare unmasked so two
@@ -121,19 +122,42 @@ def rewrite_streaming_over_sql(spark: SparkSession, stmt: str) -> str | None:
     if not src.isStreaming:
         return None
 
+    # SQL evaluates WHERE *before* window functions: hoist the
+    # predicate onto the source so filtered-out rows never occupy
+    # frame slots, and splice it out of the outer statement (which
+    # now reads the operator's already-aggregated view)
+    wm = re.search(
+        r"(?is)\bWHERE\b(?P<pred>.*?)(?=\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+        masked,
+    )
+    if wm and wm.start() < max(end for _s, end, *_ in spans):
+        return None  # OVER inside/after WHERE: splice offsets invalid
+    if wm:
+        predicate = _unmask(wm.group("pred"), lits).strip().rstrip(";").strip()
+        try:
+            src = src.filter(predicate)
+        except Exception:  # noqa: BLE001 — unparsable predicate: typed reject
+            return None
+        masked = masked[: wm.start()] + masked[wm.end():]
+
     partition_by = [
         _unmask(c, lits).strip().strip("`") for c in _split_args(sm.group("part"))
     ]
     order_col = _unmask(sm.group("order"), lits).strip("`")
-    if sm.group("nrows") is not None:
-        out = streaming_over_rows(
-            src, partition_by, [order_col], value_col, int(sm.group("nrows"))
-        )
-    else:
-        out = streaming_over_range(
-            src, partition_by, order_col, value_col,
-            _unmask(sm.group("interval"), lits),
-        )
+    try:
+        if sm.group("nrows") is not None:
+            out = streaming_over_rows(
+                src, partition_by, [order_col], value_col, int(sm.group("nrows"))
+            )
+        else:
+            out = streaming_over_range(
+                src, partition_by, order_col, value_col,
+                _unmask(sm.group("interval"), lits),
+            )
+    except ValueError:
+        # e.g. calendar-unit RANGE interval (MONTH/YEAR) — not a fixed
+        # duration; fall back to the caller's typed guidance
+        return None
     view = f"_over_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
 

@@ -379,6 +379,10 @@ class Operation:
                     "(TUMBLE/HOP/CUMULATE) for time-based frames"
                 ) from e
             df = sess.spark.sql(rewrite(routed))
+            # the routing registered `_over_out_N` temp view(s); track
+            # them so cancel() drops them instead of leaking catalog
+            # entries across a long-lived interactive session
+            self._temp_views = re.findall(r"\b_over_out_\d+\b", routed)
             _bind_result(df)
             q = _start_any(df)
         self._stream_query = q
@@ -471,6 +475,12 @@ class Operation:
 
     def cancel(self) -> None:
         """Best-effort, idempotent (reference tolerates every state)."""
+        for v in getattr(self, "_temp_views", ()):
+            try:
+                self.session.spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001
+                pass
+        self._temp_views = ()
         if self._stream_query is not None:
             try:
                 if self._stream_query.isActive:

@@ -103,6 +103,17 @@ def kafka_reader_options(table: ConnectorTable) -> dict[str, str]:
     if "topic-pattern" in opts:
         out["subscribePattern"] = opts["topic-pattern"]
         topics = ""
+        # specific offsets name partitions of a concrete topic — a
+        # pattern has none; Flink rejects this combination up front
+        if "specific-offsets" in (
+            opts.get("scan.startup.mode", ""),
+            opts.get("scan.bounded.mode", ""),
+        ):
+            raise ValueError(
+                "scan.startup.mode/scan.bounded.mode = "
+                "'specific-offsets' requires a concrete 'topic', "
+                "not 'topic-pattern'"
+            )
     else:
         topics = ",".join(
             t.strip() for t in opts["topic"].split(";") if t.strip()
@@ -534,10 +545,12 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
         # by-name sinks — parquet written as col1/col2 reads back as
         # all-NULL through the declared schema, and JDBC would create
         # the table with the wrong column names.
-        df = df.select(
+        # toDF first: a positional rename tolerates duplicate or dotted
+        # names in the query output (df['name'] lookups would not)
+        df = df.toDF(*[c.name for c in table.columns]).select(
             *[
-                df[df.columns[i]].cast(c.spark_type).alias(c.name)
-                for i, c in enumerate(table.columns)
+                F.col(f"`{c.name}`").cast(c.spark_type).alias(c.name)
+                for c in table.columns
             ]
         )
 

@@ -18,6 +18,7 @@ watermark.
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Iterator
 
@@ -239,10 +240,24 @@ def streaming_match_recognize(
 
 
 # value types accepted by the streaming OVER operators; anything else
-# (DECIMAL, STRING, …) is a typed rejection — DECIMAL would silently
-# lose precision through the float state array (ADVICE r5)
+# (DECIMAL, STRING, …) is a typed rejection — DECIMAL has no exact
+# frame-state representation here (ADVICE r5). Integral values keep
+# an exact array<bigint> frame (a float frame would silently round
+# BIGINTs past 2^53); floats use array<double> with NaN null slots.
 _OVER_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 _OVER_FLOAT_TYPES = ("float", "double")
+
+
+def _encode_val(v, is_int: bool):
+    """Frame-slot encoding: exact int (None = NULL slot) for integral
+    value columns, float (NaN = NULL slot) for floating-point ones."""
+    if _is_null(v):
+        return None if is_int else float("nan")
+    return int(v) if is_int else float(v)
+
+
+def _is_missing(x) -> bool:
+    return x is None or (isinstance(x, float) and math.isnan(x))
 
 
 def _over_schemas(
@@ -270,8 +285,8 @@ def _over_schemas(
         raise NotImplementedError(
             f"streaming OVER aggregation supports integral and "
             f"floating-point value columns; '{value_col}' is {vt} — "
-            "CAST it to BIGINT or DOUBLE first (DECIMAL would lose "
-            "precision silently through the float frame state)"
+            "CAST it to BIGINT or DOUBLE first (DECIMAL has no exact "
+            "frame-state representation here)"
         )
     typed = {
         "sum": num_t, "cnt": "bigint", "avg": "double",
@@ -290,7 +305,7 @@ def _is_null(v) -> bool:
         return False
 
 
-def _frame_aggs(live: list[float], aggs: tuple[str, ...], num_t: str) -> list:
+def _frame_aggs(live: list, aggs: tuple[str, ...], num_t: str) -> list:
     """Aggregates over the non-null frame values. SQL semantics:
     SUM/AVG/MIN/MAX skip NULLs and are NULL over an all-null frame;
     cnt counts non-null values (COUNT(x), not COUNT(*))."""
@@ -347,14 +362,14 @@ def streaming_over_rows(
     out_schema, num_t, emit_cols = _over_schemas(
         df, partition_by, order_by, value_col, aggs
     )
-    # NaN marks a NULL slot in the frame (array<double> state cannot
-    # hold None; genuine NaN input is treated as NULL, matching the
-    # ADVICE guidance)
-    state_schema = "frame array<double>"
+    # integral values keep an exact bigint frame (None = NULL slot);
+    # floats use a double frame with NaN null slots (ADVICE guidance)
+    is_int = num_t == "bigint"
+    state_schema = "frame array<bigint>" if is_int else "frame array<double>"
     out_cols = emit_cols + [f"{value_col}_{a}" for a in aggs]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        frame: list[float] = list(state.get[0]) if state.exists else []
+        frame: list = list(state.get[0]) if state.exists else []
         out_rows = []
         for pdf in pdfs:
             if not len(pdf):
@@ -362,12 +377,12 @@ def streaming_over_rows(
             pdf = pdf.sort_values(order_by, kind="mergesort")
             vals = pdf[value_col].tolist()
             for row, v in zip(pdf[emit_cols].itertuples(index=False), vals):
-                frame.append(float("nan") if _is_null(v) else float(v))
+                frame.append(_encode_val(v, is_int))
                 if len(frame) > n_preceding + 1:
                     frame.pop(0)
-                live = [x for x in frame if not math.isnan(x)]
+                live = [x for x in frame if not _is_missing(x)]
                 out_rows.append(list(row) + _frame_aggs(live, aggs, num_t))
-        state.update(([float(x) for x in frame],))
+        state.update((frame,))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_cols)
 
@@ -461,7 +476,8 @@ def streaming_over_range(
     out_schema, num_t, emit_cols = _over_schemas(
         df, partition_by, order_by, value_col, aggs
     )
-    state_schema = "ts array<bigint>, vals array<double>"
+    is_int = num_t == "bigint"
+    state_schema = f"ts array<bigint>, vals array<{'bigint' if is_int else 'double'}>"
     out_cols = emit_cols + [f"{value_col}_{a}" for a in aggs]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -484,7 +500,7 @@ def streaming_over_range(
                 t_us = int(pd.Timestamp(t).value // 1000)
                 if max_ts is not None and t_us < max_ts - horizon_us:
                     continue  # beyond-watermark late row → dropped
-                fv = float("nan") if _is_null(v) else float(v)
+                fv = _encode_val(v, is_int)
                 i = bisect.bisect_right(ts_list, t_us)
                 ts_list.insert(i, t_us)
                 val_list.insert(i, fv)
@@ -496,7 +512,7 @@ def streaming_over_range(
                     del ts_list[:cut], val_list[:cut]
                 lo = bisect.bisect_left(ts_list, t_us - horizon_us)
                 hi = bisect.bisect_right(ts_list, t_us)
-                live = [x for x in val_list[lo:hi] if not math.isnan(x)]
+                live = [x for x in val_list[lo:hi] if not _is_missing(x)]
                 out_rows.append(list(row) + _frame_aggs(live, aggs, num_t))
         state.update((ts_list, val_list))
         if out_rows:

@@ -316,3 +316,46 @@ def test_kafka_specific_offsets_malformed():
                 " 'scan.startup.specific-offsets'='offset:42'"
             )
         )
+
+
+def test_kafka_topic_pattern_specific_offsets_rejected():
+    """specific-offsets names partitions of a concrete topic; combined
+    with topic-pattern Flink rejects up front — so does the engine
+    (review r6: previously built startingOffsets keyed by '')."""
+    from flink_sql_toolkit_spark.sources.connectors import kafka_reader_options
+
+    t = parse_create_table(
+        """
+        CREATE TABLE k (id BIGINT) WITH (
+          'connector'='kafka', 'topic-pattern'='orders.*',
+          'scan.startup.mode'='specific-offsets',
+          'scan.startup.specific-offsets'='partition:0,offset:42',
+          'format'='json');
+        """
+    )
+    with pytest.raises(ValueError, match="topic-pattern"):
+        kafka_reader_options(t)
+
+
+def test_insert_select_duplicate_columns(spark, tmp_path):
+    """Positional INSERT alignment must tolerate duplicate column
+    names in the query output (review r6: name-based lookup raised
+    AMBIGUOUS_REFERENCE)."""
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session("dup-cols")
+    try:
+        sess.execute_statement("SET 'execution.runtime-mode'='batch'")
+        sess.execute_statement(
+            f"""CREATE TABLE dup_sink (a BIGINT, b BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/dup',
+                  'format'='parquet')"""
+        )
+        sess.execute_statement(
+            "INSERT INTO dup_sink SELECT x, x FROM (SELECT 7 AS x)"
+        )
+        page = sess.execute_statement("SELECT a, b FROM dup_sink").fetch()
+        assert page["data"] == [[7, 7]]
+    finally:
+        sess.close()

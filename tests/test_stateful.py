@@ -650,3 +650,134 @@ def test_streaming_mr_truncation_is_observable(spark, tmp_path):
     assert acc.value == 5
     # the match that closes in batch 1 only saw the retained suffix
     assert [(r.f, r.n) for r in rows] == [(6, 3)]
+
+
+def test_streaming_over_sql_where_filters_frames(spark, tmp_path):
+    """WHERE evaluates before window functions: filtered-out rows must
+    not occupy ROWS-frame slots (review r6 — previously the predicate
+    was applied to the operator's output, silently corrupting frames)."""
+    import datetime as _dt
+    import time as _time
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10),
+        (1, t0 + _dt.timedelta(seconds=1), -99),  # excluded by WHERE
+        (1, t0 + _dt.timedelta(seconds=2), 20),
+    ]
+    spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/wsql")
+    engine = Engine(spark)
+    sess = engine.open_session("over-where")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE wsql_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/wsql',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+            "FROM wsql_src WHERE v > 0"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 2:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        # frame of the t0+2s row is (10, 20) — NOT (-99, 20)
+        assert sorted(got) == [
+            (1, t0, 10),
+            (1, t0 + _dt.timedelta(seconds=2), 30),
+        ]
+        # routed temp views are dropped on cancel (no catalog leak)
+        leftover = [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("_over_out_")
+        ]
+        assert leftover == []
+    finally:
+        sess.close()
+
+
+def test_streaming_over_sql_uncollectable_over_rejected(spark, tmp_path):
+    """A statement mixing a routable OVER with one the router cannot
+    collect (COUNT(*)) must fall back to the typed guidance, not a
+    half-rewritten query that fails downstream (review r6)."""
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session("over-partial")
+    try:
+        sess.execute_statement(
+            "CREATE TABLE op_src (k BIGINT, ts TIMESTAMP, v BIGINT) WITH "
+            "('connector'='datagen', 'rows-per-second'='1')"
+        )
+        with _pytest.raises(NotImplementedError, match="streaming_over_rows"):
+            sess.execute_statement(
+                "SELECT SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
+                "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, "
+                "COUNT(*) OVER (PARTITION BY k ORDER BY ts ROWS "
+                "BETWEEN 1 PRECEDING AND CURRENT ROW) AS c FROM op_src"
+            )
+    finally:
+        sess.close()
+
+
+def test_streaming_over_sql_calendar_range_rejected(spark, tmp_path):
+    """RANGE with a calendar unit (MONTH) is not a fixed duration —
+    typed guidance instead of a raw ValueError (review r6)."""
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session("over-month")
+    try:
+        sess.execute_statement(
+            "CREATE TABLE om_src (k BIGINT, ts TIMESTAMP, v BIGINT) WITH "
+            "('connector'='datagen', 'rows-per-second'='1')"
+        )
+        with _pytest.raises(NotImplementedError, match="streaming_over_rows"):
+            sess.execute_statement(
+                "SELECT SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+                "BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) "
+                "AS s FROM om_src"
+            )
+    finally:
+        sess.close()
+
+
+def test_streaming_over_rows_bigint_exact(spark, tmp_path):
+    """Integral value columns keep an exact bigint frame: sums over
+    values past 2^53 must not round through float64 (review r6)."""
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_rows
+
+    big = 10_000_000_000_000_003  # > 2^53; float64 rounds to ...004
+    rows = [(1, 1, big), (1, 2, big + 2)]
+    schema = "k long, seq long, v long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/bigint/in")
+    stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/bigint/in")
+    out = streaming_over_rows(
+        stream, partition_by=["k"], order_by=["seq"], value_col="v", n_preceding=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("over_bigint")
+        .option("checkpointLocation", str(tmp_path / "bigint/ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.seq: (r.v_sum, r.v_min, r.v_max) for r in spark.table("over_bigint").collect()}
+    assert got[2] == (2 * big + 2, big, big + 2)  # exact, no float rounding
