@@ -39,7 +39,7 @@ _SET_TRANSLATION = {
 _ENGINE_KEYS = {
     "execution.runtime-mode",            # streaming|batch → dispatch mode
     "execution.checkpointing.interval",  # → streaming trigger interval
-    "table.exec.state.ttl",              # no per-op TTL in Spark → recorded
+    "table.exec.state.ttl",              # → stateful-operator key TTL (engine.state_ttl_ms)
     "pipeline.name",                     # → job name
     "sql-client.execution.result-mode",
 }

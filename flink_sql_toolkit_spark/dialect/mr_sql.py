@@ -51,7 +51,9 @@ def _matching_paren(text: str, open_idx: int) -> int:
     raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
 
 
-def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
+def rewrite_match_recognize_sql(
+    spark: SparkSession, stmt: str, ttl_ms: int | None = None
+) -> str:
     """Replace each ``FROM <t> MATCH_RECOGNIZE (...)`` with a temp
     view holding the operator's result; return the remaining SQL."""
     from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
@@ -145,7 +147,7 @@ def rewrite_match_recognize_sql(spark: SparkSession, stmt: str) -> str:
                 streaming_match_recognize,
             )
 
-            out = streaming_match_recognize(src, **kwargs)
+            out = streaming_match_recognize(src, ttl_ms=ttl_ms, **kwargs)
         else:
             out = match_recognize(src, all_rows=all_rows, **kwargs)
         view = f"_mr_out_{next(_view_ids)}"

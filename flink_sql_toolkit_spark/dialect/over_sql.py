@@ -55,7 +55,9 @@ _AGG_SUFFIX = {"SUM": "sum", "COUNT": "cnt", "AVG": "avg", "MIN": "min", "MAX": 
 _view_ids = itertools.count()
 
 
-def rewrite_streaming_over_sql(spark: SparkSession, stmt: str) -> str | None:
+def rewrite_streaming_over_sql(
+    spark: SparkSession, stmt: str, ttl_ms: int | None = None
+) -> str | None:
     """Rewrite a streaming SELECT whose OVER clauses fit the supported
     shape to read from the stateful operator's temp view; return the
     rewritten SQL, or ``None`` if the shape is unsupported (the caller
@@ -147,12 +149,13 @@ def rewrite_streaming_over_sql(spark: SparkSession, stmt: str) -> str | None:
     try:
         if sm.group("nrows") is not None:
             out = streaming_over_rows(
-                src, partition_by, [order_col], value_col, int(sm.group("nrows"))
+                src, partition_by, [order_col], value_col,
+                int(sm.group("nrows")), ttl_ms=ttl_ms,
             )
         else:
             out = streaming_over_range(
                 src, partition_by, order_col, value_col,
-                _unmask(sm.group("interval"), lits),
+                _unmask(sm.group("interval"), lits), ttl_ms=ttl_ms,
             )
     except ValueError:
         # e.g. calendar-unit RANGE interval (MONTH/YEAR) — not a fixed

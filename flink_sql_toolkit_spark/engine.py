@@ -188,7 +188,12 @@ class Operation:
                 rewrite_match_recognize_sql,
             )
 
-            stmt = rewrite_match_recognize_sql(sess.spark, stmt)
+            stmt = rewrite_match_recognize_sql(
+                sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
+            )
+            self._temp_views = list(getattr(self, "_temp_views", [])) + re.findall(
+                r"\b_mr_out_\d+\b", stmt
+            )
         # everything else: the dialect rewrite + spark.sql
         df = sess.spark.sql(rewrite(stmt))
         # catalog-mutating statements taking this generic path (CREATE
@@ -365,7 +370,9 @@ class Operation:
             )
 
             stmt = strip_leading_comments(self.statement).rstrip(";").strip()
-            routed = rewrite_streaming_over_sql(sess.spark, stmt)
+            routed = rewrite_streaming_over_sql(
+                sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
+            )
             if routed is None:
                 raise NotImplementedError(
                     "this OVER window shape is not supported in a "
@@ -382,7 +389,9 @@ class Operation:
             # the routing registered `_over_out_N` temp view(s); track
             # them so cancel() drops them instead of leaking catalog
             # entries across a long-lived interactive session
-            self._temp_views = re.findall(r"\b_over_out_\d+\b", routed)
+            self._temp_views = list(getattr(self, "_temp_views", [])) + re.findall(
+                r"\b_over_out_\d+\b", routed
+            )
             _bind_result(df)
             q = _start_any(df)
         self._stream_query = q
@@ -637,6 +646,33 @@ class EngineSession:
             m.group(2) or "ms", "milliseconds"
         )
         return f"{m.group(1)} {unit}"
+
+    def state_ttl_ms(self) -> int | None:
+        """``table.exec.state.ttl`` as milliseconds (None = no TTL).
+
+        Flink accepts a bare number (ms) or a duration with units; the
+        stateful operators (streaming MATCH_RECOGNIZE / OVER) translate
+        it to a per-key ProcessingTimeTimeout so idle keys are evicted
+        — unbounded key cardinality must not grow state forever."""
+        raw = self.flink_conf.get("table.exec.state.ttl")
+        if not raw:
+            return None
+        m = re.match(
+            r"(?i)^\s*(\d+)\s*(ms|milliseconds?|s|sec|seconds?|min|minutes?|h|hours?|d|days?)?\s*$",
+            raw,
+        )
+        if not m:
+            return None
+        n = int(m.group(1))
+        unit = (m.group(2) or "ms").lower()
+        factor = (
+            1 if unit.startswith("m") and unit != "min" and not unit.startswith("minute")
+            else 1000 if unit in ("s", "sec") or unit.startswith("second")
+            else 60_000 if unit == "min" or unit.startswith("minute")
+            else 3_600_000 if unit == "h" or unit.startswith("hour")
+            else 86_400_000
+        )
+        return n * factor or None
 
     def new_checkpoint(self, name: str) -> str:
         return f"{self.checkpoint_root}/{name}-{uuid.uuid4().hex[:8]}"

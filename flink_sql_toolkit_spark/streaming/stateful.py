@@ -336,6 +336,7 @@ def streaming_over_rows(
     value_col: str,
     n_preceding: int,
     aggs: tuple[str, ...] = ("sum", "cnt", "avg", "min", "max"),
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming OVER aggregation with a ROWS frame — Spark Structured
     Streaming rejects window functions outright ("non-time-based
@@ -369,6 +370,10 @@ def streaming_over_rows(
     out_cols = emit_cols + [f"{value_col}_{a}" for a in aggs]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key past table.exec.state.ttl: evict its frame
+            state.remove()
+            return
         frame: list = list(state.get[0]) if state.exists else []
         out_rows = []
         for pdf in pdfs:
@@ -383,11 +388,14 @@ def streaming_over_rows(
                 live = [x for x in frame if not _is_missing(x)]
                 out_rows.append(list(row) + _frame_aggs(live, aggs, num_t))
         state.update((frame,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_cols)
 
     return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -424,6 +432,7 @@ def streaming_over_range(
     value_col: str,
     preceding: str | int | float,
     aggs: tuple[str, ...] = ("sum", "cnt", "avg", "min", "max"),
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming OVER aggregation with an event-time RANGE frame —
     Flink's other OverAggregate shape: ``SUM(x) OVER (PARTITION BY k
@@ -481,6 +490,9 @@ def streaming_over_range(
     out_cols = emit_cols + [f"{value_col}_{a}" for a in aggs]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ts_arr, val_arr = state.get
             ts_list, val_list = list(ts_arr), list(val_arr)
@@ -515,9 +527,12 @@ def streaming_over_range(
                 live = [x for x in val_list[lo:hi] if not _is_missing(x)]
                 out_rows.append(list(row) + _frame_aggs(live, aggs, num_t))
         state.update((ts_list, val_list))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_cols)
 
     return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
     )

@@ -781,3 +781,57 @@ def test_streaming_over_rows_bigint_exact(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.seq: (r.v_sum, r.v_min, r.v_max) for r in spark.table("over_bigint").collect()}
     assert got[2] == (2 * big + 2, big, big + 2)  # exact, no float rounding
+
+
+def test_state_ttl_parsing_and_routed_smoke(spark, tmp_path):
+    """`table.exec.state.ttl` parses Flink duration shapes and flows
+    into the routed stateful operators (ProcessingTimeTimeout evicts
+    idle keys — unbounded key cardinality must not grow state forever)."""
+    import datetime as _dt
+    import time as _time
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session("ttl")
+    try:
+        for raw, ms in [
+            ("1000", 1000), ("1 s", 1000), ("30 min", 1_800_000),
+            ("2 h", 7_200_000), ("1 d", 86_400_000), ("500 ms", 500),
+            ("10 seconds", 10_000), ("0", None), ("bogus", None),
+        ]:
+            sess.flink_conf["table.exec.state.ttl"] = raw
+            assert sess.state_ttl_ms() == ms, raw
+        sess.flink_conf.pop("table.exec.state.ttl")
+        assert sess.state_ttl_ms() is None
+
+        # routed streaming OVER still computes correctly with a TTL set
+        t0 = _dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 10), (1, t0 + _dt.timedelta(seconds=1), 20)]
+        spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp_path}/ttl")
+        sess.execute_statement("SET 'table.exec.state.ttl'='1 h'")
+        sess.execute_statement(
+            f"""CREATE TABLE ttl_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/ttl',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM ttl_src"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 2:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        assert sorted(got) == [
+            (1, t0, 10),
+            (1, t0 + _dt.timedelta(seconds=1), 30),
+        ]
+    finally:
+        sess.close()
