@@ -138,16 +138,13 @@ def rewrite_match_recognize_sql(
         if src.isStreaming:
             # streaming table → the stateful cross-micro-batch operator
             # (prefix-stable emission; streaming/stateful.py)
-            if all_rows:
-                raise NotImplementedError(
-                    "ALL ROWS PER MATCH over a streaming table is not "
-                    "supported — use ONE ROW PER MATCH"
-                )
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
                 streaming_match_recognize,
             )
 
-            out = streaming_match_recognize(src, ttl_ms=ttl_ms, **kwargs)
+            out = streaming_match_recognize(
+                src, ttl_ms=ttl_ms, all_rows=all_rows, **kwargs
+            )
         else:
             out = match_recognize(src, all_rows=all_rows, **kwargs)
         view = f"_mr_out_{next(_view_ids)}"

@@ -112,6 +112,7 @@ def streaming_match_recognize(
     max_buffer_rows: int = 100_000,
     ttl_ms: int | None = None,
     truncation_acc=None,
+    all_rows: bool = False,
 ) -> DataFrame:
     """General streaming MATCH_RECOGNIZE: the batch NFA with its
     open-match state carried across micro-batches
@@ -135,9 +136,12 @@ def streaming_match_recognize(
     processing-time TTL that batch-flushes and clears the key
     (``table.exec.state.ttl``).
 
-    Restrictions (typed errors): ONE ROW PER MATCH only, and no
-    PREV() in DEFINE (the batch path compiles PREV to a lag() window,
-    which Structured Streaming cannot evaluate). Rows are processed
+    ONE ROW PER MATCH and ALL ROWS PER MATCH are both supported (the
+    latter emits one row per matched input row with RUNNING measures,
+    exactly the batch expansion — a match's rows emit together once
+    the match is decided). Restriction (typed error): no PREV() in
+    DEFINE (the batch path compiles PREV to a lag() window, which
+    Structured Streaming cannot evaluate). Rows are processed
     in arrival order, sorted by event time within each micro-batch —
     the module-level semantic note applies.
     """
@@ -160,7 +164,7 @@ def streaming_match_recognize(
         define=define,
         measures=measures,
         after_match=after_match,
-        all_rows=False,
+        all_rows=all_rows,
         _compile_only=True,
     )
     if compiled["has_lags"]:

@@ -835,3 +835,46 @@ def test_state_ttl_parsing_and_routed_smoke(spark, tmp_path):
         ]
     finally:
         sess.close()
+
+
+def test_streaming_mr_all_rows_per_match_agrees_with_batch(spark, tmp_path):
+    """ALL ROWS PER MATCH over a stream: one output row per matched
+    input row with RUNNING measures and CLASSIFIER, emitted when the
+    match is decided — identical to the batch expansion even when the
+    match spans micro-batches (r6; previously a typed rejection)."""
+    from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+
+    b0 = [(1, 1, "view"), (1, 2, "view")]
+    b1 = [(1, 3, "purchase"), (2, 1, "view")]
+    b2 = [(2, 2, "purchase")]
+    kwargs = dict(
+        pattern="A+ B",
+        define={"A": "event_type = 'view'", "B": "event_type = 'purchase'"},
+        measures={"n": "COUNT(A.*)", "cls": "CLASSIFIER()"},
+    )
+    got = sorted(
+        (r.user_id, r.seq, r.event_type, r.n, r.cls)
+        for r in _run_stream_mr(
+            spark, tmp_path, [b0, b1, b2], "smr_allrows", all_rows=True, **kwargs
+        )
+    )
+    batch = sorted(
+        (r.user_id, r.seq, r.event_type, r.n, r.cls)
+        for r in match_recognize(
+            spark.createDataFrame(
+                b0 + b1 + b2, "user_id long, seq long, event_type string"
+            ),
+            partition_by=["user_id"],
+            order_by=["seq"],
+            all_rows=True,
+            **kwargs,
+        ).collect()
+    )
+    assert got == batch
+    assert got == [
+        (1, 1, "view", 1, "A"),
+        (1, 2, "view", 2, "A"),
+        (1, 3, "purchase", 2, "B"),
+        (2, 1, "view", 1, "A"),
+        (2, 2, "purchase", 1, "B"),
+    ]

@@ -465,3 +465,46 @@ def test_changelog_buffer_key_eviction_unit():
         ["-U", "c", 3],
         ["+U", "c", 4],
     ]
+
+
+def test_streaming_match_recognize_sql_all_rows(session, tmp_path, spark):
+    """ALL ROWS PER MATCH over a STREAMING table routes to the
+    stateful operator's per-row expansion (r6; previously a typed
+    rejection) — every matched input row pages out with its RUNNING
+    measures."""
+    rows = [(1, 1, "view"), (1, 2, "view"), (1, 3, "purchase")]
+    spark.createDataFrame(
+        rows, "user_id long, seq long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/mrall")
+    session.execute_statement(
+        f"""
+        CREATE TABLE mr_all_stream (
+          user_id BIGINT, seq BIGINT, event_type STRING
+        ) WITH ('connector'='filesystem', 'path'='{tmp_path}/mrall', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        """
+        SELECT user_id, seq, n FROM mr_all_stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES COUNT(A.*) AS n
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS event_type = 'view',
+                   B AS event_type = 'purchase'
+        )
+        """
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 3:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(tuple(r) for r in page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert sorted(got) == [(1, 1, 1), (1, 2, 2), (1, 3, 2)]
