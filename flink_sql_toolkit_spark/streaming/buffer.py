@@ -32,12 +32,15 @@ def grouping_key_positions(df) -> list[int] | None:
 
     This is the key Spark's update output mode re-emits rows under —
     and therefore the key a changelog view must pair -U/+U rows on.
-    Walks the analyzed plan (breadth-first, so the aggregate closest
-    to the sink wins) and maps grouping ``AttributeReference``s onto
-    the root output by expression id; grouping expressions hidden
-    behind aliases or dropped by a projection can't be mapped — then
-    (or with no aggregate at all) returns None and the caller treats
-    the stream as append-only (+I rows).
+    Walks down from the analyzed plan's root through unary nodes,
+    composing Project alias chains (``SELECT k AS kk`` still maps), to
+    the first Aggregate; its grouping ``AttributeReference``s resolve
+    to root-output positions by expression id. The FULL grouping key
+    must resolve — pairing on a partial key would emit a retraction of
+    a *different* key's row (two keys sharing the mapped columns) —
+    else (or with no aggregate, or a non-column grouping expression)
+    returns None and the caller treats the stream as append-only
+    (+I rows), which never fabricates a wrong retraction.
     """
     try:
         jplan = df._jdf.queryExecution().analyzed()
@@ -47,25 +50,50 @@ def grouping_key_positions(df) -> list[int] | None:
     def seq(s) -> list:
         return [s.apply(i) for i in range(s.size())]
 
-    queue = [jplan]
-    while queue:
-        node = queue.pop(0)
-        if node.getClass().getSimpleName() == "Aggregate":
-            gids = {
+    def kind(n) -> str:
+        return n.getClass().getSimpleName()
+
+    # resolve: expression id at the current depth → root output position
+    resolve = {a.exprId().id(): i for i, a in enumerate(seq(jplan.output()))}
+    node = jplan
+    while True:
+        name = kind(node)
+        if name == "Aggregate":
+            # the Aggregate's own output list can alias key columns
+            # (`SELECT a AS aa ... GROUP BY a` has no separate Project)
+            for e in seq(node.aggregateExpressions()):
+                if kind(e) == "Alias" and e.exprId().id() in resolve:
+                    ch = e.child()
+                    if kind(ch) == "AttributeReference":
+                        resolve.setdefault(
+                            ch.exprId().id(), resolve[e.exprId().id()]
+                        )
+            gids = [
                 g.exprId().id()
                 for g in seq(node.groupingExpressions())
-                if g.getClass().getSimpleName() == "AttributeReference"
-            }
-            if not gids:
-                return None
-            pos = [
-                i
-                for i, a in enumerate(seq(jplan.output()))
-                if a.exprId().id() in gids
+                if kind(g) == "AttributeReference"
             ]
-            return pos or None
-        queue.extend(seq(node.children()))
-    return None
+            n_grouping = node.groupingExpressions().size()
+            if not gids or len(gids) != n_grouping:
+                return None  # expression grouping keys: not mappable
+            if not all(g in resolve for g in gids):
+                return None  # key column dropped by a projection
+            return sorted(resolve[g] for g in gids)
+        if name == "Project":
+            new: dict[int, int] = {}
+            for e in seq(node.projectList()):
+                en = kind(e)
+                if en == "AttributeReference" and e.exprId().id() in resolve:
+                    new[e.exprId().id()] = resolve[e.exprId().id()]
+                elif en == "Alias" and e.exprId().id() in resolve:
+                    ch = e.child()
+                    if kind(ch) == "AttributeReference":
+                        new[ch.exprId().id()] = resolve[e.exprId().id()]
+            resolve = new
+        children = seq(node.children())
+        if len(children) != 1:
+            return None  # join/union/leaf above the aggregate
+        node = children[0]
 
 
 class StreamResultBuffer:

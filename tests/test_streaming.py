@@ -508,3 +508,32 @@ def test_streaming_match_recognize_sql_all_rows(session, tmp_path, spark):
         time.sleep(0.5)
     op.cancel()
     assert sorted(got) == [(1, 1, 1), (1, 2, 2), (1, 3, 2)]
+
+
+def test_grouping_key_positions_plan_shapes(spark):
+    """Key derivation for the changelog pairing: plain and aliased
+    grouping columns map to root-output positions; dropped or partial
+    keys and expression groupings return None (append-only +I view —
+    a partial key would pair a retraction against a different key)."""
+    from flink_sql_toolkit_spark.streaming.buffer import grouping_key_positions
+
+    df = spark.createDataFrame([(1, 2, 10)], "a long, b long, v long")
+    df.createOrReplaceTempView("gkp")
+
+    cases = [
+        ("SELECT a, SUM(v) AS s FROM gkp GROUP BY a", [0]),
+        ("SELECT SUM(v) AS s, a FROM gkp GROUP BY a", [1]),
+        ("SELECT a AS aa, SUM(v) AS s FROM gkp GROUP BY a", [0]),
+        ("SELECT a, b, SUM(v) AS s FROM gkp GROUP BY a, b", [0, 1]),
+        # key column dropped → None (can't pair retractions)
+        ("SELECT SUM(v) AS s FROM gkp GROUP BY a", None),
+        # PARTIAL key visible → None, not [0] (two keys sharing `a`
+        # must not retract each other)
+        ("SELECT a, SUM(v) AS s FROM gkp GROUP BY a, b", None),
+        # expression grouping → None
+        ("SELECT a % 2 AS m, SUM(v) AS s FROM gkp GROUP BY a % 2", None),
+        # no aggregate → None
+        ("SELECT a, v FROM gkp", None),
+    ]
+    for sql, want in cases:
+        assert grouping_key_positions(spark.sql(sql)) == want, sql
