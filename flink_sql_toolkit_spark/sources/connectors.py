@@ -258,7 +258,10 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         ).select("_row.*", "timestamp", "partition", "offset", "topic")
     if fmt == "csv":
         return raw.select(
-            F.from_csv(value, schema).alias("_row"), "timestamp", "partition", "offset", "topic"
+            F.from_csv(
+                value, schema, options=csv_reader_options(table.options)
+            ).alias("_row"),
+            "timestamp", "partition", "offset", "topic",
         ).select("_row.*", "timestamp", "partition", "offset", "topic")
     if fmt == "raw":
         first = table.columns[0].name
@@ -381,6 +384,92 @@ def _apply_extensions(df: DataFrame, table: ConnectorTable, streaming: bool) -> 
     return df
 
 
+def csv_reader_options(opts: dict) -> dict:
+    """Flink ``csv.*`` table options → Spark csv reader options
+    (tmLanguage.json csv option vocabulary). ``ignore-parse-errors``
+    maps to PERMISSIVE (bad fields null out, rows survive — Flink's
+    documented behavior) vs FAILFAST (Flink's default: fail the job).
+    """
+    out = {
+        "sep": opts.get("csv.field-delimiter", ","),
+        "mode": (
+            "PERMISSIVE"
+            if opts.get("csv.ignore-parse-errors", "false").lower() == "true"
+            else "FAILFAST"
+        ),
+    }
+    if "csv.quote-character" in opts:
+        out["quote"] = opts["csv.quote-character"]
+    if "csv.escape-character" in opts:
+        out["escape"] = opts["csv.escape-character"]
+    if "csv.null-literal" in opts:
+        out["nullValue"] = opts["csv.null-literal"]
+    if opts.get("csv.allow-comments", "false").lower() == "true":
+        out["comment"] = "#"
+    return out
+
+
+def kafka_writer_options(table: ConnectorTable) -> dict:
+    """Flink kafka SINK options → Spark writer options, contract-
+    testable without a broker (mirror of ``kafka_reader_options``).
+
+    Flink's kafka sink requires exactly one concrete topic (no
+    pattern, no list); ``properties.*`` pass through as ``kafka.*``.
+    ``sink.delivery-guarantee``: at-least-once / none are Spark's
+    native behavior; exactly-once needs Kafka transactions Spark's
+    sink does not expose — typed rejection.
+    """
+    opts = table.options
+    topic = opts.get("topic", "")
+    if "topic-pattern" in opts or not topic or ";" in topic:
+        raise ValueError(
+            "kafka sink requires exactly one concrete 'topic' "
+            "(no 'topic-pattern', no ';' topic list)"
+        )
+    out = {
+        "kafka." + k.removeprefix("properties."): v
+        for k, v in opts.items()
+        if k.startswith("properties.")
+    }
+    out["topic"] = topic
+    guarantee = opts.get("sink.delivery-guarantee", "at-least-once")
+    if guarantee == "exactly-once":
+        raise NotImplementedError(
+            "sink.delivery-guarantee = 'exactly-once' needs Kafka "
+            "transactions, which Spark's kafka sink does not expose — "
+            "use at-least-once with idempotent downstream consumers"
+        )
+    if guarantee not in ("at-least-once", "none"):
+        raise ValueError(f"unknown sink.delivery-guarantee {guarantee!r}")
+    return out
+
+
+def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
+    """Encode the sink value per the table's declared format (json /
+    csv / raw), key = JSON of the PRIMARY KEY columns (first column
+    when no PK) — the upsert-kafka keying contract."""
+    fmt = table.format or "json"
+    cols = [c.name for c in table.columns]
+    key_cols = table.primary_key or [cols[0]]
+    if fmt == "json":
+        value = F.to_json(F.struct(*cols))
+    elif fmt == "csv":
+        sep = table.options.get("csv.field-delimiter", ",")
+        value = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+    elif fmt == "raw":
+        if len(cols) != 1:
+            raise ValueError("format 'raw' requires exactly one physical column")
+        value = F.col(cols[0]).cast("string")
+    else:
+        raise NotImplementedError(
+            f"kafka sink format {fmt!r} is not supported for writes — "
+            "use json, csv, or raw (avro decode is read-side only)"
+        )
+    return df.select(
+        value.alias("value"), F.to_json(F.struct(*key_cols)).alias("key")
+    )
+
+
 def _datagen_columns(spark_value_col, table: ConnectorTable):
     """Deterministic per-type generator expressions from the rate
     source's monotonically increasing ``value`` (test corpus datagen —
@@ -445,7 +534,8 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
             if schema:
                 reader = reader.schema(schema)
             if fmt == "csv":
-                reader = reader.option("sep", opts.get("csv.field-delimiter", ","))
+                for k, v in csv_reader_options(opts).items():
+                    reader = reader.option(k, v)
         # Spark's file STREAM source requires a directory; a direct
         # file path becomes parent-dir + pathGlobFilter
         if streaming and os.path.isfile(path):
@@ -577,22 +667,17 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
         w.save(path)
         return None
     if conn in ("kafka", "upsert-kafka"):
-        key_cols = table.primary_key or [table.columns[0].name]
-        payload = df.select(
-            F.to_json(F.struct(*[c.name for c in table.columns])).alias("value"),
-            F.to_json(F.struct(*key_cols)).alias("key"),
-        )
-        servers = opts.get("properties.bootstrap.servers", "")
+        payload = kafka_writer_payload(df, table)
+        wopts = kafka_writer_options(table)
         if streaming:
-            w = (
-                payload.writeStream.format("kafka")
-                .option("kafka.bootstrap.servers", servers)
-                .option("topic", opts["topic"])
-            )
+            w = payload.writeStream.format("kafka")
+            for k, v in wopts.items():
+                w = w.option(k, v)
             return _start(w, query_name, checkpoint, trigger_interval)
-        payload.write.format("kafka").option("kafka.bootstrap.servers", servers).option(
-            "topic", opts["topic"]
-        ).save()
+        w = payload.write.format("kafka")
+        for k, v in wopts.items():
+            w = w.option(k, v)
+        w.save()
         return None
     if conn == "jdbc":
         props = _jdbc_props(opts)

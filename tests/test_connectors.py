@@ -359,3 +359,109 @@ def test_insert_select_duplicate_columns(spark, tmp_path):
         assert page["data"] == [[7, 7]]
     finally:
         sess.close()
+
+
+def test_kafka_writer_options_contract():
+    """Sink option translation (mirror of the reader contract): one
+    concrete topic required, properties.* → kafka.*, delivery
+    guarantees mapped or typed-rejected."""
+    from flink_sql_toolkit_spark.sources.connectors import kafka_writer_options
+
+    t = _kafka_table("")
+    assert kafka_writer_options(t) == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "t",
+    }
+    # topic list and pattern are read-side shapes; sinks need ONE topic
+    t2 = parse_create_table(
+        """CREATE TABLE k (id BIGINT) WITH ('connector'='kafka',
+        'topic'='a;b', 'format'='json');"""
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_writer_options(t2)
+    t3 = parse_create_table(
+        """CREATE TABLE k (id BIGINT) WITH ('connector'='kafka',
+        'topic-pattern'='a.*', 'format'='json');"""
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_writer_options(t3)
+    t4 = _kafka_table(", 'sink.delivery-guarantee'='exactly-once'")
+    with pytest.raises(NotImplementedError, match="exactly-once"):
+        kafka_writer_options(t4)
+    t5 = _kafka_table(", 'sink.delivery-guarantee'='at-least-once'")
+    assert kafka_writer_options(t5)["topic"] == "t"
+
+
+def test_kafka_writer_payload_formats(spark):
+    """Sink value encoding follows the declared format: json struct,
+    csv with the table's delimiter, raw single column; avro write is a
+    typed rejection (decode is the read-side path)."""
+    from flink_sql_toolkit_spark.sources.connectors import kafka_writer_payload
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    j = kafka_writer_payload(df, _kafka_table("")).collect()[0]
+    assert j.value == '{"id":1,"name":"a"}' and j.key == '{"id":1}'
+
+    t_csv = parse_create_table(
+        """CREATE TABLE k (id BIGINT, name STRING) WITH (
+        'connector'='kafka', 'topic'='t', 'format'='csv',
+        'csv.field-delimiter'='|');"""
+    )
+    c = kafka_writer_payload(df, t_csv).collect()[0]
+    assert c.value == "1|a"
+
+    t_raw = parse_create_table(
+        """CREATE TABLE k (name STRING) WITH ('connector'='kafka',
+        'topic'='t', 'format'='raw');"""
+    )
+    r = kafka_writer_payload(df.select("name"), t_raw).collect()[0]
+    assert r.value == "a"
+
+    t_avro = parse_create_table(
+        """CREATE TABLE k (id BIGINT, name STRING) WITH (
+        'connector'='kafka', 'topic'='t', 'format'='avro');"""
+    )
+    with pytest.raises(NotImplementedError, match="avro"):
+        kafka_writer_payload(df, t_avro)
+
+
+def test_csv_reader_options_contract():
+    """Flink csv.* options → Spark csv reader options."""
+    from flink_sql_toolkit_spark.sources.connectors import csv_reader_options
+
+    assert csv_reader_options({}) == {"sep": ",", "mode": "FAILFAST"}
+    got = csv_reader_options(
+        {
+            "csv.field-delimiter": ";",
+            "csv.quote-character": "'",
+            "csv.escape-character": "\\",
+            "csv.null-literal": "NULL",
+            "csv.ignore-parse-errors": "true",
+            "csv.allow-comments": "true",
+        }
+    )
+    assert got == {
+        "sep": ";",
+        "mode": "PERMISSIVE",
+        "quote": "'",
+        "escape": "\\",
+        "nullValue": "NULL",
+        "comment": "#",
+    }
+
+
+def test_csv_filesystem_null_literal_and_quotes(spark, tmp_path):
+    """csv options flow through the filesystem reader: null-literal
+    rows decode to NULL, quoted fields keep the delimiter."""
+    from flink_sql_toolkit_spark.sources.connectors import build_reader
+
+    (tmp_path / "c.csv").write_text('1,"x;y",NULL\n2,b,ok\n')
+    t = parse_create_table(
+        f"""CREATE TABLE c (id BIGINT, s STRING, v STRING) WITH (
+        'connector'='filesystem', 'path'='{tmp_path}/c.csv',
+        'format'='csv', 'csv.null-literal'='NULL');"""
+    )
+    rows = sorted(
+        (r.id, r.s, r.v) for r in build_reader(spark, t, streaming=False).collect()
+    )
+    assert rows == [(1, "x;y", None), (2, "b", "ok")]
