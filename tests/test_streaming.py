@@ -537,3 +537,19 @@ def test_grouping_key_positions_plan_shapes(spark):
     ]
     for sql, want in cases:
         assert grouping_key_positions(spark.sql(sql)) == want, sql
+
+    # the common streaming shape — window TVF aggregate — maps its
+    # window_start grouping column through the dialect rewrite
+    import datetime as dt
+
+    from flink_sql_toolkit_spark.dialect import rewrite
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5)], "k long, ts timestamp, v long"
+    ).createOrReplaceTempView("gkp_ev")
+    tvf = rewrite(
+        "SELECT window_start, COUNT(*) AS n FROM "
+        "TABLE(TUMBLE(TABLE gkp_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    )
+    assert grouping_key_positions(spark.sql(tvf)) == [0]
