@@ -446,11 +446,17 @@ def kafka_writer_options(table: ConnectorTable) -> dict:
 
 def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     """Encode the sink value per the table's declared format (json /
-    csv / raw), key = JSON of the PRIMARY KEY columns (first column
-    when no PK) — the upsert-kafka keying contract."""
+    csv / raw / avro / avro-confluent), key = JSON of the PRIMARY KEY
+    columns (first column when no PK) — the upsert-kafka keying
+    contract. Avro encodes through the same pure-Python codec the
+    decode path uses (Arrow-batched mapInPandas, no jar needed);
+    avro-confluent requires an explicit ``avro-confluent.schema-id``
+    (there is no registry client here to negotiate one)."""
     fmt = table.format or "json"
     cols = [c.name for c in table.columns]
     key_cols = table.primary_key or [cols[0]]
+    if fmt in ("avro", "avro-confluent"):
+        return _avro_writer_payload(df, table, cols, key_cols, fmt)
     if fmt == "json":
         value = F.to_json(F.struct(*cols))
     elif fmt == "csv":
@@ -463,11 +469,79 @@ def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     else:
         raise NotImplementedError(
             f"kafka sink format {fmt!r} is not supported for writes — "
-            "use json, csv, or raw (avro decode is read-side only)"
+            "use json, csv, raw, avro, or avro-confluent"
         )
     return df.select(
         value.alias("value"), F.to_json(F.struct(*key_cols)).alias("key")
     )
+
+
+def _avro_writer_payload(
+    df: DataFrame, table: ConnectorTable, cols: list[str], key_cols: list[str], fmt: str
+) -> DataFrame:
+    import json as _json  # noqa: PLC0415
+
+    from flink_sql_toolkit_spark.sources.avro_codec import (  # noqa: PLC0415
+        avro_schema_for_columns,
+    )
+
+    explicit = table.options.get("avro.schema", "")
+    schema = (
+        _json.loads(explicit) if explicit else avro_schema_for_columns(table.columns)
+    )
+    schema_id = None
+    if fmt == "avro-confluent":
+        raw_id = table.options.get("avro-confluent.schema-id", "")
+        if not raw_id.isdigit():
+            raise NotImplementedError(
+                "avro-confluent sink needs an explicit "
+                "'avro-confluent.schema-id' — no schema-registry "
+                "client is available to register one"
+            )
+        schema_id = int(raw_id)
+    schema_json = _json.dumps(schema)
+    keyed = df.select(
+        F.struct(*cols).alias("_rec"), F.to_json(F.struct(*key_cols)).alias("key")
+    )
+
+    def encode_batches(batches):
+        import math as _math  # noqa: PLC0415
+
+        import pandas as _pd  # noqa: PLC0415
+
+        from flink_sql_toolkit_spark.sources.avro_codec import (  # noqa: PLC0415
+            confluent_frame,
+            encode_record,
+            parse_schema,
+        )
+
+        sch = parse_schema(schema_json)
+
+        def py(v):
+            # Arrow hands back numpy scalars / pd.Timestamp; the codec
+            # wants plain Python values
+            if v is None:
+                return None
+            if isinstance(v, float) and _math.isnan(v):
+                return None
+            if isinstance(v, _pd.Timestamp):
+                return v.to_pydatetime()
+            if type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for rec, key in zip(pdf["_rec"], pdf["key"]):
+                body = encode_record({k: py(v) for k, v in rec.items()}, sch)
+                if schema_id is not None:
+                    body = confluent_frame(body, schema_id)
+                out.append((bytearray(body), key))
+            yield _pd.DataFrame(out, columns=["value", "key"])
+
+    return keyed.mapInPandas(encode_batches, "value binary, key string")
 
 
 def _datagen_columns(spark_value_col, table: ConnectorTable):

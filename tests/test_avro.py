@@ -274,3 +274,54 @@ def test_date_and_time_logical_types_roundtrip():
     raw = decode_record(encode_record({"d": 0, "tm": 1000, "tu": 1_000_000}, schema), schema)
     assert raw["d"] == dt.date(1970, 1, 1)
     assert norm(raw["tm"]) == "00:00:01" and norm(raw["tu"]) == "00:00:01"
+
+
+def test_avro_sink_payload_roundtrip(spark):
+    """kafka sink avro encode (write-side parity, r6): the payload
+    produced by kafka_writer_payload decodes back through the codec —
+    including a confluent-framed variant with an explicit schema id."""
+    from flink_sql_toolkit_spark.sources.connectors import kafka_writer_payload
+
+    t = parse_create_table(
+        """
+        CREATE TABLE k (id BIGINT, name STRING, price DECIMAL(10,2),
+                        PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='kafka', 'topic'='t', 'format'='avro');
+        """
+    )
+    df = spark.createDataFrame(
+        [(1, "a", Decimal("19.99")), (2, None, Decimal("0.50"))],
+        "id long, name string, price decimal(10,2)",
+    )
+    sch = ac.avro_schema_for_columns(t.columns)
+    rows = {r.key: bytes(r.value) for r in kafka_writer_payload(df, t).collect()}
+    assert ac.decode_record(rows['{"id":1}'], sch) == {
+        "id": 1, "name": "a", "price": Decimal("19.99")
+    }
+    assert ac.decode_record(rows['{"id":2}'], sch) == {
+        "id": 2, "name": None, "price": Decimal("0.50")
+    }
+
+    t2 = parse_create_table(
+        """
+        CREATE TABLE k (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='kafka', 'topic'='t', 'format'='avro-confluent',
+              'avro-confluent.schema-id'='77');
+        """
+    )
+    framed = bytes(
+        kafka_writer_payload(df.select("id"), t2).collect()[0].value
+    )
+    sid, body = ac.confluent_unframe(framed)
+    assert sid == 77
+    sch2 = ac.avro_schema_for_columns(t2.columns)
+    assert ac.decode_record(body, sch2)["id"] in (1, 2)
+
+    t3 = parse_create_table(
+        """
+        CREATE TABLE k (id BIGINT) WITH ('connector'='kafka',
+        'topic'='t', 'format'='avro-confluent');
+        """
+    )
+    with pytest.raises(NotImplementedError, match="schema-id"):
+        kafka_writer_payload(df.select("id"), t3)

@@ -417,12 +417,15 @@ def test_kafka_writer_payload_formats(spark):
     r = kafka_writer_payload(df.select("name"), t_raw).collect()[0]
     assert r.value == "a"
 
-    t_avro = parse_create_table(
+    # avro sink encodes through the pure-Python codec (see
+    # test_avro.py::test_avro_sink_payload_roundtrip); an unknown
+    # format stays a typed rejection
+    t_bad = parse_create_table(
         """CREATE TABLE k (id BIGINT, name STRING) WITH (
-        'connector'='kafka', 'topic'='t', 'format'='avro');"""
+        'connector'='kafka', 'topic'='t', 'format'='protobuf');"""
     )
-    with pytest.raises(NotImplementedError, match="avro"):
-        kafka_writer_payload(df, t_avro)
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        kafka_writer_payload(df, t_bad)
 
 
 def test_csv_reader_options_contract():
