@@ -466,6 +466,7 @@ def match_recognize(
     after_match: str = "past_last_row",
     all_rows: bool = False,
     _compile_only: bool = False,
+    _defer_lags: bool = False,
 ) -> DataFrame:
     skip_to_sym: str | None = None
     skip_to_first = False
@@ -518,6 +519,11 @@ def match_recognize(
             for o in symbols - {s}
         ):
             dynamic_src[s] = c
+        elif _defer_lags and re.search(r"(?i)\bPREV\s*\(", c):
+            # streaming: no JVM lag() windows — a PREV condition is
+            # compiled as a dynamic predicate over the pandas-side
+            # lag columns the stateful operator materializes per key
+            dynamic_src[s] = c
         else:
             static_define[s] = _strip_symbol_quals(c, s, symbols - {s})
 
@@ -537,11 +543,16 @@ def match_recognize(
         code, lags, refcols = _compile_dynamic_define(cond, sym, symbols - {sym})
         all_lags.update(lags)
         compiled_dynamic[sym] = (code, refcols)
-    for lag_name, col in all_lags.items():
-        work = work.withColumn(lag_name, F.lag(col).over(w))
+    if not _defer_lags:
+        for lag_name, col in all_lags.items():
+            work = work.withColumn(lag_name, F.lag(col).over(w))
     for sym, cond in sym_cols.items():
         work = work.withColumn(f"_sym_{sym}", F.coalesce(F.expr(cond), F.lit(False)))
     in_cols = set(work.columns)
+    if _defer_lags:
+        # the lag columns exist only pandas-side (per-key shift in the
+        # stateful operator), not in the JVM frame
+        in_cols |= set(all_lags)
     for sym, (_code, refcols) in compiled_dynamic.items():
         missing = refcols - in_cols
         if missing:
@@ -1110,6 +1121,7 @@ def match_recognize(
             "key_cols": key_cols,
             "sort_cols": sort_cols,
             "has_lags": bool(all_lags),
+            "lags": dict(all_lags),
         }
     return (
         work.repartition(*partition_by)

@@ -209,6 +209,13 @@ class ChangelogResultBuffer(StreamResultBuffer):
         self.evicted_keys = 0
         self._last: OrderedDict[tuple, list] = OrderedDict()
 
+    def fetch(self, token: int) -> dict:
+        page = super().fetch(token)
+        # observability: a nonzero count means some retractions were
+        # degraded to +I re-inserts by the key-LRU cap
+        page["evictedKeys"] = self.evicted_keys
+        return page
+
     def foreach_batch(self, batch_df, _batch_id: int) -> None:
         batch_df.persist()
         try:

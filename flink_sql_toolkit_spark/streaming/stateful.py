@@ -139,9 +139,14 @@ def streaming_match_recognize(
     ONE ROW PER MATCH and ALL ROWS PER MATCH are both supported (the
     latter emits one row per matched input row with RUNNING measures,
     exactly the batch expansion — a match's rows emit together once
-    the match is decided). Restriction (typed error): no PREV() in
-    DEFINE (the batch path compiles PREV to a lag() window, which
-    Structured Streaming cannot evaluate). Rows are processed
+    the match is decided). PREV() in DEFINE works too: the batch path
+    compiles PREV to a JVM lag() window, which a stream cannot
+    evaluate, so here the condition compiles to a dynamic predicate
+    over per-key lag columns the operator materializes pandas-side
+    (shift within the buffered frame, seeded across batch boundaries
+    by a last-row context carried in state). PREV conditions are
+    limited to the dynamic-predicate grammar (comparisons, arithmetic,
+    AND/OR/NOT, IS [NOT] NULL — no SQL function calls). Rows are processed
     in arrival order, sorted by event time within each micro-batch —
     the module-level semantic note applies.
     """
@@ -166,14 +171,14 @@ def streaming_match_recognize(
         after_match=after_match,
         all_rows=all_rows,
         _compile_only=True,
+        _defer_lags=True,
     )
-    if compiled["has_lags"]:
-        raise NotImplementedError(
-            "PREV() in DEFINE compiles to a lag() window, which "
-            "Structured Streaming cannot evaluate — rewrite the "
-            "condition over the current row or use the batch operator"
-        )
     work, run_nfa = compiled["work"], compiled["run_nfa"]
+    # PREV() conditions compile to dynamic predicates reading per-key
+    # lag columns; the JVM can't window a stream, so the operator
+    # materializes them pandas-side (shift within the buffered frame,
+    # seeded at the batch boundary from a last-row context in state)
+    lags: dict[str, str] = compiled["lags"]
     out_schema, sort_cols = compiled["out_schema"], compiled["sort_cols"]
     state_schema = "buf binary, match_no bigint"
     timeout = (
@@ -184,7 +189,8 @@ def streaming_match_recognize(
         if state.hasTimedOut:
             blob, match_no = state.get
             state.remove()
-            buf = pickle.loads(bytes(blob))
+            stored = pickle.loads(bytes(blob))
+            buf = stored[0] if isinstance(stored, tuple) else stored
             if len(buf):
                 # TTL flush: decide the held suffix as if the stream
                 # ended here (batch semantics), then clear the key
@@ -193,22 +199,39 @@ def streaming_match_recognize(
                     yield out
             return
         blob_match = state.get if state.exists else None
+        ctx: dict = {}
         if blob_match is not None:
-            buf = pickle.loads(bytes(blob_match[0]))
+            stored = pickle.loads(bytes(blob_match[0]))
+            # state format: (buffer frame, lag context) — older blobs
+            # held the bare frame
+            buf, ctx = stored if isinstance(stored, tuple) else (stored, {})
             match_no = blob_match[1]
         else:
             buf, match_no = None, 0
+        n_buf = len(buf) if buf is not None else 0
         new = [p for p in pdfs if len(p)]
         if not new:
-            parts = [buf] if buf is not None and len(buf) else []
+            parts = [buf] if n_buf else []
         else:
             batch = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
             batch = batch.sort_values(sort_cols, kind="mergesort")
-            parts = ([buf] if buf is not None and len(buf) else []) + [batch]
+            parts = ([buf] if n_buf else []) + [batch]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         pdf = pdf.reset_index(drop=True)
+        for lag_name, col in lags.items():
+            shifted = pdf[col].shift(1)
+            if n_buf == 0 and col in ctx:
+                # seed PREV of the first buffered row from the last row
+                # decided in an earlier batch
+                shifted.iloc[0] = ctx[col]
+            if n_buf:
+                # buffered rows carry their stored (correct) lag values
+                shifted.iloc[:n_buf] = buf[lag_name].to_numpy()
+            pdf[lag_name] = shifted
+        if lags:
+            ctx = {col: pdf[col].iloc[-1] for col in set(lags.values())}
         out, keep_from, match_no = run_nfa(
             pdf, streaming=True, match_no_base=match_no
         )
@@ -232,7 +255,7 @@ def streaming_match_recognize(
             if truncation_acc is not None:
                 truncation_acc.add(dropped)
             keep = keep.iloc[-max_buffer_rows:]
-        state.update((bytearray(pickle.dumps(keep)), match_no))
+        state.update((bytearray(pickle.dumps((keep, ctx))), match_no))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         if len(out):

@@ -185,13 +185,15 @@ def test_streaming_mr_typed_rejections(spark):
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
         .selectExpr("value AS user_id", "value AS seq", "'x' AS event_type")
     )
-    with _pytest.raises(NotImplementedError, match="PREV"):
+    # PREV itself streams (r6); a PREV condition using a SQL function
+    # is outside the dynamic-predicate grammar → typed error
+    with _pytest.raises(NotImplementedError, match="subset"):
         streaming_match_recognize(
             stream,
             partition_by=["user_id"],
             order_by=["seq"],
             pattern="A B",
-            define={"A": "seq > 0", "B": "seq > PREV(seq)"},
+            define={"A": "seq > 0", "B": "ABS(seq) > PREV(seq)"},
             measures={"n": "COUNT(A.*)"},
         )
 
@@ -878,3 +880,67 @@ def test_streaming_mr_all_rows_per_match_agrees_with_batch(spark, tmp_path):
         (2, 1, "view", 1, "A"),
         (2, 2, "purchase", 1, "B"),
     ]
+
+
+def test_streaming_mr_prev_spans_batches(spark, tmp_path):
+    """PREV() in DEFINE over a stream (r6; previously a typed
+    rejection): lag values are materialized per key inside the
+    operator, and the batch-boundary seed works — a row whose PREV
+    refers to a row decided in an EARLIER batch still evaluates it."""
+    from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
+
+    # rising pairs: B requires seq-value strictly above the previous
+    # row's v. Matches at (v=1→2) in b0; then (v=2→5): the '2' row was
+    # decided in b0's match, so the b1 row's PREV comes from the state
+    # context, not the buffer.
+    b0 = [(1, 1, 1), (1, 2, 2)]
+    b1 = [(1, 3, 5), (1, 4, 4)]
+    b2 = [(1, 5, 9)]
+    kwargs = dict(
+        pattern="A B",
+        define={"A": "true", "B": "v > PREV(v)"},
+        measures={"fa": "FIRST(A.seq)", "lb": "LAST(B.seq)"},
+    )
+    schema = "user_id long, seq long, v long"
+
+    def run_stream():
+        for i, rows in enumerate([b0, b1, b2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp_path}/in/b{i}")
+        from flink_sql_toolkit_spark.streaming.stateful import (
+            streaming_match_recognize,
+        )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp_path}/in/*")
+        )
+        out = streaming_match_recognize(
+            stream, partition_by=["user_id"], order_by=["seq"], **kwargs
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("smr_prev")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted((r.fa, r.lb) for r in spark.table("smr_prev").collect())
+
+    got = run_stream()
+    batch = sorted(
+        (r.fa, r.lb)
+        for r in match_recognize(
+            spark.createDataFrame(b0 + b1 + b2, schema),
+            partition_by=["user_id"],
+            order_by=["seq"],
+            **kwargs,
+        ).collect()
+    )
+    assert got == batch
+    # A(seq1) B(seq2: 2>1 via cross-batch-seeded PREV for later rows);
+    # A(seq3)+B(seq4) fails (4<5), so A(seq4) B(seq5: 9>4) matches
+    assert got == [(1, 2), (4, 5)]
