@@ -296,6 +296,81 @@ def chunk_documents(
     )
 
 
+# -- dataset assembly: deterministic splits + stratified sampling -----
+
+SPLIT_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col, salt: str):
+    """Deterministic per-row bucket in [0, SPLIT_BUCKETS): the first 8
+    hex chars of md5(id ':' salt) as an integer. md5 (not xxhash64)
+    for the same reason as dedup.py: the DuckDB oracle computes the
+    identical value — swap to xxhash64 at production scale. Pure
+    projection: no shuffle, no state, reproducible across runs and
+    engines."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % SPLIT_BUCKETS
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-assembly
+    step every training pipeline needs. Hash-bucketed on the document
+    id, so the split is stable under re-runs, reshuffles, and
+    incremental appends (a new document lands in a split without
+    moving any existing one); proportions hold in expectation per
+    bucket arithmetic. O(1) per row, no shuffle."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    acc = 0.0
+    thresholds = []
+    for name, w in weights:
+        acc += w
+        thresholds.append((name, int(round(acc * SPLIT_BUCKETS))))
+    # ascending WHEN chain: bucket < cut_i → label_i; tail = last label
+    expr = None
+    for name, cut in thresholds[:-1]:
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(thresholds[0][0]) if expr is None else expr.otherwise(thresholds[-1][0])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_keep(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain/language mixing
+    weights): keep a row iff its hash bucket falls under the stratum's
+    rate. Unlike ``sampleBy`` this is reproducible across engines,
+    runs, and partitionings — the keep decision is a pure function of
+    (id, salt) — and composable with ``assign_split`` on a different
+    salt. Adds ``sample_keep`` (no filter, so callers can audit the
+    mass they drop)."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    rate_expr = F.lit(default_rate)
+    for k, r in (rates or {}).items():
+        rate_expr = F.when(F.col(strata_col) == k, F.lit(float(r))).otherwise(rate_expr)
+    return df.withColumn(
+        "sample_keep", bucket < (rate_expr * SPLIT_BUCKETS).cast("bigint")
+    )
+
+
 # -- pipeline_text_ops: driver gate for the four pipeline stages ------
 
 # One family entry (the `asof_family` consolidation pattern) proving
@@ -396,16 +471,31 @@ def _pipeline_oracle() -> str:
              count(*) AS n_docs_packed,
              CAST(sum(len(words)) AS BIGINT) AS tokens_packed
       FROM base
+    ),
+    assemble AS (
+      SELECT doc_id,
+             CASE
+               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT)
+                    % 10000 < 9000 THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT)
+                    % 10000 < 9500 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8) AS BIGINT)
+               % 10000 < CASE WHEN lang = 'en' THEN 4000 ELSE 10000 END AS sample_keep
+      FROM documents WHERE doc_id < {PIPE_DOC_LIMIT}
     )
     SELECT b.doc_id, c.n_chunks, c.chunks_sha,
            r.n_ipv4, r.n_ssn, r.n_email, r.n_phone, r.redacted_sha,
            len(w.fps) AS n_fingerprints,
            md5(array_to_string(w.fps, '|')) AS fp_sha,
-           p.packs_ok, p.n_docs_packed, p.tokens_packed
+           p.packs_ok, p.n_docs_packed, p.tokens_packed,
+           a.split, a.sample_keep
     FROM base b
     JOIN chunk_agg c USING (doc_id)
     JOIN red4 r USING (doc_id)
     JOIN winnow w USING (doc_id)
+    JOIN assemble a USING (doc_id)
     CROSS JOIN packinv p
     ORDER BY b.doc_id
     """
@@ -473,11 +563,15 @@ def pipeline_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("n_docs_packed"),
         F.sum("total_tokens").cast("bigint").alias("tokens_packed"),
     )
+    assemble = stratified_keep(
+        assign_split(docs.select("doc_id", "lang")), rates={"en": 0.4}
+    ).select("doc_id", "split", "sample_keep")
     return (
         docs.select("doc_id")
         .join(chunk_agg, "doc_id")
         .join(red, "doc_id")
         .join(fp_agg, "doc_id")
+        .join(assemble, "doc_id")
         .crossJoin(F.broadcast(inv))
         .orderBy("doc_id")
     )

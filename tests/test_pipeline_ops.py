@@ -389,3 +389,49 @@ def test_ann_width_parameterized_recall(spark, tmp_path):
         approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
         recalls[name] = len(truth & approx) / len(truth)
         assert recalls[name] >= floor, f"{name} recall {recalls[name]:.3f}"
+
+
+def test_assign_split_deterministic_and_proportional(spark, sf_dir):
+    """Deterministic dataset splitting: stable across runs, every row
+    labeled, proportions near the configured weights, and adding rows
+    never moves an existing row's split (hash-bucketed on the id)."""
+    from flink_sql_toolkit_spark.operators.textstats import assign_split
+    from flink_sql_toolkit_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in assign_split(docs).collect()}
+    b = {r.doc_id: r.split for r in assign_split(docs).collect()}
+    assert a == b  # reproducible
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n > 0.8  # 0.9 nominal, small-sample slack
+    # subset stability: splitting half the corpus agrees row-for-row
+    half = {
+        r.doc_id: r.split
+        for r in assign_split(docs.filter("doc_id % 2 = 0")).collect()
+    }
+    assert all(a[k] == v for k, v in half.items())
+
+
+def test_stratified_keep_rates(spark, sf_dir):
+    """Per-stratum deterministic sampling: strata at rate 1.0 are
+    fully kept; a downsampled stratum lands near its rate; the flag is
+    a pure function of (id, salt)."""
+    from flink_sql_toolkit_spark.operators.textstats import stratified_keep
+    from flink_sql_toolkit_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_keep(docs, rates={"en": 0.3}).collect()
+    en = [r for r in out if r.lang == "en"]
+    rest = [r for r in out if r.lang != "en"]
+    assert all(r.sample_keep for r in rest)
+    if len(en) >= 50:
+        frac = sum(r.sample_keep for r in en) / len(en)
+        assert 0.15 < frac < 0.45
+    again = stratified_keep(docs, rates={"en": 0.3}).collect()
+    assert {(r.doc_id, r.sample_keep) for r in again} == {
+        (r.doc_id, r.sample_keep) for r in out
+    }
