@@ -82,6 +82,46 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# fixture-sized vocabulary (production: ~50k; the boundary is
+# deterministic either way — count DESC, word ASC)
+UNIGRAM_VOCAB = 500
+
+
+def unigram_logfreq_scores(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB) -> DataFrame:
+    """CCNet-style unigram log-frequency quality scoring: documents
+    made of frequent words score high, gibberish scores low. Builds
+    the corpus unigram table (one word shuffle with map-side partial
+    counts), keeps the top ``vocab_size`` words (count DESC, word ASC
+    — a deterministic boundary), broadcasts it back, and aggregates
+    per doc: token count, OOV count, and the summed per-word
+    ``round(log10(count) * 1e6)`` as an exact BIGINT (integer
+    micro-log units — float summation order can never perturb the
+    oracle comparison; consumers derive the familiar NLL as
+    ``log10(N) - sum/1e6/n_tokens``).
+
+    Scale shape: ONE exploded-word shuffle (associative count, AQE
+    coalesced), vocab is a bounded broadcast (50k words ≈ 1 MB), the
+    per-doc aggregate re-uses the explode without a second shuffle of
+    document content. Fixture vocab is parameterized small; production
+    sizing is the constant below."""
+    words = F.split(normalized_text(), " ")
+    toks = docs.select("doc_id", F.explode(words).alias("word"))
+    freq = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab = freq.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_size)
+    lp = F.round(F.log10("cnt") * 1e6).cast("bigint")
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(lp, F.lit(0))).cast("bigint").alias("logfreq_micro"),
+        )
+    )
+
+
 @register(
     "text_metrics",
     # quality scoring + token counting + language-ID + fingerprinting
@@ -98,6 +138,23 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_hits_sql(STOP_ES)} AS hits_es,
              {_hits_sql(STOP_FR)} AS hits_fr
       FROM (SELECT doc_id, lang, text, string_split({NORMALIZED_SQL}, ' ') AS words FROM documents)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split({NORMALIZED_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, count(*) AS cnt FROM toks GROUP BY word
+      ORDER BY cnt DESC, word ASC LIMIT {UNIGRAM_VOCAB}
+    ),
+    scores AS (
+      SELECT t.doc_id,
+             count(*) AS n_tok,
+             CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(coalesce(CAST(round(log10(v.cnt) * 1e6) AS BIGINT), 0)) AS BIGINT)
+               AS logfreq_micro
+      FROM toks t LEFT JOIN vocab v USING (word)
+      GROUP BY t.doc_id
     )
     SELECT doc_id, lang, n_chars, n_words, n_distinct_tokens,
            CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
@@ -109,16 +166,19 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
                 WHEN hits_fr > 0 THEN 'fr'
                 ELSE 'und' END AS predicted_lang,
-           md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint
-    FROM feats ORDER BY doc_id
+           md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
+           s.n_tok, s.n_oov, s.logfreq_micro
+    FROM feats JOIN scores s USING (doc_id) ORDER BY doc_id
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis battery (`text_quality_score` +
-    `text_language_id`) as one single-pass projection over documents:
+    `text_language_id` + `unigram_logfreq_scores`) over documents:
     length/punct/stopword quality features + pass gate, stopword-vote
-    language ID, and the sorted-distinct-words fingerprint. Pure
-    JVM-side column expressions — no shuffle, trivially 100 TB-safe."""
+    language ID, the sorted-distinct-words fingerprint (all pure
+    JVM-side single-pass expressions), and the corpus-level unigram
+    log-frequency score (one word shuffle + bounded vocab broadcast
+    — see `unigram_logfreq_scores` for the 100 TB shape)."""
     docs = load_fanout_table(spark, sf_dir, "documents")
     words = F.split(normalized_text(), " ")
     n_chars = F.length("text")
@@ -129,6 +189,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hits(words, STOP_ES),
         _hits(words, STOP_FR),
     )
+    scores = unigram_logfreq_scores(docs)
     return docs.select(
         "doc_id",
         "lang",
@@ -147,7 +208,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("und")
         .alias("predicted_lang"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
-    ).orderBy("doc_id")
+    ).join(scores, "doc_id").orderBy("doc_id")
 
 
 def pack_sequences(

@@ -435,3 +435,27 @@ def test_stratified_keep_rates(spark, sf_dir):
     assert {(r.doc_id, r.sample_keep) for r in again} == {
         (r.doc_id, r.sample_keep) for r in out
     }
+
+
+def test_unigram_logfreq_scores(spark, sf_dir):
+    """CCNet-style unigram scoring: common-word docs carry higher
+    per-token log-frequency mass than rare-word docs; OOV words count
+    toward n_oov and contribute zero mass; outputs are exact integers
+    (micro-log units) so the oracle comparison is float-order-proof."""
+    from flink_sql_toolkit_spark.operators.textstats import unigram_logfreq_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "zyzzyva qwertyuiop the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logfreq_scores(docs, vocab_size=2).collect()}
+    # vocab (count DESC, word ASC, top-2) = {'the':4, 'cat':1}
+    assert out[1].n_tok == 4 and out[1].n_oov == 0
+    assert out[2].n_tok == 3 and out[2].n_oov == 2
+    import math
+
+    lp_the = round(math.log10(4) * 1e6)
+    assert out[1].logfreq_micro == 3 * lp_the + round(math.log10(1) * 1e6)
+    assert out[2].logfreq_micro == lp_the
+    # per-token mass: doc 1 (all in-vocab, frequent) > doc 2 (2/3 OOV)
+    assert out[1].logfreq_micro / out[1].n_tok > out[2].logfreq_micro / out[2].n_tok
