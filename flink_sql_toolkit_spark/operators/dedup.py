@@ -156,7 +156,7 @@ _SLICES_SQL = ", ".join(
     for i in range(N_HASHES // 2)
 )
 MINHASH_SQL = f"""
-    WITH sh AS ({SHINGLES_SQL}),
+    WITH RECURSIVE sh AS ({SHINGLES_SQL}),
     mh AS (
       SELECT doc_id, {_SLICES_SQL}
       FROM sh GROUP BY doc_id
@@ -311,13 +311,32 @@ def lsh_template_clusters(
       JOIN sh s1 ON s1.doc_id = c.doc_a
       JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
       GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
-    FROM inter i
-    JOIN counts ca ON ca.doc_id = i.doc_a
-    JOIN counts cb ON cb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+    ),
+    comps AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+    csize AS (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp)
+    SELECT p.doc_a, p.doc_b, p.jaccard, c.comp, z.cluster_size
+    FROM pairs p
+    JOIN comps c ON c.doc_id = p.doc_a
+    JOIN csize z USING (comp)
     ORDER BY doc_a, doc_b
     """,
 )
@@ -326,8 +345,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join candidates back to the shingle table (shuffle on doc_id /
     shingle — both bounded), count intersections, compute exact
-    jaccard, keep >= 0.5. This is the verify stage after
-    dedup_minhash_lsh's recall stage.
+    jaccard, keep >= 0.5 — the verify stage after dedup_minhash_lsh's
+    recall stage — then transitively cluster the surviving pairs
+    (`near_dup_components`) so each pair carries its component's
+    canonical id and size (oracle: DuckDB recursive closure).
     """
     cand = dedup_minhash_lsh(spark, sf_dir)
     sh = shingles(load_fanout_table(spark, sf_dir, "documents"))
@@ -342,7 +363,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
+    pairs = (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn(
@@ -353,6 +374,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # transitive clustering of the verified pairs (the canonical-doc
+    # step): comp is identical for both pair sides by construction, so
+    # one join on doc_a proves full connected-component correctness
+    comps = near_dup_components(pairs).withColumnRenamed("doc_id", "doc_a")
+    return pairs.join(F.broadcast(comps), "doc_a").select(
+        "doc_a", "doc_b", "jaccard", "comp", "cluster_size"
+    )
+
+
+def near_dup_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified near-duplicate pairs — the
+    step every dedup pipeline needs after pair generation: transitive
+    clusters with one canonical representative (min doc_id) per
+    component, so "keep one copy per cluster" is a single filter.
+
+    Min-label propagation: each vertex starts as its own label and
+    repeatedly takes the minimum label over its neighborhood until a
+    fixpoint. One shuffle per round, labels truncated with
+    localCheckpoint (iterative lineage would otherwise grow
+    unboundedly), convergence detected by the monotone label-sum
+    (labels only decrease). Rounds needed = graph diameter — near-dup
+    clusters are shallow (template clusters are star-shaped), so this
+    converges in 2-3 rounds; at adversarial 100 TB diameters swap in
+    the large-star/small-star contraction, which is the same loop
+    shape with two extra map steps.
+
+    Input: (doc_a, doc_b) pairs; output: (doc_id, comp,
+    cluster_size), comp = min doc_id of the component.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "comp")
+        labels = (
+            labels.select("doc_id", "comp")
+            .union(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select("doc_id", "comp", "cluster_size")
 
 
 @register(

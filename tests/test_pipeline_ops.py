@@ -459,3 +459,24 @@ def test_unigram_logfreq_scores(spark, sf_dir):
     assert out[2].logfreq_micro == lp_the
     # per-token mass: doc 1 (all in-vocab, frequent) > doc 2 (2/3 OOV)
     assert out[1].logfreq_micro / out[1].n_tok > out[2].logfreq_micro / out[2].n_tok
+
+
+def test_near_dup_components_transitive(spark):
+    """Min-label propagation: a chain a-b, b-c collapses into ONE
+    component labeled by its min id (transitivity beyond direct
+    pairs), disjoint pairs stay separate, and cluster sizes count
+    members."""
+    from flink_sql_toolkit_spark.operators.dedup import near_dup_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (10, 11), (4, 5), (5, 6)],  # chain 2..6 + pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: (r.comp, r.cluster_size)
+        for r in near_dup_components(edges).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 10: 10, 11: 10
+    }
+    assert got[6][1] == 5 and got[10][1] == 2
