@@ -160,3 +160,120 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_type"),
     )
     return extract_media_features(media).orderBy("doc_id")
+
+
+def resize_image(
+    payload: bytes, width: int, height: int, *, deterministic_fake: bool = False
+) -> bytes:
+    """Pixel-level resize stub — mirror of ``decode_image``: the
+    container has no imaging library, so the REAL path raises typed;
+    the deterministic fake derives a stable ``width*height``-seeded
+    digest blob so the Spark-side plumbing (schema, batch shape,
+    output size accounting) is fully testable. Swap the body for
+    PIL/libvips at production — the operator shape doesn't change."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "pixel decode needs an imaging library (PIL/libvips) not "
+            "present in this container — pass deterministic_fake=True "
+            "for the plumbing-test stub"
+        )
+    h = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
+    # a stub "image": digest tiled to a size proportional to the target
+    n = max(32, (width * height) // 64)
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Batch image resize over binary payloads: Arrow-batched
+    ``mapInPandas``, one output row per input row, no shuffle — the
+    canonical shape for per-item media transforms at 100 TB (each
+    executor streams its partition's blobs; memory is bounded by the
+    Arrow batch size, not the partition)."""
+    schema = "doc_id bigint, resized binary, out_width int, out_height int, n_bytes bigint"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_image(
+                    bytes(p), width, height, deterministic_fake=deterministic_fake
+                )
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [bytearray(b) for b in out],
+                    "out_width": pd.array([width] * len(out), dtype="Int32"),
+                    "out_height": pd.array([height] * len(out), dtype="Int32"),
+                    "n_bytes": pd.array([len(b) for b in out], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(work, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    interval_ms: int = 1000,
+    payload_col: str = "payload",
+    deterministic_fake: bool = False,
+    max_frames: int = 10_000,
+) -> DataFrame:
+    """Frame sampling for video/audio payloads: the sampling PLAN is
+    real — one frame per ``interval_ms`` of the duration the from-spec
+    header probe reports (media_probe MP4/WAV parsers) — while frame
+    CONTENT is the ``deterministic_fake`` digest stub behind the same
+    typed gate as ``decode_image`` (no codec in this container).
+
+    Scale shape: a row→many-rows ``mapInPandas`` fan-out (each Arrow
+    batch yields its frames in place), no shuffle, no duplication of
+    the source payload per frame; ``max_frames`` caps a corrupt
+    header's fan-out. Payloads the probe can't time (images, unknown
+    formats) emit zero rows rather than failing the batch."""
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media  # noqa: PLC0415
+
+    schema = "doc_id bigint, frame_idx int, ts_ms bigint, frame binary"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(p)
+                info = probe_media(raw)
+                if not info.duration_ms:
+                    continue
+                n = min(
+                    max(int(info.duration_ms // interval_ms), 1), max_frames
+                )
+                for i in range(n):
+                    ts = i * interval_ms
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "frame decode needs a media codec not present "
+                            "in this container — pass "
+                            "deterministic_fake=True for the plumbing stub"
+                        )
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(
+                        bytearray(
+                            hashlib.sha256(raw + f"@{ts}".encode()).digest()
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "ts_ms": pd.array(tss, dtype="Int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(work, schema)

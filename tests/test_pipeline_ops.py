@@ -480,3 +480,47 @@ def test_near_dup_components_transitive(spark):
         2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 10: 10, 11: 10
     }
     assert got[6][1] == 5 and got[10][1] == 2
+
+
+def test_sample_frames_and_resize_plumbing(spark):
+    """Multimodal transforms: the frame-sampling plan follows the REAL
+    probed duration (from-spec WAV/MP4 headers), content is the
+    deterministic stub; resize emits one row per input with stable
+    digest blobs; un-probeable payloads yield zero frames; the real
+    path stays a typed error."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.operators.multimodal import (
+        resize_image,
+        resize_images,
+        sample_frames,
+    )
+
+    def wav(rate, channels, seconds):
+        n = rate * channels * 2 * seconds
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * channels * 2, channels * 2, 16)
+        dat = b"data" + struct.pack("<I", n) + b"\x00" * 16
+        return b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(dat)) + b"WAVE" + fmt + dat
+
+    rows = [
+        (1, bytearray(wav(8000, 1, 3))),   # 3000 ms → 3 frames @1000ms
+        (2, bytearray(b"not-a-media-file")),  # unprobeable → 0 frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    frames = sample_frames(df, interval_ms=1000, deterministic_fake=True).collect()
+    got = [(r.doc_id, r.frame_idx, r.ts_ms) for r in frames]
+    assert got == [(1, 0, 0), (1, 1, 1000), (1, 2, 2000)]
+    assert all(len(r.frame) == 32 for r in frames)  # sha256 stub
+    # deterministic: same payload+ts → same frame bytes
+    again = sample_frames(df, interval_ms=1000, deterministic_fake=True).collect()
+    assert [bytes(r.frame) for r in again] == [bytes(r.frame) for r in frames]
+
+    rs = resize_images(df, 64, 48, deterministic_fake=True).collect()
+    assert [(r.doc_id, r.out_width, r.out_height) for r in rs] == [(1, 64, 48), (2, 64, 48)]
+    assert all(r.n_bytes == len(r.resized) == 48 for r in rs)  # 64*48//64
+
+    with _pytest.raises(NotImplementedError, match="imaging"):
+        resize_image(b"x", 2, 2)
