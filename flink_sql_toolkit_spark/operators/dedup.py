@@ -377,8 +377,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transitive clustering of the verified pairs (the canonical-doc
     # step): comp is identical for both pair sides by construction, so
     # one join on doc_a proves full connected-component correctness
+    # plain shuffle join: comps is one row per participating doc —
+    # corpus-proportional, NOT broadcast-safe at scale
     comps = near_dup_components(pairs).withColumnRenamed("doc_id", "doc_a")
-    return pairs.join(F.broadcast(comps), "doc_a").select(
+    return pairs.join(comps, "doc_a").select(
         "doc_a", "doc_b", "jaccard", "comp", "cluster_size"
     )
 
@@ -406,13 +408,16 @@ def near_dup_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # materialize the edge list once — each propagation round re-reads
+    # it, and its lineage is the full upstream pair pipeline
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = None
+    prev_sum, converged = None, False
     for _ in range(max_iter):
         neigh = sym.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
@@ -426,8 +431,20 @@ def near_dup_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         cur = labels.agg(F.sum("comp")).collect()[0][0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # surface it, don't return silently-split components (same
+        # observability contract as the streaming MR buffer cap)
+        import logging  # noqa: PLC0415
+
+        logging.getLogger(__name__).warning(
+            "near_dup_components did not converge within max_iter=%d "
+            "rounds — components with diameter > max_iter are split; "
+            "raise max_iter or switch to large-star/small-star",
+            max_iter,
+        )
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "comp").select("doc_id", "comp", "cluster_size")
 

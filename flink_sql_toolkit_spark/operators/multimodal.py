@@ -199,15 +199,20 @@ def resize_images(
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
-                resize_image(
-                    bytes(p), width, height, deterministic_fake=deterministic_fake
+            ids, out = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                if p is None:
+                    continue  # NULL payload: skip, don't fail the batch
+                ids.append(doc_id)
+                out.append(
+                    resize_image(
+                        bytes(p), width, height,
+                        deterministic_fake=deterministic_fake,
+                    )
                 )
-                for p in pdf[payload_col]
-            ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pd.array(ids, dtype="Int64"),
                     "resized": [bytearray(b) for b in out],
                     "out_width": pd.array([width] * len(out), dtype="Int32"),
                     "out_height": pd.array([height] * len(out), dtype="Int32"),
@@ -244,6 +249,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                if p is None:
+                    continue  # NULL payload: zero frames, not a failure
                 raw = bytes(p)
                 info = probe_media(raw)
                 if not info.duration_ms:

@@ -168,7 +168,7 @@ def unigram_logfreq_scores(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB) -> 
                 ELSE 'und' END AS predicted_lang,
            md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
            s.n_tok, s.n_oov, s.logfreq_micro
-    FROM feats JOIN scores s USING (doc_id) ORDER BY doc_id
+    FROM feats LEFT JOIN scores s USING (doc_id) ORDER BY doc_id
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +208,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("und")
         .alias("predicted_lang"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
-    ).join(scores, "doc_id").orderBy("doc_id")
+    ).join(scores, "doc_id", "left").orderBy("doc_id")
 
 
 def pack_sequences(
@@ -428,7 +428,8 @@ def stratified_keep(
     for k, r in (rates or {}).items():
         rate_expr = F.when(F.col(strata_col) == k, F.lit(float(r))).otherwise(rate_expr)
     return df.withColumn(
-        "sample_keep", bucket < (rate_expr * SPLIT_BUCKETS).cast("bigint")
+        "sample_keep",
+        bucket < F.round(rate_expr * SPLIT_BUCKETS).cast("bigint"),
     )
 
 

@@ -460,8 +460,11 @@ def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     if fmt == "json":
         value = F.to_json(F.struct(*cols))
     elif fmt == "csv":
+        # to_csv (not concat_ws): NULL fields must stay as empty slots
+        # — concat_ws silently skips NULLs and shifts later columns
+        # left — and delimiter-containing values need quoting
         sep = table.options.get("csv.field-delimiter", ",")
-        value = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+        value = F.to_csv(F.struct(*cols), {"sep": sep})
     elif fmt == "raw":
         if len(cols) != 1:
             raise ValueError("format 'raw' requires exactly one physical column")

@@ -409,6 +409,10 @@ def test_kafka_writer_payload_formats(spark):
     )
     c = kafka_writer_payload(df, t_csv).collect()[0]
     assert c.value == "1|a"
+    # NULL fields keep their slot (concat_ws would shift columns left)
+    df_null = spark.createDataFrame([(2, None)], "id long, name string")
+    c2 = kafka_writer_payload(df_null, t_csv).collect()[0]
+    assert c2.value == "2|"
 
     t_raw = parse_create_table(
         """CREATE TABLE k (name STRING) WITH ('connector'='kafka',

@@ -508,6 +508,7 @@ def test_sample_frames_and_resize_plumbing(spark):
     rows = [
         (1, bytearray(wav(8000, 1, 3))),   # 3000 ms → 3 frames @1000ms
         (2, bytearray(b"not-a-media-file")),  # unprobeable → 0 frames
+        (3, None),  # NULL payload: skipped, must not fail the batch
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     frames = sample_frames(df, interval_ms=1000, deterministic_fake=True).collect()
@@ -519,7 +520,7 @@ def test_sample_frames_and_resize_plumbing(spark):
     assert [bytes(r.frame) for r in again] == [bytes(r.frame) for r in frames]
 
     rs = resize_images(df, 64, 48, deterministic_fake=True).collect()
-    assert [(r.doc_id, r.out_width, r.out_height) for r in rs] == [(1, 64, 48), (2, 64, 48)]
+    assert [(r.doc_id, r.out_width, r.out_height) for r in rs] == [(1, 64, 48), (2, 64, 48)]  # NULL row skipped
     assert all(r.n_bytes == len(r.resized) == 48 for r in rs)  # 64*48//64
 
     with _pytest.raises(NotImplementedError, match="imaging"):
