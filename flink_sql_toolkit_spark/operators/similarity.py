@@ -569,18 +569,37 @@ def sim_ivf_topk(
 @register(
     "sim_embedding_neardup",
     oracle=f"""
-    WITH {BUCKET_SQL},
+    WITH RECURSIVE {BUCKET_SQL},
     ok AS (
       SELECT bucket FROM buckets GROUP BY bucket
       HAVING COUNT(*) <= {NEARDUP_BUCKET_CAP}
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_dot_sql('a.embedding', 'b.embedding')} AS cosine
-    FROM buckets a
-    JOIN ok USING (bucket)
-    JOIN buckets b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_dot_sql('a.embedding', 'b.embedding')} >= 0.99
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_dot_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM buckets a
+      JOIN ok USING (bucket)
+      JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')} >= 0.99
+    ),
+    sym AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+      UNION SELECT vec_a, vec_a FROM pairs
+      UNION SELECT vec_b, vec_b FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+    ),
+    comps AS (SELECT src AS vec_id, min(dst) AS comp FROM reach GROUP BY src),
+    csize AS (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp)
+    SELECT p.vec_a, p.vec_b, p.cosine, c.comp, z.cluster_size
+    FROM pairs p
+    JOIN comps c ON c.vec_id = p.vec_a
+    JOIN csize z USING (comp)
     ORDER BY vec_a, vec_b
     """,
 )
@@ -605,12 +624,27 @@ def sim_embedding_neardup(
     b = capped.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
     )
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.99)
         .select("vec_a", "vec_b", "cosine")
+    )
+    # transitive embedding-dedup clusters: the generic min-label
+    # propagation over the verified pairs (operators/dedup.py); comp =
+    # canonical min vec_id, shuffle-joined (corpus-proportional table)
+    from flink_sql_toolkit_spark.operators.dedup import (  # noqa: PLC0415
+        near_dup_components,
+    )
+
+    comps = near_dup_components(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    ).withColumnRenamed("doc_id", "vec_a")
+    return pairs.join(comps, "vec_a").select(
+        "vec_a", "vec_b", "cosine", "comp", "cluster_size"
     )
 
 
