@@ -553,3 +553,68 @@ def test_grouping_key_positions_plan_shapes(spark):
         "GROUP BY window_start"
     )
     assert grouping_key_positions(spark.sql(tvf)) == [0]
+
+
+def test_changelog_buffer_replay_property():
+    """Property: replaying a changelog (+I inserts, -U/+U pairs onto
+    the previous value) reconstructs exactly the last-value-per-key
+    table, for arbitrary update sequences — the invariant Flink's
+    changelog result mode guarantees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_sql_toolkit_spark.streaming.buffer import ChangelogResultBuffer
+
+    class FakeBatch:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            return self
+
+        def count(self):
+            return len(self.rows)
+
+        def tail(self, n):
+            return self.rows[-n:]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=6
+            ),
+            max_size=6,
+        )
+    )
+    def check(batches):
+        buf = ChangelogResultBuffer(key_positions=[0], max_rows=10_000)
+        expected = {}
+        for batch in batches:
+            # update-mode semantics: one row per key per micro-batch
+            # (last value wins within the batch)
+            dedup = {}
+            for k, v in batch:
+                dedup[k] = v
+            expected.update(dedup)
+            buf.foreach_batch(FakeBatch([[k, v] for k, v in dedup.items()]), 0)
+        # replay the visible changelog
+        replayed = {}
+        pending_retract = None
+        for op, k, v in buf.fetch(0)["data"]:
+            if op == "+I":
+                assert k not in replayed
+                replayed[k] = v
+            elif op == "-U":
+                assert replayed.get(k) == v
+                pending_retract = k
+            else:
+                assert op == "+U" and pending_retract == k
+                replayed[k] = v
+                pending_retract = None
+        assert replayed == expected
+
+    check()
