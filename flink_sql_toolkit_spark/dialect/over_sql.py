@@ -173,3 +173,87 @@ def rewrite_streaming_over_sql(
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
     masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"
     return _unmask(masked, lits)
+
+
+# The canonical Flink streaming-deduplication recipe (Flink docs
+# "Deduplication"; the grammar's OVER vocabulary covers it):
+#   SELECT ... FROM (
+#     SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn
+#     FROM t) WHERE rn = 1
+_DEDUP_SHAPE = re.compile(
+    r"(?isx)^\s*SELECT\s+(?P<outer>[\w.,\s\x00`*]+?)\s+FROM\s*\(\s*"
+    r"SELECT\s+(?P<inner>[\w.,\s\x00`*]+?),\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<keys>[\w.,\s\x00`]+?)\s+"
+    r"ORDER\s+BY\s+(?P<order>[\w.\x00`]+)\s*(?P<dir>ASC|DESC)?\s*\)\s+AS\s+(?P<rn>\w+)\s+"
+    r"FROM\s+(?P<table>[\w.\x00`]+)\s*\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*"
+    r"WHERE\s+(?P<rncol>\w+)\s*(?:=\s*1|<=\s*1)\s*;?\s*$"
+)
+
+
+def _stream_has_watermark(df) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+    except Exception:  # noqa: BLE001 — non-classic frame
+        return False
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "EventTimeWatermark":
+            return True
+        ch = node.children()
+        stack.extend(ch.apply(i) for i in range(ch.size()))
+    return False
+
+
+def rewrite_streaming_dedup_sql(spark: SparkSession, stmt: str) -> str | None:
+    """Route the ROW_NUMBER()=1 dedup recipe over a streaming table to
+    the stateful dedup operator; ``None`` when the statement is not
+    this shape (the caller falls through to the OVER router / typed
+    guidance).
+
+    Keep-first semantics: with a declared watermark the state is
+    bounded (``dropDuplicatesWithinWatermark`` — duplicates are
+    suppressed within the watermark horizon, Flink's recipe with
+    state TTL); without one it is exact-forever (``dropDuplicates``,
+    unbounded key state — the same trade-off Flink documents for
+    dedup with no TTL). Arrival order stands in for event-time order
+    within a micro-batch, exact for in-order sources (module-level
+    semantic note). ``ORDER BY ... DESC`` (keep-LAST) emits an
+    updating stream append mode cannot express — typed rejection.
+    """
+    masked, lits = _mask(stmt)
+    m = _DEDUP_SHAPE.match(masked)
+    if not m or m.group("rn") != m.group("rncol"):
+        return None
+    table = _unmask(m.group("table"), lits).strip("`")
+    if "." in table:
+        return None
+    try:
+        src = spark.table(table)
+    except Exception:  # noqa: BLE001
+        return None
+    if not src.isStreaming:
+        return None
+    if (m.group("dir") or "ASC").upper() == "DESC":
+        raise NotImplementedError(
+            "streaming deduplication with ORDER BY ... DESC keeps the "
+            "LAST row per key, an updating result that append-mode "
+            "paging cannot express — use ORDER BY ... ASC (keep-first)"
+        )
+    keys = [
+        _unmask(k, lits).strip().strip("`")
+        for k in _split_args(m.group("keys"))
+    ]
+    if any(not re.match(r"^\w+$", k) for k in keys):
+        return None
+    out = (
+        src.dropDuplicatesWithinWatermark(keys)
+        if _stream_has_watermark(src)
+        else src.dropDuplicates(keys)
+    )
+    view = f"_dedup_out_{next(_view_ids)}"
+    out.createOrReplaceTempView(view)
+    outer = m.group("outer")
+    # outer SELECT * would re-include rn, which the operator's output
+    # does not carry; the view's * is already rn-free
+    return f"SELECT {_unmask(outer, lits)} FROM {view}"

@@ -366,13 +366,17 @@ class Operation:
             # supported frame shapes to the engine's stateful
             # operators (dialect/over_sql.py), typed guidance else
             from flink_sql_toolkit_spark.dialect.over_sql import (  # noqa: PLC0415
+                rewrite_streaming_dedup_sql,
                 rewrite_streaming_over_sql,
             )
 
             stmt = strip_leading_comments(self.statement).rstrip(";").strip()
-            routed = rewrite_streaming_over_sql(
-                sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
-            )
+            # try the more specific ROW_NUMBER()=1 dedup recipe first
+            routed = rewrite_streaming_dedup_sql(sess.spark, stmt)
+            if routed is None:
+                routed = rewrite_streaming_over_sql(
+                    sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
+                )
             if routed is None:
                 raise NotImplementedError(
                     "this OVER window shape is not supported in a "
@@ -390,7 +394,7 @@ class Operation:
             # them so cancel() drops them instead of leaking catalog
             # entries across a long-lived interactive session
             self._temp_views = list(getattr(self, "_temp_views", [])) + re.findall(
-                r"\b_over_out_\d+\b", routed
+                r"\b_(?:over|dedup)_out_\d+\b", routed
             )
             _bind_result(df)
             q = _start_any(df)

@@ -618,3 +618,51 @@ def test_changelog_buffer_replay_property():
         assert replayed == expected
 
     check()
+
+
+def test_streaming_dedup_sql_recipe(session, tmp_path, spark):
+    """The canonical Flink dedup recipe — ROW_NUMBER() OVER
+    (PARTITION BY k ORDER BY ts) = 1 in a subquery — over a STREAMING
+    table routes to the stateful dedup operator (keep-first) instead
+    of a typed rejection; DESC (keep-last) stays a typed error."""
+    import pytest as _pytest
+
+    rows = [
+        (1, dt_ts(0), "a"), (1, dt_ts(1), "dup-a"),
+        (2, dt_ts(2), "b"), (1, dt_ts(3), "dup-a2"),
+    ]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/dsql")
+    session.execute_statement(
+        f"""CREATE TABLE dsql_src (k BIGINT, ts TIMESTAMP, v STRING)
+        WITH ('connector'='filesystem', 'path'='{tmp_path}/dsql',
+              'format'='parquet')"""
+    )
+    op = session.execute_statement(
+        "SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts) AS rn FROM dsql_src) WHERE rn = 1"
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 2:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(tuple(r) for r in page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert sorted(got) == [(1, "a"), (2, "b")]  # first arrival per key
+
+    with _pytest.raises(NotImplementedError, match="keep-first"):
+        session.execute_statement(
+            "SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY k ORDER BY ts DESC) AS rn FROM dsql_src) "
+            "WHERE rn = 1"
+        )
+
+
+def dt_ts(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
