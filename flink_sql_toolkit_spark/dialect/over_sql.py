@@ -186,7 +186,7 @@ _DEDUP_SHAPE = re.compile(
     r"PARTITION\s+BY\s+(?P<keys>[\w.,\s\x00`]+?)\s+"
     r"ORDER\s+BY\s+(?P<order>[\w.\x00`]+)\s*(?P<dir>ASC|DESC)?\s*\)\s+AS\s+(?P<rn>\w+)\s+"
     r"FROM\s+(?P<table>[\w.\x00`]+)\s*\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*"
-    r"WHERE\s+(?P<rncol>\w+)\s*(?:=\s*1|<=\s*1)\s*;?\s*$"
+    r"WHERE\s+(?P<rncol>\w+)\s*(?:=\s*1|<=\s*(?P<topn>\d+))\s*;?\s*$"
 )
 
 
@@ -218,8 +218,10 @@ def rewrite_streaming_dedup_sql(spark: SparkSession, stmt: str) -> str | None:
     unbounded key state — the same trade-off Flink documents for
     dedup with no TTL). Arrival order stands in for event-time order
     within a micro-batch, exact for in-order sources (module-level
-    semantic note). ``ORDER BY ... DESC`` (keep-LAST) emits an
-    updating stream append mode cannot express — typed rejection.
+    semantic note). ``rn <= N`` (N > 1) routes to the first-N-per-key
+    operator (one counter per key). ``ORDER BY ... DESC`` (keep-LAST
+    / true Top-N) emits an updating stream append mode cannot express
+    — typed rejection.
     """
     masked, lits = _mask(stmt)
     m = _DEDUP_SHAPE.match(masked)
@@ -246,11 +248,22 @@ def rewrite_streaming_dedup_sql(spark: SparkSession, stmt: str) -> str | None:
     ]
     if any(not re.match(r"^\w+$", k) for k in keys):
         return None
-    out = (
-        src.dropDuplicatesWithinWatermark(keys)
-        if _stream_has_watermark(src)
-        else src.dropDuplicates(keys)
-    )
+    topn = int(m.group("topn") or 1)
+    if topn > 1:
+        # first-N-per-key (the append-expressible Top-N): one counter
+        # per key in applyInPandasWithState
+        from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_first_n,
+        )
+
+        order_col = _unmask(m.group("order"), lits).strip("`")
+        out = streaming_first_n(src, keys, [order_col], topn)
+    else:
+        out = (
+            src.dropDuplicatesWithinWatermark(keys)
+            if _stream_has_watermark(src)
+            else src.dropDuplicates(keys)
+        )
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
     outer = m.group("outer")

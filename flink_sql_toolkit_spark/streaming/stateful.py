@@ -34,6 +34,56 @@ def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str, delay: s
     return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_first_n(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    n: int,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-N-per-key over a stream — the append-expressible half of
+    Flink's Top-N recipe (``ROW_NUMBER() <= N``): emit a row while its
+    key has emitted fewer than ``n`` rows, then drop. Once emitted a
+    row never retracts, so this is exact for arrival-order ranking
+    (Flink's proctime Top-N); event-time ORDER BY is approximated by
+    within-micro-batch sorting (module-level semantic note). State is
+    ONE counter per key (bigint), TTL-evictable — minimal possible
+    footprint."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    cols = list(df.columns)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf) or count >= n:
+                continue
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            take = min(n - count, len(pdf))
+            count += take
+            yield pdf[cols].iloc[:take]
+        state.update((count,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        out_schema,
+        "emitted bigint",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_funnel(
     df: DataFrame,
     key_col: str,

@@ -666,3 +666,56 @@ def dt_ts(s):
     import datetime
 
     return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_streaming_first_n_sql_recipe(session, tmp_path, spark):
+    """rn <= N (N>1) over a streaming table: first-N-per-key with a
+    one-counter state, spanning micro-batches."""
+    rows1 = [(1, dt_ts(0), "a1"), (1, dt_ts(1), "a2"), (2, dt_ts(2), "b1")]
+    rows2 = [(1, dt_ts(3), "a3"), (1, dt_ts(4), "a4"), (2, dt_ts(5), "b2")]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "fnsql"
+    d.mkdir()
+
+    def write(rows, name):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "v": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            d / name,
+        )
+
+    write(rows1, "b0.parquet")
+    session.execute_statement(
+        f"""CREATE TABLE fn_src (k BIGINT, ts TIMESTAMP, v STRING)
+        WITH ('connector'='filesystem', 'path'='{d}', 'format'='parquet')"""
+    )
+    op = session.execute_statement(
+        "SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts) AS rn FROM fn_src) WHERE rn <= 3"
+    )
+    got, token = [], 0
+    deadline = time.time() + 30
+    while time.time() < deadline and len(got) < 3:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(tuple(r) for r in page["data"])
+        time.sleep(0.5)
+    # second batch: key 1 already emitted 2 → only a3 passes (cap 3)
+    write(rows2, "b1.parquet")
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 5:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(tuple(r) for r in page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert sorted(got) == [
+        (1, "a1"), (1, "a2"), (1, "a3"), (2, "b1"), (2, "b2")
+    ]
