@@ -52,6 +52,12 @@ _SPEC = re.compile(
 
 _AGG_SUFFIX = {"SUM": "sum", "COUNT": "cnt", "AVG": "avg", "MIN": "min", "MAX": "max"}
 
+# LAG(col) has no frame clause: PARTITION BY ... ORDER BY col only
+_SPEC_NOFRAME = re.compile(
+    r"(?is)^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+"
+    r"(?P<order>[\w.\x00]+)(?:\s+ASC)?\s*$"
+)
+
 _view_ids = itertools.count()
 
 
@@ -108,12 +114,15 @@ def rewrite_streaming_over_sql(
     }
     args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
     funcs = {s[2] for s in spans}
-    if len(specs) != 1 or len(args) != 1 or not funcs <= set(_AGG_SUFFIX):
+    is_lag = funcs == {"LAG"}
+    if len(specs) != 1 or len(args) != 1 or not (
+        is_lag or funcs <= set(_AGG_SUFFIX)
+    ):
         return None
     value_col = args.pop()
     if not re.match(r"^\w+$", value_col):
         return None  # expressions (COUNT(*), a+b) are not routable
-    sm = _SPEC.match(spans[0][4])
+    sm = (_SPEC_NOFRAME if is_lag else _SPEC).match(spans[0][4])
     if not sm:
         return None
 
@@ -147,7 +156,15 @@ def rewrite_streaming_over_sql(
     ]
     order_col = _unmask(sm.group("order"), lits).strip("`")
     try:
-        if sm.group("nrows") is not None:
+        if is_lag:
+            from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+                streaming_lag,
+            )
+
+            out = streaming_lag(
+                src, partition_by, [order_col], value_col, ttl_ms=ttl_ms
+            )
+        elif sm.group("nrows") is not None:
             out = streaming_over_rows(
                 src, partition_by, [order_col], value_col,
                 int(sm.group("nrows")), ttl_ms=ttl_ms,
@@ -169,7 +186,8 @@ def rewrite_streaming_over_sql(
     # keyword after the table name is left in place, so aliases keep
     # working against the pass-through view)
     for start, end, func, _arg, _spec in sorted(spans, reverse=True):
-        masked = f"{masked[:start]}{value_col}_{_AGG_SUFFIX[func]}{masked[end:]}"
+        suffix = "lag" if func == "LAG" else _AGG_SUFFIX[func]
+        masked = f"{masked[:start]}{value_col}_{suffix}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
     masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"
     return _unmask(masked, lits)

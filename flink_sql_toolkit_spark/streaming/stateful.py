@@ -34,6 +34,83 @@ def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str, delay: s
     return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_lag(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    offset: int = 1,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``LAG(value) OVER (PARTITION BY k ORDER BY ts)`` on a stream —
+    the offset-function member of the streaming OVER family. State per
+    key is the last ``offset`` values (a bounded ring, exactly like
+    the ROWS frame but emitting the displaced value instead of an
+    aggregate): rows before the offset fills emit NULL, matching the
+    batch window function. Output: every input column plus
+    ``{value}_lag``."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in partition_by + order_by + [value_col]:
+        if c not in in_schema:
+            raise ValueError(f"column '{c}' not in input")
+    vt = in_schema[value_col]
+    if vt not in _OVER_INT_TYPES + _OVER_FLOAT_TYPES + ("string",):
+        raise NotImplementedError(
+            f"streaming LAG supports integral, floating-point and "
+            f"string value columns; '{value_col}' is {vt}"
+        )
+    is_int = vt in _OVER_INT_TYPES
+    state_t = "bigint" if is_int else ("double" if vt in _OVER_FLOAT_TYPES else "string")
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in in_schema.items())
+        + f", {value_col}_lag {vt}"
+    )
+    cols = list(df.columns)
+
+    def enc(v):
+        if _is_null(v):
+            return None
+        if is_int:
+            return int(v)
+        return float(v) if state_t == "double" else str(v)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ring: list = list(state.get[0]) if state.exists else []
+        out_rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            vals = pdf[value_col].tolist()
+            for row, v in zip(pdf[cols].itertuples(index=False), vals):
+                lag_v = ring[0] if len(ring) >= offset else None
+                out_rows.append([*row, lag_v])
+                ring.append(enc(v))
+                if len(ring) > offset:
+                    ring.pop(0)
+        state.update((ring,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[*cols, f"{value_col}_lag"])
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn,
+        out_schema,
+        f"ring array<{state_t}>",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_first_n(
     df: DataFrame,
     keys: list[str],

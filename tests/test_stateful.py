@@ -944,3 +944,49 @@ def test_streaming_mr_prev_spans_batches(spark, tmp_path):
     # A(seq1) B(seq2: 2>1 via cross-batch-seeded PREV for later rows);
     # A(seq3)+B(seq4) fails (4<5), so A(seq4) B(seq5: 9>4) matches
     assert got == [(1, 2), (4, 5)]
+
+
+def test_streaming_lag_sql_routed(spark, tmp_path):
+    """LAG(v) OVER (PARTITION BY k ORDER BY ts) on a streaming table
+    routes to streaming_lag: per-key previous value with a bounded
+    ring state, crossing micro-batch boundaries; first row per key is
+    NULL like the batch window function."""
+    import datetime as _dt
+    import time as _time
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10), (1, t0 + _dt.timedelta(seconds=1), 20),
+            (2, t0, 7), (1, t0 + _dt.timedelta(seconds=2), 30)]
+    spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lagsql")
+    engine = Engine(spark)
+    sess = engine.open_session("lag-sql")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE lag_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/lagsql',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, ts, LAG(v) OVER (PARTITION BY k ORDER BY ts) AS prev_v "
+            "FROM lag_src"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 4:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        assert sorted(got, key=lambda r: (r[0], r[1])) == [
+            (1, t0, None),
+            (1, t0 + _dt.timedelta(seconds=1), 10),
+            (1, t0 + _dt.timedelta(seconds=2), 20),
+            (2, t0, None),
+        ]
+    finally:
+        sess.close()
