@@ -208,42 +208,36 @@ _DEDUP_SHAPE = re.compile(
 )
 
 
-def _stream_has_watermark(df) -> bool:
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-    except Exception:  # noqa: BLE001 — non-classic frame
-        return False
-    stack = [plan]
-    while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "EventTimeWatermark":
-            return True
-        ch = node.children()
-        stack.extend(ch.apply(i) for i in range(ch.size()))
-    return False
-
-
-def rewrite_streaming_dedup_sql(spark: SparkSession, stmt: str) -> str | None:
+def rewrite_streaming_dedup_sql(
+    spark: SparkSession, stmt: str, ttl_ms: int | None = None
+) -> str | None:
     """Route the ROW_NUMBER()=1 dedup recipe over a streaming table to
     the stateful dedup operator; ``None`` when the statement is not
     this shape (the caller falls through to the OVER router / typed
     guidance).
 
-    Keep-first semantics: with a declared watermark the state is
-    bounded (``dropDuplicatesWithinWatermark`` — duplicates are
-    suppressed within the watermark horizon, Flink's recipe with
-    state TTL); without one it is exact-forever (``dropDuplicates``,
-    unbounded key state — the same trade-off Flink documents for
-    dedup with no TTL). Arrival order stands in for event-time order
-    within a micro-batch, exact for in-order sources (module-level
-    semantic note). ``rn <= N`` (N > 1) routes to the first-N-per-key
-    operator (one counter per key). ``ORDER BY ... DESC`` (keep-LAST
-    / true Top-N) emits an updating stream append mode cannot express
-    — typed rejection.
+    Every ``rn = 1`` / ``rn <= N`` shape routes to
+    ``streaming_first_n``: keep the first N rows per key (one bigint
+    counter per key — smaller state than key-set dedup — TTL-evicted
+    via ``table.exec.state.ttl``), sorted by the ORDER BY column
+    within each micro-batch so the rank-1 pick is consistent for
+    in-order-within-batch data; cross-batch out-of-order rows follow
+    the module-level arrival-order note. ``ORDER BY ... DESC``
+    (keep-LAST / true updating Top-N) emits retractions append-mode
+    paging cannot express — typed rejection.
     """
     masked, lits = _mask(stmt)
     m = _DEDUP_SHAPE.match(masked)
     if not m or m.group("rn") != m.group("rncol"):
+        return None
+    # inner projection must be bare * — renames/expressions would need
+    # to be replayed onto the view (not this router's scope)
+    if m.group("inner").strip() != "*":
+        return None
+    # the outer list cannot reference the rn column (the operator's
+    # output does not carry it)
+    rn = m.group("rn")
+    if re.search(rf"(?i)\b{re.escape(rn)}\b", m.group("outer")):
         return None
     table = _unmask(m.group("table"), lits).strip("`")
     if "." in table:
@@ -267,24 +261,19 @@ def rewrite_streaming_dedup_sql(spark: SparkSession, stmt: str) -> str | None:
     if any(not re.match(r"^\w+$", k) for k in keys):
         return None
     topn = int(m.group("topn") or 1)
-    if topn > 1:
-        # first-N-per-key (the append-expressible Top-N): one counter
-        # per key in applyInPandasWithState
-        from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
-            streaming_first_n,
-        )
+    if topn < 1:
+        return None  # rn <= 0 is an empty result, not a dedup
+    from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+        streaming_first_n,
+    )
 
-        order_col = _unmask(m.group("order"), lits).strip("`")
-        out = streaming_first_n(src, keys, [order_col], topn)
-    else:
-        out = (
-            src.dropDuplicatesWithinWatermark(keys)
-            if _stream_has_watermark(src)
-            else src.dropDuplicates(keys)
-        )
+    order_col = _unmask(m.group("order"), lits).strip("`")
+    out = streaming_first_n(src, keys, [order_col], topn, ttl_ms=ttl_ms)
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
     outer = m.group("outer")
-    # outer SELECT * would re-include rn, which the operator's output
-    # does not carry; the view's * is already rn-free
-    return f"SELECT {_unmask(outer, lits)} FROM {view}"
+    alias = m.group("alias")
+    # keep the subquery alias in scope so `d.col` outer references
+    # still resolve; the view's * is already rn-free
+    from_clause = f"{view} AS {alias}" if alias else view
+    return f"SELECT {_unmask(outer, lits)} FROM {from_clause}"

@@ -372,7 +372,9 @@ class Operation:
 
             stmt = strip_leading_comments(self.statement).rstrip(";").strip()
             # try the more specific ROW_NUMBER()=1 dedup recipe first
-            routed = rewrite_streaming_dedup_sql(sess.spark, stmt)
+            routed = rewrite_streaming_dedup_sql(
+                sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
+            )
             if routed is None:
                 routed = rewrite_streaming_over_sql(
                     sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
@@ -384,10 +386,14 @@ class Operation:
                     "SUM/COUNT/AVG/MIN/MAX(col) OVER (PARTITION BY … "
                     "ORDER BY … ROWS BETWEEN n PRECEDING AND CURRENT "
                     "ROW | RANGE BETWEEN INTERVAL … PRECEDING AND "
-                    "CURRENT ROW), executed via "
-                    "streaming.stateful.streaming_over_rows/"
-                    "streaming_over_range; or use a window TVF "
-                    "(TUMBLE/HOP/CUMULATE) for time-based frames"
+                    "CURRENT ROW) via streaming.stateful."
+                    "streaming_over_rows/streaming_over_range; "
+                    "LAG(col) OVER (PARTITION BY … ORDER BY …) via "
+                    "streaming_lag; the dedup/first-N recipe "
+                    "ROW_NUMBER() OVER (…) in a subquery filtered to "
+                    "rn = 1 / rn <= N via streaming_first_n; or use a "
+                    "window TVF (TUMBLE/HOP/CUMULATE) for time-based "
+                    "frames"
                 ) from e
             df = sess.spark.sql(rewrite(routed))
             # the routing registered `_over_out_N` temp view(s); track

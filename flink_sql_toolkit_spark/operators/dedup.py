@@ -377,6 +377,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transitive clustering of the verified pairs (the canonical-doc
     # step): comp is identical for both pair sides by construction, so
     # one join on doc_a proves full connected-component correctness
+    # materialize the verified pairs once — they feed BOTH the
+    # component propagation and the final join (re-deriving them would
+    # re-run the whole shingle/LSH/jaccard pipeline a second time)
+    pairs = pairs.localCheckpoint()
     # plain shuffle join: comps is one row per participating doc —
     # corpus-proportional, NOT broadcast-safe at scale
     comps = near_dup_components(pairs).withColumnRenamed("doc_id", "doc_a")

@@ -633,7 +633,10 @@ def sim_embedding_neardup(
     )
     # transitive embedding-dedup clusters: the generic min-label
     # propagation over the verified pairs (operators/dedup.py); comp =
-    # canonical min vec_id, shuffle-joined (corpus-proportional table)
+    # canonical min vec_id, shuffle-joined (corpus-proportional table).
+    # Checkpoint first: pairs feeds both the propagation and the final
+    # join — without it the bucket self-join + dot products run twice.
+    pairs = pairs.localCheckpoint()
     from flink_sql_toolkit_spark.operators.dedup import (  # noqa: PLC0415
         near_dup_components,
     )

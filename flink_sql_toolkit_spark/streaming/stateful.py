@@ -73,6 +73,9 @@ def streaming_lag(
     cols = list(df.columns)
 
     def enc(v):
+        # deliberately NOT _encode_val: a lagged NULL must re-emit as
+        # NULL (None), never the frame-slot NaN marker — batch LAG of
+        # a NULL value yields NULL, and NaN is a distinct double
         if _is_null(v):
             return None
         if is_int:

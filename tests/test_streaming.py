@@ -661,6 +661,21 @@ def test_streaming_dedup_sql_recipe(session, tmp_path, spark):
             "WHERE rn = 1"
         )
 
+    # alias-qualified outer references keep resolving through the view
+    op2 = session.execute_statement(
+        "SELECT d.k, d.v FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts) AS rn FROM dsql_src) d WHERE rn = 1"
+    )
+    got2, token2 = [], 0
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got2) < 2:
+        page = op2.fetch(token2)
+        token2 = page["nextResultToken"]
+        got2.extend(tuple(r) for r in page["data"])
+        time.sleep(0.5)
+    op2.cancel()
+    assert sorted(got2) == [(1, "a"), (2, "b")]
+
 
 def dt_ts(s):
     import datetime
