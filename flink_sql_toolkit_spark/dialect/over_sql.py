@@ -39,8 +39,11 @@ from flink_sql_toolkit_spark.dialect.rewriter import (
 )
 
 # AGG(arg) OVER ( — the span's closing paren is found by balance.
-# \x00 admits masked backtick identifiers as the argument.
-_OVER_CALL = re.compile(r"(?is)\b(\w+)\s*\(\s*([\w.\x00]*?)\s*\)\s+OVER\s*\(")
+# \x00 admits masked backtick identifiers as the argument. LAG may
+# carry an explicit integer offset as a second argument.
+_OVER_CALL = re.compile(
+    r"(?is)\b(\w+)\s*\(\s*([\w.\x00]*?)\s*(?:,\s*(\d+)\s*)?\)\s+OVER\s*\("
+)
 
 _SPEC = re.compile(
     r"(?is)^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+(?P<order>[\w.\x00]+)"
@@ -93,9 +96,11 @@ def rewrite_streaming_over_sql(
         close_idx = _matching_paren(masked, open_idx)
         if close_idx < 0:
             return None  # unbalanced OVER clause: typed guidance path
+        if m.group(3) is not None and m.group(1).upper() != "LAG":
+            return None  # two-argument aggregates are not routable
         spans.append(
             (m.start(), close_idx + 1, m.group(1).upper(), m.group(2).strip(),
-             masked[open_idx + 1 : close_idx])
+             masked[open_idx + 1 : close_idx], int(m.group(3) or 1))
         )
     if not spans:
         return None
@@ -115,7 +120,8 @@ def rewrite_streaming_over_sql(
     args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
     funcs = {s[2] for s in spans}
     is_lag = funcs == {"LAG"}
-    if len(specs) != 1 or len(args) != 1 or not (
+    offsets = {sp[5] for sp in spans}
+    if len(specs) != 1 or len(args) != 1 or len(offsets) != 1 or not (
         is_lag or funcs <= set(_AGG_SUFFIX)
     ):
         return None
@@ -162,7 +168,8 @@ def rewrite_streaming_over_sql(
             )
 
             out = streaming_lag(
-                src, partition_by, [order_col], value_col, ttl_ms=ttl_ms
+                src, partition_by, [order_col], value_col,
+                offset=offsets.pop(), ttl_ms=ttl_ms,
             )
         elif sm.group("nrows") is not None:
             out = streaming_over_rows(
@@ -185,7 +192,7 @@ def rewrite_streaming_over_sql(
     # column; then retarget FROM <table> → FROM <view> (any alias or
     # keyword after the table name is left in place, so aliases keep
     # working against the pass-through view)
-    for start, end, func, _arg, _spec in sorted(spans, reverse=True):
+    for start, end, func, _arg, _spec, _off in sorted(spans, reverse=True):
         suffix = "lag" if func == "LAG" else _AGG_SUFFIX[func]
         masked = f"{masked[:start]}{value_col}_{suffix}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)

@@ -988,5 +988,25 @@ def test_streaming_lag_sql_routed(spark, tmp_path):
             (1, t0 + _dt.timedelta(seconds=2), 20),
             (2, t0, None),
         ]
+
+        # explicit offset: LAG(v, 2)
+        op2 = sess.execute_statement(
+            "SELECT k, ts, LAG(v, 2) OVER (PARTITION BY k ORDER BY ts) "
+            "AS prev2 FROM lag_src"
+        )
+        got2, token2 = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got2) < 4:
+            page = op2.fetch(token2)
+            token2 = page["nextResultToken"]
+            got2.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op2.cancel()
+        assert sorted(got2, key=lambda r: (r[0], r[1])) == [
+            (1, t0, None),
+            (1, t0 + _dt.timedelta(seconds=1), None),
+            (1, t0 + _dt.timedelta(seconds=2), 10),
+            (2, t0, None),
+        ]
     finally:
         sess.close()
