@@ -60,6 +60,44 @@ UNREGISTERED = {
     "match_recognize_funnel": mr.match_recognize_funnel,
     "text_quality_score": textstats.text_quality_score,
 }
+# -- ambient-load instrumentation (VERDICT r6 ask #2) ----------------
+# r6's +23% best-of drift vs r5 was uniform across plan-unchanged
+# pure-JVM queries — the signature of ambient host load, but nothing
+# in BENCH recorded it. Each bench now runs a fixed single-threaded
+# CPU calibration loop per query and records os.getloadavg(), so a
+# judge can separate host noise from real regressions without
+# re-running: a query whose raw time and calibration drift by the
+# same factor regressed with the HOST, not the code.
+# CALIB_REF_SEC pins the loop's best-of time measured on this
+# container at 1-min loadavg 1.6 / 32 CPUs (2026-08-14, r7):
+# normalized_time = raw_time * (CALIB_REF_SEC / calib_sec).
+CALIB_REF_SEC = 0.19
+
+
+def _calibration_run() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    dt = time.perf_counter() - t0
+    assert x == 3950403008  # keep the loop live + deterministic
+    return dt
+
+
+def calibrate(n: int = 3) -> float:
+    """Best-of-n calibration loop time (~0.19 s idle): scales with
+    CPU contention/frequency the same way the single-threaded spans
+    of the measured queries do."""
+    return round(min(_calibration_run() for _ in range(n)), 4)
+
+
+def loadavg1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — non-POSIX
+        return -1.0
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,6 +155,9 @@ def main() -> None:
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
     spread_raw: dict[str, float] = {}
+    calib: dict[str, float] = {}
+    load: dict[str, float] = {}
+    calib_start, load_start = calibrate(), loadavg1()
     for name in HEADLINE:
         if name not in queries:
             continue
@@ -145,7 +186,18 @@ def main() -> None:
         best[name] = round(min(runs), 3)
         spread[name] = round(max(mid) - min(mid), 3)
         spread_raw[name] = round(max(runs) - min(runs), 3)
+        # ambient-load marker measured adjacent to this query's runs
+        calib[name] = calibrate(2)
+        load[name] = loadavg1()
 
+    calib_end, load_end = calibrate(), loadavg1()
+    # calibration-normalized medians: raw * (ref / adjacent-calib).
+    # If the host ran 1.2× slow while q1 measured, q1's calibration
+    # ran 1.2× slow too and the normalized number recovers the
+    # idle-host time.
+    norm = {
+        n: round(t * (CALIB_REF_SEC / calib[n]), 3) for n, t in timings.items()
+    }
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
         {
@@ -167,6 +219,20 @@ def main() -> None:
             # keeps the old max-min for continuity.
             "spread": spread,
             "spread_raw": spread_raw,
+            # ambient-load markers (VERDICT r6 ask #2): per-query
+            # calibration-loop seconds + 1-min loadavg, the pinned
+            # idle-host reference, and normalized medians. Uniform
+            # calib drift == host noise; calib-stable raw drift ==
+            # real regression.
+            "calib_ref_sec": CALIB_REF_SEC,
+            "calib_start": calib_start,
+            "calib_end": calib_end,
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+            "queries_calib": calib,
+            "queries_loadavg": load,
+            "queries_normalized": norm,
+            "value_normalized": round(sum(norm.values()), 3),
             "hot_cache_budget": os.environ.get(
                 "SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30)
             ),

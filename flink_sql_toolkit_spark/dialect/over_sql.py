@@ -125,6 +125,11 @@ def rewrite_streaming_over_sql(
         is_lag or funcs <= set(_AGG_SUFFIX)
     ):
         return None
+    if is_lag and min(offsets) < 1:
+        # LAG(x, 0) is the current row — not an offset the ring-state
+        # operator models (ADVICE r6: offset=0 indexed an empty ring).
+        # Typed-guidance path rather than an executor IndexError.
+        return None
     value_col = args.pop()
     if not re.match(r"^\w+$", value_col):
         return None  # expressions (COUNT(*), a+b) are not routable
@@ -161,6 +166,13 @@ def rewrite_streaming_over_sql(
         _unmask(c, lits).strip().strip("`") for c in _split_args(sm.group("part"))
     ]
     order_col = _unmask(sm.group("order"), lits).strip("`")
+    # Spark resolves columns case-insensitively but the pandas-side
+    # operators do not — canonicalize to the schema's casing (unknown
+    # columns fall through to the operators' ValueError → typed path)
+    canon = {f.lower(): f for f in src.schema.fieldNames()}
+    partition_by = [canon.get(c.lower(), c) for c in partition_by]
+    order_col = canon.get(order_col.lower(), order_col)
+    value_col = canon.get(value_col.lower(), value_col)
     try:
         if is_lag:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
@@ -275,6 +287,16 @@ def rewrite_streaming_dedup_sql(
     )
 
     order_col = _unmask(m.group("order"), lits).strip("`")
+    # mirror streaming_lag's in_schema validation (ADVICE r6): a
+    # key/ORDER BY column unknown to the source must take the
+    # typed-guidance path, not fail as a pandas KeyError inside the
+    # executor. Spark resolves columns case-insensitively but pandas
+    # does not — canonicalize to the schema's casing.
+    canon = {f.lower(): f for f in src.schema.fieldNames()}
+    if any(k.lower() not in canon for k in keys) or order_col.lower() not in canon:
+        return None
+    keys = [canon[k.lower()] for k in keys]
+    order_col = canon[order_col.lower()]
     out = streaming_first_n(src, keys, [order_col], topn, ttl_ms=ttl_ms)
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)

@@ -13,6 +13,7 @@ continuous jobs, a 1000-row ring buffer for live results.
 
 from __future__ import annotations
 
+import logging
 import re
 import tempfile
 import uuid
@@ -42,6 +43,8 @@ from flink_sql_toolkit_spark.streaming.buffer import (
     grouping_key_positions,
 )
 from flink_sql_toolkit_spark.streaming.jobs import JobRegistry
+
+logger = logging.getLogger(__name__)
 
 PAGE_SIZE = 1000
 # batch SELECT results are pulled lazily from toLocalIterator; only the
@@ -667,22 +670,43 @@ class EngineSession:
         raw = self.flink_conf.get("table.exec.state.ttl")
         if not raw:
             return None
-        m = re.match(
-            r"(?i)^\s*(\d+)\s*(ms|milliseconds?|s|sec|seconds?|min|minutes?|h|hours?|d|days?)?\s*$",
-            raw,
-        )
-        if not m:
+        # Flink TimeUtils label sets (singular/plural + short forms;
+        # note bare 'm' = MINUTES, not millis). Compound spellings like
+        # '1 h 30 min' sum; an unparseable token WARNS instead of
+        # silently disabling TTL (ADVICE r6 — silent None was exactly
+        # the unbounded-state failure TTL exists to prevent).
+        factors = {
+            **dict.fromkeys(["ns", "nano", "nanos", "nanosecond", "nanoseconds"], 1e-6),
+            **dict.fromkeys(["us", "µs", "micro", "micros", "microsecond", "microseconds"], 1e-3),
+            **dict.fromkeys(["ms", "milli", "millis", "millisecond", "milliseconds"], 1),
+            **dict.fromkeys(["s", "sec", "secs", "second", "seconds"], 1000),
+            **dict.fromkeys(["m", "min", "mins", "minute", "minutes"], 60_000),
+            **dict.fromkeys(["h", "hour", "hours"], 3_600_000),
+            **dict.fromkeys(["d", "day", "days"], 86_400_000),
+        }
+        total = 0.0
+        pos, ok = 0, True
+        for tok in re.finditer(r"(\d+)\s*([a-zA-Zµ]*)\s*", raw.strip()):
+            if tok.start() != pos:
+                ok = False
+                break
+            pos = tok.end()
+            unit = tok.group(2).lower() or "ms"
+            if unit not in factors:
+                ok = False
+                break
+            total += int(tok.group(1)) * factors[unit]
+        if not ok or pos != len(raw.strip()):
+            logger.warning(
+                "table.exec.state.ttl=%r is not a recognized Flink "
+                "duration — TTL DISABLED (state for idle keys will "
+                "not be evicted)", raw,
+            )
             return None
-        n = int(m.group(1))
-        unit = (m.group(2) or "ms").lower()
-        factor = (
-            1 if unit.startswith("m") and unit != "min" and not unit.startswith("minute")
-            else 1000 if unit in ("s", "sec") or unit.startswith("second")
-            else 60_000 if unit == "min" or unit.startswith("minute")
-            else 3_600_000 if unit == "h" or unit.startswith("hour")
-            else 86_400_000
-        )
-        return n * factor or None
+        # 0 = Flink's 'never expire' default; a positive sub-ms TTL
+        # rounds UP to the 1 ms timeout granularity rather than
+        # silently disabling eviction
+        return int(total) or (1 if total > 0 else None)
 
     def new_checkpoint(self, name: str) -> str:
         return f"{self.checkpoint_root}/{name}-{uuid.uuid4().hex[:8]}"

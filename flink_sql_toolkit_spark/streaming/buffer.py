@@ -207,13 +207,15 @@ class ChangelogResultBuffer(StreamResultBuffer):
         self.key_positions = key_positions
         self.max_keys = max_keys
         self.evicted_keys = 0
+        self.skipped_rows = 0  # rows dropped by the tail(max_rows) cap
         self._last: OrderedDict[tuple, list] = OrderedDict()
 
     def fetch(self, token: int) -> dict:
         page = super().fetch(token)
         # observability: a nonzero count means some retractions were
-        # degraded to +I re-inserts by the key-LRU cap
+        # degraded to +I re-inserts by the key-LRU cap / tail cap
         page["evictedKeys"] = self.evicted_keys
+        page["skippedRows"] = self.skipped_rows
         return page
 
     def foreach_batch(self, batch_df, _batch_id: int) -> None:
@@ -226,6 +228,16 @@ class ChangelogResultBuffer(StreamResultBuffer):
         finally:
             batch_df.unpersist()
         skipped = n - len(tail)
+        if skipped and self.key_positions is not None:
+            # rows dropped by the tail cap may have updated keys the
+            # map still holds at an older value — a later update would
+            # then emit a -U carrying that stale value. Invalidate the
+            # whole map (those keys degrade to +I re-inserts, never a
+            # wrong retraction) and count the skip so the degradation
+            # is observable (ADVICE r6).
+            self.skipped_rows += skipped
+            self.evicted_keys += len(self._last)
+            self._last.clear()
         out: list[list[Any]] = []
         if self.key_positions is None:
             out = [["+I", *r] for r in tail]

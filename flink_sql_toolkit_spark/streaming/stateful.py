@@ -54,6 +54,11 @@ def streaming_lag(
         GroupStateTimeout,
     )
 
+    if offset < 1:
+        # LAG(x, 0) is the current row; negative offsets are LEAD.
+        # The ring holds exactly `offset` displaced values, so both
+        # would index an empty ring on the first row (ADVICE r6).
+        raise ValueError(f"streaming LAG offset must be >= 1, got {offset}")
     in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in partition_by + order_by + [value_col]:
         if c not in in_schema:

@@ -801,6 +801,10 @@ def test_state_ttl_parsing_and_routed_smoke(spark, tmp_path):
             ("1000", 1000), ("1 s", 1000), ("30 min", 1_800_000),
             ("2 h", 7_200_000), ("1 d", 86_400_000), ("500 ms", 500),
             ("10 seconds", 10_000), ("0", None), ("bogus", None),
+            # Flink TimeUtils spellings that used to silently disable
+            # TTL (ADVICE r6): bare 'm' = minutes, compound durations,
+            # sub-ms rounds UP to the 1 ms timeout granularity
+            ("1 m", 60_000), ("1 h 30 min", 5_400_000), ("2 micro", 1),
         ]:
             sess.flink_conf["table.exec.state.ttl"] = raw
             assert sess.state_ttl_ms() == ms, raw
@@ -944,6 +948,83 @@ def test_streaming_mr_prev_spans_batches(spark, tmp_path):
     # A(seq1) B(seq2: 2>1 via cross-batch-seeded PREV for later rows);
     # A(seq3)+B(seq4) fails (4<5), so A(seq4) B(seq5: 9>4) matches
     assert got == [(1, 2), (4, 5)]
+
+
+def test_streaming_lag_rejects_offset_below_one(spark, tmp_path):
+    """LAG(v, 0) must take the typed-guidance path, not raise an
+    IndexError inside applyInPandasWithState on the first row per key
+    (ADVICE r6: ring[0] on an empty ring when offset=0)."""
+    import datetime as _dt
+
+    import pytest
+
+    from flink_sql_toolkit_spark.engine import Engine
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_lag
+
+    t0 = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, t0, 10)], "k long, ts timestamp, v long")
+    # operator-level guard: validation error before any executor work
+    with pytest.raises(ValueError, match="offset must be >= 1"):
+        streaming_lag(df, ["k"], ["ts"], "v", offset=0)
+
+    # SQL router: LAG(v, 0) falls through to the typed guidance
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lag0")
+    engine = Engine(spark)
+    sess = engine.open_session("lag-zero")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE lag0_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/lag0',
+                  'format'='parquet')"""
+        )
+        with pytest.raises(NotImplementedError, match="OVER window shape"):
+            sess.execute_statement(
+                "SELECT k, LAG(v, 0) OVER (PARTITION BY k ORDER BY ts) "
+                "AS cur FROM lag0_src"
+            )
+    finally:
+        sess.close()
+
+
+def test_streaming_dedup_router_canonicalizes_case(spark, tmp_path):
+    """Spark resolves columns case-insensitively but pandas does not:
+    a ROW_NUMBER()=1 dedup recipe written with `PARTITION BY K ORDER
+    BY TS` against lower-case schema columns used to die as a pandas
+    KeyError inside the executor (ADVICE r6). The router now
+    canonicalizes to the schema's casing and the recipe works."""
+    import datetime as _dt
+    import time as _time
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10), (1, t0 + _dt.timedelta(seconds=1), 20), (2, t0, 7)]
+    spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/dedupcase")
+    engine = Engine(spark)
+    sess = engine.open_session("dedup-case")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE dedupc_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/dedupcase',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY K ORDER BY TS) AS rn FROM dedupc_src) WHERE rn = 1"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 2:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        assert sorted(got) == [(1, 10), (2, 7)]
+    finally:
+        sess.close()
 
 
 def test_streaming_lag_sql_routed(spark, tmp_path):

@@ -467,6 +467,53 @@ def test_changelog_buffer_key_eviction_unit():
     ]
 
 
+def test_changelog_buffer_tail_skip_invalidates_unit():
+    """Rows dropped by the tail(max_rows) cap must not leave the key
+    map holding pre-skip values: a later update for a skipped key
+    would emit a -U carrying a stale value (ADVICE r6). On a skip the
+    map is invalidated (degrades to +I re-inserts — never a wrong
+    retraction) and the skip is counted for observability."""
+    from flink_sql_toolkit_spark.streaming.buffer import ChangelogResultBuffer
+
+    buf = ChangelogResultBuffer(key_positions=[0], max_rows=2)
+
+    class FakeBatch:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            return self
+
+        def count(self):
+            return len(self.rows)
+
+        def tail(self, n):
+            return self.rows[-n:]
+
+    buf.foreach_batch(FakeBatch([["a", 1], ["b", 2]]), 0)
+    assert buf.skipped_rows == 0
+    # batch of 3 with cap 2: ["a", 9] is tail-skipped — the map's
+    # a=1 entry must not survive to retract against
+    buf.foreach_batch(FakeBatch([["a", 9], ["b", 5], ["c", 3]]), 1)
+    assert buf.skipped_rows == 1
+    page = buf.fetch(0)
+    ops = [r[:1] + r[1:] for r in page["data"]]
+    # 'b' updated post-invalidation → +I re-insert, NOT -U b,2 / +U b,5
+    assert ["+I", "b", 5] in ops
+    assert ["-U", "b", 2] not in ops
+    assert page["skippedRows"] == 1
+    # a later 'a' update must not pair against the stale a=1 either
+    buf2 = ChangelogResultBuffer(key_positions=[0], max_rows=2)
+    buf2.foreach_batch(FakeBatch([["a", 1], ["b", 2]]), 0)
+    buf2.foreach_batch(FakeBatch([["a", 9], ["x", 1], ["y", 1]]), 1)
+    buf2.foreach_batch(FakeBatch([["a", 7]]), 2)
+    rows = buf2.fetch(0)["data"]
+    assert ["-U", "a", 1] not in rows  # stale retraction never emitted
+
+
 def test_streaming_match_recognize_sql_all_rows(session, tmp_path, spark):
     """ALL ROWS PER MATCH over a STREAMING table routes to the
     stateful operator's per-row expansion (r6; previously a typed
