@@ -38,6 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import __spark_entry__ as entrymod  # noqa: E402
 from flink_sql_toolkit_spark.operators import (  # noqa: E402
     asof,
+    dedup,
     dialect_queries,
     match_recognize as mr,
     relational,
@@ -53,6 +54,10 @@ from flink_sql_toolkit_spark.session import build_spark  # noqa: E402
 # registration was consolidated into a family entry are benched via
 # their (still importable) standalone functions.
 UNREGISTERED = {
+    # the REGISTERED dedup_exact plants duplicates for the driver's
+    # correctness gate (r6 ask #4); bench keeps measuring the pure
+    # operator for BASELINE continuity
+    "dedup_exact": dedup.dedup_exact,
     "q6_revenue_forecast": relational.q6_revenue_forecast,
     "q14_promo_revenue": dialect_queries.q14_promo_revenue,
     "tvf_session": tvf.tvf_session,

@@ -94,26 +94,8 @@ SHINGLES_SQL = f"""
 """
 
 
-@register(
-    "dedup_exact",
-    oracle=f"""
-    SELECT md5({NORMALIZED_SQL}) AS content_hash,
-           COUNT(*) AS n_copies,
-           MIN(doc_id) AS keeper_doc_id
-    FROM documents
-    GROUP BY 1
-    HAVING COUNT(*) > 1
-    ORDER BY content_hash
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized content.
-
-    One shuffle on the 128-bit content hash; keeper = min doc_id.
-    At 100 TB this is the canonical first pass — partial aggregation
-    collapses duplicates map-side before the shuffle.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def dedup_exact_on(docs: DataFrame) -> DataFrame:
+    """Exact-dedup core over any documents frame (doc_id, text)."""
     return (
         docs.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
         .groupBy("content_hash")
@@ -121,6 +103,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .select("content_hash", "n_copies", "keeper_doc_id")
     )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content.
+
+    One shuffle on the 128-bit content hash; keeper = min doc_id.
+    At 100 TB this is the canonical first pass — partial aggregation
+    collapses duplicates map-side before the shuffle.
+    """
+    return dedup_exact_on(load_table(spark, sf_dir, "documents"))
+
+
+# The fixture corpus has no exact duplicates at the driver gate's
+# sf0.01, so a plain registration proves only 0 == 0 (VERDICT r6
+# watch item #2). The REGISTERED entry therefore plants duplicates
+# in-query — union a re-keyed copy of every 50th doc — so the gate
+# exercises non-empty hash/keeper/count behavior; the pure operator
+# above stays available (and is what bench.py measures against
+# BASELINE continuity).
+PLANT_DOC_MOD = 50
+PLANT_DOC_OFFSET = 10_000_000
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_DOC_OFFSET} AS doc_id, text FROM documents
+      WHERE doc_id % {PLANT_DOC_MOD} = 0
+    )
+    SELECT md5({NORMALIZED_SQL}) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM planted
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_exact` over the fixture plus planted duplicates: every
+    doc with ``doc_id % 50 == 0`` is unioned back under a shifted id,
+    so each planted group has n_copies >= 2 with the original id as
+    keeper."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % PLANT_DOC_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(PLANT_DOC_OFFSET)
+    )
+    return dedup_exact_on(docs.unionByName(copies))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

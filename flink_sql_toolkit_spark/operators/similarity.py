@@ -213,15 +213,22 @@ def sim_topk_bruteforce(
 
 ANCHORS_SQL = f"SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < {N_ANCHORS}"
 
-BUCKET_SQL = f"""
+
+def _bucket_sql(src: str = "embeddings") -> str:
+    """The `buckets` CTE over an arbitrary embeddings source (the
+    planted-duplicate registration swaps in a union subquery)."""
+    return f"""
     buckets AS (
       SELECT e.vec_id, e.embedding,
              array_to_string(list(CASE WHEN {_dot_sql('e.embedding', 'a.av')} >= 0
                                        THEN '1' ELSE '0' END ORDER BY a.aid), '') AS bucket
-      FROM embeddings e CROSS JOIN ({ANCHORS_SQL}) a
+      FROM {src} e CROSS JOIN ({ANCHORS_SQL}) a
       GROUP BY e.vec_id, e.embedding
     )
 """
+
+
+BUCKET_SQL = _bucket_sql()
 
 
 # anchor vectors per (fixture dir, width) — n_bits constant-size rows,
@@ -251,7 +258,10 @@ def _anchor_vectors(
 
 
 def lsh_buckets(
-    spark: SparkSession, sf_dir: str, n_bits: int = N_ANCHORS
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = N_ANCHORS,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """vec_id → sign-bit bucket string from the anchor hyperplanes.
 
@@ -261,8 +271,11 @@ def lsh_buckets(
     corpus ×N_ANCHORS and reduced it back with a full-corpus shuffle —
     a real cost at 100 TB for something that is a map.) The dot fold
     is arithmetically identical, so bucket strings (and the DuckDB
-    oracle) are unchanged."""
-    emb = load_fanout_table(spark, sf_dir, "embeddings")
+    oracle) are unchanged. ``emb`` overrides the corpus source (the
+    planted-duplicate registration passes a union); anchors always
+    come from the base fixture (``vec_id < n_bits``)."""
+    if emb is None:
+        emb = load_fanout_table(spark, sf_dir, "embeddings")
     bits = [
         F.when(
             dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av])) >= 0,
@@ -566,10 +579,9 @@ def sim_ivf_topk(
     )
 
 
-@register(
-    "sim_embedding_neardup",
-    oracle=f"""
-    WITH RECURSIVE {BUCKET_SQL},
+# the shared tail of the neardup oracle (pairs → transitive closure →
+# cluster sizes), parameterized by the buckets CTE's source
+_NEARDUP_ORACLE_TAIL = f"""
     ok AS (
       SELECT bucket FROM buckets GROUP BY bucket
       HAVING COUNT(*) <= {NEARDUP_BUCKET_CAP}
@@ -601,10 +613,14 @@ def sim_ivf_topk(
     JOIN comps c ON c.vec_id = p.vec_a
     JOIN csize z USING (comp)
     ORDER BY vec_a, vec_b
-    """,
-)
+"""
+
+
 def sim_embedding_neardup(
-    spark: SparkSession, sf_dir: str, cap: int = NEARDUP_BUCKET_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = NEARDUP_BUCKET_CAP,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets.
 
@@ -614,7 +630,7 @@ def sim_embedding_neardup(
     self-join (their B² pairs would dominate everything) and surfaced
     by `neardup_dense_buckets` as flagged dense clusters instead.
     """
-    buckets = lsh_buckets(spark, sf_dir)
+    buckets = lsh_buckets(spark, sf_dir, emb=emb)
     sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
     ok = sizes.filter(F.col("n_vecs") <= cap).select("bucket")
     capped = buckets.join(F.broadcast(ok), "bucket")
@@ -649,6 +665,43 @@ def sim_embedding_neardup(
     return pairs.join(comps, "vec_a").select(
         "vec_a", "vec_b", "cosine", "comp", "cluster_size"
     )
+
+
+# The sf0.01 fixture has no embedding pair above the 0.99 cosine
+# threshold, so a plain registration proves only 0 == 0 (VERDICT r6
+# watch item #2). The REGISTERED entry plants near-duplicates
+# in-query — a bit-identical re-keyed copy of every 50th vector
+# (cosine exactly 1.0, same LSH bucket by construction) — so the
+# driver gate exercises non-empty pair/component/cluster-size
+# behavior. The pure operator above keeps the un-planted semantics.
+PLANT_VEC_MOD = 50
+PLANT_VEC_OFFSET = 10_000_000
+
+_PLANTED_EMB_SQL = f"""(
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_VEC_OFFSET} AS vec_id, embedding FROM embeddings
+      WHERE vec_id % {PLANT_VEC_MOD} = 0
+    )"""
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+    WITH RECURSIVE {_bucket_sql(_PLANTED_EMB_SQL)},
+    {_NEARDUP_ORACLE_TAIL}
+    """,
+)
+def sim_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_embedding_neardup` over the fixture plus planted
+    duplicates: every vector with ``vec_id % 50 == 0`` re-keyed under
+    a shifted id — each planted pair verifies at cosine 1.0 and forms
+    a 2-member component keyed by the original id."""
+    emb = load_fanout_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % PLANT_VEC_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_VEC_OFFSET)
+    )
+    return sim_embedding_neardup(spark, sf_dir, emb=emb.unionByName(copies))
 
 
 def neardup_dense_buckets(
