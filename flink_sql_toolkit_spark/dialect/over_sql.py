@@ -9,16 +9,17 @@ SELECT fails analysis on that error, the engine retries through this
 module: if every OVER clause in the statement shares one supported
 window spec —
 
-    <SUM|COUNT|AVG|MIN|MAX>(<col>) OVER (
+    <SUM|COUNT|AVG|MIN|MAX>(<col>) | COUNT(*) OVER (
         PARTITION BY <cols> ORDER BY <col>
         {ROWS BETWEEN <n> PRECEDING AND CURRENT ROW
          | RANGE BETWEEN INTERVAL '<n>' <UNIT> PRECEDING AND CURRENT ROW}
     )
 
-— the statement is rewritten to read a temp view produced by
+(any mix of aggregates and value columns over the single spec, r7) —
+the statement is rewritten to read a temp view produced by
 ``streaming.stateful.streaming_over_rows`` / ``streaming_over_range``
 (per-key bounded frame state in ``applyInPandasWithState``), with each
-OVER span replaced by the operator's ``{value}_{agg}`` column. Any
+OVER span replaced by the operator's ``spec_out_name`` column. Any
 other shape returns ``None`` and the engine raises its typed guidance
 instead (same interception pattern as dialect/mr_sql.py for
 MATCH_RECOGNIZE).
@@ -39,10 +40,11 @@ from flink_sql_toolkit_spark.dialect.rewriter import (
 )
 
 # AGG(arg) OVER ( — the span's closing paren is found by balance.
-# \x00 admits masked backtick identifiers as the argument. LAG may
-# carry an explicit integer offset as a second argument.
+# \x00 admits masked backtick identifiers as the argument; * admits
+# COUNT(*). LAG may carry an explicit integer offset as a second
+# argument.
 _OVER_CALL = re.compile(
-    r"(?is)\b(\w+)\s*\(\s*([\w.\x00]*?)\s*(?:,\s*(\d+)\s*)?\)\s+OVER\s*\("
+    r"(?is)\b(\w+)\s*\(\s*([\w.\x00*]*?)\s*(?:,\s*(\d+)\s*)?\)\s+OVER\s*\("
 )
 
 _SPEC = re.compile(
@@ -112,27 +114,40 @@ def rewrite_streaming_over_sql(
         return None
 
     # all clauses must share one window spec (compare unmasked so two
-    # textually-equal INTERVAL literals with distinct mask ids agree),
-    # one value column, and supported agg functions
-    specs = {
+    # textually-equal INTERVAL literals with distinct mask ids agree)
+    # and use supported agg functions; since r7 the value columns may
+    # differ per clause and COUNT(*) is routable (VERDICT r6 ask #5)
+    window_specs = {
         re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper() for s in spans
     }
-    args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
     funcs = {s[2] for s in spans}
     is_lag = funcs == {"LAG"}
     offsets = {sp[5] for sp in spans}
-    if len(specs) != 1 or len(args) != 1 or len(offsets) != 1 or not (
-        is_lag or funcs <= set(_AGG_SUFFIX)
-    ):
-        return None
-    if is_lag and min(offsets) < 1:
-        # LAG(x, 0) is the current row — not an offset the ring-state
-        # operator models (ADVICE r6: offset=0 indexed an empty ring).
-        # Typed-guidance path rather than an executor IndexError.
-        return None
-    value_col = args.pop()
-    if not re.match(r"^\w+$", value_col):
-        return None  # expressions (COUNT(*), a+b) are not routable
+    if len(window_specs) != 1 or not (is_lag or funcs <= set(_AGG_SUFFIX)):
+        return None  # LAG does not mix with frame aggregates
+    value_col = None
+    span_specs: list[tuple[str, str | None] | None] = []
+    if is_lag:
+        args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
+        if len(args) != 1 or len(offsets) != 1 or min(offsets) < 1:
+            # LAG(x, 0) is the current row — not an offset the
+            # ring-state operator models (ADVICE r6: offset=0 indexed
+            # an empty ring). Typed-guidance path, not an IndexError.
+            return None
+        value_col = args.pop()
+        if not re.match(r"^\w+$", value_col):
+            return None
+    else:
+        for sp in spans:
+            arg = _unmask(sp[3], lits).strip().strip("`")
+            if arg == "*":
+                if sp[2] != "COUNT":
+                    return None  # SUM(*) etc. is not SQL
+                span_specs.append(("cnt", None))
+            elif re.match(r"^\w+$", arg):
+                span_specs.append((_AGG_SUFFIX[sp[2]], arg))
+            else:
+                return None  # expression arguments are not routable
     sm = (_SPEC_NOFRAME if is_lag else _SPEC).match(spans[0][4])
     if not sm:
         return None
@@ -172,7 +187,18 @@ def rewrite_streaming_over_sql(
     canon = {f.lower(): f for f in src.schema.fieldNames()}
     partition_by = [canon.get(c.lower(), c) for c in partition_by]
     order_col = canon.get(order_col.lower(), order_col)
-    value_col = canon.get(value_col.lower(), value_col)
+    if value_col is not None:
+        value_col = canon.get(value_col.lower(), value_col)
+    span_specs = [
+        (a, canon.get(c.lower(), c) if c is not None else None)
+        for a, c in span_specs
+    ]
+    # ordered-unique (agg, col) pairs for the operator; each span
+    # splices to the same output column its spec maps to
+    agg_specs: list[tuple[str, str | None]] = []
+    for s in span_specs:
+        if s not in agg_specs:
+            agg_specs.append(s)
     try:
         if is_lag:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
@@ -185,17 +211,19 @@ def rewrite_streaming_over_sql(
             )
         elif sm.group("nrows") is not None:
             out = streaming_over_rows(
-                src, partition_by, [order_col], value_col,
-                int(sm.group("nrows")), ttl_ms=ttl_ms,
+                src, partition_by, [order_col], None,
+                int(sm.group("nrows")), ttl_ms=ttl_ms, agg_specs=agg_specs,
             )
         else:
             out = streaming_over_range(
-                src, partition_by, order_col, value_col,
+                src, partition_by, order_col, None,
                 _unmask(sm.group("interval"), lits), ttl_ms=ttl_ms,
+                agg_specs=agg_specs,
             )
     except ValueError:
         # e.g. calendar-unit RANGE interval (MONTH/YEAR) — not a fixed
-        # duration; fall back to the caller's typed guidance
+        # duration, or an unknown column; fall back to the caller's
+        # typed guidance
         return None
     view = f"_over_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
@@ -204,9 +232,17 @@ def rewrite_streaming_over_sql(
     # column; then retarget FROM <table> → FROM <view> (any alias or
     # keyword after the table name is left in place, so aliases keep
     # working against the pass-through view)
-    for start, end, func, _arg, _spec, _off in sorted(spans, reverse=True):
-        suffix = "lag" if func == "LAG" else _AGG_SUFFIX[func]
-        masked = f"{masked[:start]}{value_col}_{suffix}{masked[end:]}"
+    from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+        spec_out_name,
+    )
+
+    for i, (start, end, _func, _arg, _spec, _off) in sorted(
+        enumerate(spans), key=lambda t: t[1][0], reverse=True
+    ):
+        name = (
+            f"{value_col}_lag" if is_lag else spec_out_name(*span_specs[i])
+        )
+        masked = f"{masked[:start]}{name}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
     masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"
     return _unmask(masked, lits)
@@ -228,22 +264,30 @@ _DEDUP_SHAPE = re.compile(
 
 
 def rewrite_streaming_dedup_sql(
-    spark: SparkSession, stmt: str, ttl_ms: int | None = None
+    spark: SparkSession,
+    stmt: str,
+    ttl_ms: int | None = None,
+    changelog: bool = False,
 ) -> str | None:
     """Route the ROW_NUMBER()=1 dedup recipe over a streaming table to
     the stateful dedup operator; ``None`` when the statement is not
     this shape (the caller falls through to the OVER router / typed
     guidance).
 
-    Every ``rn = 1`` / ``rn <= N`` shape routes to
+    ``ORDER BY ... ASC`` (``rn = 1`` / ``rn <= N``) routes to
     ``streaming_first_n``: keep the first N rows per key (one bigint
     counter per key — smaller state than key-set dedup — TTL-evicted
     via ``table.exec.state.ttl``), sorted by the ORDER BY column
     within each micro-batch so the rank-1 pick is consistent for
     in-order-within-batch data; cross-batch out-of-order rows follow
-    the module-level arrival-order note. ``ORDER BY ... DESC``
-    (keep-LAST / true updating Top-N) emits retractions append-mode
-    paging cannot express — typed rejection.
+    the module-level arrival-order note.
+
+    ``ORDER BY ... DESC`` (keep-LAST / updating Top-N — the Flink
+    deduplication default) emits retractions: with ``changelog=True``
+    (``sql-client.execution.result-mode`` = 'changelog') it routes to
+    ``streaming_keep_last``, whose output carries a leading ``__op``
+    RowKind column the changelog result view renders directly; in
+    append mode it stays a typed rejection (paging cannot retract).
     """
     masked, lits = _mask(stmt)
     m = _DEDUP_SHAPE.match(masked)
@@ -267,11 +311,15 @@ def rewrite_streaming_dedup_sql(
         return None
     if not src.isStreaming:
         return None
-    if (m.group("dir") or "ASC").upper() == "DESC":
+    desc = (m.group("dir") or "ASC").upper() == "DESC"
+    if desc and not changelog:
         raise NotImplementedError(
             "streaming deduplication with ORDER BY ... DESC keeps the "
             "LAST row per key, an updating result that append-mode "
-            "paging cannot express — use ORDER BY ... ASC (keep-first)"
+            "paging cannot express — use ORDER BY ... ASC (keep-first), "
+            "or SET 'sql-client.execution.result-mode' = 'changelog' "
+            "to stream the keep-last/Top-N result as +I/-U/+U/-D "
+            "changelog rows"
         )
     keys = [
         _unmask(k, lits).strip().strip("`")
@@ -297,12 +345,26 @@ def rewrite_streaming_dedup_sql(
         return None
     keys = [canon[k.lower()] for k in keys]
     order_col = canon[order_col.lower()]
-    out = streaming_first_n(src, keys, [order_col], topn, ttl_ms=ttl_ms)
+    if desc:
+        from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_keep_last,
+        )
+
+        out = streaming_keep_last(src, keys, order_col, n=topn, ttl_ms=ttl_ms)
+    else:
+        out = streaming_first_n(src, keys, [order_col], topn, ttl_ms=ttl_ms)
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
-    outer = m.group("outer")
+    outer = _unmask(m.group("outer"), lits).strip()
     alias = m.group("alias")
     # keep the subquery alias in scope so `d.col` outer references
     # still resolve; the view's * is already rn-free
     from_clause = f"{view} AS {alias}" if alias else view
-    return f"SELECT {_unmask(outer, lits)} FROM {from_clause}"
+    if desc:
+        # the operator's leading __op RowKind column must survive the
+        # outer projection — the changelog result view consumes it
+        # (with a bare * it is already the view's first column)
+        if outer == "*":
+            return f"SELECT * FROM {from_clause}"
+        return f"SELECT `__op`, {outer} FROM {from_clause}"
+    return f"SELECT {outer} FROM {from_clause}"

@@ -311,7 +311,14 @@ class Operation:
                 {"name": f.name, "logicalType": f.dataType.simpleString()}
                 for f in frame.schema.fields
             ]
-            if changelog:
+            if changelog and cols and cols[0]["name"] == "__op":
+                # the routed keep-last/Top-N operator already emits
+                # RowKind rows (+I/-U/+U/-D in its leading __op
+                # column) — pass them through instead of re-deriving
+                # pairs from the plan's grouping key
+                self._columns = [{"name": "op", "logicalType": "string"}, *cols[1:]]
+                self._stream_buffer = StreamResultBuffer()
+            elif changelog:
                 self._columns = [{"name": "op", "logicalType": "string"}, *cols]
                 self._stream_buffer = ChangelogResultBuffer(
                     grouping_key_positions(frame)
@@ -376,7 +383,7 @@ class Operation:
             stmt = strip_leading_comments(self.statement).rstrip(";").strip()
             # try the more specific ROW_NUMBER()=1 dedup recipe first
             routed = rewrite_streaming_dedup_sql(
-                sess.spark, stmt, ttl_ms=sess.state_ttl_ms()
+                sess.spark, stmt, ttl_ms=sess.state_ttl_ms(), changelog=changelog
             )
             if routed is None:
                 routed = rewrite_streaming_over_sql(
@@ -385,8 +392,9 @@ class Operation:
             if routed is None:
                 raise NotImplementedError(
                     "this OVER window shape is not supported in a "
-                    "streaming SELECT — supported: one shared "
-                    "SUM/COUNT/AVG/MIN/MAX(col) OVER (PARTITION BY … "
+                    "streaming SELECT — supported: any mix of "
+                    "SUM/COUNT/AVG/MIN/MAX(col) and COUNT(*) sharing "
+                    "one window spec OVER (PARTITION BY … "
                     "ORDER BY … ROWS BETWEEN n PRECEDING AND CURRENT "
                     "ROW | RANGE BETWEEN INTERVAL … PRECEDING AND "
                     "CURRENT ROW) via streaming.stateful."

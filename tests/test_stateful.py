@@ -710,8 +710,9 @@ def test_streaming_over_sql_where_filters_frames(spark, tmp_path):
 
 def test_streaming_over_sql_uncollectable_over_rejected(spark, tmp_path):
     """A statement mixing a routable OVER with one the router cannot
-    collect (COUNT(*)) must fall back to the typed guidance, not a
-    half-rewritten query that fails downstream (review r6)."""
+    collect (an expression argument) must fall back to the typed
+    guidance, not a half-rewritten query that fails downstream
+    (review r6; COUNT(*) itself became routable in r7)."""
     import pytest as _pytest
 
     from flink_sql_toolkit_spark.engine import Engine
@@ -727,7 +728,7 @@ def test_streaming_over_sql_uncollectable_over_rejected(spark, tmp_path):
             sess.execute_statement(
                 "SELECT SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
                 "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, "
-                "COUNT(*) OVER (PARTITION BY k ORDER BY ts ROWS "
+                "SUM(v + v) OVER (PARTITION BY k ORDER BY ts ROWS "
                 "BETWEEN 1 PRECEDING AND CURRENT ROW) AS c FROM op_src"
             )
     finally:
@@ -1089,5 +1090,248 @@ def test_streaming_lag_sql_routed(spark, tmp_path):
             (1, t0 + _dt.timedelta(seconds=2), 10),
             (2, t0, None),
         ]
+    finally:
+        sess.close()
+
+
+# -- keep-last dedup / updating Top-N changelog (VERDICT r6 ask #1) ---
+
+
+def _run_keep_last(spark, tmp_path, files, name, keys, order_col, n=1):
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_keep_last
+
+    schema = "k long, ts timestamp, tag string"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/in/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    out = streaming_keep_last(stream, keys, order_col, n=n)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).collect()
+
+
+def _collapse(rows):
+    """Apply the changelog: +I/+U add, -U/-D remove — the collapsed
+    view a Flink SQL client materializes."""
+    from collections import Counter
+
+    state = Counter()
+    for r in rows:
+        key = tuple(r)[1:]
+        if r[0] in ("+I", "+U"):
+            state[key] += 1
+        else:
+            state[key] -= 1
+    return sorted(k for k, c in state.items() if c > 0 for _ in range(c))
+
+
+def test_keep_last_dedup_changelog_crosses_batches(spark, tmp_path):
+    """ORDER BY ts DESC keep-last as a changelog: a later batch's
+    newer row displaces the winner with a -U/+U pair, and the
+    collapsed view equals the batch keep-last result."""
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    b0 = [(1, t(5), "a"), (2, t(1), "x")]
+    b1 = [(1, t(3), "stale"), (1, t(9), "b")]  # t(3) must NOT displace t(5)
+    rows = _run_keep_last(spark, tmp_path, [b0, b1], "kl1", ["k"], "ts", n=1)
+    by_op = [(r[0], r.k, r.ts, r.tag) for r in rows]
+    assert ("+I", 1, t(5), "a") in by_op
+    assert ("+I", 2, t(1), "x") in by_op
+    assert ("-U", 1, t(5), "a") in by_op
+    assert ("+U", 1, t(9), "b") in by_op
+    # collapsed == batch ROW_NUMBER() OVER (... ORDER BY ts DESC) = 1
+    batch = spark.createDataFrame(
+        b0 + b1, "k long, ts timestamp, tag string"
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("k").orderBy(F.desc("ts"))
+    expect = sorted(
+        (r.k, r.ts, r.tag)
+        for r in batch.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert _collapse(rows) == expect
+
+
+def test_keep_last_topn_changelog_membership(spark, tmp_path):
+    """Updating Top-N (n=2, no rownum output): entering rows emit +I,
+    displaced rows emit -D; the collapsed view equals batch rn<=2."""
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    b0 = [(1, t(1), "a"), (1, t(2), "b")]
+    b1 = [(1, t(5), "c")]  # displaces t(1) from the top-2
+    rows = _run_keep_last(spark, tmp_path, [b0, b1], "kl2", ["k"], "ts", n=2)
+    ops = [(r[0], r.tag) for r in rows]
+    assert ("+I", "a") in ops and ("+I", "b") in ops
+    assert ("-D", "a") in ops and ("+I", "c") in ops
+    batch = spark.createDataFrame(b0 + b1, "k long, ts timestamp, tag string")
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("k").orderBy(F.desc("ts"))
+    expect = sorted(
+        (r.k, r.ts, r.tag)
+        for r in batch.withColumn("rn", F.row_number().over(win))
+        .filter("rn <= 2")
+        .drop("rn")
+        .collect()
+    )
+    assert _collapse(rows) == expect
+
+
+def test_keep_last_sql_routed_changelog(spark, tmp_path):
+    """The DESC dedup recipe over a streaming table: typed rejection
+    in append mode, routed to streaming_keep_last under
+    'sql-client.execution.result-mode' = 'changelog' with op-prefixed
+    pages whose collapsed view equals the batch keep-last result."""
+    import time as _time
+
+    import pytest
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [(1, t(5), "a"), (2, t(1), "x"), (1, t(9), "b")]
+    spark.createDataFrame(rows, "k long, ts timestamp, tag string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/klsql")
+    engine = Engine(spark)
+    sess = engine.open_session("keep-last-sql")
+    recipe = (
+        "SELECT k, ts, tag FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY k ORDER BY ts DESC) AS rn FROM kl_src) WHERE rn = 1"
+    )
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE kl_src (k BIGINT, ts TIMESTAMP, tag STRING)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/klsql',
+                  'format'='parquet')"""
+        )
+        # append mode: still the typed rejection
+        with pytest.raises(NotImplementedError, match="keeps the\\s+LAST"):
+            sess.execute_statement(recipe)
+        sess.execute_statement(
+            "SET 'sql-client.execution.result-mode' = 'changelog'"
+        )
+        op = sess.execute_statement(recipe)
+        assert op._columns[0]["name"] == "op"
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 2:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(list(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        # single batch: net result is one +I per key (intra-batch
+        # churn collapses, like Spark update-mode aggregation)
+        assert sorted(_collapse(got)) == [(1, t(9), "b"), (2, t(1), "x")]
+    finally:
+        sess.close()
+
+
+# -- multi-agg / COUNT(*) streaming OVER routing (VERDICT r6 ask #5) --
+
+
+def test_streaming_over_rows_multi_specs(spark, tmp_path):
+    """streaming_over_rows with (agg, col) pairs over two value
+    columns plus COUNT(*): one operator pass, one state row set."""
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_rows
+
+    schema = "k long, seq long, a long, b double"
+    b0 = [(1, 1, 10, 1.5), (1, 2, None, 2.5)]
+    b1 = [(1, 3, 30, None), (2, 1, 7, 0.5)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/in/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    out = streaming_over_rows(
+        stream, ["k"], ["seq"], None, 1,
+        agg_specs=[("sum", "a"), ("max", "b"), ("cnt", None), ("cnt", "a")],
+    )
+    _run_available_now(out, tmp_path, "over_multi")
+    got = {
+        (r.k, r.seq): (r.a_sum, r.b_max, r.star_cnt, r.a_cnt)
+        for r in spark.table("over_multi").collect()
+    }
+    assert got == {
+        (1, 1): (10, 1.5, 1, 1),
+        (1, 2): (10, 2.5, 2, 1),   # a NULL holds a slot; COUNT(*)=2
+        (1, 3): (30, 2.5, 2, 1),   # frame = rows 2,3 (b NULL skipped)
+        (2, 1): (7, 0.5, 1, 1),
+    }
+
+
+def test_streaming_over_sql_multi_agg_routed(spark, tmp_path):
+    """`SUM(a) …, COUNT(*) …, MAX(b) …` over one shared window spec in
+    a streaming SELECT routes through the stateful operator and
+    matches the batch window oracle (VERDICT r6 ask #5 done
+    criterion)."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from flink_sql_toolkit_spark.engine import Engine
+
+    rows = [(1, 1, 10, 1.0), (1, 2, 20, 4.0), (1, 3, 30, 2.0), (2, 1, 5, 9.0)]
+    schema = "k long, seq long, a long, b double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/multisql")
+    engine = Engine(spark)
+    sess = engine.open_session("over-multi-sql")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE om_multi (k BIGINT, seq BIGINT, a BIGINT, b DOUBLE)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/multisql',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, seq, "
+            "SUM(a) OVER (PARTITION BY k ORDER BY seq ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS s, "
+            "COUNT(*) OVER (PARTITION BY k ORDER BY seq ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS c, "
+            "MAX(b) OVER (PARTITION BY k ORDER BY seq ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS m "
+            "FROM om_multi"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 4:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        w = Window.partitionBy("k").orderBy("seq").rowsBetween(-1, 0)
+        oracle = sorted(
+            (r.k, r.seq, r.s, r.c, r.m)
+            for r in spark.createDataFrame(rows, schema)
+            .select(
+                "k", "seq",
+                F.sum("a").over(w).alias("s"),
+                F.count(F.lit(1)).over(w).alias("c"),
+                F.max("b").over(w).alias("m"),
+            )
+            .collect()
+        )
+        assert sorted(got) == oracle
     finally:
         sess.close()
