@@ -221,9 +221,9 @@ def rewrite_streaming_over_sql(
                 agg_specs=agg_specs,
             )
     except ValueError:
-        # e.g. calendar-unit RANGE interval (MONTH/YEAR) — not a fixed
-        # duration, or an unknown column; fall back to the caller's
-        # typed guidance
+        # unparsable interval or an unknown column; fall back to the
+        # caller's typed guidance (calendar-unit MONTH/YEAR intervals
+        # route since r7 — stateful._parse_preceding)
         return None
     view = f"_over_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)

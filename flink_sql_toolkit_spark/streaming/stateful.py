@@ -851,6 +851,31 @@ def _interval_us(spec: str | int | float) -> int:
     return int(n * us)
 
 
+_CALENDAR_INTERVAL = re.compile(
+    r"(?is)^\s*(?:INTERVAL\s+)?'?(\d+)'?\s*(month|year)s?\s*$"
+)
+
+
+def _parse_preceding(spec: str | int | float):
+    """RANGE frame horizon: ``(fixed_us, None)`` for fixed durations,
+    ``(worst_case_us, (n, unit))`` for calendar units (MONTH/YEAR,
+    VERDICT r6 ask #7) — variable-length but computable from each
+    row's own timestamp; the worst-case bound (31-day months /
+    366-day years) drives retention and lateness admission, the exact
+    per-row bound drives the frame."""
+    try:
+        return _interval_us(spec), None
+    except ValueError:
+        if not isinstance(spec, str):
+            raise
+        m = _CALENDAR_INTERVAL.match(spec)
+        if not m:
+            raise
+        n, unit = int(m.group(1)), m.group(2).lower()
+        worst_days = 31 * n if unit == "month" else 366 * n
+        return worst_days * 86_400_000_000, (n, unit)
+
+
 def streaming_over_range(
     df: DataFrame,
     partition_by: list[str],
@@ -896,6 +921,15 @@ def streaming_over_range(
     ascending order, so each row's frame includes earlier-arriving
     peers and excludes later ones — the same semantics as the per-row
     ``bisect_right`` insertion this replaces.
+
+    Calendar-unit horizons (``INTERVAL '1' MONTH`` / ``YEAR``,
+    VERDICT r6 ask #7) are variable-length but computable from each
+    row's own timestamp: the frame lower bound is the row's timestamp
+    minus the calendar offset (month-end clamped, e.g. Mar 31 − 1
+    month = Feb 28, matching SQL timestamp − INTERVAL arithmetic),
+    while retention and lateness admission use the worst-case fixed
+    bound (31-day months / 366-day years) so every reachable entry
+    stays in state.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -918,7 +952,7 @@ def streaming_over_range(
             f"timestamp (got {ts_type}) — event-time frames need a "
             "rowtime attribute"
         )
-    horizon_us = _interval_us(preceding)
+    horizon_us, calendar = _parse_preceding(preceding)
     specs, vcols, out_schema, emit_cols, is_int = _norm_specs(
         df, partition_by, order_by, value_col, aggs, agg_specs
     )
@@ -973,7 +1007,22 @@ def streaming_over_range(
         inv = np.empty(S + L, dtype=np.int64)
         inv[order] = np.arange(S + L)
         hi = inv[S:] + 1
-        lo = np.searchsorted(merged_ts, t_us - horizon_us, side="left")
+        if calendar is None:
+            lower = t_us - horizon_us
+        else:
+            n_units, unit = calendar
+            off = (
+                pd.DateOffset(months=n_units)
+                if unit == "month"
+                else pd.DateOffset(years=n_units)
+            )
+            lower = (
+                (batch[ts_col] - off)
+                .to_numpy("datetime64[ns]")
+                .astype(np.int64)
+                // 1000
+            )
+        lo = np.searchsorted(merged_ts, lower, side="left")
         order_list = order.tolist()
         out = batch[emit_cols].copy()
         # 2× retention: an admitted late row (≥ max - h) frames back

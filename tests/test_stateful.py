@@ -735,26 +735,100 @@ def test_streaming_over_sql_uncollectable_over_rejected(spark, tmp_path):
         sess.close()
 
 
-def test_streaming_over_sql_calendar_range_rejected(spark, tmp_path):
-    """RANGE with a calendar unit (MONTH) is not a fixed duration —
-    typed guidance instead of a raw ValueError (review r6)."""
-    import pytest as _pytest
+def test_streaming_over_range_calendar_month(spark, tmp_path):
+    """RANGE with a calendar-unit horizon (INTERVAL '1' MONTH) —
+    variable-length frames computed from each row's own timestamp,
+    including month-end clamping (Mar 31 − 1 month = Feb 29 in a leap
+    year) — matches a self-join batch oracle on month-spanning data
+    (VERDICT r6 ask #7; previously a typed rejection)."""
+    import datetime as _dt
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_range
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 15), 10),
+        (1, _dt.datetime(2024, 2, 10), 20),   # frame reaches Jan 15
+        (1, _dt.datetime(2024, 2, 29), 25),   # leap day; frame from Jan 29
+        (1, _dt.datetime(2024, 3, 31), 30),   # Mar 31 - 1mo = Feb 29 (clamp)
+        (1, _dt.datetime(2024, 5, 1), 40),    # frame Apr 1..May 1: alone
+        (2, _dt.datetime(2024, 1, 31), 5),
+    ]
+    schema = "k long, ts timestamp, v long"
+    b0, b1 = rows[:3], rows[3:]
+    for i, rs in enumerate([b0, b1]):
+        spark.createDataFrame(rs, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/in/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    out = streaming_over_range(
+        stream, ["k"], "ts", "v", "INTERVAL '1' MONTH",
+        aggs=("sum", "cnt"),
+    )
+    _run_available_now(out, tmp_path, "over_month")
+    got = {
+        (r.k, r.ts): (r.v_sum, r.v_cnt)
+        for r in spark.table("over_month").collect()
+    }
+    # batch oracle: self-join on ts BETWEEN a.ts - INTERVAL 1 MONTH
+    # AND a.ts (same calendar clamping as the operator)
+    batch = spark.createDataFrame(rows, schema)
+    batch.createOrReplaceTempView("om_batch")
+    oracle = {
+        (r.k, r.ts): (r.s, r.c)
+        for r in spark.sql(
+            "SELECT a.k, a.ts, SUM(b.v) AS s, COUNT(b.v) AS c "
+            "FROM om_batch a JOIN om_batch b ON a.k = b.k "
+            "AND b.ts BETWEEN a.ts - INTERVAL 1 MONTH AND a.ts "
+            "GROUP BY a.k, a.ts"
+        ).collect()
+    }
+    assert got == oracle
+    # spot-check the clamp: Mar 31's frame starts Feb 29 → includes
+    # the Feb 29 row, excludes Feb 10
+    assert got[(1, _dt.datetime(2024, 3, 31))] == (55, 2)
+
+
+def test_streaming_over_sql_calendar_range_routed(spark, tmp_path):
+    """A MONTH-horizon RANGE OVER in a streaming SELECT routes to
+    streaming_over_range (was a typed rejection before r7)."""
+    import datetime as _dt
+    import time as _time
 
     from flink_sql_toolkit_spark.engine import Engine
 
+    rows = [(1, _dt.datetime(2024, 1, 15), 10), (1, _dt.datetime(2024, 2, 10), 20)]
+    spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/monthsql")
     engine = Engine(spark)
     sess = engine.open_session("over-month")
     try:
         sess.execute_statement(
-            "CREATE TABLE om_src (k BIGINT, ts TIMESTAMP, v BIGINT) WITH "
-            "('connector'='datagen', 'rows-per-second'='1')"
+            f"""CREATE TABLE om_src (k BIGINT, ts TIMESTAMP, v BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/monthsql',
+                  'format'='parquet')"""
         )
-        with _pytest.raises(NotImplementedError, match="streaming_over_rows"):
-            sess.execute_statement(
-                "SELECT SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE "
-                "BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) "
-                "AS s FROM om_src"
-            )
+        op = sess.execute_statement(
+            "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+            "BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) "
+            "AS s FROM om_src"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 2:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        assert sorted(got) == [
+            (1, _dt.datetime(2024, 1, 15), 10),
+            (1, _dt.datetime(2024, 2, 10), 30),  # Jan 15 in the 1mo frame
+        ]
     finally:
         sess.close()
 
