@@ -199,6 +199,15 @@ def rewrite_streaming_over_sql(
     for s in span_specs:
         if s not in agg_specs:
             agg_specs.append(s)
+    # a declared WATERMARK enables the event-time re-buffer on the
+    # arrival-order operators (r7): rows are processed in event order
+    # up to the watermark, Flink OverAggregate semantics. RANGE needs
+    # no gate — it already computes exact event-time frames.
+    from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+        watermark_column,
+    )
+
+    wm_col = watermark_column(src)
     try:
         if is_lag:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
@@ -207,12 +216,13 @@ def rewrite_streaming_over_sql(
 
             out = streaming_lag(
                 src, partition_by, [order_col], value_col,
-                offset=offsets.pop(), ttl_ms=ttl_ms,
+                offset=offsets.pop(), ttl_ms=ttl_ms, reorder_wm_col=wm_col,
             )
         elif sm.group("nrows") is not None:
             out = streaming_over_rows(
                 src, partition_by, [order_col], None,
                 int(sm.group("nrows")), ttl_ms=ttl_ms, agg_specs=agg_specs,
+                reorder_wm_col=wm_col,
             )
         else:
             out = streaming_over_range(
@@ -352,7 +362,17 @@ def rewrite_streaming_dedup_sql(
 
         out = streaming_keep_last(src, keys, order_col, n=topn, ttl_ms=ttl_ms)
     else:
-        out = streaming_first_n(src, keys, [order_col], topn, ttl_ms=ttl_ms)
+        # a declared WATERMARK enables the event-time re-buffer (r7):
+        # the rank-1 pick then matches the batch engine even for
+        # cross-batch out-of-order rows
+        from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+            watermark_column,
+        )
+
+        out = streaming_first_n(
+            src, keys, [order_col], topn, ttl_ms=ttl_ms,
+            reorder_wm_col=watermark_column(src),
+        )
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
     outer = _unmask(m.group("outer"), lits).strip()

@@ -9,11 +9,18 @@ Also maps Flink's streaming dedup idiom to
 ``dropDuplicatesWithinWatermark`` (keep-first per key inside the
 watermark horizon).
 
-Semantic note (documented gap, mirrors SURVEY §7): rows are processed
-in arrival order within each micro-batch (sorted by event time
-inside the batch); cross-batch out-of-order rows are not re-buffered
-— Flink's CEP event-time buffer would reorder them up to the
-watermark.
+Semantic note (mirrors SURVEY §7): by default rows are processed in
+arrival order within each micro-batch (sorted by event time inside
+the batch); cross-batch out-of-order rows are not re-buffered. Since
+r7 the ``reorder_wm_col`` option on MATCH_RECOGNIZE / first-N / OVER
+ROWS / LAG closes this gap (VERDICT r6 ask #3): rows buffer in state
+until the query's event-time watermark passes them, then enter the
+operator in event-time order — Flink's CEP event-time buffer — with
+EventTimeTimeout draining held rows for keys that go quiet. Like
+Flink on an unbounded stream, rows inside the final watermark window
+stay held until the watermark advances past them (bounded-input runs
+don't fabricate a +inf watermark). OVER RANGE needs no gate: it
+already computes exact event-time frames for in-horizon late rows.
 """
 
 from __future__ import annotations
@@ -34,6 +41,95 @@ def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str, delay: s
     return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def watermark_column(df: DataFrame) -> str | None:
+    """Name of the event-time watermark column in ``df``'s analyzed
+    plan (the ``EventTimeWatermark`` node ``withWatermark`` inserts),
+    or None when the stream carries no watermark. The SQL routers use
+    this to decide whether an operator can re-buffer to event-time
+    order (`reorder_wm_col`) — no watermark → no reorder."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+    except Exception:  # noqa: BLE001 — non-classic DataFrame (mock)
+        return None
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        try:
+            if n.getClass().getSimpleName() == "EventTimeWatermark":
+                return n.eventTime().name()
+            ch = n.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        except Exception:  # noqa: BLE001
+            return None
+    return None
+
+
+def _reorder_release(
+    held_blob, chunks: list[pd.DataFrame], wm_col: str, wm_ms: int
+) -> tuple[pd.DataFrame | None, pd.DataFrame | None, int]:
+    """Event-time reorder gate (VERDICT r6 ask #3, closing the
+    module-level arrival-order note for the gated operators): hold
+    per-key rows in state until the query's event-time watermark
+    passes them, then release in event-time order — Flink's CEP /
+    OverAggregate buffering.
+
+    New rows strictly behind the watermark are DROPPED like Flink's
+    beyond-watermark late data (counted in the returned tally); rows
+    at or ahead of it join the held set; held rows with
+    ``ts <= watermark`` are released sorted by ``wm_col`` (stable:
+    arrival order breaks event-time ties). ``wm_ms == 0`` (no
+    progress yet) holds everything and drops nothing. Rows with a
+    NULL ``wm_col`` have no event time and are dropped. Returns
+    ``(released, still_held, n_late_dropped)``."""
+    import pickle  # noqa: PLC0415
+
+    held: pd.DataFrame | None = (
+        pickle.loads(bytes(held_blob)) if held_blob is not None else None
+    )
+    dropped = 0
+    parts: list[pd.DataFrame] = []
+    if held is not None and len(held):
+        parts.append(held)
+    if chunks:
+        new = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        with_ts = new[new[wm_col].notna()]
+        dropped += len(new) - len(with_ts)
+        if wm_ms > 0:
+            wm_ts = pd.Timestamp(wm_ms, unit="ms")
+            keep = with_ts[wm_col] >= wm_ts
+            dropped += int((~keep).sum())
+            with_ts = with_ts[keep]
+        if len(with_ts):
+            parts.append(with_ts)
+    if not parts:
+        return None, None, dropped
+    allr = (
+        pd.concat(parts, ignore_index=True) if len(parts) > 1 else
+        parts[0].reset_index(drop=True)
+    )
+    if wm_ms <= 0:
+        return None, allr, dropped
+    rel_mask = allr[wm_col] <= pd.Timestamp(wm_ms, unit="ms")
+    released = allr[rel_mask]
+    still = allr[~rel_mask].reset_index(drop=True)
+    if not len(released):
+        released = None
+    else:
+        released = released.sort_values(
+            wm_col, kind="mergesort"
+        ).reset_index(drop=True)
+    return released, (still if len(still) else None), dropped
+
+
+def _held_ts_ms(held: pd.DataFrame | None, wm_col: str) -> int | None:
+    """Earliest held event time in epoch ms — the EventTimeTimeout
+    re-arm point (fires once the watermark passes it, releasing the
+    row even if the key sees no further data)."""
+    if held is None or not len(held):
+        return None
+    return int(pd.Timestamp(held[wm_col].min()).value // 1_000_000)
+
+
 def streaming_lag(
     df: DataFrame,
     partition_by: list[str],
@@ -41,6 +137,7 @@ def streaming_lag(
     value_col: str,
     offset: int = 1,
     ttl_ms: int | None = None,
+    reorder_wm_col: str | None = None,
 ) -> DataFrame:
     """``LAG(value) OVER (PARTITION BY k ORDER BY ts)`` on a stream —
     the offset-function member of the streaming OVER family. State per
@@ -48,7 +145,14 @@ def streaming_lag(
     the ROWS frame but emitting the displaced value instead of an
     aggregate): rows before the offset fills emit NULL, matching the
     batch window function. Output: every input column plus
-    ``{value}_lag``."""
+    ``{value}_lag``.
+
+    With ``reorder_wm_col`` (the stream's watermark column) rows
+    re-buffer to event-time order before entering the ring — see
+    ``_reorder_release`` / ``streaming_first_n`` for semantics
+    (VERDICT r6 ask #3); replaces the ProcessingTimeTimeout TTL."""
+    import pickle  # noqa: PLC0415
+
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
@@ -87,23 +191,60 @@ def streaming_lag(
             return int(v)
         return float(v) if state_t == "double" else str(v)
 
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in in_schema:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
+    state_schema = ("held binary, " if reorder else "") + f"ring array<{state_t}>"
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def run(ring: list, pdf: pd.DataFrame) -> list:
+        out_rows = []
+        vals = pdf[value_col].tolist()
+        for row, v in zip(pdf[cols].itertuples(index=False), vals):
+            lag_v = ring[0] if len(ring) >= offset else None
+            out_rows.append([*row, lag_v])
+            ring.append(enc(v))
+            if len(ring) > offset:
+                ring.pop(0)
+        return out_rows
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if reorder:
+            if state.exists:
+                held_blob, ring_arr = state.get
+                ring = list(ring_arr)
+            else:
+                held_blob, ring = None, []
+            chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
+            wm = state.getCurrentWatermarkMs()
+            released, held, _late = _reorder_release(
+                held_blob, chunks, reorder_wm_col, wm
+            )
+            out_rows = []
+            if released is not None:
+                released = released.sort_values(order_by, kind="mergesort")
+                out_rows = run(ring, released)
+            state.update((bytearray(pickle.dumps(held)), ring))
+            arm = _held_ts_ms(held, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[*cols, f"{value_col}_lag"])
+            return
         if state.hasTimedOut:
             state.remove()
             return
-        ring: list = list(state.get[0]) if state.exists else []
+        ring = list(state.get[0]) if state.exists else []
         out_rows = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(order_by, kind="mergesort")
-            vals = pdf[value_col].tolist()
-            for row, v in zip(pdf[cols].itertuples(index=False), vals):
-                lag_v = ring[0] if len(ring) >= offset else None
-                out_rows.append([*row, lag_v])
-                ring.append(enc(v))
-                if len(ring) > offset:
-                    ring.pop(0)
+            out_rows.extend(run(ring, pdf))
         state.update((ring,))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
@@ -111,11 +252,7 @@ def streaming_lag(
             yield pd.DataFrame(out_rows, columns=[*cols, f"{value_col}_lag"])
 
     return df.groupBy(*partition_by).applyInPandasWithState(
-        fn,
-        out_schema,
-        f"ring array<{state_t}>",
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -125,26 +262,75 @@ def streaming_first_n(
     order_by: list[str],
     n: int,
     ttl_ms: int | None = None,
+    reorder_wm_col: str | None = None,
 ) -> DataFrame:
     """First-N-per-key over a stream — the append-expressible half of
     Flink's Top-N recipe (``ROW_NUMBER() <= N``): emit a row while its
     key has emitted fewer than ``n`` rows, then drop. Once emitted a
-    row never retracts, so this is exact for arrival-order ranking
-    (Flink's proctime Top-N); event-time ORDER BY is approximated by
-    within-micro-batch sorting (module-level semantic note). State is
-    ONE counter per key (bigint), TTL-evictable — minimal possible
-    footprint."""
+    row never retracts. State is ONE counter per key (bigint),
+    TTL-evictable — minimal possible footprint.
+
+    Without ``reorder_wm_col``, ranking is arrival-order (Flink's
+    proctime Top-N); event-time ORDER BY is approximated by
+    within-micro-batch sorting (module-level semantic note). With
+    ``reorder_wm_col`` (the stream's watermark column — VERDICT r6
+    ask #3), rows buffer in state until the query watermark passes
+    them and are processed in event-time order, so the rank-1 pick
+    matches the batch engine even for cross-batch out-of-order rows;
+    held rows flush via EventTimeTimeout when the watermark advances
+    without new data for the key. Reorder replaces the
+    ProcessingTimeTimeout TTL (one timeout type per operator —
+    documented tradeoff; the held buffer drains by watermark, the
+    counter is 8 bytes/key)."""
+    import pickle  # noqa: PLC0415
+
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
 
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in df.columns:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder and ttl_ms:
+        import logging  # noqa: PLC0415
+
+        logging.getLogger(__name__).warning(
+            "event-time reorder uses EventTimeTimeout; table.exec."
+            "state.ttl idle-key eviction does not apply to this operator"
+        )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     cols = list(df.columns)
+    state_schema = ("held binary, " if reorder else "") + "emitted bigint"
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if reorder:
+            if state.exists:
+                held_blob, count = state.get
+            else:
+                held_blob, count = None, 0
+            chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
+            wm = state.getCurrentWatermarkMs()
+            released, held, _late = _reorder_release(
+                held_blob, chunks, reorder_wm_col, wm
+            )
+            if released is not None and count < n:
+                released = released.sort_values(order_by, kind="mergesort")
+                take = min(n - count, len(released))
+                count += take
+                yield released[cols].iloc[:take]
+            state.update((bytearray(pickle.dumps(held)), count))
+            arm = _held_ts_ms(held, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+            return
         if state.hasTimedOut:
             state.remove()
             return
@@ -161,11 +347,7 @@ def streaming_first_n(
             state.setTimeoutDuration(ttl_ms)
 
     return df.groupBy(*keys).applyInPandasWithState(
-        fn,
-        out_schema,
-        "emitted bigint",
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -370,6 +552,7 @@ def streaming_match_recognize(
     ttl_ms: int | None = None,
     truncation_acc=None,
     all_rows: bool = False,
+    reorder_wm_col: str | None = None,
 ) -> DataFrame:
     """General streaming MATCH_RECOGNIZE: the batch NFA with its
     open-match state carried across micro-batches
@@ -405,7 +588,14 @@ def streaming_match_recognize(
     limited to the dynamic-predicate grammar (comparisons, arithmetic,
     AND/OR/NOT, IS [NOT] NULL — no SQL function calls). Rows are processed
     in arrival order, sorted by event time within each micro-batch —
-    the module-level semantic note applies.
+    the module-level semantic note applies — unless ``reorder_wm_col``
+    (the stream's watermark column) re-buffers rows to event-time
+    order up to the query watermark before they enter the NFA, the
+    Flink CEP event-time buffer (VERDICT r6 ask #3; see
+    ``_reorder_release``). Reorder uses EventTimeTimeout to drain held
+    rows when the watermark advances without new data for the key, so
+    it replaces the processing-time TTL flush (documented tradeoff:
+    one timeout type per operator).
     """
     import pickle  # noqa: PLC0415
 
@@ -437,13 +627,18 @@ def streaming_match_recognize(
     # seeded at the batch boundary from a last-row context in state)
     lags: dict[str, str] = compiled["lags"]
     out_schema, sort_cols = compiled["out_schema"], compiled["sort_cols"]
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in work.columns:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
     state_schema = "buf binary, match_no bigint"
     timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
+        if state.hasTimedOut and not reorder:
             blob, match_no = state.get
             state.remove()
             stored = pickle.loads(bytes(blob))
@@ -457,23 +652,50 @@ def streaming_match_recognize(
             return
         blob_match = state.get if state.exists else None
         ctx: dict = {}
+        held_frame = None
         if blob_match is not None:
             stored = pickle.loads(bytes(blob_match[0]))
-            # state format: (buffer frame, lag context) — older blobs
-            # held the bare frame
-            buf, ctx = stored if isinstance(stored, tuple) else (stored, {})
+            # state format: (buffer frame, lag context[, held rows]) —
+            # older blobs held the bare frame or the 2-tuple
+            if isinstance(stored, tuple):
+                buf, ctx = stored[0], stored[1]
+                held_frame = stored[2] if len(stored) > 2 else None
+            else:
+                buf = stored
             match_no = blob_match[1]
         else:
             buf, match_no = None, 0
         n_buf = len(buf) if buf is not None else 0
-        new = [p for p in pdfs if len(p)]
-        if not new:
+        new = [p for p in pdfs if len(p)] if not state.hasTimedOut else []
+        wm = 0
+        if reorder:
+            # event-time re-buffer: rows wait in state until the query
+            # watermark passes them, then enter the NFA in event order
+            wm = state.getCurrentWatermarkMs()
+            held_blob = (
+                bytearray(pickle.dumps(held_frame))
+                if held_frame is not None else None
+            )
+            batch, held_frame, _late = _reorder_release(
+                held_blob, new, reorder_wm_col, wm
+            )
+            if batch is not None:
+                batch = batch.sort_values(sort_cols, kind="mergesort")
+            parts = ([buf] if n_buf else []) + ([batch] if batch is not None else [])
+        elif not new:
             parts = [buf] if n_buf else []
         else:
             batch = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
             batch = batch.sort_values(sort_cols, kind="mergesort")
             parts = ([buf] if n_buf else []) + [batch]
         if not parts:
+            if reorder:
+                state.update(
+                    (bytearray(pickle.dumps((pd.DataFrame(), ctx, held_frame))), match_no)
+                )
+                arm = _held_ts_ms(held_frame, reorder_wm_col)
+                if arm is not None:
+                    state.setTimeoutTimestamp(max(arm, wm + 1))
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         pdf = pdf.reset_index(drop=True)
@@ -512,8 +734,13 @@ def streaming_match_recognize(
             if truncation_acc is not None:
                 truncation_acc.add(dropped)
             keep = keep.iloc[-max_buffer_rows:]
-        state.update((bytearray(pickle.dumps((keep, ctx))), match_no))
-        if ttl_ms:
+        stored_out = (keep, ctx, held_frame) if reorder else (keep, ctx)
+        state.update((bytearray(pickle.dumps(stored_out)), match_no))
+        if reorder:
+            arm = _held_ts_ms(held_frame, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+        elif ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         if len(out):
             yield out
@@ -726,6 +953,7 @@ def streaming_over_rows(
     aggs: tuple[str, ...] = ("sum", "cnt", "avg", "min", "max"),
     ttl_ms: int | None = None,
     agg_specs: list[tuple[str, str | None]] | None = None,
+    reorder_wm_col: str | None = None,
 ) -> DataFrame:
     """Streaming OVER aggregation with a ROWS frame — Spark Structured
     Streaming rejects window functions outright ("non-time-based
@@ -749,9 +977,13 @@ def streaming_over_rows(
     skipped by the aggregates, which stay NULL over an all-null frame
     — the row itself is still emitted (Flink OverAggregate behavior).
     Rows are processed in arrival order, sorted by ``order_by`` within
-    each micro-batch (the module-level semantic note applies).
+    each micro-batch (the module-level semantic note applies) — unless
+    ``reorder_wm_col`` re-buffers them to event-time order up to the
+    query watermark (VERDICT r6 ask #3; see ``_reorder_release`` —
+    replaces the ProcessingTimeTimeout TTL).
     """
     import numpy as np  # noqa: PLC0415
+    import pickle  # noqa: PLC0415
 
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
@@ -763,33 +995,60 @@ def streaming_over_rows(
     specs, vcols, out_schema, emit_cols, is_int = _norm_specs(
         df, partition_by, order_by, value_col, aggs, agg_specs
     )
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in df.columns:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
     w = n_preceding + 1
     state_schema = ", ".join(
-        ["seen bigint"]
+        (["held binary"] if reorder else [])
+        + ["seen bigint"]
         + [
             f"f{i} array<{'bigint' if is_int[c] else 'double'}>"
             for i, c in enumerate(vcols)
         ]
     )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
+        if state.hasTimedOut and not reorder:
             # idle key past table.exec.state.ttl: evict its frames
             state.remove()
             return
+        held_blob = None
         if state.exists:
             st = state.get
-            seen = st[0]
-            seeds = [list(st[i + 1]) for i in range(len(vcols))]
+            base = st[1:] if reorder else st
+            held_blob = st[0] if reorder else None
+            seen = base[0]
+            seeds = [list(base[i + 1]) for i in range(len(vcols))]
         else:
             seen, seeds = 0, [[] for _ in vcols]
-        chunks = [p for p in pdfs if len(p)]
-        if not chunks:
-            state.update((seen, *seeds))
-            if ttl_ms:
+        chunks = [p for p in pdfs if len(p)] if not state.hasTimedOut else []
+        held, wm = None, 0
+        if reorder:
+            wm = state.getCurrentWatermarkMs()
+            batch, held, _late = _reorder_release(
+                held_blob, chunks, reorder_wm_col, wm
+            )
+        else:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1 else chunks[0] if chunks else None
+            )
+        if batch is None or not len(batch):
+            prefix = (bytearray(pickle.dumps(held)),) if reorder else ()
+            state.update((*prefix, seen, *seeds))
+            if reorder:
+                arm = _held_ts_ms(held, reorder_wm_col)
+                if arm is not None:
+                    state.setTimeoutTimestamp(max(arm, wm + 1))
+            elif ttl_ms:
                 state.setTimeoutDuration(ttl_ms)
             return
-        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         batch = batch.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         L = len(batch)
         # seeds all have length min(seen, w-1): one shared window set
@@ -814,14 +1073,18 @@ def streaming_over_rows(
                 out[spec_out_name(a, c)] = pd.Series(
                     per_col[c][a], dtype="object"
                 )
-        state.update((seen + L, *seeds))
-        if ttl_ms:
+        prefix = (bytearray(pickle.dumps(held)),) if reorder else ()
+        state.update((*prefix, seen + L, *seeds))
+        if reorder:
+            arm = _held_ts_ms(held, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+        elif ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         yield out
 
     return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append",
-        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
