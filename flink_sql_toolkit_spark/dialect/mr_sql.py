@@ -138,17 +138,23 @@ def rewrite_match_recognize_sql(
         if src.isStreaming:
             # streaming table → the stateful cross-micro-batch operator
             # (prefix-stable emission; streaming/stateful.py). A
-            # declared WATERMARK enables the event-time re-buffer: rows
-            # enter the NFA in event order up to the watermark, Flink
-            # CEP semantics (r7)
+            # declared WATERMARK on the leading ORDER BY column
+            # enables the event-time re-buffer: rows enter the NFA in
+            # event order up to the watermark, Flink CEP semantics
+            # (r7). A watermark on a different column must not gate —
+            # it would late-drop rows by one column while ordering by
+            # another (review r7).
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
                 streaming_match_recognize,
                 watermark_column,
             )
 
+            wm_col = watermark_column(src)
+            if wm_col != kwargs["order_by"][0]:
+                wm_col = None
             out = streaming_match_recognize(
                 src, ttl_ms=ttl_ms, all_rows=all_rows,
-                reorder_wm_col=watermark_column(src), **kwargs
+                reorder_wm_col=wm_col, **kwargs
             )
         else:
             out = match_recognize(src, all_rows=all_rows, **kwargs)

@@ -202,12 +202,18 @@ def rewrite_streaming_over_sql(
     # a declared WATERMARK enables the event-time re-buffer on the
     # arrival-order operators (r7): rows are processed in event order
     # up to the watermark, Flink OverAggregate semantics. RANGE needs
-    # no gate — it already computes exact event-time frames.
+    # no gate — it already computes exact event-time frames. Only
+    # when the ORDER BY column IS the watermark column: gating by a
+    # different column would late-drop rows by ts while ranking by
+    # the other column — matching neither arrival-order nor batch
+    # semantics (review r7).
     from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
         watermark_column,
     )
 
     wm_col = watermark_column(src)
+    if wm_col != order_col:
+        wm_col = None
     try:
         if is_lag:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
@@ -362,16 +368,20 @@ def rewrite_streaming_dedup_sql(
 
         out = streaming_keep_last(src, keys, order_col, n=topn, ttl_ms=ttl_ms)
     else:
-        # a declared WATERMARK enables the event-time re-buffer (r7):
-        # the rank-1 pick then matches the batch engine even for
-        # cross-batch out-of-order rows
+        # a declared WATERMARK on the ORDER BY column enables the
+        # event-time re-buffer (r7): the rank-1 pick then matches the
+        # batch engine even for cross-batch out-of-order rows. A
+        # watermark on a DIFFERENT column must not gate — it would
+        # late-drop rows by one column while ranking by another
+        # (review r7).
         from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
             watermark_column,
         )
 
+        wm_col = watermark_column(src)
         out = streaming_first_n(
             src, keys, [order_col], topn, ttl_ms=ttl_ms,
-            reorder_wm_col=watermark_column(src),
+            reorder_wm_col=wm_col if wm_col == order_col else None,
         )
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
@@ -382,9 +392,10 @@ def rewrite_streaming_dedup_sql(
     from_clause = f"{view} AS {alias}" if alias else view
     if desc:
         # the operator's leading __op RowKind column must survive the
-        # outer projection — the changelog result view consumes it
-        # (with a bare * it is already the view's first column)
-        if outer == "*":
-            return f"SELECT * FROM {from_clause}"
+        # outer projection — the changelog result view consumes it.
+        # A bare * (or alias.*) already expands to include it as the
+        # view's first column; prepending would double it (review r7)
+        if outer == "*" or (alias and outer == f"{alias}.*"):
+            return f"SELECT {outer} FROM {from_clause}"
         return f"SELECT `__op`, {outer} FROM {from_clause}"
     return f"SELECT {outer} FROM {from_clause}"

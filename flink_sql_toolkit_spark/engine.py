@@ -39,6 +39,7 @@ from flink_sql_toolkit_spark.streaming.buffer import (
     EOS,
     PAYLOAD,
     ChangelogResultBuffer,
+    OpsPassthroughBuffer,
     StreamResultBuffer,
     grouping_key_positions,
 )
@@ -315,9 +316,11 @@ class Operation:
                 # the routed keep-last/Top-N operator already emits
                 # RowKind rows (+I/-U/+U/-D in its leading __op
                 # column) — pass them through instead of re-deriving
-                # pairs from the plan's grouping key
+                # pairs from the plan's grouping key; the passthrough
+                # buffer counts tail-cap skips (a dropped -U would
+                # silently corrupt the collapsed view — review r7)
                 self._columns = [{"name": "op", "logicalType": "string"}, *cols[1:]]
-                self._stream_buffer = StreamResultBuffer()
+                self._stream_buffer = OpsPassthroughBuffer()
             elif changelog:
                 self._columns = [{"name": "op", "logicalType": "string"}, *cols]
                 self._stream_buffer = ChangelogResultBuffer(

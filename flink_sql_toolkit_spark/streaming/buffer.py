@@ -206,16 +206,20 @@ class ChangelogResultBuffer(StreamResultBuffer):
         super().__init__(max_rows)
         self.key_positions = key_positions
         self.max_keys = max_keys
-        self.evicted_keys = 0
+        self.evicted_keys = 0  # keys aged out of the LRU cap
         self.skipped_rows = 0  # rows dropped by the tail(max_rows) cap
+        self.invalidated_keys = 0  # keys flushed after a tail skip
         self._last: OrderedDict[tuple, list] = OrderedDict()
 
     def fetch(self, token: int) -> dict:
         page = super().fetch(token)
-        # observability: a nonzero count means some retractions were
-        # degraded to +I re-inserts by the key-LRU cap / tail cap
+        # observability: nonzero counts mean some retractions were
+        # degraded to +I re-inserts — evictedKeys by the key-LRU cap,
+        # invalidatedKeys/skippedRows by the tail cap (two distinct
+        # pressures, kept separable for alerting — review r7)
         page["evictedKeys"] = self.evicted_keys
         page["skippedRows"] = self.skipped_rows
+        page["invalidatedKeys"] = self.invalidated_keys
         return page
 
     def foreach_batch(self, batch_df, _batch_id: int) -> None:
@@ -236,7 +240,7 @@ class ChangelogResultBuffer(StreamResultBuffer):
             # wrong retraction) and count the skip so the degradation
             # is observable (ADVICE r6).
             self.skipped_rows += skipped
-            self.evicted_keys += len(self._last)
+            self.invalidated_keys += len(self._last)
             self._last.clear()
         out: list[list[Any]] = []
         if self.key_positions is None:
@@ -260,3 +264,35 @@ class ChangelogResultBuffer(StreamResultBuffer):
         # evicted without synthesizing their changelog entries (their
         # -U/+U pairs would fall out of the ring immediately anyway)
         self.append_batch(out, total=len(out) + skipped)
+
+
+class OpsPassthroughBuffer(StreamResultBuffer):
+    """Changelog passthrough for operators that emit their own RowKind
+    rows (the keep-last/Top-N route: a leading ``__op`` column).
+
+    Pairing needs no key map — the operator already paired the
+    retractions — but the tail(max_rows) driver cap can still drop a
+    leading -U/-D whose +U/+I survives, silently corrupting the
+    collapsed view; the skip is counted so the degradation is
+    observable (review r7), mirroring ChangelogResultBuffer."""
+
+    def __init__(self, max_rows: int = 1000):
+        super().__init__(max_rows)
+        self.skipped_rows = 0
+
+    def foreach_batch(self, batch_df, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            tail = batch_df.tail(self.max_rows)
+        finally:
+            batch_df.unpersist()
+        self.skipped_rows += n - len(tail)
+        self.append_batch([list(r) for r in tail], total=n)
+
+    def fetch(self, token: int) -> dict:
+        page = super().fetch(token)
+        page["skippedRows"] = self.skipped_rows
+        return page

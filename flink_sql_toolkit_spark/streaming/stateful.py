@@ -83,9 +83,10 @@ def _reorder_release(
     ``(released, still_held, n_late_dropped)``."""
     import pickle  # noqa: PLC0415
 
-    held: pd.DataFrame | None = (
-        pickle.loads(bytes(held_blob)) if held_blob is not None else None
-    )
+    if isinstance(held_blob, pd.DataFrame):
+        held: pd.DataFrame | None = held_blob  # MR passes the frame directly
+    else:
+        held = pickle.loads(bytes(held_blob)) if held_blob is not None else None
     dropped = 0
     parts: list[pd.DataFrame] = []
     if held is not None and len(held):
@@ -119,6 +120,21 @@ def _reorder_release(
             wm_col, kind="mergesort"
         ).reset_index(drop=True)
     return released, (still if len(still) else None), dropped
+
+
+def _warn_ttl_with_reorder(ttl_ms: int | None, op: str) -> None:
+    """Every gated operator must surface that event-time reorder
+    displaces the ProcessingTimeTimeout TTL (review r7: only first_n
+    warned; the silent variants reproduced exactly the unbounded
+    idle-key growth the TTL work exists to prevent)."""
+    if ttl_ms:
+        import logging  # noqa: PLC0415
+
+        logging.getLogger(__name__).warning(
+            "%s: event-time reorder uses EventTimeTimeout; table.exec."
+            "state.ttl idle-key eviction does not apply to this operator",
+            op,
+        )
 
 
 def _held_ts_ms(held: pd.DataFrame | None, wm_col: str) -> int | None:
@@ -194,6 +210,8 @@ def streaming_lag(
     reorder = reorder_wm_col is not None
     if reorder and reorder_wm_col not in in_schema:
         raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_lag")
     state_schema = ("held binary, " if reorder else "") + f"ring array<{state_t}>"
     timeout = (
         GroupStateTimeout.EventTimeTimeout if reorder
@@ -292,13 +310,8 @@ def streaming_first_n(
     reorder = reorder_wm_col is not None
     if reorder and reorder_wm_col not in df.columns:
         raise ValueError(f"column '{reorder_wm_col}' not in input")
-    if reorder and ttl_ms:
-        import logging  # noqa: PLC0415
-
-        logging.getLogger(__name__).warning(
-            "event-time reorder uses EventTimeTimeout; table.exec."
-            "state.ttl idle-key eviction does not apply to this operator"
-        )
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_first_n")
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -630,6 +643,8 @@ def streaming_match_recognize(
     reorder = reorder_wm_col is not None
     if reorder and reorder_wm_col not in work.columns:
         raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_match_recognize")
     state_schema = "buf binary, match_no bigint"
     timeout = (
         GroupStateTimeout.EventTimeTimeout if reorder
@@ -672,12 +687,8 @@ def streaming_match_recognize(
             # event-time re-buffer: rows wait in state until the query
             # watermark passes them, then enter the NFA in event order
             wm = state.getCurrentWatermarkMs()
-            held_blob = (
-                bytearray(pickle.dumps(held_frame))
-                if held_frame is not None else None
-            )
             batch, held_frame, _late = _reorder_release(
-                held_blob, new, reorder_wm_col, wm
+                held_frame, new, reorder_wm_col, wm
             )
             if batch is not None:
                 batch = batch.sort_values(sort_cols, kind="mergesort")
@@ -819,13 +830,21 @@ def _norm_specs(
     emit_cols = list(df.columns)
     out_fields = [f"{c} {in_schema[c]}" for c in emit_cols]
     for a, c in specs:
+        name = spec_out_name(a, c)
+        if name in in_schema:
+            # a passthrough input column with the same name would be
+            # silently overwritten by the aggregate (review r7)
+            raise ValueError(
+                f"input column '{name}' collides with the operator's "
+                f"output column for {a.upper()}({c or '*'}) — rename it"
+            )
         if c is None:
             out_fields.append("star_cnt bigint")
         else:
             num_t = "bigint" if is_int[c] else "double"
             typed = {"sum": num_t, "cnt": "bigint", "avg": "double",
                      "min": in_schema[c], "max": in_schema[c]}
-            out_fields.append(f"{c}_{a} {typed[a]}")
+            out_fields.append(f"{name} {typed[a]}")
     return specs, vcols, ", ".join(out_fields), emit_cols, is_int
 
 
@@ -998,6 +1017,8 @@ def streaming_over_rows(
     reorder = reorder_wm_col is not None
     if reorder and reorder_wm_col not in df.columns:
         raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_over_rows")
     w = n_preceding + 1
     state_schema = ", ".join(
         (["held binary"] if reorder else [])

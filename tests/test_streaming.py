@@ -505,6 +505,8 @@ def test_changelog_buffer_tail_skip_invalidates_unit():
     assert ["+I", "b", 5] in ops
     assert ["-U", "b", 2] not in ops
     assert page["skippedRows"] == 1
+    # invalidation is counted separately from LRU eviction (review r7)
+    assert page["invalidatedKeys"] == 2 and page["evictedKeys"] == 0
     # a later 'a' update must not pair against the stale a=1 either
     buf2 = ChangelogResultBuffer(key_positions=[0], max_rows=2)
     buf2.foreach_batch(FakeBatch([["a", 1], ["b", 2]]), 0)
@@ -781,3 +783,101 @@ def test_streaming_first_n_sql_recipe(session, tmp_path, spark):
     assert sorted(got) == [
         (1, "a1"), (1, "a2"), (1, "a3"), (2, "b1"), (2, "b2")
     ]
+
+
+def test_ops_passthrough_buffer_tail_skip_counted():
+    """The __op passthrough buffer (keep-last changelog route) counts
+    tail-cap drops — a silently vanished -U would corrupt a client's
+    collapsed view (review r7)."""
+    from flink_sql_toolkit_spark.streaming.buffer import OpsPassthroughBuffer
+
+    class FakeBatch:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            return self
+
+        def count(self):
+            return len(self.rows)
+
+        def tail(self, n):
+            return self.rows[-n:]
+
+    buf = OpsPassthroughBuffer(max_rows=2)
+    buf.foreach_batch(FakeBatch([["-U", "a", 1], ["+U", "a", 2], ["+I", "b", 3]]), 0)
+    page = buf.fetch(0)
+    assert page["data"] == [["+U", "a", 2], ["+I", "b", 3]]
+    assert page["skippedRows"] == 1
+    # empty batch: no-op, no count drift
+    buf.foreach_batch(FakeBatch([]), 1)
+    assert buf.fetch(page["nextResultToken"])["skippedRows"] == 1
+
+
+def test_dedup_router_reorder_gate_order_col_only(spark, tmp_path, monkeypatch):
+    """The event-time re-buffer only engages when the dedup ORDER BY
+    column IS the watermark column — gating by a different column
+    would late-drop rows by one column while ranking by another
+    (review r7)."""
+    from datetime import datetime
+
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+    from flink_sql_toolkit_spark.streaming import stateful
+
+    d = tmp_path / "gate_src"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10, 0), 5)], "k long, ts timestamp, seq long"
+    ).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, seq long")
+        .parquet(str(d))
+        .withWatermark("ts", "10 seconds")
+    )
+    stream.createOrReplaceTempView("gate_src")
+
+    captured = {}
+    real = stateful.streaming_first_n
+
+    def spy(src, keys, order_by, n, **kw):
+        captured["reorder_wm_col"] = kw.get("reorder_wm_col")
+        return real(src, keys, order_by, n, **kw)
+
+    monkeypatch.setattr(stateful, "streaming_first_n", spy)
+    sql = (
+        "SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY {o}) AS rn FROM gate_src) WHERE rn = 1"
+    )
+    assert rewrite_streaming_dedup_sql(spark, sql.format(o="ts")) is not None
+    assert captured["reorder_wm_col"] == "ts"
+    assert rewrite_streaming_dedup_sql(spark, sql.format(o="seq")) is not None
+    assert captured["reorder_wm_col"] is None
+
+
+def test_over_rows_output_name_collision_rejected(spark, tmp_path):
+    """An input column named like a spec's output column (v_sum for
+    SUM(v)) is a typed rejection — the vectorized named-column
+    assignment would silently overwrite the passthrough data
+    (review r7)."""
+    from datetime import datetime
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_rows
+
+    d = tmp_path / "coll_src"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), 2, 3)],
+        "k long, ts timestamp, v long, v_sum long",
+    ).write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema(
+        "k long, ts timestamp, v long, v_sum long"
+    ).parquet(str(d))
+    with pytest.raises(ValueError, match="collides"):
+        streaming_over_rows(
+            stream, ["k"], ["ts"], None, 2, agg_specs=[("sum", "v")]
+        )
