@@ -15,11 +15,13 @@ window spec —
          | RANGE BETWEEN INTERVAL '<n>' <UNIT> PRECEDING AND CURRENT ROW}
     )
 
-(any mix of aggregates and value columns over the single spec, r7) —
-the statement is rewritten to read a temp view produced by
+(any mix of aggregates and value columns over one PARTITION BY /
+ORDER BY; ROWS clauses may carry *different* frame widths — one
+operator pass sized to the max width, r7) — the statement is
+rewritten to read a temp view produced by
 ``streaming.stateful.streaming_over_rows`` / ``streaming_over_range``
 (per-key bounded frame state in ``applyInPandasWithState``), with each
-OVER span replaced by the operator's ``spec_out_name`` column. Any
+OVER span replaced by the operator's ``resolve_spec_names`` column. Any
 other shape returns ``None`` and the engine raises its typed guidance
 instead (same interception pattern as dialect/mr_sql.py for
 MATCH_RECOGNIZE).
@@ -113,23 +115,28 @@ def rewrite_streaming_over_sql(
     if len(re.findall(r"(?is)\bOVER\s*\(", masked)) != len(spans):
         return None
 
-    # all clauses must share one window spec (compare unmasked so two
-    # textually-equal INTERVAL literals with distinct mask ids agree)
-    # and use supported agg functions; since r7 the value columns may
-    # differ per clause and COUNT(*) is routable (VERDICT r6 ask #5)
-    window_specs = {
-        re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper() for s in spans
-    }
+    # all clauses must share one PARTITION BY / ORDER BY and use
+    # supported agg functions; since r7 the value columns may differ
+    # per clause, COUNT(*) is routable (VERDICT r6 ask #5), and ROWS
+    # frame widths may differ per clause (per-spec frames — one
+    # operator pass, state sized to the max width). RANGE still needs
+    # one shared horizon; LAG one shared full spec.
     funcs = {s[2] for s in spans}
     is_lag = funcs == {"LAG"}
     offsets = {sp[5] for sp in spans}
-    if len(window_specs) != 1 or not (is_lag or funcs <= set(_AGG_SUFFIX)):
+    if not (is_lag or funcs <= set(_AGG_SUFFIX)):
         return None  # LAG does not mix with frame aggregates
     value_col = None
-    span_specs: list[tuple[str, str | None] | None] = []
+    is_rows = False
+    span_specs: list[tuple] = []
     if is_lag:
+        window_specs = {
+            re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper()
+            for s in spans
+        }
         args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
-        if len(args) != 1 or len(offsets) != 1 or min(offsets) < 1:
+        if len(window_specs) != 1 or len(args) != 1 or len(offsets) != 1 \
+                or min(offsets) < 1:
             # LAG(x, 0) is the current row — not an offset the
             # ring-state operator models (ADVICE r6: offset=0 indexed
             # an empty ring). Typed-guidance path, not an IndexError.
@@ -137,20 +144,48 @@ def rewrite_streaming_over_sql(
         value_col = args.pop()
         if not re.match(r"^\w+$", value_col):
             return None
+        sm = _SPEC_NOFRAME.match(spans[0][4])
+        if not sm:
+            return None
     else:
-        for sp in spans:
+        sms = [_SPEC.match(s[4]) for s in spans]
+        if not all(sms):
+            return None
+        part_orders = {
+            (
+                re.sub(r"\s+", " ", _unmask(m.group("part"), lits)).strip().upper(),
+                _unmask(m.group("order"), lits).strip("`").upper(),
+            )
+            for m in sms
+        }
+        kinds = {m.group("nrows") is not None for m in sms}
+        if len(part_orders) != 1 or len(kinds) != 1:
+            return None
+        is_rows = kinds.pop()
+        if not is_rows:
+            # compare unmasked so two textually-equal INTERVAL
+            # literals with distinct mask ids agree
+            horizons = {
+                re.sub(r"\s+", " ", _unmask(m.group("interval"), lits))
+                .strip().upper()
+                for m in sms
+            }
+            if len(horizons) != 1:
+                return None
+        for sp, m in zip(spans, sms):
             arg = _unmask(sp[3], lits).strip().strip("`")
             if arg == "*":
                 if sp[2] != "COUNT":
                     return None  # SUM(*) etc. is not SQL
-                span_specs.append(("cnt", None))
+                base = ("cnt", None)
             elif re.match(r"^\w+$", arg):
-                span_specs.append((_AGG_SUFFIX[sp[2]], arg))
+                base = (_AGG_SUFFIX[sp[2]], arg)
             else:
                 return None  # expression arguments are not routable
-    sm = (_SPEC_NOFRAME if is_lag else _SPEC).match(spans[0][4])
-    if not sm:
-        return None
+            span_specs.append(
+                base + ((int(m.group("nrows")),) if is_rows else ())
+            )
+        sm = sms[0]
 
     try:
         src = spark.table(table)
@@ -190,15 +225,9 @@ def rewrite_streaming_over_sql(
     if value_col is not None:
         value_col = canon.get(value_col.lower(), value_col)
     span_specs = [
-        (a, canon.get(c.lower(), c) if c is not None else None)
-        for a, c in span_specs
+        (a, canon.get(c.lower(), c) if c is not None else None, *rest)
+        for a, c, *rest in span_specs
     ]
-    # ordered-unique (agg, col) pairs for the operator; each span
-    # splices to the same output column its spec maps to
-    agg_specs: list[tuple[str, str | None]] = []
-    for s in span_specs:
-        if s not in agg_specs:
-            agg_specs.append(s)
     # a declared WATERMARK enables the event-time re-buffer on the
     # arrival-order operators (r7): rows are processed in event order
     # up to the watermark, Flink OverAggregate semantics. RANGE needs
@@ -224,17 +253,19 @@ def rewrite_streaming_over_sql(
                 src, partition_by, [order_col], value_col,
                 offset=offsets.pop(), ttl_ms=ttl_ms, reorder_wm_col=wm_col,
             )
-        elif sm.group("nrows") is not None:
+        elif is_rows:
+            # n_preceding = max per-spec width (the operator sizes its
+            # state to it; narrower specs read a suffix)
             out = streaming_over_rows(
                 src, partition_by, [order_col], None,
-                int(sm.group("nrows")), ttl_ms=ttl_ms, agg_specs=agg_specs,
-                reorder_wm_col=wm_col,
+                max(s[2] for s in span_specs), ttl_ms=ttl_ms,
+                agg_specs=span_specs, reorder_wm_col=wm_col,
             )
         else:
             out = streaming_over_range(
                 src, partition_by, order_col, None,
                 _unmask(sm.group("interval"), lits), ttl_ms=ttl_ms,
-                agg_specs=agg_specs,
+                agg_specs=span_specs,
             )
     except ValueError:
         # unparsable interval or an unknown column; fall back to the
@@ -247,17 +278,18 @@ def rewrite_streaming_over_sql(
     # splice right-to-left: each OVER span → the operator's output
     # column; then retarget FROM <table> → FROM <view> (any alias or
     # keyword after the table name is left in place, so aliases keep
-    # working against the pass-through view)
+    # working against the pass-through view). resolve_spec_names is
+    # the operator's naming contract — width-qualified only when the
+    # same (agg, col) runs under several ROWS widths (r7)
     from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
-        spec_out_name,
+        resolve_spec_names,
     )
 
+    span_names = None if is_lag else resolve_spec_names(span_specs)
     for i, (start, end, _func, _arg, _spec, _off) in sorted(
         enumerate(spans), key=lambda t: t[1][0], reverse=True
     ):
-        name = (
-            f"{value_col}_lag" if is_lag else spec_out_name(*span_specs[i])
-        )
+        name = f"{value_col}_lag" if is_lag else span_names[i]
         masked = f"{masked[:start]}{name}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
     masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"

@@ -774,40 +774,92 @@ def _is_missing(x) -> bool:
     return x is None or (isinstance(x, float) and math.isnan(x))
 
 
+def _spec_names(
+    triples: list[tuple[str, str | None, object]],
+) -> list[str]:
+    """Output column names for resolved ``(agg, col, width)`` triples:
+    the plain ``{col}_{agg}`` / ``star_cnt`` when an (agg, col) pair
+    occurs with a single frame width (back-compat with the shared-spec
+    surface), width-qualified ``{col}_{agg}_{w}p`` when the same pair
+    occurs with several widths (per-spec ROWS frames, r7)."""
+    widths: dict[tuple[str, str | None], set] = {}
+    for a, c, w in triples:
+        widths.setdefault((a, c), set()).add(w)
+    return [
+        spec_out_name(a, c)
+        if len(widths[(a, c)]) == 1
+        else f"{spec_out_name(a, c)}_{w}p"
+        for a, c, w in triples
+    ]
+
+
+def resolve_spec_names(
+    agg_specs: list[tuple], default_width: object = None
+) -> list[str]:
+    """Public naming contract for the SQL router: the output column
+    each ``(agg, col[, n_preceding])`` spec maps to, before dedup —
+    a duplicated spec maps to the same column. Must mirror
+    ``_norm_specs`` exactly (the router splices these names into the
+    rewritten statement)."""
+    triples = [
+        (s[0], s[1], s[2] if len(s) > 2 and s[2] is not None else default_width)
+        for s in agg_specs
+    ]
+    deduped: list[tuple[str, str | None, object]] = []
+    for t in triples:
+        if t not in deduped:
+            deduped.append(t)
+    names = _spec_names(deduped)
+    by_triple = dict(zip(deduped, names))
+    return [by_triple[t] for t in triples]
+
+
 def _norm_specs(
     df: DataFrame,
     partition_by: list[str],
     order_by: list[str],
     value_col: str | None,
     aggs: tuple[str, ...],
-    agg_specs: list[tuple[str, str | None]] | None,
-) -> tuple[list[tuple[str, str | None]], list[str], str, list[str], dict[str, bool]]:
+    agg_specs: list[tuple] | None,
+    default_width: object = None,
+) -> tuple[
+    list[tuple[str, str | None, object]], list[str], list[str], str,
+    list[str], dict[str, bool],
+]:
     """Shared prep for the streaming OVER operators, generalized to
     (agg, col) pairs (VERDICT r6 ask #5: the SQL surface allows
-    ``SUM(a) …, COUNT(*) …, MAX(b) …`` over one window spec).
+    ``SUM(a) …, COUNT(*) …, MAX(b) …`` over one window spec) and to
+    per-spec ROWS frame widths (r7: ``SUM(v) … ROWS 2 PRECEDING,
+    AVG(v) … ROWS 5 PRECEDING`` in one statement — one operator pass,
+    state sized to the max frame).
 
-    ``agg_specs`` is a list of ``(agg, col)`` with ``col=None``
-    meaning ``COUNT(*)``; when omitted it is derived from the legacy
-    ``(value_col, aggs)`` pair. Returns ``(specs, vcols, out_schema,
-    emit_cols, is_int)`` — specs deduped in order, ``vcols`` the
-    distinct value columns, output columns named ``{col}_{agg}``
-    (``star_cnt`` for COUNT(*)), ``is_int[col]`` the exact-bigint
-    flag per column."""
+    ``agg_specs`` entries are ``(agg, col)`` or ``(agg, col,
+    n_preceding)`` with ``col=None`` meaning ``COUNT(*)`` and a
+    missing/None width meaning ``default_width`` (the operator-level
+    frame); when omitted it is derived from the legacy ``(value_col,
+    aggs)`` pair. Returns ``(specs, names, vcols, out_schema,
+    emit_cols, is_int)`` — specs deduped in order as resolved
+    ``(agg, col, width)`` triples, ``names`` the parallel output
+    column names (see ``_spec_names``), ``vcols`` the distinct value
+    columns, ``is_int[col]`` the exact-bigint flag per column."""
     if agg_specs is None:
         if value_col is None:
             raise ValueError("either value_col or agg_specs is required")
         agg_specs = [(a, value_col) for a in aggs]
-    specs: list[tuple[str, str | None]] = []
-    for a, c in agg_specs:
+    specs: list[tuple[str, str | None, object]] = []
+    for item in agg_specs:
+        a, c = item[0], item[1]
+        w = item[2] if len(item) > 2 and item[2] is not None else default_width
         if a not in ("sum", "cnt", "avg", "min", "max"):
             raise ValueError(f"unsupported OVER aggregate '{a}'")
         if c is None and a != "cnt":
             raise ValueError(f"'{a}(*)' is not a valid aggregate")
-        if (a, c) not in specs:
-            specs.append((a, c))
+        if (a, c, w) not in specs:
+            specs.append((a, c, w))
+    names = _spec_names(specs)
     in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     vcols: list[str] = []
-    for _a, c in specs:
+    for _a, c, _w in specs:
         if c is not None and c not in vcols:
             vcols.append(c)
     for c in partition_by + order_by + vcols:
@@ -829,8 +881,7 @@ def _norm_specs(
             )
     emit_cols = list(df.columns)
     out_fields = [f"{c} {in_schema[c]}" for c in emit_cols]
-    for a, c in specs:
-        name = spec_out_name(a, c)
+    for (a, c, _w), name in zip(specs, names):
         if name in in_schema:
             # a passthrough input column with the same name would be
             # silently overwritten by the aggregate (review r7)
@@ -839,13 +890,13 @@ def _norm_specs(
                 f"output column for {a.upper()}({c or '*'}) — rename it"
             )
         if c is None:
-            out_fields.append("star_cnt bigint")
+            out_fields.append(f"{name} bigint")
         else:
             num_t = "bigint" if is_int[c] else "double"
             typed = {"sum": num_t, "cnt": "bigint", "avg": "double",
                      "min": in_schema[c], "max": in_schema[c]}
             out_fields.append(f"{name} {typed[a]}")
-    return specs, vcols, ", ".join(out_fields), emit_cols, is_int
+    return specs, names, vcols, ", ".join(out_fields), emit_cols, is_int
 
 
 def spec_out_name(agg: str, col: str | None) -> str:
@@ -985,12 +1036,17 @@ def streaming_over_rows(
     carrying the frame aggregates.
 
     ``agg_specs`` generalizes to (agg, col) pairs over multiple value
-    columns, with ``("cnt", None)`` = COUNT(*) (VERDICT r6 ask #5);
-    output columns follow ``spec_out_name``. The per-row Python loop
-    is replaced by vectorized prefix sums + a monotonic-deque sweep
-    per extreme (ask #6) — integral columns stay exact (int64 or
-    arbitrary-precision prefix sums, extremes never round through
-    float64).
+    columns, with ``("cnt", None)`` = COUNT(*) (VERDICT r6 ask #5),
+    and since r7 to ``(agg, col, n_preceding)`` triples carrying a
+    per-spec frame width (``SUM(v) … ROWS 2 PRECEDING, AVG(v) … ROWS
+    5 PRECEDING`` in one statement): one operator pass, per-key state
+    sized to the **max** width, each spec computed over its own
+    window bounds. Output columns follow ``resolve_spec_names`` —
+    width-qualified only when the same (agg, col) appears with
+    several widths. The per-row Python loop is replaced by vectorized
+    prefix sums + a monotonic-deque sweep per extreme (ask #6) —
+    integral columns stay exact (int64 or arbitrary-precision prefix
+    sums, extremes never round through float64).
 
     NULL values occupy a frame slot (ROWS frames count rows) but are
     skipped by the aggregates, which stay NULL over an all-null frame
@@ -1011,15 +1067,21 @@ def streaming_over_rows(
 
     if n_preceding < 0:
         raise ValueError(f"n_preceding must be >= 0, got {n_preceding}")
-    specs, vcols, out_schema, emit_cols, is_int = _norm_specs(
-        df, partition_by, order_by, value_col, aggs, agg_specs
+    specs, names, vcols, out_schema, emit_cols, is_int = _norm_specs(
+        df, partition_by, order_by, value_col, aggs, agg_specs,
+        default_width=n_preceding,
     )
+    for _a, _c, sw in specs:
+        if not isinstance(sw, int) or sw < 0:
+            raise ValueError(f"per-spec ROWS width must be an int >= 0, got {sw!r}")
     reorder = reorder_wm_col is not None
     if reorder and reorder_wm_col not in df.columns:
         raise ValueError(f"column '{reorder_wm_col}' not in input")
     if reorder:
         _warn_ttl_with_reorder(ttl_ms, "streaming_over_rows")
-    w = n_preceding + 1
+    # state retains max(width) values per column; narrower specs
+    # simply read a shorter suffix of the shared seed
+    w = max(sw for _a, _c, sw in specs) + 1
     state_schema = ", ".join(
         (["held binary"] if reorder else [])
         + ["seen bigint"]
@@ -1076,24 +1138,30 @@ def streaming_over_rows(
         S = len(seeds[0]) if seeds else min(seen, w - 1)
         idx = np.arange(S, S + L)
         hi = idx + 1
-        lo = np.maximum(0, idx - (w - 1))
-        per_col: dict[str, dict[str, list]] = {}
+        # one lo array per distinct width; per-spec frames share the
+        # seeded value sequence (r7)
+        lo_by_w = {
+            sw: np.maximum(0, idx - sw) for sw in {s[2] for s in specs}
+        }
+        fulls: dict[str, list] = {}
+        per_cw: dict[tuple[str, int], dict[str, list]] = {}
         for ci, c in enumerate(vcols):
             full = seeds[ci] + batch[c].tolist()
-            need = {a for a, cc in specs if cc == c}
-            per_col[c] = _window_col_aggs(full, lo, hi, is_int[c], need)
+            fulls[c] = full
             seeds[ci] = _encode_slots(full[max(0, len(full) - (w - 1)):], is_int[c])
+        for cw in {(c, sw) for _a, c, sw in specs if c is not None}:
+            c, sw = cw
+            need = {a for a, cc, ww in specs if cc == c and ww == sw}
+            per_cw[cw] = _window_col_aggs(
+                fulls[c], lo_by_w[sw], hi, is_int[c], need
+            )
         out = batch[emit_cols].copy()
-        for a, c in specs:
+        for (a, c, sw), name in zip(specs, names):
             if c is None:
                 # COUNT(*): all rows in the frame, NULL slots included
-                out[spec_out_name(a, c)] = np.minimum(
-                    seen + np.arange(1, L + 1), w
-                )
+                out[name] = np.minimum(seen + np.arange(1, L + 1), sw + 1)
             else:
-                out[spec_out_name(a, c)] = pd.Series(
-                    per_col[c][a], dtype="object"
-                )
+                out[name] = pd.Series(per_cw[(c, sw)][a], dtype="object")
         prefix = (bytearray(pickle.dumps(held)),) if reorder else ()
         state.update((*prefix, seen + L, *seeds))
         if reorder:
@@ -1237,9 +1305,10 @@ def streaming_over_range(
             "rowtime attribute"
         )
     horizon_us, calendar = _parse_preceding(preceding)
-    specs, vcols, out_schema, emit_cols, is_int = _norm_specs(
+    specs, names, vcols, out_schema, emit_cols, is_int = _norm_specs(
         df, partition_by, order_by, value_col, aggs, agg_specs
     )
+    name_of = dict(zip(specs, names))
     state_schema = ", ".join(
         ["ts array<bigint>"]
         + [
@@ -1318,16 +1387,16 @@ def streaming_over_range(
         for ci, c in enumerate(vcols):
             seq = seeds[ci] + batch[c].tolist()
             full = [seq[i] for i in order_list]
-            need = {a for a, cc in specs if cc == c}
+            need = {a for a, cc, _w in specs if cc == c}
             per = _window_col_aggs(full, lo, hi, is_int[c], need)
             for a in need:
-                out[spec_out_name(a, c)] = pd.Series(per[a], dtype="object")
+                out[name_of[(a, c, None)]] = pd.Series(per[a], dtype="object")
             new_seeds.append(_encode_slots(full[cut:], is_int[c]))
-        for a, c in specs:
+        for a, c, _w in specs:
             if c is None:
                 # COUNT(*): every row in the frame, NULL values too
-                out[spec_out_name(a, c)] = hi - lo
-        out = out[emit_cols + [spec_out_name(a, c) for a, c in specs]]
+                out[name_of[(a, c, _w)]] = hi - lo
+        out = out[emit_cols + names]
         state.update((merged_ts[cut:].tolist(), *new_seeds))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
