@@ -122,6 +122,61 @@ def unigram_logfreq_scores(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB) -> 
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition counts (Rae et al. 2021,
+    "Scaling Language Models: … Gopher", §A1.1 repetition filters —
+    public): the occurrence count of the most frequent word 2-gram
+    and 3-gram per document. `text_metrics` turns these into token
+    fractions (overlap-unaware, like the paper's character fractions:
+    a degenerate ``a a a …`` doc can exceed 1.0; the filters
+    threshold low, so the tail shape is irrelevant).
+
+    Scale shape: bigrams and trigrams share ONE tagged explode
+    (``"2 "`` / ``"3 "`` prefixes — words cannot contain spaces after
+    normalization, so the tag is unambiguous) and ONE (doc_id, gram)
+    shuffle with map-side partial counts, then a doc_id
+    re-aggregation. No per-doc O(n²) mode scan, no Python."""
+    w = docs.select("doc_id", F.split(normalized_text(), " ").alias("w"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "concat("
+                    "transform(sequence(1, size(w)-1), i -> "
+                    "concat('2 ', element_at(w, i), ' ', element_at(w, i+1))), "
+                    "CASE WHEN size(w) >= 3 THEN "
+                    "transform(sequence(1, size(w)-2), i -> "
+                    "concat('3 ', element_at(w, i), ' ', element_at(w, i+1), "
+                    "' ', element_at(w, i+2))) "
+                    "ELSE array() END)"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("g").startswith("2 "), F.col("c"))).alias("top_bg_cnt"),
+            F.max(F.when(F.col("g").startswith("3 "), F.col("c"))).alias("top_tg_cnt"),
+        )
+    )
+
+
+# adjacent-duplicate-token ratio over the materialized `__w` words
+# column: pure JVM array expression, no shuffle; 0.0 for 1-word docs
+# (sequence(2, 1) would count DOWN in Spark — the guard is load-bearing)
+_ADJ_REP_SQL_SPARK = (
+    "CASE WHEN size(__w) >= 2 THEN "
+    "CAST(size(filter(transform(sequence(2, size(__w)), "
+    "i -> element_at(__w, i) = element_at(__w, i-1)), b -> b)) AS DOUBLE)"
+    " / (size(__w) - 1) ELSE 0.0 END"
+)
+
+
 @register(
     "text_metrics",
     # quality scoring + token counting + language-ID + fingerprinting
@@ -155,6 +210,28 @@ def unigram_logfreq_scores(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB) -> 
                AS logfreq_micro
       FROM toks t LEFT JOIN vocab v USING (word)
       GROUP BY t.doc_id
+    ),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(words) >= 2 THEN
+          list_concat(
+            list_transform(generate_series(1, len(words)-1),
+                           i -> '2 ' || words[i] || ' ' || words[i+1]),
+            CASE WHEN len(words) >= 3 THEN
+              list_transform(generate_series(1, len(words)-2),
+                             i -> '3 ' || words[i] || ' ' || words[i+1]
+                                  || ' ' || words[i+2])
+            ELSE [] END)
+        ELSE [] END) AS g
+      FROM (SELECT doc_id, string_split({NORMALIZED_SQL}, ' ') AS words
+            FROM documents)
+    ),
+    rep AS (
+      SELECT doc_id,
+             max(CASE WHEN g LIKE '2 %' THEN c END) AS top_bg_cnt,
+             max(CASE WHEN g LIKE '3 %' THEN c END) AS top_tg_cnt
+      FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      GROUP BY doc_id
     )
     SELECT doc_id, lang, n_chars, n_words, n_distinct_tokens,
            CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
@@ -167,20 +244,33 @@ def unigram_logfreq_scores(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB) -> 
                 WHEN hits_fr > 0 THEN 'fr'
                 ELSE 'und' END AS predicted_lang,
            md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
-           s.n_tok, s.n_oov, s.logfreq_micro
-    FROM feats LEFT JOIN scores s USING (doc_id) ORDER BY doc_id
+           CASE WHEN len(words) >= 2 THEN
+             CAST(len(list_filter(list_transform(generate_series(2, len(words)),
+                    i -> words[i] = words[i-1]), b -> b)) AS DOUBLE)
+               / (len(words) - 1)
+           ELSE 0.0 END AS adj_rep_ratio,
+           s.n_tok, s.n_oov, s.logfreq_micro,
+           CAST(2 * coalesce(r.top_bg_cnt, 0) AS DOUBLE) / n_words AS top_bigram_frac,
+           CAST(3 * coalesce(r.top_tg_cnt, 0) AS DOUBLE) / n_words AS top_trigram_frac
+    FROM feats LEFT JOIN scores s USING (doc_id) LEFT JOIN rep r USING (doc_id)
+    ORDER BY doc_id
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis battery (`text_quality_score` +
-    `text_language_id` + `unigram_logfreq_scores`) over documents:
-    length/punct/stopword quality features + pass gate, stopword-vote
-    language ID, the sorted-distinct-words fingerprint (all pure
-    JVM-side single-pass expressions), and the corpus-level unigram
-    log-frequency score (one word shuffle + bounded vocab broadcast
-    — see `unigram_logfreq_scores` for the 100 TB shape)."""
-    docs = load_fanout_table(spark, sf_dir, "documents")
-    words = F.split(normalized_text(), " ")
+    `text_language_id` + `unigram_logfreq_scores` +
+    `repetition_signals`) over documents: length/punct/stopword
+    quality features + pass gate, stopword-vote language ID, the
+    sorted-distinct-words fingerprint, the adjacent-duplicate-token
+    ratio (all pure JVM-side single-pass expressions), the
+    corpus-level unigram log-frequency score (one word shuffle +
+    bounded vocab broadcast — see `unigram_logfreq_scores` for the
+    100 TB shape), and the Gopher-style top-2/3-gram token fractions
+    (one tagged-gram shuffle — see `repetition_signals`, r7)."""
+    docs = load_fanout_table(spark, sf_dir, "documents").withColumn(
+        "__w", F.split(normalized_text(), " ")
+    )
+    words = F.col("__w")
     n_chars = F.length("text")
     n_words = F.size(words)
     n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"\p{Punct}", ""))
@@ -208,7 +298,18 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("und")
         .alias("predicted_lang"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("fingerprint"),
-    ).join(scores, "doc_id", "left").orderBy("doc_id")
+        F.expr(_ADJ_REP_SQL_SPARK).alias("adj_rep_ratio"),
+    ).join(scores, "doc_id", "left").join(
+        repetition_signals(docs), "doc_id", "left"
+    ).withColumn(
+        # overlap-unaware Gopher token fractions: an int numerator and
+        # ONE double division keep Spark and DuckDB bit-identical
+        "top_bigram_frac",
+        F.expr("CAST(2 * coalesce(top_bg_cnt, 0) AS DOUBLE) / n_words"),
+    ).withColumn(
+        "top_trigram_frac",
+        F.expr("CAST(3 * coalesce(top_tg_cnt, 0) AS DOUBLE) / n_words"),
+    ).drop("top_bg_cnt", "top_tg_cnt").orderBy("doc_id")
 
 
 def pack_sequences(

@@ -576,3 +576,18 @@ def test_sample_frames_and_resize_plumbing(spark):
 
     with _pytest.raises(NotImplementedError, match="imaging"):
         resize_image(b"x", 2, 2)
+
+
+def test_repetition_signals_groundtruth(spark):
+    """Gopher repetition counts on a hand-checked doc: 'a a a b' has
+    bigrams {a a: 2, a b: 1} and trigrams {a a a: 1, a a b: 1}; a
+    1-word doc produces no grams (left-join NULL at the caller)."""
+    from flink_sql_toolkit_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.top_bg_cnt, r.top_tg_cnt)
+           for r in repetition_signals(docs).collect()}
+    assert got == {1: (2, 1), 2: (2, 1)}  # doc 3: no grams, no row
