@@ -11,7 +11,7 @@ window spec —
 
     <SUM|COUNT|AVG|MIN|MAX>(<col>) | COUNT(*) OVER (
         PARTITION BY <cols> ORDER BY <col>
-        {ROWS BETWEEN <n> PRECEDING AND CURRENT ROW
+        {ROWS BETWEEN <n | UNBOUNDED> PRECEDING AND CURRENT ROW
          | RANGE BETWEEN INTERVAL '<n>' <UNIT> PRECEDING AND CURRENT ROW}
     )
 
@@ -52,7 +52,7 @@ _OVER_CALL = re.compile(
 _SPEC = re.compile(
     r"(?is)^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+(?P<order>[\w.\x00]+)"
     r"(?:\s+ASC)?\s+(?:"
-    r"ROWS\s+BETWEEN\s+(?P<nrows>\d+)\s+PRECEDING"
+    r"ROWS\s+BETWEEN\s+(?:(?P<nrows>\d+)|(?P<unb>UNBOUNDED))\s+PRECEDING"
     r"|RANGE\s+BETWEEN\s+(?P<interval>INTERVAL\s+\x00\d+\x00\s+\w+)\s+PRECEDING"
     r")\s+AND\s+CURRENT\s+ROW\s*$"
 )
@@ -76,6 +76,7 @@ def rewrite_streaming_over_sql(
     rewritten SQL, or ``None`` if the shape is unsupported (the caller
     raises the typed guidance error)."""
     from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+        UNBOUNDED,
         streaming_over_range,
         streaming_over_rows,
     )
@@ -158,7 +159,13 @@ def rewrite_streaming_over_sql(
             )
             for m in sms
         }
-        kinds = {m.group("nrows") is not None for m in sms}
+        # a ROWS clause is a bounded n OR UNBOUNDED PRECEDING (the
+        # running-aggregate shape, r7); widths mix freely across
+        # clauses, but ROWS and RANGE do not
+        kinds = {
+            m.group("nrows") is not None or m.group("unb") is not None
+            for m in sms
+        }
         if len(part_orders) != 1 or len(kinds) != 1:
             return None
         is_rows = kinds.pop()
@@ -182,9 +189,14 @@ def rewrite_streaming_over_sql(
                 base = (_AGG_SUFFIX[sp[2]], arg)
             else:
                 return None  # expression arguments are not routable
-            span_specs.append(
-                base + ((int(m.group("nrows")),) if is_rows else ())
-            )
+            if is_rows:
+                width = (
+                    int(m.group("nrows"))
+                    if m.group("nrows") is not None else UNBOUNDED
+                )
+                span_specs.append(base + (width,))
+            else:
+                span_specs.append(base)
         sm = sms[0]
 
     try:
@@ -254,11 +266,13 @@ def rewrite_streaming_over_sql(
                 offset=offsets.pop(), ttl_ms=ttl_ms, reorder_wm_col=wm_col,
             )
         elif is_rows:
-            # n_preceding = max per-spec width (the operator sizes its
-            # state to it; narrower specs read a suffix)
+            # n_preceding = max bounded per-spec width (the operator
+            # sizes its state to it; narrower specs read a suffix and
+            # UNBOUNDED specs keep O(1) accumulators instead)
+            bounded = [s[2] for s in span_specs if s[2] != UNBOUNDED]
             out = streaming_over_rows(
                 src, partition_by, [order_col], None,
-                max(s[2] for s in span_specs), ttl_ms=ttl_ms,
+                max(bounded) if bounded else 0, ttl_ms=ttl_ms,
                 agg_specs=span_specs, reorder_wm_col=wm_col,
             )
         else:

@@ -785,10 +785,14 @@ def _spec_names(
     widths: dict[tuple[str, str | None], set] = {}
     for a, c, w in triples:
         widths.setdefault((a, c), set()).add(w)
+
+    def qual(w) -> str:
+        return f"_{w}p" if isinstance(w, int) else "_unb"
+
     return [
         spec_out_name(a, c)
         if len(widths[(a, c)]) == 1
-        else f"{spec_out_name(a, c)}_{w}p"
+        else f"{spec_out_name(a, c)}{qual(w)}"
         for a, c, w in triples
     ]
 
@@ -1005,6 +1009,89 @@ def _window_col_aggs(
     return out
 
 
+# per-spec ROWS width sentinel for `ROWS BETWEEN UNBOUNDED PRECEDING
+# AND CURRENT ROW` (running aggregates, O(1) state per key)
+UNBOUNDED = "unbounded"
+
+
+def _running_col_aggs(vals: list, run: list, int_col: bool) -> dict:
+    """Running (cumulative) aggregates for one value column under an
+    UNBOUNDED PRECEDING frame, seeded from the per-key state
+    ``[cnt, sum, min, max]`` (min/max meaningful only when cnt > 0 —
+    0 is the empty-state placeholder, never read). Returns per-row
+    lists for sum/cnt/avg/min/max plus ``next_state``.
+
+    Same exactness contract as ``_window_col_aggs``: integral sums
+    run in int64 when the magnitude bound proves no overflow, else
+    arbitrary-precision Python ints; extremes never round through
+    float64. SQL semantics: NULLs are skipped, aggregates are NULL
+    until the first non-null value."""
+    import numpy as np  # noqa: PLC0415
+
+    n = len(vals)
+    mask = np.fromiter((not _is_missing(x) for x in vals), dtype=bool, count=n)
+    cnt0 = int(run[0])
+    cnt = (cnt0 + np.cumsum(mask.astype(np.int64))).tolist()
+    if int_col:
+        ivals = [int(x) if m else 0 for x, m in zip(vals, mask)]
+        base = int(run[1])
+        amax = max((abs(v) for v in ivals), default=0)
+        if (abs(base) + amax * (n + 1)) >= 2**62:
+            sums, acc = [], base
+            for v in ivals:
+                acc += v
+                sums.append(acc)
+        else:
+            sums = (base + np.cumsum(np.asarray(ivals, dtype=np.int64))).tolist()
+            sums = [int(s) for s in sums]
+        lo_id, hi_id = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+        arr = np.asarray(ivals, dtype=np.int64)
+        seed_mn = int(run[2]) if cnt0 else lo_id
+        seed_mx = int(run[3]) if cnt0 else hi_id
+        mns = np.minimum.accumulate(
+            np.concatenate(([seed_mn], np.where(mask, arr, lo_id)))
+        )[1:]
+        mxs = np.maximum.accumulate(
+            np.concatenate(([seed_mx], np.where(mask, arr, hi_id)))
+        )[1:]
+        mns, mxs = [int(x) for x in mns], [int(x) for x in mxs]
+    else:
+        fvals = np.fromiter(
+            (float(x) if m else 0.0 for x, m in zip(vals, mask)),
+            dtype=np.float64, count=n,
+        )
+        sums = [float(s) for s in (float(run[1]) + np.cumsum(fvals))]
+        seed_mn = float(run[2]) if cnt0 else math.inf
+        seed_mx = float(run[3]) if cnt0 else -math.inf
+        mns = [
+            float(x) for x in np.minimum.accumulate(
+                np.concatenate(([seed_mn], np.where(mask, fvals, math.inf)))
+            )[1:]
+        ]
+        mxs = [
+            float(x) for x in np.maximum.accumulate(
+                np.concatenate(([seed_mx], np.where(mask, fvals, -math.inf)))
+            )[1:]
+        ]
+    out = {
+        "cnt": cnt,
+        "sum": [s if c else None for s, c in zip(sums, cnt)],
+        "avg": [s / c if c else None for s, c in zip(sums, cnt)],
+        "min": [m if c else None for m, c in zip(mns, cnt)],
+        "max": [m if c else None for m, c in zip(mxs, cnt)],
+    }
+    last_c = cnt[-1] if n else cnt0
+    out["next_state"] = [
+        last_c,
+        sums[-1] if n else run[1],
+        (mns[-1] if n else run[2]) if last_c else 0,
+        (mxs[-1] if n else run[3]) if last_c else 0,
+    ]
+    if not int_col:
+        out["next_state"] = [float(x) for x in out["next_state"]]
+    return out
+
+
 def _encode_slots(full: list, int_col: bool) -> list:
     """State encoding of a value sequence: exact ints with ``None``
     NULL slots for integral columns (array<bigint>), float64 with NaN
@@ -1040,10 +1127,14 @@ def streaming_over_rows(
     and since r7 to ``(agg, col, n_preceding)`` triples carrying a
     per-spec frame width (``SUM(v) … ROWS 2 PRECEDING, AVG(v) … ROWS
     5 PRECEDING`` in one statement): one operator pass, per-key state
-    sized to the **max** width, each spec computed over its own
-    window bounds. Output columns follow ``resolve_spec_names`` —
-    width-qualified only when the same (agg, col) appears with
-    several widths. The per-row Python loop is replaced by vectorized
+    sized to the **max** bounded width, each spec computed over its
+    own window bounds. A width of ``UNBOUNDED`` (the module constant)
+    is ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` — the
+    canonical Flink running aggregate — holding **no value history**,
+    just four running accumulators per column (O(1) state; see
+    ``_running_col_aggs``); it mixes freely with bounded widths.
+    Output columns follow ``resolve_spec_names`` — width-qualified
+    only when the same (agg, col) appears with several widths. The per-row Python loop is replaced by vectorized
     prefix sums + a monotonic-deque sweep per extreme (ask #6) —
     integral columns stay exact (int64 or arbitrary-precision prefix
     sums, extremes never round through float64).
@@ -1072,22 +1163,41 @@ def streaming_over_rows(
         default_width=n_preceding,
     )
     for _a, _c, sw in specs:
-        if not isinstance(sw, int) or sw < 0:
-            raise ValueError(f"per-spec ROWS width must be an int >= 0, got {sw!r}")
+        if sw != UNBOUNDED and (not isinstance(sw, int) or sw < 0):
+            raise ValueError(
+                f"per-spec ROWS width must be an int >= 0 or "
+                f"'unbounded', got {sw!r}"
+            )
     reorder = reorder_wm_col is not None
     if reorder and reorder_wm_col not in df.columns:
         raise ValueError(f"column '{reorder_wm_col}' not in input")
     if reorder:
         _warn_ttl_with_reorder(ttl_ms, "streaming_over_rows")
-    # state retains max(width) values per column; narrower specs
-    # simply read a shorter suffix of the shared seed
-    w = max(sw for _a, _c, sw in specs) + 1
+    # state retains max(bounded width) values per column; narrower
+    # specs read a shorter suffix of the shared seed. UNBOUNDED specs
+    # keep no value history at all — just 4 running accumulators per
+    # column (cnt, sum, min, max), the Flink OverAggregate shape for
+    # ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    bounded_ws = [sw for _a, _c, sw in specs if sw != UNBOUNDED]
+    w = (max(bounded_ws) + 1) if bounded_ws else 1
+    # vcols that need running accumulators (any UNBOUNDED spec on them)
+    ucols = [
+        c for c in vcols
+        if any(cc == c and ww == UNBOUNDED for _a, cc, ww in specs)
+    ]
     state_schema = ", ".join(
         (["held binary"] if reorder else [])
         + ["seen bigint"]
         + [
             f"f{i} array<{'bigint' if is_int[c] else 'double'}>"
             for i, c in enumerate(vcols)
+        ]
+        # running accumulators [cnt, sum, min, max] per UNBOUNDED col
+        # (cnt/sum as the col's numeric type: double cnt is exact to
+        # 2^53; int64 sums match Flink's long accumulator)
+        + [
+            f"u{i} array<{'bigint' if is_int[c] else 'double'}>"
+            for i, c in enumerate(ucols)
         ]
     )
     timeout = (
@@ -1108,8 +1218,13 @@ def streaming_over_rows(
             held_blob = st[0] if reorder else None
             seen = base[0]
             seeds = [list(base[i + 1]) for i in range(len(vcols))]
+            runs = {
+                c: list(base[1 + len(vcols) + i])
+                for i, c in enumerate(ucols)
+            }
         else:
             seen, seeds = 0, [[] for _ in vcols]
+            runs = {c: [0, 0, 0, 0] for c in ucols}
         chunks = [p for p in pdfs if len(p)] if not state.hasTimedOut else []
         held, wm = None, 0
         if reorder:
@@ -1124,7 +1239,8 @@ def streaming_over_rows(
             )
         if batch is None or not len(batch):
             prefix = (bytearray(pickle.dumps(held)),) if reorder else ()
-            state.update((*prefix, seen, *seeds))
+            state.update((*prefix, seen, *seeds,
+                          *[runs[c] for c in ucols]))
             if reorder:
                 arm = _held_ts_ms(held, reorder_wm_col)
                 if arm is not None:
@@ -1138,10 +1254,11 @@ def streaming_over_rows(
         S = len(seeds[0]) if seeds else min(seen, w - 1)
         idx = np.arange(S, S + L)
         hi = idx + 1
-        # one lo array per distinct width; per-spec frames share the
-        # seeded value sequence (r7)
+        # one lo array per distinct bounded width; per-spec frames
+        # share the seeded value sequence (r7)
         lo_by_w = {
-            sw: np.maximum(0, idx - sw) for sw in {s[2] for s in specs}
+            sw: np.maximum(0, idx - sw)
+            for sw in {s[2] for s in specs if s[2] != UNBOUNDED}
         }
         fulls: dict[str, list] = {}
         per_cw: dict[tuple[str, int], dict[str, list]] = {}
@@ -1149,21 +1266,41 @@ def streaming_over_rows(
             full = seeds[ci] + batch[c].tolist()
             fulls[c] = full
             seeds[ci] = _encode_slots(full[max(0, len(full) - (w - 1)):], is_int[c])
-        for cw in {(c, sw) for _a, c, sw in specs if c is not None}:
+        for cw in {
+            (c, sw) for _a, c, sw in specs
+            if c is not None and sw != UNBOUNDED
+        }:
             c, sw = cw
             need = {a for a, cc, ww in specs if cc == c and ww == sw}
             per_cw[cw] = _window_col_aggs(
                 fulls[c], lo_by_w[sw], hi, is_int[c], need
             )
+        # UNBOUNDED PRECEDING: running accumulators, no value history
+        # (Flink's unbounded OverAggregate keeps exactly this state)
+        uruns: dict[str, dict[str, object]] = {}
+        for c in ucols:
+            if not any(
+                cc == c and ww == UNBOUNDED for _a, cc, ww in specs
+            ):
+                continue
+            uruns[c] = _running_col_aggs(
+                batch[c].tolist(), runs[c], is_int[c]
+            )
+            runs[c] = uruns[c]["next_state"]
         out = batch[emit_cols].copy()
         for (a, c, sw), name in zip(specs, names):
             if c is None:
                 # COUNT(*): all rows in the frame, NULL slots included
-                out[name] = np.minimum(seen + np.arange(1, L + 1), sw + 1)
+                if sw == UNBOUNDED:
+                    out[name] = seen + np.arange(1, L + 1)
+                else:
+                    out[name] = np.minimum(seen + np.arange(1, L + 1), sw + 1)
+            elif sw == UNBOUNDED:
+                out[name] = pd.Series(uruns[c][a], dtype="object")
             else:
                 out[name] = pd.Series(per_cw[(c, sw)][a], dtype="object")
         prefix = (bytearray(pickle.dumps(held)),) if reorder else ()
-        state.update((*prefix, seen + L, *seeds))
+        state.update((*prefix, seen + L, *seeds, *[runs[c] for c in ucols]))
         if reorder:
             arm = _held_ts_ms(held, reorder_wm_col)
             if arm is not None:

@@ -1506,6 +1506,104 @@ def test_streaming_over_sql_multi_width_routed(spark, tmp_path):
         sess.close()
 
 
+
+def test_streaming_over_rows_unbounded_running(spark, tmp_path):
+    """UNBOUNDED PRECEDING = running aggregates with O(1) per-key
+    state: cross-batch accumulation, NULL skipping, and mixing with a
+    bounded width in one pass (r7)."""
+    from flink_sql_toolkit_spark.streaming.stateful import (
+        UNBOUNDED,
+        streaming_over_rows,
+    )
+
+    schema = "k long, seq long, a long"
+    b0 = [(1, 1, 10), (1, 2, None)]
+    b1 = [(1, 3, 30), (2, 1, None)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/inu/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/inu/*")
+    )
+    out = streaming_over_rows(
+        stream, ["k"], ["seq"], None, 1,
+        agg_specs=[
+            ("sum", "a", UNBOUNDED), ("min", "a", UNBOUNDED),
+            ("cnt", None, UNBOUNDED), ("sum", "a", 1),
+        ],
+    )
+    _run_available_now(out, tmp_path, "over_unb")
+    got = {
+        (r.k, r.seq): (r.a_sum_unb, r.a_min, r.star_cnt, r.a_sum_1p)
+        for r in spark.table("over_unb").collect()
+    }
+    assert got == {
+        (1, 1): (10, 10, 1, 10),
+        (1, 2): (10, 10, 2, 10),   # NULL skipped, COUNT(*) counts it
+        (1, 3): (40, 10, 3, 30),   # running sum crosses the batch
+        (2, 1): (None, None, 1, None),  # all-null so far
+    }
+
+
+def test_streaming_over_sql_unbounded_routed(spark, tmp_path):
+    """`ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW` — the
+    canonical Flink running aggregate — routes and matches the batch
+    window oracle (r7)."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from flink_sql_toolkit_spark.engine import Engine
+
+    rows = [(1, 1, 10), (1, 2, 20), (1, 3, 30), (2, 1, 5), (2, 2, 7)]
+    schema = "k long, seq long, a long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/unbsql")
+    engine = Engine(spark)
+    sess = engine.open_session("over-unb-sql")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE om_unb (k BIGINT, seq BIGINT, a BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/unbsql',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, seq, "
+            "SUM(a) OVER (PARTITION BY k ORDER BY seq ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, "
+            "AVG(a) OVER (PARTITION BY k ORDER BY seq ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS ra "
+            "FROM om_unb"
+        )
+        got, token = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got) < 5:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            got.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op.cancel()
+        w = Window.partitionBy("k").orderBy("seq").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        oracle = sorted(
+            (r.k, r.seq, r.rs, r.ra)
+            for r in spark.createDataFrame(rows, schema)
+            .select(
+                "k", "seq",
+                F.sum("a").over(w).alias("rs"),
+                F.avg("a").over(w).alias("ra"),
+            )
+            .collect()
+        )
+        assert sorted(got) == oracle
+    finally:
+        sess.close()
+
+
 # -- event-time re-buffering (VERDICT r6 ask #3) ----------------------
 
 
