@@ -95,9 +95,25 @@ def rewrite_match_recognize_sql(
         # (PATTERN (PERMUTE(A, B)))
         pat_head = re.search(r"(?is)\bPATTERN\s*\(", body)
         pattern_txt = None
+        within_us = None
         if pat_head:
             p_open = body.index("(", pat_head.end() - 1)
-            pattern_txt = body[p_open + 1 : _matching_paren(body, p_open)]
+            p_close = _matching_paren(body, p_open)
+            pattern_txt = body[p_open + 1 : p_close]
+            # Flink time constraint: PATTERN (...) WITHIN INTERVAL
+            # 'n' UNIT (Flink docs "Pattern Recognition"; enforced
+            # inside the NFA so greedy backtracking still finds
+            # shorter in-window matches)
+            wm = re.match(
+                r"(?is)\s*WITHIN\s+(INTERVAL\s+\x00\d+\x00\s+\w+)",
+                body[p_close + 1 :],
+            )
+            if wm:
+                from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+                    _interval_us,
+                )
+
+                within_us = _interval_us(_unmask(wm.group(1), lits))
         define_txt = _clause(body, r"DEFINE")
         if not (part and order and measures_txt and pattern_txt and define_txt):
             raise ValueError(
@@ -134,6 +150,7 @@ def rewrite_match_recognize_sql(
             define=define,
             measures=measures,
             after_match=after_match,
+            within_us=within_us,
         )
         if src.isStreaming:
             # streaming table → the stateful cross-micro-batch operator

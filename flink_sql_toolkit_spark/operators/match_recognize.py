@@ -465,9 +465,29 @@ def match_recognize(
     measures: dict[str, str],
     after_match: str = "past_last_row",
     all_rows: bool = False,
+    within_us: int | None = None,
     _compile_only: bool = False,
     _defer_lags: bool = False,
 ) -> DataFrame:
+    """``within_us`` is Flink's ``PATTERN (...) WITHIN INTERVAL``
+    time constraint (Flink docs "Pattern Recognition § Time
+    constraint"): a match must complete within the interval of its
+    first row's event time. Enforced INSIDE the NFA — a row past the
+    attempt's time limit is rejected like a failed predicate, so
+    greedy quantifiers still backtrack to a shorter in-window match
+    (a post-filter would wrongly kill those) — which is also what
+    bounds CEP state in Flink. Requires the leading ORDER BY column
+    to be a TIMESTAMP rowtime."""
+    if within_us is not None:
+        if within_us <= 0:
+            raise ValueError(f"WITHIN interval must be positive, got {within_us}")
+        otypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if not otypes.get(order_by[0], "").startswith("timestamp"):
+            raise NotImplementedError(
+                "PATTERN ... WITHIN requires the leading ORDER BY column "
+                f"to be a TIMESTAMP rowtime; '{order_by[0]}' is "
+                f"{otypes.get(order_by[0], 'missing')}"
+            )
     skip_to_sym: str | None = None
     skip_to_first = False
     skip_m = re.match(r"(?i)^to_(first|last)\s+(\w+)$", after_match)
@@ -631,6 +651,7 @@ def match_recognize(
     # precisely where the NFA restarts.
     two_sym_plus = (
         skip_past
+        and within_us is None  # WITHIN needs the NFA's per-attempt clock
         and not all_rows
         and not compiled_dynamic
         and tree.quantifier == ""
@@ -798,6 +819,14 @@ def match_recognize(
         # numpy views for measure extraction — .iloc per match is slow
         col_vals = {c: pdf[c].to_numpy() for c in measure_cols}
         key_row = {k: pdf.iloc[0][k] for k in key_cols}
+        # WITHIN: event-time clock per match attempt (µs); the limit
+        # cell is rewritten by match_any at every attempt start
+        if within_us is not None:
+            ts_us = (
+                pdf[order_by[0]].to_numpy("datetime64[ns]").astype("int64")
+                // 1000
+            )
+        att_limit = [0]
 
         # dynamic (cross-symbol) predicates: evaluate the compiled
         # condition with the partial assignment as navigation context
@@ -879,6 +908,11 @@ def match_recognize(
                         if p >= n:
                             probe["end"] = True
                             return False
+                        if within_us is not None and ts_us[p] > att_limit[0]:
+                            # row past the attempt's WITHIN window: a
+                            # definite reject (its own timestamp), not
+                            # an end-of-input probe
+                            return False
                         return pred(p, ctx)
 
                 else:
@@ -887,6 +921,8 @@ def match_recognize(
                     def okfn(p: int) -> bool:
                         if p >= n:
                             probe["end"] = True
+                            return False
+                        if within_us is not None and ts_us[p] > att_limit[0]:
                             return False
                         return bool(ok[p])
 
@@ -948,6 +984,8 @@ def match_recognize(
             Second element: True if selecting it (or failing) probed
             past the end of input — the result is provisional."""
             probe["end"] = False
+            if within_us is not None:
+                att_limit[0] = ts_us[pos] + within_us
             for _end, assignment in gen_alt_body(tree, pos, []):
                 if assignment:
                     return assignment, probe["end"]

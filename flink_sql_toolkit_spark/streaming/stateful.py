@@ -566,6 +566,7 @@ def streaming_match_recognize(
     truncation_acc=None,
     all_rows: bool = False,
     reorder_wm_col: str | None = None,
+    within_us: int | None = None,
 ) -> DataFrame:
     """General streaming MATCH_RECOGNIZE: the batch NFA with its
     open-match state carried across micro-batches
@@ -630,6 +631,7 @@ def streaming_match_recognize(
         measures=measures,
         after_match=after_match,
         all_rows=all_rows,
+        within_us=within_us,
         _compile_only=True,
         _defer_lags=True,
     )

@@ -1180,3 +1180,84 @@ def test_match_recognize_bounded_quantifiers(spark):
         {"s": "FIRST(A.seq)", "e": "LAST(B.seq)", "n": "COUNT(A.*)"},
     )
     assert [tuple(r) for r in out.select("s", "e", "n").collect()] == [(1, 4, 2)]
+
+
+def test_match_recognize_within_backtracks(spark):
+    """PATTERN (...) WITHIN (Flink time constraint, r7): enforced
+    inside the NFA, so greedy B+ backtracks to the longest IN-WINDOW
+    match instead of the whole run being discarded; a pattern that
+    cannot complete inside the window yields no match."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        ("u", t(0), "a"),   # A — attempt clock starts here
+        ("u", t(5), "b"),   # B in window
+        ("u", t(8), "b"),   # B in window
+        ("u", t(15), "b"),  # B past 10:00+10min → excluded
+        ("v", t(0), "a"),   # A whose only B is out of window
+        ("v", t(20), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "t"])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["ts"],
+        pattern="A B+",
+        define={"A": "t = 'a'", "B": "t = 'b'"},
+        measures={"nb": "COUNT(B.ts)", "last_b": "LAST(B.ts)"},
+        within_us=10 * 60 * 1_000_000,
+    )
+    got = {(r.k): (r.nb, r.last_b) for r in out.collect()}
+    assert got == {"u": (2, t(8))}  # v: no match at all
+
+
+def test_match_recognize_within_sql_path(spark):
+    """WITHIN INTERVAL parses from the SQL clause and a non-timestamp
+    ORDER BY is a typed rejection."""
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.dialect.mr_sql import rewrite_match_recognize_sql
+    from datetime import datetime
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [("u", t(0), "a"), ("u", t(5), "b"), ("u", t(30), "b")]
+    spark.createDataFrame(rows, ["k", "ts", "t"]).createOrReplaceTempView("win_src")
+    stmt = rewrite_match_recognize_sql(
+        spark,
+        """
+        SELECT k, nb FROM win_src
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(B.ts) AS nb
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+) WITHIN INTERVAL '10' MINUTE
+            DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )
+        """,
+    )
+    got = [(r.k, r.nb) for r in spark.sql(stmt).collect()]
+    assert got == [("u", 1)]  # the 10:30 B is outside the window
+
+    rows2 = [("u", 1, "a"), ("u", 2, "b")]
+    spark.createDataFrame(rows2, ["k", "seq", "t"]).createOrReplaceTempView(
+        "win_bad_src"
+    )
+    with _pytest.raises(NotImplementedError, match="TIMESTAMP rowtime"):
+        rewrite_match_recognize_sql(
+            spark,
+            """
+            SELECT k FROM win_bad_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY seq
+                MEASURES COUNT(B.seq) AS nb
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B) WITHIN INTERVAL '10' MINUTE
+                DEFINE A AS A.t = 'a', B AS B.t = 'b'
+            )
+            """,
+        )

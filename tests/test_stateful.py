@@ -1604,6 +1604,42 @@ def test_streaming_over_sql_unbounded_routed(spark, tmp_path):
         sess.close()
 
 
+
+def test_streaming_mr_within_cross_batch(spark, tmp_path):
+    """WITHIN flows through the streaming NFA: a B arriving in a later
+    micro-batch completes the match only when inside the A-row's time
+    window (r7)."""
+    from flink_sql_toolkit_spark.streaming.stateful import (
+        streaming_match_recognize,
+    )
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)  # noqa: E731
+    schema = "k long, ts timestamp, ev string"
+    b0 = [(1, t(0), "a"), (2, t(0), "a")]
+    b1 = [(1, t(5), "b"),     # in window -> match for key 1
+          (2, t(30), "b"),    # out of window -> key 2 never matches
+          (1, t(40), "a")]    # trailing row decides key 1's suffix
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/inmw/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/inmw/*")
+    )
+    out = streaming_match_recognize(
+        stream,
+        partition_by=["k"], order_by=["ts"], pattern="A B",
+        define={"A": "ev = 'a'", "B": "ev = 'b'"},
+        measures={"b_ts": "FIRST(B.ts)"},
+        within_us=10 * 60 * 1_000_000,
+    )
+    _run_available_now(out, tmp_path, "mr_within")
+    got = sorted((r.k, r.b_ts) for r in spark.table("mr_within").collect())
+    assert got == [(1, t(5))]
+
+
 # -- event-time re-buffering (VERDICT r6 ask #3) ----------------------
 
 
