@@ -104,9 +104,10 @@ def rewrite_match_recognize_sql(
             # 'n' UNIT (Flink docs "Pattern Recognition"; enforced
             # inside the NFA so greedy backtracking still finds
             # shorter in-window matches)
+            tail_txt = body[p_close + 1 :]
             wm = re.match(
                 r"(?is)\s*WITHIN\s+(INTERVAL\s+\x00\d+\x00\s+\w+)",
-                body[p_close + 1 :],
+                tail_txt,
             )
             if wm:
                 from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
@@ -114,6 +115,16 @@ def rewrite_match_recognize_sql(
                 )
 
                 within_us = _interval_us(_unmask(wm.group(1), lits))
+            elif re.match(r"(?is)\s*WITHIN\b", tail_txt):
+                # a WITHIN the narrow regex can't parse must be a
+                # typed rejection, not a silently-ignored time
+                # constraint (review r7: dropping it emits
+                # out-of-window matches with no error)
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE WITHIN supports the quoted form "
+                    "WITHIN INTERVAL '<n>' <UNIT>; got: "
+                    f"{_unmask(tail_txt, lits).strip()[:60]!r}"
+                )
         define_txt = _clause(body, r"DEFINE")
         if not (part and order and measures_txt and pattern_txt and define_txt):
             raise ValueError(

@@ -441,7 +441,9 @@ def rewrite_streaming_dedup_sql(
         # outer projection — the changelog result view consumes it.
         # A bare * (or alias.*) already expands to include it as the
         # view's first column; prepending would double it (review r7)
-        if outer == "*" or (alias and outer == f"{alias}.*"):
+        if outer == "*" or (
+            alias and outer.lower() == f"{alias.lower()}.*"
+        ):
             return f"SELECT {outer} FROM {from_clause}"
         return f"SELECT `__op`, {outer} FROM {from_clause}"
     return f"SELECT {outer} FROM {from_clause}"

@@ -908,10 +908,15 @@ def match_recognize(
                         if p >= n:
                             probe["end"] = True
                             return False
-                        if within_us is not None and ts_us[p] > att_limit[0]:
-                            # row past the attempt's WITHIN window: a
+                        if within_us is not None and ts_us[p] >= att_limit[0]:
+                            # row at/past the attempt's WITHIN bound: a
                             # definite reject (its own timestamp), not
-                            # an end-of-input probe
+                            # an end-of-input probe. Flink requires the
+                            # first-to-last gap be STRICTLY smaller
+                            # than the interval (docs "Pattern
+                            # Recognition § Time constraint"; CEP NFA
+                            # times out at duration >= window), so
+                            # exactly-at-bound rows are out (review r7)
                             return False
                         return pred(p, ctx)
 
@@ -922,7 +927,7 @@ def match_recognize(
                         if p >= n:
                             probe["end"] = True
                             return False
-                        if within_us is not None and ts_us[p] > att_limit[0]:
+                        if within_us is not None and ts_us[p] >= att_limit[0]:
                             return False
                         return bool(ok[p])
 

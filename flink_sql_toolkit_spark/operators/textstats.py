@@ -135,8 +135,15 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     (``"2 "`` / ``"3 "`` prefixes — words cannot contain spaces after
     normalization, so the tag is unambiguous) and ONE (doc_id, gram)
     shuffle with map-side partial counts, then a doc_id
-    re-aggregation. No per-doc O(n²) mode scan, no Python."""
-    w = docs.select("doc_id", F.split(normalized_text(), " ").alias("w"))
+    re-aggregation. No per-doc O(n²) mode scan, no Python. Reuses a
+    caller-materialized ``__w`` words column when present so the
+    normalization cascade runs once per document, not twice
+    (review r7)."""
+    words_col = (
+        F.col("__w") if "__w" in docs.columns
+        else F.split(normalized_text(), " ")
+    )
+    w = docs.select("doc_id", words_col.alias("w"))
     grams = w.select(
         "doc_id",
         F.explode(

@@ -274,23 +274,19 @@ class OpsPassthroughBuffer(StreamResultBuffer):
     retractions — but the tail(max_rows) driver cap can still drop a
     leading -U/-D whose +U/+I survives, silently corrupting the
     collapsed view; the skip is counted so the degradation is
-    observable (review r7), mirroring ChangelogResultBuffer."""
+    observable (review r7), mirroring ChangelogResultBuffer. The
+    collection mechanics are inherited unchanged — only the
+    accounting hook differs (review r7: no duplicated
+    persist/count/tail logic to drift)."""
 
     def __init__(self, max_rows: int = 1000):
         super().__init__(max_rows)
         self.skipped_rows = 0
 
-    def foreach_batch(self, batch_df, _batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            n = batch_df.count()
-            if n == 0:
-                return
-            tail = batch_df.tail(self.max_rows)
-        finally:
-            batch_df.unpersist()
-        self.skipped_rows += n - len(tail)
-        self.append_batch([list(r) for r in tail], total=n)
+    def append_batch(self, rows: list, total: int | None = None) -> None:
+        if total is not None:
+            self.skipped_rows += total - len(rows)
+        super().append_batch(rows, total)
 
     def fetch(self, token: int) -> dict:
         page = super().fetch(token)

@@ -1043,6 +1043,15 @@ def _running_col_aggs(vals: list, run: list, int_col: bool) -> dict:
             for v in ivals:
                 acc += v
                 sums.append(acc)
+            if any(abs(s) > 2**63 - 1 for s in sums):
+                # the emitted column and the accumulator state are
+                # both BIGINT — surface a typed error instead of an
+                # opaque Arrow conversion crash (review r7); CAST the
+                # value column to DOUBLE to keep going
+                raise ValueError(
+                    "running SUM under UNBOUNDED PRECEDING exceeded "
+                    "BIGINT range — CAST the value column to DOUBLE"
+                )
         else:
             sums = (base + np.cumsum(np.asarray(ivals, dtype=np.int64))).tolist()
             sums = [int(s) for s in sums]
@@ -1280,11 +1289,7 @@ def streaming_over_rows(
         # UNBOUNDED PRECEDING: running accumulators, no value history
         # (Flink's unbounded OverAggregate keeps exactly this state)
         uruns: dict[str, dict[str, object]] = {}
-        for c in ucols:
-            if not any(
-                cc == c and ww == UNBOUNDED for _a, cc, ww in specs
-            ):
-                continue
+        for c in ucols:  # ucols = exactly the UNBOUNDED-spec columns
             uruns[c] = _running_col_aggs(
                 batch[c].tolist(), runs[c], is_int[c]
             )

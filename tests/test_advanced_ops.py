@@ -1197,6 +1197,8 @@ def test_match_recognize_within_backtracks(spark):
         ("u", t(15), "b"),  # B past 10:00+10min → excluded
         ("v", t(0), "a"),   # A whose only B is out of window
         ("v", t(20), "b"),
+        ("w", t(0), "a"),   # boundary: B at EXACTLY first+interval is
+        ("w", t(10), "b"),  # out — Flink requires gap < interval
     ]
     df = spark.createDataFrame(rows, ["k", "ts", "t"])
     out = match_recognize(
@@ -1209,7 +1211,7 @@ def test_match_recognize_within_backtracks(spark):
         within_us=10 * 60 * 1_000_000,
     )
     got = {(r.k): (r.nb, r.last_b) for r in out.collect()}
-    assert got == {"u": (2, t(8))}  # v: no match at all
+    assert got == {"u": (2, t(8))}  # v, w: no match at all
 
 
 def test_match_recognize_within_sql_path(spark):
@@ -1245,6 +1247,23 @@ def test_match_recognize_within_sql_path(spark):
     spark.createDataFrame(rows2, ["k", "seq", "t"]).createOrReplaceTempView(
         "win_bad_src"
     )
+    with _pytest.raises(NotImplementedError, match="WITHIN supports"):
+        rewrite_match_recognize_sql(
+            spark,
+            """
+            SELECT k FROM win_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES COUNT(B.ts) AS nb
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B) WITHIN INTERVAL 10 MINUTE
+                DEFINE A AS A.t = 'a', B AS B.t = 'b'
+            )
+            """,
+        )
+
     with _pytest.raises(NotImplementedError, match="TIMESTAMP rowtime"):
         rewrite_match_recognize_sql(
             spark,

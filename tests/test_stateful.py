@@ -1795,3 +1795,17 @@ def test_dedup_sql_reorders_with_watermark_ddl(spark, tmp_path):
         assert (1, "first") not in got
     finally:
         sess.close()
+
+
+def test_running_sum_bigint_overflow_typed():
+    """A running SUM that leaves BIGINT range is a typed error, not an
+    opaque Arrow state-write crash (review r7)."""
+    import pytest as _pytest
+
+    from flink_sql_toolkit_spark.streaming.stateful import _running_col_aggs
+
+    big = 2**61
+    out = _running_col_aggs([big, big], [0, 0, 0, 0], True)
+    assert out["sum"] == [big, 2 * big]  # arbitrary-precision path, in range
+    with _pytest.raises(ValueError, match="BIGINT range"):
+        _running_col_aggs([big, big, big, big], [0, 0, 0, 0], True)
