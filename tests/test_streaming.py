@@ -881,3 +881,29 @@ def test_over_rows_output_name_collision_rejected(spark, tmp_path):
         streaming_over_rows(
             stream, ["k"], ["ts"], None, 2, agg_specs=[("sum", "v")]
         )
+
+
+def test_dedup_desc_alias_star_case_insensitive(spark, tmp_path):
+    """`SELECT D.*` over alias `d` must not prepend a second __op —
+    Spark resolves aliases case-insensitively (review r7)."""
+    from datetime import datetime
+
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    d = tmp_path / "alias_src"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10, 0), "x")], "k long, ts timestamp, v string"
+    ).write.mode("overwrite").parquet(str(d))
+    spark.readStream.schema("k long, ts timestamp, v string").parquet(
+        str(d)
+    ).createOrReplaceTempView("alias_src")
+    sql = (
+        "SELECT D.* FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts DESC) AS rn FROM alias_src) d "
+        "WHERE rn = 1"
+    )
+    out = rewrite_streaming_dedup_sql(spark, sql, changelog=True)
+    assert out is not None and "`__op`," not in out
