@@ -44,9 +44,11 @@ from flink_sql_toolkit_spark.dialect.rewriter import (
 # AGG(arg) OVER ( — the span's closing paren is found by balance.
 # \x00 admits masked backtick identifiers as the argument; * admits
 # COUNT(*). LAG may carry an explicit integer offset as a second
-# argument.
+# argument and a default value as a third (masked literal, number,
+# or NULL — Flink LAG(expr, offset, default), r7).
 _OVER_CALL = re.compile(
-    r"(?is)\b(\w+)\s*\(\s*([\w.\x00*]*?)\s*(?:,\s*(\d+)\s*)?\)\s+OVER\s*\("
+    r"(?is)\b(\w+)\s*\(\s*([\w.\x00*]*?)\s*"
+    r"(?:,\s*(\d+)\s*(?:,\s*([\w.\x00+-]+?)\s*)?)?\)\s+OVER\s*\("
 )
 
 _SPEC = re.compile(
@@ -105,7 +107,8 @@ def rewrite_streaming_over_sql(
             return None  # two-argument aggregates are not routable
         spans.append(
             (m.start(), close_idx + 1, m.group(1).upper(), m.group(2).strip(),
-             masked[open_idx + 1 : close_idx], int(m.group(3) or 1))
+             masked[open_idx + 1 : close_idx], int(m.group(3) or 1),
+             m.group(4))
         )
     if not spans:
         return None
@@ -145,6 +148,25 @@ def rewrite_streaming_over_sql(
         value_col = args.pop()
         if not re.match(r"^\w+$", value_col):
             return None
+        defaults = {sp[6] for sp in spans}
+        if len(defaults) != 1:
+            return None
+        draw = defaults.pop()
+        lag_default = None
+        if draw is not None:
+            d = _unmask(draw, lits).strip()
+            if d.upper() == "NULL":
+                lag_default = None
+            elif re.match(r"^'.*'$", d, re.S):
+                lag_default = d[1:-1]
+            else:
+                try:
+                    lag_default = int(d)
+                except ValueError:
+                    try:
+                        lag_default = float(d)
+                    except ValueError:
+                        return None  # expression default: typed path
         sm = _SPEC_NOFRAME.match(spans[0][4])
         if not sm:
             return None
@@ -264,6 +286,7 @@ def rewrite_streaming_over_sql(
             out = streaming_lag(
                 src, partition_by, [order_col], value_col,
                 offset=offsets.pop(), ttl_ms=ttl_ms, reorder_wm_col=wm_col,
+                default=lag_default,
             )
         elif is_rows:
             # n_preceding = max bounded per-spec width (the operator
@@ -300,7 +323,7 @@ def rewrite_streaming_over_sql(
     )
 
     span_names = None if is_lag else resolve_spec_names(span_specs)
-    for i, (start, end, _func, _arg, _spec, _off) in sorted(
+    for i, (start, end, *_rest) in sorted(
         enumerate(spans), key=lambda t: t[1][0], reverse=True
     ):
         name = f"{value_col}_lag" if is_lag else span_names[i]

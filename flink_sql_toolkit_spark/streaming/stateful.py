@@ -154,14 +154,17 @@ def streaming_lag(
     offset: int = 1,
     ttl_ms: int | None = None,
     reorder_wm_col: str | None = None,
+    default=None,
 ) -> DataFrame:
     """``LAG(value) OVER (PARTITION BY k ORDER BY ts)`` on a stream —
     the offset-function member of the streaming OVER family. State per
     key is the last ``offset`` values (a bounded ring, exactly like
     the ROWS frame but emitting the displaced value instead of an
-    aggregate): rows before the offset fills emit NULL, matching the
-    batch window function. Output: every input column plus
-    ``{value}_lag``.
+    aggregate): rows before the offset fills emit ``default`` (NULL
+    when unset — Flink/SQL ``LAG(expr, offset, default)``, r7; a
+    stored NULL value at the offset still emits NULL, never the
+    default, matching the batch function). Output: every input column
+    plus ``{value}_lag``.
 
     With ``reorder_wm_col`` (the stream's watermark column) rows
     re-buffer to event-time order before entering the ring — see
@@ -219,11 +222,13 @@ def streaming_lag(
         else GroupStateTimeout.NoTimeout
     )
 
+    fill = enc(default)  # type-coerced like any ring value
+
     def run(ring: list, pdf: pd.DataFrame) -> list:
         out_rows = []
         vals = pdf[value_col].tolist()
         for row, v in zip(pdf[cols].itertuples(index=False), vals):
-            lag_v = ring[0] if len(ring) >= offset else None
+            lag_v = ring[0] if len(ring) >= offset else fill
             out_rows.append([*row, lag_v])
             ring.append(enc(v))
             if len(ring) > offset:

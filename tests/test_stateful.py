@@ -1164,6 +1164,26 @@ def test_streaming_lag_sql_routed(spark, tmp_path):
             (1, t0 + _dt.timedelta(seconds=2), 10),
             (2, t0, None),
         ]
+
+        # default value: LAG(v, 1, -1) — Flink 3-arg form (r7)
+        op3 = sess.execute_statement(
+            "SELECT k, ts, LAG(v, 1, -1) OVER (PARTITION BY k ORDER BY ts) "
+            "AS prevd FROM lag_src"
+        )
+        got3, token3 = [], 0
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(got3) < 4:
+            page = op3.fetch(token3)
+            token3 = page["nextResultToken"]
+            got3.extend(tuple(r) for r in page["data"])
+            _time.sleep(0.5)
+        op3.cancel()
+        assert sorted(got3, key=lambda r: (r[0], r[1])) == [
+            (1, t0, -1),
+            (1, t0 + _dt.timedelta(seconds=1), 10),
+            (1, t0 + _dt.timedelta(seconds=2), 20),
+            (2, t0, -1),
+        ]
     finally:
         sess.close()
 
