@@ -59,7 +59,13 @@ _SPEC = re.compile(
     r")\s+AND\s+CURRENT\s+ROW\s*$"
 )
 
-_AGG_SUFFIX = {"SUM": "sum", "COUNT": "cnt", "AVG": "avg", "MIN": "min", "MAX": "max"}
+_AGG_SUFFIX = {
+    "SUM": "sum", "COUNT": "cnt", "AVG": "avg", "MIN": "min", "MAX": "max",
+    # Flink FIRST_VALUE/LAST_VALUE aggregates — NULL-skipping
+    # semantics (the dialect targets Flink; Spark's respect-nulls
+    # window variant differs, documented in _window_col_aggs)
+    "FIRST_VALUE": "first", "LAST_VALUE": "last",
+}
 
 # LAG(col) has no frame clause: PARTITION BY ... ORDER BY col only
 _SPEC_NOFRAME = re.compile(

@@ -861,7 +861,7 @@ def _norm_specs(
     for item in agg_specs:
         a, c = item[0], item[1]
         w = item[2] if len(item) > 2 and item[2] is not None else default_width
-        if a not in ("sum", "cnt", "avg", "min", "max"):
+        if a not in ("sum", "cnt", "avg", "min", "max", "first", "last"):
             raise ValueError(f"unsupported OVER aggregate '{a}'")
         if c is None and a != "cnt":
             raise ValueError(f"'{a}(*)' is not a valid aggregate")
@@ -905,7 +905,8 @@ def _norm_specs(
         else:
             num_t = "bigint" if is_int[c] else "double"
             typed = {"sum": num_t, "cnt": "bigint", "avg": "double",
-                     "min": in_schema[c], "max": in_schema[c]}
+                     "min": in_schema[c], "max": in_schema[c],
+                     "first": in_schema[c], "last": in_schema[c]}
             out_fields.append(f"{name} {typed[a]}")
     return specs, names, vcols, ", ".join(out_fields), emit_cols, is_int
 
@@ -1004,7 +1005,7 @@ def _window_col_aggs(
             out["sum"] = [s if c else None for s, c in zip(sums, cnt)]
         if "avg" in need:
             out["avg"] = [s / c if c else None for s, c in zip(sums, cnt)]
-    if need & {"min", "max"}:
+    if need & {"min", "max", "first", "last"}:
         vlist = [
             (int(x) if int_col else float(x)) if m else None
             for x, m in zip(full, mask)
@@ -1013,6 +1014,25 @@ def _window_col_aggs(
             out["min"] = _sliding_extreme(vlist, mask, lo, hi, is_min=True)
         if "max" in need:
             out["max"] = _sliding_extreme(vlist, mask, lo, hi, is_min=False)
+        if need & {"first", "last"}:
+            # FIRST_VALUE/LAST_VALUE with Flink's NULL-skipping
+            # aggregate semantics: the first/last NON-NULL value in
+            # the frame (Spark's respect-nulls variant differs —
+            # documented divergence, the dialect targets Flink).
+            # Vectorized: searchsorted over the non-null positions.
+            nn = np.flatnonzero(mask)
+            if "first" in need:
+                fi = np.searchsorted(nn, lo, side="left")
+                out["first"] = [
+                    vlist[nn[i]] if i < len(nn) and nn[i] < h else None
+                    for i, h in zip(fi, hi)
+                ]
+            if "last" in need:
+                li = np.searchsorted(nn, hi, side="left") - 1
+                out["last"] = [
+                    vlist[nn[i]] if i >= 0 and nn[i] >= l else None
+                    for i, l in zip(li, lo)
+                ]
     return out
 
 
@@ -1024,9 +1044,11 @@ UNBOUNDED = "unbounded"
 def _running_col_aggs(vals: list, run: list, int_col: bool) -> dict:
     """Running (cumulative) aggregates for one value column under an
     UNBOUNDED PRECEDING frame, seeded from the per-key state
-    ``[cnt, sum, min, max]`` (min/max meaningful only when cnt > 0 —
-    0 is the empty-state placeholder, never read). Returns per-row
-    lists for sum/cnt/avg/min/max plus ``next_state``.
+    ``[cnt, sum, min, max, first, last]`` (all but cnt/sum meaningful
+    only when cnt > 0 — 0 is the empty-state placeholder, never
+    read). Returns per-row lists for sum/cnt/avg/min/max/first/last
+    plus ``next_state``. first/last use Flink's NULL-skipping
+    FIRST_VALUE/LAST_VALUE aggregate semantics.
 
     Same exactness contract as ``_window_col_aggs``: integral sums
     run in int64 when the magnitude bound proves no overflow, else
@@ -1089,12 +1111,27 @@ def _running_col_aggs(vals: list, run: list, int_col: bool) -> dict:
                 np.concatenate(([seed_mx], np.where(mask, fvals, -math.inf)))
             )[1:]
         ]
+    conv = (lambda x: int(x)) if int_col else (lambda x: float(x))
+    cvals = [conv(x) if m else None for x, m in zip(vals, mask)]
+    seed_first = conv(run[4]) if cnt0 else None
+    seed_last = conv(run[5]) if cnt0 else None
+    firsts, lasts = [], []
+    cur_first, cur_last = seed_first, seed_last
+    for v, m in zip(cvals, mask):
+        if m:
+            if cur_first is None:
+                cur_first = v
+            cur_last = v
+        firsts.append(cur_first)
+        lasts.append(cur_last)
     out = {
         "cnt": cnt,
         "sum": [s if c else None for s, c in zip(sums, cnt)],
         "avg": [s / c if c else None for s, c in zip(sums, cnt)],
         "min": [m if c else None for m, c in zip(mns, cnt)],
         "max": [m if c else None for m, c in zip(mxs, cnt)],
+        "first": firsts,
+        "last": lasts,
     }
     last_c = cnt[-1] if n else cnt0
     out["next_state"] = [
@@ -1102,6 +1139,8 @@ def _running_col_aggs(vals: list, run: list, int_col: bool) -> dict:
         sums[-1] if n else run[1],
         (mns[-1] if n else run[2]) if last_c else 0,
         (mxs[-1] if n else run[3]) if last_c else 0,
+        (firsts[-1] if n and firsts[-1] is not None else run[4]) if last_c else 0,
+        (lasts[-1] if n and lasts[-1] is not None else run[5]) if last_c else 0,
     ]
     if not int_col:
         out["next_state"] = [float(x) for x in out["next_state"]]
@@ -1240,7 +1279,7 @@ def streaming_over_rows(
             }
         else:
             seen, seeds = 0, [[] for _ in vcols]
-            runs = {c: [0, 0, 0, 0] for c in ucols}
+            runs = {c: [0, 0, 0, 0, 0, 0] for c in ucols}
         chunks = [p for p in pdfs if len(p)] if not state.hasTimedOut else []
         held, wm = None, 0
         if reorder:
