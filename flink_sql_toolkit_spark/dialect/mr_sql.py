@@ -59,10 +59,15 @@ def rewrite_match_recognize_sql(
     from flink_sql_toolkit_spark.operators.match_recognize import match_recognize
 
     masked, lits = _mask(stmt)
+    late_acc = None
     while True:
         m = _MR_FROM.search(masked)
         if not m:
-            return _unmask(masked, lits)
+            from flink_sql_toolkit_spark.dialect.over_sql import (  # noqa: PLC0415
+                _routed,
+            )
+
+            return _routed(_unmask(masked, lits), False, late_acc=late_acc)
         open_idx = masked.index("(", m.end() - 1)
         close_idx = _matching_paren(masked, open_idx)
         body = masked[open_idx + 1 : close_idx]
@@ -180,9 +185,14 @@ def rewrite_match_recognize_sql(
             wm_col = watermark_column(src)
             if wm_col != kwargs["order_by"][0]:
                 wm_col = None
+            if wm_col is not None and late_acc is None:
+                # beyond-watermark rows the reorder gate drops, made
+                # observable on the operation's result pages as
+                # `lateDropped` (VERDICT r7 ask #2)
+                late_acc = spark.sparkContext.accumulator(0)
             out = streaming_match_recognize(
                 src, ttl_ms=ttl_ms, all_rows=all_rows,
-                reorder_wm_col=wm_col, **kwargs
+                reorder_wm_col=wm_col, late_acc=late_acc, **kwargs
             )
         else:
             out = match_recognize(src, all_rows=all_rows, **kwargs)

@@ -41,14 +41,18 @@ from flink_sql_toolkit_spark.dialect.rewriter import (
     _unmask,
 )
 
-# AGG(arg) OVER ( — the span's closing paren is found by balance.
-# \x00 admits masked backtick identifiers as the argument; * admits
-# COUNT(*). LAG may carry an explicit integer offset as a second
-# argument and a default value as a third (masked literal, number,
-# or NULL — Flink LAG(expr, offset, default), r7).
-_OVER_CALL = re.compile(
-    r"(?is)\b(\w+)\s*\(\s*([\w.\x00*]*?)\s*"
-    r"(?:,\s*(\d+)\s*(?:,\s*([\w.\x00+-]+?)\s*)?)?\)\s+OVER\s*\("
+# FUNC( — the argument list and the OVER spec are both extracted by
+# paren balance (r8: arguments may be full expressions — SUM(a*b),
+# CAST(x AS DOUBLE) — not just bare columns). LAG/LEAD may carry an
+# explicit integer offset as a second argument and a default value as
+# a third (masked literal, number, or NULL — Flink
+# LAG/LEAD(expr, offset, default)).
+_FUNC_OPEN = re.compile(r"(?is)\b(\w+)\s*\(")
+
+# keywords that can follow `FROM <table>` — not aliases
+_POST_FROM_KEYWORDS = frozenset(
+    "WHERE GROUP ORDER LIMIT HAVING UNION INTERSECT EXCEPT JOIN LEFT "
+    "RIGHT FULL CROSS INNER ON MATCH_RECOGNIZE".split()
 )
 
 _SPEC = re.compile(
@@ -76,6 +80,29 @@ _SPEC_NOFRAME = re.compile(
 _view_ids = itertools.count()
 
 
+class RoutedSQL(str):
+    """A rewritten statement plus routing metadata. ``op_passthrough``
+    marks a statement whose result already carries RowKind rows in a
+    leading ``__op`` column (the keep-last/Top-N changelog route) — the
+    engine's result binder keys on this flag instead of sniffing the
+    first output column's name, so a user column aliased ``__op``
+    cannot masquerade as operator output (ADVICE r7). ``late_acc`` is
+    the routed operator's beyond-watermark late-drop accumulator (set
+    only when the event-time reorder gate engages); the engine
+    surfaces its value on result pages as ``lateDropped`` (VERDICT r7
+    ask #2)."""
+
+    op_passthrough = False
+    late_acc = None
+
+
+def _routed(sql: str, op_passthrough: bool, late_acc=None) -> "RoutedSQL":
+    out = RoutedSQL(sql)
+    out.op_passthrough = op_passthrough
+    out.late_acc = late_acc
+    return out
+
+
 def rewrite_streaming_over_sql(
     spark: SparkSession, stmt: str, ttl_ms: int | None = None
 ) -> str | None:
@@ -95,26 +122,49 @@ def rewrite_streaming_over_sql(
         re.findall(r"(?is)\bFROM\b", masked)
     ) != 1:
         return None
-    fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
+    fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)(?:\s+(?:AS\s+)?(\w+))?", masked)
     if not fm:
         return None
     table = _unmask(fm.group(1), lits).strip("`")
     if "." in table:
         return None
+    from_alias = fm.group(2)
+    if from_alias and from_alias.upper() in _POST_FROM_KEYWORDS:
+        from_alias = None
 
-    # collect every AGG(col) OVER (spec) span
-    spans = []  # (start, end, func, arg, masked_spec)
-    for m in _OVER_CALL.finditer(masked):
-        open_idx = masked.index("(", m.end() - 1)
-        close_idx = _matching_paren(masked, open_idx)
-        if close_idx < 0:
+    # collect every FUNC(args) OVER (spec) span — argument list and
+    # OVER spec both extracted by paren balance so expression
+    # arguments (SUM(a*b), CAST(x AS DOUBLE)) are captured whole (r8)
+    spans = []  # (start, end, func, arg0, masked_spec, offset, default)
+    for m in _FUNC_OPEN.finditer(masked):
+        arg_open = m.end() - 1
+        arg_close = _matching_paren(masked, arg_open)
+        if arg_close < 0:
+            continue  # not this call's problem; the OVER-count check guards
+        om = re.match(r"(?is)^\s*OVER\s*\(", masked[arg_close + 1 :])
+        if om is None:
+            continue
+        over_open = arg_close + 1 + om.end() - 1
+        over_close = _matching_paren(masked, over_open)
+        if over_close < 0:
             return None  # unbalanced OVER clause: typed guidance path
-        if m.group(3) is not None and m.group(1).upper() != "LAG":
-            return None  # two-argument aggregates are not routable
+        func = m.group(1).upper()
+        args = _split_args(masked[arg_open + 1 : arg_close])
+        offset, default = 1, None
+        if func in ("LAG", "LEAD"):
+            if len(args) > 3:
+                return None
+            if len(args) >= 2:
+                if not re.match(r"^\d+$", args[1].strip()):
+                    return None  # expression offsets are not routable
+                offset = int(args[1])
+            if len(args) == 3:
+                default = args[2].strip()
+        elif len(args) != 1:
+            return None  # multi-argument aggregates are not routable
         spans.append(
-            (m.start(), close_idx + 1, m.group(1).upper(), m.group(2).strip(),
-             masked[open_idx + 1 : close_idx], int(m.group(3) or 1),
-             m.group(4))
+            (m.start(), over_close + 1, func, args[0].strip(),
+             masked[over_open + 1 : over_close], offset, default)
         )
     if not spans:
         return None
@@ -130,37 +180,66 @@ def rewrite_streaming_over_sql(
     # per clause, COUNT(*) is routable (VERDICT r6 ask #5), and ROWS
     # frame widths may differ per clause (per-spec frames — one
     # operator pass, state sized to the max width). RANGE still needs
-    # one shared horizon; LAG one shared full spec.
+    # one shared horizon; LAG/LEAD one shared full spec.
     funcs = {s[2] for s in spans}
     is_lag = funcs == {"LAG"}
+    is_lead = funcs == {"LEAD"}
     offsets = {sp[5] for sp in spans}
-    if not (is_lag or funcs <= set(_AGG_SUFFIX)):
-        return None  # LAG does not mix with frame aggregates
+    if not (is_lag or is_lead or funcs <= set(_AGG_SUFFIX)):
+        return None  # LAG/LEAD do not mix with frame aggregates
+
+    # expression arguments hoist onto the source as generated columns
+    # (VERDICT r7 ask #1): SUM(a*b) aggregates `(a*b) AS _over_arg_0`;
+    # a table-/alias-qualified t.col strips to the bare column
+    pending_exprs: dict[str, str] = {}  # normalized expr -> gen column
+
+    def _arg_column(masked_arg: str) -> str:
+        arg = _unmask(masked_arg, lits).strip()
+        bare = arg.strip("`")
+        if re.match(r"^\w+$", bare):
+            return bare
+        qm = re.match(r"^(\w+|`[^`]+`)\.(\w+|`[^`]+`)$", arg)
+        if qm and qm.group(1).strip("`").lower() in (
+            table.lower(), (from_alias or "").lower(),
+        ):
+            return qm.group(2).strip("`")
+        # expression: strip known qualifiers (the source's columns are
+        # unqualified once projected), normalize whitespace, dedup
+        expr = arg
+        for qual in filter(None, (from_alias, table)):
+            expr = re.sub(rf"(?i)\b{re.escape(qual)}\s*\.", "", expr)
+        key = re.sub(r"\s+", " ", expr).strip()
+        if key not in pending_exprs:
+            pending_exprs[key] = f"_over_arg_{len(pending_exprs)}"
+        return pending_exprs[key]
+
     value_col = None
     is_rows = False
     span_specs: list[tuple] = []
-    if is_lag:
+    if is_lag or is_lead:
         window_specs = {
             re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper()
             for s in spans
         }
-        args = {_unmask(s[3], lits).strip().strip("`") for s in spans}
+        args = {re.sub(r"\s+", " ", _unmask(s[3], lits)).strip() for s in spans}
         if len(window_specs) != 1 or len(args) != 1 or len(offsets) != 1 \
                 or min(offsets) < 1:
             # LAG(x, 0) is the current row — not an offset the
             # ring-state operator models (ADVICE r6: offset=0 indexed
             # an empty ring). Typed-guidance path, not an IndexError.
             return None
-        value_col = args.pop()
-        if not re.match(r"^\w+$", value_col):
-            return None
-        defaults = {sp[6] for sp in spans}
+        value_col = _arg_column(spans[0][3])
+        # compare unmasked: two textually identical quoted defaults
+        # (LAG(v,1,'x') twice) carry distinct mask ids (ADVICE r7)
+        defaults = {
+            _unmask(sp[6], lits) if sp[6] is not None else None for sp in spans
+        }
         if len(defaults) != 1:
             return None
         draw = defaults.pop()
         lag_default = None
         if draw is not None:
-            d = _unmask(draw, lits).strip()
+            d = draw.strip()
             if d.upper() == "NULL":
                 lag_default = None
             elif re.match(r"^'.*'$", d, re.S):
@@ -208,15 +287,15 @@ def rewrite_streaming_over_sql(
             if len(horizons) != 1:
                 return None
         for sp, m in zip(spans, sms):
-            arg = _unmask(sp[3], lits).strip().strip("`")
+            arg = _unmask(sp[3], lits).strip()
             if arg == "*":
                 if sp[2] != "COUNT":
                     return None  # SUM(*) etc. is not SQL
                 base = ("cnt", None)
-            elif re.match(r"^\w+$", arg):
-                base = (_AGG_SUFFIX[sp[2]], arg)
             else:
-                return None  # expression arguments are not routable
+                # bare / qualified column, or an expression hoisted
+                # onto the source as a generated column (r8)
+                base = (_AGG_SUFFIX[sp[2]], _arg_column(sp[3]))
             if is_rows:
                 width = (
                     int(m.group("nrows"))
@@ -252,6 +331,17 @@ def rewrite_streaming_over_sql(
             return None
         masked = masked[: wm.start()] + masked[wm.end():]
 
+    if pending_exprs:
+        # hoist expression arguments as generated projections on the
+        # (already filtered) source — the operator then aggregates the
+        # generated column exactly like a named one (VERDICT r7 ask #1)
+        try:
+            src = src.selectExpr(
+                "*", *[f"({e}) AS {n}" for e, n in pending_exprs.items()]
+            )
+        except Exception:  # noqa: BLE001 — unparsable expression: typed reject
+            return None
+
     partition_by = [
         _unmask(c, lits).strip().strip("`") for c in _split_args(sm.group("part"))
     ]
@@ -283,16 +373,25 @@ def rewrite_streaming_over_sql(
     wm_col = watermark_column(src)
     if wm_col != order_col:
         wm_col = None
+    # beyond-watermark rows the reorder gate drops are counted in a
+    # Spark accumulator surfaced on the operation's result pages as
+    # `lateDropped` — like the buffer's evictedKeys/skippedRows
+    # (VERDICT r7 ask #2); only reorder-gated routes drop late rows
+    late_acc = (
+        spark.sparkContext.accumulator(0) if wm_col is not None else None
+    )
     try:
-        if is_lag:
+        if is_lag or is_lead:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
                 streaming_lag,
+                streaming_lead,
             )
 
-            out = streaming_lag(
+            offset_fn = streaming_lag if is_lag else streaming_lead
+            out = offset_fn(
                 src, partition_by, [order_col], value_col,
                 offset=offsets.pop(), ttl_ms=ttl_ms, reorder_wm_col=wm_col,
-                default=lag_default,
+                default=lag_default, late_acc=late_acc,
             )
         elif is_rows:
             # n_preceding = max bounded per-spec width (the operator
@@ -303,6 +402,7 @@ def rewrite_streaming_over_sql(
                 src, partition_by, [order_col], None,
                 max(bounded) if bounded else 0, ttl_ms=ttl_ms,
                 agg_specs=span_specs, reorder_wm_col=wm_col,
+                late_acc=late_acc,
             )
         else:
             out = streaming_over_range(
@@ -315,6 +415,10 @@ def rewrite_streaming_over_sql(
         # caller's typed guidance (calendar-unit MONTH/YEAR intervals
         # route since r7 — stateful._parse_preceding)
         return None
+    if pending_exprs:
+        # the generated argument columns fed the operator; drop them
+        # from the view so `SELECT *` does not leak internals
+        out = out.drop(*pending_exprs.values())
     view = f"_over_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
 
@@ -328,15 +432,21 @@ def rewrite_streaming_over_sql(
         resolve_spec_names,
     )
 
-    span_names = None if is_lag else resolve_spec_names(span_specs)
+    span_names = (
+        None if (is_lag or is_lead) else resolve_spec_names(span_specs)
+    )
+    offset_suffix = "_lag" if is_lag else "_lead"
     for i, (start, end, *_rest) in sorted(
         enumerate(spans), key=lambda t: t[1][0], reverse=True
     ):
-        name = f"{value_col}_lag" if is_lag else span_names[i]
+        name = (
+            f"{value_col}{offset_suffix}" if is_lag or is_lead
+            else span_names[i]
+        )
         masked = f"{masked[:start]}{name}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
     masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"
-    return _unmask(masked, lits)
+    return _routed(_unmask(masked, lits), False, late_acc=late_acc)
 
 
 # The canonical Flink streaming-deduplication recipe (Flink docs
@@ -454,9 +564,14 @@ def rewrite_streaming_dedup_sql(
         )
 
         wm_col = watermark_column(src)
+        if wm_col != order_col:
+            wm_col = None
+        late_acc = (
+            spark.sparkContext.accumulator(0) if wm_col is not None else None
+        )
         out = streaming_first_n(
             src, keys, [order_col], topn, ttl_ms=ttl_ms,
-            reorder_wm_col=wm_col if wm_col == order_col else None,
+            reorder_wm_col=wm_col, late_acc=late_acc,
         )
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
@@ -469,10 +584,24 @@ def rewrite_streaming_dedup_sql(
         # the operator's leading __op RowKind column must survive the
         # outer projection — the changelog result view consumes it.
         # A bare * (or alias.*) already expands to include it as the
-        # view's first column; prepending would double it (review r7)
-        if outer == "*" or (
-            alias and outer.lower() == f"{alias.lower()}.*"
-        ):
-            return f"SELECT {outer} FROM {from_clause}"
-        return f"SELECT `__op`, {outer} FROM {from_clause}"
-    return f"SELECT {outer} FROM {from_clause}"
+        # view's first column; prepending would double it (review r7).
+        # A star ANYWHERE in a mixed list also expands __op (ADVICE
+        # r7: `SELECT a, *` got a second prepended copy), so the
+        # prepend only applies to star-free lists; a star that is not
+        # the FIRST item would leave __op mid-row where the changelog
+        # renderer cannot find it — typed rejection, not corruption.
+        items = [it.strip() for it in _split_args(outer)]
+        star_idx = [
+            i for i, it in enumerate(items)
+            if it == "*" or it.lower().endswith(".*")
+        ]
+        if star_idx and star_idx[0] > 0:
+            raise NotImplementedError(
+                "changelog keep-last/Top-N: a projection mixing `*` "
+                "after other columns would bury the RowKind column — "
+                "put `*` first or list the columns explicitly"
+            )
+        if star_idx:
+            return _routed(f"SELECT {outer} FROM {from_clause}", True)
+        return _routed(f"SELECT `__op`, {outer} FROM {from_clause}", True)
+    return _routed(f"SELECT {outer} FROM {from_clause}", False, late_acc=late_acc)

@@ -198,6 +198,7 @@ class Operation:
             self._temp_views = list(getattr(self, "_temp_views", [])) + re.findall(
                 r"\b_mr_out_\d+\b", stmt
             )
+            self._late_acc = getattr(stmt, "late_acc", None)
         # everything else: the dialect rewrite + spark.sql
         df = sess.spark.sql(rewrite(stmt))
         # catalog-mutating statements taking this generic path (CREATE
@@ -307,18 +308,22 @@ class Operation:
             == "changelog"
         )
 
-        def _bind_result(frame: DataFrame) -> None:
+        def _bind_result(frame: DataFrame, op_passthrough: bool = False) -> None:
             cols = [
                 {"name": f.name, "logicalType": f.dataType.simpleString()}
                 for f in frame.schema.fields
             ]
-            if changelog and cols and cols[0]["name"] == "__op":
+            if changelog and op_passthrough:
                 # the routed keep-last/Top-N operator already emits
                 # RowKind rows (+I/-U/+U/-D in its leading __op
                 # column) — pass them through instead of re-deriving
                 # pairs from the plan's grouping key; the passthrough
                 # buffer counts tail-cap skips (a dropped -U would
-                # silently corrupt the collapsed view — review r7)
+                # silently corrupt the collapsed view — review r7).
+                # The flag comes from the router (RoutedSQL), never
+                # from sniffing the first column's name: a user column
+                # aliased __op must not masquerade as operator output
+                # (ADVICE r7)
                 self._columns = [{"name": "op", "logicalType": "string"}, *cols[1:]]
                 self._stream_buffer = OpsPassthroughBuffer()
             elif changelog:
@@ -402,8 +407,9 @@ class Operation:
                     "ROW | RANGE BETWEEN INTERVAL … PRECEDING AND "
                     "CURRENT ROW) via streaming.stateful."
                     "streaming_over_rows/streaming_over_range; "
-                    "LAG(col) OVER (PARTITION BY … ORDER BY …) via "
-                    "streaming_lag; the dedup/first-N recipe "
+                    "LAG/LEAD(col[, k[, default]]) OVER (PARTITION BY "
+                    "… ORDER BY …) via streaming_lag/streaming_lead; "
+                    "the dedup/first-N recipe "
                     "ROW_NUMBER() OVER (…) in a subquery filtered to "
                     "rn = 1 / rn <= N via streaming_first_n; or use a "
                     "window TVF (TUMBLE/HOP/CUMULATE) for time-based "
@@ -416,7 +422,8 @@ class Operation:
             self._temp_views = list(getattr(self, "_temp_views", [])) + re.findall(
                 r"\b_(?:over|dedup)_out_\d+\b", routed
             )
-            _bind_result(df)
+            self._late_acc = getattr(routed, "late_acc", None)
+            _bind_result(df, getattr(routed, "op_passthrough", False))
             q = _start_any(df)
         self._stream_query = q
         info = sess.jobs.register(q, name)
@@ -456,6 +463,12 @@ class Operation:
                     "isStreaming": True,
                 }
             )
+            late_acc = getattr(self, "_late_acc", None)
+            if late_acc is not None:
+                # beyond-watermark rows dropped by the event-time
+                # reorder gate — Flink's numLateRecordsDropped metric,
+                # surfaced like evictedKeys/skippedRows (VERDICT r7)
+                page["lateDropped"] = late_acc.value
             return page
         start = token * PAGE_SIZE
         self._pull_until(start + PAGE_SIZE)

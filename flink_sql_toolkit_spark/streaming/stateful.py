@@ -155,6 +155,7 @@ def streaming_lag(
     ttl_ms: int | None = None,
     reorder_wm_col: str | None = None,
     default=None,
+    late_acc=None,
 ) -> DataFrame:
     """``LAG(value) OVER (PARTITION BY k ORDER BY ts)`` on a stream —
     the offset-function member of the streaming OVER family. State per
@@ -169,7 +170,10 @@ def streaming_lag(
     With ``reorder_wm_col`` (the stream's watermark column) rows
     re-buffer to event-time order before entering the ring — see
     ``_reorder_release`` / ``streaming_first_n`` for semantics
-    (VERDICT r6 ask #3); replaces the ProcessingTimeTimeout TTL."""
+    (VERDICT r6 ask #3); replaces the ProcessingTimeTimeout TTL.
+    ``late_acc`` (a Spark accumulator) counts the beyond-watermark
+    rows the gate drops — observability for Flink's late-data side
+    effect (VERDICT r7 ask #2)."""
     import pickle  # noqa: PLC0415
 
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
@@ -244,9 +248,11 @@ def streaming_lag(
                 held_blob, ring = None, []
             chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
             wm = state.getCurrentWatermarkMs()
-            released, held, _late = _reorder_release(
+            released, held, late = _reorder_release(
                 held_blob, chunks, reorder_wm_col, wm
             )
+            if late and late_acc is not None:
+                late_acc.add(late)
             out_rows = []
             if released is not None:
                 released = released.sort_values(order_by, kind="mergesort")
@@ -279,6 +285,157 @@ def streaming_lag(
     )
 
 
+def streaming_lead(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    offset: int = 1,
+    ttl_ms: int | None = None,
+    reorder_wm_col: str | None = None,
+    default=None,
+    late_acc=None,
+) -> DataFrame:
+    """``LEAD(value[, k[, default]]) OVER (PARTITION BY k ORDER BY
+    ts)`` on a stream (VERDICT r7 ask #3; grammar
+    syntaxes/flink.tmLanguage.json:403). LEAD looks *forward*, so a
+    row cannot be emitted until the row ``k`` positions after it
+    arrives: per-key state is a ring of the last ``k`` pending rows
+    (full rows — they wait for their lead value), and each arriving
+    row completes the row ``k`` back, emitting it with
+    ``{value}_lead`` = the arriving row's value. Output rows therefore
+    trail the input by exactly ``k`` rows per key — the same emission
+    delay Flink's OverAggregate pays for LEAD on an unbounded stream.
+
+    Flush policy (documented per the ask): with a processing-time TTL
+    (``table.exec.state.ttl``) an idle key's pending rows are emitted
+    with ``default`` (NULL when unset) as their lead value — the
+    end-of-input semantics of batch LEAD — then the key's state is
+    evicted. Without a TTL, pending rows wait indefinitely (an
+    unbounded stream never "ends"). With ``reorder_wm_col`` rows enter
+    the ring in event-time order up to the query watermark
+    (``_reorder_release``; replaces the TTL flush — one timeout type
+    per operator); ``late_acc`` counts beyond-watermark drops.
+
+    A stored NULL at the lead position emits NULL, never ``default``
+    (batch parity); ``default`` only fills rows whose lead row does
+    not exist (TTL flush)."""
+    import pickle  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if offset < 1:
+        raise ValueError(f"streaming LEAD offset must be >= 1, got {offset}")
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in partition_by + order_by + [value_col]:
+        if c not in in_schema:
+            raise ValueError(f"column '{c}' not in input")
+    vt = in_schema[value_col]
+    if vt not in _OVER_INT_TYPES + _OVER_FLOAT_TYPES + ("string",):
+        raise NotImplementedError(
+            f"streaming LEAD supports integral, floating-point and "
+            f"string value columns; '{value_col}' is {vt}"
+        )
+    is_int = vt in _OVER_INT_TYPES
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in in_schema.items())
+        + f", {value_col}_lead {vt}"
+    )
+    cols = list(df.columns)
+
+    def enc(v):
+        if _is_null(v):
+            return None
+        if is_int:
+            return int(v)
+        return float(v) if vt in _OVER_FLOAT_TYPES else str(v)
+
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in in_schema:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_lead")
+    # pending = the ≤k rows awaiting their lead value (full rows, a
+    # pickled list of row-lists — O(k) per key)
+    state_schema = ("held binary, " if reorder else "") + "pending binary"
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    fill = enc(default)
+
+    def run(pending: list, pdf: pd.DataFrame) -> list:
+        out_rows = []
+        vals = pdf[value_col].tolist()
+        for row, v in zip(pdf[cols].itertuples(index=False), vals):
+            pending.append(list(row))
+            if len(pending) > offset:
+                done = pending.pop(0)
+                # the arriving row IS the completed row's lead row;
+                # its NULL value stays NULL (batch parity)
+                out_rows.append([*done, enc(v)])
+        return out_rows
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        out_cols = [*cols, f"{value_col}_lead"]
+        if reorder:
+            if state.exists:
+                held_blob, pend_blob = state.get
+                pending = pickle.loads(bytes(pend_blob))
+            else:
+                held_blob, pending = None, []
+            chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
+            wm = state.getCurrentWatermarkMs()
+            released, held, late = _reorder_release(
+                held_blob, chunks, reorder_wm_col, wm
+            )
+            if late and late_acc is not None:
+                late_acc.add(late)
+            out_rows = []
+            if released is not None:
+                released = released.sort_values(order_by, kind="mergesort")
+                out_rows = run(pending, released)
+            state.update(
+                (bytearray(pickle.dumps(held)), bytearray(pickle.dumps(pending)))
+            )
+            arm = _held_ts_ms(held, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=out_cols)
+            return
+        if state.hasTimedOut:
+            # TTL flush: no further rows are coming for this key —
+            # batch end-of-input semantics, lead = default
+            pending = pickle.loads(bytes(state.get[0]))
+            state.remove()
+            if pending:
+                yield pd.DataFrame(
+                    [[*row, fill] for row in pending], columns=out_cols
+                )
+            return
+        pending = pickle.loads(bytes(state.get[0])) if state.exists else []
+        out_rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            out_rows.extend(run(pending, pdf))
+        state.update((bytearray(pickle.dumps(pending)),))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def streaming_first_n(
     df: DataFrame,
     keys: list[str],
@@ -286,6 +443,7 @@ def streaming_first_n(
     n: int,
     ttl_ms: int | None = None,
     reorder_wm_col: str | None = None,
+    late_acc=None,
 ) -> DataFrame:
     """First-N-per-key over a stream — the append-expressible half of
     Flink's Top-N recipe (``ROW_NUMBER() <= N``): emit a row while its
@@ -336,9 +494,11 @@ def streaming_first_n(
                 held_blob, count = None, 0
             chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
             wm = state.getCurrentWatermarkMs()
-            released, held, _late = _reorder_release(
+            released, held, late = _reorder_release(
                 held_blob, chunks, reorder_wm_col, wm
             )
+            if late and late_acc is not None:
+                late_acc.add(late)
             if released is not None and count < n:
                 released = released.sort_values(order_by, kind="mergesort")
                 take = min(n - count, len(released))
@@ -572,6 +732,7 @@ def streaming_match_recognize(
     all_rows: bool = False,
     reorder_wm_col: str | None = None,
     within_us: int | None = None,
+    late_acc=None,
 ) -> DataFrame:
     """General streaming MATCH_RECOGNIZE: the batch NFA with its
     open-match state carried across micro-batches
@@ -694,9 +855,11 @@ def streaming_match_recognize(
             # event-time re-buffer: rows wait in state until the query
             # watermark passes them, then enter the NFA in event order
             wm = state.getCurrentWatermarkMs()
-            batch, held_frame, _late = _reorder_release(
+            batch, held_frame, late = _reorder_release(
                 held_frame, new, reorder_wm_col, wm
             )
+            if late and late_acc is not None:
+                late_acc.add(late)
             if batch is not None:
                 batch = batch.sort_values(sort_cols, kind="mergesort")
             parts = ([buf] if n_buf else []) + ([batch] if batch is not None else [])
@@ -868,6 +1031,16 @@ def _norm_specs(
         if (a, c, w) not in specs:
             specs.append((a, c, w))
     names = _spec_names(specs)
+    if len(set(names)) != len(names):
+        # distinct specs mapping to one output column — e.g. COUNT(*)
+        # ('star_cnt') vs COUNT(col) on a column literally named
+        # 'star' — would silently shadow each other in the vectorized
+        # named-column assignment (ADVICE r7)
+        dup = next(n for n in names if names.count(n) > 1)
+        raise ValueError(
+            f"two OVER aggregates map to the same output column "
+            f"'{dup}' — rename the value column"
+        )
     in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     vcols: list[str] = []
     for _a, c, _w in specs:
@@ -1166,6 +1339,7 @@ def streaming_over_rows(
     ttl_ms: int | None = None,
     agg_specs: list[tuple[str, str | None]] | None = None,
     reorder_wm_col: str | None = None,
+    late_acc=None,
 ) -> DataFrame:
     """Streaming OVER aggregation with a ROWS frame — Spark Structured
     Streaming rejects window functions outright ("non-time-based
@@ -1284,9 +1458,11 @@ def streaming_over_rows(
         held, wm = None, 0
         if reorder:
             wm = state.getCurrentWatermarkMs()
-            batch, held, _late = _reorder_release(
+            batch, held, late = _reorder_release(
                 held_blob, chunks, reorder_wm_col, wm
             )
+            if late and late_acc is not None:
+                late_acc.add(late)
         else:
             batch = (
                 pd.concat(chunks, ignore_index=True)

@@ -710,9 +710,10 @@ def test_streaming_over_sql_where_filters_frames(spark, tmp_path):
 
 def test_streaming_over_sql_uncollectable_over_rejected(spark, tmp_path):
     """A statement mixing a routable OVER with one the router cannot
-    collect (an expression argument) must fall back to the typed
-    guidance, not a half-rewritten query that fails downstream
-    (review r6; COUNT(*) itself became routable in r7)."""
+    route (an unsupported aggregate function) must fall back to the
+    typed guidance, not a half-rewritten query that fails downstream
+    (review r6; COUNT(*) became routable in r7, expression arguments
+    like SUM(v + v) in r8)."""
     import pytest as _pytest
 
     from flink_sql_toolkit_spark.engine import Engine
@@ -728,7 +729,7 @@ def test_streaming_over_sql_uncollectable_over_rejected(spark, tmp_path):
             sess.execute_statement(
                 "SELECT SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
                 "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, "
-                "SUM(v + v) OVER (PARTITION BY k ORDER BY ts ROWS "
+                "STDDEV(v) OVER (PARTITION BY k ORDER BY ts ROWS "
                 "BETWEEN 1 PRECEDING AND CURRENT ROW) AS c FROM op_src"
             )
     finally:
