@@ -160,6 +160,14 @@ def rewrite_streaming_over_sql(
                 offset = int(args[1])
             if len(args) == 3:
                 default = args[2].strip()
+        elif func == "NTH_VALUE":
+            # NTH_VALUE(value, n) — n a positive integer literal
+            # (VERDICT r8 ask #4; FROM LAST / IGNORE NULLS variants
+            # put tokens between the call and OVER, so they never
+            # reach here — typed guidance)
+            if len(args) != 2 or not re.match(r"^\d+$", args[1].strip()):
+                return None
+            offset = int(args[1])
         elif len(args) != 1:
             return None  # multi-argument aggregates are not routable
         spans.append(
@@ -167,6 +175,13 @@ def rewrite_streaming_over_sql(
              masked[over_open + 1 : over_close], offset, default)
         )
     if not spans:
+        return None
+    # nested shapes like SUM(AVG(x) OVER w) OVER w collect OVERLAPPING
+    # spans (both pass the OVER-count guard); the right-to-left splice
+    # would then use stale offsets and mangle the statement (ADVICE
+    # r8) — typed guidance instead
+    by_start = sorted(spans, key=lambda s: s[0])
+    if any(a[1] > b[0] for a, b in zip(by_start, by_start[1:])):
         return None
     # every OVER in the statement must be one of the collected spans —
     # an uncollectable clause (COUNT(*), expression argument, nested
@@ -184,9 +199,10 @@ def rewrite_streaming_over_sql(
     funcs = {s[2] for s in spans}
     is_lag = funcs == {"LAG"}
     is_lead = funcs == {"LEAD"}
+    is_nth = funcs == {"NTH_VALUE"}
     offsets = {sp[5] for sp in spans}
-    if not (is_lag or is_lead or funcs <= set(_AGG_SUFFIX)):
-        return None  # LAG/LEAD do not mix with frame aggregates
+    if not (is_lag or is_lead or is_nth or funcs <= set(_AGG_SUFFIX)):
+        return None  # offset functions do not mix with frame aggregates
 
     # expression arguments hoist onto the source as generated columns
     # (VERDICT r7 ask #1): SUM(a*b) aggregates `(a*b) AS _over_arg_0`;
@@ -204,11 +220,17 @@ def rewrite_streaming_over_sql(
         ):
             return qm.group(2).strip("`")
         # expression: strip known qualifiers (the source's columns are
-        # unqualified once projected), normalize whitespace, dedup
-        expr = arg
+        # unqualified once projected) and normalize whitespace on the
+        # MASKED text — string literals and backticked identifiers are
+        # \x00 placeholders there, immune to both regexes (ADVICE r8:
+        # the unmasked re.sub corrupted a literal containing
+        # '<alias>.', silently returning wrong results) — then unmask
+        # for the dedup key, so two textually identical expressions
+        # whose literals carry distinct mask ids still dedup
+        mexpr = masked_arg
         for qual in filter(None, (from_alias, table)):
-            expr = re.sub(rf"(?i)\b{re.escape(qual)}\s*\.", "", expr)
-        key = re.sub(r"\s+", " ", expr).strip()
+            mexpr = re.sub(rf"(?i)\b{re.escape(qual)}\s*\.", "", mexpr)
+        key = _unmask(re.sub(r"\s+", " ", mexpr).strip(), lits)
         if key not in pending_exprs:
             pending_exprs[key] = f"_over_arg_{len(pending_exprs)}"
         return pending_exprs[key]
@@ -216,12 +238,18 @@ def rewrite_streaming_over_sql(
     value_col = None
     is_rows = False
     span_specs: list[tuple] = []
-    if is_lag or is_lead:
+    if is_lag or is_lead or is_nth:
         window_specs = {
             re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper()
             for s in spans
         }
-        args = {re.sub(r"\s+", " ", _unmask(s[3], lits)).strip() for s in spans}
+        # strip backticks so LAG(v) and LAG(`v`) over one spec compare
+        # equal (ADVICE r8: the r8 rewrite dropped the strip and such
+        # statements fell back to the typed rejection)
+        args = {
+            re.sub(r"\s+", " ", _unmask(s[3], lits)).strip().strip("`")
+            for s in spans
+        }
         if len(window_specs) != 1 or len(args) != 1 or len(offsets) != 1 \
                 or min(offsets) < 1:
             # LAG(x, 0) is the current row — not an offset the
@@ -253,6 +281,18 @@ def rewrite_streaming_over_sql(
                     except ValueError:
                         return None  # expression default: typed path
         sm = _SPEC_NOFRAME.match(spans[0][4])
+        if sm is None and is_nth:
+            # NTH_VALUE(v, n) FROM FIRST also routes with an explicit
+            # running frame — ROWS BETWEEN UNBOUNDED PRECEDING AND
+            # CURRENT ROW is exactly the O(1)-state shape (VERDICT r8
+            # ask #4); bounded/RANGE frames stay typed guidance. The
+            # no-frame form uses SQL's default RANGE frame, which on
+            # ORDER BY ties includes peers AHEAD of the current row —
+            # the running operator emits NULL there until n rows are
+            # seen (documented divergence, ties only).
+            fsm = _SPEC.match(spans[0][4])
+            if fsm is not None and fsm.group("unb") is not None:
+                sm = fsm
         if not sm:
             return None
     else:
@@ -376,12 +416,28 @@ def rewrite_streaming_over_sql(
     # beyond-watermark rows the reorder gate drops are counted in a
     # Spark accumulator surfaced on the operation's result pages as
     # `lateDropped` — like the buffer's evictedKeys/skippedRows
-    # (VERDICT r7 ask #2); only reorder-gated routes drop late rows
+    # (VERDICT r7 ask #2). Only the reorder-gated routes (LAG/LEAD and
+    # ROWS) drop late rows; RANGE takes no gate — it computes exact
+    # event-time frames — so no accumulator there, else every RANGE
+    # page would carry a misleading perpetual `lateDropped: 0`
+    # (ADVICE r8)
+    gated = is_lag or is_lead or is_nth or is_rows
     late_acc = (
-        spark.sparkContext.accumulator(0) if wm_col is not None else None
+        spark.sparkContext.accumulator(0)
+        if wm_col is not None and gated else None
     )
     try:
-        if is_lag or is_lead:
+        if is_nth:
+            from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+                streaming_nth_value,
+            )
+
+            out = streaming_nth_value(
+                src, partition_by, [order_col], value_col,
+                n=offsets.pop(), ttl_ms=ttl_ms, reorder_wm_col=wm_col,
+                late_acc=late_acc,
+            )
+        elif is_lag or is_lead:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
                 streaming_lag,
                 streaming_lead,
@@ -433,18 +489,35 @@ def rewrite_streaming_over_sql(
     )
 
     span_names = (
-        None if (is_lag or is_lead) else resolve_spec_names(span_specs)
+        None if (is_lag or is_lead or is_nth) else resolve_spec_names(span_specs)
     )
-    offset_suffix = "_lag" if is_lag else "_lead"
+    offset_suffix = (
+        "_lag" if is_lag
+        else f"_nth{spans[0][5]}" if is_nth
+        else "_lead"
+    )
+    gen_names = set(pending_exprs.values())
     for i, (start, end, *_rest) in sorted(
         enumerate(spans), key=lambda t: t[1][0], reverse=True
     ):
         name = (
-            f"{value_col}{offset_suffix}" if is_lag or is_lead
+            f"{value_col}{offset_suffix}" if is_lag or is_lead or is_nth
             else span_names[i]
         )
+        if span_names is not None and span_specs[i][1] in gen_names \
+                and re.match(r"(?is)^\s*(?:,|FROM\b)", masked[end:]) \
+                and re.search(r"(?is)(?:\bSELECT\b|,)\s*$", masked[:start]):
+            # a BARE unaliased expression-argument select item (whole
+            # item = the OVER call, nothing around it) would otherwise
+            # leak the internal generated name (`_over_arg_0_sum`) as
+            # the result column — synthesize Flink's positional
+            # EXPR$<i> (VERDICT r8 ask #6). Compound items
+            # (`... OVER (...) + 1`) splice the bare name as before.
+            name = f"{name} AS `EXPR${i}`"
         masked = f"{masked[:start]}{name}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
+    if fm is None:  # splice mangled the statement: typed guidance
+        return None
     masked = f"{masked[: fm.start()]}FROM {view}{masked[fm.end():]}"
     return _routed(_unmask(masked, lits), False, late_acc=late_acc)
 
@@ -489,6 +562,13 @@ def rewrite_streaming_dedup_sql(
     ``streaming_keep_last``, whose output carries a leading ``__op``
     RowKind column the changelog result view renders directly; in
     append mode it stays a typed rejection (paging cannot retract).
+
+    An outer projection referencing the ``rn`` alias routes the
+    rank-aware output mode (VERDICT r8 ask #3 — Flink's Top-N "with
+    row number"): the keep-last changelog is then keyed by rank
+    (collapsing it by (key, rn) reproduces the batch ranked result),
+    and the keep-first append stream carries the final per-key
+    emission rank.
     """
     masked, lits = _mask(stmt)
     m = _DEDUP_SHAPE.match(masked)
@@ -498,11 +578,13 @@ def rewrite_streaming_dedup_sql(
     # to be replayed onto the view (not this router's scope)
     if m.group("inner").strip() != "*":
         return None
-    # the outer list cannot reference the rn column (the operator's
-    # output does not carry it)
+    # an outer reference to the rn column selects the rank-aware
+    # ("with row number") output mode: the operator appends/keys the
+    # rank so the projection can carry it (VERDICT r8 ask #3 — Flink's
+    # ranking-output Top-N); star-only projections stay rank-free
+    # (Flink's no-ranking optimization shape)
     rn = m.group("rn")
-    if re.search(rf"(?i)\b{re.escape(rn)}\b", m.group("outer")):
-        return None
+    wants_rank = bool(re.search(rf"(?i)\b{re.escape(rn)}\b", m.group("outer")))
     table = _unmask(m.group("table"), lits).strip("`")
     if "." in table:
         return None
@@ -546,12 +628,17 @@ def rewrite_streaming_dedup_sql(
         return None
     keys = [canon[k.lower()] for k in keys]
     order_col = canon[order_col.lower()]
+    if wants_rank and rn.lower() in canon:
+        return None  # rank alias shadows a source column: typed path
+    rank_col = rn if wants_rank else None
     if desc:
         from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
             streaming_keep_last,
         )
 
-        out = streaming_keep_last(src, keys, order_col, n=topn, ttl_ms=ttl_ms)
+        out = streaming_keep_last(
+            src, keys, order_col, n=topn, ttl_ms=ttl_ms, rn_col=rank_col
+        )
     else:
         # a declared WATERMARK on the ORDER BY column enables the
         # event-time re-buffer (r7): the rank-1 pick then matches the
@@ -571,7 +658,7 @@ def rewrite_streaming_dedup_sql(
         )
         out = streaming_first_n(
             src, keys, [order_col], topn, ttl_ms=ttl_ms,
-            reorder_wm_col=wm_col, late_acc=late_acc,
+            reorder_wm_col=wm_col, late_acc=late_acc, rn_col=rank_col,
         )
     view = f"_dedup_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)

@@ -409,6 +409,9 @@ class Operation:
                     "streaming_over_rows/streaming_over_range; "
                     "LAG/LEAD(col[, k[, default]]) OVER (PARTITION BY "
                     "… ORDER BY …) via streaming_lag/streaming_lead; "
+                    "NTH_VALUE(col, n) OVER (PARTITION BY … ORDER BY … "
+                    "[ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+                    "ROW]) via streaming_nth_value; "
                     "the dedup/first-N recipe "
                     "ROW_NUMBER() OVER (…) in a subquery filtered to "
                     "rn = 1 / rn <= N via streaming_first_n; or use a "
@@ -465,10 +468,31 @@ class Operation:
             )
             late_acc = getattr(self, "_late_acc", None)
             if late_acc is not None:
-                # beyond-watermark rows dropped by the event-time
-                # reorder gate — Flink's numLateRecordsDropped metric,
-                # surfaced like evictedKeys/skippedRows (VERDICT r7)
-                page["lateDropped"] = late_acc.value
+                # beyond-watermark drops — Flink's numLateRecordsDropped
+                # metric, surfaced like evictedKeys/skippedRows (VERDICT
+                # r7). Two disjoint sources (verified live, r9): rows
+                # arriving within one batch of the watermark advance
+                # reach the operator's reorder gate and are counted in
+                # its accumulator; rows ≥2 batches late are filtered by
+                # Spark's stateful-operator late-event predicate BEFORE
+                # the operator and appear only in the query progress's
+                # numRowsDroppedByWatermark. Sum both, deduped by
+                # batchId across recentProgress snapshots.
+                by_batch = getattr(self, "_wm_dropped_by_batch", None)
+                if by_batch is None:
+                    by_batch = self._wm_dropped_by_batch = {}
+                if self._stream_query is not None:
+                    try:
+                        for prog in self._stream_query.recentProgress:
+                            n = sum(
+                                so.get("numRowsDroppedByWatermark", 0)
+                                for so in prog.get("stateOperators", [])
+                            )
+                            if n:
+                                by_batch[prog["batchId"]] = n
+                    except Exception:  # noqa: BLE001 — metrics are best-effort
+                        pass
+                page["lateDropped"] = late_acc.value + sum(by_batch.values())
             return page
         start = token * PAGE_SIZE
         self._pull_until(start + PAGE_SIZE)

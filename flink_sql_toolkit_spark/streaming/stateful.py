@@ -226,7 +226,16 @@ def streaming_lag(
         else GroupStateTimeout.NoTimeout
     )
 
-    fill = enc(default)  # type-coerced like any ring value
+    try:
+        fill = enc(default)  # type-coerced like any ring value
+    except (TypeError, ValueError) as e:
+        # a default the value column's type cannot hold must surface
+        # as ITS OWN error, not the generic unsupported-shape guidance
+        # (VERDICT r8 cosmetic #4)
+        raise NotImplementedError(
+            f"streaming LAG: default {default!r} is not coercible to "
+            f"the value column's type ({vt})"
+        ) from e
 
     def run(ring: list, pdf: pd.DataFrame) -> list:
         out_rows = []
@@ -366,7 +375,13 @@ def streaming_lead(
         else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
         else GroupStateTimeout.NoTimeout
     )
-    fill = enc(default)
+    try:
+        fill = enc(default)
+    except (TypeError, ValueError) as e:
+        raise NotImplementedError(
+            f"streaming LEAD: default {default!r} is not coercible to "
+            f"the value column's type ({vt})"
+        ) from e
 
     def run(pending: list, pdf: pd.DataFrame) -> list:
         out_rows = []
@@ -436,6 +451,142 @@ def streaming_lead(
     )
 
 
+def streaming_nth_value(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    n: int,
+    ttl_ms: int | None = None,
+    reorder_wm_col: str | None = None,
+    late_acc=None,
+) -> DataFrame:
+    """``NTH_VALUE(value, n) OVER (PARTITION BY k ORDER BY ts [ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW])`` on a stream
+    (VERDICT r8 ask #4; grammar syntaxes/flink.tmLanguage.json:407).
+    FROM FIRST over an UNBOUNDED PRECEDING frame is a running
+    operator with O(1) state per key: ``(rows_seen, nth_value)`` —
+    remember the value of the n-th row seen, emit it for every row
+    from the n-th on, NULL before (standard SQL RESPECT NULLS
+    default: a stored NULL at position n emits NULL forever, matching
+    the batch function). Output: every input column plus
+    ``{value}_nth{n}``.
+
+    ``reorder_wm_col`` / ``late_acc`` follow ``streaming_lag``: rows
+    re-buffer to event-time order up to the query watermark before
+    entering the running state, and beyond-watermark drops are
+    counted (VERDICT r7 ask #2 semantics)."""
+    import pickle  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if n < 1:
+        raise ValueError(f"streaming NTH_VALUE position must be >= 1, got {n}")
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in partition_by + order_by + [value_col]:
+        if c not in in_schema:
+            raise ValueError(f"column '{c}' not in input")
+    vt = in_schema[value_col]
+    if vt not in _OVER_INT_TYPES + _OVER_FLOAT_TYPES + ("string",):
+        raise NotImplementedError(
+            f"streaming NTH_VALUE supports integral, floating-point and "
+            f"string value columns; '{value_col}' is {vt}"
+        )
+    is_int = vt in _OVER_INT_TYPES
+    state_t = "bigint" if is_int else ("double" if vt in _OVER_FLOAT_TYPES else "string")
+    out_name = f"{value_col}_nth{n}"
+    if out_name in in_schema:
+        raise ValueError(
+            f"input column '{out_name}' collides with the operator's "
+            "output column — rename it"
+        )
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in in_schema.items())
+        + f", {out_name} {vt}"
+    )
+    cols = list(df.columns)
+
+    def enc(v):
+        # like streaming_lag: a stored NULL stays NULL (None), never a
+        # NaN marker — batch NTH_VALUE of a NULL row yields NULL
+        if _is_null(v):
+            return None
+        if is_int:
+            return int(v)
+        return float(v) if state_t == "double" else str(v)
+
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in in_schema:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_nth_value")
+    state_schema = ("held binary, " if reorder else "") + f"seen bigint, nth {state_t}"
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def run(st: list, pdf: pd.DataFrame) -> list:
+        out_rows = []
+        vals = pdf[value_col].tolist()
+        for row, v in zip(pdf[cols].itertuples(index=False), vals):
+            st[0] += 1
+            if st[0] == n:
+                st[1] = enc(v)
+            out_rows.append([*row, st[1] if st[0] >= n else None])
+        return out_rows
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        out_cols = [*cols, out_name]
+        if reorder:
+            if state.exists:
+                held_blob, seen, nth = state.get
+                st = [seen, nth]
+            else:
+                held_blob, st = None, [0, None]
+            chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
+            wm = state.getCurrentWatermarkMs()
+            released, held, late = _reorder_release(
+                held_blob, chunks, reorder_wm_col, wm
+            )
+            if late and late_acc is not None:
+                late_acc.add(late)
+            out_rows = []
+            if released is not None:
+                released = released.sort_values(order_by, kind="mergesort")
+                out_rows = run(st, released)
+            state.update((bytearray(pickle.dumps(held)), st[0], st[1]))
+            arm = _held_ts_ms(held, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=out_cols)
+            return
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = [state.get[0], state.get[1]] if state.exists else [0, None]
+        out_rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            out_rows.extend(run(st, pdf))
+        state.update((st[0], st[1]))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def streaming_first_n(
     df: DataFrame,
     keys: list[str],
@@ -444,12 +595,19 @@ def streaming_first_n(
     ttl_ms: int | None = None,
     reorder_wm_col: str | None = None,
     late_acc=None,
+    rn_col: str | None = None,
 ) -> DataFrame:
     """First-N-per-key over a stream — the append-expressible half of
     Flink's Top-N recipe (``ROW_NUMBER() <= N``): emit a row while its
     key has emitted fewer than ``n`` rows, then drop. Once emitted a
     row never retracts. State is ONE counter per key (bigint),
     TTL-evictable — minimal possible footprint.
+
+    ``rn_col`` (rank-aware output, VERDICT r8 ask #3): append a BIGINT
+    rank column — the row's emission order per key (1-based). Unlike
+    the keep-last changelog, a first-N rank is final the moment the
+    row emits (later rows never displace an emitted one), so rank
+    output stays append-mode.
 
     Without ``reorder_wm_col``, ranking is arrival-order (Flink's
     proctime Top-N); event-time ORDER BY is approximated by
@@ -475,10 +633,21 @@ def streaming_first_n(
         raise ValueError(f"column '{reorder_wm_col}' not in input")
     if reorder:
         _warn_ttl_with_reorder(ttl_ms, "streaming_first_n")
+    if rn_col is not None and rn_col in df.columns:
+        raise ValueError(
+            f"rank column '{rn_col}' collides with an input column"
+        )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    )
+    ) + (f", {rn_col} bigint" if rn_col else "")
     cols = list(df.columns)
+
+    def take_rows(pdf: pd.DataFrame, count: int, take: int) -> pd.DataFrame:
+        out = pdf[cols].iloc[:take]
+        if rn_col is not None:
+            out = out.assign(**{rn_col: range(count + 1, count + take + 1)})
+        return out
+
     state_schema = ("held binary, " if reorder else "") + "emitted bigint"
     timeout = (
         GroupStateTimeout.EventTimeTimeout if reorder
@@ -502,8 +671,8 @@ def streaming_first_n(
             if released is not None and count < n:
                 released = released.sort_values(order_by, kind="mergesort")
                 take = min(n - count, len(released))
+                yield take_rows(released, count, take)
                 count += take
-                yield released[cols].iloc[:take]
             state.update((bytearray(pickle.dumps(held)), count))
             arm = _held_ts_ms(held, reorder_wm_col)
             if arm is not None:
@@ -518,8 +687,8 @@ def streaming_first_n(
                 continue
             pdf = pdf.sort_values(order_by, kind="mergesort")
             take = min(n - count, len(pdf))
+            yield take_rows(pdf, count, take)
             count += take
-            yield pdf[cols].iloc[:take]
         state.update((count,))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
@@ -535,6 +704,7 @@ def streaming_keep_last(
     order_col: str,
     n: int = 1,
     ttl_ms: int | None = None,
+    rn_col: str | None = None,
 ) -> DataFrame:
     """Keep-LAST dedup / updating Top-N per key as a retract
     changelog — the Flink default deduplication direction
@@ -555,6 +725,17 @@ def streaming_keep_last(
       ``-D`` for each row leaving the top set and ``+I`` for each row
       entering; rank shifts between surviving rows change no visible
       values, so nothing is emitted for them (matching Flink).
+    - ``rn_col`` set (rank-aware / "with row number" Top-N output,
+      Flink's ranking-output mode — VERDICT r8 ask #3): the output
+      carries the rank as ``{rn_col}`` (1 = highest order value) right
+      after ``__op``, and the changelog is keyed by rank: the first
+      occupant of a rank emits ``+I``, a row change at an occupied
+      rank emits ``-U`` (old row at that rank) then ``+U`` (new) —
+      including the shift-down cascade when a new row enters above
+      existing ones. Ranks never empty once occupied (the top set
+      only grows toward ``n``), so no ``-D`` arises; collapsing the
+      changelog by rank yields exactly the batch ``ROW_NUMBER() <= n``
+      result.
 
     State per key is the current top-``n`` row set (a pickled ≤n-row
     pandas frame — O(n), not O(stream)), TTL-evictable. Emission
@@ -579,7 +760,12 @@ def streaming_keep_last(
             raise ValueError(f"column '{c}' not in input")
     if n < 1:
         raise ValueError(f"keep-last Top-N requires n >= 1, got {n}")
-    out_schema = "__op string, " + ", ".join(
+    if rn_col is not None and rn_col in in_schema:
+        raise ValueError(
+            f"rank column '{rn_col}' collides with an input column"
+        )
+    rank_fields = f"{rn_col} bigint, " if rn_col else ""
+    out_schema = f"__op string, {rank_fields}" + ", ".join(
         f"{c} {t}" for c, t in in_schema.items()
     )
     cols = list(df.columns)
@@ -620,7 +806,21 @@ def streaming_keep_last(
         )
         new_rows = [norm(r) for r in new_top.itertuples(index=False)]
         out_rows: list[list] = []
-        if n == 1:
+        if rn_col is not None:
+            # rank-keyed diff: state and batch frames sort ascending,
+            # so rank r (1-based, 1 = highest order value) is the
+            # r-th-from-last row; the top set only grows toward n, so
+            # every previously occupied rank stays occupied
+            old_rk = list(reversed(old_rows))
+            new_rk = list(reversed(new_rows))
+            for r, cur in enumerate(new_rk, start=1):
+                old = old_rk[r - 1] if r <= len(old_rk) else None
+                if old is None:
+                    out_rows.append(["+I", r, *cur])
+                elif old != cur:
+                    out_rows.append(["-U", r, *old])
+                    out_rows.append(["+U", r, *cur])
+        elif n == 1:
             old = old_rows[0] if old_rows else None
             cur = new_rows[0]
             if old is None:
@@ -640,7 +840,11 @@ def streaming_keep_last(
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=["__op", *cols])
+            out_cols = (
+                ["__op", rn_col, *cols] if rn_col is not None
+                else ["__op", *cols]
+            )
+            yield pd.DataFrame(out_rows, columns=out_cols)
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn,

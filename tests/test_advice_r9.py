@@ -1,0 +1,692 @@
+"""Round-9 regression tests: the ADVICE r8 findings plus the test
+debt VERDICT r8 called out (the three round-8 features shipped with
+zero coverage — expression-argument OVER routing, streaming LEAD, and
+the `lateDropped` accumulator).
+
+ADVICE r8 items covered here:
+1. (high) a string literal containing '<alias>.' inside an expression
+   argument must survive the qualifier strip — the unmasked re.sub
+   corrupted it and silently returned wrong sums.
+2. overlapping OVER spans (nested window calls) are a clean typed
+   rejection, not a mangled splice / AttributeError.
+3. the RANGE route takes no reorder gate, so it must not carry a
+   perpetual `lateDropped: 0` accumulator.
+4. LAG(v) and LAG(`v`) over one spec route (backtick normalization).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _drop_routed_views(spark):
+    """The rewriters are called directly here (no Engine Operation to
+    drop their `_over_out_*` views on cancel) — drop them so the
+    session-scoped fixture stays leak-free (VERDICT r8 ask #1)."""
+    yield
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("_over_out_", "_dedup_out_")):
+            spark.catalog.dropTempView(t.name)
+
+
+def _t(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _stream_view(spark, tmp_path, name, schema, files, wm_delay=None):
+    """Write each row-list as one parquet file (= one micro-batch via
+    maxFilesPerTrigger=1), register the stream as a temp view."""
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/{name}/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/{name}/*")
+    )
+    if wm_delay:
+        stream = stream.withWatermark("ts", wm_delay)
+    stream.createOrReplaceTempView(name)
+    return stream
+
+
+def _run_routed(spark, tmp_path, routed, sink):
+    q = (
+        spark.sql(routed)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+def _batch_df(spark, tmp_path, name, view):
+    spark.read.parquet(f"{tmp_path}/{name}/*").createOrReplaceTempView(view)
+
+
+# -- ADVICE r8 #1 (high): literal containing '<alias>.' ---------------
+
+
+def test_expr_arg_literal_with_alias_dot_preserved(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [[
+        (1, _t(1), "t.x", 5),
+        (1, _t(2), "other", 7),
+        (1, _t(3), "t.x", 11),
+    ]]
+    schema = "k long, ts timestamp, tag string, v long"
+    _stream_view(spark, tmp_path, "adot_src", schema, files)
+    routed = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, ts, SUM(CASE WHEN tag = 't.x' THEN v ELSE 0 END) "
+        "OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2 PRECEDING AND "
+        "CURRENT ROW) AS s FROM adot_src t",
+    )
+    assert routed is not None
+    # the literal must survive the qualifier strip verbatim
+    assert "'t.x'" in routed or "_over_out_" in routed
+    got = {r.ts: r.s for r in _run_routed(spark, tmp_path, routed, "adot_out").collect()}
+    # running frame over [5, 0, 11] — the corrupted literal ('x')
+    # matched nothing and returned all-zero sums
+    assert got == {_t(1): 5, _t(2): 5, _t(3): 16}
+
+
+# -- VERDICT r8 ask #2a: expression-argument OVER vs batch oracle -----
+
+
+def test_expr_arg_over_matches_batch_across_microbatches(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, _t(1), 2, 3), (1, _t(2), 5, 7), (2, _t(1), 1, 1)],
+        [(1, _t(3), 11, 13), (2, _t(2), 4, 6)],
+    ]
+    schema = "k long, ts timestamp, price long, qty long"
+    _stream_view(spark, tmp_path, "exprsrc", schema, files)
+    sql = (
+        "SELECT k, ts, SUM(price * qty) OVER (PARTITION BY k ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rev FROM exprsrc"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    got = sorted(
+        (r.k, r.ts, r.rev)
+        for r in _run_routed(spark, tmp_path, routed, "expr_out").collect()
+    )
+    _batch_df(spark, tmp_path, "exprsrc", "exprsrc_b")
+    want = sorted(
+        (r.k, r.ts, r.rev)
+        for r in spark.sql(sql.replace("exprsrc", "exprsrc_b")).collect()
+    )
+    assert got == want
+    # the generated argument column must not leak into the output
+    out_cols = spark.table("expr_out").columns
+    assert not any(c.startswith("_over_arg") for c in out_cols)
+
+
+def test_expr_arg_cast_and_qualified_col(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [[(1, _t(1), 3), (1, _t(2), 4), (1, _t(3), 10)]]
+    schema = "k long, ts timestamp, v long"
+    _stream_view(spark, tmp_path, "castsrc", schema, files)
+    sql = (
+        "SELECT k, ts, AVG(CAST(v AS DOUBLE)) OVER (PARTITION BY k "
+        "ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a, "
+        "SUM(t.v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS s FROM castsrc t"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    got = sorted(
+        (r.k, r.ts, r.a, r.s)
+        for r in _run_routed(spark, tmp_path, routed, "cast_out").collect()
+    )
+    _batch_df(spark, tmp_path, "castsrc", "castsrc_b")
+    want = sorted(
+        (r.k, r.ts, r.a, r.s)
+        for r in spark.sql(sql.replace("FROM castsrc t", "FROM castsrc_b t")).collect()
+    )
+    assert got == want
+
+
+def test_expr_arg_unparsable_rejected(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "badexpr_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    out = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, SUM(v +) OVER (PARTITION BY k ORDER BY ts ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM badexpr_src",
+    )
+    assert out is None  # typed-guidance path, not a downstream crash
+
+
+# -- ADVICE r8 #2: overlapping (nested) OVER spans ---------------------
+
+
+def test_nested_over_spans_rejected(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "nest_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    out = rewrite_streaming_over_sql(
+        spark,
+        "SELECT SUM(AVG(v) OVER (PARTITION BY k ORDER BY ts ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW)) OVER (PARTITION BY k "
+        "ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM nest_src",
+    )
+    assert out is None  # was: stale-offset splice → AttributeError
+
+
+# -- ADVICE r8 #5: LAG(v) and LAG(`v`) compare equal -------------------
+
+
+def test_lag_backtick_arg_routes(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "lbt_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    out = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, LAG(v) OVER (PARTITION BY k ORDER BY ts) AS a, "
+        "LAG(`v`) OVER (PARTITION BY k ORDER BY ts) AS b FROM lbt_src",
+    )
+    assert out is not None  # r8 dropped the backtick strip → rejected
+
+
+# -- VERDICT r8 ask #6: unaliased expression args → EXPR$N -------------
+
+
+def test_unaliased_expr_arg_named_exprN(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "unal_src", "k long, ts timestamp, v long, w long",
+        [[(1, _t(1), 2, 3)]],
+    )
+    routed = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, SUM(v * w) OVER (PARTITION BY k ORDER BY ts ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) FROM unal_src",
+    )
+    assert routed is not None and "EXPR$" in routed
+    cols = spark.sql(routed).columns
+    assert any(c.startswith("EXPR$") for c in cols)
+    assert not any(c.startswith("_over_arg") for c in cols)
+
+
+# -- ADVICE r8 #3: RANGE route carries no late-drop accumulator --------
+
+
+def test_range_route_has_no_late_acc(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "rng_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]], wm_delay="10 seconds",
+    )
+    rng = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+        "BETWEEN INTERVAL '5' SECOND PRECEDING AND CURRENT ROW) AS s "
+        "FROM rng_src",
+    )
+    assert rng is not None and rng.late_acc is None  # ungated route
+    rows = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM rng_src",
+    )
+    assert rows is not None and rows.late_acc is not None  # gated route
+
+
+# -- VERDICT r8 ask #2b: streaming LEAD vs the batch oracle ------------
+
+
+@pytest.mark.parametrize(
+    "call",
+    ["LEAD(v)", "LEAD(v, 2)", "LEAD(v, 1, -1)"],
+    ids=["lead1", "lead2", "lead1_default"],
+)
+def test_streaming_lead_sql_matches_batch(spark, tmp_path, call):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, _t(1), 10), (1, _t(2), 20), (2, _t(1), 7)],
+        [(1, _t(3), 30), (1, _t(4), None), (2, _t(2), 8)],
+    ]
+    schema = "k long, ts timestamp, v long"
+    name = f"leadsrc_{call.count(',')}"
+    _stream_view(spark, tmp_path, name, schema, files)
+    sql = (
+        f"SELECT k, ts, {call} OVER (PARTITION BY k ORDER BY ts) AS nxt "
+        f"FROM {name}"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    sink = f"lead_out_{call.count(',')}"
+    got = {
+        (r.k, r.ts): r.nxt
+        for r in _run_routed(spark, tmp_path, routed, sink).collect()
+    }
+    _batch_df(spark, tmp_path, name, f"{name}_b")
+    want = {
+        (r.k, r.ts): r.nxt
+        for r in spark.sql(sql.replace(name, f"{name}_b")).collect()
+    }
+    # emitted rows match batch lead(); the last k rows per key are
+    # HELD (their lead row never arrived — an unbounded stream cannot
+    # know the input ended), so `got` is the batch result minus them
+    k = int(call.rstrip(")").split(",")[1]) if "," in call else 1
+    assert got == {
+        key: v for key, v in want.items()
+        if key in got
+    }
+    for kk in (1, 2):
+        held = sorted(ts for (key, ts) in want if key == kk)[-k:]
+        assert all((kk, ts) not in got for ts in held)
+    # every non-held row WAS emitted
+    assert len(got) == len(want) - 2 * k if k <= 2 else True
+
+
+def test_streaming_lead_cross_batch_pairing(spark, tmp_path):
+    """Row i's lead value arrives in a LATER micro-batch: the pending
+    ring must carry the full row across the batch boundary."""
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_lead
+
+    files = [
+        [(1, _t(1), 10)],
+        [(1, _t(2), 20)],
+    ]
+    schema = "k long, ts timestamp, v long"
+    stream = _stream_view(spark, tmp_path, "leadxb", schema, files)
+    out = streaming_lead(stream, ["k"], ["ts"], "v", offset=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("leadxb_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_leadxb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("leadxb_out").collect()
+    assert [(r.ts, r.v, r.v_lead) for r in rows] == [(_t(1), 10, 20)]
+
+
+def test_lead_lag_default_type_mismatch_typed_error(spark, tmp_path):
+    """A default the value column's type cannot hold raises a specific
+    typed error, not the generic unsupported-shape guidance (VERDICT
+    r8 cosmetic #4)."""
+    from flink_sql_toolkit_spark.streaming.stateful import (
+        streaming_lag,
+        streaming_lead,
+    )
+
+    stream = _stream_view(
+        spark, tmp_path, "dflt_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    with pytest.raises(NotImplementedError, match="not coercible"):
+        streaming_lead(stream, ["k"], ["ts"], "v", default="oops")
+    with pytest.raises(NotImplementedError, match="not coercible"):
+        streaming_lag(stream, ["k"], ["ts"], "v", default="oops")
+
+
+def test_streaming_lead_ttl_flush_emits_default(spark, tmp_path):
+    """An idle key's pending rows flush with `default` as their lead
+    value on TTL expiry — batch end-of-input semantics (the r8
+    operator's documented flush policy)."""
+    import time
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_lead
+
+    schema = "k long, ts timestamp, v long"
+    spark.createDataFrame(
+        [(1, _t(1), 10), (1, _t(2), 20)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lttl/b0")
+    stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/lttl/*")
+    out = streaming_lead(stream, ["k"], ["ts"], "v", offset=1, ttl_ms=2000,
+                         default=-1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lttl_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lttl"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        # batch 1: (t1,10) completes against (t2,20); (t2,20) pends
+        while time.time() < deadline and spark.table("lttl_out").count() < 1:
+            time.sleep(0.5)
+        time.sleep(3)  # let the 2s TTL lapse with the key idle
+        # new data for ANOTHER key triggers the timeout sweep
+        spark.createDataFrame([(99, _t(50), 1)], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp_path}/lttl/b1")
+        while time.time() < deadline:
+            got = {
+                (r.k, r.ts): r.v_lead for r in spark.table("lttl_out").collect()
+            }
+            if (1, _t(2)) in got:
+                break
+            time.sleep(0.5)
+        assert got[(1, _t(1))] == 20
+        assert got[(1, _t(2))] == -1  # TTL flush: lead = default
+    finally:
+        q.stop()
+
+
+# -- VERDICT r8 ask #4: streaming NTH_VALUE ----------------------------
+
+
+@pytest.mark.parametrize("frame", ["", " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+def test_streaming_nth_value_sql_matches_batch(spark, tmp_path, frame):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, _t(1), 10), (1, _t(2), None), (2, _t(1), 7)],
+        [(1, _t(3), 30), (2, _t(2), 8), (2, _t(3), 9)],
+    ]
+    schema = "k long, ts timestamp, v long"
+    name = f"nthsrc_{len(frame)}"
+    _stream_view(spark, tmp_path, name, schema, files)
+    sql = (
+        f"SELECT k, ts, NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY "
+        f"ts{frame}) AS n2 FROM {name}"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    sink = f"nth_out_{len(frame)}"
+    got = {
+        (r.k, r.ts): r.n2
+        for r in _run_routed(spark, tmp_path, routed, sink).collect()
+    }
+    _batch_df(spark, tmp_path, name, f"{name}_b")
+    want = {
+        (r.k, r.ts): r.n2
+        for r in spark.sql(sql.replace(name, f"{name}_b")).collect()
+    }
+    # RESPECT NULLS: key 1's 2nd row is NULL — n2 stays NULL forever;
+    # key 2's 2nd row (t2, v=8) emits from t2 on, across the batch
+    # boundary
+    assert got == want
+    assert got[(1, _t(3))] is None and got[(2, _t(3))] == 8
+
+
+def test_streaming_nth_value_bounded_frame_rejected(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "nthb_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    out = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY ts "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n2 FROM nthb_src",
+    )
+    assert out is None  # sliding nth is not the O(1) running shape
+
+
+# -- VERDICT r8 ask #3: rank-aware updating Top-N ----------------------
+
+
+def _collapse_by_rank(rows):
+    """Order-insensitive changelog collapse keyed by (k, rank): the
+    surviving row per rank is the one added (+I/+U) but never
+    retracted (-U/-D)."""
+    from collections import Counter
+
+    adds, removes = Counter(), Counter()
+    for op, rn, *rest in rows:
+        (adds if op in ("+I", "+U") else removes)[(rn, *rest)] += 1
+    survivors = adds - removes
+    assert all(c == 1 for c in survivors.values())
+    return set(survivors)
+
+
+def test_keep_last_rank_changelog_collapses_to_batch(spark, tmp_path):
+    """`rn <= 2` projecting rn: the rank-keyed changelog's collapsed
+    view equals the batch ranked result, including the shift-down
+    cascade when a later row enters at rank 1 (r7 ask #4 done
+    criterion)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    files = [
+        [(1, _t(10), "a"), (1, _t(20), "b"), (2, _t(5), "z")],
+        [(1, _t(30), "c")],  # displaces: rank1 b→c, rank2 a→b
+    ]
+    schema = "k long, ts timestamp, tag string"
+    _stream_view(spark, tmp_path, "rktop_src", schema, files)
+    sql = (
+        "SELECT k, tag, rn FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts DESC) AS rn FROM rktop_src) "
+        "WHERE rn <= 2"
+    )
+    routed = rewrite_streaming_dedup_sql(spark, sql, changelog=True)
+    assert routed is not None and routed.op_passthrough
+    rows = [
+        (r["__op"], r.rn, r.k, r.tag)
+        for r in _run_routed(spark, tmp_path, routed, "rktop_out")
+        .select("__op", "rn", "k", "tag").collect()
+    ]
+    got = _collapse_by_rank([(op, rn, k, tag) for op, rn, k, tag in rows])
+    _batch_df(spark, tmp_path, "rktop_src", "rktop_b")
+    want = {
+        (r.rn, r.k, r.tag)
+        for r in spark.sql(sql.replace("rktop_src", "rktop_b")).collect()
+    }
+    assert got == want
+    # the displacement emitted retractions for BOTH shifted ranks
+    ops = [op for op, *_ in rows]
+    assert ops.count("-U") == 2 and ops.count("+U") == 2
+
+
+def test_first_n_rank_output_append(spark, tmp_path):
+    """ASC (keep-first) projecting rn: ranks are final at emission —
+    append-mode rank output matching the batch recipe."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    files = [
+        [(1, _t(10), "a"), (1, _t(20), "b"), (2, _t(5), "z")],
+        [(1, _t(30), "c"), (2, _t(6), "y")],
+    ]
+    schema = "k long, ts timestamp, tag string"
+    _stream_view(spark, tmp_path, "fnrk_src", schema, files)
+    sql = (
+        "SELECT k, tag, rn FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts) AS rn FROM fnrk_src) "
+        "WHERE rn <= 2"
+    )
+    routed = rewrite_streaming_dedup_sql(spark, sql)
+    assert routed is not None
+    got = {
+        (r.k, r.tag, r.rn)
+        for r in _run_routed(spark, tmp_path, routed, "fnrk_out").collect()
+    }
+    _batch_df(spark, tmp_path, "fnrk_src", "fnrk_b")
+    want = {
+        (r.k, r.tag, r.rn)
+        for r in spark.sql(sql.replace("fnrk_src", "fnrk_b")).collect()
+    }
+    assert got == want and (1, "a", 1) in got and (2, "y", 2) in got
+
+
+def test_rank_alias_shadowing_source_column_rejected(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "rnshadow_src", "k long, ts timestamp, rn long",
+        [[(1, _t(1), 0)]],
+    )
+    out = rewrite_streaming_dedup_sql(
+        spark,
+        "SELECT k, rn2 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+        "k ORDER BY ts) AS rn2 FROM rnshadow_src) WHERE rn2 <= 2",
+    )
+    # rn2 is fine (no shadow)…
+    assert out is not None
+    out2 = rewrite_streaming_dedup_sql(
+        spark,
+        "SELECT k, rn FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+        "k ORDER BY ts) AS rn FROM rnshadow_src) WHERE rn <= 2",
+    )
+    # …but an alias shadowing the source's own `rn` column is ambiguous
+    assert out2 is None
+
+
+# -- VERDICT r8 ask #2c: lateDropped is counted and surfaced -----------
+
+
+def _late_stream(spark, tmp_path, name, schema, rows_late):
+    """b0 advances the watermark far ahead; b1 carries a
+    beyond-watermark row (plus company to keep batches flowing)."""
+    files = [
+        [(1, _t(100), 1)],
+        rows_late,
+        [(3, _t(400), 9)],
+    ]
+    return _stream_view(
+        spark, tmp_path, name, schema, files, wm_delay="5 seconds"
+    )
+
+
+@pytest.mark.parametrize("opname", ["lag", "lead", "first_n", "over_rows", "mr"])
+def test_late_dropped_accumulator_nonzero(spark, tmp_path, opname):
+    from flink_sql_toolkit_spark.streaming import stateful as st
+
+    schema = "k long, ts timestamp, v long"
+    late_rows = [(1, _t(10), 2), (2, _t(300), 3)]  # t10 < wm(t95)
+    stream = _late_stream(spark, tmp_path, f"late_{opname}", schema, late_rows)
+    acc = spark.sparkContext.accumulator(0)
+    if opname == "lag":
+        out = st.streaming_lag(stream, ["k"], ["ts"], "v",
+                               reorder_wm_col="ts", late_acc=acc)
+    elif opname == "lead":
+        out = st.streaming_lead(stream, ["k"], ["ts"], "v",
+                                reorder_wm_col="ts", late_acc=acc)
+    elif opname == "first_n":
+        out = st.streaming_first_n(stream, ["k"], ["ts"], 1,
+                                   reorder_wm_col="ts", late_acc=acc)
+    elif opname == "over_rows":
+        out = st.streaming_over_rows(stream, ["k"], ["ts"], "v", 1,
+                                     aggs=("sum",), reorder_wm_col="ts",
+                                     late_acc=acc)
+    else:
+        out = st.streaming_match_recognize(
+            stream, partition_by=["k"], order_by=["ts"], pattern="A",
+            define={"A": "v >= 0"}, measures={"m_ts": "LAST(A.ts)"},
+            reorder_wm_col="ts", late_acc=acc,
+        )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"late_out_{opname}")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_late_{opname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert acc.value >= 1  # the t10 row was dropped beyond-watermark
+
+
+def test_late_dropped_surfaces_on_result_pages(spark, tmp_path):
+    """E2E (engine.py:466-471): a beyond-watermark row arriving after
+    the watermark advanced shows up as a nonzero `lateDropped` on the
+    streaming SELECT's result pages."""
+    import time
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    schema = "k long, ts timestamp, v long"
+    spark.createDataFrame([(1, _t(100), 1)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/latesql")
+    engine = Engine(spark)
+    sess = engine.open_session("late-sql")
+    try:
+        sess.execute_statement(
+            f"""CREATE TABLE late_src (k BIGINT, ts TIMESTAMP, v BIGINT,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+            WITH ('connector'='filesystem', 'path'='{tmp_path}/latesql',
+                  'format'='parquet')"""
+        )
+        op = sess.execute_statement(
+            "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
+            "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM late_src"
+        )
+        deadline = time.time() + 90
+        page, token = {}, 0
+        # batch 1's row stays HELD by the reorder gate (wm still 0
+        # while it runs), so wait on the query's watermark progress:
+        # once it shows t95, the appended file lands in a later batch
+        q = op._stream_query
+        while time.time() < deadline:
+            p = q.lastProgress
+            wm_str = (p or {}).get("eventTime", {}).get("watermark", "")
+            if wm_str.startswith("2024"):
+                break
+            time.sleep(0.5)
+        assert wm_str.startswith("2024"), "watermark never advanced"
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        assert page.get("lateDropped") == 0  # gate armed, nothing late yet
+        # now a beyond-watermark row (t10 << wm t95) arrives
+        spark.createDataFrame(
+            [(1, _t(10), 2), (2, _t(300), 3)], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/latesql")
+        while time.time() < deadline:
+            page = op.fetch(token)
+            token = page["nextResultToken"]
+            if page.get("lateDropped", 0) > 0:
+                break
+            time.sleep(0.5)
+        op.cancel()
+        assert page.get("lateDropped", 0) >= 1
+    finally:
+        sess.close()
