@@ -168,6 +168,14 @@ def rewrite_streaming_over_sql(
             if len(args) != 2 or not re.match(r"^\d+$", args[1].strip()):
                 return None
             offset = int(args[1])
+        elif func == "ROW_NUMBER":
+            # ROW_NUMBER() on a plain streaming SELECT (not the dedup
+            # recipe, which the dedup router claims first) is the
+            # running row count per key — identical to COUNT(*) OVER
+            # ROWS UNBOUNDED PRECEDING, already an O(1)-state spec
+            # (r9). No arguments, no frame clause.
+            if len(args) != 1 or args[0].strip():
+                return None
         elif len(args) != 1:
             return None  # multi-argument aggregates are not routable
         spans.append(
@@ -201,7 +209,10 @@ def rewrite_streaming_over_sql(
     is_lead = funcs == {"LEAD"}
     is_nth = funcs == {"NTH_VALUE"}
     offsets = {sp[5] for sp in spans}
-    if not (is_lag or is_lead or is_nth or funcs <= set(_AGG_SUFFIX)):
+    if not (
+        is_lag or is_lead or is_nth
+        or funcs <= set(_AGG_SUFFIX) | {"ROW_NUMBER"}
+    ):
         return None  # offset functions do not mix with frame aggregates
 
     # expression arguments hoist onto the source as generated columns
@@ -296,7 +307,15 @@ def rewrite_streaming_over_sql(
         if not sm:
             return None
     else:
-        sms = [_SPEC.match(s[4]) for s in spans]
+        # ROW_NUMBER() takes no frame clause (_SPEC_NOFRAME) and is
+        # the running count — ("cnt", None, UNBOUNDED); it mixes with
+        # ROWS-frame aggregates over the same PARTITION BY/ORDER BY
+        # but not with RANGE (it is a row-position, not a time frame)
+        sms = [
+            _SPEC_NOFRAME.match(s[4]) if s[2] == "ROW_NUMBER"
+            else _SPEC.match(s[4])
+            for s in spans
+        ]
         if not all(sms):
             return None
         part_orders = {
@@ -311,8 +330,8 @@ def rewrite_streaming_over_sql(
         # clauses, but ROWS and RANGE do not
         kinds = {
             m.group("nrows") is not None or m.group("unb") is not None
-            for m in sms
-        }
+            for s, m in zip(spans, sms) if s[2] != "ROW_NUMBER"
+        } | ({True} if any(s[2] == "ROW_NUMBER" for s in spans) else set())
         if len(part_orders) != 1 or len(kinds) != 1:
             return None
         is_rows = kinds.pop()
@@ -327,6 +346,10 @@ def rewrite_streaming_over_sql(
             if len(horizons) != 1:
                 return None
         for sp, m in zip(spans, sms):
+            if sp[2] == "ROW_NUMBER":
+                # running row count — COUNT(*) over UNBOUNDED ROWS (r9)
+                span_specs.append(("cnt", None, UNBOUNDED))
+                continue
             arg = _unmask(sp[3], lits).strip()
             if arg == "*":
                 if sp[2] != "COUNT":
@@ -497,6 +520,33 @@ def rewrite_streaming_over_sql(
         else "_lead"
     )
     gen_names = set(pending_exprs.values())
+
+    def _bare_item_ordinal(start: int, end: int) -> int | None:
+        """Select-list ordinal (0-based) of the span IF it is an
+        entire top-level select item — preceded by SELECT or a
+        depth-0 comma, followed by a depth-0 comma or FROM — else
+        None. Depth-0 matters: a comma inside COALESCE(0, <span>, v)
+        is NOT an item boundary, and splicing `AS` there would mangle
+        the expression (review r9)."""
+        sel = re.search(r"(?is)\bSELECT\b(?:\s+DISTINCT\b)?", masked)
+        if sel is None or start < sel.end():
+            return None
+        depth, ordinal, item_open = 0, 0, sel.end()
+        for j in range(sel.end(), start):
+            ch = masked[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                ordinal += 1
+                item_open = j + 1
+        if depth != 0 or masked[item_open:start].strip():
+            return None  # inside parens, or the item has a prefix
+        if not re.match(r"(?is)^\s*(?:,|FROM\b)", masked[end:]):
+            return None  # suffix (alias, operator, …) after the call
+        return ordinal
+
     for i, (start, end, *_rest) in sorted(
         enumerate(spans), key=lambda t: t[1][0], reverse=True
     ):
@@ -504,16 +554,19 @@ def rewrite_streaming_over_sql(
             f"{value_col}{offset_suffix}" if is_lag or is_lead or is_nth
             else span_names[i]
         )
-        if span_names is not None and span_specs[i][1] in gen_names \
-                and re.match(r"(?is)^\s*(?:,|FROM\b)", masked[end:]) \
-                and re.search(r"(?is)(?:\bSELECT\b|,)\s*$", masked[:start]):
+        arg_name = span_specs[i][1] if span_names is not None else value_col
+        if arg_name in gen_names:
             # a BARE unaliased expression-argument select item (whole
             # item = the OVER call, nothing around it) would otherwise
-            # leak the internal generated name (`_over_arg_0_sum`) as
-            # the result column — synthesize Flink's positional
-            # EXPR$<i> (VERDICT r8 ask #6). Compound items
-            # (`... OVER (...) + 1`) splice the bare name as before.
-            name = f"{name} AS `EXPR${i}`"
+            # leak the internal generated name (`_over_arg_0_sum`,
+            # `_over_arg_0_nth2`, …) as the result column — synthesize
+            # Flink/Calcite's positional EXPR$<select-list-ordinal>
+            # (VERDICT r8 ask #6; offset family covered too, r9).
+            # Compound items (`... OVER (...) + 1`, calls nested in
+            # other calls) splice the bare name as before.
+            ordinal = _bare_item_ordinal(start, end)
+            if ordinal is not None:
+                name = f"{name} AS `EXPR${ordinal}`"
         masked = f"{masked[:start]}{name}{masked[end:]}"
     fm = re.search(r"(?is)\bFROM\s+([\w.\x00]+)", masked)
     if fm is None:  # splice mangled the statement: typed guidance
@@ -585,6 +638,14 @@ def rewrite_streaming_dedup_sql(
     # (Flink's no-ranking optimization shape)
     rn = m.group("rn")
     wants_rank = bool(re.search(rf"(?i)\b{re.escape(rn)}\b", m.group("outer")))
+    if not wants_rank:
+        # a backtick-quoted outer reference (`rn`) is masked to a
+        # placeholder — check quoted identifiers too (review r9)
+        for pm in re.finditer("\x00(\\d+)\x00", m.group("outer")):
+            lit = lits[int(pm.group(1))]
+            if lit.startswith("`") and lit.strip("`").lower() == rn.lower():
+                wants_rank = True
+                break
     table = _unmask(m.group("table"), lits).strip("`")
     if "." in table:
         return None
@@ -628,8 +689,11 @@ def rewrite_streaming_dedup_sql(
         return None
     keys = [canon[k.lower()] for k in keys]
     order_col = canon[order_col.lower()]
-    if wants_rank and rn.lower() in canon:
-        return None  # rank alias shadows a source column: typed path
+    if wants_rank and (rn.lower() in canon or rn.lower() == "__op"):
+        # rank alias shadows a source column, or collides with the
+        # changelog RowKind column (duplicate `__op` in the operator
+        # schema — review r9): typed-guidance path
+        return None
     rank_col = rn if wants_rank else None
     if desc:
         from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415

@@ -401,8 +401,9 @@ class Operation:
                 raise NotImplementedError(
                     "this OVER window shape is not supported in a "
                     "streaming SELECT — supported: any mix of "
-                    "SUM/COUNT/AVG/MIN/MAX(col) and COUNT(*) sharing "
-                    "one window spec OVER (PARTITION BY … "
+                    "SUM/COUNT/AVG/MIN/MAX(col), COUNT(*) and "
+                    "ROW_NUMBER() sharing one window spec OVER "
+                    "(PARTITION BY … "
                     "ORDER BY … ROWS BETWEEN n PRECEDING AND CURRENT "
                     "ROW | RANGE BETWEEN INTERVAL … PRECEDING AND "
                     "CURRENT ROW) via streaming.stateful."
@@ -483,13 +484,22 @@ class Operation:
                     by_batch = self._wm_dropped_by_batch = {}
                 if self._stream_query is not None:
                     try:
-                        for prog in self._stream_query.recentProgress:
-                            n = sum(
-                                so.get("numRowsDroppedByWatermark", 0)
-                                for so in prog.get("stateOperators", [])
-                            )
-                            if n:
-                                by_batch[prog["batchId"]] = n
+                        # O(1) fast path: only sweep the (up to ~100
+                        # entry) recentProgress list when lastProgress
+                        # shows a batch we have not seen — interactive
+                        # clients poll faster than the trigger fires
+                        # (review r9)
+                        last = self._stream_query.lastProgress
+                        last_bid = -1 if last is None else last["batchId"]
+                        if last_bid > getattr(self, "_wm_seen_batch", -1):
+                            for prog in self._stream_query.recentProgress:
+                                n = sum(
+                                    so.get("numRowsDroppedByWatermark", 0)
+                                    for so in prog.get("stateOperators", [])
+                                )
+                                if n:
+                                    by_batch[prog["batchId"]] = n
+                            self._wm_seen_batch = last_bid
                     except Exception:  # noqa: BLE001 — metrics are best-effort
                         pass
                 page["lateDropped"] = late_acc.value + sum(by_batch.values())

@@ -760,9 +760,10 @@ def streaming_keep_last(
             raise ValueError(f"column '{c}' not in input")
     if n < 1:
         raise ValueError(f"keep-last Top-N requires n >= 1, got {n}")
-    if rn_col is not None and rn_col in in_schema:
+    if rn_col is not None and (rn_col in in_schema or rn_col == "__op"):
         raise ValueError(
-            f"rank column '{rn_col}' collides with an input column"
+            f"rank column '{rn_col}' collides with an input column "
+            "or the changelog RowKind column"
         )
     rank_fields = f"{rn_col} bigint, " if rn_col else ""
     out_schema = f"__op string, {rank_fields}" + ", ".join(

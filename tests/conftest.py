@@ -21,3 +21,23 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _drop_routed_views():
+    """Tests that call the streaming SQL rewriters directly (no Engine
+    Operation to drop their views on cancel) leak `_over_out_*` /
+    `_dedup_out_*` temp views into the session-scoped Spark fixture,
+    tripping test_stateful's no-catalog-leak assertion in full-suite
+    order (VERDICT r8 ask #1). Drop them after every test. Guarded on
+    an ALREADY-ACTIVE session so pure-parser tests don't force Spark
+    startup."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    for t in s.catalog.listTables():
+        if t.name.startswith(("_over_out_", "_dedup_out_")):
+            s.catalog.dropTempView(t.name)

@@ -18,17 +18,9 @@ from datetime import datetime
 import pytest
 
 
-@pytest.fixture(autouse=True)
-def _drop_routed_views(spark):
-    """These tests call the rewriters directly (no Engine Operation to
-    cancel), so the `_over_out_*` / `_dedup_out_*` temp views the
-    routers create would otherwise persist in the session-scoped
-    fixture and trip test_stateful's no-catalog-leak assertion
-    (VERDICT r8 ask #1)."""
-    yield
-    for t in spark.catalog.listTables():
-        if t.name.startswith(("_over_out_", "_dedup_out_")):
-            spark.catalog.dropTempView(t.name)
+# routed `_over_out_*`/`_dedup_out_*` temp views created by the direct
+# rewriter calls here are dropped by conftest's autouse
+# `_drop_routed_views` fixture (VERDICT r8 ask #1)
 
 
 def _stream_view(spark, tmp_path, name, schema, rows):

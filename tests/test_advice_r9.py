@@ -20,16 +20,8 @@ import datetime as dt
 
 import pytest
 
-
-@pytest.fixture(autouse=True)
-def _drop_routed_views(spark):
-    """The rewriters are called directly here (no Engine Operation to
-    drop their `_over_out_*` views on cancel) — drop them so the
-    session-scoped fixture stays leak-free (VERDICT r8 ask #1)."""
-    yield
-    for t in spark.catalog.listTables():
-        if t.name.startswith(("_over_out_", "_dedup_out_")):
-            spark.catalog.dropTempView(t.name)
+# routed temp views from direct rewriter calls are dropped by
+# conftest's autouse `_drop_routed_views` fixture (VERDICT r8 ask #1)
 
 
 def _t(s: int) -> dt.datetime:
@@ -244,6 +236,114 @@ def test_unaliased_expr_arg_named_exprN(spark, tmp_path):
     cols = spark.sql(routed).columns
     assert any(c.startswith("EXPR$") for c in cols)
     assert not any(c.startswith("_over_arg") for c in cols)
+
+
+# -- review r9: EXPR$ splice must respect top-level item boundaries ----
+
+
+def test_expr_arg_inside_call_splices_bare_name(spark, tmp_path):
+    """An expression-argument OVER nested in a function call is NOT a
+    bare select item — the EXPR$ rename must not splice an `AS` into
+    the middle of COALESCE's argument list (review r9: the comma
+    checks matched inside parens and produced unparsable SQL)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [[(1, _t(1), 2, 3), (1, _t(2), 5, 7)]]
+    schema = "k long, ts timestamp, v long, w long"
+    _stream_view(spark, tmp_path, "coalsrc", schema, files)
+    routed = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, ts, COALESCE(NULLIF(v, v), SUM(v * w) OVER "
+        "(PARTITION BY k ORDER BY ts ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW), v) AS c FROM coalsrc",
+    )
+    assert routed is not None and "EXPR$" not in routed
+    got = {r.ts: r.c for r in _run_routed(spark, tmp_path, routed, "coal_out").collect()}
+    # NULLIF(v,v) is NULL → COALESCE falls through to the window sum
+    assert got == {_t(1): 6, _t(2): 41}
+
+
+def test_exprN_uses_select_list_ordinal(spark, tmp_path):
+    """EXPR$<n> numbers by select-list position (Flink/Calcite
+    convention), not by collected-span index (review r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "ordsrc", "k long, ts timestamp, v long, w long",
+        [[(1, _t(1), 2, 3)]],
+    )
+    routed = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, ts, SUM(v * w) OVER (PARTITION BY k ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM ordsrc",
+    )
+    assert routed is not None and "EXPR$2" in routed  # third item
+
+
+def test_nth_value_expression_arg_named_exprN(spark, tmp_path):
+    """The offset family's expression arguments get the EXPR$ naming
+    too (review r9: only the agg family was covered)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "nthexpr_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 2)]],
+    )
+    routed = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, NTH_VALUE(v * 2, 2) OVER (PARTITION BY k ORDER BY "
+        "ts) FROM nthexpr_src",
+    )
+    assert routed is not None and "EXPR$1" in routed
+    cols = spark.sql(routed).columns
+    assert not any(c.startswith("_over_arg") for c in cols)
+
+
+# -- review r9: rank-aware routing edge cases --------------------------
+
+
+def test_backticked_rn_reference_routes_rank_aware(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "btrn_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    routed = rewrite_streaming_dedup_sql(
+        spark,
+        "SELECT k, `rn` FROM (SELECT *, ROW_NUMBER() OVER (PARTITION "
+        "BY k ORDER BY ts) AS rn FROM btrn_src) WHERE rn <= 2",
+    )
+    # was: the masked `rn` placeholder never matched → rank-free view
+    # → raw UNRESOLVED_COLUMN at execution
+    assert routed is not None
+    assert spark.sql(routed).columns == ["k", "rn"]
+
+
+def test_rank_alias_op_collision_rejected(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "oprn_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    out = rewrite_streaming_dedup_sql(
+        spark,
+        "SELECT k, __op FROM (SELECT *, ROW_NUMBER() OVER (PARTITION "
+        "BY k ORDER BY ts DESC) AS __op FROM oprn_src) WHERE __op <= 2",
+        changelog=True,
+    )
+    assert out is None  # would duplicate the RowKind column
 
 
 # -- ADVICE r8 #3: RANGE route carries no late-drop accumulator --------
@@ -579,6 +679,61 @@ def test_rank_alias_shadowing_source_column_rejected(spark, tmp_path):
     )
     # …but an alias shadowing the source's own `rn` column is ambiguous
     assert out2 is None
+
+
+# -- r9: streaming ROW_NUMBER() outside the dedup recipe ---------------
+
+
+def test_streaming_row_number_matches_batch(spark, tmp_path):
+    """`ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts)` on a plain
+    streaming SELECT routes as the O(1)-state running count and
+    matches the batch function across micro-batches (r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, _t(1), 5), (1, _t(2), 6), (2, _t(1), 7)],
+        [(1, _t(3), 8), (2, _t(2), 9)],
+    ]
+    schema = "k long, ts timestamp, v long"
+    _stream_view(spark, tmp_path, "rnum_src", schema, files)
+    sql = (
+        "SELECT k, ts, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) "
+        "AS rn, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM rnum_src"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    got = sorted(
+        (r.k, r.ts, r.rn, r.s)
+        for r in _run_routed(spark, tmp_path, routed, "rnum_out").collect()
+    )
+    _batch_df(spark, tmp_path, "rnum_src", "rnum_b")
+    want = sorted(
+        (r.k, r.ts, r.rn, r.s)
+        for r in spark.sql(sql.replace("rnum_src", "rnum_b")).collect()
+    )
+    assert got == want
+
+
+def test_streaming_row_number_range_mix_rejected(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    _stream_view(
+        spark, tmp_path, "rnmix_src", "k long, ts timestamp, v long",
+        [[(1, _t(1), 1)]],
+    )
+    out = rewrite_streaming_over_sql(
+        spark,
+        "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS "
+        "rn, SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+        "INTERVAL '5' SECOND PRECEDING AND CURRENT ROW) AS s "
+        "FROM rnmix_src",
+    )
+    assert out is None  # row-position does not mix with time frames
 
 
 # -- VERDICT r8 ask #2c: lateDropped is counted and surfaced -----------
