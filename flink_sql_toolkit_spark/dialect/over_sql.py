@@ -77,6 +77,9 @@ _SPEC_NOFRAME = re.compile(
     r"(?P<order>[\w.\x00]+)(?:\s+ASC)?\s*$"
 )
 
+_RANK_SUFFIX = {"ROW_NUMBER": "_rownum", "RANK": "_rnk",
+                 "DENSE_RANK": "_drnk"}
+
 _view_ids = itertools.count()
 
 
@@ -168,12 +171,13 @@ def rewrite_streaming_over_sql(
             if len(args) != 2 or not re.match(r"^\d+$", args[1].strip()):
                 return None
             offset = int(args[1])
-        elif func == "ROW_NUMBER":
-            # ROW_NUMBER() on a plain streaming SELECT (not the dedup
-            # recipe, which the dedup router claims first) is the
-            # running row count per key — identical to COUNT(*) OVER
-            # ROWS UNBOUNDED PRECEDING, already an O(1)-state spec
-            # (r9). No arguments, no frame clause.
+        elif func in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+            # the rank family on a plain streaming SELECT (not the
+            # dedup recipe, which the dedup router claims first) —
+            # ROW_NUMBER alone is the running row count (COUNT(*)
+            # OVER UNBOUNDED ROWS); RANK/DENSE_RANK (and mixes) route
+            # to the O(1)-state streaming_rank operator (r9). No
+            # arguments, no frame clause.
             if len(args) != 1 or args[0].strip():
                 return None
         elif len(args) != 1:
@@ -208,9 +212,16 @@ def rewrite_streaming_over_sql(
     is_lag = funcs == {"LAG"}
     is_lead = funcs == {"LEAD"}
     is_nth = funcs == {"NTH_VALUE"}
+    # RANK/DENSE_RANK (optionally mixed with ROW_NUMBER) take the
+    # dedicated rank operator; ROW_NUMBER alone stays the running
+    # COUNT(*) spec so it can mix with ROWS-frame aggregates
+    is_rank = (
+        funcs <= {"RANK", "DENSE_RANK", "ROW_NUMBER"}
+        and bool(funcs & {"RANK", "DENSE_RANK"})
+    )
     offsets = {sp[5] for sp in spans}
     if not (
-        is_lag or is_lead or is_nth
+        is_lag or is_lead or is_nth or is_rank
         or funcs <= set(_AGG_SUFFIX) | {"ROW_NUMBER"}
     ):
         return None  # offset functions do not mix with frame aggregates
@@ -249,7 +260,18 @@ def rewrite_streaming_over_sql(
     value_col = None
     is_rows = False
     span_specs: list[tuple] = []
-    if is_lag or is_lead or is_nth:
+    if is_rank:
+        # one shared frameless spec; args already validated empty
+        rank_specs = {
+            re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper()
+            for s in spans
+        }
+        if len(rank_specs) != 1:
+            return None
+        sm = _SPEC_NOFRAME.match(spans[0][4])
+        if not sm:
+            return None
+    elif is_lag or is_lead or is_nth:
         window_specs = {
             re.sub(r"\s+", " ", _unmask(s[4], lits)).strip().upper()
             for s in spans
@@ -444,13 +466,22 @@ def rewrite_streaming_over_sql(
     # event-time frames — so no accumulator there, else every RANGE
     # page would carry a misleading perpetual `lateDropped: 0`
     # (ADVICE r8)
-    gated = is_lag or is_lead or is_nth or is_rows
+    gated = is_lag or is_lead or is_nth or is_rank or is_rows
     late_acc = (
         spark.sparkContext.accumulator(0)
         if wm_col is not None and gated else None
     )
     try:
-        if is_nth:
+        if is_rank:
+            from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
+                streaming_rank,
+            )
+
+            out = streaming_rank(
+                src, partition_by, [order_col], ttl_ms=ttl_ms,
+                reorder_wm_col=wm_col, late_acc=late_acc,
+            )
+        elif is_nth:
             from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
                 streaming_nth_value,
             )
@@ -494,6 +525,13 @@ def rewrite_streaming_over_sql(
         # caller's typed guidance (calendar-unit MONTH/YEAR intervals
         # route since r7 — stateful._parse_preceding)
         return None
+    if is_rank:
+        # the operator emits all three rank columns; drop the ones
+        # this statement does not use so `SELECT *` stays clean
+        used = {f"{order_col}{_RANK_SUFFIX[s[2]]}" for s in spans}
+        out = out.drop(
+            *({f"{order_col}{suf}" for suf in _RANK_SUFFIX.values()} - used)
+        )
     if pending_exprs:
         # the generated argument columns fed the operator; drop them
         # from the view so `SELECT *` does not leak internals
@@ -512,7 +550,8 @@ def rewrite_streaming_over_sql(
     )
 
     span_names = (
-        None if (is_lag or is_lead or is_nth) else resolve_spec_names(span_specs)
+        None if (is_lag or is_lead or is_nth or is_rank)
+        else resolve_spec_names(span_specs)
     )
     offset_suffix = (
         "_lag" if is_lag
@@ -551,7 +590,8 @@ def rewrite_streaming_over_sql(
         enumerate(spans), key=lambda t: t[1][0], reverse=True
     ):
         name = (
-            f"{value_col}{offset_suffix}" if is_lag or is_lead or is_nth
+            f"{order_col}{_RANK_SUFFIX[spans[i][2]]}" if is_rank
+            else f"{value_col}{offset_suffix}" if is_lag or is_lead or is_nth
             else span_names[i]
         )
         arg_name = span_specs[i][1] if span_names is not None else value_col

@@ -402,8 +402,8 @@ class Operation:
                     "this OVER window shape is not supported in a "
                     "streaming SELECT — supported: any mix of "
                     "SUM/COUNT/AVG/MIN/MAX(col), COUNT(*) and "
-                    "ROW_NUMBER() sharing one window spec OVER "
-                    "(PARTITION BY … "
+                    "ROW_NUMBER()/RANK()/DENSE_RANK() sharing one "
+                    "window spec OVER (PARTITION BY … "
                     "ORDER BY … ROWS BETWEEN n PRECEDING AND CURRENT "
                     "ROW | RANGE BETWEEN INTERVAL … PRECEDING AND "
                     "CURRENT ROW) via streaming.stateful."

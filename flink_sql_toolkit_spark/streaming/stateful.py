@@ -587,6 +587,141 @@ def streaming_nth_value(
     )
 
 
+def streaming_rank(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    ttl_ms: int | None = None,
+    reorder_wm_col: str | None = None,
+    late_acc=None,
+) -> DataFrame:
+    """``RANK() / DENSE_RANK() / ROW_NUMBER() OVER (PARTITION BY k
+    ORDER BY o)`` on a stream (r9 — Flink supports the rank family in
+    streaming OVER; Spark rejects it outright). Rows are processed in
+    per-key ORDER BY order (within-batch sort; event-time order with
+    ``reorder_wm_col``), so the rank of each arriving row is final at
+    emission as long as arrival respects the order — the same
+    contract as the other arrival-order operators (module-level
+    note). O(1) state per key: ``(rows_seen, dense_count, last_rank,
+    last_order_value)`` — a tie with the previous order value repeats
+    its rank, a new value takes position ``rows_seen + 1`` (RANK) and
+    increments the distinct count (DENSE_RANK).
+
+    Output: every input column plus ``{o}_rownum``, ``{o}_rnk`` and
+    ``{o}_drnk`` (the SQL router splices whichever the statement
+    used). The order value is compared by its string encoding —
+    equality-only, never ordering, so any atomic column type works."""
+    import pickle  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in partition_by + order_by:
+        if c not in in_schema:
+            raise ValueError(f"column '{c}' not in input")
+    order_col = order_by[0]
+    out_names = [
+        f"{order_col}_rownum", f"{order_col}_rnk", f"{order_col}_drnk"
+    ]
+    for n in out_names:
+        if n in in_schema:
+            raise ValueError(
+                f"input column '{n}' collides with the rank operator's "
+                "output column — rename it"
+            )
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in in_schema.items())
+        + ", " + ", ".join(f"{n} bigint" for n in out_names)
+    )
+    cols = list(df.columns)
+
+    def enc(v) -> str:
+        # equality-only marker; NULLs tie with NULLs (SQL sorts them
+        # together, so equal ranks — batch NULLS FIRST parity)
+        return "\x00null" if _is_null(v) else f"v{v!r}"
+
+    reorder = reorder_wm_col is not None
+    if reorder and reorder_wm_col not in in_schema:
+        raise ValueError(f"column '{reorder_wm_col}' not in input")
+    if reorder:
+        _warn_ttl_with_reorder(ttl_ms, "streaming_rank")
+    state_schema = (
+        ("held binary, " if reorder else "")
+        + "seen bigint, dense bigint, last_rank bigint, last_val string"
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if reorder
+        else GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def run(st: list, pdf: pd.DataFrame) -> list:
+        # st = [seen, dense, last_rank, last_val]
+        out_rows = []
+        ovals = pdf[order_col].tolist()
+        for row, ov in zip(pdf[cols].itertuples(index=False), ovals):
+            key = enc(ov)
+            if st[0] > 0 and key == st[3]:
+                rank = st[2]  # tie: repeat the peer group's rank
+            else:
+                rank = st[0] + 1
+                st[1] += 1
+                st[2] = rank
+                st[3] = key
+            st[0] += 1
+            out_rows.append([*row, st[0], rank, st[1]])
+        return out_rows
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        out_cols = [*cols, *out_names]
+        if reorder:
+            if state.exists:
+                held_blob, seen, dense, last_rank, last_val = state.get
+                st = [seen, dense, last_rank, last_val]
+            else:
+                held_blob, st = None, [0, 0, 0, ""]
+            chunks = [] if state.hasTimedOut else [p for p in pdfs if len(p)]
+            wm = state.getCurrentWatermarkMs()
+            released, held, late = _reorder_release(
+                held_blob, chunks, reorder_wm_col, wm
+            )
+            if late and late_acc is not None:
+                late_acc.add(late)
+            out_rows = []
+            if released is not None:
+                released = released.sort_values(order_by, kind="mergesort")
+                out_rows = run(st, released)
+            state.update((bytearray(pickle.dumps(held)), *st))
+            arm = _held_ts_ms(held, reorder_wm_col)
+            if arm is not None:
+                state.setTimeoutTimestamp(max(arm, wm + 1))
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=out_cols)
+            return
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = list(state.get) if state.exists else [0, 0, 0, ""]
+        out_rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            out_rows.extend(run(st, pdf))
+        state.update(tuple(st))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def streaming_first_n(
     df: DataFrame,
     keys: list[str],

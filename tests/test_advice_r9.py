@@ -717,6 +717,47 @@ def test_streaming_row_number_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_rank_dense_rank_match_batch(spark, tmp_path):
+    """RANK()/DENSE_RANK()/ROW_NUMBER() mixed in one streaming SELECT
+    route to the O(1)-state rank operator and match the batch
+    functions across micro-batches, ties included (r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, 10, "a"), (1, 10, "b"), (2, 5, "z")],   # tie on v=10
+        [(1, 20, "c"), (1, 20, "d"), (2, 6, "y")],   # tie on v=20
+    ]
+    schema = "k long, v long, tag string"
+    _stream_view(spark, tmp_path, "rkf_src", schema, files)
+    sql = (
+        "SELECT k, tag, RANK() OVER (PARTITION BY k ORDER BY v) AS r, "
+        "DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS n "
+        "FROM rkf_src"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    got = sorted(
+        (r.k, r.tag, r.r, r.d, r.n)
+        for r in _run_routed(spark, tmp_path, routed, "rkf_out").collect()
+    )
+    _batch_df(spark, tmp_path, "rkf_src", "rkf_b")
+    want = sorted(
+        (r.k, r.tag, r.r, r.d, r.n)
+        for r in spark.sql(sql.replace("rkf_src", "rkf_b")).collect()
+    )
+    # ties within a micro-batch: (a,b) share rank 1, (c,d) share rank
+    # 3 (RANK) / 2 (DENSE_RANK); row numbers stay distinct
+    assert got == want
+    # unused rank columns must not leak into a SELECT * view
+    view = routed.split("FROM ")[-1].split()[0]
+    assert set(spark.table(view).columns) <= {
+        "k", "v", "tag", "v_rnk", "v_drnk", "v_rownum"
+    }
+
+
 def test_streaming_row_number_range_mix_rejected(spark, tmp_path):
     from flink_sql_toolkit_spark.dialect.over_sql import (
         rewrite_streaming_over_sql,
@@ -752,7 +793,9 @@ def _late_stream(spark, tmp_path, name, schema, rows_late):
     )
 
 
-@pytest.mark.parametrize("opname", ["lag", "lead", "first_n", "over_rows", "mr"])
+@pytest.mark.parametrize(
+    "opname", ["lag", "lead", "first_n", "over_rows", "mr", "rank"]
+)
 def test_late_dropped_accumulator_nonzero(spark, tmp_path, opname):
     from flink_sql_toolkit_spark.streaming import stateful as st
 
@@ -773,6 +816,9 @@ def test_late_dropped_accumulator_nonzero(spark, tmp_path, opname):
         out = st.streaming_over_rows(stream, ["k"], ["ts"], "v", 1,
                                      aggs=("sum",), reorder_wm_col="ts",
                                      late_acc=acc)
+    elif opname == "rank":
+        out = st.streaming_rank(stream, ["k"], ["ts"],
+                                reorder_wm_col="ts", late_acc=acc)
     else:
         out = st.streaming_match_recognize(
             stream, partition_by=["k"], order_by=["ts"], pattern="A",
