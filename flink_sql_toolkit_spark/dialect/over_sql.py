@@ -55,8 +55,12 @@ _POST_FROM_KEYWORDS = frozenset(
     "RIGHT FULL CROSS INNER ON MATCH_RECOGNIZE".split()
 )
 
+# PARTITION BY is optional (r9): Flink allows a global OVER window —
+# ORDER BY alone — which routes through a synthesized constant
+# grouping key (single-task state, exactly Flink's own parallelism
+# for an unpartitioned OverAggregate)
 _SPEC = re.compile(
-    r"(?is)^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+(?P<order>[\w.\x00]+)"
+    r"(?is)^\s*(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?ORDER\s+BY\s+(?P<order>[\w.\x00]+)"
     r"(?:\s+ASC)?\s+(?:"
     r"ROWS\s+BETWEEN\s+(?:(?P<nrows>\d+)|(?P<unb>UNBOUNDED))\s+PRECEDING"
     r"|RANGE\s+BETWEEN\s+(?P<interval>INTERVAL\s+\x00\d+\x00\s+\w+)\s+PRECEDING"
@@ -71,9 +75,9 @@ _AGG_SUFFIX = {
     "FIRST_VALUE": "first", "LAST_VALUE": "last",
 }
 
-# LAG(col) has no frame clause: PARTITION BY ... ORDER BY col only
+# LAG(col) has no frame clause: [PARTITION BY ...] ORDER BY col only
 _SPEC_NOFRAME = re.compile(
-    r"(?is)^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+"
+    r"(?is)^\s*(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?ORDER\s+BY\s+"
     r"(?P<order>[\w.\x00]+)(?:\s+ASC)?\s*$"
 )
 
@@ -333,27 +337,44 @@ def rewrite_streaming_over_sql(
         # the running count — ("cnt", None, UNBOUNDED); it mixes with
         # ROWS-frame aggregates over the same PARTITION BY/ORDER BY
         # but not with RANGE (it is a row-position, not a time frame)
-        sms = [
-            _SPEC_NOFRAME.match(s[4]) if s[2] == "ROW_NUMBER"
-            else _SPEC.match(s[4])
-            for s in spans
-        ]
-        if not all(sms):
-            return None
+        # per-span match + frame kind. A frameless aggregate —
+        # `SUM(v) OVER (PARTITION BY k ORDER BY ts)` — takes SQL's
+        # default frame (RANGE UNBOUNDED PRECEDING AND CURRENT ROW)
+        # and routes as the running aggregate (r9); on ORDER BY ties
+        # the default frame includes peers AHEAD of the current row,
+        # where the running operator emits the prefix value instead
+        # (same documented ties-only divergence as no-frame
+        # NTH_VALUE). ROW_NUMBER is always frameless.
+        sms, noframe = [], []
+        for s in spans:
+            if s[2] == "ROW_NUMBER":
+                mm, nf = _SPEC_NOFRAME.match(s[4]), True
+            else:
+                mm, nf = _SPEC.match(s[4]), False
+                if mm is None:
+                    mm, nf = _SPEC_NOFRAME.match(s[4]), True
+            if mm is None:
+                return None
+            sms.append(mm)
+            noframe.append(nf)
         part_orders = {
             (
-                re.sub(r"\s+", " ", _unmask(m.group("part"), lits)).strip().upper(),
+                re.sub(
+                    r"\s+", " ", _unmask(m.group("part") or "", lits)
+                ).strip().upper(),
                 _unmask(m.group("order"), lits).strip("`").upper(),
             )
             for m in sms
         }
         # a ROWS clause is a bounded n OR UNBOUNDED PRECEDING (the
         # running-aggregate shape, r7); widths mix freely across
-        # clauses, but ROWS and RANGE do not
+        # clauses, but ROWS and RANGE do not; frameless spans are
+        # rows-kind (running)
         kinds = {
-            m.group("nrows") is not None or m.group("unb") is not None
-            for s, m in zip(spans, sms) if s[2] != "ROW_NUMBER"
-        } | ({True} if any(s[2] == "ROW_NUMBER" for s in spans) else set())
+            True if nf
+            else m.group("nrows") is not None or m.group("unb") is not None
+            for m, nf in zip(sms, noframe)
+        }
         if len(part_orders) != 1 or len(kinds) != 1:
             return None
         is_rows = kinds.pop()
@@ -367,7 +388,7 @@ def rewrite_streaming_over_sql(
             }
             if len(horizons) != 1:
                 return None
-        for sp, m in zip(spans, sms):
+        for sp, m, nf in zip(spans, sms, noframe):
             if sp[2] == "ROW_NUMBER":
                 # running row count — COUNT(*) over UNBOUNDED ROWS (r9)
                 span_specs.append(("cnt", None, UNBOUNDED))
@@ -381,7 +402,9 @@ def rewrite_streaming_over_sql(
                 # bare / qualified column, or an expression hoisted
                 # onto the source as a generated column (r8)
                 base = (_AGG_SUFFIX[sp[2]], _arg_column(sp[3]))
-            if is_rows:
+            if nf:
+                span_specs.append(base + (UNBOUNDED,))
+            elif is_rows:
                 width = (
                     int(m.group("nrows"))
                     if m.group("nrows") is not None else UNBOUNDED
@@ -427,9 +450,22 @@ def rewrite_streaming_over_sql(
         except Exception:  # noqa: BLE001 — unparsable expression: typed reject
             return None
 
-    partition_by = [
-        _unmask(c, lits).strip().strip("`") for c in _split_args(sm.group("part"))
-    ]
+    global_window = sm.group("part") is None
+    if global_window and "_over_gpk" in src.columns:
+        return None  # key-name collision with a user column: typed path
+    if global_window:
+        # OVER (ORDER BY …) without PARTITION BY — a GLOBAL window.
+        # applyInPandasWithState needs a grouping key, so synthesize a
+        # constant one; all state lands on a single task, exactly the
+        # parallelism Flink gives an unpartitioned OverAggregate (r9).
+        # The generated column is dropped from the routed view below.
+        src = src.selectExpr("*", "0 AS _over_gpk")
+        partition_by = ["_over_gpk"]
+    else:
+        partition_by = [
+            _unmask(c, lits).strip().strip("`")
+            for c in _split_args(sm.group("part"))
+        ]
     order_col = _unmask(sm.group("order"), lits).strip("`")
     # Spark resolves columns case-insensitively but the pandas-side
     # operators do not — canonicalize to the schema's casing (unknown
@@ -536,6 +572,8 @@ def rewrite_streaming_over_sql(
         # the generated argument columns fed the operator; drop them
         # from the view so `SELECT *` does not leak internals
         out = out.drop(*pending_exprs.values())
+    if global_window:
+        out = out.drop("_over_gpk")
     view = f"_over_out_{next(_view_ids)}"
     out.createOrReplaceTempView(view)
 

@@ -758,6 +758,39 @@ def test_streaming_rank_dense_rank_match_batch(spark, tmp_path):
     }
 
 
+def test_noframe_aggregate_routes_as_running(spark, tmp_path):
+    """`SUM(v) OVER (PARTITION BY k ORDER BY ts)` — SQL's default
+    frame with a unique ORDER BY — equals the running aggregate and
+    must route instead of falling to typed guidance (r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, _t(1), 10), (1, _t(2), 20), (2, _t(1), 5)],
+        [(1, _t(3), 30)],
+    ]
+    schema = "k long, ts timestamp, v long"
+    _stream_view(spark, tmp_path, "nfagg_src", schema, files)
+    sql = (
+        "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s, "
+        "AVG(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS a FROM nfagg_src"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    got = sorted(
+        (r.k, r.ts, r.s, r.a)
+        for r in _run_routed(spark, tmp_path, routed, "nfagg_out").collect()
+    )
+    _batch_df(spark, tmp_path, "nfagg_src", "nfagg_b")
+    want = sorted(
+        (r.k, r.ts, r.s, r.a)
+        for r in spark.sql(sql.replace("nfagg_src", "nfagg_b")).collect()
+    )
+    assert got == want
+
+
 def test_streaming_row_number_range_mix_rejected(spark, tmp_path):
     from flink_sql_toolkit_spark.dialect.over_sql import (
         rewrite_streaming_over_sql,
@@ -775,6 +808,69 @@ def test_streaming_row_number_range_mix_rejected(spark, tmp_path):
         "FROM rnmix_src",
     )
     assert out is None  # row-position does not mix with time frames
+
+
+# -- r9: global (unpartitioned) OVER windows ---------------------------
+
+
+def test_global_over_window_matches_batch(spark, tmp_path):
+    """OVER (ORDER BY …) without PARTITION BY routes through a
+    synthesized constant key — Flink's unpartitioned OverAggregate —
+    and matches the batch result; the key never leaks (r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [
+        [(1, _t(1), 10), (2, _t(2), 20)],
+        [(3, _t(3), 30)],
+    ]
+    schema = "k long, ts timestamp, v long"
+    _stream_view(spark, tmp_path, "glob_src", schema, files)
+    sql = (
+        "SELECT k, ts, SUM(v) OVER (ORDER BY ts ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS s, ROW_NUMBER() OVER (ORDER BY "
+        "ts) AS rn FROM glob_src"
+    )
+    routed = rewrite_streaming_over_sql(spark, sql)
+    assert routed is not None
+    out = _run_routed(spark, tmp_path, routed, "glob_out")
+    got = sorted((r.k, r.ts, r.s, r.rn) for r in out.collect())
+    _batch_df(spark, tmp_path, "glob_src", "glob_b")
+    want = sorted(
+        (r.k, r.ts, r.s, r.rn)
+        for r in spark.sql(sql.replace("glob_src", "glob_b")).collect()
+    )
+    assert got == want
+    assert "_over_gpk" not in out.columns
+
+
+def test_global_over_lag_and_rank(spark, tmp_path):
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_over_sql,
+    )
+
+    files = [[(1, _t(1), 10), (2, _t(2), 20), (3, _t(3), 30)]]
+    schema = "k long, ts timestamp, v long"
+    _stream_view(spark, tmp_path, "globl_src", schema, files)
+    for sql, col, expect in [
+        (
+            "SELECT k, LAG(v) OVER (ORDER BY ts) AS p FROM globl_src",
+            "p", [None, 10, 20],
+        ),
+        (
+            "SELECT k, RANK() OVER (ORDER BY ts) AS r FROM globl_src",
+            "r", [1, 2, 3],
+        ),
+    ]:
+        routed = rewrite_streaming_over_sql(spark, sql)
+        assert routed is not None, sql
+        sink = f"globl_out_{col}"
+        rows = sorted(
+            (r.k, r[col])
+            for r in _run_routed(spark, tmp_path, routed, sink).collect()
+        )
+        assert [v for _k, v in rows] == expect
 
 
 # -- VERDICT r8 ask #2c: lateDropped is counted and surfaced -----------
