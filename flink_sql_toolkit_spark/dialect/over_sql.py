@@ -9,22 +9,30 @@ SELECT fails analysis on that error, the engine retries through this
 module: if every OVER clause in the statement shares one supported
 window spec —
 
-    <SUM|COUNT|AVG|MIN|MAX>(<col>) | COUNT(*) OVER (
-        PARTITION BY <cols> ORDER BY <col>
-        {ROWS BETWEEN <n | UNBOUNDED> PRECEDING AND CURRENT ROW
-         | RANGE BETWEEN INTERVAL '<n>' <UNIT> PRECEDING AND CURRENT ROW}
+    <SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE>(<col|expr>)
+      | COUNT(*) | ROW_NUMBER() | RANK() | DENSE_RANK()
+      | LAG|LEAD(<col|expr>[, k[, default]]) | NTH_VALUE(<col|expr>, n)
+    OVER (
+        [PARTITION BY <cols>] ORDER BY <col>
+        [ROWS BETWEEN <n | UNBOUNDED> PRECEDING AND CURRENT ROW
+         | RANGE BETWEEN INTERVAL '<n>' <UNIT> PRECEDING AND CURRENT ROW]
     )
 
 (any mix of aggregates and value columns over one PARTITION BY /
 ORDER BY; ROWS clauses may carry *different* frame widths — one
-operator pass sized to the max width, r7) — the statement is
-rewritten to read a temp view produced by
-``streaming.stateful.streaming_over_rows`` / ``streaming_over_range``
-(per-key bounded frame state in ``applyInPandasWithState``), with each
-OVER span replaced by the operator's ``resolve_spec_names`` column. Any
-other shape returns ``None`` and the engine raises its typed guidance
-instead (same interception pattern as dialect/mr_sql.py for
-MATCH_RECOGNIZE).
+operator pass sized to the max width, r7; expression arguments hoist
+onto the source as generated columns, r8; frameless aggregates run as
+running aggregates, a missing PARTITION BY routes through a constant
+key, and the rank/offset families take dedicated O(1)-state
+operators, r9) — the statement is rewritten to read a temp view
+produced by the matching ``streaming.stateful`` operator
+(``streaming_over_rows`` / ``streaming_over_range`` /
+``streaming_lag`` / ``streaming_lead`` / ``streaming_nth_value`` /
+``streaming_rank``; per-key bounded state in
+``applyInPandasWithState``), with each OVER span replaced by the
+operator's output column. Any other shape returns ``None`` and the
+engine raises its typed guidance instead (same interception pattern
+as dialect/mr_sql.py for MATCH_RECOGNIZE).
 """
 
 from __future__ import annotations
@@ -664,7 +672,13 @@ _DEDUP_SHAPE = re.compile(
     r"PARTITION\s+BY\s+(?P<keys>[\w.,\s\x00`]+?)\s+"
     r"ORDER\s+BY\s+(?P<order>[\w.\x00`]+)\s*(?P<dir>ASC|DESC)?\s*\)\s+AS\s+(?P<rn>\w+)\s+"
     r"FROM\s+(?P<table>[\w.\x00`]+)\s*\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*"
-    r"WHERE\s+(?P<rncol>\w+)\s*(?:=\s*1|<=\s*(?P<topn>\d+))\s*;?\s*$"
+    # Flink's docs use all three rank-predicate spellings: rn = 1,
+    # rn <= N, rn < N+1 (r9); a residual AND-conjunct is applied to
+    # the deduped view (rank is computed first, so post-filtering
+    # preserves the recipe's semantics)
+    r"WHERE\s+(?P<rncol>\w+)\s*"
+    r"(?:=\s*1|<=\s*(?P<topn>\d+)|<\s*(?P<topn_lt>\d+))"
+    r"(?:\s+AND\s+(?P<residual>.+?))?\s*;?\s*$"
 )
 
 
@@ -679,7 +693,9 @@ def rewrite_streaming_dedup_sql(
     this shape (the caller falls through to the OVER router / typed
     guidance).
 
-    ``ORDER BY ... ASC`` (``rn = 1`` / ``rn <= N``) routes to
+    ``ORDER BY ... ASC`` (``rn = 1`` / ``rn <= N`` / ``rn < N+1``,
+    optionally with a residual AND-conjunct applied post-rank — the
+    Filter-above-Rank shape, r9) routes to
     ``streaming_first_n``: keep the first N rows per key (one bigint
     counter per key — smaller state than key-set dedup — TTL-evicted
     via ``table.exec.state.ttl``), sorted by the ORDER BY column
@@ -715,11 +731,14 @@ def rewrite_streaming_dedup_sql(
     # ranking-output Top-N); star-only projections stay rank-free
     # (Flink's no-ranking optimization shape)
     rn = m.group("rn")
-    wants_rank = bool(re.search(rf"(?i)\b{re.escape(rn)}\b", m.group("outer")))
+    # a residual WHERE conjunct referencing rn also needs the rank in
+    # the view, so scan both (r9)
+    rn_scan = f"{m.group('outer')} {m.group('residual') or ''}"
+    wants_rank = bool(re.search(rf"(?i)\b{re.escape(rn)}\b", rn_scan))
     if not wants_rank:
         # a backtick-quoted outer reference (`rn`) is masked to a
         # placeholder — check quoted identifiers too (review r9)
-        for pm in re.finditer("\x00(\\d+)\x00", m.group("outer")):
+        for pm in re.finditer("\x00(\\d+)\x00", rn_scan):
             lit = lits[int(pm.group(1))]
             if lit.startswith("`") and lit.strip("`").lower() == rn.lower():
                 wants_rank = True
@@ -749,9 +768,12 @@ def rewrite_streaming_dedup_sql(
     ]
     if any(not re.match(r"^\w+$", k) for k in keys):
         return None
-    topn = int(m.group("topn") or 1)
+    if m.group("topn_lt") is not None:
+        topn = int(m.group("topn_lt")) - 1  # rn < N+1 ≡ rn <= N
+    else:
+        topn = int(m.group("topn") or 1)
     if topn < 1:
-        return None  # rn <= 0 is an empty result, not a dedup
+        return None  # rn <= 0 / rn < 1 is an empty result, not a dedup
     from flink_sql_toolkit_spark.streaming.stateful import (  # noqa: PLC0415
         streaming_first_n,
     )
@@ -809,6 +831,16 @@ def rewrite_streaming_dedup_sql(
     # keep the subquery alias in scope so `d.col` outer references
     # still resolve; the view's * is already rn-free
     from_clause = f"{view} AS {alias}" if alias else view
+    # a residual AND-conjunct after the rank predicate filters the
+    # deduped view's rows — Flink keeps it as a Filter above the Rank
+    # node, post-rank semantics (r9). On a changelog stream the filter
+    # is value-deterministic, so retractions stay aligned with their
+    # inserts.
+    residual = (
+        _unmask(m.group("residual"), lits).strip().rstrip(";").strip()
+        if m.group("residual") else None
+    )
+    where = f" WHERE {residual}" if residual else ""
     if desc:
         # the operator's leading __op RowKind column must survive the
         # outer projection — the changelog result view consumes it.
@@ -831,6 +863,10 @@ def rewrite_streaming_dedup_sql(
                 "put `*` first or list the columns explicitly"
             )
         if star_idx:
-            return _routed(f"SELECT {outer} FROM {from_clause}", True)
-        return _routed(f"SELECT `__op`, {outer} FROM {from_clause}", True)
-    return _routed(f"SELECT {outer} FROM {from_clause}", False, late_acc=late_acc)
+            return _routed(f"SELECT {outer} FROM {from_clause}{where}", True)
+        return _routed(
+            f"SELECT `__op`, {outer} FROM {from_clause}{where}", True
+        )
+    return _routed(
+        f"SELECT {outer} FROM {from_clause}{where}", False, late_acc=late_acc
+    )

@@ -656,6 +656,59 @@ def test_first_n_rank_output_append(spark, tmp_path):
     assert got == want and (1, "a", 1) in got and (2, "y", 2) in got
 
 
+def test_dedup_recipe_residual_predicate_and_lt_form(spark, tmp_path):
+    """`WHERE rn < N+1 AND <residual>` — both Flink doc spellings —
+    route, with the residual applied post-rank (r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    files = [[
+        (1, _t(10), "keep"), (1, _t(20), "late-dup"),
+        (2, _t(5), "drop-me"), (3, _t(7), "keep2"),
+    ]]
+    schema = "k long, ts timestamp, tag string"
+    _stream_view(spark, tmp_path, "resid_src", schema, files)
+    routed = rewrite_streaming_dedup_sql(
+        spark,
+        "SELECT k, tag FROM (SELECT *, ROW_NUMBER() OVER (PARTITION "
+        "BY k ORDER BY ts) AS rn FROM resid_src) "
+        "WHERE rn < 2 AND tag LIKE 'keep%'",
+    )
+    assert routed is not None
+    got = sorted(
+        (r.k, r.tag)
+        for r in _run_routed(spark, tmp_path, routed, "resid_out").collect()
+    )
+    # rank-1 rows: (1,keep), (2,drop-me), (3,keep2); residual filters
+    # the middle one AFTER ranking (drop-me is still key 2's rank 1)
+    assert got == [(1, "keep"), (3, "keep2")]
+
+
+def test_dedup_recipe_residual_referencing_rn(spark, tmp_path):
+    """A residual conjunct that references rn forces the rank-aware
+    view so it can resolve (r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    files = [[(1, _t(1), "a"), (1, _t(2), "b"), (1, _t(3), "c")]]
+    schema = "k long, ts timestamp, tag string"
+    _stream_view(spark, tmp_path, "rnres_src", schema, files)
+    routed = rewrite_streaming_dedup_sql(
+        spark,
+        "SELECT k, tag FROM (SELECT *, ROW_NUMBER() OVER (PARTITION "
+        "BY k ORDER BY ts) AS rn FROM rnres_src) "
+        "WHERE rn <= 3 AND rn > 1",
+    )
+    assert routed is not None
+    got = sorted(
+        (r.k, r.tag)
+        for r in _run_routed(spark, tmp_path, routed, "rnres_out").collect()
+    )
+    assert got == [(1, "b"), (1, "c")]  # rank 1 excluded post-rank
+
+
 def test_rank_alias_shadowing_source_column_rejected(spark, tmp_path):
     from flink_sql_toolkit_spark.dialect.over_sql import (
         rewrite_streaming_dedup_sql,

@@ -240,8 +240,12 @@ def test_streaming_over_rows_frame_crosses_batches(spark, tmp_path):
 
 
 def test_streaming_over_sql_typed_rejection(spark, tmp_path):
-    """An OVER window in a streaming SELECT surfaces the engine's
-    typed guidance, not Spark's raw analysis error."""
+    """An UNROUTABLE OVER window in a streaming SELECT surfaces the
+    engine's typed guidance, not Spark's raw analysis error. (The
+    frameless global `SUM(v) OVER (ORDER BY v)` this test used before
+    r9 now ROUTES — global windows + frameless running aggregates —
+    so the rejection probe is a FOLLOWING frame, which a stream can
+    never satisfy without unbounded lookahead.)"""
     import pytest as _pytest
 
     from flink_sql_toolkit_spark.engine import Engine
@@ -255,7 +259,8 @@ def test_streaming_over_sql_typed_rejection(spark, tmp_path):
         )
         with _pytest.raises(NotImplementedError, match="streaming_over_rows"):
             sess.execute_statement(
-                "SELECT v, SUM(v) OVER (ORDER BY v) AS s FROM over_src"
+                "SELECT v, SUM(v) OVER (ORDER BY v ROWS BETWEEN "
+                "CURRENT ROW AND 1 FOLLOWING) AS s FROM over_src"
             )
     finally:
         sess.close()

@@ -907,3 +907,137 @@ def test_dedup_desc_alias_star_case_insensitive(spark, tmp_path):
     )
     out = rewrite_streaming_dedup_sql(spark, sql, changelog=True)
     assert out is not None and "`__op`," not in out
+
+
+# -- stream-stream interval joins (Flink SQL "interval join") ---------
+#
+# The batch interval-join shape is oracle-gated (join_theta_family);
+# these verify the STREAMING path end-to-end through the engine: two
+# watermarked file-stream tables, a time-bounded equi-join, Spark's
+# native stream-stream join (update-mode start falls back to append in
+# Operation._start_any). Reference surface: the interval-join grammar
+# in syntaxes/flink.tmLanguage.json (BETWEEN ... AND over time attrs).
+
+
+def _write_join_side(spark, tmp_path, name, schema, rows):
+    d = tmp_path / name
+    d.mkdir()
+    stage = tmp_path / f"stage_{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    import shutil
+
+    part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, d / "data.parquet")
+    return d
+
+
+def test_stream_stream_interval_join_inner(session, tmp_path):
+    """Inner interval join between two watermarked streams emits
+    exactly the batch-equivalent matches."""
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    odir = _write_join_side(
+        session.spark, tmp_path, "ord",
+        "o_id long, o_ts timestamp",
+        [(1, t(10, 0)), (2, t(10, 5)), (3, t(10, 20))],
+    )
+    sdir = _write_join_side(
+        session.spark, tmp_path, "shp",
+        "s_oid long, s_ts timestamp",
+        # ship 2 arrives 85 min after order 2 -> outside the 30-min
+        # bound; ship 99 matches no order
+        [(1, t(10, 10)), (2, t(11, 30)), (3, t(10, 25)), (99, t(10, 0))],
+    )
+    session.execute_statement(
+        f"""
+        CREATE TABLE ord_s (
+          o_id BIGINT, o_ts TIMESTAMP_LTZ(3),
+          WATERMARK FOR o_ts AS o_ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{odir}', 'format'='parquet')
+        """
+    )
+    session.execute_statement(
+        f"""
+        CREATE TABLE shp_s (
+          s_oid BIGINT, s_ts TIMESTAMP_LTZ(3),
+          WATERMARK FOR s_ts AS s_ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{sdir}', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT o.o_id, s.s_ts FROM ord_s o JOIN shp_s s "
+        "ON o.o_id = s.s_oid "
+        "AND s.s_ts BETWEEN o.o_ts AND o.o_ts + INTERVAL '30' MINUTE"
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 90
+    while time.time() < deadline and len(got) < 2:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert sorted(r[0] for r in got) == [1, 3]
+
+
+def test_stream_stream_interval_join_left_outer(session, tmp_path):
+    """LEFT interval join: the unmatched left row null-pads once the
+    watermark closes its join window (Flink's outer interval-join
+    emission rule; Spark flushes it via a no-data micro-batch)."""
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    # order 4 at 12:00 only pushes the orders-side watermark far
+    # enough that orders 1-3's 30-min windows are all closed; its own
+    # window is still open at cancel so it never emits.
+    odir = _write_join_side(
+        session.spark, tmp_path, "lord",
+        "o_id long, o_ts timestamp",
+        [(1, t(10, 0)), (2, t(10, 5)), (3, t(10, 20)), (4, t(12, 0))],
+    )
+    sdir = _write_join_side(
+        session.spark, tmp_path, "lshp",
+        "s_oid long, s_ts timestamp",
+        # order 2 unmatched; ship at 11:00 pushes the ships-side
+        # watermark past every closed window
+        [(1, t(10, 10)), (3, t(10, 25)), (99, t(11, 0))],
+    )
+    session.execute_statement(
+        f"""
+        CREATE TABLE lord_s (
+          o_id BIGINT, o_ts TIMESTAMP_LTZ(3),
+          WATERMARK FOR o_ts AS o_ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{odir}', 'format'='parquet')
+        """
+    )
+    session.execute_statement(
+        f"""
+        CREATE TABLE lshp_s (
+          s_oid BIGINT, s_ts TIMESTAMP_LTZ(3),
+          WATERMARK FOR s_ts AS s_ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{sdir}', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT o.o_id, s.s_oid FROM lord_s o LEFT JOIN lshp_s s "
+        "ON o.o_id = s.s_oid "
+        "AND s.s_ts BETWEEN o.o_ts AND o.o_ts + INTERVAL '30' MINUTE"
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(page["data"])
+        if len(got) >= 3:
+            break
+        time.sleep(0.5)
+    op.cancel()
+    by_id = {r[0]: r[1] for r in got}
+    assert by_id.get(1) == 1 and by_id.get(3) == 3  # matched pairs
+    assert 2 in by_id and by_id[2] is None  # null-padded unmatched
