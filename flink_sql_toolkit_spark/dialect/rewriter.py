@@ -206,7 +206,11 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
 
 
 def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
-    """``GROUP BY TUMBLE(ts, i)`` + TUMBLE_START/END → window()."""
+    """``GROUP BY TUMBLE(ts, i)`` + TUMBLE_START/END/ROWTIME/PROCTIME
+    → window(). ROWTIME is the window's event-time attribute =
+    ``end - 1ms`` (the last instant inside the window); PROCTIME is
+    approximated by the same instant (SURVEY §7's documented
+    processing-time approximation)."""
 
     def aux(m: re.Match) -> str:
         fn, field = m.group(1).upper(), m.group(2).upper()
@@ -220,10 +224,16 @@ def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
             size = _interval_to_duration(args[1], lits)
             fname = "session_window" if fn == "SESSION" else "window"
             w = f"{fname}({col}, {size})"
-        return f"{w}.{'start' if field == 'START' else 'end'}"
+        if field == "START":
+            return f"{w}.start"
+        if field == "END":
+            return f"{w}.end"
+        return f"{w}.end - INTERVAL '0.001' SECOND"
 
     masked = re.sub(
-        r"(?is)\b(TUMBLE|HOP|SESSION)_(START|END)\s*\(([^()]*)\)", aux, masked
+        r"(?is)\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\(([^()]*)\)",
+        aux,
+        masked,
     )
 
     def grp(m: re.Match) -> str:
@@ -348,6 +358,38 @@ def _rewrite_misc(masked: str) -> str:
     masked = re.sub(r"(?is)\belement_at_single\s*\(([^()]*)\)", r"element_at(\1, 1)", masked)
     # ARRAY_CONCAT → concat (Spark's concat is array-polymorphic)
     masked = re.sub(r"(?is)\bARRAY_CONCAT\s*\(", "concat(", masked)
+    # MAP_UNION → map_concat; duplicate keys resolve last-wins via
+    # the session's mapKeyDedupPolicy (register_function_shims)
+    masked = re.sub(r"(?is)\bMAP_UNION\s*\(", "map_concat(", masked)
+    # SQL/JSON aggregates (tmLanguage.json JSON battery). collect_list
+    # drops NULL elements = JSON_ARRAYAGG's ABSENT ON NULL default; a
+    # struct row with a NULL value survives = JSON_OBJECTAGG's
+    # NULL ON NULL default. The explicit ON NULL clause is stripped
+    # (the non-default spellings approximate to the default).
+    masked = re.sub(
+        r"(?is)\bJSON_ARRAYAGG\s*\(([^()]*?)(?:\s+(?:NULL|ABSENT)\s+ON\s+NULL)?\s*\)",
+        r"to_json(collect_list(\1))",
+        masked,
+    )
+    masked = re.sub(
+        r"(?is)\bJSON_OBJECTAGG\s*\(\s*(?:KEY\s+)?([^()]+?)\s+VALUE\s+"
+        r"([^()]+?)(?:\s+(?:NULL|ABSENT)\s+ON\s+NULL)?\s*\)",
+        r"to_json(map_from_entries(collect_list(struct(\1, \2))))",
+        masked,
+    )
+    # Flink's numeric TO_TIMESTAMP_LTZ(epoch, 0|3); Spark's builtin
+    # of the same name is string-only (and builtins cannot be
+    # shadowed by SQL UDFs) → rewrite the literal-precision forms
+    masked = re.sub(
+        r"(?is)\bTO_TIMESTAMP_LTZ\s*\(([^(),]+),\s*0\s*\)",
+        r"timestamp_seconds(\1)",
+        masked,
+    )
+    masked = re.sub(
+        r"(?is)\bTO_TIMESTAMP_LTZ\s*\(([^(),]+),\s*3\s*\)",
+        r"timestamp_millis(\1)",
+        masked,
+    )
     # LOCALTIMESTAMP keyword → function call (Spark only has the
     # function form; LOCALTIME likewise)
     masked = re.sub(r"(?is)\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", masked)

@@ -31,6 +31,7 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
     ),
     "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),
     "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
+    "SHA512": ("(s STRING)", "STRING", "sha2(s, 512)"),
     "FROM_BASE64": ("(s STRING)", "STRING", "decode(unbase64(s), 'UTF-8')"),
     "SHA256": ("(s STRING)", "STRING", "sha2(s, 256)"),
     "CONVERT_TZ": (
@@ -48,6 +49,15 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
     # DAYNAME/MONTHNAME; Flink's full-name DAYNAME is a dialect
     # rewrite since builtins cannot be shadowed by SQL UDFs)
     "RAND_INTEGER": ("(bound INT)", "INT", "CAST(floor(rand() * bound) AS INT)"),
+    # bitwise named functions (tmLanguage.json math battery; Flink
+    # accepts any integer type — BIGINT is the widest common type,
+    # narrower ints widen losslessly on the way in)
+    "BITAND": ("(a BIGINT, b BIGINT)", "BIGINT", "a & b"),
+    "BITOR": ("(a BIGINT, b BIGINT)", "BIGINT", "a | b"),
+    "BITXOR": ("(a BIGINT, b BIGINT)", "BIGINT", "a ^ b"),
+    "BITNOT": ("(a BIGINT)", "BIGINT", "~a"),
+    "BIT_LSHIFT": ("(a BIGINT, n INT)", "BIGINT", "shiftleft(a, n)"),
+    "BIT_RSHIFT": ("(a BIGINT, n INT)", "BIGINT", "shiftright(a, n)"),
     "TRUNCATE": (
         "(x DOUBLE, d INT)",
         "DOUBLE",
@@ -68,6 +78,18 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
     "JSON_EXISTS": ("(j STRING, p STRING)", "BOOLEAN", "get_json_object(j, p) IS NOT NULL"),
     "JSON_STRING": ("(j STRING)", "STRING", "to_json(struct(j))"),
     "IS_JSON": ("(j STRING)", "BOOLEAN", "try_parse_json(j) IS NOT NULL"),
+    # IS_JSON_<TYPE> family (tmLanguage.json JSON battery):
+    # json_array_length / json_object_keys return NULL for anything
+    # that is not a valid JSON array / object, so the NULL-ness IS
+    # the predicate; SCALAR = valid JSON that is neither
+    "IS_JSON_ARRAY": ("(j STRING)", "BOOLEAN", "json_array_length(j) IS NOT NULL"),
+    "IS_JSON_OBJECT": ("(j STRING)", "BOOLEAN", "json_object_keys(j) IS NOT NULL"),
+    "IS_JSON_SCALAR": (
+        "(j STRING)",
+        "BOOLEAN",
+        "try_parse_json(j) IS NOT NULL AND json_array_length(j) IS NULL "
+        "AND json_object_keys(j) IS NULL",
+    ),
 }
 
 
@@ -86,6 +108,10 @@ def _lcm(a: int, b: int) -> int:
 def register_function_shims(spark: SparkSession) -> list[str]:
     """Register all shims on the session; return registered names."""
     registered = []
+    # Flink's MAP_UNION (→ map_concat, dialect rewrite) and the map
+    # constructor both resolve duplicate keys last-wins; Spark's
+    # default is to raise. Runtime-settable, session-scoped.
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     for name, (args, rtype, body) in _SQL_SHIMS.items():
         sql_name = name.rstrip("_")
         try:

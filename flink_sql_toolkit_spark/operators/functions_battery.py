@@ -285,6 +285,17 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing_path"),
         F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
         F.json_array_length(F.lit("[1,2,3]")).alias("arr_len"),
+        # IS_JSON_<type> family (r9 grammar audit; shims.py bodies):
+        # props is an object → ij_obj true / ij_arr false per row;
+        # the extracted $.k scalar exercises SCALAR — coalesced to
+        # false on both sides so a missing key compares equal
+        F.expr("json_object_keys(props) IS NOT NULL").alias("ij_obj"),
+        F.expr("json_array_length(props) IS NOT NULL").alias("ij_arr"),
+        F.expr(
+            "coalesce(try_parse_json(get_json_object(props, '$.k')) IS NOT NULL "
+            "AND json_array_length(get_json_object(props, '$.k')) IS NULL "
+            "AND json_object_keys(get_json_object(props, '$.k')) IS NULL, false)"
+        ).alias("ij_scl"),
     ).orderBy("event_id")
 
 
@@ -521,6 +532,7 @@ def func_cast_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT j.event_id,
            j.k_str, j.k_int, j.missing_path, j.is_valid, j.arr_len,
+           j.ij_obj, j.ij_arr, j.ij_scl,
            r.vowels_masked, r.first_word, r.has_data, r.lang_cap
     FROM (
       SELECT event_id,
@@ -528,7 +540,14 @@ def func_cast_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
              json_extract_string(props, '$.missing') AS missing_path,
              json_valid(props) AS is_valid,
-             json_array_length('[1,2,3]') AS arr_len
+             json_array_length('[1,2,3]') AS arr_len,
+             CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT'
+                  ELSE false END AS ij_obj,
+             CASE WHEN json_valid(props) THEN json_type(props) = 'ARRAY'
+                  ELSE false END AS ij_arr,
+             coalesce(json_valid(json_extract(props, '$.k'))
+                      AND json_type(json_extract(props, '$.k'))
+                          NOT IN ('OBJECT', 'ARRAY'), false) AS ij_scl
       FROM events WHERE event_id < 100
     ) j JOIN (
       SELECT doc_id,

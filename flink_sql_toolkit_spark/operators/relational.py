@@ -665,6 +665,12 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            STRING_AGG(n_name, ',' ORDER BY n_name)
     FROM nation GROUP BY n_regionkey
+    UNION ALL
+    SELECT 'json_arrayagg', CAST(n_regionkey AS VARCHAR),
+           CAST(COUNT(*) AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(to_json(list(n_name ORDER BY n_name)) AS VARCHAR)
+    FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,7 +707,24 @@ def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("m5"),
         F.col("nations").alias("s"),
     )
-    return cd.unionByName(st).unionByName(la)
+    # JSON_ARRAYAGG (r9 grammar audit; dialect rewrite →
+    # to_json(collect_list)) — sorted for determinism, same compact
+    # JSON text both engines
+    nation = load_table(spark, sf_dir, "nation")
+    ja = nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.to_json(F.sort_array(F.collect_list("n_name"))).alias("_j"),
+    ).select(
+        F.lit("json_arrayagg").alias("variant"),
+        F.col("n_regionkey").cast("string").alias("grp"),
+        F.col("_n").cast("double").alias("m1"),
+        nul.alias("m2"),
+        nul.alias("m3"),
+        nul.alias("m4"),
+        nul.alias("m5"),
+        F.col("_j").alias("s"),
+    )
+    return cd.unionByName(st).unionByName(la).unionByName(ja)
 
 
 @register(

@@ -245,3 +245,97 @@ class TestGroupsFrames:
         ).collect()
         got = {(r.k, r.v): r.s for r in out}
         assert got == {(1, 10): 22, (2, 5): 112, (2, 7): 112, (4, 100): 100}
+
+
+class TestGrammarGapFunctions:
+    """r9 grammar audit: every function the reference grammar declares
+    (tmLanguage.json builtin batteries) resolves through the engine —
+    named bitwise ops, SHA512, MAP_UNION, the IS_JSON_<type> family,
+    SQL/JSON aggregates, legacy-window ROWTIME/PROCTIME auxiliaries,
+    and Flink's numeric TO_TIMESTAMP_LTZ."""
+
+    @pytest.fixture(scope="class")
+    def sess(self, spark):
+        from flink_sql_toolkit_spark.engine import Engine
+
+        s = Engine(spark).open_session("grammar-gap")
+        yield s
+        s.close()
+
+    def _one(self, sess, sql):
+        return sess.execute_statement(sql).fetch()["data"][0]
+
+    def test_named_bitwise(self, sess):
+        row = self._one(
+            sess,
+            "SELECT BITAND(12, 10) AS a, BITOR(12, 10) AS o, "
+            "BITXOR(12, 10) AS x, BITNOT(5) AS n, "
+            "BIT_LSHIFT(1, 3) AS l, BIT_RSHIFT(8, 2) AS r",
+        )
+        assert row == [8, 14, 6, -6, 8, 2]
+
+    def test_sha512(self, sess):
+        # SHA-512('abc') from the FIPS 180 spec example
+        (h,) = self._one(sess, "SELECT SHA512('abc') AS h")
+        assert h.startswith("ddaf35a193617aba") and len(h) == 128
+
+    def test_map_union_last_wins(self, sess):
+        (v,) = self._one(
+            sess,
+            "SELECT element_at(MAP_UNION(MAP['a',1], MAP['a',2,'b',3]), 'a') AS v",
+        )
+        assert v == 2
+
+    def test_is_json_family(self, sess):
+        row = self._one(
+            sess,
+            "SELECT IS_JSON_ARRAY('[1]') AS a1, IS_JSON_ARRAY('{}') AS a2, "
+            'IS_JSON_OBJECT(\'{"k":1}\') AS o1, IS_JSON_OBJECT(\'[1]\') AS o2, '
+            "IS_JSON_SCALAR('123') AS s1, IS_JSON_SCALAR('[1]') AS s2, "
+            "IS_JSON_SCALAR('nope') AS s3",
+        )
+        assert row == [True, False, True, False, True, False, False]
+
+    def test_json_aggregates(self, sess):
+        import json
+
+        (arr,) = self._one(
+            sess, "SELECT JSON_ARRAYAGG(v) AS x FROM (VALUES (1),(2),(3)) AS t(v)"
+        )
+        assert sorted(json.loads(arr)) == [1, 2, 3]
+        # both the KEY k VALUE v and bare k VALUE v spellings
+        (obj,) = self._one(
+            sess,
+            "SELECT JSON_OBJECTAGG(KEY k VALUE v) AS x "
+            "FROM (VALUES ('a',1),('b',2)) AS t(k,v)",
+        )
+        assert json.loads(obj) == {"a": 1, "b": 2}
+        (obj2,) = self._one(
+            sess,
+            "SELECT JSON_OBJECTAGG(k VALUE v) AS x FROM (VALUES ('c',7)) AS t(k,v)",
+        )
+        assert json.loads(obj2) == {"c": 7}
+
+    def test_legacy_window_rowtime(self, sess):
+        from datetime import datetime
+
+        rt, we = self._one(
+            sess,
+            "SELECT TUMBLE_ROWTIME(ts, INTERVAL '5' MINUTE) AS rt, "
+            "TUMBLE_END(ts, INTERVAL '5' MINUTE) AS we "
+            "FROM (SELECT TIMESTAMP '2026-01-01 00:01:00' AS ts) "
+            "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+        )
+        # rowtime = window end - 1ms (the last instant inside)
+        assert we == datetime(2026, 1, 1, 0, 5)
+        assert rt == datetime(2026, 1, 1, 0, 4, 59, 999000)
+
+    def test_to_timestamp_ltz_numeric(self, sess):
+        from datetime import datetime
+
+        a, b = self._one(
+            sess,
+            "SELECT TO_TIMESTAMP_LTZ(0, 0) AS a, TO_TIMESTAMP_LTZ(1500, 3) AS b",
+        )
+        assert a == datetime(1970, 1, 1, 0, 0)
+        assert b == datetime(1970, 1, 1, 0, 0, 1, 500000)
