@@ -397,6 +397,18 @@ def _rewrite_misc(masked: str) -> str:
     # CURRENT_TIME niladic (Flink) → current_time() — \b can't match
     # inside CURRENT_TIMESTAMP (E→S is no word boundary)
     masked = re.sub(r"(?is)\bCURRENT_TIME\b(?!\s*\()", "current_time()", masked)
+    # niladic metadata keywords (tmLanguage.json): Spark only has the
+    # function forms; SHOW CURRENT CATALOG reads the same source of
+    # truth (spark.catalog.currentCatalog), so the two agree.
+    # SYSTEM_USER → current_user (Spark has no OS-user function;
+    # SESSION_USER is a Spark niladic already)
+    masked = re.sub(
+        r"(?is)\bCURRENT_CATALOG\b(?!\s*\()", "current_catalog()", masked
+    )
+    masked = re.sub(
+        r"(?is)\bCURRENT_DATABASE\b(?!\s*\()", "current_database()", masked
+    )
+    masked = re.sub(r"(?is)\bSYSTEM_USER\b(?!\s*\()", "current_user()", masked)
     # three-valued-logic literal (syntax-test.fsql literals section):
     # `x IS [NOT] UNKNOWN` ≡ IS [NOT] NULL on a boolean; the bare
     # UNKNOWN literal is a NULL boolean

@@ -339,3 +339,40 @@ class TestGrammarGapFunctions:
         )
         assert a == datetime(1970, 1, 1, 0, 0)
         assert b == datetime(1970, 1, 1, 0, 0, 1, 500000)
+
+    def test_niladic_metadata_keywords(self, sess):
+        cat, db, su, sy = self._one(
+            sess,
+            "SELECT CURRENT_CATALOG AS c, CURRENT_DATABASE AS d, "
+            "SESSION_USER AS s, SYSTEM_USER AS y",
+        )
+        assert cat and db and su and sy  # all resolve, all non-empty
+
+    def test_native_passthrough_battery(self, sess):
+        """Grammar names that ARE Spark builtins — pinned so a Spark
+        upgrade that drops/renames one is caught here, not by a user."""
+        row = self._one(
+            sess,
+            "SELECT ACOS(1.0) AS a, ATAN2(0.0, 1.0) AS b, COSH(0.0) AS c, "
+            "SINH(0.0) AS d, CAST(CEILING(1.2) AS INT) AS e2, "
+            "CHARACTER_LENGTH('abc') AS f, "
+            "ARRAY_APPEND(ARRAY[1], 2) AS g, ARRAY_PREPEND(ARRAY[1], 0) AS h, "
+            "ARRAY_REMOVE(ARRAY[1,2,1], 1) AS i2, "
+            "ARRAY_EXCEPT(ARRAY[1,2], ARRAY[2]) AS j, "
+            "ARRAY_INTERSECT(ARRAY[1,2], ARRAY[2,3]) AS k, "
+            "ARRAY_UNION(ARRAY[1], ARRAY[2]) AS l, "
+            "MAP_KEYS(MAP['a',1]) AS m, MAP_VALUES(MAP['a',1]) AS n, "
+            "'Apache' ILIKE 'apa%' AS o, "
+            "CAST(NEXT_DAY(DATE '2026-01-01', 'MONDAY') AS STRING) AS p, "
+            "FROM_UNIXTIME(0) AS q, "
+            "CAST(DATE_SUB(DATE '2026-01-10', 3) AS STRING) AS r, "
+            "BIT_COUNT(7) AS s, CAST(BIT_GET(5, 2) AS INT) AS t, "
+            "TYPEOF(1) AS u",
+        )
+        assert row == [
+            0.0, 0.0, 1.0, 0.0, 2, 3,
+            [1, 2], [0, 1], [2], [1], [2], [1, 2],
+            ["a"], [1], True,
+            "2026-01-05", "1970-01-01 00:00:00", "2026-01-07",
+            3, 1, "int",
+        ]
