@@ -1041,3 +1041,64 @@ def test_stream_stream_interval_join_left_outer(session, tmp_path):
     by_id = {r[0]: r[1] for r in got}
     assert by_id.get(1) == 1 and by_id.get(3) == 3  # matched pairs
     assert 2 in by_id and by_id[2] is None  # null-padded unmatched
+
+
+def test_stream_stream_window_join(session, tmp_path):
+    """Flink's WINDOW JOIN: TUMBLE both sides, equi-join on
+    (window_start, window_end, key) — rows pair only within the same
+    tumbling window. Runs as a Spark stream-stream inner join over the
+    TVF rewrite's window columns."""
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: e731
+    ldir = _write_join_side(
+        session.spark, tmp_path, "wjl",
+        "k long, ts timestamp, v string",
+        # key 1 in the 10:00 window, key 1 again in 10:05, key 2 in 10:00
+        [(1, t(10, 1), "l-a"), (1, t(10, 6), "l-b"), (2, t(10, 2), "l-c")],
+    )
+    rdir = _write_join_side(
+        session.spark, tmp_path, "wjr",
+        "k long, ts timestamp, w string",
+        # key 1 matches in BOTH windows; key 2's right row is in the
+        # NEXT window -> no pair; key 3 matches nothing
+        [(1, t(10, 3), "r-a"), (1, t(10, 9), "r-b"), (2, t(10, 7), "r-c"),
+         (3, t(10, 0), "r-d")],
+    )
+    session.execute_statement(
+        f"""
+        CREATE TABLE wjl_s (
+          k BIGINT, ts TIMESTAMP_LTZ(3), v STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{ldir}', 'format'='parquet')
+        """
+    )
+    session.execute_statement(
+        f"""
+        CREATE TABLE wjr_s (
+          k BIGINT, ts TIMESTAMP_LTZ(3), w STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{rdir}', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT L.k, L.v, R.w, L.window_start FROM "
+        "(SELECT * FROM TABLE(TUMBLE(TABLE wjl_s, DESCRIPTOR(ts), INTERVAL '5' MINUTE))) L "
+        "JOIN "
+        "(SELECT * FROM TABLE(TUMBLE(TABLE wjr_s, DESCRIPTOR(ts), INTERVAL '5' MINUTE))) R "
+        "ON L.window_start = R.window_start AND L.window_end = R.window_end "
+        "AND L.k = R.k"
+    )
+    assert op.status == "RUNNING"
+    got, token = [], 0
+    deadline = time.time() + 90
+    while time.time() < deadline and len(got) < 2:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert sorted((r[0], r[1], r[2]) for r in got) == [
+        (1, "l-a", "r-a"),  # 10:00 window
+        (1, "l-b", "r-b"),  # 10:05 window
+    ]
