@@ -95,6 +95,20 @@ _RANK_SUFFIX = {"ROW_NUMBER": "_rownum", "RANK": "_rnk",
 _view_ids = itertools.count()
 
 
+def _depth0_search(masked: str, pattern: str) -> bool:
+    """True if ``pattern`` matches anywhere at paren-depth 0."""
+    rx = re.compile(pattern)
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and rx.match(masked, i):
+            return True
+    return False
+
+
 class RoutedSQL(str):
     """A rewritten statement plus routing metadata. ``op_passthrough``
     marks a statement whose result already carries RowKind rows in a
@@ -724,6 +738,19 @@ def rewrite_streaming_dedup_sql(
     # inner projection must be bare * — renames/expressions would need
     # to be replayed onto the view (not this router's scope)
     if m.group("inner").strip() != "*":
+        return None
+    # the residual capture is greedy-to-end-of-statement: a top-level
+    # OR changes operator precedence (rn=1 AND a OR b ≡ (rn=1 AND a)
+    # OR b — NOT a post-rank filter), and trailing clauses (ORDER BY /
+    # LIMIT / …) are not WHERE conjuncts at all. Both must fall back
+    # to typed guidance, not route with changed semantics (review r9).
+    # Parenthesized ORs — `rn=1 AND (a OR b)` — stay routable: the
+    # depth-0 scan skips them. Masked text ⇒ literals can't trip it.
+    if m.group("residual") and _depth0_search(
+        m.group("residual"),
+        r"(?is)\b(OR|ORDER\s+BY|LIMIT|OFFSET|GROUP\s+BY|HAVING|"
+        r"UNION|INTERSECT|EXCEPT|WINDOW)\b",
+    ):
         return None
     # an outer reference to the rn column selects the rank-aware
     # ("with row number") output mode: the operator appends/keys the

@@ -228,7 +228,8 @@ def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
             return f"{w}.start"
         if field == "END":
             return f"{w}.end"
-        return f"{w}.end - INTERVAL '0.001' SECOND"
+        # parenthesized: the splice may be an operand of -, /, …
+        return f"({w}.end - INTERVAL '0.001' SECOND)"
 
     masked = re.sub(
         r"(?is)\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\(([^()]*)\)",
@@ -366,27 +367,36 @@ def _rewrite_misc(masked: str) -> str:
     # struct row with a NULL value survives = JSON_OBJECTAGG's
     # NULL ON NULL default. The explicit ON NULL clause is stripped
     # (the non-default spellings approximate to the default).
+    # argument patterns tolerate one level of nested calls —
+    # UPPER(x), f(a, b) — like the other rewrites here
+    _arg = r"(?:[^()]|\([^()]*\))"
     masked = re.sub(
-        r"(?is)\bJSON_ARRAYAGG\s*\(([^()]*?)(?:\s+(?:NULL|ABSENT)\s+ON\s+NULL)?\s*\)",
+        rf"(?is)\bJSON_ARRAYAGG\s*\(({_arg}*?)(?:\s+(?:NULL|ABSENT)\s+ON\s+NULL)?\s*\)",
         r"to_json(collect_list(\1))",
         masked,
     )
     masked = re.sub(
-        r"(?is)\bJSON_OBJECTAGG\s*\(\s*(?:KEY\s+)?([^()]+?)\s+VALUE\s+"
-        r"([^()]+?)(?:\s+(?:NULL|ABSENT)\s+ON\s+NULL)?\s*\)",
+        rf"(?is)\bJSON_OBJECTAGG\s*\(\s*(?:KEY\s+)?({_arg}+?)\s+VALUE\s+"
+        rf"({_arg}+?)(?:\s+(?:NULL|ABSENT)\s+ON\s+NULL)?\s*\)",
         r"to_json(map_from_entries(collect_list(struct(\1, \2))))",
         masked,
     )
-    # Flink's numeric TO_TIMESTAMP_LTZ(epoch, 0|3); Spark's builtin
-    # of the same name is string-only (and builtins cannot be
-    # shadowed by SQL UDFs) → rewrite the literal-precision forms
+    # Flink's numeric TO_TIMESTAMP_LTZ(epoch[, 0|3]) — default
+    # precision 3; Spark's builtin of the same name is string-only
+    # (and builtins cannot be shadowed by SQL UDFs) → rewrite the
+    # literal-precision forms and the bare numeric-literal form
     masked = re.sub(
-        r"(?is)\bTO_TIMESTAMP_LTZ\s*\(([^(),]+),\s*0\s*\)",
+        rf"(?is)\bTO_TIMESTAMP_LTZ\s*\(({_arg}+?),\s*0\s*\)",
         r"timestamp_seconds(\1)",
         masked,
     )
     masked = re.sub(
-        r"(?is)\bTO_TIMESTAMP_LTZ\s*\(([^(),]+),\s*3\s*\)",
+        rf"(?is)\bTO_TIMESTAMP_LTZ\s*\(({_arg}+?),\s*3\s*\)",
+        r"timestamp_millis(\1)",
+        masked,
+    )
+    masked = re.sub(
+        r"(?is)\bTO_TIMESTAMP_LTZ\s*\(\s*(\d+(?:\.\d+)?)\s*\)",
         r"timestamp_millis(\1)",
         masked,
     )

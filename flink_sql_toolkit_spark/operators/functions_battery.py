@@ -287,14 +287,19 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(F.lit("[1,2,3]")).alias("arr_len"),
         # IS_JSON_<type> family (r9 grammar audit; shims.py bodies):
         # props is an object → ij_obj true / ij_arr false per row;
-        # the extracted $.k scalar exercises SCALAR — coalesced to
-        # false on both sides so a missing key compares equal
+        # SCALAR is exercised on a per-row alternation of an int and
+        # a quoted-string JSON text (extraction-based probes diverge:
+        # Spark's get_json_object strips JSON string quoting while
+        # DuckDB's json_extract keeps it — review r9)
         F.expr("json_object_keys(props) IS NOT NULL").alias("ij_obj"),
         F.expr("json_array_length(props) IS NOT NULL").alias("ij_arr"),
         F.expr(
-            "coalesce(try_parse_json(get_json_object(props, '$.k')) IS NOT NULL "
-            "AND json_array_length(get_json_object(props, '$.k')) IS NULL "
-            "AND json_object_keys(get_json_object(props, '$.k')) IS NULL, false)"
+            "try_parse_json(CASE WHEN event_id % 3 = 0 THEN '123' "
+            "WHEN event_id % 3 = 1 THEN '\"s\"' ELSE '[1]' END) IS NOT NULL "
+            "AND json_array_length(CASE WHEN event_id % 3 = 0 THEN '123' "
+            "WHEN event_id % 3 = 1 THEN '\"s\"' ELSE '[1]' END) IS NULL "
+            "AND json_object_keys(CASE WHEN event_id % 3 = 0 THEN '123' "
+            "WHEN event_id % 3 = 1 THEN '\"s\"' ELSE '[1]' END) IS NULL"
         ).alias("ij_scl"),
     ).orderBy("event_id")
 
@@ -545,9 +550,13 @@ def func_cast_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE false END AS ij_obj,
              CASE WHEN json_valid(props) THEN json_type(props) = 'ARRAY'
                   ELSE false END AS ij_arr,
-             coalesce(json_valid(json_extract(props, '$.k'))
-                      AND json_type(json_extract(props, '$.k'))
-                          NOT IN ('OBJECT', 'ARRAY'), false) AS ij_scl
+             json_valid(CASE WHEN event_id % 3 = 0 THEN '123'
+                             WHEN event_id % 3 = 1 THEN '"s"'
+                             ELSE '[1]' END)
+             AND json_type(CASE WHEN event_id % 3 = 0 THEN '123'
+                                WHEN event_id % 3 = 1 THEN '"s"'
+                                ELSE '[1]' END)
+                 NOT IN ('OBJECT', 'ARRAY') AS ij_scl
       FROM events WHERE event_id < 100
     ) j JOIN (
       SELECT doc_id,

@@ -621,13 +621,21 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LISTAGG / ARRAY_AGG (syntax-test.fsql:270) — sorted for determinism."""
+    """LISTAGG / ARRAY_AGG / JSON_ARRAYAGG (syntax-test.fsql:270) —
+    sorted for determinism; one aggregation feeds both output shapes
+    (the JSON rendering is a projection over the same collect_list)."""
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
         .agg(
-            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.sort_array(F.collect_list("n_name")).alias("_names"),
             F.count(F.lit(1)).alias("n_nations"),
+        )
+        .select(
+            "n_regionkey",
+            F.concat_ws(",", F.col("_names")).alias("nations"),
+            F.to_json(F.col("_names")).alias("nations_json"),
+            "n_nations",
         )
     )
 
@@ -697,7 +705,10 @@ def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stddev_qty").alias("m5"),
         F.lit(None).cast("string").alias("s"),
     )
-    la = agg_listagg(spark, sf_dir).select(
+    # one aggregation feeds the listagg AND json_arrayagg variants
+    # (identical exchange subtrees → Spark's ReusedExchange; review r9)
+    lagg = agg_listagg(spark, sf_dir)
+    la = lagg.select(
         F.lit("listagg").alias("variant"),
         F.col("n_regionkey").cast("string").alias("grp"),
         F.col("n_nations").cast("double").alias("m1"),
@@ -708,21 +719,16 @@ def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nations").alias("s"),
     )
     # JSON_ARRAYAGG (r9 grammar audit; dialect rewrite →
-    # to_json(collect_list)) — sorted for determinism, same compact
-    # JSON text both engines
-    nation = load_table(spark, sf_dir, "nation")
-    ja = nation.groupBy("n_regionkey").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.to_json(F.sort_array(F.collect_list("n_name"))).alias("_j"),
-    ).select(
+    # to_json(collect_list)) — different rendering of the same agg
+    ja = lagg.select(
         F.lit("json_arrayagg").alias("variant"),
         F.col("n_regionkey").cast("string").alias("grp"),
-        F.col("_n").cast("double").alias("m1"),
+        F.col("n_nations").cast("double").alias("m1"),
         nul.alias("m2"),
         nul.alias("m3"),
         nul.alias("m4"),
         nul.alias("m5"),
-        F.col("_j").alias("s"),
+        F.col("nations_json").alias("s"),
     )
     return cd.unionByName(st).unionByName(la).unionByName(ja)
 

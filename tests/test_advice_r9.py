@@ -1040,3 +1040,83 @@ def test_late_dropped_surfaces_on_result_pages(spark, tmp_path):
         assert page.get("lateDropped", 0) >= 1
     finally:
         sess.close()
+
+
+def test_dedup_residual_top_level_or_rejected(spark, tmp_path):
+    """A top-level OR after the rank predicate changes operator
+    precedence ((rn=1 AND a) OR b) — must NOT route as a post-rank
+    filter; parenthesized ORs stay routable (review r9)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    files = [[(1, _t(1), "a"), (1, _t(2), "b")]]
+    schema = "k long, ts timestamp, tag string"
+    _stream_view(spark, tmp_path, "orres_src", schema, files)
+    base = (
+        "SELECT k, tag FROM (SELECT *, ROW_NUMBER() OVER (PARTITION "
+        "BY k ORDER BY ts) AS rn FROM orres_src) WHERE rn = 1 AND "
+    )
+    assert rewrite_streaming_dedup_sql(spark, base + "tag = 'a' OR tag = 'b'") is None
+    assert rewrite_streaming_dedup_sql(spark, base + "tag = 'a' ORDER BY k") is None
+    assert rewrite_streaming_dedup_sql(spark, base + "tag = 'a' LIMIT 5") is None
+    # parenthesized OR is one conjunct — routes
+    routed = rewrite_streaming_dedup_sql(
+        spark, base + "(tag = 'a' OR tag = 'z')"
+    )
+    assert routed is not None
+    got = sorted(
+        (r.k, r.tag)
+        for r in _run_routed(spark, tmp_path, routed, "orres_out").collect()
+    )
+    assert got == [(1, "a")]
+
+
+def test_rowtime_auxiliary_parenthesized(spark):
+    """TUMBLE_END - TUMBLE_ROWTIME must be +1ms, not -1ms — the
+    ROWTIME splice is parenthesized (review r9)."""
+    from flink_sql_toolkit_spark.dialect import rewrite
+
+    spark.createDataFrame(
+        [(1,)], "v long"
+    ).selectExpr("TIMESTAMP '2026-01-01 00:01:00' AS ts").createOrReplaceTempView(
+        "rta_src"
+    )
+    (row,) = spark.sql(
+        rewrite(
+            "SELECT TUMBLE_END(ts, INTERVAL '5' MINUTE) - "
+            "TUMBLE_ROWTIME(ts, INTERVAL '5' MINUTE) AS d FROM rta_src "
+            "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)"
+        )
+    ).collect()
+    assert row.d.total_seconds() == 0.001
+
+
+def test_json_aggs_nested_args_and_one_arg_ltz(spark):
+    """JSON_ARRAYAGG/OBJECTAGG accept nested calls in arguments;
+    TO_TIMESTAMP_LTZ(numeric) defaults to millisecond precision
+    (review r9)."""
+    import json
+    from datetime import datetime
+
+    from flink_sql_toolkit_spark.dialect import rewrite
+
+    (arr,) = spark.sql(
+        rewrite(
+            "SELECT JSON_ARRAYAGG(UPPER(x)) AS a FROM (VALUES ('p'),('q')) AS t(x)"
+        )
+    ).collect()
+    assert sorted(json.loads(arr.a)) == ["P", "Q"]
+    (obj,) = spark.sql(
+        rewrite(
+            "SELECT JSON_OBJECTAGG(KEY lower(k) VALUE v + 1) AS o "
+            "FROM (VALUES ('A', 1)) AS t(k, v)"
+        )
+    ).collect()
+    assert json.loads(obj.o) == {"a": 2}
+    (ts,) = spark.sql(rewrite("SELECT TO_TIMESTAMP_LTZ(1500) AS t")).collect()
+    assert ts.t == datetime(1970, 1, 1, 0, 0, 1, 500000)
+    (ts2,) = spark.sql(
+        rewrite("SELECT TO_TIMESTAMP_LTZ(CAST(1 AS BIGINT) * 1500, 3) AS t")
+    ).collect()
+    assert ts2.t == datetime(1970, 1, 1, 0, 0, 1, 500000)
