@@ -34,6 +34,7 @@ from flink_sql_toolkit_spark.sources.ddl import (
     ConnectorTable,
     matches_create_table_with,
     parse_create_table,
+    spark_type_to_flink,
 )
 from flink_sql_toolkit_spark.streaming.buffer import (
     EOS,
@@ -67,6 +68,18 @@ _COMMAND_HANDLERS = (
 _UNSUPPORTED = {
     re.compile(r"(?is)^COMPILE\s"): "COMPILE PLAN is Flink-specific and out of scope",
 }
+
+# Flink 1.16 CTAS: CREATE TABLE [IF NOT EXISTS] t [COMMENT] WITH
+# (connector options) AS <query> — no column list; the schema derives
+# from the query (FLIP-218). Plain CREATE TABLE has a column-list
+# paren group, so the two shapes never overlap.
+_CTAS_RE = re.compile(
+    r"(?is)^CREATE\s+(?P<tmp>TEMPORARY\s+)?TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*"
+    r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"WITH\s*\((?P<opts>.*?)\)\s*"
+    r"AS\s+(?P<query>\(?\s*(?:SELECT|VALUES|WITH|TABLE)\b.*)$"
+)
 
 
 def _error_condition(e: Exception) -> str:
@@ -141,6 +154,10 @@ class Operation:
             if out is not None:
                 self._columns, self._rows = out
                 return
+        cm = _CTAS_RE.match(stmt)
+        if cm:
+            self._execute_ctas(cm)
+            return
         if matches_create_table_with(stmt + ";"):
             self._columns, self._rows = sess.register_connector_table(stmt)
             return
@@ -223,6 +240,46 @@ class Operation:
         self._rows = []
         self._row_offset = 0
         self._row_iter = df.toLocalIterator(prefetchPartitions=True)
+
+    def _execute_ctas(self, m: "re.Match") -> None:
+        """CREATE TABLE … WITH (…) AS <query> (Flink 1.16 CTAS,
+        FLIP-218): derive the schema from the query, register the
+        connector table, then run the INSERT — atomically enough for a
+        gateway session (Flink's own CTAS is create-then-insert too).
+        IF NOT EXISTS on an existing table skips BOTH steps (Flink's
+        documented behavior); a batch query writes inline, a streaming
+        query becomes a continuous INSERT job with a job id."""
+        sess = self.session
+        name = m.group("name").strip("`")
+        if name in sess.connector_tables:
+            if m.group("ine"):
+                self._columns = [{"name": "result", "logicalType": "string"}]
+                self._rows = [["OK"]]
+                return
+            raise ValueError(f"table '{name}' already exists")
+        query = m.group("query").strip()
+        df = sess.spark.sql(rewrite(query))
+        bad = [f.name for f in df.schema.fields if not re.match(r"^\w+$", f.name)]
+        if bad:
+            raise ValueError(
+                f"CTAS query produces unnamable column(s) {bad} — "
+                "alias each expression (… AS col_name)"
+            )
+        cols = ", ".join(
+            f"`{f.name}` {spark_type_to_flink(f.dataType)}"
+            for f in df.schema.fields
+        )
+        tmp = "TEMPORARY " if m.group("tmp") else ""
+        ddl = f"CREATE {tmp}TABLE `{name}` ({cols}) WITH ({m.group('opts')})"
+        sess.register_connector_table(ddl)
+        try:
+            self._execute_insert(name, query, overwrite=False)
+        except Exception:
+            # failed insert must not leave a half-created table behind
+            sess.connector_tables.pop(name, None)
+            sess.connector_ddl.pop(name, None)
+            sess.spark.catalog.dropTempView(name)
+            raise
 
     def _execute_insert(
         self, target: str, query: str, *, overwrite: bool, columns: list[str] | None = None

@@ -60,6 +60,36 @@ def flink_type_to_spark(t: str) -> str:
     return t.lower()
 
 
+def spark_type_to_flink(dt) -> str:
+    """Spark DataType → the Flink DDL type name whose
+    ``flink_type_to_spark`` round-trips to the same Spark type —
+    used by CTAS to synthesize the created table's DDL from the
+    query's schema (Flink 1.16 CREATE TABLE … AS semantics)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP_LTZ(6)"
+    if isinstance(dt, T.TimestampNTZType):
+        return "TIMESTAMP(6)"
+    if isinstance(dt, T.BinaryType):
+        return "BYTES"
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{spark_type_to_flink(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP<{spark_type_to_flink(dt.keyType)}, "
+            f"{spark_type_to_flink(dt.valueType)}>"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {spark_type_to_flink(f.dataType)}" for f in dt.fields
+        )
+        return f"ROW<{inner}>"
+    # bigint/int/double/boolean/string/date/decimal(p,s)/time(p) all
+    # pass through flink_type_to_spark's fallback (or TIME map) intact
+    return dt.simpleString().upper()
+
+
 @dataclass
 class Column:
     name: str

@@ -444,3 +444,86 @@ def test_error_condition_helper():
     assert _error_condition(_Legacy()) == "_LEGACY_ERROR_TEMP_3102"
     assert _error_condition(_Broken()) == ""
     assert _error_condition(ValueError("plain")) == ""
+
+
+# -- CTAS (Flink 1.16, FLIP-218) --------------------------------------
+
+
+def test_ctas_batch_roundtrip(session, tmp_path):
+    """CREATE TABLE … WITH (…) AS SELECT: schema derives from the
+    query, data is written inline, the table reads back."""
+    import time
+
+    session.execute_statement(
+        f"CREATE TABLE ctas_rt WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/ctas_rt', 'format'='parquet') AS "
+        "SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c"
+    )
+    desc = session.execute_statement("DESCRIBE ctas_rt").fetch()["data"]
+    assert [(r[0], r[1]) for r in desc] == [
+        ("a", "INT"), ("b", "STRING"), ("c", "DOUBLE"),
+    ]
+    op = session.execute_statement("SELECT * FROM ctas_rt")
+    got, token = [], 0
+    deadline = time.time() + 30
+    while time.time() < deadline and not got:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        got.extend(page["data"])
+        time.sleep(0.3)
+    op.cancel()
+    assert got == [[1, "x", 2.5]]
+
+
+def test_ctas_if_not_exists_and_duplicate(session, tmp_path):
+    import pytest as _pytest
+
+    session.execute_statement(
+        f"CREATE TABLE ctas_dup WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/d1', 'format'='parquet') AS SELECT 1 AS a"
+    )
+    # IF NOT EXISTS on an existing table skips create AND insert
+    session.execute_statement(
+        f"CREATE TABLE IF NOT EXISTS ctas_dup WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/d2', 'format'='parquet') AS SELECT 2 AS z"
+    )
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/d2")
+    with _pytest.raises(ValueError, match="already exists"):
+        session.execute_statement(
+            f"CREATE TABLE ctas_dup WITH ('connector'='filesystem', "
+            f"'path'='{tmp_path}/d3', 'format'='parquet') AS SELECT 3 AS w"
+        )
+
+
+def test_ctas_unnamable_column_rejected(session, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alias each expression"):
+        session.execute_statement(
+            f"CREATE TABLE ctas_bad WITH ('connector'='filesystem', "
+            f"'path'='{tmp_path}/bad', 'format'='parquet') AS SELECT 1 + 1"
+        )
+    # the failed CTAS must not leave a registered table behind
+    tables = session.execute_statement("SHOW TABLES").fetch()["data"]
+    assert ["ctas_bad"] not in tables
+
+
+def test_ctas_streaming_source_becomes_job(session):
+    """CTAS over a streaming source registers the table and starts a
+    continuous INSERT job (Flink CTAS on an unbounded query)."""
+    session.execute_statement(
+        "CREATE TABLE ctas_src (v BIGINT) WITH "
+        "('connector'='datagen', 'rows-per-second'='5')"
+    )
+    op = session.execute_statement(
+        "CREATE TABLE ctas_bh WITH ('connector'='blackhole') AS "
+        "SELECT v * 2 AS dbl FROM ctas_src"
+    )
+    assert op.job_id is not None
+    assert any(
+        j.job_id == op.job_id and j.status == "RUNNING"
+        for j in session.jobs.list()
+    )
+    session.jobs.stop(op.job_id)
