@@ -81,18 +81,35 @@ def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None
     s = re.sub(r"\s+", " ", stmt.strip().rstrip(";")).upper()
     spark = session.spark
 
+    emu = session.emulated_catalogs
     if s == "SHOW CURRENT CATALOG":
-        return _c(("current catalog name", "string")), [[spark.catalog.currentCatalog()]]
+        current = emu.current or spark.catalog.currentCatalog()
+        return _c(("current catalog name", "string")), [[current]]
     if s == "SHOW CURRENT DATABASE":
+        cat = emu.current_catalog()
+        if cat is not None:
+            return _c(("current database name", "string")), [
+                [emu.current_db or cat.default_database]
+            ]
         return _c(("current database name", "string")), [[spark.catalog.currentDatabase()]]
     # listing commands read through the session's TTL metadata cache
     # (src/catalogProvider.ts:349-377) — repeated SHOW calls within
     # the TTL cost no catalog round-trip
     if s == "SHOW CATALOGS":
-        return _c(("catalog name", "string")), [[c] for c in session.metadata.catalogs()]
+        names = set(session.metadata.catalogs()) | set(emu.catalogs)
+        return _c(("catalog name", "string")), [[c] for c in sorted(names)]
     if s.startswith("SHOW DATABASES"):
+        cat = emu.current_catalog()
+        m = re.match(r"(?is)^SHOW\s+DATABASES\s+(?:FROM|IN)\s+([\w`]+)", stmt.strip())
+        if m:
+            cat = emu.catalogs.get(m.group(1).strip("`"))
+        if cat is not None:
+            return _c(("database name", "string")), [[d] for d in sorted(cat.databases)]
         return _c(("database name", "string")), [[d] for d in session.metadata.databases()]
     if s.startswith("SHOW TABLES"):
+        db = emu.current_database()
+        if db is not None and not re.search(r"(?i)\b(FROM|IN)\b", s):
+            return _c(("table name", "string")), [[t] for t in sorted(db.tables)]
         return _c(("table name", "string")), [[t] for t in session.metadata.tables()]
     if s.startswith("SHOW VIEWS"):
         return _c(("view name", "string")), [[v] for v in session.metadata.views()]
@@ -172,9 +189,14 @@ def handle_describe(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | 
 
 
 def handle_use(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
+    emu = session.emulated_catalogs
     m = re.match(r"(?is)^USE\s+CATALOG\s+([\w.`]+)\s*;?\s*$", stmt)
     if m:
         name = m.group(1).strip("`")
+        if name in emu.catalogs:
+            emu.current, emu.current_db = name, None
+            session.metadata.invalidate()
+            return _c(("result", "string")), [["OK"]]
         try:
             session.spark.catalog.setCurrentCatalog(name)
         except Exception as e:  # Py4J stack → Flink-style typed error
@@ -182,11 +204,20 @@ def handle_use(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
                 f"catalog '{name}' cannot be found — register a Spark "
                 f"catalog plugin under spark.sql.catalog.{name}"
             ) from e
+        emu.current = emu.current_db = None  # back on a real catalog
         session.metadata.invalidate()  # current-context listings changed
         return _c(("result", "string")), [["OK"]]
     m = re.match(r"(?is)^USE\s+([\w.`]+)\s*;?\s*$", stmt)
     if m:
-        session.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))
+        name = m.group(1).strip("`")
+        cat = emu.current_catalog()
+        if cat is not None:
+            if name not in cat.databases:
+                raise LookupError(f"database '{cat.name}.{name}' does not exist")
+            emu.current_db = name
+            session.metadata.invalidate()
+            return _c(("result", "string")), [["OK"]]
+        session.spark.catalog.setCurrentDatabase(name)
         session.metadata.invalidate()
         return _c(("result", "string")), [["OK"]]
     return None

@@ -23,6 +23,7 @@ from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_sql_toolkit_spark import commands
+from flink_sql_toolkit_spark.catalogs import CatalogRegistry, handle_catalog_ddl
 from flink_sql_toolkit_spark.dialect import (
     rewrite,
     split_statements,
@@ -61,6 +62,7 @@ _COMMAND_HANDLERS = (
     commands.handle_describe,
     commands.handle_use,
     commands.handle_jobs_admin,
+    handle_catalog_ddl,
     commands.handle_alter,
     commands.handle_explain,
 )
@@ -193,6 +195,9 @@ class Operation:
             existed = sess.spark.catalog.dropTempView(name)
             sess.connector_tables.pop(name, None)
             sess.connector_ddl.pop(name, None)
+            for cat in sess.emulated_catalogs.catalogs.values():
+                for db in cat.databases.values():
+                    db.tables.discard(name)
             sess.metadata.invalidate()
             if not existed and not dm.group(2):
                 try:
@@ -651,6 +656,9 @@ class EngineSession:
         self.connector_ddl: dict[str, str] = {}
         self.unreadable_tables: dict[str, str] = {}
         self.jobs = JobRegistry()
+        # DDL-created catalogs are emulated session-side (Spark cannot
+        # load catalog plugins at runtime) — catalogs.py module doc
+        self.emulated_catalogs = CatalogRegistry()
         self.modules = ["core"]
         self.jars: list[str] = []
         self.operations: dict[str, Operation] = {}
@@ -729,6 +737,9 @@ class EngineSession:
             return [{"name": "result", "logicalType": "string"}], [["OK"]]
         self.connector_tables[table.name] = table
         self.connector_ddl[table.name] = stmt
+        db = self.emulated_catalogs.current_database()
+        if db is not None:  # scope the browse tree, not SQL resolution
+            db.tables.add(table.name)
         self._register_view(table)
         # per-node refresh (catalogProvider.ts:248-260): only listings
         # and this table's columns go stale

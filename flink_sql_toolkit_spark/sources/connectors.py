@@ -733,6 +733,7 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
         return None
     if conn == "filesystem":
         fmt, path = table.format, opts["path"]
+        df = _apply_distribution(df, table, streaming)
         if streaming:
             w = df.writeStream.format(fmt).option("path", path)
             if table.partitioned_by:
@@ -771,6 +772,26 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
         df.write.mode("append").jdbc(opts["url"], opts["table-name"], properties=props)
         return None
     raise ValueError(f"connector '{conn}' does not support writes here")
+
+
+def _apply_distribution(df: DataFrame, table, streaming: bool) -> DataFrame:
+    """FLIP-376 ``DISTRIBUTED BY [HASH|RANGE] (cols) INTO n BUCKETS``:
+    repartition the sink input so one task = one bucket — at cluster
+    scale this bounds the file count to n per write and co-locates the
+    bucket key for downstream equi-joins/aggs (a bucketed read needs no
+    shuffle on the key). RANGE uses range partitioning (sorted,
+    min/max-prunable files); Spark cannot range-repartition a streaming
+    frame, so streams fall back to hash on the same key — the bucket
+    contract (same key → same bucket) still holds."""
+    if not table.distributed_by and table.bucket_count is None:
+        return df
+    cols = [df[c] for c in table.distributed_by]
+    n = table.bucket_count
+    if table.bucket_algorithm == "RANGE" and cols and not streaming:
+        return df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
+    if cols:
+        return df.repartition(n, *cols) if n else df.repartition(*cols)
+    return df.repartition(n)
 
 
 def _start(writer, query_name: str, checkpoint: str, trigger_interval: str | None):

@@ -128,6 +128,12 @@ class ConnectorTable:
     watermark: Watermark | None = None
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
+    # FLIP-376 bucketing: DISTRIBUTED BY [HASH|RANGE] (cols) INTO n
+    # BUCKETS — the filesystem sink repartitions on the bucket key so
+    # one output file region = one bucket (co-located equi-join reads)
+    distributed_by: list[str] = field(default_factory=list)
+    bucket_algorithm: str = "HASH"
+    bucket_count: int | None = None
     options: dict[str, str] = field(default_factory=dict)
     temporary: bool = False
     if_not_exists: bool = False
@@ -149,10 +155,14 @@ class ConnectorTable:
 
 
 _CREATE_RE = re.compile(
-    r"(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.`]+)\s*\((.*?)\)\s*(COMMENT\s+'([^']*)'\s*)?"
-    r"(PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-    r"WITH\s*\((.*?)\)\s*;?\s*$"
+    # clause order per Flink: COMMENT, DISTRIBUTED (FLIP-376, 1.20),
+    # PARTITIONED BY, WITH
+    r"(?is)^\s*CREATE\s+(?P<tmp>TEMPORARY\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s*\((?P<body>.*?)\)\s*(?:COMMENT\s+'(?P<comment>[^']*)'\s*)?"
+    r"(?:DISTRIBUTED(?:\s+BY\s+(?P<balgo>HASH|RANGE)?\s*\((?P<bcols>[^)]*)\))?"
+    r"(?:\s+INTO\s+(?P<bnum>\d+)\s+BUCKETS)?\s+)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"WITH\s*\((?P<opts>.*?)\)\s*;?\s*$"
 )
 
 _INTERVAL_RE = re.compile(r"(?is)INTERVAL\s+'([\d.]+)'\s+(\w+)")
@@ -199,19 +209,29 @@ def parse_create_table(sql: str) -> ConnectorTable:
     if not m:
         raise ValueError("not a CREATE TABLE ... WITH(...) statement")
     table = ConnectorTable(
-        name=m.group(3).strip("`"),
-        temporary=bool(m.group(1)),
-        if_not_exists=bool(m.group(2)),
-        comment=m.group(6),
+        name=m.group("name").strip("`"),
+        temporary=bool(m.group("tmp")),
+        if_not_exists=bool(m.group("ine")),
+        comment=m.group("comment"),
     )
-    if m.group(8):
-        table.partitioned_by = [c.strip().strip("`") for c in m.group(8).split(",")]
-    for kv in _split_top(m.group(9)):
+    if m.group("parts"):
+        table.partitioned_by = [c.strip().strip("`") for c in m.group("parts").split(",")]
+    if m.group("bcols") is not None or m.group("bnum") is not None:
+        # DISTRIBUTED BY [HASH|RANGE] (cols) [INTO n BUCKETS] /
+        # DISTRIBUTED INTO n BUCKETS (FLIP-376; connector picks the
+        # key/algorithm when omitted — here hash on all-columns-absent
+        # means round-robin into n output buckets)
+        table.distributed_by = [
+            c.strip().strip("`") for c in (m.group("bcols") or "").split(",") if c.strip()
+        ]
+        table.bucket_algorithm = (m.group("balgo") or "HASH").upper()
+        table.bucket_count = int(m.group("bnum")) if m.group("bnum") else None
+    for kv in _split_top(m.group("opts")):
         km = re.match(r"(?s)^\s*'([^']*)'\s*=\s*'((?:[^']|'')*)'\s*$", kv)
         if km:
             table.options[km.group(1)] = km.group(2).replace("''", "'")
 
-    for part in _split_top(m.group(4)):
+    for part in _split_top(m.group("body")):
         wm = re.match(r"(?is)^WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*)$", part)
         if wm:
             expr = wm.group(2).strip()

@@ -1,0 +1,209 @@
+"""CREATE/DROP/ALTER CATALOG, the DATABASE DDL family, and
+DISTRIBUTED BY bucketing (FLIP-376).
+
+The reference grammar declares these statements
+(syntaxes/flink.tmLanguage.json:371 catalog DDL, :203 DATABASE /
+DISTRIBUTED BY keywords); the client walks catalog → database → table
+trees (src/catalogProvider.ts). Spark cannot load catalog plugins at
+runtime, so DDL-created catalogs are emulated session-side
+(catalogs.py module doc)."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+import pytest
+
+from flink_sql_toolkit_spark.engine import Engine
+from flink_sql_toolkit_spark.sources.ddl import parse_create_table
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture()
+def sess(engine):
+    s = engine.open_session("catalog-ddl")
+    yield s
+    engine.close_session(s.handle)
+
+
+def run(sess, sql):
+    return sess.execute_statement(sql)._rows
+
+
+class TestCatalogDDL:
+    def test_create_show_use_drop_roundtrip(self, sess):
+        run(sess, "CREATE CATALOG c1 WITH ('type'='generic_in_memory')")
+        assert ["c1"] in run(sess, "SHOW CATALOGS")
+        run(sess, "USE CATALOG c1")
+        assert run(sess, "SHOW CURRENT CATALOG") == [["c1"]]
+        # default database materializes with the catalog
+        assert run(sess, "SHOW CURRENT DATABASE") == [["default"]]
+        run(sess, "USE CATALOG spark_catalog")
+        assert run(sess, "SHOW CURRENT CATALOG") == [["spark_catalog"]]
+        run(sess, "DROP CATALOG c1")
+        assert ["c1"] not in run(sess, "SHOW CATALOGS")
+
+    def test_type_option_required(self, sess):
+        with pytest.raises(ValueError, match="type"):
+            run(sess, "CREATE CATALOG bad WITH ('foo'='bar')")
+
+    def test_duplicate_and_if_not_exists(self, sess):
+        run(sess, "CREATE CATALOG c2 WITH ('type'='generic_in_memory')")
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "CREATE CATALOG c2 WITH ('type'='generic_in_memory')")
+        assert run(sess, "CREATE CATALOG IF NOT EXISTS c2 WITH ('type'='x')") == [["OK"]]
+
+    def test_drop_current_catalog_rejected(self, sess):
+        run(sess, "CREATE CATALOG c3 WITH ('type'='generic_in_memory')")
+        run(sess, "USE CATALOG c3")
+        with pytest.raises(ValueError, match="currently in use"):
+            run(sess, "DROP CATALOG c3")
+
+    def test_drop_missing(self, sess):
+        with pytest.raises(LookupError):
+            run(sess, "DROP CATALOG nope")
+        assert run(sess, "DROP CATALOG IF EXISTS nope") == [["OK"]]
+
+    def test_alter_and_describe(self, sess):
+        run(sess, "CREATE CATALOG c4 COMMENT 'my cat' WITH ('type'='t0','opt'='a')")
+        run(sess, "ALTER CATALOG c4 SET ('opt'='b','extra'='1')")
+        run(sess, "ALTER CATALOG c4 COMMENT 'renamed'")
+        rows = dict(run(sess, "DESCRIBE CATALOG EXTENDED c4"))
+        assert rows["type"] == "t0"
+        assert rows["comment"] == "renamed"
+        assert rows["option:opt"] == "b" and rows["option:extra"] == "1"
+        run(sess, "ALTER CATALOG c4 RESET ('extra')")
+        rows = dict(run(sess, "DESCRIBE CATALOG EXTENDED c4"))
+        assert "option:extra" not in rows
+        with pytest.raises(ValueError, match="type"):
+            run(sess, "ALTER CATALOG c4 RESET ('type')")
+
+    def test_describe_plain_and_missing(self, sess):
+        run(sess, "CREATE CATALOG c5 WITH ('type'='t')")
+        rows = run(sess, "DESCRIBE CATALOG c5")
+        assert rows == [["name", "c5"], ["type", "t"], ["comment", ""]]
+        with pytest.raises(LookupError):
+            run(sess, "DESCRIBE CATALOG ghost")
+
+
+class TestDatabaseDDL:
+    def test_emulated_database_lifecycle(self, sess):
+        run(sess, "CREATE CATALOG dc WITH ('type'='generic_in_memory','default-database'='main')")
+        run(sess, "USE CATALOG dc")
+        assert run(sess, "SHOW DATABASES") == [["main"]]
+        run(sess, "CREATE DATABASE extra COMMENT 'x' WITH ('owner'='me')")
+        assert run(sess, "SHOW DATABASES") == [["extra"], ["main"]]
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "CREATE DATABASE extra")
+        run(sess, "CREATE DATABASE IF NOT EXISTS extra")
+        run(sess, "USE extra")
+        assert run(sess, "SHOW CURRENT DATABASE") == [["extra"]]
+        # connector table created here scopes to dc.extra's browse tree
+        run(sess, "CREATE TABLE scoped_t (a INT) WITH ('connector'='datagen','number-of-rows'='2')")
+        assert run(sess, "SHOW TABLES") == [["scoped_t"]]
+        with pytest.raises(ValueError, match="not empty"):
+            run(sess, "DROP DATABASE extra")
+        run(sess, "USE main")
+        run(sess, "DROP DATABASE extra CASCADE")
+        assert run(sess, "SHOW DATABASES") == [["main"]]
+        run(sess, "ALTER DATABASE main SET ('k'='v')")
+        assert sess.emulated_catalogs.catalogs["dc"].databases["main"].properties == {"k": "v"}
+
+    def test_use_missing_database(self, sess):
+        run(sess, "CREATE CATALOG uc WITH ('type'='t')")
+        run(sess, "USE CATALOG uc")
+        with pytest.raises(LookupError):
+            run(sess, "USE nope")
+
+    def test_spark_branch_with_translates_to_dbproperties(self, sess):
+        """Flink's WITH ('k'='v') on a real Spark catalog becomes
+        WITH DBPROPERTIES — Spark rejects the Flink spelling raw."""
+        run(sess, "CREATE DATABASE IF NOT EXISTS fstk_dbtest COMMENT 'spark side' WITH ('a'='1')")
+        try:
+            rows = sess.spark.sql(
+                "DESCRIBE DATABASE EXTENDED fstk_dbtest"
+            ).collect()
+            info = {r[0]: r[1] for r in rows}
+            assert "spark side" in info.get("Comment", "")
+            run(sess, "ALTER DATABASE fstk_dbtest SET ('a'='2')")
+            props = {r[0]: r[1] for r in sess.spark.sql("DESCRIBE DATABASE EXTENDED fstk_dbtest").collect()}
+            assert "a,2" in props.get("Properties", "")  # Spark renders ((a,2))
+        finally:
+            run(sess, "DROP DATABASE IF EXISTS fstk_dbtest")
+
+    def test_qualified_ref_binds_named_catalog(self, sess):
+        run(sess, "CREATE CATALOG qc WITH ('type'='t')")
+        run(sess, "CREATE DATABASE qc.side")
+        assert "side" in sess.emulated_catalogs.catalogs["qc"].databases
+        run(sess, "DROP DATABASE qc.side")
+        assert "side" not in sess.emulated_catalogs.catalogs["qc"].databases
+        with pytest.raises(LookupError, match="catalog"):
+            run(sess, "CREATE DATABASE ghostcat.db1")
+
+
+class TestDistributedBy:
+    def test_parse_variants(self):
+        t = parse_create_table(
+            "CREATE TABLE b1 (k INT, v STRING) DISTRIBUTED BY HASH(k) INTO 4 BUCKETS"
+            " WITH ('connector'='blackhole');"
+        )
+        assert (t.distributed_by, t.bucket_algorithm, t.bucket_count) == (["k"], "HASH", 4)
+        t = parse_create_table(
+            "CREATE TABLE b2 (k INT) DISTRIBUTED INTO 3 BUCKETS WITH ('connector'='blackhole');"
+        )
+        assert (t.distributed_by, t.bucket_count) == ([], 3)
+        t = parse_create_table(
+            "CREATE TABLE b3 (a INT, b INT) DISTRIBUTED BY RANGE(a, b) PARTITIONED BY (b)"
+            " WITH ('connector'='blackhole');"
+        )
+        assert (t.distributed_by, t.bucket_algorithm, t.bucket_count) == (["a", "b"], "RANGE", None)
+        assert t.partitioned_by == ["b"]
+        # plain tables keep an empty distribution
+        t = parse_create_table("CREATE TABLE b4 (a INT) WITH ('connector'='blackhole');")
+        assert t.distributed_by == [] and t.bucket_count is None
+
+    def test_hash_buckets_on_filesystem_sink(self, sess):
+        d = tempfile.mkdtemp()
+        run(sess, f"CREATE TABLE hsink (k INT, v INT) DISTRIBUTED BY HASH(k) INTO 4 BUCKETS"
+                  f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')")
+        run(sess, "INSERT INTO hsink SELECT CAST(id % 16 AS INT), CAST(id AS INT)"
+                  " FROM (SELECT EXPLODE(SEQUENCE(0, 499)) AS id)")
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 4
+        # bucket contract: every key lands in exactly one file
+        import duckdb
+
+        con = duckdb.connect()
+        worst = con.sql(
+            f"SELECT max(c) FROM (SELECT count(DISTINCT filename) c FROM "
+            f"read_parquet('{d}/*.parquet', filename=true) GROUP BY k)"
+        ).fetchone()[0]
+        assert worst == 1
+        assert con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0] == 500
+
+    def test_range_buckets_are_sorted_and_disjoint(self, sess):
+        d = tempfile.mkdtemp()
+        run(sess, f"CREATE TABLE rsink (k INT) DISTRIBUTED BY RANGE(k) INTO 3 BUCKETS"
+                  f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')")
+        run(sess, "INSERT INTO rsink SELECT CAST(id AS INT) FROM (SELECT EXPLODE(SEQUENCE(0, 299)) AS id)")
+        import duckdb
+
+        con = duckdb.connect()
+        spans = con.sql(
+            f"SELECT min(k), max(k) FROM read_parquet('{d}/*.parquet', filename=true)"
+            f" GROUP BY filename ORDER BY 1"
+        ).fetchall()
+        assert len(spans) == 3
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2  # min/max-prunable, non-overlapping files
+
+    def test_show_create_table_roundtrips_clause(self, sess):
+        run(sess, "CREATE TABLE sct (k INT) DISTRIBUTED BY HASH(k) INTO 2 BUCKETS"
+                  " WITH ('connector'='blackhole')")
+        ddl = run(sess, "SHOW CREATE TABLE sct")[0][0]
+        assert "DISTRIBUTED BY HASH(k) INTO 2 BUCKETS" in ddl
