@@ -252,9 +252,30 @@ def handle_jobs_admin(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] 
     return None
 
 
+def _refresh_altered(session: "EngineSession", table) -> tuple[Cols, Rows]:
+    """Post-ALTER bookkeeping on a connector table: resynthesize the
+    stored DDL (SHOW CREATE TABLE stays truthful), re-register the
+    reader view, and drop the stale cached schema."""
+    from flink_sql_toolkit_spark.sources.ddl import synthesize_ddl  # noqa: PLC0415
+
+    session.connector_ddl[table.name] = synthesize_ddl(table)
+    session._register_view(table)
+    session.metadata.invalidate_table(table.name)
+    return _c(("result", "string")), [["OK"]]
+
+
+def _find_column(table, col: str):
+    for c in table.columns:
+        if c.name == col:
+            return c
+    raise LookupError(f"column '{col}' does not exist in table '{table.name}'")
+
+
 def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
-    """Flink ``ALTER TABLE t SET ('k'='v')`` / ``RENAME TO`` on
-    connector-registry tables (syntax-test.fsql ALTER section)."""
+    """Flink ``ALTER TABLE`` subforms on connector-registry tables —
+    SET / RESET / ADD / MODIFY / DROP / RENAME / COMPACT, the full
+    keyword set the reference grammar declares
+    (syntaxes/flink.tmLanguage.json ALTER section; FLIP-273)."""
     m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+SET\s*\((.*)\)\s*;?\s*$", stmt)
     if m:
         name = m.group(1).strip("`")
@@ -266,9 +287,126 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             return _c(("result", "string")), [["OK"]]
         for kv in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group(2)):
             table.options[kv[0]] = kv[1]
-        return _c(("result", "string")), [["OK"]]
+        return _refresh_altered(session, table)
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RESET\s*\((.*)\)\s*;?\s*$", stmt)
+    if m:
+        name = m.group(1).strip("`")
+        table = session.connector_tables.get(name)
+        keys = re.findall(r"'([^']*)'", m.group(2))
+        if table is None:
+            props = ", ".join(f"'{k}'" for k in keys)
+            session.spark.sql(f"ALTER TABLE {name} UNSET TBLPROPERTIES ({props})")
+            return _c(("result", "string")), [["OK"]]
+        if "connector" in keys:
+            # Flink: ValidationException on resetting 'connector'
+            raise ValueError("ALTER TABLE RESET does not support changing 'connector'")
+        for k in keys:
+            table.options.pop(k, None)
+        return _refresh_altered(session, table)
     m = re.match(
-        r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+COLUMN\s+([\w`]+)\s+(.+?)\s*;?\s*$", stmt
+        r"(?is)^ALTER\s+TABLE\s+([\w`]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+COMPACT\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        from flink_sql_toolkit_spark.sources.dml import compact_table  # noqa: PLC0415
+
+        return compact_table(session, m.group(1), m.group(2))
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+DROP\s+"
+        r"(WATERMARK|(?:CONSTRAINT\s+\w+|PRIMARY\s+KEY)|\(([^)]*)\)|(?!PARTITION\b)[\w`]+)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        table = session.connector_tables.get(name)
+        if table is None:
+            session.spark.sql(stmt.rstrip(";"))
+            return _c(("result", "string")), [["OK"]]
+        what = m.group(2).strip()
+        if what.upper() == "WATERMARK":
+            if table.watermark is None:
+                raise LookupError(f"table '{name}' has no watermark to drop")
+            table.watermark = None
+            return _refresh_altered(session, table)
+        if what.upper().startswith(("PRIMARY", "CONSTRAINT")):
+            if not table.primary_key:
+                raise LookupError(f"table '{name}' has no primary key to drop")
+            table.primary_key = []
+            return _refresh_altered(session, table)
+        cols = [c.strip().strip("`") for c in (m.group(3) or what).split(",")]
+        for col in cols:
+            _find_column(table, col)
+            used = (
+                col in table.primary_key
+                or col in table.partitioned_by
+                or col in table.distributed_by
+                or (table.watermark and table.watermark.column == col)
+            )
+            if used:
+                raise ValueError(
+                    f"cannot drop column '{col}': referenced by the table's "
+                    f"key/partition/distribution/watermark spec"
+                )
+            table.columns = [c for c in table.columns if c.name != col]
+        return _refresh_altered(session, table)
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+MODIFY\s+"
+        r"(?:WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*?)|([\w`]+)\s+(.+?))\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        table = session.connector_tables.get(name)
+        if table is None:
+            raise NotImplementedError(
+                "ALTER TABLE ... MODIFY targets connector-registry tables"
+            )
+        from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+            flink_type_to_spark,
+            parse_watermark,
+        )
+
+        if m.group(2):  # MODIFY WATERMARK FOR col AS expr
+            col = m.group(2).strip("`")
+            _find_column(table, col)
+            table.watermark = parse_watermark(col, m.group(3))
+            return _refresh_altered(session, table)
+        col = m.group(4).strip("`")
+        tm = re.match(r"(?is)^(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", m.group(5))
+        target = _find_column(table, col)
+        target.spark_type = flink_type_to_spark(tm.group(1))
+        target.nullable = not tm.group(2)
+        if tm.group(4) is not None:
+            target.comment = tm.group(4)
+        return _refresh_altered(session, table)
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+(?!TO\s)([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*$",
+        stmt,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        table = session.connector_tables.get(name)
+        old, new = m.group(2).strip("`"), m.group(3).strip("`")
+        if table is None:
+            session.spark.sql(f"ALTER TABLE {name} RENAME COLUMN {old} TO {new}")
+            return _c(("result", "string")), [["OK"]]
+        target = _find_column(table, old)
+        if any(c.name == new for c in table.columns):
+            raise ValueError(f"column '{new}' already exists in table '{name}'")
+        target.name = new
+        table.primary_key = [new if c == old else c for c in table.primary_key]
+        table.partitioned_by = [new if c == old else c for c in table.partitioned_by]
+        table.distributed_by = [new if c == old else c for c in table.distributed_by]
+        if table.watermark and table.watermark.column == old:
+            table.watermark.column = new
+            table.watermark.delay_expr = re.sub(
+                rf"\b{re.escape(old)}\b", new, table.watermark.delay_expr
+            )
+        return _refresh_altered(session, table)
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+"
+        r"(?:COLUMN\s+)?(?!PARTITION\b|IF\b)(?:\(([^)]*)\)|([\w`]+)\s+(.+?))\s*;?\s*$",
+        stmt,
     )
     if m:
         name = m.group(1).strip("`")
@@ -277,24 +415,40 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         if table is not None:
             from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
                 Column,
+                _split_top,
                 flink_type_to_spark,
             )
 
-            table.columns.append(Column(m.group(2).strip("`"), flink_type_to_spark(m.group(3))))
-            session._register_view(table)
-            return _c(("result", "string")), [["OK"]]
+            if m.group(2) is not None:  # ADD (c1 T1, c2 T2, ...) — FLIP-273
+                items = [
+                    re.match(r"(?s)^([\w`]+)\s+(.+)$", p.strip()).groups()
+                    for p in _split_top(m.group(2))
+                ]
+            else:
+                items = [(m.group(3), m.group(4))]
+            for cname, ctype in items:
+                cname = cname.strip("`")
+                if any(c.name == cname for c in table.columns):
+                    raise ValueError(f"column '{cname}' already exists in table '{name}'")
+                table.columns.append(Column(cname, flink_type_to_spark(ctype)))
+            return _refresh_altered(session, table)
+        # non-connector target: Spark's ADD COLUMNS spelling covers the
+        # single, keyword-less and list forms alike; temp views (which
+        # Spark DDL can't alter) are widened in place
+        cols_text = m.group(2) or f"{m.group(3)} {m.group(4)}"
         try:
-            session.spark.sql(stmt.rstrip(";"))
+            session.spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_text})")
         except Exception:  # noqa: BLE001 — temp view target: widen in place
             from pyspark.sql import functions as F  # noqa: PLC0415
             from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+                _split_top,
                 flink_type_to_spark as _ftts,
             )
 
-            col = m.group(2).strip("`")
-            df = session.spark.table(name).withColumn(
-                col, F.lit(None).cast(_ftts(m.group(3)))
-            )
+            df = session.spark.table(name)
+            for p in _split_top(cols_text):
+                cm2 = re.match(r"(?s)^([\w`]+)\s+(.+)$", p.strip())
+                df = df.withColumn(cm2.group(1).strip("`"), F.lit(None).cast(_ftts(cm2.group(2))))
             df.createOrReplaceTempView(name)
         return _c(("result", "string")), [["OK"]]
     m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+TO\s+([\w`]+)\s*;?\s*$", stmt)
@@ -305,7 +459,10 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         if table is not None:
             table.name = new
             session.connector_tables[new] = table
-            session.connector_ddl[new] = session.connector_ddl.pop(old, "")
+            from flink_sql_toolkit_spark.sources.ddl import synthesize_ddl  # noqa: PLC0415
+
+            session.connector_ddl.pop(old, None)
+            session.connector_ddl[new] = synthesize_ddl(table)
             df = session.spark.table(old)
             session.spark.catalog.dropTempView(old)
             df.createOrReplaceTempView(new)

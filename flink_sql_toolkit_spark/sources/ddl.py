@@ -204,6 +204,59 @@ def matches_create_table_with(sql: str) -> bool:
     return bool(_CREATE_RE.match(sql))
 
 
+def parse_watermark(column: str, expr: str) -> Watermark:
+    """``WATERMARK FOR col AS <expr>`` → Watermark (the same mapping
+    parse_create_table applies: INTERVAL delay → Spark duration;
+    SOURCE_WATERMARK()/strictly-ascending → 0 delay)."""
+    expr = expr.strip()
+    im = _INTERVAL_RE.search(expr)
+    delay = "0 seconds"
+    if im:
+        u = im.group(2).upper()
+        unit = _UNITS.get(u.rstrip("S") if u.endswith("S") else u) or _UNITS.get(u, "seconds")
+        delay = f"{im.group(1)} {unit}"
+    return Watermark(column.strip("`"), expr, delay)
+
+
+def synthesize_ddl(table: "ConnectorTable") -> str:
+    """Rebuild the CREATE TABLE text from a (possibly ALTERed)
+    ConnectorTable so SHOW CREATE TABLE stays truthful after
+    ALTER TABLE ADD/MODIFY/DROP/RENAME mutations."""
+    parts: list[str] = []
+    for c in table.columns:
+        p = f"{c.name} {c.spark_type.upper()}"
+        if not c.nullable:
+            p += " NOT NULL"
+        if c.comment:
+            p += f" COMMENT '{c.comment}'"
+        parts.append(p)
+    for mc in table.metadata:
+        p = f"{mc.name} {mc.spark_type.upper()} METADATA"
+        if mc.key != mc.name:
+            p += f" FROM '{mc.key}'"
+        if mc.virtual:
+            p += " VIRTUAL"
+        parts.append(p)
+    parts += [f"{cc.name} AS {cc.expr}" for cc in table.computed]
+    if table.watermark:
+        parts.append(f"WATERMARK FOR {table.watermark.column} AS {table.watermark.delay_expr}")
+    if table.primary_key:
+        parts.append(f"PRIMARY KEY ({', '.join(table.primary_key)}) NOT ENFORCED")
+    ddl = f"CREATE {'TEMPORARY ' if table.temporary else ''}TABLE {table.name} ({', '.join(parts)})"
+    if table.comment:
+        ddl += f" COMMENT '{table.comment}'"
+    if table.distributed_by or table.bucket_count is not None:
+        ddl += " DISTRIBUTED"
+        if table.distributed_by:
+            ddl += f" BY {table.bucket_algorithm}({', '.join(table.distributed_by)})"
+        if table.bucket_count is not None:
+            ddl += f" INTO {table.bucket_count} BUCKETS"
+    if table.partitioned_by:
+        ddl += f" PARTITIONED BY ({', '.join(table.partitioned_by)})"
+    opts = ", ".join(f"'{k}'='{v}'" for k, v in table.options.items())
+    return f"{ddl} WITH ({opts})"
+
+
 def parse_create_table(sql: str) -> ConnectorTable:
     m = _CREATE_RE.match(sql)
     if not m:
@@ -234,19 +287,12 @@ def parse_create_table(sql: str) -> ConnectorTable:
     for part in _split_top(m.group("body")):
         wm = re.match(r"(?is)^WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*)$", part)
         if wm:
-            expr = wm.group(2).strip()
-            im = _INTERVAL_RE.search(expr)
             # SOURCE_WATERMARK() (connector-provided watermark,
             # syntaxes/flink.tmLanguage.json:467) and a bare
             # strictly-ascending `AS col` both map to a zero-delay
             # Spark watermark — Spark has no connector-watermark
             # channel, and 0-delay is the tightest sound bound.
-            delay = "0 seconds"
-            if im:
-                unit = _UNITS.get(im.group(2).upper().rstrip("S") if im.group(2).upper().endswith("S") else im.group(2).upper(), None)
-                unit = unit or _UNITS.get(im.group(2).upper(), "seconds")
-                delay = f"{im.group(1)} {unit}"
-            table.watermark = Watermark(wm.group(1).strip("`"), expr, delay)
+            table.watermark = parse_watermark(wm.group(1), wm.group(2))
             continue
         pm = re.match(r"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", part)
         if pm:

@@ -491,3 +491,90 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
     ).first()
     _cow_swap(spark, table, joined.filter(keep).select(*proj))
     return _result((counts.u or 0) + (counts.d or 0) + (counts.i or 0))
+
+
+# -- ALTER TABLE ... COMPACT -------------------------------------------
+
+
+def _data_bytes(path: str) -> int:
+    """Committed data bytes under a table/partition directory
+    (staging dirs and _SUCCESS/dot files excluded)."""
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if "__cow" not in d]
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return total
+
+
+def compact_table(sess, name: str, partition_text: str | None):
+    """``ALTER TABLE t [PARTITION (spec)] COMPACT`` — Flink's
+    filesystem small-file compaction (batch mode), the remaining
+    ALTER subform the reference grammar declares
+    (tmLanguage.json: ADD|MODIFY|RENAME|SET|RESET|COMPACT).
+
+    Rewrites the target's data files into ~`spark.sql.files.
+    maxPartitionBytes`-sized outputs via the same atomic
+    copy-on-write swap row-level DML uses. Partitioned tables
+    repartition on the partition columns (one writer task — hence one
+    compacted file — per partition, Flink's per-partition merge
+    granularity); `PARTITION (spec)` compacts only that partition's
+    directory, leaving every other partition untouched on disk. A
+    `DISTRIBUTED BY` table recompacts through its bucket spec so the
+    bucket contract survives compaction. At 100 TB this is the
+    maintenance pass that keeps scan task counts proportional to data
+    size rather than to historical write batch counts.
+    """
+    table = sess.connector_tables.get(name.strip("`"))
+    if table is None or table.connector != "filesystem":
+        raise NotImplementedError(
+            "ALTER TABLE ... COMPACT targets filesystem connector tables "
+            "(Flink scopes compaction to the filesystem connector the same way)"
+        )
+    spark = sess.spark
+    df = build_reader(spark, table, streaming=False).select(
+        *[c.name for c in table.columns]
+    )
+    pcols = table.partitioned_by
+
+    if partition_text:
+        if not pcols:
+            raise ValueError(f"table '{name}' is not partitioned")
+        spec: dict[str, str] = {}
+        for part in _split_args(partition_text):
+            km = re.match(r"(?s)^\s*([\w`]+)\s*=\s*(?:'([^']*)'|(\S+))\s*$", part)
+            if not km:
+                raise ValueError(f"cannot parse PARTITION spec item: {part!r}")
+            spec[km.group(1).strip("`")] = km.group(2) if km.group(2) is not None else km.group(3)
+        if set(spec) != set(pcols):
+            raise ValueError(
+                f"PARTITION spec must name exactly the partition columns {pcols}"
+            )
+        cond = F.lit(True)
+        for c in pcols:
+            cond = cond & (F.col(c) == F.lit(spec[c]).cast(df.schema[c].dataType))
+        sub = df.filter(cond)
+        parts = [tuple(r) for r in sub.select(*pcols).distinct().collect()]
+        if not parts:  # empty partition: nothing to compact
+            return [{"name": "result", "logicalType": "string"}], [["OK"]]
+        _cow_swap_partitions(spark, table, sub.repartition(*[F.col(c) for c in pcols]), parts)
+        sess.refresh_connector_views()
+        return [{"name": "result", "logicalType": "string"}], [["OK"]]
+
+    if table.distributed_by:
+        n = table.bucket_count
+        cols = [F.col(c) for c in table.distributed_by]
+        df = df.repartition(n, *cols) if n else df.repartition(*cols)
+    elif pcols:
+        df = df.repartition(*[F.col(c) for c in pcols])
+    else:
+        conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        max_bytes = int(re.sub(r"[^0-9]", "", conf) or "134217728")
+        target = max(1, -(-_data_bytes(table.options["path"].rstrip("/")) // max_bytes))
+        df = df.repartition(target)
+    _cow_swap(spark, table, df)
+    sess.refresh_connector_views()
+    return [{"name": "result", "logicalType": "string"}], [["OK"]]
