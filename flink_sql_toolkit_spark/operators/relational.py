@@ -438,6 +438,35 @@ def join_cross_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+def join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink WINDOW JOIN (two TUMBLE TVFs joined on
+    window_start/window_end + key — rows pair only within the same
+    window; streaming E2E in test_streaming). Batch plan: both sides
+    shuffle once on the (window, key) join key — bounded by window
+    size at any scale, the property that makes window joins the
+    scale-safe alternative to unbounded stream joins."""
+    from flink_sql_toolkit_spark.operators.tvf import tumble  # noqa: PLC0415 — tvf imports dec from here
+
+    ev = load_table(spark, sf_dir, "events")
+    p = tumble(ev.filter(F.col("event_type") == "purchase"), "ts", "1 hour").select(
+        "window_start", "window_end", "user_id"
+    )
+    v = tumble(ev.filter(F.col("event_type") == "view"), "ts", "1 hour").select(
+        F.col("window_start").alias("v_ws"),
+        F.col("window_end").alias("v_we"),
+        F.col("user_id").alias("v_user"),
+        "value",
+    )
+    return (
+        p.join(
+            v,
+            (p.window_start == v.v_ws) & (p.window_end == v.v_we) & (p.user_id == v.v_user),
+        )
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("v"))
+    )
+
+
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (the stream-stream time-bounded join of §2.4/
     §2.11, batch-verified): views within 10 min before each purchase.
@@ -498,11 +527,23 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND v.ts >= p.ts - INTERVAL 10 MINUTE
      AND v.ts < p.ts
     GROUP BY p.event_id, p.user_id
+    UNION ALL
+    SELECT 'window', p.user_id, CAST(NULL AS BIGINT),
+           strftime(make_timestamp(CAST(floor(epoch(p.ts) / 3600) * 3600 AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S'),
+           COUNT(*),
+           CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON floor(epoch(p.ts) / 3600) = floor(epoch(v.ts) / 3600)
+     AND v.user_id = p.user_id
+    GROUP BY 1, 2, 4
     """,
 )
 def join_theta_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS JOIN + theta join (`join_cross_non_equi`) + time-bounded
-    interval join (`join_interval`), tagged and concatenated."""
+    interval join (`join_interval`) + window join (`join_window`),
+    tagged and concatenated."""
     cn = join_cross_non_equi(spark, sf_dir).select(
         "variant",
         "k",
@@ -519,7 +560,15 @@ def join_theta_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("views_before").alias("n"),
         F.col("viewed_value").alias("v"),
     )
-    return cn.unionByName(iv)
+    wj = join_window(spark, sf_dir).select(
+        F.lit("window").alias("variant"),
+        F.col("user_id").alias("k"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("name"),
+        F.col("n"),
+        F.col("v"),
+    )
+    return cn.unionByName(iv).unionByName(wj)
 
 
 @register(
