@@ -288,13 +288,18 @@ def _split_db_ref(
     """``[catalog.]db`` → (emulated catalog or None-for-Spark, db name).
 
     An unqualified name binds to the CURRENT catalog (emulated if one
-    is in use); a qualified name binds to the named catalog.
+    is in use); a qualified name binds to the named catalog. A
+    qualified SPARK catalog keeps the qualifier in the returned name
+    so the translated DDL runs against the named catalog, not the
+    current one.
     """
     reg = session.emulated_catalogs
     parts = [p.strip("`") for p in ref.split(".")]
     if len(parts) == 2:
         cat = reg.catalogs.get(parts[0])
-        if cat is None and parts[0] not in _spark_catalog_names(session):
+        if cat is not None:
+            return cat, parts[1]
+        if parts[0] not in _spark_catalog_names(session):
             raise LookupError(f"catalog '{parts[0]}' does not exist")
-        return cat, parts[1]
+        return None, f"{parts[0]}.{parts[1]}"
     return reg.current_catalog(), parts[0]

@@ -99,10 +99,16 @@ def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None
         names = set(session.metadata.catalogs()) | set(emu.catalogs)
         return _c(("catalog name", "string")), [[c] for c in sorted(names)]
     if s.startswith("SHOW DATABASES"):
-        cat = emu.current_catalog()
         m = re.match(r"(?is)^SHOW\s+DATABASES\s+(?:FROM|IN)\s+([\w`]+)", stmt.strip())
         if m:
-            cat = emu.catalogs.get(m.group(1).strip("`"))
+            cname = m.group(1).strip("`")
+            named = emu.catalogs.get(cname)
+            if named is not None:
+                return _c(("database name", "string")), [[d] for d in sorted(named.databases)]
+            if cname not in session.metadata.catalogs():
+                raise LookupError(f"catalog '{cname}' does not exist")
+            return _c(("database name", "string")), [[d] for d in session.metadata.databases(cname)]
+        cat = emu.current_catalog()
         if cat is not None:
             return _c(("database name", "string")), [[d] for d in sorted(cat.databases)]
         return _c(("database name", "string")), [[d] for d in session.metadata.databases()]
@@ -209,15 +215,28 @@ def handle_use(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
         return _c(("result", "string")), [["OK"]]
     m = re.match(r"(?is)^USE\s+([\w.`]+)\s*;?\s*$", stmt)
     if m:
-        name = m.group(1).strip("`")
+        name = m.group(1).replace("`", "")
+        parts = name.split(".")
+        if len(parts) == 2 and parts[0] in emu.catalogs:
+            # USE catalog.database — Flink's qualified form
+            cat = emu.catalogs[parts[0]]
+            if parts[1] not in cat.databases:
+                raise LookupError(f"database '{parts[0]}.{parts[1]}' does not exist")
+            emu.current, emu.current_db = parts[0], parts[1]
+            session.metadata.invalidate()
+            return _c(("result", "string")), [["OK"]]
         cat = emu.current_catalog()
-        if cat is not None:
+        if cat is not None and len(parts) == 1:
             if name not in cat.databases:
                 raise LookupError(f"database '{cat.name}.{name}' does not exist")
             emu.current_db = name
             session.metadata.invalidate()
             return _c(("result", "string")), [["OK"]]
-        session.spark.catalog.setCurrentDatabase(name)
+        if len(parts) == 2:
+            session.spark.sql(f"USE {name}")  # qualified Spark form
+        else:
+            session.spark.catalog.setCurrentDatabase(name)
+        emu.current = emu.current_db = None
         session.metadata.invalidate()
         return _c(("result", "string")), [["OK"]]
     return None
@@ -319,16 +338,24 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
     if m:
         name = m.group(1).strip("`")
         table = session.connector_tables.get(name)
-        if table is None:
-            session.spark.sql(stmt.rstrip(";"))
-            return _c(("result", "string")), [["OK"]]
         what = m.group(2).strip()
+        if table is None:
+            if re.fullmatch(r"(?is)WATERMARK|PRIMARY\s+KEY|CONSTRAINT\s+\w+", what):
+                raise NotImplementedError(
+                    f"ALTER TABLE ... DROP {what.upper()} targets connector-registry tables"
+                )
+            # Spark's DROP COLUMNS spelling covers the keyword-less
+            # single and list forms alike
+            session.spark.sql(
+                f"ALTER TABLE {name} DROP COLUMNS ({m.group(3) or what})"
+            )
+            return _c(("result", "string")), [["OK"]]
         if what.upper() == "WATERMARK":
             if table.watermark is None:
                 raise LookupError(f"table '{name}' has no watermark to drop")
             table.watermark = None
             return _refresh_altered(session, table)
-        if what.upper().startswith(("PRIMARY", "CONSTRAINT")):
+        if re.fullmatch(r"(?is)PRIMARY\s+KEY|CONSTRAINT\s+\w+", what):
             if not table.primary_key:
                 raise LookupError(f"table '{name}' has no primary key to drop")
             table.primary_key = []
@@ -405,7 +432,7 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+"
-        r"(?:COLUMN\s+)?(?!PARTITION\b|IF\b)(?:\(([^)]*)\)|([\w`]+)\s+(.+?))\s*;?\s*$",
+        r"(?:COLUMN\s+)?(?!PARTITION\b|IF\b)(?:\((.*)\)|([\w`]+)\s+(.+?))\s*;?\s*$",
         stmt,
     )
     if m:
@@ -426,11 +453,23 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                 ]
             else:
                 items = [(m.group(3), m.group(4))]
-            for cname, ctype in items:
+            for cname, ctail in items:
                 cname = cname.strip("`")
                 if any(c.name == cname for c in table.columns):
                     raise ValueError(f"column '{cname}' already exists in table '{name}'")
-                table.columns.append(Column(cname, flink_type_to_spark(ctype)))
+                # the tail may carry NOT NULL / COMMENT like a CREATE
+                # TABLE body item — strip them the same way
+                tm = re.match(
+                    r"(?is)^(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", ctail
+                )
+                table.columns.append(
+                    Column(
+                        cname,
+                        flink_type_to_spark(tm.group(1)),
+                        nullable=not tm.group(2),
+                        comment=tm.group(4),
+                    )
+                )
             return _refresh_altered(session, table)
         # non-connector target: Spark's ADD COLUMNS spelling covers the
         # single, keyword-less and list forms alike; temp views (which
@@ -463,6 +502,12 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
 
             session.connector_ddl.pop(old, None)
             session.connector_ddl[new] = synthesize_ddl(table)
+            # the emulated-catalog browse registry follows the rename
+            for cat in session.emulated_catalogs.catalogs.values():
+                for db in cat.databases.values():
+                    if old in db.tables:
+                        db.tables.discard(old)
+                        db.tables.add(new)
             df = session.spark.table(old)
             session.spark.catalog.dropTempView(old)
             df.createOrReplaceTempView(new)

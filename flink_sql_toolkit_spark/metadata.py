@@ -205,6 +205,9 @@ DDL_KEYWORDS = [
     "CREATE", "DROP", "ALTER", "TABLE", "VIEW", "DATABASE", "CATALOG", "FUNCTION",
     "TEMPORARY", "SYSTEM", "IF EXISTS", "IF NOT EXISTS", "COMMENT", "PARTITIONED BY",
     "WITH", "LIKE", "AS",
+    # ALTER subforms + FLIP-376 bucketing (grammar keyword rows 203, 371)
+    "ADD", "MODIFY", "RENAME", "RESET", "COMPACT", "DISTRIBUTED BY",
+    "INTO", "BUCKETS", "WATERMARK", "PRIMARY KEY",
 ]
 DML_KEYWORDS = [
     "SELECT", "INSERT INTO", "INSERT OVERWRITE", "UPDATE", "DELETE", "MERGE INTO",

@@ -76,7 +76,14 @@ def _parse_assignments(text: str, lits: list[str]) -> dict[str, str]:
 
 
 def _cow_swap(spark: SparkSession, table: ConnectorTable, new_df: DataFrame) -> None:
-    """Stage the new snapshot next to the live directory, then swap."""
+    """Stage the new snapshot next to the live directory, then swap.
+
+    A ``DISTRIBUTED BY`` table's snapshot is re-bucketed before the
+    write so the key→bucket file contract survives every rewrite
+    (UPDATE/DELETE/MERGE/COMPACT alike)."""
+    from flink_sql_toolkit_spark.sources.connectors import _apply_distribution  # noqa: PLC0415
+
+    new_df = _apply_distribution(new_df, table, streaming=False)
     path = table.options["path"].rstrip("/")
     if os.path.isfile(path):
         raise NotImplementedError(
@@ -144,6 +151,9 @@ def _cow_swap_partitions(
     from what Spark wrote). On failure mid-swap, already-trashed
     partitions are restored before the error propagates — the table is
     never left missing data."""
+    from flink_sql_toolkit_spark.sources.connectors import _apply_distribution  # noqa: PLC0415
+
+    new_df = _apply_distribution(new_df, table, streaming=False)
     pcols = table.partitioned_by
     path = table.options["path"].rstrip("/")
     stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
@@ -560,21 +570,36 @@ def compact_table(sess, name: str, partition_text: str | None):
         parts = [tuple(r) for r in sub.select(*pcols).distinct().collect()]
         if not parts:  # empty partition: nothing to compact
             return [{"name": "result", "logicalType": "string"}], [["OK"]]
-        _cow_swap_partitions(spark, table, sub.repartition(*[F.col(c) for c in pcols]), parts)
+        if not table.distributed_by and table.bucket_count is None:
+            # the swap re-buckets DISTRIBUTED BY tables itself; only
+            # plain tables need the one-file-per-partition merge here
+            sub = sub.repartition(*[F.col(c) for c in pcols])
+        _cow_swap_partitions(spark, table, sub, parts)
         sess.refresh_connector_views()
         return [{"name": "result", "logicalType": "string"}], [["OK"]]
 
-    if table.distributed_by:
-        n = table.bucket_count
-        cols = [F.col(c) for c in table.distributed_by]
-        df = df.repartition(n, *cols) if n else df.repartition(*cols)
+    if table.distributed_by or table.bucket_count is not None:
+        pass  # _cow_swap re-applies the bucket spec before the write
     elif pcols:
         df = df.repartition(*[F.col(c) for c in pcols])
     else:
         conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        max_bytes = int(re.sub(r"[^0-9]", "", conf) or "134217728")
-        target = max(1, -(-_data_bytes(table.options["path"].rstrip("/")) // max_bytes))
+        target = max(1, -(-_data_bytes(table.options["path"].rstrip("/")) // _byte_conf(conf)))
         df = df.repartition(target)
     _cow_swap(spark, table, df)
     sess.refresh_connector_views()
     return [{"name": "result", "logicalType": "string"}], [["OK"]]
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _byte_conf(conf: str) -> int:
+    """Spark byte-string conf value → bytes ('128m', '1g', '134217728',
+    '128mb' are all valid Spark spellings; JavaUtils.byteStringAsBytes
+    semantics with 1024 multipliers)."""
+    m = re.match(r"^\s*(\d+)\s*([a-zA-Z]*)\s*$", conf)
+    if not m:
+        return 134217728
+    suffix = m.group(2).lower().rstrip("b") or "b"
+    return int(m.group(1)) * _BYTE_SUFFIX.get(suffix if suffix in _BYTE_SUFFIX else suffix[:1], 1)

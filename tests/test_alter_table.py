@@ -170,3 +170,73 @@ class TestCompact:
         run(sess, "INSERT INTO cmp_v VALUES (1)")
         with pytest.raises(ValueError, match="not partitioned"):
             run(sess, "ALTER TABLE cmp_v PARTITION (p='a') COMPACT")
+
+
+class TestReviewRegressions:
+    """Fixes from the late-r9 self-review (code-review findings)."""
+
+    def test_byte_conf_suffixes(self):
+        from flink_sql_toolkit_spark.sources.dml import _byte_conf
+
+        assert _byte_conf("134217728") == 134217728
+        assert _byte_conf("128m") == 128 << 20
+        assert _byte_conf("128mb") == 128 << 20
+        assert _byte_conf("1g") == 1 << 30
+        assert _byte_conf("64k") == 64 << 10
+        assert _byte_conf("junk") == 134217728  # fallback, never 0
+
+    def test_add_list_with_parameterized_types(self, sess):
+        run(sess, "CREATE TABLE addp (a INT) WITH ('connector'='blackhole')")
+        run(sess, "ALTER TABLE addp ADD (price DECIMAL(10,2), note VARCHAR(50), flag INT NOT NULL COMMENT 'f')")
+        cols = {c.name: c for c in sess.connector_tables["addp"].columns}
+        assert cols["price"].spark_type == "decimal(10,2)"
+        assert cols["note"].spark_type == "string"
+        assert cols["flag"].spark_type == "int"
+        assert cols["flag"].nullable is False and cols["flag"].comment == "f"
+
+    def test_drop_column_named_like_primary(self, sess):
+        run(sess, "CREATE TABLE pk_t (k INT, primary_region STRING,"
+                  " PRIMARY KEY (k) NOT ENFORCED) WITH ('connector'='blackhole')")
+        run(sess, "ALTER TABLE pk_t DROP primary_region")
+        t = sess.connector_tables["pk_t"]
+        assert t.primary_key == ["k"]  # PK untouched
+        assert [c.name for c in t.columns] == ["k"]
+
+    def test_bucketed_partitioned_compact_keeps_buckets(self, sess):
+        import glob as g
+        d = tempfile.mkdtemp()
+        run(sess, f"CREATE TABLE cbp (k INT, p STRING) DISTRIBUTED BY HASH(k) INTO 2 BUCKETS"
+                  f" PARTITIONED BY (p) WITH ('connector'='filesystem','path'='{d}','format'='parquet')")
+        for i in range(3):
+            run(sess, f"INSERT INTO cbp SELECT CAST(id % 8 AS INT), 'a'"
+                      f" FROM (SELECT EXPLODE(SEQUENCE(0, 49)) AS id)")
+        run(sess, "ALTER TABLE cbp PARTITION (p='a') COMPACT")
+        files = g.glob(d + "/p=a/*.parquet")
+        assert len(files) == 2  # bucket contract survives the partition merge
+        import duckdb
+
+        worst = duckdb.sql(
+            f"SELECT max(c) FROM (SELECT count(DISTINCT filename) c FROM"
+            f" read_parquet('{d}/p=a/*.parquet', filename=true) GROUP BY k)"
+        ).fetchone()[0]
+        assert worst == 1
+
+    def test_update_preserves_bucket_contract(self, sess):
+        import glob as g
+        d = tempfile.mkdtemp()
+        run(sess, f"CREATE TABLE ub (k INT, v INT) DISTRIBUTED BY HASH(k) INTO 2 BUCKETS"
+                  f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')")
+        run(sess, "INSERT INTO ub SELECT CAST(id % 8 AS INT), CAST(id AS INT)"
+                  " FROM (SELECT EXPLODE(SEQUENCE(0, 99)) AS id)")
+        run(sess, "UPDATE ub SET v = v + 1 WHERE k = 3")
+        files = g.glob(d + "/*.parquet")
+        assert len(files) == 2  # COW swap re-bucketed
+        import duckdb
+
+        worst = duckdb.sql(
+            f"SELECT max(c) FROM (SELECT count(DISTINCT filename) c FROM"
+            f" read_parquet('{d}/*.parquet', filename=true) GROUP BY k)"
+        ).fetchone()[0]
+        assert worst == 1
+        # ids with id%8==3: 3,11,...,99 → 13 rows summing 663; +1 each = 676
+        assert run(sess, "SELECT CAST(SUM(v) AS BIGINT) AS s FROM ub WHERE k = 3") == [[676]]

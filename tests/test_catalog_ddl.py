@@ -207,3 +207,37 @@ class TestDistributedBy:
                   " WITH ('connector'='blackhole')")
         ddl = run(sess, "SHOW CREATE TABLE sct")[0][0]
         assert "DISTRIBUTED BY HASH(k) INTO 2 BUCKETS" in ddl
+
+
+class TestReviewRegressions:
+    """Fixes from the late-r9 self-review (code-review findings)."""
+
+    def test_use_qualified_catalog_database(self, sess):
+        run(sess, "CREATE CATALOG qdc WITH ('type'='t')")
+        run(sess, "CREATE DATABASE qdc.extra")
+        run(sess, "USE qdc.extra")
+        assert run(sess, "SHOW CURRENT CATALOG") == [["qdc"]]
+        assert run(sess, "SHOW CURRENT DATABASE") == [["extra"]]
+
+    def test_show_databases_from_unknown_catalog_errors(self, sess):
+        with pytest.raises(LookupError, match="ghost"):
+            run(sess, "SHOW DATABASES FROM ghost")
+
+    def test_qualified_spark_catalog_database_ddl(self, sess):
+        """A qualified ref to a real Spark catalog keeps the qualifier
+        so the DDL runs against the named catalog."""
+        try:
+            run(sess, "CREATE DATABASE IF NOT EXISTS spark_catalog.fstk_qref")
+            dbs = [r[0] for r in sess.spark.sql("SHOW DATABASES IN spark_catalog").collect()]
+            assert "fstk_qref" in dbs
+        finally:
+            run(sess, "DROP DATABASE IF EXISTS spark_catalog.fstk_qref")
+
+    def test_rename_to_updates_browse_registry(self, sess):
+        run(sess, "CREATE CATALOG rc WITH ('type'='t')")
+        run(sess, "USE CATALOG rc")
+        run(sess, "CREATE TABLE rn_t (a INT) WITH ('connector'='datagen','number-of-rows'='1')")
+        assert run(sess, "SHOW TABLES") == [["rn_t"]]
+        run(sess, "ALTER TABLE rn_t RENAME TO rn_t2")
+        assert run(sess, "SHOW TABLES") == [["rn_t2"]]
+        run(sess, "USE CATALOG spark_catalog")
