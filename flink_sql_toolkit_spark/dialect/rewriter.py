@@ -400,6 +400,18 @@ def _rewrite_misc(masked: str) -> str:
         r"timestamp_millis(\1)",
         masked,
     )
+    # one-arg non-literal form: TO_TIMESTAMP_LTZ(epoch_col) — Flink's
+    # numeric signature is epoch MILLIS (default precision 3). A masked
+    # string literal (\x00 placeholder) keeps Spark's string builtin;
+    # anything else (column, expression) takes the numeric path
+    # (review r9: a BIGINT column was silently string-parsed to NULLs)
+    masked = re.sub(
+        # single argument only: no depth-0 comma (a two-arg call with a
+        # non-0/3 precision stays put and surfaces Spark's typed error)
+        r"(?is)\bTO_TIMESTAMP_LTZ\s*\((?!\s*\x00)((?:[^(),]|\([^()]*\))+?)\)",
+        r"timestamp_millis(CAST(\1 AS BIGINT))",
+        masked,
+    )
     # LOCALTIMESTAMP keyword → function call (Spark only has the
     # function form; LOCALTIME likewise)
     masked = re.sub(r"(?is)\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", masked)

@@ -256,7 +256,10 @@ class Operation:
         query becomes a continuous INSERT job with a job id."""
         sess = self.session
         name = m.group("name").strip("`")
-        if name in sess.connector_tables:
+        # an existing connector table, temp view, or catalog table all
+        # count as "exists" — Flink raises rather than clobbering
+        exists = name in sess.connector_tables or sess.spark.catalog.tableExists(name)
+        if exists:
             if m.group("ine"):
                 self._columns = [{"name": "result", "logicalType": "string"}]
                 self._rows = [["OK"]]
@@ -278,20 +281,35 @@ class Operation:
         ddl = f"CREATE {tmp}TABLE `{name}` ({cols}) WITH ({m.group('opts')})"
         sess.register_connector_table(ddl)
         try:
-            self._execute_insert(name, query, overwrite=False)
+            self._execute_insert(name, query, overwrite=False, query_df=df)
         except Exception:
-            # failed insert must not leave a half-created table behind
+            # failed insert must not leave a half-created table behind —
+            # the rollback mirrors DROP TABLE (registry, reader view,
+            # emulated browse tree, unreadable marker, metadata cache)
             sess.connector_tables.pop(name, None)
             sess.connector_ddl.pop(name, None)
+            sess.unreadable_tables.pop(name, None)
             sess.spark.catalog.dropTempView(name)
+            for cat in sess.emulated_catalogs.catalogs.values():
+                for db in cat.databases.values():
+                    db.tables.discard(name)
+            sess.metadata.invalidate()
             raise
 
     def _execute_insert(
-        self, target: str, query: str, *, overwrite: bool, columns: list[str] | None = None
+        self,
+        target: str,
+        query: str,
+        *,
+        overwrite: bool,
+        columns: list[str] | None = None,
+        query_df: "DataFrame | None" = None,
     ) -> None:
         sess = self.session
         table = sess.connector_tables[target]
-        df = sess.spark.sql(rewrite(query))
+        # CTAS already analyzed the query for schema derivation — reuse
+        # that DataFrame instead of paying rewrite+analysis twice
+        df = query_df if query_df is not None else sess.spark.sql(rewrite(query))
         if columns:
             # explicit column list: map SELECT output positionally onto
             # the declared columns, NULL-fill the rest — Flink/ANSI
@@ -541,9 +559,10 @@ class Operation:
                 # the operator and appear only in the query progress's
                 # numRowsDroppedByWatermark. Sum both, deduped by
                 # batchId across recentProgress snapshots.
-                by_batch = getattr(self, "_wm_dropped_by_batch", None)
-                if by_batch is None:
-                    by_batch = self._wm_dropped_by_batch = {}
+                # cumulative sum keyed off the highest-seen batchId —
+                # O(1) driver memory for perpetual queries, and a batch
+                # is only ever added once (review r9: the previous
+                # per-batch dict grew unboundedly)
                 if self._stream_query is not None:
                     try:
                         # O(1) fast path: only sweep the (up to ~100
@@ -553,18 +572,21 @@ class Operation:
                         # (review r9)
                         last = self._stream_query.lastProgress
                         last_bid = -1 if last is None else last["batchId"]
-                        if last_bid > getattr(self, "_wm_seen_batch", -1):
+                        seen = getattr(self, "_wm_seen_batch", -1)
+                        if last_bid > seen:
                             for prog in self._stream_query.recentProgress:
-                                n = sum(
+                                if prog["batchId"] <= seen:
+                                    continue
+                                self._wm_dropped_cum = getattr(
+                                    self, "_wm_dropped_cum", 0
+                                ) + sum(
                                     so.get("numRowsDroppedByWatermark", 0)
                                     for so in prog.get("stateOperators", [])
                                 )
-                                if n:
-                                    by_batch[prog["batchId"]] = n
                             self._wm_seen_batch = last_bid
                     except Exception:  # noqa: BLE001 — metrics are best-effort
                         pass
-                page["lateDropped"] = late_acc.value + sum(by_batch.values())
+                page["lateDropped"] = late_acc.value + getattr(self, "_wm_dropped_cum", 0)
             return page
         start = token * PAGE_SIZE
         self._pull_until(start + PAGE_SIZE)

@@ -40,8 +40,38 @@ _TYPE_MAP = [
     (re.compile(r"(?i)^TIME(\(\d+\))?$"), _time_type),
     (re.compile(r"(?i)^INTEGER$"), "int"),
     (re.compile(r"(?i)^MULTISET<(.*)>$"), lambda m: f"map<{flink_type_to_spark(m.group(1))}, int>"),
-    (re.compile(r"(?i)^ROW<(.*)>$"), lambda m: f"struct<{m.group(1)}>"),
+    (re.compile(r"(?i)^ROW<(.*)>$"), lambda m: f"struct<{_row_fields_to_spark(m.group(1))}>"),
 ]
+
+
+def _split_angle(text: str) -> list[str]:
+    """Split on top-level commas only — nested <>/() stay intact
+    (MAP<STRING, MAP<STRING, INT>> must not split at the inner comma)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    return parts
+
+
+def _row_fields_to_spark(fields: str) -> str:
+    """ROW<name TYPE, ...> field list → struct<name: sparktype, ...>
+    (field types recurse through flink_type_to_spark so CTAS-emitted
+    ROW<ts TIMESTAMP_LTZ(6)> round-trips to a valid Spark schema)."""
+    out = []
+    for f in _split_angle(fields):
+        m = re.match(r"(?s)^([\w`]+)\s+(.+)$", f.strip())
+        if m:
+            out.append(f"{m.group(1).strip('`')}: {flink_type_to_spark(m.group(2))}")
+        else:  # unnamed field type (Flink allows ROW<INT, STRING>)
+            out.append(flink_type_to_spark(f))
+    return ", ".join(out)
 
 
 def flink_type_to_spark(t: str) -> str:
@@ -54,9 +84,11 @@ def flink_type_to_spark(t: str) -> str:
     m = re.match(r"(?i)^ARRAY\s*<(.*)>$", t)
     if m:
         return f"array<{flink_type_to_spark(m.group(1))}>"
-    m = re.match(r"(?i)^MAP\s*<(.*),(.*)>$", t)
+    m = re.match(r"(?is)^MAP\s*<(.*)>$", t)
     if m:
-        return f"map<{flink_type_to_spark(m.group(1))}, {flink_type_to_spark(m.group(2))}>"
+        kv = _split_angle(m.group(1))
+        if len(kv) == 2:  # top-level split: nested maps stay whole
+            return f"map<{flink_type_to_spark(kv[0])}, {flink_type_to_spark(kv[1])}>"
     return t.lower()
 
 

@@ -900,10 +900,13 @@ def streaming_keep_last(
             f"rank column '{rn_col}' collides with an input column "
             "or the changelog RowKind column"
         )
-    rank_fields = f"{rn_col} bigint, " if rn_col else ""
-    out_schema = f"__op string, {rank_fields}" + ", ".join(
+    # the rank column goes LAST, matching the ASC first_n route and
+    # Flink's ranked Top-N output (SELECT * puts rn after the source
+    # columns — review r9: it previously led the data columns)
+    rank_fields = f", {rn_col} bigint" if rn_col else ""
+    out_schema = "__op string, " + ", ".join(
         f"{c} {t}" for c, t in in_schema.items()
-    )
+    ) + rank_fields
     cols = list(df.columns)
 
     def norm(row) -> tuple:
@@ -952,10 +955,10 @@ def streaming_keep_last(
             for r, cur in enumerate(new_rk, start=1):
                 old = old_rk[r - 1] if r <= len(old_rk) else None
                 if old is None:
-                    out_rows.append(["+I", r, *cur])
+                    out_rows.append(["+I", *cur, r])
                 elif old != cur:
-                    out_rows.append(["-U", r, *old])
-                    out_rows.append(["+U", r, *cur])
+                    out_rows.append(["-U", *old, r])
+                    out_rows.append(["+U", *cur, r])
         elif n == 1:
             old = old_rows[0] if old_rows else None
             cur = new_rows[0]
@@ -977,7 +980,7 @@ def streaming_keep_last(
             state.setTimeoutDuration(ttl_ms)
         if out_rows:
             out_cols = (
-                ["__op", rn_col, *cols] if rn_col is not None
+                ["__op", *cols, rn_col] if rn_col is not None
                 else ["__op", *cols]
             )
             yield pd.DataFrame(out_rows, columns=out_cols)

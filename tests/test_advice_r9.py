@@ -1120,3 +1120,29 @@ def test_json_aggs_nested_args_and_one_arg_ltz(spark):
         rewrite("SELECT TO_TIMESTAMP_LTZ(CAST(1 AS BIGINT) * 1500, 3) AS t")
     ).collect()
     assert ts2.t == datetime(1970, 1, 1, 0, 0, 1, 500000)
+
+
+def test_keep_last_rank_star_puts_rn_last(spark, tmp_path):
+    """SELECT * on the rank-aware changelog view: rn is the LAST data
+    column (Flink's ranked Top-N star order, and consistent with the
+    ASC first_n route — review r9: it previously led the columns)."""
+    from flink_sql_toolkit_spark.dialect.over_sql import (
+        rewrite_streaming_dedup_sql,
+    )
+
+    files = [[(1, _t(10), "a"), (1, _t(20), "b")]]
+    schema = "k long, ts timestamp, tag string"
+    _stream_view(spark, tmp_path, "rkstar_src", schema, files)
+    sql = (
+        "SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ts DESC) AS rn FROM rkstar_src) "
+        "WHERE rn <= 2 AND rn >= 1"  # rn residual forces the rank-aware view
+    )
+    routed = rewrite_streaming_dedup_sql(spark, sql, changelog=True)
+    assert routed is not None
+    out = _run_routed(spark, tmp_path, routed, "rkstar_out")
+    assert out.columns[0] == "__op" and out.columns[-1] == "rn"
+    assert out.columns[1:-1] == ["k", "ts", "tag"]
+    # rank values land in the rn column, not a data column
+    vals = {(r.tag, r.rn) for r in out.collect()}
+    assert vals == {("b", 1), ("a", 2)}

@@ -145,7 +145,11 @@ class TestDDLParser:
             ("VARCHAR(255)", "string"),
             ("BYTES", "binary"),
             ("MULTISET<STRING>", "map<string, int>"),
-            ("ROW<name STRING, age INT>", "struct<name STRING, age INT>"),
+            # ROW field types recurse (review r9: CTAS-emitted
+            # ROW<ts TIMESTAMP_LTZ(6)> must round-trip to valid Spark)
+            ("ROW<name STRING, age INT>", "struct<name: string, age: int>"),
+            ("ROW<ts TIMESTAMP_LTZ(6), n BYTES>", "struct<ts: timestamp, n: binary>"),
+            ("MAP<STRING, MAP<STRING, INT>>", "map<string, map<string, int>>"),
             ("ARRAY<INTEGER>", "array<int>"),
             ("DECIMAL(10,2)", "decimal(10,2)"),
         ],
@@ -376,3 +380,39 @@ class TestGrammarGapFunctions:
             "2026-01-05", "1970-01-01 00:00:00", "2026-01-07",
             3, 1, "int",
         ]
+
+
+class TestToTimestampLtzNumeric:
+    """Review r9: the one-arg numeric-COLUMN form must take the
+    epoch-millis path, not Spark's string-parsing builtin."""
+
+    def test_column_and_expression_forms(self):
+        from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+        assert rewrite("SELECT TO_TIMESTAMP_LTZ(epoch_ms) FROM t") == \
+            "SELECT timestamp_millis(CAST(epoch_ms AS BIGINT)) FROM t"
+        assert "timestamp_millis(CAST(a + b AS BIGINT))" in rewrite(
+            "SELECT TO_TIMESTAMP_LTZ(a + b) FROM t"
+        )
+        # inner call with its own comma stays one argument
+        assert "timestamp_millis(CAST(f(x, y) AS BIGINT))" in rewrite(
+            "SELECT TO_TIMESTAMP_LTZ(f(x, y)) FROM t"
+        )
+
+    def test_string_literal_keeps_spark_builtin(self):
+        from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+        out = rewrite("SELECT TO_TIMESTAMP_LTZ('2024-01-01 00:00:00') FROM t")
+        assert "TO_TIMESTAMP_LTZ('2024-01-01 00:00:00')" in out
+
+    def test_unsupported_precision_left_for_typed_error(self):
+        from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+        assert "TO_TIMESTAMP_LTZ(e, 6)" in rewrite("SELECT TO_TIMESTAMP_LTZ(e, 6) FROM t")
+
+    def test_numeric_value_live(self, spark):
+        row = spark.sql(
+            __import__("flink_sql_toolkit_spark.dialect.rewriter", fromlist=["rewrite"])
+            .rewrite("SELECT TO_TIMESTAMP_LTZ(ms) AS ts FROM (SELECT CAST(86400000 AS BIGINT) AS ms)")
+        ).collect()[0]
+        assert row.ts.year == 1970 and row.ts.day == 2  # epoch + 1 day

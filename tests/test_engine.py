@@ -497,6 +497,31 @@ def test_ctas_if_not_exists_and_duplicate(session, tmp_path):
         )
 
 
+def test_ctas_does_not_clobber_existing_view(session, tmp_path):
+    """An existing temp view counts as 'exists' — CTAS must raise, not
+    replace it (review r9: the check consulted only connector_tables,
+    so a failed CTAS could delete the user's view)."""
+    import pytest as _pytest
+
+    session.execute_statement("CREATE VIEW ctas_v AS SELECT 42 AS answer")
+    with _pytest.raises(ValueError, match="already exists"):
+        session.execute_statement(
+            f"CREATE TABLE ctas_v WITH ('connector'='filesystem', "
+            f"'path'='{tmp_path}/cv', 'format'='parquet') AS SELECT 1 AS a"
+        )
+    # the original view is untouched
+    rows = session.execute_statement("SELECT * FROM ctas_v").fetch()["data"]
+    assert rows == [[42]]
+    # IF NOT EXISTS on a view also skips silently
+    session.execute_statement(
+        f"CREATE TABLE IF NOT EXISTS ctas_v WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/cv2', 'format'='parquet') AS SELECT 1 AS a"
+    )
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/cv2")
+
+
 def test_ctas_unnamable_column_rejected(session, tmp_path):
     import pytest as _pytest
 
