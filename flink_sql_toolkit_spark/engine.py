@@ -160,6 +160,16 @@ class Operation:
         if cm:
             self._execute_ctas(cm)
             return
+        from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+            matches_create_table_like,
+        )
+
+        lm = matches_create_table_like(stmt + ";")
+        if lm and lm.group("src").strip("`") in sess.connector_tables:
+            self._columns, self._rows = sess.register_like_table(stmt)
+            return
+        # a LIKE whose source is a Spark catalog table falls through to
+        # Spark's own CREATE TABLE ... LIKE
         if matches_create_table_with(stmt + ";"):
             self._columns, self._rows = sess.register_connector_table(stmt)
             return
@@ -769,6 +779,34 @@ class EngineSession:
         self.metadata.invalidate("views")
         self.metadata.invalidate_table(table.name)
         return [{"name": "result", "logicalType": "string"}], [["OK"]]
+
+    def register_like_table(self, stmt: str):
+        """``CREATE TABLE new … LIKE src (like_options)`` (Flink table
+        DDL): merge the source connector table per the INCLUDING/
+        EXCLUDING/OVERWRITING options (ddl.merge_like_table), then
+        register the merged definition — SHOW CREATE TABLE shows the
+        resolved form, as Flink's own LIKE expansion does."""
+        from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+            _CREATE_LIKE_RE,
+            merge_like_table,
+            synthesize_ddl,
+        )
+
+        m = _CREATE_LIKE_RE.match(stmt + ";")
+        name = m.group("name").strip("`")
+        if name in self.connector_tables or self.spark.catalog.tableExists(name):
+            if m.group("ine"):
+                return [{"name": "result", "logicalType": "string"}], [["OK"]]
+            raise ValueError(f"table '{name}' already exists")
+        src_name = m.group("src").strip("`")
+        src = self.connector_tables.get(src_name)
+        if src is None:
+            raise LookupError(
+                f"LIKE source table '{src_name}' is not a connector table "
+                f"in this session"
+            )
+        merged = merge_like_table(stmt + ";", src)
+        return self.register_connector_table(synthesize_ddl(merged))
 
     def _register_view(self, table: ConnectorTable) -> None:
         """Register the connector's reader as a temp view so plain SQL

@@ -362,3 +362,144 @@ def parse_create_table(sql: str) -> ConnectorTable:
                 )
             )
     return table
+
+
+# -- CREATE TABLE ... LIKE (Flink merge semantics) ---------------------
+
+_CREATE_LIKE_RE = re.compile(
+    # body is NON-greedy: a greedy .* swallows ") WITH ('k'='v'" into
+    # the column list and silently drops the options (caught in smoke)
+    r"(?is)^\s*CREATE\s+(?P<tmp>TEMPORARY\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s*(?:\((?P<body>.*?)\)\s*)?"
+    r"(?:COMMENT\s+'(?P<comment>[^']*)'\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"LIKE\s+(?P<src>[\w.`]+)\s*(?:\(\s*(?P<feats>(?:INCLUDING|EXCLUDING|OVERWRITING)[^)]*)\))?\s*;?\s*$"
+)
+
+_LIKE_FEAT_RE = re.compile(
+    r"(?is)\b(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|CONSTRAINTS|PARTITIONS|DISTRIBUTION|GENERATED|METADATA|OPTIONS|WATERMARKS)\b"
+)
+
+_LIKE_CATEGORIES = (
+    "CONSTRAINTS", "PARTITIONS", "DISTRIBUTION",
+    "GENERATED", "METADATA", "OPTIONS", "WATERMARKS",
+)
+
+
+def matches_create_table_like(sql: str) -> "re.Match | None":
+    return _CREATE_LIKE_RE.match(sql)
+
+
+def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
+    """Flink ``CREATE TABLE new [({extras})] [WITH (opts)] LIKE src
+    [(like_options)]`` — build the merged ConnectorTable.
+
+    Merge rules (Flink table DDL docs): the default strategy is
+    INCLUDING ALL; per-category overrides are {INCLUDING|EXCLUDING}
+    for CONSTRAINTS/PARTITIONS/DISTRIBUTION and {INCLUDING|EXCLUDING|
+    OVERWRITING} for GENERATED/METADATA/OPTIONS/WATERMARKS. Physical
+    columns always copy; a redefined physical column is an error. With
+    INCLUDING (not OVERWRITING) OPTIONS, a duplicate key with a
+    different value is an error; OVERWRITING lets the new table's
+    definition win.
+    """
+    import copy as _copy  # noqa: PLC0415
+
+    m = _CREATE_LIKE_RE.match(sql)
+    if not m:
+        raise ValueError("not a CREATE TABLE ... LIKE statement")
+    # parse the new table's own clauses by reusing the plain parser on
+    # a synthesized statement (empty WITH allowed)
+    new = parse_create_table(
+        f"CREATE TABLE {m.group('name')} ({m.group('body') or ''}) "
+        f"WITH ({m.group('opts') or ''});"
+    )
+    new.temporary = bool(m.group("tmp"))
+    new.if_not_exists = bool(m.group("ine"))
+    new.comment = m.group("comment")
+
+    mode = dict.fromkeys(_LIKE_CATEGORIES, "INCLUDING")
+    for verb, cat in _LIKE_FEAT_RE.findall(m.group("feats") or ""):
+        verb, cat = verb.upper(), cat.upper()
+        if cat == "ALL":
+            if verb == "OVERWRITING":
+                raise ValueError("OVERWRITING ALL is not a valid LIKE option")
+            mode = dict.fromkeys(_LIKE_CATEGORIES, verb)
+        else:
+            if verb == "OVERWRITING" and cat in ("CONSTRAINTS", "PARTITIONS", "DISTRIBUTION"):
+                raise ValueError(f"OVERWRITING {cat} is not a valid LIKE option")
+            mode[cat] = verb
+
+    out = _copy.deepcopy(new)
+    # physical columns: source first, new appended; duplicates error
+    src_names = {c.name for c in src.columns}
+    for c in new.columns:
+        if c.name in src_names:
+            raise ValueError(
+                f"LIKE: column '{c.name}' is already defined by source "
+                f"table '{src.name}'"
+            )
+    out.columns = _copy.deepcopy(src.columns) + new.columns
+
+    def pick(cat: str, src_val, new_val, empty):
+        has_new = new_val != empty
+        if mode[cat] == "EXCLUDING":
+            return new_val
+        if has_new:
+            if mode[cat] == "OVERWRITING" or src_val == empty:
+                return new_val
+            raise ValueError(
+                f"LIKE: {cat.lower()} already defined by source table — "
+                f"use OVERWRITING {cat} to redefine"
+            )
+        return _copy.deepcopy(src_val)
+
+    out.primary_key = pick("CONSTRAINTS", src.primary_key, new.primary_key, [])
+    out.partitioned_by = pick("PARTITIONS", src.partitioned_by, new.partitioned_by, [])
+    out.watermark = pick("WATERMARKS", src.watermark, new.watermark, None)
+    if mode["DISTRIBUTION"] == "INCLUDING":
+        if new.distributed_by or new.bucket_count is not None:
+            if src.distributed_by or src.bucket_count is not None:
+                raise ValueError(
+                    "LIKE: distribution already defined by source table"
+                )
+        else:
+            out.distributed_by = list(src.distributed_by)
+            out.bucket_algorithm = src.bucket_algorithm
+            out.bucket_count = src.bucket_count
+    if mode["GENERATED"] != "EXCLUDING":
+        new_gen = {c.name for c in new.computed}
+        inherited = [
+            _copy.deepcopy(c) for c in src.computed if c.name not in new_gen
+        ]
+        dup = [c.name for c in src.computed if c.name in new_gen]
+        if dup and mode["GENERATED"] != "OVERWRITING":
+            raise ValueError(
+                f"LIKE: computed column(s) {dup} already defined by source "
+                f"table — use OVERWRITING GENERATED"
+            )
+        out.computed = inherited + new.computed
+    if mode["METADATA"] != "EXCLUDING":
+        new_md = {c.name for c in new.metadata}
+        inherited_md = [
+            _copy.deepcopy(c) for c in src.metadata if c.name not in new_md
+        ]
+        dup = [c.name for c in src.metadata if c.name in new_md]
+        if dup and mode["METADATA"] != "OVERWRITING":
+            raise ValueError(
+                f"LIKE: metadata column(s) {dup} already defined by source "
+                f"table — use OVERWRITING METADATA"
+            )
+        out.metadata = inherited_md + new.metadata
+    if mode["OPTIONS"] != "EXCLUDING":
+        merged = dict(src.options)
+        for k, v in new.options.items():
+            if k in merged and merged[k] != v and mode["OPTIONS"] != "OVERWRITING":
+                raise ValueError(
+                    f"LIKE: option '{k}' already set to '{merged[k]}' by the "
+                    f"source table — use OVERWRITING OPTIONS to change it"
+                )
+            merged[k] = v
+        out.options = merged
+    return out

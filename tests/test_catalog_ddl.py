@@ -241,3 +241,67 @@ class TestReviewRegressions:
         run(sess, "ALTER TABLE rn_t RENAME TO rn_t2")
         assert run(sess, "SHOW TABLES") == [["rn_t2"]]
         run(sess, "USE CATALOG spark_catalog")
+
+
+class TestCreateTableLike:
+    """Flink CREATE TABLE … LIKE src (INCLUDING/EXCLUDING/OVERWRITING
+    …) — merge semantics per the Flink table DDL docs."""
+
+    BASE = ("CREATE TABLE like_base (id BIGINT, v DOUBLE, ts TIMESTAMP(3),"
+            " WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,"
+            " PRIMARY KEY (id) NOT ENFORCED)"
+            " WITH ('connector'='kafka','topic'='orders',"
+            "'properties.bootstrap.servers'='h:9092')")
+
+    def test_plain_like_copies_everything(self, sess):
+        run(sess, self.BASE)
+        run(sess, "CREATE TABLE like_c1 WITH ('properties.group.id'='g1') LIKE like_base")
+        t = sess.connector_tables["like_c1"]
+        assert [c.name for c in t.columns] == ["id", "v", "ts"]
+        assert t.primary_key == ["id"] and t.watermark.delay == "5 seconds"
+        assert t.options["topic"] == "orders"  # inherited
+        assert t.options["properties.group.id"] == "g1"  # merged in
+        # SHOW CREATE TABLE shows the resolved (expanded) form
+        ddl = run(sess, "SHOW CREATE TABLE like_c1")[0][0]
+        assert "WATERMARK" in ddl and "LIKE" not in ddl
+
+    def test_option_conflict_requires_overwriting(self, sess):
+        run(sess, self.BASE.replace("like_base", "like_b2"))
+        with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
+            run(sess, "CREATE TABLE like_c2 WITH ('topic'='other') LIKE like_b2")
+        run(sess, "CREATE TABLE like_c2 WITH ('topic'='other')"
+                  " LIKE like_b2 (OVERWRITING OPTIONS)")
+        assert sess.connector_tables["like_c2"].options["topic"] == "other"
+
+    def test_excluding_all_including_options(self, sess):
+        run(sess, self.BASE.replace("like_base", "like_b3"))
+        run(sess, "CREATE TABLE like_c3 (extra STRING, WATERMARK FOR ts AS"
+                  " ts - INTERVAL '1' SECOND) WITH ('scan.startup.mode'='latest-offset')"
+                  " LIKE like_b3 (EXCLUDING ALL INCLUDING OPTIONS)")
+        t = sess.connector_tables["like_c3"]
+        assert [c.name for c in t.columns] == ["id", "v", "ts", "extra"]
+        assert t.primary_key == []  # constraints excluded
+        assert t.watermark.delay == "1 seconds"  # redefined, not inherited
+        assert t.options["scan.startup.mode"] == "latest-offset"
+        assert t.options["topic"] == "orders"  # options included
+
+    def test_excluding_watermarks_and_dup_column(self, sess):
+        run(sess, self.BASE.replace("like_base", "like_b4"))
+        run(sess, "CREATE TABLE like_c4 LIKE like_b4 (EXCLUDING WATERMARKS)")
+        assert sess.connector_tables["like_c4"].watermark is None
+        with pytest.raises(ValueError, match="already defined"):
+            run(sess, "CREATE TABLE like_c5 (id INT) WITH () LIKE like_b4")
+
+    def test_if_not_exists_and_unknown_source(self, sess):
+        run(sess, self.BASE.replace("like_base", "like_b5"))
+        run(sess, "CREATE TABLE like_c6 LIKE like_b5")
+        assert run(sess, "CREATE TABLE IF NOT EXISTS like_c6 LIKE like_b5") == [["OK"]]
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "CREATE TABLE like_c6 LIKE like_b5")
+
+    def test_distribution_inherited(self, sess):
+        run(sess, "CREATE TABLE like_b6 (k INT) DISTRIBUTED BY HASH(k) INTO 4 BUCKETS"
+                  " WITH ('connector'='blackhole')")
+        run(sess, "CREATE TABLE like_c7 LIKE like_b6")
+        t = sess.connector_tables["like_c7"]
+        assert (t.distributed_by, t.bucket_count) == (["k"], 4)
