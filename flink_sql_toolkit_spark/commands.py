@@ -432,7 +432,7 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+"
-        r"(?:COLUMN\s+)?(?!PARTITION\b|IF\b)(?:\((.*)\)|([\w`]+)\s+(.+?))\s*;?\s*$",
+        r"(?:COLUMN\s+)?(?!PARTITION\b|IF\b)(?:\((.*)\)|([\w`]+.*?))\s*;?\s*$",
         stmt,
     )
     if m:
@@ -440,41 +440,52 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         session.metadata.invalidate_table(name)
         table = session.connector_tables.get(name)
         if table is not None:
+            import copy as _copy  # noqa: PLC0415
+
             from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
-                Column,
                 _split_top,
-                flink_type_to_spark,
+                apply_body_part,
             )
 
-            if m.group(2) is not None:  # ADD (c1 T1, c2 T2, ...) — FLIP-273
-                items = [
-                    re.match(r"(?s)^([\w`]+)\s+(.+)$", p.strip()).groups()
-                    for p in _split_top(m.group(2))
-                ]
-            else:
-                items = [(m.group(3), m.group(4))]
-            for cname, ctail in items:
-                cname = cname.strip("`")
-                if any(c.name == cname for c in table.columns):
-                    raise ValueError(f"column '{cname}' already exists in table '{name}'")
-                # the tail may carry NOT NULL / COMMENT like a CREATE
-                # TABLE body item — strip them the same way
-                tm = re.match(
-                    r"(?is)^(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", ctail
-                )
-                table.columns.append(
-                    Column(
-                        cname,
-                        flink_type_to_spark(tm.group(1)),
-                        nullable=not tm.group(2),
-                        comment=tm.group(4),
+            # FLIP-273: ADD takes the same item kinds as the CREATE
+            # body — physical/computed/metadata columns, WATERMARK,
+            # PRIMARY KEY — singly or as a parenthesized list
+            parts = (
+                _split_top(m.group(2)) if m.group(2) is not None else [m.group(3)]
+            )
+            probe = _copy.deepcopy(table)
+            taken = {c.name for c in table.columns}
+            taken |= {c.name for c in table.computed}
+            taken |= {c.name for c in table.metadata}
+            for p in parts:
+                kind = apply_body_part(probe, p)
+                if kind == "watermark" and table.watermark is not None:
+                    raise ValueError(
+                        f"table '{name}' already has a watermark — use "
+                        f"ALTER TABLE … MODIFY WATERMARK"
                     )
-                )
+                if kind == "primary_key" and table.primary_key:
+                    raise ValueError(
+                        f"table '{name}' already has a primary key — drop it first"
+                    )
+                if kind in ("column", "computed", "metadata"):
+                    added = {
+                        "column": probe.columns,
+                        "computed": probe.computed,
+                        "metadata": probe.metadata,
+                    }[kind][-1].name
+                    if added in taken:
+                        raise ValueError(
+                            f"column '{added}' already exists in table '{name}'"
+                        )
+                    taken.add(added)
+            for field in ("columns", "computed", "metadata", "watermark", "primary_key"):
+                setattr(table, field, getattr(probe, field))
             return _refresh_altered(session, table)
         # non-connector target: Spark's ADD COLUMNS spelling covers the
         # single, keyword-less and list forms alike; temp views (which
         # Spark DDL can't alter) are widened in place
-        cols_text = m.group(2) or f"{m.group(3)} {m.group(4)}"
+        cols_text = m.group(2) or m.group(3)
         try:
             session.spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_text})")
         except Exception:  # noqa: BLE001 — temp view target: widen in place

@@ -317,51 +317,62 @@ def parse_create_table(sql: str) -> ConnectorTable:
             table.options[km.group(1)] = km.group(2).replace("''", "'")
 
     for part in _split_top(m.group("body")):
-        wm = re.match(r"(?is)^WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*)$", part)
-        if wm:
-            # SOURCE_WATERMARK() (connector-provided watermark,
-            # syntaxes/flink.tmLanguage.json:467) and a bare
-            # strictly-ascending `AS col` both map to a zero-delay
-            # Spark watermark — Spark has no connector-watermark
-            # channel, and 0-delay is the tightest sound bound.
-            table.watermark = parse_watermark(wm.group(1), wm.group(2))
-            continue
-        pm = re.match(r"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", part)
-        if pm:
-            table.primary_key = [c.strip().strip("`") for c in pm.group(1).split(",")]
-            continue
-        mm = re.match(
-            r"(?is)^([\w`]+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']*)')?(\s+VIRTUAL)?$",
-            part,
-        )
-        if mm:
-            name = mm.group(1).strip("`")
-            table.metadata.append(
-                MetadataColumn(
-                    name=name,
-                    spark_type=flink_type_to_spark(mm.group(2)),
-                    key=mm.group(3) or name,
-                    virtual=bool(mm.group(4)),
-                )
-            )
-            continue
-        cm = re.match(r"(?is)^([\w`]+)\s+AS\s+(.*)$", part)
-        if cm and not re.match(r"(?is)^[\w`]+\s+(ARRAY|MAP|ROW|MULTISET)\s*<", part):
-            table.computed.append(ComputedColumn(cm.group(1).strip("`"), cm.group(2)))
-            continue
-        fm = re.match(
-            r"(?is)^([\w`]+)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", part
-        )
-        if fm:
-            table.columns.append(
-                Column(
-                    name=fm.group(1).strip("`"),
-                    spark_type=flink_type_to_spark(fm.group(2)),
-                    nullable=not fm.group(3),
-                    comment=fm.group(5),
-                )
-            )
+        apply_body_part(table, part)
     return table
+
+
+def apply_body_part(table: ConnectorTable, part: str) -> str:
+    """Parse ONE CREATE-TABLE body item — watermark / primary key /
+    metadata column / computed column / physical column — onto
+    ``table``; returns which kind was applied. Shared by
+    parse_create_table and ALTER TABLE ADD (FLIP-273 lets ADD carry
+    the same item kinds the CREATE body does)."""
+    wm = re.match(r"(?is)^WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*)$", part)
+    if wm:
+        # SOURCE_WATERMARK() (connector-provided watermark,
+        # syntaxes/flink.tmLanguage.json:467) and a bare
+        # strictly-ascending `AS col` both map to a zero-delay
+        # Spark watermark — Spark has no connector-watermark
+        # channel, and 0-delay is the tightest sound bound.
+        table.watermark = parse_watermark(wm.group(1), wm.group(2))
+        return "watermark"
+    pm = re.match(r"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", part)
+    if pm:
+        table.primary_key = [c.strip().strip("`") for c in pm.group(1).split(",")]
+        return "primary_key"
+    mm = re.match(
+        r"(?is)^([\w`]+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']*)')?(\s+VIRTUAL)?$",
+        part,
+    )
+    if mm:
+        name = mm.group(1).strip("`")
+        table.metadata.append(
+            MetadataColumn(
+                name=name,
+                spark_type=flink_type_to_spark(mm.group(2)),
+                key=mm.group(3) or name,
+                virtual=bool(mm.group(4)),
+            )
+        )
+        return "metadata"
+    cm = re.match(r"(?is)^([\w`]+)\s+AS\s+(.*)$", part)
+    if cm and not re.match(r"(?is)^[\w`]+\s+(ARRAY|MAP|ROW|MULTISET)\s*<", part):
+        table.computed.append(ComputedColumn(cm.group(1).strip("`"), cm.group(2)))
+        return "computed"
+    fm = re.match(
+        r"(?is)^([\w`]+)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", part
+    )
+    if fm:
+        table.columns.append(
+            Column(
+                name=fm.group(1).strip("`"),
+                spark_type=flink_type_to_spark(fm.group(2)),
+                nullable=not fm.group(3),
+                comment=fm.group(5),
+            )
+        )
+        return "column"
+    raise ValueError(f"cannot parse table body item: {part!r}")
 
 
 # -- CREATE TABLE ... LIKE (Flink merge semantics) ---------------------

@@ -240,3 +240,31 @@ class TestReviewRegressions:
         assert worst == 1
         # ids with id%8==3: 3,11,...,99 → 13 rows summing 663; +1 each = 676
         assert run(sess, "SELECT CAST(SUM(v) AS BIGINT) AS s FROM ub WHERE k = 3") == [[676]]
+
+
+class TestAddNonPhysicalItems:
+    """FLIP-273: ADD carries the same item kinds as the CREATE body —
+    computed/metadata columns, WATERMARK, PRIMARY KEY."""
+
+    def test_add_watermark_and_computed_and_metadata(self, sess):
+        run(sess, "CREATE TABLE addnp (id BIGINT, ts TIMESTAMP(3))"
+                  " WITH ('connector'='kafka','topic'='t')")
+        run(sess, "ALTER TABLE addnp ADD WATERMARK FOR ts AS ts - INTERVAL '3' SECOND")
+        t = sess.connector_tables["addnp"]
+        assert t.watermark.delay == "3 seconds"
+        with pytest.raises(ValueError, match="MODIFY WATERMARK"):
+            run(sess, "ALTER TABLE addnp ADD WATERMARK FOR ts AS ts")
+        run(sess, "ALTER TABLE addnp ADD (tag AS CONCAT('k-', CAST(id AS STRING)),"
+                  " part_no INT METADATA FROM 'partition' VIRTUAL,"
+                  " PRIMARY KEY (id) NOT ENFORCED)")
+        assert [c.name for c in t.computed] == ["tag"]
+        assert t.metadata[0].key == "partition" and t.metadata[0].virtual
+        assert t.primary_key == ["id"]
+        with pytest.raises(ValueError, match="primary key"):
+            run(sess, "ALTER TABLE addnp ADD PRIMARY KEY (ts) NOT ENFORCED")
+        # a failed multi-item ADD applies NOTHING (probe-then-swap)
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "ALTER TABLE addnp ADD (ok_col INT, tag STRING)")
+        assert not any(c.name == "ok_col" for c in t.columns)
+        ddl = run(sess, "SHOW CREATE TABLE addnp")[0][0]
+        assert "WATERMARK" in ddl and "METADATA FROM 'partition' VIRTUAL" in ddl
