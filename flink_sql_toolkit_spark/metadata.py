@@ -281,18 +281,28 @@ def completions(
     refs = extract_table_references(sql_text)
     double_dot = _DOUBLE_DOT_RE.search(line_prefix)
     dot = _DOT_RE.search(line_prefix)
+    emu = getattr(session, "emulated_catalogs", None)
     if double_dot:
         # catalog.database. → tables
-        add(meta.tables(), "table")
+        cat = emu.catalogs.get(double_dot.group(1).replace("`", "")) if emu else None
+        db = cat.databases.get(double_dot.group(2).replace("`", "")) if cat else None
+        if db is not None:  # DDL-created catalog: its own browse tree
+            add(sorted(db.tables), "table")
+        else:
+            add(meta.tables(), "table")
     elif dot:
         identifier = dot.group(1).replace("`", "")
         for ref in refs:
             if identifier in (ref["alias"], ref["tableName"]):
                 add(meta.columns(ref["fullPath"]), "column")
-        if identifier in meta.catalogs():
+        if emu and identifier in emu.catalogs:
+            add(sorted(emu.catalogs[identifier].databases), "database")
+        elif identifier in meta.catalogs():
             add(meta.databases(identifier), "database")
     else:
         add(meta.catalogs(), "catalog")
+        if emu:
+            add(sorted(emu.catalogs), "catalog")
         add(meta.tables(), "table")
         for ref in refs:
             add(meta.columns(ref["fullPath"]), "column")

@@ -305,3 +305,20 @@ class TestCreateTableLike:
         run(sess, "CREATE TABLE like_c7 LIKE like_b6")
         t = sess.connector_tables["like_c7"]
         assert (t.distributed_by, t.bucket_count) == (["k"], 4)
+
+
+def test_completions_include_emulated_catalogs(sess):
+    run(sess, "CREATE CATALOG comp_c WITH ('type'='t')")
+    run(sess, "CREATE DATABASE comp_c.db1")
+    run(sess, "USE comp_c.db1")
+    run(sess, "CREATE TABLE comp_t (a INT) WITH ('connector'='datagen','number-of-rows'='1')")
+    items = sess.completions("SELECT * FROM ")
+    cats = {i["label"] for i in items if i["kind"] == "catalog"}
+    assert "comp_c" in cats
+    dbs = {i["label"] for i in sess.completions("comp_c.", line_prefix="comp_c.")
+           if i["kind"] == "database"}
+    assert dbs == {"db1", "default"}
+    tabs = {i["label"] for i in sess.completions("comp_c.db1.", line_prefix="comp_c.db1.")
+            if i["kind"] == "table"}
+    assert tabs == {"comp_t"}
+    run(sess, "USE CATALOG spark_catalog")
