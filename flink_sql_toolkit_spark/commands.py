@@ -248,6 +248,17 @@ def handle_jobs_admin(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] 
         session.jobs.stop(m.group(1))
         # the Spark checkpoint directory IS the savepoint (SURVEY §2.1)
         return _c(("savepoint path", "string")), [[session.checkpoint_root]]
+    m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+JOB\s+'([^']+)'\s*;?\s*$", stmt)
+    if m:
+        # Flink 1.19 DESCRIBE JOB 'id' — one SHOW JOBS-shaped row
+        for j in session.jobs.list():
+            if j.job_id == m.group(1):
+                return (
+                    _c(("job id", "string"), ("job name", "string"),
+                       ("status", "string"), ("start time", "string")),
+                    [[j.job_id, j.name, j.status, j.start_time.isoformat()]],
+                )
+        raise LookupError(f"job '{m.group(1)}' does not exist")
     m = re.match(r"(?is)^ADD\s+JAR\s+'([^']+)'\s*;?\s*$", stmt)
     if m:
         session.spark.sql(f"ADD JAR {m.group(1)!r}")

@@ -99,6 +99,13 @@ def test_streaming_insert_job_lifecycle(session):
     assert op.job_id is not None
     jobs = session.execute_statement("SHOW JOBS").fetch()["data"]
     assert any(j[0] == op.job_id and j[2] == "RUNNING" for j in jobs)
+    # DESCRIBE JOB 'id' (Flink 1.19): the one matching SHOW JOBS row
+    desc = session.execute_statement(f"DESCRIBE JOB '{op.job_id}'").fetch()["data"]
+    assert len(desc) == 1 and desc[0][0] == op.job_id and desc[0][2] == "RUNNING"
+    import pytest as _pytest
+
+    with _pytest.raises(LookupError):
+        session.execute_statement("DESCRIBE JOB 'no-such-job'")
     session.execute_statement(f"STOP JOB '{op.job_id}'")
     deadline = time.time() + 10
     while time.time() < deadline:
