@@ -468,17 +468,26 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             taken = {c.name for c in table.columns}
             taken |= {c.name for c in table.computed}
             taken |= {c.name for c in table.metadata}
+            # duplicate-within-list detection compares against the
+            # PROBE state, which advances per item (review r9: two
+            # WATERMARK items in one list silently took last-wins)
+            has_wm = table.watermark is not None
+            has_pk = bool(table.primary_key)
             for p in parts:
                 kind = apply_body_part(probe, p)
-                if kind == "watermark" and table.watermark is not None:
-                    raise ValueError(
-                        f"table '{name}' already has a watermark — use "
-                        f"ALTER TABLE … MODIFY WATERMARK"
-                    )
-                if kind == "primary_key" and table.primary_key:
-                    raise ValueError(
-                        f"table '{name}' already has a primary key — drop it first"
-                    )
+                if kind == "watermark":
+                    if has_wm:
+                        raise ValueError(
+                            f"table '{name}' already has a watermark — use "
+                            f"ALTER TABLE … MODIFY WATERMARK"
+                        )
+                    has_wm = True
+                if kind == "primary_key":
+                    if has_pk:
+                        raise ValueError(
+                            f"table '{name}' already has a primary key — drop it first"
+                        )
+                    has_pk = True
                 if kind in ("column", "computed", "metadata"):
                     added = {
                         "column": probe.columns,
@@ -490,6 +499,15 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                             f"column '{added}' already exists in table '{name}'"
                         )
                     taken.add(added)
+            # an added watermark must reference a column the FINAL
+            # table has (physical/computed/metadata) — MODIFY WATERMARK
+            # validates the same way; a typo would otherwise return OK
+            # and quarantine the table as unreadable (review r9)
+            if probe.watermark is not None and probe.watermark.column not in taken:
+                raise LookupError(
+                    f"watermark column '{probe.watermark.column}' does not "
+                    f"exist in table '{name}'"
+                )
             for field in ("columns", "computed", "metadata", "watermark", "primary_key"):
                 setattr(table, field, getattr(probe, field))
             return _refresh_altered(session, table)

@@ -403,15 +403,12 @@ def _rewrite_misc(masked: str) -> str:
     # one-arg non-literal form: TO_TIMESTAMP_LTZ(epoch_col) — Flink's
     # numeric signature is epoch MILLIS (default precision 3). A masked
     # string literal (\x00 placeholder) keeps Spark's string builtin;
-    # anything else (column, expression) takes the numeric path
-    # (review r9: a BIGINT column was silently string-parsed to NULLs)
-    masked = re.sub(
-        # single argument only: no depth-0 comma (a two-arg call with a
-        # non-0/3 precision stays put and surfaces Spark's typed error)
-        r"(?is)\bTO_TIMESTAMP_LTZ\s*\((?!\s*\x00)((?:[^(),]|\([^()]*\))+?)\)",
-        r"timestamp_millis(CAST(\1 AS BIGINT))",
-        masked,
-    )
+    # anything else (column, expression, arbitrarily nested call) takes
+    # the numeric path (review r9: a BIGINT column was silently
+    # string-parsed to NULLs; a second review pass found the regex
+    # version only tolerated ONE nesting level). Two-arg calls with a
+    # non-0/3 precision stay put and surface Spark's typed error.
+    masked = _rewrite_one_arg_ltz(masked)
     # LOCALTIMESTAMP keyword → function call (Spark only has the
     # function form; LOCALTIME likewise)
     masked = re.sub(r"(?is)\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", masked)
@@ -639,6 +636,44 @@ def _rewrite_hints(lits: list[str]) -> None:
                 continue
             kept.append(_HINT_NAME_MAP.get(name, m.group(1)) + (m.group(2) or ""))
         lits[i] = f"/*+ {', '.join(kept)} */" if kept else ""
+
+
+_LTZ_CALL_RE = re.compile(r"(?i)\bTO_TIMESTAMP_LTZ\s*\(")
+
+
+def _rewrite_one_arg_ltz(masked: str) -> str:
+    """Depth-aware rewrite of single-argument ``TO_TIMESTAMP_LTZ(x)``
+    (x any expression, any paren nesting) → ``timestamp_millis(
+    CAST(x AS BIGINT))``. Masked string literals (\\x00 placeholders)
+    and multi-argument calls are left untouched."""
+    out, i = [], 0
+    while True:
+        m = _LTZ_CALL_RE.search(masked, i)
+        if m is None:
+            out.append(masked[i:])
+            break
+        start = m.end()  # index just past '('
+        depth, j, top_comma = 1, start, False
+        while j < len(masked) and depth:
+            ch = masked[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                top_comma = True
+            j += 1
+        if depth:  # unbalanced parens: leave the tail untouched
+            out.append(masked[i:])
+            break
+        arg = masked[start : j - 1].strip()
+        out.append(masked[i : m.start()])
+        if top_comma or not arg or arg.startswith("\x00"):
+            out.append(masked[m.start() : j])
+        else:
+            out.append(f"timestamp_millis(CAST({arg} AS BIGINT))")
+        i = j
+    return "".join(out)
 
 
 def rewrite(sql: str) -> str:

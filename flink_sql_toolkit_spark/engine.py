@@ -584,8 +584,16 @@ class Operation:
                         last_bid = -1 if last is None else last["batchId"]
                         seen = getattr(self, "_wm_seen_batch", -1)
                         if last_bid > seen:
+                            # advance the seen mark to the max batch
+                            # actually SUMMED, not to the (possibly
+                            # stale) lastProgress snapshot — a batch
+                            # completing between the two reads would
+                            # otherwise be re-summed next poll
+                            # (review r9)
+                            newest = seen
                             for prog in self._stream_query.recentProgress:
-                                if prog["batchId"] <= seen:
+                                bid = prog["batchId"]
+                                if bid <= seen:
                                     continue
                                 self._wm_dropped_cum = getattr(
                                     self, "_wm_dropped_cum", 0
@@ -593,7 +601,8 @@ class Operation:
                                     so.get("numRowsDroppedByWatermark", 0)
                                     for so in prog.get("stateOperators", [])
                                 )
-                            self._wm_seen_batch = last_bid
+                                newest = max(newest, bid)
+                            self._wm_seen_batch = newest
                     except Exception:  # noqa: BLE001 — metrics are best-effort
                         pass
                 page["lateDropped"] = late_acc.value + getattr(self, "_wm_dropped_cum", 0)

@@ -44,28 +44,14 @@ _TYPE_MAP = [
 ]
 
 
-def _split_angle(text: str) -> list[str]:
-    """Split on top-level commas only — nested <>/() stay intact
-    (MAP<STRING, MAP<STRING, INT>> must not split at the inner comma)."""
-    parts, depth, start = [], 0, 0
-    for i, ch in enumerate(text):
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(text[start:i].strip())
-            start = i + 1
-    parts.append(text[start:].strip())
-    return parts
-
-
 def _row_fields_to_spark(fields: str) -> str:
     """ROW<name TYPE, ...> field list → struct<name: sparktype, ...>
     (field types recurse through flink_type_to_spark so CTAS-emitted
-    ROW<ts TIMESTAMP_LTZ(6)> round-trips to a valid Spark schema)."""
+    ROW<ts TIMESTAMP_LTZ(6)> round-trips to a valid Spark schema).
+    Splitting is _split_top's: nested <>/() AND quoted literals (an
+    inline field description containing a comma) stay intact."""
     out = []
-    for f in _split_angle(fields):
+    for f in _split_top(fields):
         m = re.match(r"(?s)^([\w`]+)\s+(.+)$", f.strip())
         if m:
             out.append(f"{m.group(1).strip('`')}: {flink_type_to_spark(m.group(2))}")
@@ -86,7 +72,7 @@ def flink_type_to_spark(t: str) -> str:
         return f"array<{flink_type_to_spark(m.group(1))}>"
     m = re.match(r"(?is)^MAP\s*<(.*)>$", t)
     if m:
-        kv = _split_angle(m.group(1))
+        kv = _split_top(m.group(1))
         if len(kv) == 2:  # top-level split: nested maps stay whole
             return f"map<{flink_type_to_spark(kv[0])}, {flink_type_to_spark(kv[1])}>"
     return t.lower()
@@ -406,14 +392,17 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
     """Flink ``CREATE TABLE new [({extras})] [WITH (opts)] LIKE src
     [(like_options)]`` — build the merged ConnectorTable.
 
-    Merge rules (Flink table DDL docs): the default strategy is
-    INCLUDING ALL; per-category overrides are {INCLUDING|EXCLUDING}
-    for CONSTRAINTS/PARTITIONS/DISTRIBUTION and {INCLUDING|EXCLUDING|
-    OVERWRITING} for GENERATED/METADATA/OPTIONS/WATERMARKS. Physical
-    columns always copy; a redefined physical column is an error. With
-    INCLUDING (not OVERWRITING) OPTIONS, a duplicate key with a
-    different value is an error; OVERWRITING lets the new table's
-    definition win.
+    Merge rules (Flink table DDL docs): with NO like options the
+    default strategy is ``INCLUDING ALL OVERWRITING OPTIONS`` — the
+    canonical "same table, different topic/startup-mode" pattern just
+    works, the new WITH winning on duplicate keys. With explicit like
+    options the base is INCLUDING for every category; per-category
+    overrides are {INCLUDING|EXCLUDING} for CONSTRAINTS/PARTITIONS/
+    DISTRIBUTION and {INCLUDING|EXCLUDING|OVERWRITING} for GENERATED/
+    METADATA/OPTIONS/WATERMARKS. Physical columns always copy; a
+    redefined physical column is an error. Under INCLUDING (not
+    OVERWRITING) OPTIONS, a duplicate key with a different value is
+    an error.
     """
     import copy as _copy  # noqa: PLC0415
 
@@ -431,6 +420,8 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
     new.comment = m.group("comment")
 
     mode = dict.fromkeys(_LIKE_CATEGORIES, "INCLUDING")
+    if not (m.group("feats") or "").strip():
+        mode["OPTIONS"] = "OVERWRITING"  # Flink's no-options default
     for verb, cat in _LIKE_FEAT_RE.findall(m.group("feats") or ""):
         verb, cat = verb.upper(), cat.upper()
         if cat == "ALL":

@@ -862,8 +862,9 @@ def streaming_keep_last(
       values, so nothing is emitted for them (matching Flink).
     - ``rn_col`` set (rank-aware / "with row number" Top-N output,
       Flink's ranking-output mode — VERDICT r8 ask #3): the output
-      carries the rank as ``{rn_col}`` (1 = highest order value) right
-      after ``__op``, and the changelog is keyed by rank: the first
+      carries the rank as ``{rn_col}`` (1 = highest order value) as
+      the LAST column (Flink's ranked star order, matching the ASC
+      first_n route), and the changelog is keyed by rank: the first
       occupant of a rank emits ``+I``, a row change at an occupied
       rank emits ``-U`` (old row at that rank) then ``+U`` (new) —
       including the shift-down cascade when a new row enters above

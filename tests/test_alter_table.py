@@ -268,3 +268,36 @@ class TestAddNonPhysicalItems:
         assert not any(c.name == "ok_col" for c in t.columns)
         ddl = run(sess, "SHOW CREATE TABLE addnp")[0][0]
         assert "WATERMARK" in ddl and "METADATA FROM 'partition' VIRTUAL" in ddl
+
+
+class TestSecondReviewRegressions:
+    """Second late-r9 review pass fixes."""
+
+    def test_add_watermark_unknown_column_rejected(self, sess):
+        run(sess, "CREATE TABLE wmval (id BIGINT, ts TIMESTAMP(3))"
+                  " WITH ('connector'='kafka','topic'='t')")
+        with pytest.raises(LookupError, match="bogus_col"):
+            run(sess, "ALTER TABLE wmval ADD WATERMARK FOR bogus_col AS bogus_col")
+        assert sess.connector_tables["wmval"].watermark is None
+        # a watermark on a column added IN THE SAME list is fine
+        run(sess, "ALTER TABLE wmval ADD (ev TIMESTAMP(3),"
+                  " WATERMARK FOR ev AS ev - INTERVAL '1' SECOND)")
+        assert sess.connector_tables["wmval"].watermark.column == "ev"
+
+    def test_duplicate_watermark_within_one_add_list(self, sess):
+        run(sess, "CREATE TABLE wmdup (ts TIMESTAMP(3))"
+                  " WITH ('connector'='kafka','topic'='t')")
+        with pytest.raises(ValueError, match="watermark"):
+            run(sess, "ALTER TABLE wmdup ADD (WATERMARK FOR ts AS ts,"
+                      " WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)")
+        assert sess.connector_tables["wmdup"].watermark is None  # atomic
+
+    def test_to_timestamp_ltz_deep_nesting(self):
+        from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+        out = rewrite("SELECT TO_TIMESTAMP_LTZ(f(g(x, h(y)), z)) FROM t")
+        assert "timestamp_millis(CAST(f(g(x, h(y)), z) AS BIGINT))" in out
+        # multi-arg with unsupported precision still left for Spark
+        assert "TO_TIMESTAMP_LTZ(f(a, b), 9)" in rewrite(
+            "SELECT TO_TIMESTAMP_LTZ(f(a, b), 9) FROM t"
+        )

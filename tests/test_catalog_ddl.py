@@ -265,13 +265,21 @@ class TestCreateTableLike:
         ddl = run(sess, "SHOW CREATE TABLE like_c1")[0][0]
         assert "WATERMARK" in ddl and "LIKE" not in ddl
 
-    def test_option_conflict_requires_overwriting(self, sess):
+    def test_option_overwrite_default_and_including(self, sess):
         run(sess, self.BASE.replace("like_base", "like_b2"))
-        with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
-            run(sess, "CREATE TABLE like_c2 WITH ('topic'='other') LIKE like_b2")
-        run(sess, "CREATE TABLE like_c2 WITH ('topic'='other')"
-                  " LIKE like_b2 (OVERWRITING OPTIONS)")
+        # Flink's no-like-options default is INCLUDING ALL OVERWRITING
+        # OPTIONS — the canonical "same table, different topic"
+        # pattern works with the new value winning (review r9: it
+        # previously raised)
+        run(sess, "CREATE TABLE like_c2 WITH ('topic'='other') LIKE like_b2")
         assert sess.connector_tables["like_c2"].options["topic"] == "other"
+        # explicit INCLUDING OPTIONS makes a conflicting key an error
+        with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
+            run(sess, "CREATE TABLE like_c2b WITH ('topic'='x')"
+                      " LIKE like_b2 (INCLUDING OPTIONS)")
+        run(sess, "CREATE TABLE like_c2c WITH ('topic'='y')"
+                  " LIKE like_b2 (OVERWRITING OPTIONS)")
+        assert sess.connector_tables["like_c2c"].options["topic"] == "y"
 
     def test_excluding_all_including_options(self, sess):
         run(sess, self.BASE.replace("like_base", "like_b3"))

@@ -14,7 +14,7 @@ from hypothesis import strategies as st
 
 from flink_sql_toolkit_spark.dialect.rewriter import _mask, _split_args, _unmask
 from flink_sql_toolkit_spark.dialect.splitter import split_statements
-from flink_sql_toolkit_spark.sources.ddl import _split_angle, _split_top
+from flink_sql_toolkit_spark.sources.ddl import _split_top
 
 # SQL-ish text: identifiers, operators, quotes, comments, parens
 _sql_alphabet = st.sampled_from(
@@ -70,8 +70,8 @@ class TestDepthAwareSplits:
 
     @given(st.lists(st.sampled_from(["INT", "MAP<STRING, INT>", "ROW<a INT, b STRING>", "ARRAY<MAP<INT, STRING>>"]), min_size=1, max_size=5))
     @settings(max_examples=200, deadline=None)
-    def test_split_angle_round_trips_types(self, types):
-        assert _split_angle(", ".join(types)) == types
+    def test_split_top_round_trips_types(self, types):
+        assert _split_top(", ".join(types)) == types
 
     @given(st.lists(st.sampled_from(["x", "g(a, b)", "'q,r'", "t.col"]), min_size=1, max_size=6))
     @settings(max_examples=200, deadline=None)
