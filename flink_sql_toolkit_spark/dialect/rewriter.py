@@ -215,6 +215,8 @@ def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
     def aux(m: re.Match) -> str:
         fn, field = m.group(1).upper(), m.group(2).upper()
         args = _split_args(m.group(3))
+        if len(args) < (3 if fn == "HOP" else 2):
+            return m.group(0)  # malformed arity: leave for Spark's error
         col = args[0]
         if fn == "HOP":
             slide = _interval_to_duration(args[1], lits)
@@ -240,6 +242,8 @@ def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
     def grp(m: re.Match) -> str:
         fn = m.group(1).upper()
         args = _split_args(m.group(2))
+        if len(args) < (3 if fn == "HOP" else 2):
+            return m.group(0)  # malformed arity: leave for Spark's error
         col = args[0]
         if fn == "HOP":
             slide = _interval_to_duration(args[1], lits)

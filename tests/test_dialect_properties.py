@@ -79,3 +79,31 @@ class TestDepthAwareSplits:
         masked, _lits = _mask(", ".join(args))
         got = _split_args(masked)
         assert len(got) == len(args)
+
+
+_fuzz_tokens = st.sampled_from([
+    "SELECT", "FROM", "WHERE", "OVER", "(", ")", ",", "'lit'", "a", "b.c",
+    "SUM", "TUMBLE", "TABLE", "DESCRIPTOR", "INTERVAL", "'5'", "SECOND",
+    "ARRAY", "[", "]", "MAP", "<", ">", "CAST", "AS", "TIMESTAMP(3)", "ROW",
+    "GROUPS", "BETWEEN", "PRECEDING", "CURRENT", "--x\n", "/*y*/", "0xFF",
+    "UNKNOWN", "LAG", "TO_TIMESTAMP_LTZ", ";", "`q`", "''", "1.5", "*",
+    "HOP", "SESSION", "CUMULATE", "TUMBLE_START", "HOP_END", "WINDOW",
+    "ROWS", "FETCH", "FIRST",
+])
+
+
+class TestRewriteRobustness:
+    @given(st.lists(_fuzz_tokens, max_size=16).map(" ".join))
+    @settings(max_examples=500, deadline=None)
+    def test_rewrite_never_crashes_unexpectedly(self, sql):
+        """rewrite() on arbitrary token soup either returns a string or
+        raises a TYPED error (ValueError/NotImplementedError) — never
+        IndexError/AttributeError (a malformed-arity TUMBLE(...) used
+        to IndexError inside the legacy group-window rewrite)."""
+        from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+        try:
+            out = rewrite(sql)
+        except (ValueError, NotImplementedError):
+            return
+        assert isinstance(out, str)
