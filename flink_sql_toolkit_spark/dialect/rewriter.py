@@ -158,6 +158,78 @@ def _find_tvf(masked: str):
     return m.start(), outer_end, name, masked[args_start:inner_end]
 
 
+def _fold_session_agg(
+    masked: str,
+    start: int,
+    end: int,
+    table: str,
+    pkeys: list[str],
+    col: str,
+    gap_arg: str,
+    lits: list[str],
+) -> str | None:
+    """Fold ``SELECT … FROM TABLE(SESSION(TABLE t [PARTITION BY k],
+    DESCRIPTOR(ts), gap)) [WHERE …] GROUP BY …, window_start[,
+    window_end] …`` into Spark's grouped ``session_window`` form —
+    the only construct where Spark MERGES sessions, and one that is
+    valid on both batch and streaming inputs (Flink likewise requires
+    a window aggregation after a streaming session TVF).
+
+    Returns None when the statement is not this shape, or when the
+    GROUP BY keys differ from the TVF's PARTITION BY keys (Spark
+    merges per grouping key; Flink merges per PARTITION BY key — the
+    fold is only sound when they coincide). The caller then uses the
+    row-preserving gaps-and-islands assignment instead.
+    """
+    head, tail = masked[:start], masked[end:]
+    hm = re.match(r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s*$", head)
+    if hm and re.search(
+        r"(?i)\b(FROM|UNION|INTERSECT|EXCEPT|JOIN)\b", hm.group("sel")
+    ):
+        # compound statement (set op / another relation before this
+        # TVF): the captured "select list" spans other queries — only
+        # the simple single-SELECT shape folds
+        hm = None
+    tm = re.match(
+        r"(?is)^\s*(?:(?:AS\s+)?(?!WHERE\b|GROUP\b)(?P<alias>\w+)\s+)?"
+        r"(?P<where>WHERE\s+.+?\s+)?GROUP\s+BY\s+(?P<keys>.+?)"
+        r"(?P<rest>\s+(?:HAVING|ORDER\s+BY|LIMIT)\b.*)?\s*$",
+        tail,
+    )
+    if not hm or not tm:
+        return None
+    if tm.group("where") and re.search(r"(?i)\bwindow_(start|end)\b", tm.group("where")):
+        return None  # WHERE on window bounds: not expressible pre-aggregation
+    rest = tm.group("rest") or ""
+    if re.search(r"(?i)\bHAVING\b", rest) and re.search(r"(?i)\bwindow_(start|end)\b", rest):
+        return None
+    keys = [k.strip() for k in _split_args(tm.group("keys"))]
+    window_keys = [k for k in keys if re.fullmatch(r"(?i)`?window_(start|end)`?", k)]
+    others = [k for k in keys if k not in window_keys]
+    if not window_keys:
+        return None  # not the window-agg shape
+    norm = lambda xs: {x.strip("`").lower() for x in xs}  # noqa: E731
+    if norm(others) != norm(pkeys):
+        return None  # grouping keys ≠ session partition keys: unsound fold
+    gap = _interval_to_duration(gap_arg, lits)
+    swfn = f"session_window({col}, {gap})"
+    items = []
+    for it in (i.strip() for i in _split_args(hm.group("sel"))):
+        im = re.fullmatch(r"(?is)`?window_(start|end)`?(?:\s+AS\s+([\w`]+))?", it)
+        if im:
+            alias = (im.group(2) or f"window_{im.group(1).lower()}").strip("`")
+            items.append(f"{swfn}.{im.group(1).lower()} AS {alias}")
+        elif re.search(r"(?i)\bwindow_(start|end)\b", it):
+            return None  # window bound inside a wider expression
+        else:
+            items.append(it)
+    where = tm.group("where") or ""
+    group_by = ", ".join([*others, swfn])
+    return (
+        f"SELECT {', '.join(items)} FROM {table} {where}GROUP BY {group_by}{rest}"
+    )
+
+
 def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
     while True:
         found = _find_tvf(masked)
@@ -185,10 +257,45 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
                 f"(SELECT *, window({col}, {size}, {slide}) AS _w FROM {table}) ) "
             )
         elif name == "SESSION":
-            gap = _interval_to_duration(args[-1], lits)
+            # SESSION merges windows — a projected session_window()
+            # does NOT merge in Spark (merging happens only as a
+            # grouping expression), so the projection form silently
+            # computed per-event [ts, ts+gap) windows (caught by the
+            # streaming SESSION E2E test, late r9). Two correct routes:
+            # the window-agg statement shape folds into a grouped
+            # session_window (valid batch AND streaming); anything else
+            # gets a row-preserving gaps-and-islands assignment (batch;
+            # streaming then surfaces Spark's window-function error,
+            # matching Flink's own rule that a streaming session TVF
+            # must be followed by a window aggregation).
+            pm = re.match(
+                r"(?is)^\s*TABLE\s+([\w.\x00]+)\s*(?:PARTITION\s+BY\s+(.+))?$",
+                args[0],
+            )
+            table = pm.group(1) if pm else table
+            pkeys = (
+                [k.strip().strip("`") for k in pm.group(2).split(",")]
+                if pm and pm.group(2)
+                else []
+            )
+            folded = _fold_session_agg(masked, start, end, table, pkeys, col, args[-1], lits)
+            if folded is not None:
+                masked = folded
+                continue
+            gap_s = _interval_seconds(args[-1], lits)
+            if gap_s is None:
+                raise ValueError("SESSION requires a constant INTERVAL gap")
+            pb = f"PARTITION BY {', '.join(pkeys)} " if pkeys else ""
+            lag = f"LAG({col}) OVER ({pb}ORDER BY {col})"
+            sess_keys = ", ".join([*pkeys, "_sess"])
             sub = (
-                f"(SELECT *, _w.start AS window_start, _w.end AS window_end FROM "
-                f"(SELECT *, session_window({col}, {gap}) AS _w FROM {table}) ) "
+                f"(SELECT *, MIN({col}) OVER (PARTITION BY {sess_keys}) AS window_start, "
+                f"MAX({col}) OVER (PARTITION BY {sess_keys}) + INTERVAL {gap_s} SECOND AS window_end FROM "
+                f"(SELECT *, SUM(_new) OVER ({pb}ORDER BY {col} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sess FROM "
+                f"(SELECT *, CASE WHEN {lag} IS NULL OR "
+                f"{col} >= {lag} + INTERVAL {gap_s} SECOND THEN 1 ELSE 0 END AS _new "
+                f"FROM {table}))) "
             )
         else:  # CUMULATE
             step = _interval_seconds(args[2], lits)

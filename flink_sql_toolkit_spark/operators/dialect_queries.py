@@ -22,17 +22,40 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], flink_sql: s
 
 @register(
     "dialect_tumble_tvf",
+    # TUMBLE + SESSION (PARTITION BY, the grouped-session_window fold
+    # — late r9: a projected session_window never merges, so the SQL
+    # SESSION path needed its own oracle) tagged onto one schema
     oracle="""
-    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+    SELECT 'tumble' AS variant, CAST(NULL AS BIGINT) AS k,
+           make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1 ORDER BY 1
+    FROM events GROUP BY 3
+    UNION ALL
+    SELECT 'session', user_id, MIN(ts), COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 600
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, sess_id
     """,
 )
 def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus TUMBLE TVF shape (syntax-test.fsql:199-208)
-    executed through the rewriter."""
-    return _sql(
+    """The corpus TUMBLE TVF shape (syntax-test.fsql:199-208) plus the
+    SESSION TVF window-agg shape (PARTITION BY user_id → Spark's
+    grouped session_window via the fold), both through the rewriter."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    t = _sql(
         spark,
         sf_dir,
         ("events",),
@@ -42,7 +65,23 @@ def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
         GROUP BY window_start ORDER BY window_start
         """,
+    ).select(
+        F.lit("tumble").alias("variant"),
+        F.lit(None).cast("bigint").alias("k"),
+        "window_start", "n", "total_value",
     )
+    s = _sql(
+        spark,
+        sf_dir,
+        ("events",),
+        """
+        SELECT user_id AS k, window_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        GROUP BY user_id, window_start
+        """,
+    ).select(F.lit("session").alias("variant"), "k", "window_start", "n", "total_value")
+    return t.unionByName(s)
 
 
 @register(

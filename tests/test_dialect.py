@@ -49,10 +49,20 @@ class TestRewriter:
         assert "window(ts, '10 minute', '5 minute')" in out
 
     def test_session_and_cumulate(self):
+        # row-preserving SESSION = gaps-and-islands merge (a projected
+        # session_window never merges in Spark — late-r9 fix); the
+        # window-agg shape folds to grouped session_window instead
         out = rewrite(
             "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), INTERVAL '30' SECOND))"
         )
-        assert "session_window(ts, '30 second')" in out
+        assert "SUM(_new) OVER" in out and "INTERVAL 30 SECOND" in out
+        out = rewrite(
+            "SELECT k, window_start, COUNT(*) AS n FROM "
+            "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' SECOND)) "
+            "GROUP BY k, window_start"
+        )
+        assert "GROUP BY k, session_window(ts, '30 second')" in out
+        assert "session_window(ts, '30 second').start AS window_start" in out
         out = rewrite(
             "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
         )

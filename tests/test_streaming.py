@@ -1102,3 +1102,58 @@ def test_stream_stream_window_join(session, tmp_path):
         (1, "l-a", "r-a"),  # 10:00 window
         (1, "l-b", "r-b"),  # 10:05 window
     ]
+
+
+def test_filesystem_stream_session_window_agg(session, sf_dir):
+    """SESSION TVF on a stream: per-user gap-merged windows must agree
+    with the batch session_window result once fully processed (the
+    batch variant is oracle-gated in tvf_hop_cumulate_session; this
+    pins the STREAMING route end-to-end)."""
+    session.execute_statement(
+        f"""
+        CREATE TABLE fs_ev_sess (
+          event_id BIGINT,
+          user_id BIGINT,
+          ts TIMESTAMP_LTZ(6),
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{sf_dir}/events.parquet', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT user_id, window_start, COUNT(*) AS n FROM "
+        "TABLE(SESSION(TABLE fs_ev_sess PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) "
+        "GROUP BY user_id, window_start"
+    )
+    assert op.status == "RUNNING"
+    # watermarked session agg runs APPEND mode: each session emits
+    # exactly once, FINALIZED, when the watermark passes its end —
+    # Flink's own streaming session-window behavior. Sessions whose
+    # last event lies within (gap + delay) of the stream's max
+    # timestamp never finalize (the watermark stops at max_ts - 5 s),
+    # so the assertion is exactness on every EMITTED session plus a
+    # coverage floor, not set equality.
+    seen: dict = {}
+    token = 0
+    quiet = 0
+    deadline = time.time() + 120
+    while time.time() < deadline and not (seen and quiet >= 10):
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        if page["data"]:
+            quiet = 0
+            for u, w, n in page["data"]:
+                assert (u, w) not in seen  # append mode: one final emit
+                seen[(u, w)] = n
+        else:
+            quiet += 1
+        time.sleep(0.5)
+    op.cancel()
+    batch = session.spark.sql(
+        f"SELECT user_id, session_window(ts, '10 minutes').start AS ws, COUNT(*) AS n "
+        f"FROM parquet.`{sf_dir}/events.parquet` GROUP BY user_id, session_window(ts, '10 minutes')"
+    ).collect()
+    want = {(r.user_id, r.ws): r.n for r in batch}
+    assert seen  # the stream produced finalized sessions
+    for key, n in seen.items():
+        assert want.get(key) == n  # every emitted session is batch-exact
+    assert len(seen) >= 0.9 * len(want)  # only the per-user tail is open
