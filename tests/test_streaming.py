@@ -1157,3 +1157,50 @@ def test_filesystem_stream_session_window_agg(session, sf_dir):
     for key, n in seen.items():
         assert want.get(key) == n  # every emitted session is batch-exact
     assert len(seen) >= 0.9 * len(want)  # only the per-user tail is open
+
+
+def test_filesystem_stream_cumulate_agg(session, sf_dir):
+    """CUMULATE TVF on a stream (explode-based rewrite): expanding
+    windows must converge to the batch result's totals."""
+    session.execute_statement(
+        f"""
+        CREATE TABLE fs_ev_cum (
+          event_id BIGINT,
+          user_id BIGINT,
+          ts TIMESTAMP_LTZ(6)
+        ) WITH ('connector'='filesystem', 'path'='{sf_dir}/events.parquet', 'format'='parquet')
+        """
+    )
+    # one week only: the paged streaming result keeps a 1000-row ring
+    # (notebookController.ts:258-261 contract) and a single-file source
+    # emits every slice in one micro-batch - the full month's ~1.5k
+    # slices would out-run a 0.5 s poll loop by design, not by bug
+    op = session.execute_statement(
+        "SELECT window_start, window_end, COUNT(*) AS n FROM "
+        "TABLE(CUMULATE(TABLE fs_ev_cum, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR)) "
+        "WHERE ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "GROUP BY window_start, window_end"
+    )
+    assert op.status == "RUNNING"
+    from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+    batch_sql = rewrite(
+        f"SELECT window_start, window_end, COUNT(*) AS n FROM "
+        f"TABLE(CUMULATE(TABLE parquet.`{sf_dir}/events.parquet`, DESCRIPTOR(ts), "
+        f"INTERVAL '15' MINUTE, INTERVAL '1' HOUR)) "
+        f"WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY window_start, window_end"
+    )
+    want = {(r.window_start, r.window_end): r.n for r in session.spark.sql(batch_sql).collect()}
+    seen: dict = {}
+    token = 0
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        for ws, we, n in page["data"]:
+            seen[(ws, we)] = n  # update mode: later pages revise
+        if seen == want:
+            break
+        time.sleep(0.5)
+    op.cancel()
+    assert seen == want  # every cumulative slice converged to batch
