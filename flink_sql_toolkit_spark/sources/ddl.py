@@ -307,12 +307,46 @@ def parse_create_table(sql: str) -> ConnectorTable:
     return table
 
 
+def _strip_comments(text: str) -> str:
+    """Remove ``--`` line and ``/* */`` block comments outside string
+    literals — corpus DDL carries inline comments inside the column
+    list (syntax-test.fsql:19), which previously made the WATERMARK
+    item silently unparseable."""
+    out: list[str] = []
+    i, n, in_str = 0, len(text), False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+        elif ch == "-" and text[i + 1 : i + 2] == "-":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+        elif ch == "/" and text[i + 1 : i + 2] == "*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def apply_body_part(table: ConnectorTable, part: str) -> str:
     """Parse ONE CREATE-TABLE body item — watermark / primary key /
     metadata column / computed column / physical column — onto
-    ``table``; returns which kind was applied. Shared by
-    parse_create_table and ALTER TABLE ADD (FLIP-273 lets ADD carry
-    the same item kinds the CREATE body does)."""
+    ``table``; returns which kind was applied (an item that is pure
+    comment is a no-op ``"comment"``). Shared by parse_create_table
+    and ALTER TABLE ADD (FLIP-273 lets ADD carry the same item kinds
+    the CREATE body does)."""
+    part = _strip_comments(part).strip()
+    if not part:
+        return "comment"
     wm = re.match(r"(?is)^WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+(.*)$", part)
     if wm:
         # SOURCE_WATERMARK() (connector-provided watermark,

@@ -426,3 +426,24 @@ class TestToTimestampLtzNumeric:
             .rewrite("SELECT TO_TIMESTAMP_LTZ(ms) AS ts FROM (SELECT CAST(86400000 AS BIGINT) AS ms)")
         ).collect()[0]
         assert row.ts.year == 1970 and row.ts.day == 2  # epoch + 1 day
+
+
+class TestBodyComments:
+    """Inline comments inside the CREATE TABLE column list
+    (syntax-test.fsql:19) — previously the item carrying the comment
+    (the corpus table's WATERMARK) was silently dropped."""
+
+    def test_inline_comment_does_not_eat_watermark(self):
+        t = parse_create_table(
+            "CREATE TABLE c (a INT,\n"
+            "  ts AS PROCTIME(),  -- computed column with PROCTIME\n"
+            "  WATERMARK FOR ot AS ot - INTERVAL '5' SECOND,\n"
+            "  ot TIMESTAMP(3) /* block comment */,\n"
+            "  s STRING COMMENT 'not -- a comment'\n"
+            ") WITH ('connector'='blackhole');"
+        )
+        assert t.watermark is not None and t.watermark.delay == "5 seconds"
+        assert [c.name for c in t.columns] == ["a", "ot", "s"]
+        assert t.computed[0].expr == "PROCTIME()"
+        # '--' inside a string literal survives
+        assert t.columns[-1].comment == "not -- a comment"
