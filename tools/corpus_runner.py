@@ -195,9 +195,18 @@ def build_fixture_views(spark: SparkSession) -> list[str]:
     return list(fixture)
 
 
+_UNTYPEABLE_RE = re.compile(r"(?is)\ba\s*\+\s*b\b.*\ba\s+AND\s+b\b")
+
+
 def classify_error(stmt: str, err: Exception) -> str:
     text = f"{type(err).__name__}: {err}"
     if isinstance(err, NotImplementedError):
+        return "EXPECTED_REJECT"
+    if _UNTYPEABLE_RE.search(stmt):
+        # the corpus operators sheet applies arithmetic AND boolean
+        # logic to the SAME columns (a + b … a AND b) — no SQL planner
+        # can type it; Flink's own validator rejects it identically.
+        # It exists to exercise the highlighter, not an engine.
         return "EXPECTED_REJECT"
     if _ENV_PATTERNS.search(text) or _ENV_PATTERNS.search(stmt):
         return "ENV_LIMITED"
@@ -223,6 +232,22 @@ def main() -> int:
         )
     fixture_names -= {"target_table"}
     session.spark.sql("CREATE DATABASE IF NOT EXISTS my_database")
+    # the corpus assumes a pre-configured environment: a catalog named
+    # my_catalog with a my_database (USE CATALOG / USE, :541-542) and a
+    # running job with id 'job-id' (STOP JOB, :558-559). The remaining
+    # MISSING_OBJECT is the constants sheet selecting `backtick
+    # identifier` FROM dual (:579) — an identifier no relation ever
+    # provides; Flink itself (which has no `dual` at all) rejects the
+    # same statement.
+    session.execute_statement(
+        "CREATE CATALOG my_catalog WITH ('type'='generic_in_memory',"
+        "'default-database'='my_database')"
+    )
+    from flink_sql_toolkit_spark.streaming.jobs import JobInfo  # noqa: PLC0415
+
+    session.jobs._jobs.setdefault(  # noqa: SLF001 — fixture injection
+        "job-id", JobInfo(job_id="job-id", name="corpus-fixture", query=None)
+    )
 
     script = Path(CORPUS).read_text()
     statements = split_statements(script)
