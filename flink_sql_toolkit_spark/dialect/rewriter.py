@@ -212,21 +212,33 @@ def _fold_session_agg(
     if norm(others) != norm(pkeys):
         return None  # grouping keys ≠ session partition keys: unsound fold
     gap = _interval_to_duration(gap_arg, lits)
+    if gap is None:
+        return None  # unparsable gap: the caller raises the typed error
     swfn = f"session_window({col}, {gap})"
     items = []
+    out_aliases: set[str] = set()
     for it in (i.strip() for i in _split_args(hm.group("sel"))):
         im = re.fullmatch(r"(?is)`?window_(start|end)`?(?:\s+AS\s+([\w`]+))?", it)
         if im:
             alias = (im.group(2) or f"window_{im.group(1).lower()}").strip("`")
             items.append(f"{swfn}.{im.group(1).lower()} AS {alias}")
+            out_aliases.add(alias.lower())
         elif re.search(r"(?i)\bwindow_(start|end)\b", it):
             return None  # window bound inside a wider expression
         else:
             items.append(it)
+    # an ORDER BY on a window bound resolves only through an output
+    # alias once the fold removes the bound columns (review r9)
+    for bound in re.findall(r"(?i)\bwindow_(?:start|end)\b", rest):
+        if bound.lower() not in out_aliases:
+            return None
     where = tm.group("where") or ""
+    # keep the relation alias: the query may qualify columns with it
+    # (review r9: FROM t with a dangling s.v reference)
+    rel = f"{table} AS {tm.group('alias')} " if tm.group("alias") else f"{table} "
     group_by = ", ".join([*others, swfn])
     return (
-        f"SELECT {', '.join(items)} FROM {table} {where}GROUP BY {group_by}{rest}"
+        f"SELECT {', '.join(items)} FROM {rel}{where}GROUP BY {group_by}{rest}"
     )
 
 
@@ -237,6 +249,17 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
             return masked
         start, end, name, argstr = found
         args = _split_args(argstr)
+        # a multi-key PARTITION BY inside the first argument contains
+        # top-level commas (TABLE t PARTITION BY a, b, DESCRIPTOR…) —
+        # re-align on the DESCRIPTOR argument so every key stays in
+        # the table clause (review r9: key #2 was parsed as the time
+        # column, computing sessions over a data column)
+        di = next(
+            (i for i, a in enumerate(args) if re.match(r"(?is)^\s*DESCRIPTOR\s*\(", a)),
+            1,
+        )
+        if di > 1:
+            args = [", ".join(args[:di]), *args[di:]]
         tm = re.match(r"(?is)^\s*TABLE\s+([\w.\x00]+)\s*$", args[0])
         table = tm.group(1) if tm else args[0]
         dm = re.match(r"(?is)^\s*DESCRIPTOR\s*\(\s*([\w.\x00]+)\s*\)\s*$", args[1])
@@ -282,19 +305,24 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
             if folded is not None:
                 masked = folded
                 continue
-            gap_s = _interval_seconds(args[-1], lits)
-            if gap_s is None:
+            gap_dur = _interval_to_duration(args[-1], lits)
+            if gap_dur is None:
                 raise ValueError("SESSION requires a constant INTERVAL gap")
+            # Spark's multi-unit interval string keeps sub-second gaps
+            # exact (review r9: an integer-seconds conversion truncated
+            # INTERVAL '500' MILLISECOND to 0 — every row its own
+            # session); gap_dur is already quoted, e.g. '10 minute'
+            gap_sql = f"INTERVAL {gap_dur}"
             pb = f"PARTITION BY {', '.join(pkeys)} " if pkeys else ""
             lag = f"LAG({col}) OVER ({pb}ORDER BY {col})"
             sess_keys = ", ".join([*pkeys, "_sess"])
             sub = (
                 f"(SELECT *, MIN({col}) OVER (PARTITION BY {sess_keys}) AS window_start, "
-                f"MAX({col}) OVER (PARTITION BY {sess_keys}) + INTERVAL {gap_s} SECOND AS window_end FROM "
+                f"MAX({col}) OVER (PARTITION BY {sess_keys}) + {gap_sql} AS window_end FROM "
                 f"(SELECT *, SUM(_new) OVER ({pb}ORDER BY {col} "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _sess FROM "
                 f"(SELECT *, CASE WHEN {lag} IS NULL OR "
-                f"{col} >= {lag} + INTERVAL {gap_s} SECOND THEN 1 ELSE 0 END AS _new "
+                f"{col} >= {lag} + {gap_sql} THEN 1 ELSE 0 END AS _new "
                 f"FROM {table}))) "
             )
         else:  # CUMULATE

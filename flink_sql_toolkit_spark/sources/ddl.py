@@ -302,7 +302,11 @@ def parse_create_table(sql: str) -> ConnectorTable:
         if km:
             table.options[km.group(1)] = km.group(2).replace("''", "'")
 
-    for part in _split_top(m.group("body")):
+    # comments strip BEFORE the split: a comma/quote/paren inside an
+    # inline comment would otherwise corrupt the item boundaries
+    # (review r9: "-- legacy, deprecated" split mid-comment; an
+    # apostrophe in a comment swallowed the following WATERMARK)
+    for part in _split_top(_strip_comments(m.group("body"))):
         apply_body_part(table, part)
     return table
 

@@ -55,7 +55,7 @@ class TestRewriter:
         out = rewrite(
             "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), INTERVAL '30' SECOND))"
         )
-        assert "SUM(_new) OVER" in out and "INTERVAL 30 SECOND" in out
+        assert "SUM(_new) OVER" in out and "INTERVAL '30 second'" in out
         out = rewrite(
             "SELECT k, window_start, COUNT(*) AS n FROM "
             "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' SECOND)) "
@@ -447,3 +447,65 @@ class TestBodyComments:
         assert t.computed[0].expr == "PROCTIME()"
         # '--' inside a string literal survives
         assert t.columns[-1].comment == "not -- a comment"
+
+
+class TestSessionFoldReviewFixes:
+    """Fourth late-r9 review pass: SESSION fold/fallback edge cases."""
+
+    def test_multi_key_partition_by(self):
+        out = rewrite(
+            "SELECT a, b, window_start, COUNT(*) AS n FROM "
+            "TABLE(SESSION(TABLE t PARTITION BY a, b, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) "
+            "GROUP BY a, b, window_start"
+        )
+        assert "GROUP BY a, b, session_window(ts, '10 minute')" in out
+
+    def test_relation_alias_kept(self):
+        out = rewrite(
+            "SELECT k, window_start, COUNT(*) AS n FROM "
+            "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' SECOND)) s "
+            "WHERE s.v > 0 GROUP BY k, window_start"
+        )
+        assert "FROM t AS s WHERE s.v > 0" in out
+
+    def test_month_gap_typed_error(self):
+        with pytest.raises(ValueError, match="INTERVAL gap"):
+            rewrite(
+                "SELECT k, window_start, COUNT(*) AS n FROM "
+                "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '1' MONTH)) "
+                "GROUP BY k, window_start"
+            )
+
+    def test_sub_second_gap_preserved(self):
+        out = rewrite(
+            "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), INTERVAL '500' MILLISECOND))"
+        )
+        assert "'500 millisecond'" in out  # not truncated to 0 seconds
+
+    def test_order_by_unselected_bound_falls_back(self):
+        out = rewrite(
+            "SELECT k, COUNT(*) AS n FROM "
+            "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' SECOND)) "
+            "GROUP BY k, window_start ORDER BY window_start"
+        )
+        assert "SUM(_new) OVER" in out  # row-preserving fallback
+        out = rewrite(
+            "SELECT k, window_start, COUNT(*) AS n FROM "
+            "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' SECOND)) "
+            "GROUP BY k, window_start ORDER BY window_start"
+        )
+        assert "GROUP BY k, session_window" in out  # selected bound folds
+
+    def test_comment_with_comma_does_not_split_body(self):
+        t = parse_create_table(
+            "CREATE TABLE c3 (a INT, -- legacy, deprecated\n b INT)"
+            " WITH ('connector'='blackhole');"
+        )
+        assert [c.name for c in t.columns] == ["a", "b"]
+        t = parse_create_table(
+            "CREATE TABLE c4 (a INT, -- user's id\n b INT,\n"
+            " WATERMARK FOR ts AS ts,\n ts TIMESTAMP(3))"
+            " WITH ('connector'='blackhole');"
+        )
+        assert [c.name for c in t.columns] == ["a", "b", "ts"]
+        assert t.watermark is not None

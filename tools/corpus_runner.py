@@ -202,11 +202,14 @@ def classify_error(stmt: str, err: Exception) -> str:
     text = f"{type(err).__name__}: {err}"
     if isinstance(err, NotImplementedError):
         return "EXPECTED_REJECT"
-    if _UNTYPEABLE_RE.search(stmt):
+    if _UNTYPEABLE_RE.search(stmt) and re.search(
+        r"(?i)DATATYPE_MISMATCH|cannot resolve", text
+    ):
         # the corpus operators sheet applies arithmetic AND boolean
         # logic to the SAME columns (a + b … a AND b) — no SQL planner
         # can type it; Flink's own validator rejects it identically.
-        # It exists to exercise the highlighter, not an engine.
+        # Gated on the TYPE-CHECK error so a genuine engine crash on
+        # this statement still surfaces as FAIL (review r9).
         return "EXPECTED_REJECT"
     if _ENV_PATTERNS.search(text) or _ENV_PATTERNS.search(stmt):
         return "ENV_LIMITED"
