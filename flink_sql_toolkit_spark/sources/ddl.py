@@ -236,20 +236,29 @@ def parse_watermark(column: str, expr: str) -> Watermark:
     return Watermark(column.strip("`"), expr, delay)
 
 
+def _rt_type(spark_type: str) -> str:
+    """Spark type string → a spelling flink_type_to_spark maps BACK to
+    the same Spark type (property-tested fixed point): bare
+    ``timestamp`` must re-emerge as TIMESTAMP_LTZ — uppercased
+    ``TIMESTAMP`` would re-parse as the NTZ type — including inside
+    nested array/map/struct types."""
+    return re.sub(r"(?i)\btimestamp\b(?!_)", "timestamp_ltz", spark_type).upper()
+
+
 def synthesize_ddl(table: "ConnectorTable") -> str:
     """Rebuild the CREATE TABLE text from a (possibly ALTERed)
     ConnectorTable so SHOW CREATE TABLE stays truthful after
     ALTER TABLE ADD/MODIFY/DROP/RENAME mutations."""
     parts: list[str] = []
     for c in table.columns:
-        p = f"{c.name} {c.spark_type.upper()}"
+        p = f"{c.name} {_rt_type(c.spark_type)}"
         if not c.nullable:
             p += " NOT NULL"
         if c.comment:
             p += f" COMMENT '{c.comment}'"
         parts.append(p)
     for mc in table.metadata:
-        p = f"{mc.name} {mc.spark_type.upper()} METADATA"
+        p = f"{mc.name} {_rt_type(mc.spark_type)} METADATA"
         if mc.key != mc.name:
             p += f" FROM '{mc.key}'"
         if mc.virtual:
@@ -271,7 +280,10 @@ def synthesize_ddl(table: "ConnectorTable") -> str:
             ddl += f" INTO {table.bucket_count} BUCKETS"
     if table.partitioned_by:
         ddl += f" PARTITIONED BY ({', '.join(table.partitioned_by)})"
-    opts = ", ".join(f"'{k}'='{v}'" for k, v in table.options.items())
+    # single quotes in values escape as '' — the parser unescapes them
+    opts = ", ".join(
+        f"'{k}'='{v.replace(chr(39), chr(39) * 2)}'" for k, v in table.options.items()
+    )
     return f"{ddl} WITH ({opts})"
 
 

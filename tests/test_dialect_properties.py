@@ -107,3 +107,54 @@ class TestRewriteRobustness:
         except (ValueError, NotImplementedError):
             return
         assert isinstance(out, str)
+
+
+class TestSynthesizeRoundTrip:
+    """parse → synthesize_ddl → parse is a fixed point: SHOW CREATE
+    TABLE returns the synthesized text after every ALTER, so a lossy
+    round-trip would corrupt the table on the next engine restart or
+    LIKE copy."""
+
+    _types = st.sampled_from([
+        "INT", "BIGINT", "DOUBLE", "STRING", "DECIMAL(10,2)", "BOOLEAN",
+        "TIMESTAMP(3)", "TIMESTAMP_LTZ(3)", "BYTES", "ARRAY<STRING>",
+        "MAP<STRING, INT>", "ROW<x INT, y STRING>",
+    ])
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(list("abcdefgh")), _types, st.booleans()),
+            min_size=1, max_size=6, unique_by=lambda t: t[0],
+        ),
+        st.booleans(),  # watermark
+        st.booleans(),  # primary key
+        st.booleans(),  # distributed
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_fixed_point(self, cols, wm, pk, dist):
+        from flink_sql_toolkit_spark.sources.ddl import (
+            parse_create_table,
+            synthesize_ddl,
+        )
+
+        parts = [f"{n} {t}{'' if nullable else ' NOT NULL'}" for n, t, nullable in cols]
+        parts.append("ts TIMESTAMP(3)")
+        if wm:
+            parts.append("WATERMARK FOR ts AS ts - INTERVAL '5' SECOND")
+        if pk:
+            parts.append(f"PRIMARY KEY ({cols[0][0]}) NOT ENFORCED")
+        ddl = f"CREATE TABLE t ({', '.join(parts)})"
+        if dist:
+            ddl += f" DISTRIBUTED BY HASH({cols[0][0]}) INTO 4 BUCKETS"
+        ddl += " WITH ('connector'='blackhole', 'opt'='v''q')"
+        t1 = parse_create_table(ddl + ";")
+        t2 = parse_create_table(synthesize_ddl(t1) + ";")
+        assert [(c.name, c.spark_type, c.nullable) for c in t2.columns] == [
+            (c.name, c.spark_type, c.nullable) for c in t1.columns
+        ]
+        assert (t2.watermark is None) == (t1.watermark is None)
+        if t1.watermark:
+            assert t2.watermark.delay == t1.watermark.delay
+        assert t2.primary_key == t1.primary_key
+        assert (t2.distributed_by, t2.bucket_count) == (t1.distributed_by, t1.bucket_count)
+        assert t2.options == t1.options
