@@ -260,6 +260,12 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
         )
         if di > 1:
             args = [", ".join(args[:di]), *args[di:]]
+        min_args = {"TUMBLE": 3, "SESSION": 3, "HOP": 4, "CUMULATE": 4}[name]
+        if len(args) < min_args:
+            raise ValueError(
+                f"{name} window TVF takes at least {min_args} arguments "
+                f"(TABLE t, DESCRIPTOR(ts), intervals…); got {len(args)}"
+            )
         tm = re.match(r"(?is)^\s*TABLE\s+([\w.\x00]+)\s*$", args[0])
         table = tm.group(1) if tm else args[0]
         dm = re.match(r"(?is)^\s*DESCRIPTOR\s*\(\s*([\w.\x00]+)\s*\)\s*$", args[1])

@@ -509,3 +509,12 @@ class TestSessionFoldReviewFixes:
         )
         assert [c.name for c in t.columns] == ["a", "b", "ts"]
         assert t.watermark is not None
+
+
+def test_tvf_arity_typed_error():
+    """A window TVF with too few arguments raises the typed ValueError
+    (fuzzing found an IndexError on a one-argument CUMULATE)."""
+    with pytest.raises(ValueError, match="at least"):
+        rewrite("SELECT * FROM TABLE(CUMULATE(t))")
+    with pytest.raises(ValueError, match="at least"):
+        rewrite("SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts)))")
