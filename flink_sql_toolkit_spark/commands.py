@@ -77,6 +77,22 @@ def handle_reset(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
     return _c(("result", "string")), [["OK"]]
 
 
+def _like_filter(stmt: str, names: list[str]) -> list[str]:
+    """Flink's ``SHOW … [NOT] LIKE 'pattern'`` filter (SQL LIKE
+    semantics: % = any run, _ = one char). No LIKE clause → all names
+    (previously the filter was silently ignored — the full listing
+    came back for SHOW TABLES LIKE 'x%')."""
+    m = re.search(r"(?is)\b(NOT\s+)?LIKE\s+'([^']*)'\s*;?\s*$", stmt)
+    if not m:
+        return list(names)
+    pat = re.compile(
+        "^" + re.escape(m.group(2)).replace("%", ".*").replace("_", ".") + "$",
+        re.DOTALL,
+    )
+    keep = (lambda n: not pat.match(n)) if m.group(1) else (lambda n: bool(pat.match(n)))
+    return [n for n in names if keep(n)]
+
+
 def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
     s = re.sub(r"\s+", " ", stmt.strip().rstrip(";")).upper()
     spark = session.spark
@@ -109,20 +125,23 @@ def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None
                 raise LookupError(f"catalog '{cname}' does not exist")
             return _c(("database name", "string")), [[d] for d in session.metadata.databases(cname)]
         cat = emu.current_catalog()
-        if cat is not None:
-            return _c(("database name", "string")), [[d] for d in sorted(cat.databases)]
-        return _c(("database name", "string")), [[d] for d in session.metadata.databases()]
+        names = sorted(cat.databases) if cat is not None else session.metadata.databases()
+        return _c(("database name", "string")), [[d] for d in _like_filter(stmt, names)]
     if s.startswith("SHOW TABLES"):
         db = emu.current_database()
         if db is not None and not re.search(r"(?i)\b(FROM|IN)\b", s):
-            return _c(("table name", "string")), [[t] for t in sorted(db.tables)]
-        return _c(("table name", "string")), [[t] for t in session.metadata.tables()]
+            names = sorted(db.tables)
+        else:
+            names = session.metadata.tables()
+        return _c(("table name", "string")), [[t] for t in _like_filter(stmt, names)]
     if s.startswith("SHOW VIEWS"):
-        return _c(("view name", "string")), [[v] for v in session.metadata.views()]
+        return _c(("view name", "string")), [
+            [v] for v in _like_filter(stmt, session.metadata.views())
+        ]
     if s.startswith("SHOW FUNCTIONS"):
         return (
             _c(("function name", "string")),
-            [[f] for f in session.metadata.functions()],
+            [[f] for f in _like_filter(stmt, session.metadata.functions())],
         )
     if s == "SHOW JOBS":
         return (

@@ -211,3 +211,30 @@ def test_completions_catalog_dot_gives_databases(session):
     items = session.completions(f"SELECT * FROM {cat}.", line_prefix=f"SELECT * FROM {cat}.")
     dbs = [i for i in items if i["kind"] == "database"]
     assert any(d["label"] == "default" for d in dbs)
+
+
+def test_show_like_filters(spark):
+    """SHOW TABLES/VIEWS/DATABASES/FUNCTIONS [NOT] LIKE 'pattern'
+    (Flink SQL LIKE semantics: % / _) — previously the filter was
+    silently ignored and the full listing came back."""
+    from flink_sql_toolkit_spark.engine import Engine
+
+    eng = Engine(spark)
+    s = eng.open_session("show-like")
+    try:
+        for n in ("lk_alpha", "lk_beta", "other_t"):
+            s.execute_statement(
+                f"CREATE TABLE {n} (a INT) WITH ('connector'='blackhole')"
+            )
+        rows = s.execute_statement("SHOW TABLES LIKE 'lk%'")._rows
+        assert [r[0] for r in rows] == ["lk_alpha", "lk_beta"]
+        rows = s.execute_statement("SHOW TABLES NOT LIKE 'lk%'")._rows
+        assert "other_t" in [r[0] for r in rows]
+        assert not any(r[0].startswith("lk_") for r in rows)
+        # _ matches exactly one character
+        rows = s.execute_statement("SHOW TABLES LIKE 'lk_alph_'")._rows
+        assert [r[0] for r in rows] == ["lk_alpha"]
+        rows = s.execute_statement("SHOW FUNCTIONS LIKE 'sha%'")._rows
+        assert all(r[0].startswith("sha") for r in rows) and rows
+    finally:
+        eng.close_session(s.handle)
