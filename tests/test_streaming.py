@@ -1204,3 +1204,46 @@ def test_filesystem_stream_cumulate_agg(session, sf_dir):
         time.sleep(0.5)
     op.cancel()
     assert seen == want  # every cumulative slice converged to batch
+
+
+def test_filesystem_stream_hop_agg(session, sf_dir):
+    """HOP TVF on a stream (Spark expands sliding windows natively):
+    totals converge to the batch result — completes streaming E2E
+    coverage of all four window TVFs (TUMBLE/SESSION/CUMULATE/HOP)."""
+    session.execute_statement(
+        f"""
+        CREATE TABLE fs_ev_hop (
+          event_id BIGINT,
+          user_id BIGINT,
+          ts TIMESTAMP_LTZ(6)
+        ) WITH ('connector'='filesystem', 'path'='{sf_dir}/events.parquet', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT window_start, COUNT(*) AS n FROM "
+        "TABLE(HOP(TABLE fs_ev_hop, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '2' HOUR)) "
+        "WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY window_start"
+    )
+    assert op.status == "RUNNING"
+    from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+
+    batch_sql = rewrite(
+        f"SELECT window_start, COUNT(*) AS n FROM "
+        f"TABLE(HOP(TABLE parquet.`{sf_dir}/events.parquet`, DESCRIPTOR(ts), "
+        f"INTERVAL '1' HOUR, INTERVAL '2' HOUR)) "
+        f"WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY window_start"
+    )
+    want = {(r.window_start,): r.n for r in session.spark.sql(batch_sql).collect()}
+    seen: dict = {}
+    token = 0
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        for ws, n in page["data"]:
+            seen[(ws,)] = n  # update mode: later pages revise
+        if seen == want:
+            break
+        time.sleep(0.5)
+    op.cancel()
+    assert seen == want  # every sliding window converged to batch
