@@ -79,15 +79,17 @@ def handle_reset(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
 
 def _like_filter(stmt: str, names: list[str]) -> list[str]:
     """Flink's ``SHOW … [NOT] LIKE 'pattern'`` filter (SQL LIKE
-    semantics: % = any run, _ = one char). No LIKE clause → all names
+    semantics: % = any run, _ = one char; ILIKE case-insensitive;
+    '' unescapes to a literal quote). No LIKE clause → all names
     (previously the filter was silently ignored — the full listing
     came back for SHOW TABLES LIKE 'x%')."""
-    m = re.search(r"(?is)\b(NOT\s+)?LIKE\s+'([^']*)'\s*;?\s*$", stmt)
+    m = re.search(r"(?is)\b(NOT\s+)?(I?LIKE)\s+'((?:[^']|'')*)'\s*;?\s*$", stmt)
     if not m:
         return list(names)
+    raw = m.group(3).replace("''", "'")
+    flags = re.DOTALL | (re.IGNORECASE if m.group(2).upper() == "ILIKE" else 0)
     pat = re.compile(
-        "^" + re.escape(m.group(2)).replace("%", ".*").replace("_", ".") + "$",
-        re.DOTALL,
+        "^" + re.escape(raw).replace("%", ".*").replace("_", ".") + "$", flags
     )
     keep = (lambda n: not pat.match(n)) if m.group(1) else (lambda n: bool(pat.match(n)))
     return [n for n in names if keep(n)]
@@ -111,25 +113,30 @@ def handle_show(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None
     # listing commands read through the session's TTL metadata cache
     # (src/catalogProvider.ts:349-377) — repeated SHOW calls within
     # the TTL cost no catalog round-trip
-    if s == "SHOW CATALOGS":
-        names = set(session.metadata.catalogs()) | set(emu.catalogs)
-        return _c(("catalog name", "string")), [[c] for c in sorted(names)]
+    if s.startswith("SHOW CATALOGS"):
+        names = sorted(set(session.metadata.catalogs()) | set(emu.catalogs))
+        return _c(("catalog name", "string")), [[c] for c in _like_filter(stmt, names)]
+    # branch dispatch must not see FROM/IN inside a LIKE pattern
+    # literal (review r9: LIKE '%from%' flipped the listing source)
+    s_nolit = re.sub(r"'(?:[^']|'')*'", "''", s)
     if s.startswith("SHOW DATABASES"):
         m = re.match(r"(?is)^SHOW\s+DATABASES\s+(?:FROM|IN)\s+([\w`]+)", stmt.strip())
         if m:
             cname = m.group(1).strip("`")
             named = emu.catalogs.get(cname)
             if named is not None:
-                return _c(("database name", "string")), [[d] for d in sorted(named.databases)]
-            if cname not in session.metadata.catalogs():
+                names = sorted(named.databases)
+            elif cname not in session.metadata.catalogs():
                 raise LookupError(f"catalog '{cname}' does not exist")
-            return _c(("database name", "string")), [[d] for d in session.metadata.databases(cname)]
+            else:
+                names = session.metadata.databases(cname)
+            return _c(("database name", "string")), [[d] for d in _like_filter(stmt, names)]
         cat = emu.current_catalog()
         names = sorted(cat.databases) if cat is not None else session.metadata.databases()
         return _c(("database name", "string")), [[d] for d in _like_filter(stmt, names)]
     if s.startswith("SHOW TABLES"):
         db = emu.current_database()
-        if db is not None and not re.search(r"(?i)\b(FROM|IN)\b", s):
+        if db is not None and not re.search(r"(?i)\b(FROM|IN)\b", s_nolit):
             names = sorted(db.tables)
         else:
             names = session.metadata.tables()
@@ -334,8 +341,11 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             props = m.group(2)
             session.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({props})")
             return _c(("result", "string")), [["OK"]]
-        for kv in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group(2)):
-            table.options[kv[0]] = kv[1]
+        # '' escapes a quote inside a value, mirroring the DDL parser
+        # and synthesize_ddl (review r9: the narrow regex silently
+        # truncated a value at the doubled quote)
+        for kv in re.findall(r"'([^']*)'\s*=\s*'((?:[^']|'')*)'", m.group(2)):
+            table.options[kv[0]] = kv[1].replace("''", "'")
         return _refresh_altered(session, table)
     m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RESET\s*\((.*)\)\s*;?\s*$", stmt)
     if m:

@@ -241,8 +241,9 @@ def _rt_type(spark_type: str) -> str:
     the same Spark type (property-tested fixed point): bare
     ``timestamp`` must re-emerge as TIMESTAMP_LTZ — uppercased
     ``TIMESTAMP`` would re-parse as the NTZ type — including inside
-    nested array/map/struct types."""
-    return re.sub(r"(?i)\btimestamp\b(?!_)", "timestamp_ltz", spark_type).upper()
+    nested array/map/struct types. A struct FIELD named timestamp
+    (followed by ':') is a name, not a type — left alone."""
+    return re.sub(r"(?i)\btimestamp\b(?!_)(?!\s*:)", "timestamp_ltz", spark_type).upper()
 
 
 def synthesize_ddl(table: "ConnectorTable") -> str:

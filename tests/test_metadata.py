@@ -238,3 +238,62 @@ def test_show_like_filters(spark):
         assert all(r[0].startswith("sha") for r in rows) and rows
     finally:
         eng.close_session(s.handle)
+
+
+def test_show_like_fifth_review_fixes(spark):
+    """Fifth late-r9 review pass: LIKE-literal dispatch, escaped
+    quotes, ILIKE, SHOW CATALOGS LIKE, FROM+LIKE combination."""
+    from flink_sql_toolkit_spark.engine import Engine
+
+    eng = Engine(spark)
+    s = eng.open_session("show-like-2")
+    try:
+        s.execute_statement("CREATE CATALOG lk_cat WITH ('type'='t')")
+        s.execute_statement("CREATE DATABASE lk_cat.prod_a")
+        s.execute_statement("CREATE DATABASE lk_cat.dev_b")
+        # SHOW CATALOGS LIKE includes emulated catalogs
+        rows = s.execute_statement("SHOW CATALOGS LIKE 'lk%'")._rows
+        assert rows == [["lk_cat"]]
+        # FROM + LIKE combine
+        rows = s.execute_statement("SHOW DATABASES FROM lk_cat LIKE 'prod%'")._rows
+        assert rows == [["prod_a"]]
+        # a LIKE literal containing FROM/IN must not flip the source
+        s.execute_statement("USE CATALOG lk_cat")
+        s.execute_statement("USE prod_a")
+        s.execute_statement("CREATE TABLE in_t (a INT) WITH ('connector'='blackhole')")
+        rows = s.execute_statement("SHOW TABLES LIKE 'in%'")._rows
+        assert rows == [["in_t"]]  # emulated db listing, filtered
+        # ILIKE is case-insensitive; LIKE is case-sensitive
+        assert s.execute_statement("SHOW TABLES ILIKE 'IN%'")._rows == [["in_t"]]
+        assert s.execute_statement("SHOW TABLES LIKE 'IN%'")._rows == []
+        s.execute_statement("USE CATALOG spark_catalog")
+    finally:
+        eng.close_session(s.handle)
+
+
+def test_alter_set_escaped_quote_value(spark):
+    from flink_sql_toolkit_spark.engine import Engine
+
+    eng = Engine(spark)
+    s = eng.open_session("alter-esc")
+    try:
+        s.execute_statement("CREATE TABLE esc_t (a INT) WITH ('connector'='blackhole')")
+        s.execute_statement("ALTER TABLE esc_t SET ('note'='it''s fine')")
+        assert s.connector_tables["esc_t"].options["note"] == "it's fine"
+        # round-trips through synthesize_ddl and back
+        from flink_sql_toolkit_spark.sources.ddl import parse_create_table
+
+        ddl = s.execute_statement("SHOW CREATE TABLE esc_t")._rows[0][0]
+        assert parse_create_table(ddl + ";").options["note"] == "it's fine"
+    finally:
+        eng.close_session(s.handle)
+
+
+def test_rt_type_struct_field_named_timestamp():
+    from flink_sql_toolkit_spark.sources.ddl import _rt_type
+
+    assert _rt_type("struct<timestamp: int>") == "STRUCT<TIMESTAMP: INT>"
+    assert _rt_type("struct<ts: timestamp>") == "STRUCT<TS: TIMESTAMP_LTZ>"
+    assert _rt_type("array<timestamp>") == "ARRAY<TIMESTAMP_LTZ>"
+    assert _rt_type("timestamp") == "TIMESTAMP_LTZ"
+    assert _rt_type("timestamp_ntz") == "TIMESTAMP_NTZ"
