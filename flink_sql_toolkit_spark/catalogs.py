@@ -224,10 +224,7 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
         if m.group(3) is not None:
             ddl += f" COMMENT '{m.group(3)}'"
         if m.group(4):
-            props = ", ".join(
-                f"'{k}'='{v}'" for k, v in _parse_options(m.group(4)).items()
-            )
-            ddl += f" WITH DBPROPERTIES ({props})"
+            ddl += f" WITH DBPROPERTIES ({_props_sql(_parse_options(m.group(4)))})"
         session.spark.sql(ddl)
         session.metadata.invalidate("dbs")
         return _OK
@@ -271,11 +268,21 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                 raise LookupError(f"database '{cat.name}.{db}' does not exist")
             target.properties.update(opts)
             return _OK
-        props = ", ".join(f"'{k}'='{v}'" for k, v in opts.items())
-        session.spark.sql(f"ALTER DATABASE {db} SET DBPROPERTIES ({props})")
+        session.spark.sql(
+            f"ALTER DATABASE {db} SET DBPROPERTIES ({_props_sql(opts)})"
+        )
         return _OK
 
     return None
+
+
+def _props_sql(opts: dict[str, str]) -> str:
+    """Options dict → ``'k'='v', …`` with quotes re-escaped — the
+    parsed values are unescaped ('' → '), so re-embedding them in
+    Spark SQL must re-double them (ADVICE r9: a value containing a
+    quote produced malformed DDL), mirroring synthesize_ddl."""
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    return ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in opts.items())
 
 
 def _spark_catalog_names(session: "EngineSession") -> set[str]:

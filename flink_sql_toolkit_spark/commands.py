@@ -327,6 +327,34 @@ def _find_column(table, col: str):
     raise LookupError(f"column '{col}' does not exist in table '{table.name}'")
 
 
+def _find_any_column(table, col: str) -> str:
+    """Locate ``col`` across the three column kinds a Flink table
+    declares — physical / computed / metadata — and return which."""
+    if any(c.name == col for c in table.computed):
+        return "computed"
+    if any(c.name == col for c in table.metadata):
+        return "metadata"
+    _find_column(table, col)
+    return "physical"
+
+
+def _referencing_exprs(table, col: str, include_watermark: bool = True) -> str | None:
+    """Human-readable description of the generated-column / watermark
+    expressions that reference ``col`` (word-boundary match), or None."""
+    # matches the bare and the backtick-quoted spelling alike
+    pat = re.compile(rf"(?<!\w)`?{re.escape(col)}`?(?!\w)")
+    deps = [
+        f"computed column '{c.name}' ({c.name} AS {c.expr})"
+        for c in table.computed
+        if c.name != col and pat.search(c.expr)
+    ]
+    if include_watermark and table.watermark and table.watermark.column != col and pat.search(
+        table.watermark.delay_expr
+    ):
+        deps.append(f"the WATERMARK expression ({table.watermark.delay_expr})")
+    return "; ".join(deps) or None
+
+
 def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
     """Flink ``ALTER TABLE`` subforms on connector-registry tables —
     SET / RESET / ADD / MODIFY / DROP / RENAME / COMPACT, the full
@@ -402,7 +430,7 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             return _refresh_altered(session, table)
         cols = [c.strip().strip("`") for c in (m.group(3) or what).split(",")]
         for col in cols:
-            _find_column(table, col)
+            kind = _find_any_column(table, col)
             used = (
                 col in table.primary_key
                 or col in table.partitioned_by
@@ -414,7 +442,21 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                     f"cannot drop column '{col}': referenced by the table's "
                     f"key/partition/distribution/watermark spec"
                 )
-            table.columns = [c for c in table.columns if c.name != col]
+            # Flink-parity guard (FLIP-273): a column referenced by a
+            # generated column's expression or the watermark expression
+            # cannot be dropped — Flink rejects upfront rather than
+            # leaving a dangling reference that fails at read time
+            dep = _referencing_exprs(table, col)
+            if dep:
+                raise ValueError(
+                    f"cannot drop column '{col}': referenced by {dep}"
+                )
+            if kind == "computed":
+                table.computed = [c for c in table.computed if c.name != col]
+            elif kind == "metadata":
+                table.metadata = [c for c in table.metadata if c.name != col]
+            else:
+                table.columns = [c for c in table.columns if c.name != col]
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+MODIFY\s+"
@@ -435,7 +477,11 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
 
         if m.group(2):  # MODIFY WATERMARK FOR col AS expr
             col = m.group(2).strip("`")
-            _find_column(table, col)
+            # a watermark may sit on a computed rowtime (the canonical
+            # `ts AS TO_TIMESTAMP(...)` pattern) or a metadata column —
+            # validate against all three kinds, matching the ADD path
+            # (ADVICE r9: physical-only lookup falsely rejected these)
+            _find_any_column(table, col)
             table.watermark = parse_watermark(col, m.group(3))
             return _refresh_altered(session, table)
         col = m.group(4).strip("`")
@@ -460,6 +506,12 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         target = _find_column(table, old)
         if any(c.name == new for c in table.columns):
             raise ValueError(f"column '{new}' already exists in table '{name}'")
+        # Flink-parity guard (FLIP-273): renaming a column referenced
+        # by a generated column's expression is rejected (the watermark
+        # expression, by contrast, follows the rename below)
+        dep = _referencing_exprs(table, old, include_watermark=False)
+        if dep:
+            raise ValueError(f"cannot rename column '{old}': referenced by {dep}")
         target.name = new
         table.primary_key = [new if c == old else c for c in table.primary_key]
         table.partitioned_by = [new if c == old else c for c in table.partitioned_by]

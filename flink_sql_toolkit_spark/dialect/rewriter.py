@@ -182,6 +182,10 @@ def _fold_session_agg(
     row-preserving gaps-and-islands assignment instead.
     """
     head, tail = masked[:start], masked[end:]
+    if re.search(r"(?i)\bwindow_time\b", head + tail):
+        # the grouped session_window fold has no window_time output —
+        # fall back to the row-preserving relation, which carries it
+        return None
     hm = re.match(r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s*$", head)
     if hm and re.search(
         r"(?i)\b(FROM|UNION|INTERSECT|EXCEPT|JOIN)\b", hm.group("sel")
@@ -249,6 +253,7 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
             return masked
         start, end, name, argstr = found
         args = _split_args(argstr)
+        helpers = {"TUMBLE": "_w", "HOP": "_w", "SESSION": "_new, _sess", "CUMULATE": "_ws, _k"}[name]
         # a multi-key PARTITION BY inside the first argument contains
         # top-level commas (TABLE t PARTITION BY a, b, DESCRIPTOR…) —
         # re-align on the DESCRIPTOR argument so every key stays in
@@ -343,6 +348,16 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
                 f"(SELECT *, CAST(floor(unix_timestamp({col}) / {max_s}) * {max_s} AS LONG) AS _ws FROM {table}) "
                 f"LATERAL VIEW explode(sequence(CAST(floor((unix_timestamp({col}) - _ws) / {step}) + 1 AS INT), {nk})) AS _k ) "
             )
+        # Flink's window TVF relation = input columns + window_start /
+        # window_end / window_time, and ONLY those: project the helper
+        # columns away (ADVICE r9: SELECT * leaked _new/_sess) and add
+        # window_time = window_end - 1ms (the window's event-time
+        # attribute per FLIP-145). Catalyst collapses the extra
+        # projection — no runtime cost.
+        sub = (
+            f"(SELECT * EXCEPT({helpers}), "
+            f"window_end - INTERVAL '1' MILLISECOND AS window_time FROM {sub}) "
+        )
         masked = masked[:start] + sub + masked[end:]
 
 

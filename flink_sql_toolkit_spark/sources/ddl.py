@@ -237,13 +237,33 @@ def parse_watermark(column: str, expr: str) -> Watermark:
 
 
 def _rt_type(spark_type: str) -> str:
-    """Spark type string → a spelling flink_type_to_spark maps BACK to
-    the same Spark type (property-tested fixed point): bare
-    ``timestamp`` must re-emerge as TIMESTAMP_LTZ — uppercased
+    """Spark type string → the Flink DDL spelling flink_type_to_spark
+    maps BACK to the same Spark type (property-tested fixed point):
+    bare ``timestamp`` must re-emerge as TIMESTAMP_LTZ — uppercased
     ``TIMESTAMP`` would re-parse as the NTZ type — including inside
-    nested array/map/struct types. A struct FIELD named timestamp
-    (followed by ':') is a name, not a type — left alone."""
-    return re.sub(r"(?i)\btimestamp\b(?!_)(?!\s*:)", "timestamp_ltz", spark_type).upper()
+    nested array/map/struct types. Structural, not textual (ADVICE
+    r9: a blanket .upper() mangled struct FIELD names, breaking the
+    LIKE/reparse round-trip for mixed-case fields): struct<> becomes
+    Flink ``ROW<name TYPE, …>`` with field names verbatim."""
+    t = spark_type.strip()
+    m = re.match(r"(?is)^array\s*<(.*)>$", t)
+    if m:
+        return f"ARRAY<{_rt_type(m.group(1))}>"
+    m = re.match(r"(?is)^map\s*<(.*)>$", t)
+    if m:
+        kv = _split_top(m.group(1))
+        if len(kv) == 2:
+            return f"MAP<{_rt_type(kv[0])}, {_rt_type(kv[1])}>"
+    m = re.match(r"(?is)^struct\s*<(.*)>$", t)
+    if m:
+        fields = []
+        for f in _split_top(m.group(1)):
+            name, _, ftype = f.partition(":")
+            fields.append(f"{name.strip()} {_rt_type(ftype)}")
+        return f"ROW<{', '.join(fields)}>"
+    if re.match(r"(?i)^timestamp$", t):
+        return "TIMESTAMP_LTZ"
+    return t.upper()
 
 
 def synthesize_ddl(table: "ConnectorTable") -> str:
@@ -417,9 +437,16 @@ def apply_body_part(table: ConnectorTable, part: str) -> str:
 _CREATE_LIKE_RE = re.compile(
     # body is NON-greedy: a greedy .* swallows ") WITH ('k'='v'" into
     # the column list and silently drops the options (caught in smoke)
+    # clause order mirrors _CREATE_RE: COMMENT, DISTRIBUTED (FLIP-376),
+    # PARTITIONED BY, WITH (ADVICE r9: a Flink-valid PARTITIONED BY on
+    # the new table matched neither regex and fell through to an
+    # opaque Spark parse error)
     r"(?is)^\s*CREATE\s+(?P<tmp>TEMPORARY\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.`]+)\s*(?:\((?P<body>.*?)\)\s*)?"
     r"(?:COMMENT\s+'(?P<comment>[^']*)'\s*)?"
+    r"(?P<dist>DISTRIBUTED(?:\s+BY\s+(?:HASH|RANGE)?\s*\([^)]*\))?"
+    r"(?:\s+INTO\s+\d+\s+BUCKETS)?\s+)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
     r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
     r"LIKE\s+(?P<src>[\w.`]+)\s*(?:\(\s*(?P<feats>(?:INCLUDING|EXCLUDING|OVERWRITING)[^)]*)\))?\s*;?\s*$"
 )
@@ -462,9 +489,11 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
         raise ValueError("not a CREATE TABLE ... LIKE statement")
     # parse the new table's own clauses by reusing the plain parser on
     # a synthesized statement (empty WITH allowed)
+    dist = m.group("dist") or ""
+    parts = f"PARTITIONED BY ({m.group('parts')}) " if m.group("parts") else ""
     new = parse_create_table(
         f"CREATE TABLE {m.group('name')} ({m.group('body') or ''}) "
-        f"WITH ({m.group('opts') or ''});"
+        f"{dist}{parts}WITH ({m.group('opts') or ''});"
     )
     new.temporary = bool(m.group("tmp"))
     new.if_not_exists = bool(m.group("ine"))
@@ -502,9 +531,12 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
         if has_new:
             if mode[cat] == "OVERWRITING" or src_val == empty:
                 return new_val
+            # OVERWRITING is not valid for CONSTRAINTS/PARTITIONS —
+            # point at EXCLUDING there, matching Flink's guidance
+            verb = "EXCLUDING" if cat in ("CONSTRAINTS", "PARTITIONS") else "OVERWRITING"
             raise ValueError(
                 f"LIKE: {cat.lower()} already defined by source table — "
-                f"use OVERWRITING {cat} to redefine"
+                f"use {verb} {cat} to redefine"
             )
         return _copy.deepcopy(src_val)
 

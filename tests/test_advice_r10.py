@@ -1,0 +1,268 @@
+"""Round-10 regression tests: the ADVICE r9 findings plus VERDICT r9
+ask #4 (dependent-generated-column guards on ALTER TABLE DROP/RENAME).
+
+ADVICE r9 items covered here:
+1. (medium) the SESSION gaps-and-islands fallback leaked its _new /
+   _sess helper columns into `SELECT *` results — the TVF relation
+   must be exactly input columns + window_start/window_end/window_time
+   (FLIP-145 output schema); same for TUMBLE/HOP (_w) and
+   CUMULATE (_ws/_k).
+2. (medium) ALTER TABLE … MODIFY WATERMARK validated only physical
+   columns, falsely rejecting the canonical computed-rowtime pattern.
+3. (low) CREATE/ALTER DATABASE on a Spark catalog re-embedded parsed
+   option values without re-escaping quotes.
+4. (low) _rt_type mangled struct field-name case (tests in
+   test_metadata.py::test_rt_type_struct_field_named_timestamp).
+5. (low) CREATE TABLE … PARTITIONED BY (…) WITH (…) LIKE src matched
+   neither CREATE regex and fell through to an opaque parse error.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_sql_toolkit_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture()
+def sess(engine):
+    s = engine.open_session("advice-r10")
+    s.execute_statement("SET 'execution.runtime-mode' = 'batch'")
+    yield s
+    engine.close_session(s.handle)
+
+
+def run(sess, sql):
+    op = sess.execute_statement(sql)
+    out = op.fetch()
+    return out["data"] if isinstance(out, dict) else op._rows
+
+
+def cols_of(sess, sql) -> list[str]:
+    op = sess.execute_statement(sql)
+    out = op.fetch()
+    return [c["name"] for c in out["columns"]] if isinstance(out, dict) else [
+        c[0] for c in op._cols
+    ]
+
+
+class TestTvfOutputSchema:
+    """ADVICE r9 #1 — window TVF relations expose NO helper columns
+    and DO expose window_time (window_end - 1ms, FLIP-145)."""
+
+    @pytest.fixture(autouse=True)
+    def _events(self, sess):
+        sess.execute_statement(
+            "CREATE VIEW IF NOT EXISTS tvf10 AS SELECT TIMESTAMP '2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,0,0,s) AS ts, s % 3 AS k, CAST(s AS DOUBLE) AS v "
+            "FROM (SELECT explode(sequence(0, 99)) AS s)"
+        )
+        yield
+        sess.execute_statement("DROP VIEW IF EXISTS tvf10")
+
+    @pytest.mark.parametrize(
+        "tvf",
+        [
+            "TUMBLE(TABLE tvf10, DESCRIPTOR(ts), INTERVAL '10' SECOND)",
+            "HOP(TABLE tvf10, DESCRIPTOR(ts), INTERVAL '5' SECOND, INTERVAL '10' SECOND)",
+            "CUMULATE(TABLE tvf10, DESCRIPTOR(ts), INTERVAL '10' SECOND, INTERVAL '20' SECOND)",
+            "SESSION(TABLE tvf10 PARTITION BY k, DESCRIPTOR(ts), INTERVAL '2' SECOND)",
+        ],
+        ids=["tumble", "hop", "cumulate", "session"],
+    )
+    def test_star_schema_is_flink_shape(self, sess, tvf):
+        names = cols_of(sess, f"SELECT * FROM TABLE({tvf}) LIMIT 1")
+        assert names == ["ts", "k", "v", "window_start", "window_end", "window_time"]
+
+    def test_window_time_is_end_minus_1ms(self, sess):
+        rows = run(
+            sess,
+            "SELECT DISTINCT window_end, window_time FROM TABLE("
+            "TUMBLE(TABLE tvf10, DESCRIPTOR(ts), INTERVAL '10' SECOND)) "
+            "ORDER BY window_end LIMIT 2",
+        )
+        for end, wt in rows:
+            assert (end - wt).total_seconds() == pytest.approx(0.001)
+
+    def test_session_fallback_merges_without_helpers(self, sess):
+        # row-preserving shape (no GROUP BY): sessions still merge and
+        # only the three window columns are added
+        rows = run(
+            sess,
+            "SELECT k, ts, window_start, window_end FROM TABLE("
+            "SESSION(TABLE tvf10 PARTITION BY k, DESCRIPTOR(ts), INTERVAL '5' SECOND)) "
+            "WHERE k = 0 ORDER BY ts LIMIT 5",
+        )
+        # k=0 rows are 3s apart (< 5s gap): one merged session per key
+        starts = {r[2] for r in rows}
+        assert len(starts) == 1
+
+    def test_window_time_in_group_by(self, sess):
+        # grouping by window_time routes through the row-preserving
+        # relation (the session_window fold has no window_time output)
+        rows = run(
+            sess,
+            "SELECT window_start, window_time, COUNT(*) AS n FROM TABLE("
+            "SESSION(TABLE tvf10, DESCRIPTOR(ts), INTERVAL '2' SECOND)) "
+            "GROUP BY window_start, window_end, window_time",
+        )
+        assert len(rows) == 1 and rows[0][2] == 100
+
+
+class TestModifyWatermarkComputedRowtime:
+    """ADVICE r9 #2 — MODIFY WATERMARK on a computed or metadata
+    rowtime column (the canonical Flink pattern) must validate."""
+
+    def test_computed_rowtime(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE mw_t (raw STRING, ts AS TO_TIMESTAMP(raw), "
+            "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND) "
+            "WITH ('connector'='datagen','number-of-rows'='1')"
+        )
+        run(sess, "ALTER TABLE mw_t MODIFY WATERMARK FOR ts AS ts - INTERVAL '10' SECOND")
+        assert sess.connector_tables["mw_t"].watermark.delay == "10 seconds"
+
+    def test_metadata_rowtime(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE mw_m (v STRING, ts TIMESTAMP_LTZ(3) METADATA FROM 'timestamp', "
+            "WATERMARK FOR ts AS ts) "
+            "WITH ('connector'='kafka','topic'='t','properties.bootstrap.servers'='x')"
+        )
+        run(sess, "ALTER TABLE mw_m MODIFY WATERMARK FOR ts AS ts - INTERVAL '1' SECOND")
+        assert sess.connector_tables["mw_m"].watermark.delay == "1 seconds"
+
+    def test_unknown_column_still_rejected(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE mw_x (a INT, ts TIMESTAMP(3), WATERMARK FOR ts AS ts) "
+            "WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(LookupError):
+            run(sess, "ALTER TABLE mw_x MODIFY WATERMARK FOR ghost AS ghost")
+
+
+class TestDatabasePropertyEscaping:
+    """ADVICE r9 #3 — quoted values survive the Flink→Spark
+    DBPROPERTIES translation."""
+
+    def test_create_and_alter_database_quote_value(self, sess, spark):
+        run(sess, "CREATE DATABASE IF NOT EXISTS esc_db WITH ('note'='it''s fine')")
+        try:
+            # value round-trips through Spark's catalog intact
+            got = {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql("DESCRIBE DATABASE EXTENDED esc_db").collect()
+            }
+            assert "it's fine" in got.get("Properties", "")
+            run(sess, "ALTER DATABASE esc_db SET ('note'='now ''two'' quotes')")
+            got = {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql("DESCRIBE DATABASE EXTENDED esc_db").collect()
+            }
+            assert "now 'two' quotes" in got.get("Properties", "")
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS esc_db")
+
+
+class TestCreateLikeWithPartitioning:
+    """ADVICE r9 #5 — the new table's own PARTITIONED BY / DISTRIBUTED
+    clauses parse and merge per Flink's LIKE semantics."""
+
+    def test_new_table_partitioned_by(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE like_src10 (a INT, p STRING) "
+            "WITH ('connector'='blackhole')"
+        )
+        run(
+            sess,
+            "CREATE TABLE like_new10 (extra DOUBLE) PARTITIONED BY (p) "
+            "WITH ('connector'='blackhole') LIKE like_src10",
+        )
+        t = sess.connector_tables["like_new10"]
+        assert t.partitioned_by == ["p"]
+        assert [c.name for c in t.columns] == ["a", "p", "extra"]
+
+    def test_both_sides_partitioned_rejected(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE like_psrc (a INT, p STRING) PARTITIONED BY (p) "
+            "WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(ValueError, match="EXCLUDING PARTITIONS"):
+            run(
+                sess,
+                "CREATE TABLE like_pnew (q STRING) PARTITIONED BY (q) "
+                "WITH ('connector'='blackhole') LIKE like_psrc",
+            )
+        # EXCLUDING PARTITIONS resolves it: the new clause wins
+        run(
+            sess,
+            "CREATE TABLE like_pnew (q STRING) PARTITIONED BY (q) "
+            "WITH ('connector'='blackhole') LIKE like_psrc (EXCLUDING PARTITIONS)",
+        )
+        assert sess.connector_tables["like_pnew"].partitioned_by == ["q"]
+
+    def test_new_table_distributed(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE like_dsrc (a INT) WITH ('connector'='blackhole')"
+        )
+        run(
+            sess,
+            "CREATE TABLE like_dnew () DISTRIBUTED BY HASH(a) INTO 4 BUCKETS "
+            "WITH ('connector'='blackhole') LIKE like_dsrc",
+        )
+        t = sess.connector_tables["like_dnew"]
+        assert t.distributed_by == ["a"] and t.bucket_count == 4
+
+
+class TestDropRenameDependentColumns:
+    """VERDICT r9 ask #4 — FLIP-273 parity: a column referenced by a
+    generated column's expression (or the watermark expression) cannot
+    be dropped, and renaming it is rejected; computed and metadata
+    columns themselves ARE droppable."""
+
+    @pytest.fixture()
+    def dep_t(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE dep_t (a INT, b INT, c AS a + 1, "
+            "m TIMESTAMP_LTZ(3) METADATA FROM 'timestamp', "
+            "ts TIMESTAMP(3), WATERMARK FOR ts AS ts - INTERVAL '5' SECOND) "
+            "WITH ('connector'='kafka','topic'='t','properties.bootstrap.servers'='x')"
+        )
+        return sess.connector_tables["dep_t"]
+
+    def test_drop_column_with_dependent_generated(self, sess, dep_t):
+        with pytest.raises(ValueError, match="computed column 'c'"):
+            run(sess, "ALTER TABLE dep_t DROP a")
+
+    def test_rename_column_with_dependent_generated(self, sess, dep_t):
+        with pytest.raises(ValueError, match="computed column 'c'"):
+            run(sess, "ALTER TABLE dep_t RENAME a TO z")
+
+    def test_drop_watermark_expression_source(self, sess, dep_t):
+        # ts is the watermark column itself — existing guard
+        with pytest.raises(ValueError, match="watermark"):
+            run(sess, "ALTER TABLE dep_t DROP ts")
+
+    def test_drop_computed_column_itself(self, sess, dep_t):
+        run(sess, "ALTER TABLE dep_t DROP c")
+        assert not dep_t.computed
+        # with the dependent gone, a is droppable
+        run(sess, "ALTER TABLE dep_t DROP a")
+        assert all(c.name != "a" for c in dep_t.columns)
+
+    def test_drop_metadata_column_itself(self, sess, dep_t):
+        run(sess, "ALTER TABLE dep_t DROP m")
+        assert not dep_t.metadata
+
+    def test_drop_metadata_column_under_watermark(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE dep_m (v STRING, mts TIMESTAMP_LTZ(3) METADATA FROM 'timestamp', "
+            "WATERMARK FOR mts AS mts) "
+            "WITH ('connector'='kafka','topic'='t','properties.bootstrap.servers'='x')"
+        )
+        with pytest.raises(ValueError, match="watermark"):
+            run(sess, "ALTER TABLE dep_m DROP mts")

@@ -290,10 +290,16 @@ def test_alter_set_escaped_quote_value(spark):
 
 
 def test_rt_type_struct_field_named_timestamp():
-    from flink_sql_toolkit_spark.sources.ddl import _rt_type
+    from flink_sql_toolkit_spark.sources.ddl import _rt_type, flink_type_to_spark
 
-    assert _rt_type("struct<timestamp: int>") == "STRUCT<TIMESTAMP: INT>"
-    assert _rt_type("struct<ts: timestamp>") == "STRUCT<TS: TIMESTAMP_LTZ>"
+    # struct<> re-emerges as Flink ROW<> with field names VERBATIM
+    # (ADVICE r9: a blanket .upper() mangled field-name case) — a
+    # field named 'timestamp' is a name, not a type
+    assert _rt_type("struct<timestamp: int>") == "ROW<timestamp INT>"
+    assert _rt_type("struct<ts: timestamp>") == "ROW<ts TIMESTAMP_LTZ>"
     assert _rt_type("array<timestamp>") == "ARRAY<TIMESTAMP_LTZ>"
     assert _rt_type("timestamp") == "TIMESTAMP_LTZ"
     assert _rt_type("timestamp_ntz") == "TIMESTAMP_NTZ"
+    # mixed-case field names survive a LIKE/reparse round-trip
+    t = "struct<myField: int, Nested: struct<Inner: timestamp>>"
+    assert flink_type_to_spark(_rt_type(t)) == t
