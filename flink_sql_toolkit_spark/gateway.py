@@ -1,0 +1,461 @@
+"""HTTP façade over the engine — the Flink SQL Gateway wire contract.
+
+Serves the exact REST surface the reference client speaks
+(src/flinkClient.ts:129-188 gateway endpoints, 174-267 JobManager
+endpoints), so a user of the reference extension can point its
+``baseUrl``/``jobManagerUrl`` at this server and drive the Spark
+engine unchanged:
+
+- ``POST /sessions`` {sessionName, properties} → {sessionHandle}
+- ``GET/DELETE /sessions/{h}`` — checkSession / close
+- ``POST /sessions/{h}/statements`` {statement} → {operationHandle}
+  (async submit: results answer NOT_READY until execution completes,
+  the readiness-poll contract in src/notebookController.ts:122-140)
+- ``GET /sessions/{h}/operations/{oh}/result/{token}`` →
+  {resultType: NOT_READY|PAYLOAD|EOS, resultKind, isQueryResult,
+  jobID, nextResultUri, nextResultToken,
+  results: {columns: [{name, logicalType, comment}],
+  data: [{kind, fields}]}} — the shape fetchResults maps
+  (src/flinkClient.ts:154-172); changelog pages carry their RowKind
+  in ``kind`` (INSERT/UPDATE_BEFORE/UPDATE_AFTER/DELETE)
+- ``GET /sessions/{h}/operations/{oh}/status`` → {status}
+- ``POST .../operations/{oh}/cancel`` / ``DELETE .../operations/{oh}/close``
+- JobManager view: ``GET /overview``, ``GET /taskmanagers``,
+  ``GET /jobs``, ``GET /jobs/overview``, ``GET /jobs/{id}``,
+  ``GET /jobs/{id}/plan``, ``PATCH /jobs/{id}?mode=cancel``
+- ``GET /info`` → product/version (gateway liveness probe)
+
+Errors use Flink's two-element shape the client parses
+(src/flinkClient.ts:78-125): ``{"errors": [<message>,
+"<Exception on server side:\\n{traceback}>"]}`` — errors[0] is the
+short message (a stale handle reads "Session ... does not exist" so
+the client's auto-recovery path fires, sessionManager.ts:257-288),
+errors[1] carries the server-side stack.
+
+Scale note: the gateway is a thin driver-side control plane —
+statements execute through the same Engine/Operation contracts as
+the embedded API, all data movement stays inside Spark, and result
+pages are bounded by the operation's ring/page caps. stdlib
+ThreadingHTTPServer (daemon threads) is plenty for a control plane
+that serves O(polls/sec), not data.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import decimal
+import json
+import re
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import urlparse
+
+from flink_sql_toolkit_spark.engine import Engine
+
+_ROWKINDS = {
+    "+I": "INSERT",
+    "-U": "UPDATE_BEFORE",
+    "+U": "UPDATE_AFTER",
+    "-D": "DELETE",
+}
+
+
+def _json_default(o: Any) -> Any:
+    if isinstance(o, dt.datetime):
+        # Flink's REST prints timestamps as 'YYYY-MM-DD HH:MM:SS.ffffff'
+        return o.isoformat(sep=" ")
+    if isinstance(o, (dt.date, dt.time)):
+        return o.isoformat()
+    if isinstance(o, dt.timedelta):
+        return str(o)
+    if isinstance(o, decimal.Decimal):
+        return str(o)
+    if isinstance(o, (bytes, bytearray)):
+        return base64.b64encode(bytes(o)).decode("ascii")
+    return str(o)
+
+
+class Gateway:
+    """Engine + HTTP server lifecycle. ``port=0`` picks a free port."""
+
+    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0):
+        self.engine = Engine(spark)
+        handler = type("Handler", (_Handler,), {"gateway": self})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        host, port = self.httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "Gateway":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, kwargs={"poll_interval": 0.05}, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        for handle in list(self.engine.sessions):
+            try:
+                self.engine.close_session(handle)
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
+
+    # -- request-level operations (handler delegates here) ------------
+
+    def _session(self, handle: str):
+        sess = self.engine.sessions.get(handle)
+        if sess is None:
+            # errors[0] must contain "Session ... does not exist" — the
+            # client's recovery path string-matches it
+            # (src/notebookController.ts:110-118)
+            raise _HttpError(404, f"Session '{handle}' does not exist.")
+        return sess
+
+    def _operation(self, handle: str, op_handle: str):
+        op = self._session(handle).operations.get(op_handle)
+        if op is None:
+            raise _HttpError(404, f"Operation '{op_handle}' does not exist.")
+        return op
+
+    def result_page(self, handle: str, op_handle: str, token: int) -> dict:
+        op = self._operation(handle, op_handle)
+        page = op.fetch(token)
+        columns = page.get("columns") or []
+        data = page.get("data") or []
+        # changelog pages carry the RowKind in the leading `op` column
+        # — lift it into Flink's per-row `kind` and drop the column,
+        # the real gateway's wire shape
+        if columns and columns[0].get("name") == "op" and page.get("isStreaming"):
+            columns = columns[1:]
+            rows = [
+                {"kind": _ROWKINDS.get(r[0], "INSERT"), "fields": list(r[1:])}
+                for r in data
+            ]
+        else:
+            rows = [{"kind": "INSERT", "fields": list(r)} for r in data]
+        result_type = page["resultType"]
+        next_token = page.get("nextResultToken", token)
+        out = {
+            "resultType": result_type,
+            "isQueryResult": page.get("isQueryResult", False),
+            "resultKind": "SUCCESS_WITH_CONTENT" if columns else "SUCCESS",
+            "jobID": page.get("jobID"),
+            "nextResultToken": next_token,
+            "results": {"columns": columns, "data": rows},
+        }
+        if result_type != "EOS":
+            out["nextResultUri"] = (
+                f"/sessions/{handle}/operations/{op_handle}/result/{next_token}"
+            )
+        # streaming observability passthrough (offset/eviction counters
+        # the embedded API exposes — additive, the client ignores them)
+        for k in (
+            "offset", "totalRows", "isComplete", "lateDropped",
+            "evictedKeys", "skippedRows", "invalidatedKeys",
+        ):
+            if k in page:
+                out[k] = page[k]
+        return out
+
+    def find_job(self, job_id: str):
+        for sess in self.engine.sessions.values():
+            for j in sess.jobs.list():
+                if j.job_id == job_id:
+                    return sess, j
+        raise _HttpError(404, f"Job '{job_id}' not found.")
+
+
+class _HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+_ROUTES: list[tuple[str, re.Pattern[str], str]] = [
+    ("POST", re.compile(r"^/sessions/?$"), "open_session"),
+    ("GET", re.compile(r"^/sessions/([^/]+)/?$"), "get_session"),
+    ("DELETE", re.compile(r"^/sessions/([^/]+)/?$"), "close_session"),
+    ("POST", re.compile(r"^/sessions/([^/]+)/statements/?$"), "execute"),
+    (
+        "GET",
+        re.compile(r"^/sessions/([^/]+)/operations/([^/]+)/result/(\d+)$"),
+        "result",
+    ),
+    (
+        "GET",
+        re.compile(r"^/sessions/([^/]+)/operations/([^/]+)/status$"),
+        "op_status",
+    ),
+    (
+        "POST",
+        re.compile(r"^/sessions/([^/]+)/operations/([^/]+)/cancel$"),
+        "op_cancel",
+    ),
+    (
+        "DELETE",
+        re.compile(r"^/sessions/([^/]+)/operations/([^/]+)/close$"),
+        "op_close",
+    ),
+    ("GET", re.compile(r"^/info$"), "info"),
+    ("GET", re.compile(r"^/api_versions$"), "api_versions"),
+    # JobManager view (the client's second base URL)
+    ("GET", re.compile(r"^/overview$"), "overview"),
+    ("GET", re.compile(r"^/taskmanagers$"), "taskmanagers"),
+    ("GET", re.compile(r"^/jobs/overview$"), "jobs_overview"),
+    ("GET", re.compile(r"^/jobs/?$"), "jobs_list"),
+    ("PATCH", re.compile(r"^/jobs/([^/]+)$"), "job_cancel"),
+    ("GET", re.compile(r"^/jobs/([^/]+)/plan$"), "job_plan"),
+    ("GET", re.compile(r"^/jobs/([^/]+)$"), "job_detail"),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    gateway: Gateway  # injected subclass attribute
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing ------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # noqa: A003 — silence stderr
+        pass
+
+    def _body(self) -> dict:
+        length = int(self.headers.get("Content-Length") or 0)
+        if not length:
+            return {}
+        raw = self.rfile.read(length)
+        try:
+            return json.loads(raw) if raw else {}
+        except json.JSONDecodeError as e:
+            raise _HttpError(400, f"malformed JSON request body: {e}") from e
+
+    def _reply(self, obj: dict, status: int = 200) -> None:
+        payload = json.dumps(obj, default=_json_default).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _dispatch(self, method: str) -> None:
+        parsed = urlparse(self.path)
+        # accept a version prefix on the base URL (/v1, /v2, /v3)
+        path = re.sub(r"^/v\d+", "", parsed.path) or "/"
+        try:
+            for m, pat, name in _ROUTES:
+                if m != method:
+                    continue
+                match = pat.match(path)
+                if match:
+                    getattr(self, name)(*match.groups(), query=parsed.query)
+                    return
+            raise _HttpError(404, f"Not found: {method} {path}")
+        except _HttpError as e:
+            self._reply({"errors": [str(e)]}, e.status)
+        except Exception as e:  # noqa: BLE001 — engine errors → wire shape
+            # Flink's two-element error list: short message first, the
+            # server-side stack second (src/flinkClient.ts:78-125)
+            self._reply(
+                {
+                    "errors": [
+                        f"{type(e).__name__}: {e}",
+                        "<Exception on server side:\n"
+                        + "".join(traceback.format_exception(e))
+                        + ">",
+                    ]
+                },
+                500,
+            )
+
+    def do_GET(self):  # noqa: N802
+        self._dispatch("GET")
+
+    def do_POST(self):  # noqa: N802
+        self._dispatch("POST")
+
+    def do_DELETE(self):  # noqa: N802
+        self._dispatch("DELETE")
+
+    def do_PATCH(self):  # noqa: N802
+        self._dispatch("PATCH")
+
+    # -- gateway endpoints ----------------------------------------------
+
+    def open_session(self, query: str = "") -> None:
+        body = self._body()
+        sess = self.gateway.engine.open_session(body.get("sessionName") or "default")
+        # session properties = initial SET map (Flink openSession applies
+        # them the same way)
+        for k, v in (body.get("properties") or {}).items():
+            sess.execute_statement(f"SET '{k}' = '{v}'")
+        self._reply({"sessionHandle": sess.handle})
+
+    def get_session(self, handle: str, query: str = "") -> None:
+        sess = self.gateway._session(handle)
+        self._reply(
+            {"sessionHandle": sess.handle, "properties": dict(sess.flink_conf)}
+        )
+
+    def close_session(self, handle: str, query: str = "") -> None:
+        self.gateway._session(handle)  # 404 on stale handle
+        self.gateway.engine.close_session(handle)
+        self._reply({"status": "CLOSED"})
+
+    def execute(self, handle: str, query: str = "") -> None:
+        body = self._body()
+        statement = body.get("statement")
+        if not statement or not str(statement).strip():
+            raise _HttpError(400, "request body must carry a non-empty 'statement'")
+        sess = self.gateway._session(handle)
+        op = sess.submit_statement(str(statement))
+        self._reply({"operationHandle": op.handle})
+
+    def result(self, handle: str, op_handle: str, token: str, query: str = "") -> None:
+        self._reply(self.gateway.result_page(handle, op_handle, int(token)))
+
+    def op_status(self, handle: str, op_handle: str, query: str = "") -> None:
+        op = self.gateway._operation(handle, op_handle)
+        self._reply({"status": op.status})
+
+    def op_cancel(self, handle: str, op_handle: str, query: str = "") -> None:
+        op = self.gateway._operation(handle, op_handle)
+        op.cancel()
+        self._reply({"status": "CANCELED"})
+
+    def op_close(self, handle: str, op_handle: str, query: str = "") -> None:
+        sess = self.gateway._session(handle)
+        op = sess.operations.pop(op_handle, None)
+        if op is not None:
+            op.cancel()
+        self._reply({"status": "CLOSED"})
+
+    def info(self, query: str = "") -> None:
+        import flink_sql_toolkit_spark as pkg  # noqa: PLC0415
+
+        self._reply(
+            {
+                "productName": "flink-sql-toolkit-spark gateway",
+                "version": getattr(pkg, "__version__", "0"),
+            }
+        )
+
+    def api_versions(self, query: str = "") -> None:
+        self._reply({"versions": ["V1", "V2", "V3"]})
+
+    # -- JobManager endpoints ---------------------------------------------
+
+    def overview(self, query: str = "") -> None:
+        ov = self.gateway.engine.cluster_overview()
+        # the reference's status bar reads Flink's field names
+        # (src/statusBar.ts:21-45)
+        self._reply(
+            {
+                "taskmanagers": len(ov["taskmanagers"]),
+                "slots-total": ov["slots_total"],
+                "slots-available": ov["slots_available"],
+                "jobs-running": ov["jobs_running"],
+                "jobs-finished": 0,
+                "jobs-cancelled": 0,
+                "jobs-failed": 0,
+            }
+        )
+
+    def taskmanagers(self, query: str = "") -> None:
+        ov = self.gateway.engine.cluster_overview()
+        self._reply(
+            {
+                "taskmanagers": [
+                    {
+                        "id": f"{tm['host']}:{tm['port']}",
+                        "path": f"akka://spark@{tm['host']}:{tm['port']}",
+                        "slotsNumber": ov["slots_total"],
+                        "freeSlots": ov["slots_available"],
+                        "hardware": {},
+                        **tm,
+                    }
+                    for tm in ov["taskmanagers"]
+                ]
+            }
+        )
+
+    def _all_jobs(self) -> list[dict]:
+        return [
+            {
+                "jid": j.job_id,
+                "name": j.name,
+                "state": j.status,
+                "start-time": int(j.start_time.timestamp() * 1000),
+            }
+            for sess in self.gateway.engine.sessions.values()
+            for j in sess.jobs.list()
+        ]
+
+    def jobs_overview(self, query: str = "") -> None:
+        self._reply({"jobs": self._all_jobs()})
+
+    def jobs_list(self, query: str = "") -> None:
+        self._reply(
+            {"jobs": [{"id": j["jid"], "status": j["state"]} for j in self._all_jobs()]}
+        )
+
+    def job_cancel(self, job_id: str, query: str = "") -> None:
+        if "mode=cancel" not in (query or ""):
+            raise _HttpError(400, "PATCH /jobs/{id} requires ?mode=cancel")
+        sess, _ = self.gateway.find_job(job_id)
+        sess.jobs.stop(job_id)
+        self._reply({})
+
+    def job_detail(self, job_id: str, query: str = "") -> None:
+        sess, _ = self.gateway.find_job(job_id)
+        self._reply(sess.jobs.detail(job_id))
+
+    def job_plan(self, job_id: str, query: str = "") -> None:
+        sess, info = self.gateway.find_job(job_id)
+        # Spark exposes no per-query DAG JSON; serve the job's progress
+        # plan description as the single node
+        self._reply(
+            {
+                "plan": {
+                    "jid": job_id,
+                    "name": info.name,
+                    "nodes": [
+                        {
+                            "id": "0",
+                            "description": info.name,
+                            "parallelism": sess.spark.sparkContext.defaultParallelism,
+                        }
+                    ],
+                }
+            }
+        )
+
+
+def main() -> None:  # pragma: no cover — manual entry point
+    import argparse
+
+    from flink_sql_toolkit_spark.session import build_spark
+
+    ap = argparse.ArgumentParser(description="Flink SQL Gateway façade over Spark")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8083)
+    args = ap.parse_args()
+    gw = Gateway(build_spark("gateway"), host=args.host, port=args.port)
+    print(f"gateway listening on {gw.url}")
+    try:
+        gw.httpd.serve_forever()
+    except KeyboardInterrupt:
+        gw.stop()
+
+
+if __name__ == "__main__":
+    main()

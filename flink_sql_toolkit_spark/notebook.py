@@ -1,0 +1,167 @@
+"""``.fsqlnb`` notebook documents — parse, serialize, execute.
+
+The reference stores notebooks as JSON cell lists
+(src/notebookSerializer.ts:4-12: ``{"cells": [{kind, language,
+value}]}`` with VS Code's cell kinds — 1 = Markup, 2 = Code — and
+2-space-indented output, :43-56) and executes each code cell by
+splitting it into statements and running them through the active
+session (src/notebookController.ts:80-118). This module is the
+engine-side analogue: ``parse_notebook`` / ``serialize_notebook``
+round-trip the document, ``run_notebook`` executes every code cell
+through an :class:`~flink_sql_toolkit_spark.engine.EngineSession`
+and returns per-cell, per-statement result pages.
+
+Statement splitting uses the engine's quote/comment-aware splitter
+rather than the reference's naive ``split(';')`` — a semicolon
+inside a string literal must not split the statement (the reference
+UI exhibits that bug; the corpus splitter tests pin our behavior).
+
+Streaming cells: a continuous SELECT never reaches EOS, so cell
+execution collects up to ``stream_rows`` rows (or
+``stream_timeout`` seconds) from the token-paged buffer and cancels
+the operation — the notebook analogue of the controller's bounded
+result rendering (src/notebookController.ts:214-260).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from flink_sql_toolkit_spark.dialect.splitter import split_statements
+
+MARKUP, CODE = 1, 2  # vscode.NotebookCellKind
+
+
+@dataclass
+class NotebookCell:
+    kind: int
+    language: str
+    value: str
+
+
+@dataclass
+class StatementResult:
+    statement: str
+    columns: list[dict]
+    data: list[list[Any]]
+    result_type: str
+    job_id: str | None = None
+    error: str | None = None
+
+
+@dataclass
+class CellResult:
+    cell: NotebookCell
+    statements: list[StatementResult] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(s.error is None for s in self.statements)
+
+
+def parse_notebook(text: str | bytes) -> list[NotebookCell]:
+    """JSON document → cells. Mirrors deserializeNotebook: malformed
+    or empty content is a NEW notebook — one empty flink-SQL code
+    cell (src/notebookSerializer.ts:21-38)."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8")
+    try:
+        raw = json.loads(text)
+        items = raw.get("cells", []) if isinstance(raw, dict) else []
+    except (json.JSONDecodeError, AttributeError):
+        items = []
+    cells = [
+        NotebookCell(
+            kind=int(c.get("kind", CODE)),
+            language=str(c.get("language", "apache-flink")),
+            value=str(c.get("value", "")),
+        )
+        for c in items
+        if isinstance(c, dict)
+    ]
+    if not cells:
+        cells.append(NotebookCell(CODE, "apache-flink", ""))
+    return cells
+
+
+def serialize_notebook(cells: list[NotebookCell]) -> str:
+    """Cells → the reference's on-disk shape: {kind, language, value}
+    per cell, 2-space indent (src/notebookSerializer.ts:43-56)."""
+    return json.dumps(
+        {
+            "cells": [
+                {"kind": c.kind, "language": c.language, "value": c.value}
+                for c in cells
+            ]
+        },
+        indent=2,
+    )
+
+
+def run_notebook(
+    session,
+    source: str | bytes | list[NotebookCell],
+    stream_rows: int = 100,
+    stream_timeout: float = 30.0,
+    stop_on_error: bool = False,
+) -> list[CellResult]:
+    """Execute every code cell's statements through ``session``.
+
+    Markup cells pass through with no statements. A statement error is
+    captured on its StatementResult (the controller renders the error
+    output and continues to the next cell unless cancelled); pass
+    ``stop_on_error=True`` for script-like semantics.
+    """
+    import time  # noqa: PLC0415
+
+    results: list[CellResult] = []
+    for cell in (source if isinstance(source, list) else parse_notebook(source)):
+        cr = CellResult(cell)
+        results.append(cr)
+        if cell.kind != CODE:
+            continue
+        for stmt in split_statements(cell.value):
+            try:
+                op = session.execute_statement(stmt)
+            except Exception as e:  # noqa: BLE001 — captured per-statement
+                cr.statements.append(
+                    StatementResult(stmt, [], [], "ERROR", error=f"{type(e).__name__}: {e}")
+                )
+                if stop_on_error:
+                    return results
+                continue
+            sr = StatementResult(stmt, [], [], "EOS")
+            cr.statements.append(sr)
+            try:
+                token, deadline = 0, time.time() + stream_timeout
+                while True:
+                    page = op.fetch(token)
+                    sr.columns = page.get("columns") or sr.columns
+                    sr.data.extend(page.get("data") or [])
+                    sr.result_type = page["resultType"]
+                    sr.job_id = page.get("jobID") or sr.job_id
+                    token = page.get("nextResultToken", token + 1)
+                    if page["resultType"] == "EOS":
+                        break
+                    if page.get("isStreaming") and (
+                        len(sr.data) >= stream_rows or time.time() > deadline
+                    ):
+                        # bounded streaming render, then release the job
+                        op.cancel()
+                        sr.data = sr.data[:stream_rows]
+                        break
+                    if page["resultType"] == "NOT_READY":
+                        if time.time() > deadline:
+                            op.cancel()
+                            break
+                        time.sleep(0.05)
+                    elif not page.get("data"):
+                        break
+            except Exception as e:  # noqa: BLE001 — captured per-statement
+                sr.result_type = "ERROR"
+                sr.error = f"{type(e).__name__}: {e}"
+                if stop_on_error:
+                    return results
+    return results

@@ -1,0 +1,145 @@
+"""``.fsqlnb`` notebook documents (VERDICT r9 ask #7): the JSON cell
+format round-trips (src/notebookSerializer.ts:4-12,43-56) and a
+3-cell notebook — DDL cell, multi-statement cell, streaming query
+cell — executes through a session with per-cell result pages."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flink_sql_toolkit_spark.engine import Engine
+from flink_sql_toolkit_spark.notebook import (
+    CODE,
+    MARKUP,
+    NotebookCell,
+    parse_notebook,
+    run_notebook,
+    serialize_notebook,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture()
+def sess(engine):
+    s = engine.open_session("notebook")
+    yield s
+    engine.close_session(s.handle)
+
+
+class TestSerialization:
+    def test_round_trip(self):
+        cells = [
+            NotebookCell(MARKUP, "markdown", "# Title"),
+            NotebookCell(CODE, "apache-flink", "SELECT 1;"),
+        ]
+        text = serialize_notebook(cells)
+        raw = json.loads(text)
+        # the reference's on-disk shape: cells[{kind, language, value}]
+        assert raw == {
+            "cells": [
+                {"kind": 1, "language": "markdown", "value": "# Title"},
+                {"kind": 2, "language": "apache-flink", "value": "SELECT 1;"},
+            ]
+        }
+        assert parse_notebook(text) == cells
+
+    def test_new_or_malformed_file_yields_one_empty_code_cell(self):
+        # deserializeNotebook's new-file handling
+        for content in ("", "not json {", "{}", '{"cells": []}'):
+            cells = parse_notebook(content)
+            assert len(cells) == 1
+            assert cells[0].kind == CODE and cells[0].value == ""
+            assert cells[0].language == "apache-flink"
+
+
+class TestExecution:
+    def test_three_cell_notebook(self, sess):
+        """DDL cell → multi-statement cell → streaming query cell."""
+        nb = serialize_notebook(
+            [
+                NotebookCell(MARKUP, "markdown", "# demo — skipped"),
+                NotebookCell(
+                    CODE,
+                    "apache-flink",
+                    "CREATE TABLE nb_src (v BIGINT) "
+                    "WITH ('connector'='datagen', 'rows-per-second'='50');",
+                ),
+                NotebookCell(
+                    CODE,
+                    "apache-flink",
+                    "SET 'execution.runtime-mode' = 'batch';\n"
+                    "CREATE VIEW nb_v AS SELECT id AS n FROM RANGE(5);\n"
+                    "SELECT SUM(n) AS total FROM nb_v;",
+                ),
+                NotebookCell(
+                    CODE,
+                    "apache-flink",
+                    "SET 'execution.runtime-mode' = 'streaming';\n"
+                    "SELECT v FROM nb_src;",
+                ),
+            ]
+        )
+        results = run_notebook(sess, nb, stream_rows=10, stream_timeout=60)
+        assert len(results) == 4
+        md, ddl, multi, stream = results
+        # markup cell: passed through, nothing executed
+        assert md.statements == []
+        # DDL cell
+        assert ddl.ok and len(ddl.statements) == 1
+        assert ddl.statements[0].result_type == "EOS"
+        # multi-statement cell: split into 3, last one has the result
+        assert multi.ok and len(multi.statements) == 3
+        assert multi.statements[2].data == [[10]]
+        assert multi.statements[2].columns[0]["name"] == "total"
+        # streaming cell: bounded collection then cancel
+        assert stream.ok and len(stream.statements) == 2
+        sel = stream.statements[1]
+        assert len(sel.data) == 10
+        assert sel.columns[0]["name"] == "v"
+
+    def test_statement_error_captured_not_raised(self, sess):
+        results = run_notebook(
+            sess,
+            serialize_notebook(
+                [
+                    NotebookCell(CODE, "apache-flink", "SELECT * FROM nb_ghost;"),
+                    NotebookCell(CODE, "apache-flink", "SELECT 2 AS x;"),
+                ]
+            ),
+        )
+        assert not results[0].ok
+        assert results[0].statements[0].error is not None
+        # the controller continues to the next cell
+        assert results[1].ok and results[1].statements[0].data == [[2]]
+
+    def test_stop_on_error(self, sess):
+        results = run_notebook(
+            sess,
+            serialize_notebook(
+                [
+                    NotebookCell(CODE, "apache-flink", "SELECT * FROM nb_ghost;"),
+                    NotebookCell(CODE, "apache-flink", "SELECT 2 AS x;"),
+                ]
+            ),
+            stop_on_error=True,
+        )
+        assert len(results) == 1 or results[1].statements == []
+
+    def test_semicolon_inside_literal_does_not_split(self, sess):
+        """Our splitter is quote-aware — the reference's naive
+        split(';') would break this statement in two."""
+        sess.execute_statement("SET 'execution.runtime-mode' = 'batch'")
+        results = run_notebook(
+            sess,
+            serialize_notebook(
+                [NotebookCell(CODE, "apache-flink", "SELECT 'a;b' AS s;")]
+            ),
+        )
+        assert results[0].ok and len(results[0].statements) == 1
+        assert results[0].statements[0].data == [["a;b"]]
