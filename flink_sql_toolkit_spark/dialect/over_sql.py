@@ -681,7 +681,11 @@ def rewrite_streaming_over_sql(
 #     SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn
 #     FROM t) WHERE rn = 1
 _DEDUP_SHAPE = re.compile(
-    r"(?isx)^\s*SELECT\s+(?P<outer>[\w.,\s\x00`*]+?)\s+FROM\s*\(\s*"
+    # the outer projection admits arithmetic over the view's columns
+    # (`rn + 1 AS r2` — r10, found by the routing property test) but
+    # stays paren-free: the non-greedy match anchors on the FIRST
+    # ` FROM (`, which a parenthesized subexpression could misplace
+    r"(?isx)^\s*SELECT\s+(?P<outer>[\w.,\s\x00`*+/%-]+?)\s+FROM\s*\(\s*"
     r"SELECT\s+(?P<inner>[\w.,\s\x00`*]+?),\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
     r"PARTITION\s+BY\s+(?P<keys>[\w.,\s\x00`]+?)\s+"
     r"ORDER\s+BY\s+(?P<order>[\w.\x00`]+)\s*(?P<dir>ASC|DESC)?\s*\)\s+AS\s+(?P<rn>\w+)\s+"

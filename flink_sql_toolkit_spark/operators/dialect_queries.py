@@ -24,8 +24,18 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], flink_sql: s
     "dialect_tumble_tvf",
     # TUMBLE + SESSION (PARTITION BY, the grouped-session_window fold
     # — late r9: a projected session_window never merges, so the SQL
-    # SESSION path needed its own oracle) tagged onto one schema
+    # SESSION path needed its own oracle) + the two r10 row-preserving
+    # variants (VERDICT r9 ask #2): 'session_rows' = merged sessions
+    # with every input row preserved (the gaps-and-islands fallback,
+    # rewriter.py), 'session_subsec' = a 500 MILLISECOND gap over a
+    # 1000×-compressed timescale (merging only happens if the
+    # sub-second gap survives unit conversion — the r9 truncation
+    # regression turned it into 0 and split every row), tagged onto
+    # one schema
     oracle="""
+    WITH events_ms AS (
+      SELECT make_timestamp(epoch_us(ts) // 1000) AS ts2, value FROM events
+    )
     SELECT 'tumble' AS variant, CAST(NULL AS BIGINT) AS k,
            make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
            COUNT(*) AS n,
@@ -47,6 +57,41 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], flink_sql: s
       )
     )
     GROUP BY user_id, sess_id
+    UNION ALL
+    SELECT 'session_rows', user_id,
+           MIN(ts) OVER (PARTITION BY user_id, sess_id), 1,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE)
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 600
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    UNION ALL
+    SELECT 'session_subsec', CAST(NULL AS BIGINT), window_start, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM (
+      SELECT MIN(ts2) OVER (PARTITION BY sess_id) AS window_start, value
+      FROM (
+        SELECT ts2, value,
+               SUM(is_new) OVER (ORDER BY ts2
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM (
+          SELECT ts2, value,
+                 CASE WHEN epoch_us(ts2) - epoch_us(LAG(ts2) OVER (ORDER BY ts2)) >= 500000
+                      OR LAG(ts2) OVER (ORDER BY ts2) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events_ms
+        )
+      )
+    )
+    GROUP BY window_start
     """,
 )
 def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +126,52 @@ def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, window_start
         """,
     ).select(F.lit("session").alias("variant"), "k", "window_start", "n", "total_value")
-    return t.unionByName(s)
+    # row-preserving merged sessions (the gaps-and-islands fallback:
+    # no GROUP BY after the TVF, so _fold_session_agg declines and the
+    # rewriter assigns each row its merged session window)
+    sr = _sql(
+        spark,
+        sf_dir,
+        ("events",),
+        """
+        SELECT user_id AS k, window_start,
+               CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        """,
+    ).select(
+        F.lit("session_rows").alias("variant"), "k", "window_start",
+        F.lit(1).cast("long").alias("n"), "total_value",
+    )
+    # sub-second gap: a 1000×-compressed timescale (exact integer µs
+    # math in BOTH engines) makes real merging depend on the 500ms gap
+    # surviving conversion — the r9 integer-seconds truncation would
+    # split every row into its own session
+    # ts is TIMESTAMP_NTZ — timestampdiff/add keep the µs math
+    # timezone-free and integer-exact (unix_micros requires LTZ)
+    load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "timestampadd(MICROSECOND, timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV 1000, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ts2"),
+        "value",
+    ).createOrReplaceTempView("events_ms")
+    ss = spark.sql(
+        rewrite(
+            """
+            SELECT window_start, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM (SELECT window_start, value FROM TABLE(
+                  SESSION(TABLE events_ms, DESCRIPTOR(ts2), INTERVAL '500' MILLISECOND)))
+            GROUP BY window_start
+            """
+        )
+    ).select(
+        F.lit("session_subsec").alias("variant"),
+        F.lit(None).cast("bigint").alias("k"),
+        "window_start", "n", "total_value",
+    )
+    return t.unionByName(s).unionByName(sr).unionByName(ss)
 
 
 @register(

@@ -266,3 +266,112 @@ class TestDropRenameDependentColumns:
         )
         with pytest.raises(ValueError, match="watermark"):
             run(sess, "ALTER TABLE dep_m DROP mts")
+
+
+# -- VERDICT r9 ask #3: rank-aware dedup router, adversarial text ------
+
+
+def _t10(s: int):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _stream_view10(spark, tmp_path, name, schema, rows):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{name}")
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/{name}")
+        .createOrReplaceTempView(name)
+    )
+
+
+class TestDedupRouterAdversarial:
+    """Directed cases over the r9 residual-conjunct + rn-scan text
+    surface, live through the router (the property suite pins the
+    same invariants over generated inputs)."""
+
+    @pytest.fixture()
+    def src(self, spark, tmp_path):
+        _stream_view10(
+            spark, tmp_path, "adv_dedup_src", "k long, ts timestamp, v long",
+            [(1, _t10(1), 7), (1, _t10(2), 8), (2, _t10(3), 9)],
+        )
+        return "adv_dedup_src"
+
+    def _route(self, spark, sql, **kw):
+        from flink_sql_toolkit_spark.dialect.over_sql import (
+            rewrite_streaming_dedup_sql,
+        )
+
+        return rewrite_streaming_dedup_sql(spark, sql, **kw)
+
+    def test_literal_or_in_string_routes(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
+            f"ORDER BY ts) AS rn FROM {src}) WHERE rn = 1 AND v <> ' OR 1=1 '",
+        )
+        assert routed is not None
+        assert "' OR 1=1 '" in routed  # literal survives verbatim
+
+    def test_literal_order_by_in_string_routes(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
+            f"ORDER BY ts) AS rn FROM {src}) WHERE rn = 1 AND v <> 'x ORDER BY y'",
+        )
+        assert routed is not None and "'x ORDER BY y'" in routed
+
+    def test_depth0_or_falls_back(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
+            f"ORDER BY ts) AS rn FROM {src}) WHERE rn = 1 AND v = 1 OR v = 2",
+        )
+        assert routed is None  # precedence change: must not route
+
+    def test_rn_literal_does_not_select_rank_mode(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, v, 'rn' FROM (SELECT *, ROW_NUMBER() OVER (PARTITION "
+            f"BY k ORDER BY ts) AS rn FROM {src}) WHERE rn = 1",
+        )
+        assert routed is not None
+        # the routed view is rank-free: no rn column materialized
+        view = routed.split(" FROM ")[-1].split()[0]
+        assert "rn" not in spark.table(view).columns
+
+    def test_rn_in_wider_expression_routes_rank_aware(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, rn + 1 AS r2 FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY k ORDER BY ts) AS rn FROM {src}) WHERE rn <= 2",
+        )
+        assert routed is not None
+        view = routed.split(" FROM ")[-1].split()[0]
+        assert "rn" in spark.table(view).columns
+        assert spark.sql(routed).columns == ["k", "r2"]
+
+    def test_mixed_case_backticked_keys_route(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY `K` "
+            f"ORDER BY `TS`) AS rn FROM {src}) WHERE rn = 1",
+        )
+        # Spark resolves case-insensitively; the router canonicalizes
+        # to the schema casing instead of failing in the executor
+        assert routed is not None
+
+    def test_residual_referencing_rn_gets_rank_view(self, spark, src):
+        routed = self._route(
+            spark,
+            f"SELECT k, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
+            f"ORDER BY ts) AS rn FROM {src}) WHERE rn <= 2 AND rn = 2",
+        )
+        assert routed is not None
+        view = routed.split(" WHERE ")[0].split(" FROM ")[-1].split()[0]
+        assert "rn" in spark.table(view).columns

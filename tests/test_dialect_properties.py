@@ -158,3 +158,122 @@ class TestSynthesizeRoundTrip:
         assert t2.primary_key == t1.primary_key
         assert (t2.distributed_by, t2.bucket_count) == (t1.distributed_by, t1.bucket_count)
         assert t2.options == t1.options
+
+
+class TestDedupShapeRouting:
+    """The rank-aware dedup router's r9 text surface (VERDICT r9 ask
+    #3): _DEDUP_SHAPE's residual-conjunct capture and the rn-reference
+    scan are regex routing over MASKED text — literals must never
+    change a routing decision, and depth-0 operators always must."""
+
+    _safe_conjuncts = st.sampled_from(
+        [
+            "v = 1",
+            "v > 3",
+            "v = 'a OR b'",
+            "v = 'x ORDER BY y'",
+            "v = 'rn'",
+            "(v = 1 OR v = 2)",
+            "v IN (1, 2)",
+            "`v` <= 9",
+            "v = ' AND '",
+        ]
+    )
+
+    @staticmethod
+    def _stmt(residual: str, outer: str = "k, v", rn: str = "rn") -> str:
+        tail = f" AND {residual}" if residual else ""
+        return (
+            f"SELECT {outer} FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY k ORDER BY ts) AS {rn} FROM src) "
+            f"WHERE {rn} = 1{tail}"
+        )
+
+    @given(st.lists(_safe_conjuncts, min_size=1, max_size=4))
+    @settings(max_examples=300, deadline=None)
+    def test_safe_residual_matches_and_round_trips(self, conjuncts):
+        """AND-chains of OR-free conjuncts (including literals that
+        CONTAIN ' OR ' / 'ORDER BY' / the rn alias) match the shape,
+        pass the depth-0 gate, and unmask back to the exact text."""
+        from flink_sql_toolkit_spark.dialect.over_sql import (
+            _DEDUP_SHAPE,
+            _depth0_search,
+        )
+
+        residual = " AND ".join(conjuncts)
+        masked, lits = _mask(self._stmt(residual))
+        m = _DEDUP_SHAPE.match(masked)
+        assert m is not None, residual
+        assert not _depth0_search(
+            m.group("residual"),
+            r"(?is)\b(OR|ORDER\s+BY|LIMIT|OFFSET|GROUP\s+BY|HAVING|"
+            r"UNION|INTERSECT|EXCEPT|WINDOW)\b",
+        ), residual
+        assert _unmask(m.group("residual"), lits) == residual
+
+    @given(
+        st.lists(_safe_conjuncts, max_size=2),
+        st.sampled_from(
+            ["v = 1 OR v = 2", "1 = 1 ORDER BY v", "v = 2 LIMIT 3",
+             "v = 1 GROUP BY v", "v = 0 UNION SELECT 1"]
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_depth0_operator_always_gates(self, prefix, unsafe):
+        """A depth-0 OR (precedence change) or trailing clause keyword
+        anywhere in the residual chain trips the gate — routing it
+        would silently change semantics."""
+        from flink_sql_toolkit_spark.dialect.over_sql import (
+            _DEDUP_SHAPE,
+            _depth0_search,
+        )
+
+        residual = " AND ".join([*prefix, unsafe])
+        masked, _lits = _mask(self._stmt(residual))
+        m = _DEDUP_SHAPE.match(masked)
+        if m is None:
+            return  # not matching at all is equally safe
+        assert _depth0_search(
+            m.group("residual"),
+            r"(?is)\b(OR|ORDER\s+BY|LIMIT|OFFSET|GROUP\s+BY|HAVING|"
+            r"UNION|INTERSECT|EXCEPT|WINDOW)\b",
+        ), residual
+
+    @given(
+        st.sampled_from(
+            ["k, v, 'rn'", "k, 'has rn inside'", "k, v, ' rn '"]
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_rn_inside_literal_never_selects_rank_mode(self, outer):
+        """The wants_rank scan runs over MASKED text: an rn spelling
+        inside a string literal is a placeholder by then and must not
+        flip the output mode (the r8 qualifier-strip bug class)."""
+        import re as _re
+
+        from flink_sql_toolkit_spark.dialect.over_sql import _DEDUP_SHAPE
+
+        masked, _lits = _mask(self._stmt("", outer=outer))
+        m = _DEDUP_SHAPE.match(masked)
+        assert m is not None
+        rn_scan = f"{m.group('outer')} {m.group('residual') or ''}"
+        assert not _re.search(r"(?i)\brn\b", rn_scan)
+
+    @given(st.sampled_from(["k, rn", "k, rn + 1", "k, `rn`", "rn, k, v"]))
+    @settings(max_examples=100, deadline=None)
+    def test_bare_or_backticked_rn_reference_is_seen(self, outer):
+        import re as _re
+
+        from flink_sql_toolkit_spark.dialect.over_sql import _DEDUP_SHAPE
+
+        masked, lits = _mask(self._stmt("", outer=outer))
+        m = _DEDUP_SHAPE.match(masked)
+        assert m is not None
+        rn_scan = f"{m.group('outer')} {m.group('residual') or ''}"
+        seen = bool(_re.search(r"(?i)\brn\b", rn_scan))
+        if not seen:  # the router's backtick fallback
+            for pm in _re.finditer("\x00(\\d+)\x00", rn_scan):
+                lit = lits[int(pm.group(1))]
+                if lit.startswith("`") and lit.strip("`").lower() == "rn":
+                    seen = True
+        assert seen, outer
