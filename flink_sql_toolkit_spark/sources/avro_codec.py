@@ -368,16 +368,62 @@ def avro_schema_for_columns(columns, name: str = "row") -> dict:
 # ------------------------------------------------- Spark integration
 
 
+# executor-side writer-schema caches, keyed by (registry url, id) so
+# they persist across tasks within one python worker — the registry
+# is consulted once per (worker, id), never per batch. _DEAD_REGISTRY
+# is the negative cache: an unreachable registry costs one connect
+# timeout per worker, after which decode proceeds with the declared
+# schema (the pre-registry behavior, documented in schema_registry.py)
+_WRITER_CACHE: dict = {}
+_DEAD_REGISTRY: set = set()
+
+
 def avro_decode_mapper(
-    schema: str | dict, out_fields: list[str], confluent: bool
+    schema: str | dict,
+    out_fields: list[str],
+    confluent: bool,
+    registry: dict | None = None,
 ) -> Callable[[Iterator], Iterator]:
     """Build the ``mapInPandas`` function: decodes the ``value`` binary
     column into ``out_fields``, passing every other input column
     through untouched. Arrow-batched; the schema is parsed once per
-    partition-iterator."""
+    partition-iterator.
+
+    With ``registry`` (the picklable dict from
+    ``schema_registry.registry_options``), each confluent frame's
+    writer schema id resolves against the registry — Flink's
+    avro-confluent deserialization contract: producers with evolved /
+    reordered schemas decode correctly, projected onto the declared
+    ``out_fields``. A schema id the registry rejects is a hard error;
+    an unreachable registry falls back to the declared schema."""
     import pandas as pd  # noqa: PLC0415
 
     sch = parse_schema(schema)
+
+    def writer_schema(sid: int):
+        if registry is None:
+            return sch
+        url = registry["url"]
+        key = (url, sid)
+        if key in _WRITER_CACHE:
+            return _WRITER_CACHE[key]
+        if url in _DEAD_REGISTRY:
+            return sch
+        from flink_sql_toolkit_spark.sources.schema_registry import (  # noqa: PLC0415
+            SchemaRegistryClient,
+            SchemaRegistryError,
+        )
+
+        client = SchemaRegistryClient(url, registry.get("user_info"))
+        try:
+            ws = parse_schema(client.get_schema_by_id(sid))
+        except SchemaRegistryError:
+            raise  # the registry ANSWERED: it does not know this id
+        except Exception:  # noqa: BLE001 — unreachable/timeout: degrade
+            _DEAD_REGISTRY.add(url)
+            return sch
+        _WRITER_CACHE[key] = ws
+        return ws
 
     def mapper(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -385,8 +431,10 @@ def avro_decode_mapper(
             for payload in pdf["value"]:
                 body = bytes(payload)
                 if confluent:
-                    _, body = confluent_unframe(body)
-                decoded.append(decode_record(body, sch))
+                    sid, body = confluent_unframe(body)
+                    decoded.append(decode_record(body, writer_schema(sid)))
+                else:
+                    decoded.append(decode_record(body, sch))
             cols = {f: [r.get(f) for r in decoded] for f in out_fields}
             out = pd.DataFrame(cols)
             for c in pdf.columns:

@@ -286,6 +286,16 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
             if schema_str
             else avro_schema_for_columns(table.columns)
         )
+        from flink_sql_toolkit_spark.sources.schema_registry import (  # noqa: PLC0415
+            registry_options,
+        )
+
+        registry = registry_options(table.options) if confluent else None
+        if registry is not None:
+            # per-message writer-schema resolution needs the Python
+            # mapper (from_avro decodes with ONE fixed schema) —
+            # r10, Flink's avro-confluent deserialization contract
+            return _avro_mapper_decode(raw, table, avro_schema, confluent, registry)
         try:
             # Preferred: JVM from_avro (external spark-avro module) —
             # whole-stage, no Python in the decode path.
@@ -303,19 +313,7 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
                 "timestamp", "partition", "offset", "topic",
             ).select("_row.*", "timestamp", "partition", "offset", "topic")
         except Exception:  # noqa: BLE001  (spark-avro jar not bundled)
-            from pyspark.sql.types import StructType  # noqa: PLC0415
-
-            picked = raw.select("value", "timestamp", "partition", "offset", "topic")
-            out_schema = StructType(
-                list(StructType.fromDDL(schema).fields)
-                + [f for f in picked.schema.fields if f.name != "value"]
-            )
-            return picked.mapInPandas(
-                avro_decode_mapper(
-                    avro_schema, [c.name for c in table.columns], confluent
-                ),
-                schema=out_schema,
-            )
+            return _avro_mapper_decode(raw, table, avro_schema, confluent, None)
     if fmt == "protobuf":
         # Flink DDL: 'protobuf.message-class-name' names the message,
         # compiled descriptors come as a file. Spark's equivalent is
@@ -444,14 +442,41 @@ def kafka_writer_options(table: ConnectorTable) -> dict:
     return out
 
 
+def _avro_mapper_decode(
+    raw: DataFrame, table: ConnectorTable, avro_schema, confluent: bool, registry
+) -> DataFrame:
+    """Arrow-batched pure-Python avro decode (no jar needed); with
+    ``registry``, confluent frames resolve their writer schema per id
+    (schema_registry.py) — the executor-side cache keeps registry
+    traffic at O(distinct ids) per worker."""
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    from flink_sql_toolkit_spark.sources.avro_codec import (  # noqa: PLC0415
+        avro_decode_mapper,
+    )
+
+    picked = raw.select("value", "timestamp", "partition", "offset", "topic")
+    out_schema = StructType(
+        list(StructType.fromDDL(table.schema_ddl()).fields)
+        + [f for f in picked.schema.fields if f.name != "value"]
+    )
+    return picked.mapInPandas(
+        avro_decode_mapper(
+            avro_schema, [c.name for c in table.columns], confluent, registry
+        ),
+        schema=out_schema,
+    )
+
+
 def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     """Encode the sink value per the table's declared format (json /
     csv / raw / avro / avro-confluent), key = JSON of the PRIMARY KEY
     columns (first column when no PK) — the upsert-kafka keying
     contract. Avro encodes through the same pure-Python codec the
     decode path uses (Arrow-batched mapInPandas, no jar needed);
-    avro-confluent requires an explicit ``avro-confluent.schema-id``
-    (there is no registry client here to negotiate one)."""
+    avro-confluent negotiates its schema id by registering the value
+    schema with the configured registry (schema_registry.py, r10) or
+    uses an explicit ``avro-confluent.schema-id``."""
     fmt = table.format or "json"
     cols = [c.name for c in table.columns]
     key_cols = table.primary_key or [cols[0]]
@@ -495,13 +520,28 @@ def _avro_writer_payload(
     schema_id = None
     if fmt == "avro-confluent":
         raw_id = table.options.get("avro-confluent.schema-id", "")
-        if not raw_id.isdigit():
-            raise NotImplementedError(
-                "avro-confluent sink needs an explicit "
-                "'avro-confluent.schema-id' — no schema-registry "
-                "client is available to register one"
+        if raw_id.isdigit():
+            schema_id = int(raw_id)
+        else:
+            from flink_sql_toolkit_spark.sources.schema_registry import (  # noqa: PLC0415
+                SchemaRegistryClient,
+                registry_options,
+                subject_for,
             )
-        schema_id = int(raw_id)
+
+            reg = registry_options(table.options)
+            if reg is None:
+                raise NotImplementedError(
+                    "avro-confluent sink needs 'avro-confluent.url' (the "
+                    "schema id is negotiated by registering the value "
+                    "schema under '{topic}-value') or an explicit "
+                    "'avro-confluent.schema-id'"
+                )
+            # Flink's serializer contract: register the DDL-derived
+            # value schema under the subject, use the returned id.
+            # One driver-side call at plan time — not on the row path.
+            client = SchemaRegistryClient(reg["url"], reg.get("user_info"))
+            schema_id = client.register(subject_for(table.options), schema)
     schema_json = _json.dumps(schema)
     keyed = df.select(
         F.struct(*cols).alias("_rec"), F.to_json(F.struct(*key_cols)).alias("key")
