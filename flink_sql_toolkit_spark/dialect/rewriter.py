@@ -182,10 +182,6 @@ def _fold_session_agg(
     row-preserving gaps-and-islands assignment instead.
     """
     head, tail = masked[:start], masked[end:]
-    if re.search(r"(?i)\bwindow_time\b", head + tail):
-        # the grouped session_window fold has no window_time output —
-        # fall back to the row-preserving relation, which carries it
-        return None
     hm = re.match(r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s*$", head)
     if hm and re.search(
         r"(?i)\b(FROM|UNION|INTERSECT|EXCEPT|JOIN)\b", hm.group("sel")
@@ -202,13 +198,22 @@ def _fold_session_agg(
     )
     if not hm or not tm:
         return None
-    if tm.group("where") and re.search(r"(?i)\bwindow_(start|end)\b", tm.group("where")):
+    if tm.group("where") and re.search(
+        r"(?i)\bwindow_(start|end|time)\b", tm.group("where")
+    ):
         return None  # WHERE on window bounds: not expressible pre-aggregation
     rest = tm.group("rest") or ""
-    if re.search(r"(?i)\bHAVING\b", rest) and re.search(r"(?i)\bwindow_(start|end)\b", rest):
+    if re.search(r"(?i)\bHAVING\b", rest) and re.search(
+        r"(?i)\bwindow_(start|end|time)\b", rest
+    ):
         return None
     keys = [k.strip() for k in _split_args(tm.group("keys"))]
-    window_keys = [k for k in keys if re.fullmatch(r"(?i)`?window_(start|end)`?", k)]
+    # window_time is functionally determined by the window — Flink
+    # allows it as a grouping key alongside the bounds; dropping it
+    # from the folded GROUP BY changes nothing (r10)
+    window_keys = [
+        k for k in keys if re.fullmatch(r"(?i)`?window_(start|end|time)`?", k)
+    ]
     others = [k for k in keys if k not in window_keys]
     if not window_keys:
         return None  # not the window-agg shape
@@ -222,18 +227,29 @@ def _fold_session_agg(
     items = []
     out_aliases: set[str] = set()
     for it in (i.strip() for i in _split_args(hm.group("sel"))):
-        im = re.fullmatch(r"(?is)`?window_(start|end)`?(?:\s+AS\s+([\w`]+))?", it)
+        im = re.fullmatch(
+            r"(?is)`?window_(start|end|time)`?(?:\s+AS\s+([\w`]+))?", it
+        )
         if im:
-            alias = (im.group(2) or f"window_{im.group(1).lower()}").strip("`")
-            items.append(f"{swfn}.{im.group(1).lower()} AS {alias}")
+            bound = im.group(1).lower()
+            alias = (im.group(2) or f"window_{bound}").strip("`")
+            expr = (
+                # FLIP-145: window_time = window_end - 1ms, the
+                # window's event-time attribute (r10 — folded form,
+                # valid batch AND streaming)
+                f"{swfn}.end - INTERVAL '1' MILLISECOND"
+                if bound == "time"
+                else f"{swfn}.{bound}"
+            )
+            items.append(f"{expr} AS {alias}")
             out_aliases.add(alias.lower())
-        elif re.search(r"(?i)\bwindow_(start|end)\b", it):
+        elif re.search(r"(?i)\bwindow_(start|end|time)\b", it):
             return None  # window bound inside a wider expression
         else:
             items.append(it)
     # an ORDER BY on a window bound resolves only through an output
     # alias once the fold removes the bound columns (review r9)
-    for bound in re.findall(r"(?i)\bwindow_(?:start|end)\b", rest):
+    for bound in re.findall(r"(?i)\bwindow_(?:start|end|time)\b", rest):
         if bound.lower() not in out_aliases:
             return None
     where = tm.group("where") or ""

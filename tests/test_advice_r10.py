@@ -103,8 +103,9 @@ class TestTvfOutputSchema:
         assert len(starts) == 1
 
     def test_window_time_in_group_by(self, sess):
-        # grouping by window_time routes through the row-preserving
-        # relation (the session_window fold has no window_time output)
+        # window_time folds into the grouped session_window form
+        # (functionally determined by the window — Flink allows it as
+        # a grouping key; the folded shape stays streaming-valid)
         rows = run(
             sess,
             "SELECT window_start, window_time, COUNT(*) AS n FROM TABLE("
@@ -112,6 +113,29 @@ class TestTvfOutputSchema:
             "GROUP BY window_start, window_end, window_time",
         )
         assert len(rows) == 1 and rows[0][2] == 100
+
+    def test_window_time_folds_to_session_window(self, sess):
+        """The session fold (streaming-valid) handles window_time —
+        it must NOT bail to the batch-only gaps-and-islands path."""
+        from flink_sql_toolkit_spark.dialect import rewrite
+
+        out = rewrite(
+            "SELECT k, window_start, window_time, SUM(v) AS s FROM TABLE("
+            "SESSION(TABLE tvf10 PARTITION BY k, DESCRIPTOR(ts), INTERVAL '2' SECOND)) "
+            "GROUP BY k, window_start, window_time"
+        )
+        assert "session_window" in out and "TABLE(" not in out
+        assert "INTERVAL '1' MILLISECOND AS window_time" in out
+        rows = run(
+            sess,
+            "SELECT k, window_start, window_time, COUNT(*) AS n FROM TABLE("
+            "SESSION(TABLE tvf10 PARTITION BY k, DESCRIPTOR(ts), INTERVAL '2' SECOND)) "
+            "GROUP BY k, window_start, window_time ORDER BY k",
+        )
+        # 100 rows, k in {0,1,2}, 3s apart per key > 2s gap: every row
+        # its own session — window_time = window_end - 1ms throughout
+        assert len(rows) == 100
+        assert all((r[1] is not None and r[2] is not None) for r in rows)
 
 
 class TestModifyWatermarkComputedRowtime:
