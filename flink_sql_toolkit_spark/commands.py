@@ -46,10 +46,16 @@ _ENGINE_KEYS = {
 
 
 def handle_set(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
-    m = re.match(r"(?is)^SET\s*(?:'([^']+)'\s*=\s*'([^']*)')?\s*;?\s*$", stmt)
+    # '' escapes a quote inside key or value, the SQL literal syntax
+    # the DDL/ALTER option parsers already honor (review r10)
+    m = re.match(
+        r"(?is)^SET\s*(?:'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)')?\s*;?\s*$", stmt
+    )
     if not m:
         return None
     key, val = m.group(1), m.group(2)
+    if key is not None:
+        key, val = key.replace("''", "'"), val.replace("''", "'")
     cols = _c(("key", "string"), ("value", "string"))
     if key is None:  # bare SET lists the session's conf (Flink behavior)
         return cols, [[k, v] for k, v in sorted(session.flink_conf.items())]
@@ -62,10 +68,10 @@ def handle_set(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
 
 
 def handle_reset(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | None:
-    m = re.match(r"(?is)^RESET\s*(?:'([^']+)')?\s*;?\s*$", stmt)
+    m = re.match(r"(?is)^RESET\s*(?:'((?:[^']|'')+)')?\s*;?\s*$", stmt)
     if not m:
         return None
-    key = m.group(1)
+    key = m.group(1).replace("''", "'") if m.group(1) else None
     if key is None:
         session.flink_conf.clear()
     else:
@@ -338,18 +344,27 @@ def _find_any_column(table, col: str) -> str:
     return "physical"
 
 
+def _expr_references(expr: str, col: str) -> bool:
+    """Word-boundary match of ``col`` in ``expr`` with string literals
+    masked out first — `concat('k', name)` does not reference a column
+    named k (review r10)."""
+    from flink_sql_toolkit_spark.dialect.rewriter import _mask  # noqa: PLC0415
+
+    masked, _lits = _mask(expr)
+    # matches the bare and the backtick-quoted spelling alike
+    return bool(re.search(rf"(?<!\w)`?{re.escape(col)}`?(?!\w)", masked))
+
+
 def _referencing_exprs(table, col: str, include_watermark: bool = True) -> str | None:
     """Human-readable description of the generated-column / watermark
-    expressions that reference ``col`` (word-boundary match), or None."""
-    # matches the bare and the backtick-quoted spelling alike
-    pat = re.compile(rf"(?<!\w)`?{re.escape(col)}`?(?!\w)")
+    expressions that reference ``col``, or None."""
     deps = [
         f"computed column '{c.name}' ({c.name} AS {c.expr})"
         for c in table.computed
-        if c.name != col and pat.search(c.expr)
+        if c.name != col and _expr_references(c.expr, col)
     ]
-    if include_watermark and table.watermark and table.watermark.column != col and pat.search(
-        table.watermark.delay_expr
+    if include_watermark and table.watermark and table.watermark.column != col and (
+        _expr_references(table.watermark.delay_expr, col)
     ):
         deps.append(f"the WATERMARK expression ({table.watermark.delay_expr})")
     return "; ".join(deps) or None
@@ -516,11 +531,23 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         table.primary_key = [new if c == old else c for c in table.primary_key]
         table.partitioned_by = [new if c == old else c for c in table.partitioned_by]
         table.distributed_by = [new if c == old else c for c in table.distributed_by]
-        if table.watermark and table.watermark.column == old:
-            table.watermark.column = new
-            table.watermark.delay_expr = re.sub(
-                rf"\b{re.escape(old)}\b", new, table.watermark.delay_expr
-            )
+        if table.watermark:
+            if table.watermark.column == old:
+                table.watermark.column = new
+            # the delay expression follows the rename whether or not
+            # the watermark is DECLARED on the renamed column — e.g.
+            # WATERMARK FOR ts AS GREATEST(ts, backup_ts) - … must not
+            # be left referencing the old backup_ts name (review r10);
+            # literal-safe via the masked substitution
+            if _expr_references(table.watermark.delay_expr, old):
+                from flink_sql_toolkit_spark.dialect.rewriter import (  # noqa: PLC0415
+                    _mask,
+                    _unmask,
+                )
+
+                masked, lits = _mask(table.watermark.delay_expr)
+                masked = re.sub(rf"(?<!\w){re.escape(old)}(?!\w)", new, masked)
+                table.watermark.delay_expr = _unmask(masked, lits)
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+"

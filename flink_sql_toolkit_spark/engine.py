@@ -121,6 +121,9 @@ class Operation:
         self._row_offset = 0  # absolute index of self._rows[0] (after eviction)
         self._stream_buffer: StreamResultBuffer | None = None
         self._stream_query = None
+        # True iff the result's leading column is a changelog RowKind
+        # `op` column (set by the streaming result binder)
+        self.changelog_result = False
 
     # -- execution ----------------------------------------------------
 
@@ -403,6 +406,11 @@ class Operation:
                 {"name": f.name, "logicalType": f.dataType.simpleString()}
                 for f in frame.schema.fields
             ]
+            # transports (the REST gateway) key their RowKind lifting
+            # on this flag, NOT on the first column's name — a user
+            # column named `op` must not masquerade as changelog
+            # output (the same ADVICE r7 rule as op_passthrough below)
+            self.changelog_result = changelog
             if changelog and op_passthrough:
                 # the routed keep-last/Top-N operator already emits
                 # RowKind rows (+I/-U/+U/-D in its leading __op

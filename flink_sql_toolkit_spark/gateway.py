@@ -46,6 +46,7 @@ import base64
 import datetime as dt
 import decimal
 import json
+import math
 import re
 import threading
 import traceback
@@ -61,6 +62,20 @@ _ROWKINDS = {
     "+U": "UPDATE_AFTER",
     "-D": "DELETE",
 }
+
+
+def _finite(obj: Any) -> Any:
+    """Replace non-finite floats with None recursively — bare
+    ``NaN``/``Infinity`` tokens are invalid JSON and JSON.parse in the
+    reference client throws on them (review r10). Pages are bounded by
+    the ring/page caps, so the walk is O(page), not O(result)."""
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    return obj
 
 
 def _json_default(o: Any) -> Any:
@@ -135,8 +150,12 @@ class Gateway:
         data = page.get("data") or []
         # changelog pages carry the RowKind in the leading `op` column
         # — lift it into Flink's per-row `kind` and drop the column,
-        # the real gateway's wire shape
-        if columns and columns[0].get("name") == "op" and page.get("isStreaming"):
+        # the real gateway's wire shape. Keyed on the Operation's
+        # changelog flag, NOT the first column's name: an append-mode
+        # result whose first column happens to be called `op` must
+        # pass through untouched (review r10; same ADVICE r7 rule as
+        # the engine's op_passthrough binder)
+        if columns and getattr(op, "changelog_result", False):
             columns = columns[1:]
             rows = [
                 {"kind": _ROWKINDS.get(r[0], "INSERT"), "fields": list(r[1:])}
@@ -230,17 +249,17 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _body(self) -> dict:
-        length = int(self.headers.get("Content-Length") or 0)
-        if not length:
+        if not self._raw_body:
             return {}
-        raw = self.rfile.read(length)
         try:
-            return json.loads(raw) if raw else {}
+            return json.loads(self._raw_body)
         except json.JSONDecodeError as e:
             raise _HttpError(400, f"malformed JSON request body: {e}") from e
 
     def _reply(self, obj: dict, status: int = 200) -> None:
-        payload = json.dumps(obj, default=_json_default).encode()
+        payload = json.dumps(
+            _finite(obj), default=_json_default, allow_nan=False
+        ).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
@@ -248,6 +267,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(payload)
 
     def _dispatch(self, method: str) -> None:
+        # ALWAYS drain the request body up front: HTTP/1.1 keep-alive
+        # reuses the socket, so body bytes a handler never reads (a
+        # cancel POST, a 404'd route) would otherwise prefix the next
+        # request and corrupt its framing (review r10)
+        length = int(self.headers.get("Content-Length") or 0)
+        self._raw_body = self.rfile.read(length) if length else b""
         parsed = urlparse(self.path)
         # accept a version prefix on the base URL (/v1, /v2, /v3)
         path = re.sub(r"^/v\d+", "", parsed.path) or "/"
@@ -295,9 +320,11 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._body()
         sess = self.gateway.engine.open_session(body.get("sessionName") or "default")
         # session properties = initial SET map (Flink openSession applies
-        # them the same way)
+        # them the same way); '' re-escapes embedded quotes, matching
+        # the SET statement's own literal syntax (review r10)
+        esc = lambda s: str(s).replace("'", "''")  # noqa: E731
         for k, v in (body.get("properties") or {}).items():
-            sess.execute_statement(f"SET '{k}' = '{v}'")
+            sess.execute_statement(f"SET '{esc(k)}' = '{esc(v)}'")
         self._reply({"sessionHandle": sess.handle})
 
     def get_session(self, handle: str, query: str = "") -> None:

@@ -72,9 +72,19 @@ def parse_notebook(text: str | bytes) -> list[NotebookCell]:
         items = raw.get("cells", []) if isinstance(raw, dict) else []
     except (json.JSONDecodeError, AttributeError):
         items = []
+    def _kind(raw) -> int:
+        # tolerate hand-edited/foreign documents: numeric strings
+        # coerce, 'markup'/'markdown' spellings map, anything else is
+        # a code cell — malformed content must never crash the parse
+        # (the new-file contract; review r10)
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            return MARKUP if str(raw).lower().startswith(("markup", "markdown")) else CODE
+
     cells = [
         NotebookCell(
-            kind=int(c.get("kind", CODE)),
+            kind=_kind(c.get("kind", CODE)),
             language=str(c.get("language", "apache-flink")),
             value=str(c.get("value", "")),
         )

@@ -372,10 +372,14 @@ def avro_schema_for_columns(columns, name: str = "row") -> dict:
 # they persist across tasks within one python worker — the registry
 # is consulted once per (worker, id), never per batch. _DEAD_REGISTRY
 # is the negative cache: an unreachable registry costs one connect
-# timeout per worker, after which decode proceeds with the declared
-# schema (the pre-registry behavior, documented in schema_registry.py)
+# timeout per retry window, during which decode proceeds with the
+# declared schema (the pre-registry behavior, documented in
+# schema_registry.py). The entry carries WHEN it died and expires
+# after _DEAD_TTL_S so a transient blip (registry restart, network
+# flap) cannot poison the worker for its whole life (review r10).
 _WRITER_CACHE: dict = {}
-_DEAD_REGISTRY: set = set()
+_DEAD_REGISTRY: dict = {}  # url -> monotonic seconds at failure
+_DEAD_TTL_S = 60.0
 
 
 def avro_decode_mapper(
@@ -401,14 +405,19 @@ def avro_decode_mapper(
     sch = parse_schema(schema)
 
     def writer_schema(sid: int):
+        import time as _time  # noqa: PLC0415
+
         if registry is None:
             return sch
         url = registry["url"]
         key = (url, sid)
         if key in _WRITER_CACHE:
             return _WRITER_CACHE[key]
-        if url in _DEAD_REGISTRY:
-            return sch
+        died = _DEAD_REGISTRY.get(url)
+        if died is not None:
+            if _time.monotonic() - died < _DEAD_TTL_S:
+                return sch
+            del _DEAD_REGISTRY[url]  # TTL elapsed: retry the registry
         from flink_sql_toolkit_spark.sources.schema_registry import (  # noqa: PLC0415
             SchemaRegistryClient,
             SchemaRegistryError,
@@ -420,7 +429,7 @@ def avro_decode_mapper(
         except SchemaRegistryError:
             raise  # the registry ANSWERED: it does not know this id
         except Exception:  # noqa: BLE001 — unreachable/timeout: degrade
-            _DEAD_REGISTRY.add(url)
+            _DEAD_REGISTRY[url] = _time.monotonic()
             return sch
         _WRITER_CACHE[key] = ws
         return ws

@@ -270,7 +270,6 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         import json as _json  # noqa: PLC0415
 
         from flink_sql_toolkit_spark.sources.avro_codec import (  # noqa: PLC0415
-            avro_decode_mapper,
             avro_schema_for_columns,
             parse_schema,
         )

@@ -399,3 +399,53 @@ class TestDedupRouterAdversarial:
         assert routed is not None
         view = routed.split(" WHERE ")[0].split(" FROM ")[-1].split()[0]
         assert "rn" in spark.table(view).columns
+
+
+# -- review r10: guard/scan edge cases ---------------------------------
+
+
+class TestReviewR10Commands:
+    def test_drop_ignores_column_name_inside_literal(self, sess):
+        """`concat('k', name)` does not reference a column named k —
+        the dependency scan masks string literals (review r10)."""
+        sess.execute_statement(
+            "CREATE TABLE lit_dep (k INT, name STRING, "
+            "label AS CONCAT('k', name)) WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE lit_dep DROP k")  # must NOT be rejected
+        assert all(c.name != "k" for c in sess.connector_tables["lit_dep"].columns)
+
+    def test_rename_updates_watermark_expr_on_other_column(self, sess):
+        """A watermark declared on ts but whose expression also
+        references another column must follow that column's rename —
+        a dangling name breaks the next synthesize/read (review r10)."""
+        sess.execute_statement(
+            "CREATE TABLE wm_dep (backup_ts TIMESTAMP(3), ts TIMESTAMP(3), "
+            "WATERMARK FOR ts AS GREATEST(ts, backup_ts) - INTERVAL '1' SECOND) "
+            "WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE wm_dep RENAME backup_ts TO b2")
+        wm = sess.connector_tables["wm_dep"].watermark
+        assert wm.column == "ts"
+        assert "b2" in wm.delay_expr and "backup_ts" not in wm.delay_expr
+        # the synthesized DDL round-trips (no dangling reference)
+        ddl = run(sess, "SHOW CREATE TABLE wm_dep")[0][0]
+        assert "backup_ts" not in ddl
+
+    def test_rename_does_not_touch_literal_in_watermark_expr(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE wm_lit (a TIMESTAMP(3), ts TIMESTAMP(3), "
+            "WATERMARK FOR ts AS IF(DATE_FORMAT(ts, 'a') = 'a', ts, a)) "
+            "WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE wm_lit RENAME a TO renamed_a")
+        wm = sess.connector_tables["wm_lit"].watermark
+        assert "'a'" in wm.delay_expr  # the literal survives
+        assert "renamed_a" in wm.delay_expr
+
+    def test_set_reset_with_quoted_value(self, sess):
+        run(sess, "SET 'pipeline.name' = 'bob''s job'")
+        conf = dict(run(sess, "SET"))
+        assert conf["pipeline.name"] == "bob's job"
+        run(sess, "RESET 'pipeline.name'")
+        assert "pipeline.name" not in dict(run(sess, "SET"))

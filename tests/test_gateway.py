@@ -309,3 +309,72 @@ class TestClusterEndpoints:
         assert status == 200 and out["productName"]
         status, out = http(gw, "GET", "/api_versions")
         assert "V1" in out["versions"]
+
+
+class TestReviewR10Fixes:
+    @pytest.fixture(scope="class")
+    def h(self, gw):
+        h = open_session(gw, "review-r10")
+        http(gw, "POST", f"/sessions/{h}/statements",
+             {"statement": "SET 'execution.runtime-mode' = 'batch'"})
+        yield h
+        http(gw, "DELETE", f"/sessions/{h}")
+
+    def test_append_mode_column_named_op_passes_through(self, gw, h):
+        """RowKind lifting keys on the Operation's changelog flag, not
+        the column NAME — a user column called `op` must survive."""
+        rows, columns = run_to_eos(gw, h, "SELECT '+I' AS op, 42 AS x")
+        assert [c["name"] for c in columns] == ["op", "x"]
+        assert rows == [["+I", 42]]
+
+    def test_nan_and_infinity_serialize_as_null(self, gw, h):
+        rows, _ = run_to_eos(
+            gw, h,
+            "SELECT CAST('NaN' AS DOUBLE) AS d, CAST('Infinity' AS DOUBLE) AS i, "
+            "CAST(1.5 AS DOUBLE) AS ok",
+        )
+        # bare NaN/Infinity tokens are invalid JSON — the page must
+        # parse (run_to_eos json.loads it) and carry null instead
+        assert rows == [[None, None, 1.5]]
+
+    def test_keepalive_socket_survives_unread_bodies(self, gw, h):
+        """Handlers that ignore the request body (cancel, 404'd POSTs)
+        must still drain it — on a reused HTTP/1.1 connection leftover
+        bytes would corrupt the next request's framing."""
+        import http.client
+
+        oh = execute(gw, h, "SELECT 1")
+        host, port = gw.httpd.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        try:
+            # request 1: POST with a body the handler never reads
+            conn.request(
+                "POST",
+                f"/sessions/{h}/operations/{oh}/cancel",
+                body='{"ignored": "body"}',
+                headers={"Content-Type": "application/json"},
+            )
+            assert json.loads(conn.getresponse().read())["status"] == "CANCELED"
+            # request 2 on the SAME socket: must parse cleanly
+            conn.request("GET", "/info")
+            assert "version" in json.loads(conn.getresponse().read())
+            # request 3: a 404'd POST with a body, then one more GET
+            conn.request("POST", "/no/such/route", body='{"x": 1}',
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 404
+            resp.read()  # client side must consume before reusing
+            conn.request("GET", "/info")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        finally:
+            conn.close()
+
+    def test_session_property_with_quote(self, gw):
+        h = open_session(gw, "quoted", properties={"pipeline.name": "bob's job"})
+        try:
+            status, out = http(gw, "GET", f"/sessions/{h}")
+            assert out["properties"]["pipeline.name"] == "bob's job"
+        finally:
+            http(gw, "DELETE", f"/sessions/{h}")

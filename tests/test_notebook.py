@@ -143,3 +143,14 @@ class TestExecution:
         )
         assert results[0].ok and len(results[0].statements) == 1
         assert results[0].statements[0].data == [["a;b"]]
+
+
+def test_string_cell_kind_tolerated():
+    """A hand-edited document with string kinds must not crash the
+    parse (review r10) — 'markup'/'markdown' map, unknowns are code."""
+    cells = parse_notebook(
+        '{"cells": [{"kind": "markup", "value": "# t"}, '
+        '{"kind": "2", "value": "SELECT 1;"}, '
+        '{"kind": "weird", "value": "SELECT 2;"}]}'
+    )
+    assert [c.kind for c in cells] == [MARKUP, CODE, CODE]

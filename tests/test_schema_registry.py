@@ -280,3 +280,38 @@ class TestSinkNegotiation:
         df = spark.createDataFrame([(1, "a")], "id bigint, name string")
         with pytest.raises(NotImplementedError, match="avro-confluent.url"):
             kafka_writer_payload(df, t).collect()
+
+
+def test_dead_registry_negative_cache_expires(registry):
+    """A transient outage must not poison the worker forever: the
+    negative cache carries a TTL, after which the registry is
+    consulted again (review r10)."""
+    import time
+
+    from flink_sql_toolkit_spark.sources import avro_codec as codec
+
+    registry.schemas[9] = SCHEMA_V1
+    mapper_schema = ac.avro_schema_for_columns(
+        parse_create_table(
+            "CREATE TABLE k (id BIGINT, name STRING) WITH ("
+            "'connector'='kafka','topic'='t','format'='avro-confluent');"
+        ).columns
+    )
+    import pandas as pd
+
+    frame = ac.confluent_frame(ac.encode_record({"id": 1, "name": "z"}, SCHEMA_V1), 9)
+    pdf = pd.DataFrame({"value": [frame]})
+    m = codec.avro_decode_mapper(
+        mapper_schema, ["id", "name"], True, {"url": registry.url}
+    )
+    # simulate a recent outage: fresh entry → declared-schema fallback,
+    # no HTTP traffic
+    codec._DEAD_REGISTRY[registry.url] = time.monotonic()
+    list(m(iter([pdf])))
+    assert registry.requests == []
+    # expire the entry past the TTL → the registry is consulted again
+    codec._DEAD_REGISTRY[registry.url] = time.monotonic() - codec._DEAD_TTL_S - 1
+    out = list(m(iter([pdf])))[0]
+    assert registry.requests == ["GET /schemas/ids/9"]
+    assert registry.url not in codec._DEAD_REGISTRY
+    assert list(out["id"]) == [1] and list(out["name"]) == ["z"]
