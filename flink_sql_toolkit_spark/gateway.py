@@ -207,6 +207,11 @@ _ROUTES: list[tuple[str, re.Pattern[str], str]] = [
     ("DELETE", re.compile(r"^/sessions/([^/]+)/?$"), "close_session"),
     ("POST", re.compile(r"^/sessions/([^/]+)/statements/?$"), "execute"),
     (
+        "POST",
+        re.compile(r"^/sessions/([^/]+)/complete-statement$"),
+        "complete_statement",
+    ),
+    (
         "GET",
         re.compile(r"^/sessions/([^/]+)/operations/([^/]+)/result/(\d+)$"),
         "result",
@@ -346,6 +351,23 @@ class _Handler(BaseHTTPRequestHandler):
         sess = self.gateway._session(handle)
         op = sess.submit_statement(str(statement))
         self._reply({"operationHandle": op.handle})
+
+    def complete_statement(self, handle: str, query: str = "") -> None:
+        """Flink SQL Gateway completion API: {statement, position} →
+        {candidates: [...]} — served from the engine's completion
+        provider (the reference builds its completions client-side
+        from metadata SQL; the wire endpoint is the gateway-native
+        equivalent)."""
+        body = self._body()
+        statement = str(body.get("statement") or "")
+        try:
+            position = int(body.get("position", len(statement)))
+        except (TypeError, ValueError) as e:
+            raise _HttpError(400, f"invalid position: {body.get('position')!r}") from e
+        position = max(0, min(position, len(statement)))
+        sess = self.gateway._session(handle)
+        items = sess.completions(statement[:position])
+        self._reply({"candidates": [it["label"] for it in items]})
 
     def result(self, handle: str, op_handle: str, token: str, query: str = "") -> None:
         self._reply(self.gateway.result_page(handle, op_handle, int(token)))

@@ -378,3 +378,32 @@ class TestReviewR10Fixes:
             assert out["properties"]["pipeline.name"] == "bob's job"
         finally:
             http(gw, "DELETE", f"/sessions/{h}")
+
+
+class TestCompleteStatement:
+    def test_candidates_from_engine_provider(self, gw):
+        h = open_session(gw, "complete")
+        try:
+            run_to_eos(
+                gw, h,
+                "CREATE TABLE cmp_t (col_a INT, col_b STRING) "
+                "WITH ('connector'='blackhole')",
+            )
+            stmt = "SELECT  FROM cmp_t"
+            status, out = http(
+                gw, "POST", f"/sessions/{h}/complete-statement",
+                {"statement": stmt, "position": len("SELECT ")},
+            )
+            assert status == 200
+            cands = out["candidates"]
+            assert "SELECT" in cands  # keywords present
+            # table metadata flows through the completion provider
+            assert any(c == "cmp_t" for c in cands)
+            # position beyond the text clamps instead of erroring
+            status, out = http(
+                gw, "POST", f"/sessions/{h}/complete-statement",
+                {"statement": "SEL", "position": 999},
+            )
+            assert status == 200 and out["candidates"]
+        finally:
+            http(gw, "DELETE", f"/sessions/{h}")
