@@ -407,3 +407,59 @@ class TestCompleteStatement:
             assert status == 200 and out["candidates"]
         finally:
             http(gw, "DELETE", f"/sessions/{h}")
+
+
+class TestCatalogExplorationFlow:
+    """The reference catalog tree's exact metadata SQL sequence
+    (src/flinkClient.ts:350-489 listCatalogs/listDatabases/useCatalog/
+    listTablesWithKind + the executeMetadataSql polling/dedup loop),
+    driven over the wire: SHOW CATALOGS → SHOW DATABASES IN →
+    USE CATALOG/USE → SHOW TABLES minus SHOW VIEWS set-difference →
+    DESCRIBE."""
+
+    def _metadata_sql(self, gw, h, sql):
+        # executeMetadataSql: immediate poll, fast retry to EOS,
+        # JSON-dedup of rows, then getValue(row, 0)
+        rows, _ = run_to_eos(gw, h, sql, timeout=30)
+        seen, unique = set(), []
+        for r in rows:
+            key = json.dumps(r)
+            if key not in seen:
+                seen.add(key)
+                unique.append(r)
+        return [str(r[0]) for r in unique]
+
+    def test_tree_expansion_sequence(self, gw):
+        h = open_session(gw, "explore")
+        try:
+            run_to_eos(
+                gw, h,
+                "CREATE CATALOG exp_cat WITH ('type'='generic_in_memory')",
+            )
+            run_to_eos(gw, h, "USE CATALOG exp_cat")
+            run_to_eos(gw, h, "CREATE DATABASE exp_db")
+            run_to_eos(gw, h, "USE exp_db")
+            run_to_eos(
+                gw, h,
+                "CREATE TABLE exp_t (a INT) WITH ('connector'='blackhole')",
+            )
+            run_to_eos(gw, h, "CREATE VIEW exp_v AS SELECT 1 AS one")
+            # the tree's root expansion
+            cats = self._metadata_sql(gw, h, "SHOW CATALOGS")
+            assert "exp_cat" in cats
+            dbs = self._metadata_sql(gw, h, "SHOW DATABASES IN `exp_cat`")
+            assert "exp_db" in dbs
+            # listTablesWithKind: SHOW TABLES minus SHOW VIEWS
+            tables = self._metadata_sql(gw, h, "SHOW TABLES")
+            views = self._metadata_sql(gw, h, "SHOW VIEWS")
+            view_set = {v.lower() for v in views}
+            kinds = {t: "TABLE" for t in tables if t.lower() not in view_set}
+            kinds.update({v: "VIEW" for v in views})
+            assert kinds.get("exp_t") == "TABLE"
+            assert kinds.get("exp_v") == "VIEW"
+            # object details: the 6-column DESCRIBE the webview renders
+            rows, columns = run_to_eos(gw, h, "DESCRIBE exp_t")
+            assert [c["name"] for c in columns][:2] == ["name", "type"]
+            assert rows[0][0] == "a"
+        finally:
+            http(gw, "DELETE", f"/sessions/{h}")
