@@ -463,3 +463,57 @@ class TestCatalogExplorationFlow:
             assert rows[0][0] == "a"
         finally:
             http(gw, "DELETE", f"/sessions/{h}")
+
+
+class TestChangelogOverHttp:
+    def test_rowkind_lifted_to_kind_field(self, gw, tmp_path):
+        """Changelog result mode on the wire: the leading op column
+        lifts into Flink's per-row kind (INSERT / UPDATE_BEFORE /
+        UPDATE_AFTER) and the fields exclude it — the real gateway's
+        shape (mirrors test_streaming.test_changelog_result_mode
+        through HTTP)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "gwclog"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": ["a", "a", "b"], "v": [1, 2, 10]}), d / "f1.parquet"
+        )
+        h = open_session(
+            gw, "clog",
+            properties={"sql-client.execution.result-mode": "changelog"},
+        )
+        try:
+            run_to_eos(
+                gw, h,
+                f"CREATE TABLE gw_clog (k STRING, v BIGINT) WITH ("
+                f"'connector'='filesystem', 'path'='{d}', 'format'='parquet')",
+            )
+            oh = execute(gw, h, "SELECT k, SUM(v) AS s FROM gw_clog GROUP BY k")
+            got, token = [], 0
+
+            def poll_until(n, timeout=60):
+                nonlocal token
+                deadline = time.time() + timeout
+                while time.time() < deadline and len(got) < n:
+                    page = fetch(gw, h, oh, token)
+                    token = page["nextResultToken"]
+                    got.extend(page["results"]["data"])
+                    # columns must NOT include the internal op column
+                    if page["results"]["columns"]:
+                        assert [c["name"] for c in page["results"]["columns"]] == ["k", "s"]
+                    time.sleep(0.3)
+
+            poll_until(2)
+            assert sorted((r["kind"], r["fields"]) for r in got[:2]) == [
+                ("INSERT", ["a", 3]), ("INSERT", ["b", 10]),
+            ]
+            pq.write_table(pa.table({"k": ["a"], "v": [4]}), d / "f2.parquet")
+            poll_until(4)
+            assert [(r["kind"], r["fields"]) for r in got[2:4]] == [
+                ("UPDATE_BEFORE", ["a", 3]), ("UPDATE_AFTER", ["a", 7]),
+            ]
+            http(gw, "POST", f"/sessions/{h}/operations/{oh}/cancel")
+        finally:
+            http(gw, "DELETE", f"/sessions/{h}")
