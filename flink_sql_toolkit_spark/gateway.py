@@ -94,14 +94,31 @@ def _json_default(o: Any) -> Any:
 
 
 class Gateway:
-    """Engine + HTTP server lifecycle. ``port=0`` picks a free port."""
+    """Engine + HTTP server lifecycle. ``port=0`` picks a free port.
 
-    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0):
+    ``session_idle_timeout_s`` mirrors the real gateway's
+    ``sql-gateway.session.idle-timeout`` (sessions untouched for that
+    long are closed and their streaming jobs stopped; the client's
+    auto-recovery then opens a fresh one on the next use). Default
+    off — an embedded/test gateway should not reap under a debugger.
+    """
+
+    def __init__(
+        self,
+        spark,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        session_idle_timeout_s: float | None = None,
+    ):
         self.engine = Engine(spark)
         handler = type("Handler", (_Handler,), {"gateway": self})
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
+        self.session_idle_timeout_s = session_idle_timeout_s
+        self._last_access: dict[str, float] = {}
+        self._reaper_stop = threading.Event()
+        self._reaper: threading.Thread | None = None
 
     @property
     def url(self) -> str:
@@ -113,9 +130,36 @@ class Gateway:
             target=self.httpd.serve_forever, kwargs={"poll_interval": 0.05}, daemon=True
         )
         self._thread.start()
+        if self.session_idle_timeout_s:
+            self._reaper = threading.Thread(target=self._reap_loop, daemon=True)
+            self._reaper.start()
         return self
 
+    def _reap_loop(self) -> None:
+        import time as _time  # noqa: PLC0415
+
+        # sweep at ~1/10 of the timeout (bounded) so expiry latency is
+        # proportional to the configured window, not a fixed tick
+        tick = min(max(self.session_idle_timeout_s / 10, 0.05), 30.0)
+        while not self._reaper_stop.wait(tick):
+            cutoff = _time.monotonic() - self.session_idle_timeout_s
+            for handle in list(self.engine.sessions):
+                if self._last_access.get(handle, cutoff + 1) <= cutoff:
+                    try:
+                        self.engine.close_session(handle)
+                    except Exception:  # noqa: BLE001 — best-effort reap
+                        pass
+                    self._last_access.pop(handle, None)
+
+    def touch(self, handle: str) -> None:
+        import time as _time  # noqa: PLC0415
+
+        self._last_access[handle] = _time.monotonic()
+
     def stop(self) -> None:
+        self._reaper_stop.set()
+        if self._reaper is not None:
+            self._reaper.join(timeout=5)
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread is not None:
@@ -135,6 +179,7 @@ class Gateway:
             # client's recovery path string-matches it
             # (src/notebookController.ts:110-118)
             raise _HttpError(404, f"Session '{handle}' does not exist.")
+        self.touch(handle)  # any session-scoped request resets idleness
         return sess
 
     def _operation(self, handle: str, op_handle: str):
@@ -330,6 +375,7 @@ class _Handler(BaseHTTPRequestHandler):
         esc = lambda s: str(s).replace("'", "''")  # noqa: E731
         for k, v in (body.get("properties") or {}).items():
             sess.execute_statement(f"SET '{esc(k)}' = '{esc(v)}'")
+        self.gateway.touch(sess.handle)
         self._reply({"sessionHandle": sess.handle})
 
     def get_session(self, handle: str, query: str = "") -> None:

@@ -517,3 +517,46 @@ class TestChangelogOverHttp:
             http(gw, "POST", f"/sessions/{h}/operations/{oh}/cancel")
         finally:
             http(gw, "DELETE", f"/sessions/{h}")
+
+
+class TestConcurrencyAndLifecycle:
+    def test_concurrent_clients(self, gw):
+        """ThreadingHTTPServer + per-session isolation: N concurrent
+        clients each drive their own session without cross-talk."""
+        import concurrent.futures as cf
+
+        def one(i: int):
+            h = open_session(gw, f"conc-{i}")
+            try:
+                run_to_eos(gw, h, "SET 'execution.runtime-mode' = 'batch'")
+                rows, _ = run_to_eos(gw, h, f"SELECT {i} * 10 AS x")
+                return rows[0][0]
+            finally:
+                http(gw, "DELETE", f"/sessions/{h}")
+
+        with cf.ThreadPoolExecutor(max_workers=6) as ex:
+            results = list(ex.map(one, range(6)))
+        assert results == [i * 10 for i in range(6)]
+
+    def test_session_idle_timeout_reaps(self, spark):
+        """sql-gateway.session.idle-timeout semantics: an untouched
+        session is closed; activity keeps one alive; the client's
+        auto-recovery handles the 404 afterward."""
+        from flink_sql_toolkit_spark.gateway import Gateway
+
+        g = Gateway(spark, session_idle_timeout_s=1.0).start()
+        try:
+            idle = open_session(g, "idle")
+            busy = open_session(g, "busy")
+            # keep `busy` touched while never touching `idle` (a GET
+            # on it would reset its idleness)
+            for _ in range(7):
+                status, _ = http(g, "GET", f"/sessions/{busy}")
+                assert status == 200
+                time.sleep(0.4)
+            s_idle, _ = http(g, "GET", f"/sessions/{idle}")
+            assert s_idle == 404, "idle session never reaped"
+            status, _ = http(g, "GET", f"/sessions/{busy}")
+            assert status == 200  # the active session survived
+        finally:
+            g.stop()
