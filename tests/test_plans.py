@@ -150,3 +150,24 @@ def test_asof_self_is_window_not_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("orders.parquet") == 1
+
+
+def test_tvf_wrapper_preserves_pushdown(spark, sf_dir):
+    """The r10 TVF cleanup projection (SELECT * EXCEPT(helpers) +
+    window_time) must be transparent to Catalyst: a WHERE on a source
+    column still reaches the parquet scan as a pushed filter, and the
+    scan reads only the referenced columns."""
+    from flink_sql_toolkit_spark.dialect import rewrite
+    from flink_sql_toolkit_spark.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = rewrite(
+        "SELECT user_id, window_start, COUNT(*) AS n FROM TABLE("
+        "TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTE)) "
+        "WHERE user_id = 3 GROUP BY user_id, window_start"
+    )
+    plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), IsNotNull(ts), EqualTo(user_id,3)]" in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # column pruning: only the two referenced source columns are read
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in scan_line

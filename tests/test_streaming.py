@@ -1247,3 +1247,37 @@ def test_filesystem_stream_hop_agg(session, sf_dir):
         time.sleep(0.5)
     op.cancel()
     assert seen == want  # every sliding window converged to batch
+
+
+def test_filesystem_stream_session_window_time(session, sf_dir):
+    """window_time in a streaming SESSION aggregation (r10: the fold
+    handles it instead of bailing to the batch-only gaps-and-islands
+    relation): the folded query runs on the stream and every emitted
+    session carries window_time = window_end - 1 ms (FLIP-145)."""
+    session.execute_statement(
+        f"""
+        CREATE TABLE fs_ev_wt (
+          event_id BIGINT,
+          user_id BIGINT,
+          ts TIMESTAMP_LTZ(6),
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{sf_dir}/events.parquet', 'format'='parquet')
+        """
+    )
+    op = session.execute_statement(
+        "SELECT user_id, window_end, window_time, COUNT(*) AS n FROM "
+        "TABLE(SESSION(TABLE fs_ev_wt PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) "
+        "GROUP BY user_id, window_start, window_end, window_time"
+    )
+    assert op.status == "RUNNING"
+    rows, token = [], 0
+    deadline = time.time() + 90
+    while time.time() < deadline and len(rows) < 20:
+        page = op.fetch(token)
+        token = page["nextResultToken"]
+        rows.extend(page["data"])
+        time.sleep(0.5)
+    op.cancel()
+    assert rows, "streaming session agg with window_time emitted nothing"
+    for _u, we, wt, _n in rows:
+        assert (we - wt).total_seconds() == pytest.approx(0.001)
