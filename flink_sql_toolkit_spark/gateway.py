@@ -117,6 +117,7 @@ class Gateway:
         self._thread: threading.Thread | None = None
         self.session_idle_timeout_s = session_idle_timeout_s
         self._last_access: dict[str, float] = {}
+        self._access_lock = threading.Lock()
         self._reaper_stop = threading.Event()
         self._reaper: threading.Thread | None = None
 
@@ -144,7 +145,15 @@ class Gateway:
         while not self._reaper_stop.wait(tick):
             cutoff = _time.monotonic() - self.session_idle_timeout_s
             for handle in list(self.engine.sessions):
-                if self._last_access.get(handle, cutoff + 1) <= cutoff:
+                if self._last_access.get(handle, cutoff + 1) > cutoff:
+                    continue
+                # the touch/reap race (a request landing between the
+                # read above and the close) is decided under the access
+                # lock: touch() holds it too, so the timestamp re-read
+                # here is authoritative (review r10)
+                with self._access_lock:
+                    if self._last_access.get(handle, cutoff + 1) > cutoff:
+                        continue
                     try:
                         self.engine.close_session(handle)
                     except Exception:  # noqa: BLE001 — best-effort reap
@@ -154,7 +163,15 @@ class Gateway:
     def touch(self, handle: str) -> None:
         import time as _time  # noqa: PLC0415
 
-        self._last_access[handle] = _time.monotonic()
+        with self._access_lock:
+            self._last_access[handle] = _time.monotonic()
+
+    def forget(self, handle: str) -> None:
+        """Drop the idleness record of an explicitly-closed session —
+        the reaper only pops what it reaps, so DELETE'd sessions would
+        otherwise leak one dict entry each for the process lifetime
+        (review r10)."""
+        self._last_access.pop(handle, None)
 
     def stop(self) -> None:
         self._reaper_stop.set()
@@ -169,6 +186,7 @@ class Gateway:
                 self.engine.close_session(handle)
             except Exception:  # noqa: BLE001 — best-effort teardown
                 pass
+        self._last_access.clear()
 
     # -- request-level operations (handler delegates here) ------------
 
@@ -253,7 +271,7 @@ _ROUTES: list[tuple[str, re.Pattern[str], str]] = [
     ("POST", re.compile(r"^/sessions/([^/]+)/statements/?$"), "execute"),
     (
         "POST",
-        re.compile(r"^/sessions/([^/]+)/complete-statement$"),
+        re.compile(r"^/sessions/([^/]+)/complete-statement/?$"),
         "complete_statement",
     ),
     (
@@ -369,13 +387,16 @@ class _Handler(BaseHTTPRequestHandler):
     def open_session(self, query: str = "") -> None:
         body = self._body()
         sess = self.gateway.engine.open_session(body.get("sessionName") or "default")
+        # touch BEFORE the property SETs: a raising SET leaves the
+        # session registered, and an untouched handle would be
+        # invisible to the reaper forever (review r10)
+        self.gateway.touch(sess.handle)
         # session properties = initial SET map (Flink openSession applies
         # them the same way); '' re-escapes embedded quotes, matching
         # the SET statement's own literal syntax (review r10)
         esc = lambda s: str(s).replace("'", "''")  # noqa: E731
         for k, v in (body.get("properties") or {}).items():
             sess.execute_statement(f"SET '{esc(k)}' = '{esc(v)}'")
-        self.gateway.touch(sess.handle)
         self._reply({"sessionHandle": sess.handle})
 
     def get_session(self, handle: str, query: str = "") -> None:
@@ -387,6 +408,7 @@ class _Handler(BaseHTTPRequestHandler):
     def close_session(self, handle: str, query: str = "") -> None:
         self.gateway._session(handle)  # 404 on stale handle
         self.gateway.engine.close_session(handle)
+        self.gateway.forget(handle)
         self._reply({"status": "CLOSED"})
 
     def execute(self, handle: str, query: str = "") -> None:
@@ -412,8 +434,17 @@ class _Handler(BaseHTTPRequestHandler):
             raise _HttpError(400, f"invalid position: {body.get('position')!r}") from e
         position = max(0, min(position, len(statement)))
         sess = self.gateway._session(handle)
-        items = sess.completions(statement[:position])
-        self._reply({"candidates": [it["label"] for it in items]})
+        # full text for table-reference extraction, the cursor's line
+        # prefix for dot-notation detection — truncating the statement
+        # at the cursor would lose the FROM clause behind it, breaking
+        # alias/column completion (review r10)
+        prefix = statement[:position].rsplit("\n", 1)[-1]
+        items = sess.completions(statement, line_prefix=prefix)
+        # kind-distinct duplicates (TABLE the keyword vs elsewhere)
+        # flatten to identical strings on the wire — dedup, order kept
+        self._reply(
+            {"candidates": list(dict.fromkeys(it["label"] for it in items))}
+        )
 
     def result(self, handle: str, op_handle: str, token: str, query: str = "") -> None:
         self._reply(self.gateway.result_page(handle, op_handle, int(token)))
@@ -543,11 +574,27 @@ def main() -> None:  # pragma: no cover — manual entry point
     ap = argparse.ArgumentParser(description="Flink SQL Gateway façade over Spark")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8083)
+    ap.add_argument(
+        "--idle-timeout",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="close sessions idle longer than this "
+        "(sql-gateway.session.idle-timeout; default: never)",
+    )
     args = ap.parse_args()
-    gw = Gateway(build_spark("gateway"), host=args.host, port=args.port)
+    gw = Gateway(
+        build_spark("gateway"),
+        host=args.host,
+        port=args.port,
+        session_idle_timeout_s=args.idle_timeout,
+    )
+    # start() (not a bare serve_forever) so the reaper thread runs in
+    # the standalone deployment too (review r10)
+    gw.start()
     print(f"gateway listening on {gw.url}")
     try:
-        gw.httpd.serve_forever()
+        threading.Event().wait()  # serve until interrupted
     except KeyboardInterrupt:
         gw.stop()
 

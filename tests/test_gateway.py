@@ -399,6 +399,20 @@ class TestCompleteStatement:
             assert "SELECT" in cands  # keywords present
             # table metadata flows through the completion provider
             assert any(c == "cmp_t" for c in cands)
+            # the FROM clause BEHIND the cursor still resolves columns
+            # (the endpoint passes the full statement; truncating at
+            # the cursor lost the table refs — review r10)
+            assert "col_a" in cands
+            # kind-distinct duplicates flatten to one label each
+            assert len(cands) == len(set(cands))
+            # alias dot-completion at a mid-statement cursor
+            stmt2 = "SELECT c. FROM cmp_t c"
+            status, out = http(
+                gw, "POST", f"/sessions/{h}/complete-statement",
+                {"statement": stmt2, "position": len("SELECT c.")},
+            )
+            assert status == 200
+            assert {"col_a", "col_b"} <= set(out["candidates"])
             # position beyond the text clamps instead of erroring
             status, out = http(
                 gw, "POST", f"/sessions/{h}/complete-statement",
@@ -544,13 +558,16 @@ class TestConcurrencyAndLifecycle:
         auto-recovery handles the 404 afterward."""
         from flink_sql_toolkit_spark.gateway import Gateway
 
-        g = Gateway(spark, session_idle_timeout_s=1.0).start()
+        # a 6x margin between the touch cadence and the timeout keeps
+        # a loaded host from stretching one iteration past the window
+        # and spuriously reaping the busy session (review r10)
+        g = Gateway(spark, session_idle_timeout_s=2.5).start()
         try:
             idle = open_session(g, "idle")
             busy = open_session(g, "busy")
             # keep `busy` touched while never touching `idle` (a GET
             # on it would reset its idleness)
-            for _ in range(7):
+            for _ in range(8):
                 status, _ = http(g, "GET", f"/sessions/{busy}")
                 assert status == 200
                 time.sleep(0.4)
