@@ -577,3 +577,47 @@ class TestConcurrencyAndLifecycle:
             assert status == 200  # the active session survived
         finally:
             g.stop()
+
+
+class TestDispatchRobustness:
+    """Adversarial wire inputs: every request gets a well-formed JSON
+    reply with a sane status — never a hang, a raw traceback page, or
+    invalid JSON."""
+
+    @pytest.mark.parametrize(
+        ("method", "path", "body"),
+        [
+            ("GET", "/", None),
+            ("GET", "/sessions", None),          # collection GET: unrouted
+            ("POST", "/sessions/x/../../etc", {}),
+            ("GET", "/sessions/%00", None),
+            ("POST", "/sessions/h/statements", None),   # no body at all
+            ("POST", "/sessions/h/statements", {"statement": ""}),
+            ("GET", "/sessions/h/operations/o/result/nope", None),
+            ("DELETE", "/jobs/x", None),
+            ("PATCH", "/jobs/x", None),          # missing ?mode=cancel
+            ("POST", "/v9/sessions", {"sessionName": "v9"}),  # unknown ver
+            ("GET", "/v1/v1/info", None),        # double prefix
+        ],
+    )
+    def test_garbage_requests_get_json_errors(self, gw, method, path, body):
+        status, out = http(gw, method, path, body)
+        assert status in (200, 400, 404, 500)
+        assert isinstance(out, dict)
+        if status >= 400:
+            assert out.get("errors"), out
+
+    def test_malformed_json_body_is_400(self, gw):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            gw.url + "/sessions", method="POST", data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "malformed JSON" in json.loads(e.read())["errors"][0]
