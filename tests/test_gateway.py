@@ -621,3 +621,35 @@ class TestDispatchRobustness:
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "malformed JSON" in json.loads(e.read())["errors"][0]
+
+
+class TestRingEvictionOnTheWire:
+    def test_offset_and_totals_surface(self, gw):
+        """The 1000-row result ring's eviction accounting reaches the
+        client: a single-file source emits ~10k rows in one micro-batch,
+        so token 0 answers from the ring start with `offset` marking
+        the evicted prefix (the reference UI's eviction contract,
+        src/notebookController.ts:258-261)."""
+        h = open_session(gw, "ring")
+        try:
+            run_to_eos(
+                gw, h,
+                "CREATE TABLE gw_ring (event_id BIGINT, user_id BIGINT) WITH ("
+                "'connector'='filesystem', "
+                "'path'='/root/testdata/sf0.01/events.parquet', "
+                "'format'='parquet')",
+            )
+            oh = execute(gw, h, "SELECT event_id FROM gw_ring")
+            deadline = time.time() + 60
+            page = None
+            while time.time() < deadline:
+                page = fetch(gw, h, oh, 0)
+                if page.get("totalRows", 0) >= 10_000:
+                    break
+                time.sleep(0.3)
+            assert page is not None and page["totalRows"] == 10_000
+            assert page["offset"] == 9_000  # evicted prefix, exact
+            assert len(page["results"]["data"]) == 1_000  # the ring
+            http(gw, "POST", f"/sessions/{h}/operations/{oh}/cancel")
+        finally:
+            http(gw, "DELETE", f"/sessions/{h}")
