@@ -277,3 +277,73 @@ class TestDedupShapeRouting:
                 if lit.startswith("`") and lit.strip("`").lower() == "rn":
                     seen = True
         assert seen, outer
+
+
+class TestNotebookRoundTrip:
+    _cell_text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+    )
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from([1, 2]), _cell_text, _cell_text),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_serialize_parse_identity(self, raw):
+        """serialize → parse is the identity for ANY cell content —
+        quotes, unicode, newlines, semicolons; the reference stores
+        notebooks as JSON so the contract is exact round-tripping."""
+        from flink_sql_toolkit_spark.notebook import (
+            NotebookCell,
+            parse_notebook,
+            serialize_notebook,
+        )
+
+        cells = [NotebookCell(k, lang, val) for k, lang, val in raw]
+        assert parse_notebook(serialize_notebook(cells)) == cells
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_parse_never_raises(self, garbage):
+        from flink_sql_toolkit_spark.notebook import parse_notebook
+
+        cells = parse_notebook(garbage)
+        assert len(cells) >= 1  # malformed → the one-empty-cell contract
+
+
+class TestGatewayJsonSafety:
+    _value = st.recursive(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(),
+            st.floats(allow_nan=True, allow_infinity=True),
+            st.text(max_size=10),
+            st.binary(max_size=8),
+            st.decimals(allow_nan=False, allow_infinity=False),
+            st.datetimes(),
+        ),
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(st.text(max_size=5), children, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @given(_value)
+    @settings(max_examples=300, deadline=None)
+    def test_reply_serialization_total(self, obj):
+        """Any result-page content — NaN/Infinity floats, bytes,
+        datetimes, decimals, arbitrary nesting — serializes to VALID
+        JSON (parseable by the strictest client) without raising."""
+        import json as _json
+
+        from flink_sql_toolkit_spark.gateway import _finite, _json_default
+
+        payload = _json.dumps(
+            _finite(obj), default=_json_default, allow_nan=False
+        )
+        _json.loads(payload)  # round-trips as strict JSON
