@@ -274,6 +274,7 @@ _ROUTES: list[tuple[str, re.Pattern[str], str]] = [
         re.compile(r"^/sessions/([^/]+)/complete-statement/?$"),
         "complete_statement",
     ),
+    ("POST", re.compile(r"^/sessions/([^/]+)/heartbeat/?$"), "heartbeat"),
     (
         "GET",
         re.compile(r"^/sessions/([^/]+)/operations/([^/]+)/result/(\d+)$"),
@@ -419,6 +420,13 @@ class _Handler(BaseHTTPRequestHandler):
         sess = self.gateway._session(handle)
         op = sess.submit_statement(str(statement))
         self._reply({"operationHandle": op.handle})
+
+    def heartbeat(self, handle: str, query: str = "") -> None:
+        """Flink gateway keep-alive (POST /sessions/{h}/heartbeat):
+        touches the session so the idle reaper spares it. 404 on a
+        stale handle, same as every session-scoped route."""
+        self.gateway._session(handle)  # touches
+        self._reply({})
 
     def complete_statement(self, handle: str, query: str = "") -> None:
         """Flink SQL Gateway completion API: {statement, position} →

@@ -653,3 +653,21 @@ class TestRingEvictionOnTheWire:
             http(gw, "POST", f"/sessions/{h}/operations/{oh}/cancel")
         finally:
             http(gw, "DELETE", f"/sessions/{h}")
+
+
+def test_heartbeat_touches_session(spark):
+    """POST /sessions/{h}/heartbeat (the Flink gateway keep-alive):
+    a heartbeat-only session survives the idle reaper."""
+    g = Gateway(spark, session_idle_timeout_s=2.0).start()
+    try:
+        h = open_session(g, "hb")
+        for _ in range(8):
+            status, out = http(g, "POST", f"/sessions/{h}/heartbeat")
+            assert status == 200
+            time.sleep(0.4)
+        status, _ = http(g, "GET", f"/sessions/{h}")
+        assert status == 200
+        status, _ = http(g, "POST", "/sessions/deadbeef/heartbeat")
+        assert status == 404
+    finally:
+        g.stop()
