@@ -281,8 +281,11 @@ def _props_sql(opts: dict[str, str]) -> str:
     parsed values are unescaped ('' → '), so re-embedding them in
     Spark SQL must re-double them (ADVICE r9: a value containing a
     quote produced malformed DDL), mirroring synthesize_ddl."""
-    esc = lambda s: s.replace("'", "''")  # noqa: E731
-    return ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in opts.items())
+    from flink_sql_toolkit_spark.sources.ddl import escape_sql_quotes  # noqa: PLC0415
+
+    return ", ".join(
+        f"'{escape_sql_quotes(k)}'='{escape_sql_quotes(v)}'" for k, v in opts.items()
+    )
 
 
 def _spark_catalog_names(session: "EngineSession") -> set[str]:

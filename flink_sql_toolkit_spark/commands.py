@@ -347,12 +347,13 @@ def _find_any_column(table, col: str) -> str:
 def _expr_references(expr: str, col: str) -> bool:
     """Word-boundary match of ``col`` in ``expr`` with string literals
     masked out first — `concat('k', name)` does not reference a column
-    named k (review r10)."""
+    named k (review r10). Case-insensitive, like Spark's identifier
+    resolution: `CAST(TS AS ...)` references column ts (review r10 #3)."""
     from flink_sql_toolkit_spark.dialect.rewriter import _mask  # noqa: PLC0415
 
     masked, _lits = _mask(expr)
     # matches the bare and the backtick-quoted spelling alike
-    return bool(re.search(rf"(?<!\w)`?{re.escape(col)}`?(?!\w)", masked))
+    return bool(re.search(rf"(?i)(?<!\w)`?{re.escape(col)}`?(?!\w)", masked))
 
 
 def _referencing_exprs(table, col: str, include_watermark: bool = True) -> str | None:
@@ -518,8 +519,23 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         if table is None:
             session.spark.sql(f"ALTER TABLE {name} RENAME COLUMN {old} TO {new}")
             return _c(("result", "string")), [["OK"]]
-        target = _find_column(table, old)
-        if any(c.name == new for c in table.columns):
+        # a computed or metadata column is renameable too — the same
+        # three-kind resolution DROP and MODIFY WATERMARK use
+        # (review r10 #3: RENAME kept the physical-only lookup)
+        kind = _find_any_column(table, old)
+        target = (
+            next(c for c in table.computed if c.name == old)
+            if kind == "computed"
+            else next(c for c in table.metadata if c.name == old)
+            if kind == "metadata"
+            else _find_column(table, old)
+        )
+        taken = (
+            {c.name for c in table.columns}
+            | {c.name for c in table.computed}
+            | {c.name for c in table.metadata}
+        )
+        if new in taken:
             raise ValueError(f"column '{new}' already exists in table '{name}'")
         # Flink-parity guard (FLIP-273): renaming a column referenced
         # by a generated column's expression is rejected (the watermark
@@ -538,7 +554,8 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             # the watermark is DECLARED on the renamed column — e.g.
             # WATERMARK FOR ts AS GREATEST(ts, backup_ts) - … must not
             # be left referencing the old backup_ts name (review r10);
-            # literal-safe via the masked substitution
+            # literal-safe via the masked substitution, case-insensitive
+            # like Spark's resolution (review r10 #3)
             if _expr_references(table.watermark.delay_expr, old):
                 from flink_sql_toolkit_spark.dialect.rewriter import (  # noqa: PLC0415
                     _mask,
@@ -546,7 +563,9 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                 )
 
                 masked, lits = _mask(table.watermark.delay_expr)
-                masked = re.sub(rf"(?<!\w){re.escape(old)}(?!\w)", new, masked)
+                masked = re.sub(
+                    rf"(?i)(?<!\w){re.escape(old)}(?!\w)", new, masked
+                )
                 table.watermark.delay_expr = _unmask(masked, lits)
         return _refresh_altered(session, table)
     m = re.match(

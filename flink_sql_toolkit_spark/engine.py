@@ -974,7 +974,9 @@ class Engine:
         slots_total = sc.defaultParallelism
         jobs_running = sum(
             1
-            for sess in self.sessions.values()
+            # snapshot: the gateway's handler threads mutate sessions
+            # concurrently with this status poll (review r10)
+            for sess in list(self.sessions.values())
             for j in sess.jobs.list()
             if j.status == "RUNNING"
         )

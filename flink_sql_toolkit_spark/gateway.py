@@ -145,26 +145,36 @@ class Gateway:
         while not self._reaper_stop.wait(tick):
             cutoff = _time.monotonic() - self.session_idle_timeout_s
             for handle in list(self.engine.sessions):
-                if self._last_access.get(handle, cutoff + 1) > cutoff:
-                    continue
-                # the touch/reap race (a request landing between the
-                # read above and the close) is decided under the access
-                # lock: touch() holds it too, so the timestamp re-read
-                # here is authoritative (review r10)
+                # the touch/reap race (a request landing between this
+                # read and the close) is decided under the access lock:
+                # touch() holds it too, so the timestamp re-read here
+                # is authoritative (review r10). The CLOSE itself runs
+                # OUTSIDE the lock — stopping a session's streaming
+                # jobs can take seconds, and every request's touch()
+                # would stall behind it (review r10 #3).
                 with self._access_lock:
                     if self._last_access.get(handle, cutoff + 1) > cutoff:
                         continue
-                    try:
-                        self.engine.close_session(handle)
-                    except Exception:  # noqa: BLE001 — best-effort reap
-                        pass
+                    self._last_access.pop(handle, None)
+                try:
+                    self.engine.close_session(handle)
+                except Exception:  # noqa: BLE001 — best-effort reap
+                    pass
+                # a request that raced past the membership check may
+                # have re-touched the now-closed handle — drop it so
+                # the map cannot leak entries for dead sessions
+                with self._access_lock:
                     self._last_access.pop(handle, None)
 
     def touch(self, handle: str) -> None:
         import time as _time  # noqa: PLC0415
 
         with self._access_lock:
-            self._last_access[handle] = _time.monotonic()
+            # only live sessions get idleness records — touching a
+            # handle the reaper just closed would strand an entry the
+            # reaper (which iterates engine.sessions) can never reach
+            if handle in self.engine.sessions:
+                self._last_access[handle] = _time.monotonic()
 
     def forget(self, handle: str) -> None:
         """Drop the idleness record of an explicitly-closed session —
@@ -177,7 +187,10 @@ class Gateway:
         self._reaper_stop.set()
         if self._reaper is not None:
             self._reaper.join(timeout=5)
-        self.httpd.shutdown()
+        if self._thread is not None:
+            # shutdown() blocks on an event only serve_forever sets —
+            # calling it before start() would hang forever (review r10)
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
@@ -251,7 +264,10 @@ class Gateway:
         return out
 
     def find_job(self, job_id: str):
-        for sess in self.engine.sessions.values():
+        # snapshot: handler threads and the reaper mutate the dict
+        # concurrently; bare .values() iteration can raise
+        # RuntimeError mid-poll (review r10)
+        for sess in list(self.engine.sessions.values()):
             for j in sess.jobs.list():
                 if j.job_id == job_id:
                     return sess, j
@@ -336,6 +352,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(payload)
 
     def _dispatch(self, method: str) -> None:
+        # chunked bodies have no Content-Length to drain by — refuse
+        # cleanly (411) and close the connection so the unread chunks
+        # cannot prefix the next request (review r10)
+        if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+            self.close_connection = True
+            self._reply(
+                {"errors": ["Transfer-Encoding: chunked is not supported — "
+                            "send a Content-Length body"]},
+                411,
+            )
+            return
         # ALWAYS drain the request body up front: HTTP/1.1 keep-alive
         # reuses the socket, so body bytes a handler never reads (a
         # cancel POST, a 404'd route) would otherwise prefix the next
@@ -395,7 +422,10 @@ class _Handler(BaseHTTPRequestHandler):
         # session properties = initial SET map (Flink openSession applies
         # them the same way); '' re-escapes embedded quotes, matching
         # the SET statement's own literal syntax (review r10)
-        esc = lambda s: str(s).replace("'", "''")  # noqa: E731
+        from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+            escape_sql_quotes as esc,
+        )
+
         for k, v in (body.get("properties") or {}).items():
             sess.execute_statement(f"SET '{esc(k)}' = '{esc(v)}'")
         self._reply({"sessionHandle": sess.handle})
@@ -530,7 +560,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "state": j.status,
                 "start-time": int(j.start_time.timestamp() * 1000),
             }
-            for sess in self.gateway.engine.sessions.values()
+            for sess in list(self.gateway.engine.sessions.values())
             for j in sess.jobs.list()
         ]
 

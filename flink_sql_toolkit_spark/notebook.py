@@ -65,12 +65,14 @@ def parse_notebook(text: str | bytes) -> list[NotebookCell]:
     """JSON document → cells. Mirrors deserializeNotebook: malformed
     or empty content is a NEW notebook — one empty flink-SQL code
     cell (src/notebookSerializer.ts:21-38)."""
-    if isinstance(text, bytes):
-        text = text.decode("utf-8")
     try:
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
         raw = json.loads(text)
         items = raw.get("cells", []) if isinstance(raw, dict) else []
-    except (json.JSONDecodeError, AttributeError):
+    except (json.JSONDecodeError, AttributeError, UnicodeDecodeError):
+        # non-UTF-8 bytes are as malformed as bad JSON — the new-file
+        # contract applies, never a crash (review r10)
         items = []
     def _kind(raw) -> int:
         # tolerate hand-edited/foreign documents: numeric strings

@@ -423,14 +423,20 @@ def avro_decode_mapper(
             SchemaRegistryError,
         )
 
+        import urllib.error as _uerr  # noqa: PLC0415
+
         client = SchemaRegistryClient(url, registry.get("user_info"))
         try:
-            ws = parse_schema(client.get_schema_by_id(sid))
+            raw = client.get_schema_by_id(sid)
         except SchemaRegistryError:
             raise  # the registry ANSWERED: it does not know this id
-        except Exception:  # noqa: BLE001 — unreachable/timeout: degrade
+        except (_uerr.URLError, OSError, TimeoutError):
+            # transport-level failure only — a registry that answered
+            # with an unparsable payload must hard-error below, not
+            # silently mis-decode with the declared schema (review r10)
             _DEAD_REGISTRY[url] = _time.monotonic()
             return sch
+        ws = parse_schema(raw)  # a bad ANSWERED schema propagates
         _WRITER_CACHE[key] = ws
         return ws
 

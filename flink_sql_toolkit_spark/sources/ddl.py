@@ -266,6 +266,13 @@ def _rt_type(spark_type: str) -> str:
     return t.upper()
 
 
+def escape_sql_quotes(value) -> str:
+    """'' escaping for embedding a value in a single-quoted SQL
+    literal — THE quoting rule for option values; shared so a future
+    escaping change cannot silently miss a site (review r10)."""
+    return str(value).replace("'", "''")
+
+
 def synthesize_ddl(table: "ConnectorTable") -> str:
     """Rebuild the CREATE TABLE text from a (possibly ALTERed)
     ConnectorTable so SHOW CREATE TABLE stays truthful after
@@ -303,7 +310,7 @@ def synthesize_ddl(table: "ConnectorTable") -> str:
         ddl += f" PARTITIONED BY ({', '.join(table.partitioned_by)})"
     # single quotes in values escape as '' — the parser unescapes them
     opts = ", ".join(
-        f"'{k}'='{v.replace(chr(39), chr(39) * 2)}'" for k, v in table.options.items()
+        f"'{k}'='{escape_sql_quotes(v)}'" for k, v in table.options.items()
     )
     return f"{ddl} WITH ({opts})"
 

@@ -449,3 +449,44 @@ class TestReviewR10Commands:
         assert conf["pipeline.name"] == "bob's job"
         run(sess, "RESET 'pipeline.name'")
         assert "pipeline.name" not in dict(run(sess, "SET"))
+
+
+class TestReviewR10Pass3:
+    def test_case_insensitive_dependency_guard(self, sess):
+        """Spark resolves identifiers case-insensitively — an
+        uppercase-spelled reference must not escape the FLIP-273
+        guard (review r10 pass 3)."""
+        sess.execute_statement(
+            "CREATE TABLE ci_dep (ts TIMESTAMP(3), c AS CAST(TS AS TIMESTAMP_LTZ(3))) "
+            "WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(ValueError, match="computed column 'c'"):
+            run(sess, "ALTER TABLE ci_dep DROP ts")
+
+    def test_case_insensitive_watermark_follow_on_rename(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE ci_wm (backup_ts TIMESTAMP(3), ts TIMESTAMP(3), "
+            "WATERMARK FOR ts AS GREATEST(ts, BACKUP_TS) - INTERVAL '1' SECOND) "
+            "WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE ci_wm RENAME backup_ts TO b2")
+        wm = sess.connector_tables["ci_wm"].watermark
+        assert "b2" in wm.delay_expr
+        assert "backup_ts" not in wm.delay_expr.lower()
+
+    def test_rename_computed_and_metadata_columns(self, sess):
+        """RENAME resolves all three column kinds, like DROP and
+        MODIFY WATERMARK (review r10 pass 3)."""
+        sess.execute_statement(
+            "CREATE TABLE rn_kinds (raw STRING, c AS UPPER(raw), "
+            "m TIMESTAMP_LTZ(3) METADATA FROM 'timestamp') "
+            "WITH ('connector'='kafka','topic'='t','properties.bootstrap.servers'='x')"
+        )
+        run(sess, "ALTER TABLE rn_kinds RENAME c TO c2")
+        t = sess.connector_tables["rn_kinds"]
+        assert [x.name for x in t.computed] == ["c2"]
+        run(sess, "ALTER TABLE rn_kinds RENAME m TO m2")
+        assert [x.name for x in t.metadata] == ["m2"]
+        # a rename colliding with a computed column's name is rejected
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "ALTER TABLE rn_kinds RENAME raw TO c2")

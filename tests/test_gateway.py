@@ -671,3 +671,33 @@ def test_heartbeat_touches_session(spark):
         assert status == 404
     finally:
         g.stop()
+
+
+def test_chunked_body_refused_cleanly(gw):
+    """Transfer-Encoding: chunked has no Content-Length to drain by —
+    the gateway answers 411 and closes the connection rather than
+    letting unread chunks corrupt keep-alive framing."""
+    import http.client
+
+    host, port = gw.httpd.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        conn.putrequest("POST", "/sessions")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        conn.send(b"5\r\n{\"a\":\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 411
+        out = json.loads(resp.read())
+        assert "chunked" in out["errors"][0]
+    finally:
+        conn.close()
+
+
+def test_stop_before_start_does_not_hang(spark):
+    g = Gateway(spark)  # never started
+    g.stop()  # must return promptly (review r10 pass 3)
+    # and the port is released: a second bind on the same port works
+    g2 = Gateway(spark, port=g.httpd.server_address[1]).start()
+    g2.stop()

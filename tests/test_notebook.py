@@ -154,3 +154,8 @@ def test_string_cell_kind_tolerated():
         '{"kind": "weird", "value": "SELECT 2;"}]}'
     )
     assert [c.kind for c in cells] == [MARKUP, CODE, CODE]
+
+
+def test_invalid_utf8_bytes_fall_back_to_new_notebook():
+    cells = parse_notebook(b"\xff\xfe not utf8 {")
+    assert len(cells) == 1 and cells[0].kind == CODE and cells[0].value == ""

@@ -315,3 +315,17 @@ def test_dead_registry_negative_cache_expires(registry):
     assert registry.requests == ["GET /schemas/ids/9"]
     assert registry.url not in codec._DEAD_REGISTRY
     assert list(out["id"]) == [1] and list(out["name"]) == ["z"]
+
+
+def test_answered_but_unparsable_schema_is_hard_error(spark, registry):
+    """A registry that ANSWERS with a schema the codec cannot parse
+    must hard-error, not silently decode with the declared schema
+    (review r10 pass 3: only transport failures degrade)."""
+    registry.schemas[33] = {"type": "no-such-avro-type"}
+    payloads = [
+        ac.confluent_frame(ac.encode_record({"id": 1, "name": "x"}, SCHEMA_V1), 33)
+    ]
+    raw = _kafka_frame_binary(spark, payloads)
+    t = _confluent_table(registry.url)
+    with pytest.raises(Exception, match="no-such-avro-type|avro|schema"):
+        _decode_payload(raw, t).collect()
