@@ -333,27 +333,75 @@ def _find_column(table, col: str):
     raise LookupError(f"column '{col}' does not exist in table '{table.name}'")
 
 
-def _find_any_column(table, col: str) -> str:
+def _find_any_column(table, col: str) -> tuple[str, object]:
     """Locate ``col`` across the three column kinds a Flink table
-    declares — physical / computed / metadata — and return which."""
-    if any(c.name == col for c in table.computed):
-        return "computed"
-    if any(c.name == col for c in table.metadata):
-        return "metadata"
-    _find_column(table, col)
-    return "physical"
+    declares — physical / computed / metadata — case-insensitively
+    (Spark's resolution) and return (kind, column object)."""
+    cl = col.lower()
+    for c in table.computed:
+        if c.name.lower() == cl:
+            return "computed", c
+    for c in table.metadata:
+        if c.name.lower() == cl:
+            return "metadata", c
+    for c in table.columns:
+        if c.name.lower() == cl:
+            return "physical", c
+    raise LookupError(f"column '{col}' does not exist in table '{table.name}'")
+
+
+# a word match in one of these positions is NOT a column reference:
+# the word after AS inside an expression is a cast-target type (no
+# aliases occur in computed/watermark exprs), and the word after a
+# masked INTERVAL literal is a time unit — both are keyword positions
+# a column named `date` or `second` must not collide with (review r10
+# pass 4: the (?i) scan corrupted INTERVAL units on rename)
+_NONREF_PREFIX = re.compile(r"(?is)\b(?:AS|INTERVAL\s+\x00\d+\x00)\s+$")
+
+
+def _ref_matches(masked: str, col: str) -> list[re.Match]:
+    pat = re.compile(rf"(?i)(?<!\w){re.escape(col)}(?!\w)")
+    return [
+        m
+        for m in pat.finditer(masked)
+        if not _NONREF_PREFIX.search(masked[: m.start()])
+    ]
+
+
+def _is_quoted_ref(lit: str, col: str) -> bool:
+    return lit.startswith("`") and lit.strip("`").lower() == col.lower()
 
 
 def _expr_references(expr: str, col: str) -> bool:
-    """Word-boundary match of ``col`` in ``expr`` with string literals
-    masked out first — `concat('k', name)` does not reference a column
-    named k (review r10). Case-insensitive, like Spark's identifier
-    resolution: `CAST(TS AS ...)` references column ts (review r10 #3)."""
+    """True when ``expr`` references column ``col`` — case-insensitive
+    like Spark's resolution, with string literals masked out
+    (`concat('k', name)` does not reference k — review r10), keyword
+    positions excluded, and backtick-quoted spellings checked in the
+    mask's literal table (``_mask`` placeholders them — review r10
+    pass 4)."""
     from flink_sql_toolkit_spark.dialect.rewriter import _mask  # noqa: PLC0415
 
-    masked, _lits = _mask(expr)
-    # matches the bare and the backtick-quoted spelling alike
-    return bool(re.search(rf"(?i)(?<!\w)`?{re.escape(col)}`?(?!\w)", masked))
+    masked, lits = _mask(expr)
+    if _ref_matches(masked, col):
+        return True
+    return any(_is_quoted_ref(lit, col) for lit in lits)
+
+
+def _rename_in_expr(expr: str, old: str, new: str) -> str:
+    """Rewrite references to ``old`` as ``new`` inside an expression —
+    the same reference definition _expr_references uses (literal-safe,
+    keyword-position-safe, backtick-aware, case-insensitive)."""
+    from flink_sql_toolkit_spark.dialect.rewriter import _mask, _unmask  # noqa: PLC0415
+
+    masked, lits = _mask(expr)
+    out, pos = [], 0
+    for m in _ref_matches(masked, old):
+        out.append(masked[pos : m.start()])
+        out.append(new)
+        pos = m.end()
+    out.append(masked[pos:])
+    lits = [f"`{new}`" if _is_quoted_ref(lit, old) else lit for lit in lits]
+    return _unmask("".join(out), lits)
 
 
 def _referencing_exprs(table, col: str, include_watermark: bool = True) -> str | None:
@@ -446,7 +494,8 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             return _refresh_altered(session, table)
         cols = [c.strip().strip("`") for c in (m.group(3) or what).split(",")]
         for col in cols:
-            kind = _find_any_column(table, col)
+            kind, target = _find_any_column(table, col)
+            col = target.name  # canonical casing for the spec checks
             used = (
                 col in table.primary_key
                 or col in table.partitioned_by
@@ -468,11 +517,11 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                     f"cannot drop column '{col}': referenced by {dep}"
                 )
             if kind == "computed":
-                table.computed = [c for c in table.computed if c.name != col]
+                table.computed = [c for c in table.computed if c is not target]
             elif kind == "metadata":
-                table.metadata = [c for c in table.metadata if c.name != col]
+                table.metadata = [c for c in table.metadata if c is not target]
             else:
-                table.columns = [c for c in table.columns if c.name != col]
+                table.columns = [c for c in table.columns if c is not target]
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+MODIFY\s+"
@@ -520,22 +569,16 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             session.spark.sql(f"ALTER TABLE {name} RENAME COLUMN {old} TO {new}")
             return _c(("result", "string")), [["OK"]]
         # a computed or metadata column is renameable too — the same
-        # three-kind resolution DROP and MODIFY WATERMARK use
-        # (review r10 #3: RENAME kept the physical-only lookup)
-        kind = _find_any_column(table, old)
-        target = (
-            next(c for c in table.computed if c.name == old)
-            if kind == "computed"
-            else next(c for c in table.metadata if c.name == old)
-            if kind == "metadata"
-            else _find_column(table, old)
-        )
-        taken = (
-            {c.name for c in table.columns}
-            | {c.name for c in table.computed}
-            | {c.name for c in table.metadata}
-        )
-        if new in taken:
+        # three-kind case-insensitive resolution DROP and MODIFY
+        # WATERMARK use (review r10 #3 / pass 4)
+        _kind, target = _find_any_column(table, old)
+        old = target.name  # canonical casing
+        taken = {
+            c.name.lower()
+            for group in (table.columns, table.computed, table.metadata)
+            for c in group
+        } - {old.lower()}  # a pure case-change rename stays legal
+        if new.lower() in taken:
             raise ValueError(f"column '{new}' already exists in table '{name}'")
         # Flink-parity guard (FLIP-273): renaming a column referenced
         # by a generated column's expression is rejected (the watermark
@@ -544,29 +587,22 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         if dep:
             raise ValueError(f"cannot rename column '{old}': referenced by {dep}")
         target.name = new
-        table.primary_key = [new if c == old else c for c in table.primary_key]
-        table.partitioned_by = [new if c == old else c for c in table.partitioned_by]
-        table.distributed_by = [new if c == old else c for c in table.distributed_by]
+        ol = old.lower()
+        table.primary_key = [new if c.lower() == ol else c for c in table.primary_key]
+        table.partitioned_by = [new if c.lower() == ol else c for c in table.partitioned_by]
+        table.distributed_by = [new if c.lower() == ol else c for c in table.distributed_by]
         if table.watermark:
-            if table.watermark.column == old:
+            if table.watermark.column.lower() == ol:
                 table.watermark.column = new
             # the delay expression follows the rename whether or not
             # the watermark is DECLARED on the renamed column — e.g.
             # WATERMARK FOR ts AS GREATEST(ts, backup_ts) - … must not
             # be left referencing the old backup_ts name (review r10);
-            # literal-safe via the masked substitution, case-insensitive
-            # like Spark's resolution (review r10 #3)
-            if _expr_references(table.watermark.delay_expr, old):
-                from flink_sql_toolkit_spark.dialect.rewriter import (  # noqa: PLC0415
-                    _mask,
-                    _unmask,
-                )
-
-                masked, lits = _mask(table.watermark.delay_expr)
-                masked = re.sub(
-                    rf"(?i)(?<!\w){re.escape(old)}(?!\w)", new, masked
-                )
-                table.watermark.delay_expr = _unmask(masked, lits)
+            # the shared reference-aware substitution is literal-safe,
+            # keyword-position-safe and backtick-aware (pass 4)
+            table.watermark.delay_expr = _rename_in_expr(
+                table.watermark.delay_expr, old, new
+            )
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+"

@@ -348,6 +348,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
+        if self.close_connection:
+            # tell the client the socket will drop (the chunked 411
+            # path) — a silent close reads as ECONNRESET on reuse
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(payload)
 

@@ -423,17 +423,19 @@ def avro_decode_mapper(
             SchemaRegistryError,
         )
 
-        import urllib.error as _uerr  # noqa: PLC0415
+        import http.client as _hc  # noqa: PLC0415
 
         client = SchemaRegistryClient(url, registry.get("user_info"))
         try:
             raw = client.get_schema_by_id(sid)
         except SchemaRegistryError:
             raise  # the registry ANSWERED: it does not know this id
-        except (_uerr.URLError, OSError, TimeoutError):
-            # transport-level failure only — a registry that answered
-            # with an unparsable payload must hard-error below, not
-            # silently mis-decode with the declared schema (review r10)
+        except (OSError, _hc.HTTPException):
+            # transport-level failure only (URLError/TimeoutError are
+            # OSError subclasses; HTTPException covers a connection
+            # dropped mid-body) — a registry that answered with an
+            # unparsable payload must hard-error below, not silently
+            # mis-decode with the declared schema (review r10, pass 4)
             _DEAD_REGISTRY[url] = _time.monotonic()
             return sch
         ws = parse_schema(raw)  # a bad ANSWERED schema propagates

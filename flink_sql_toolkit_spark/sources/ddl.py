@@ -310,7 +310,8 @@ def synthesize_ddl(table: "ConnectorTable") -> str:
         ddl += f" PARTITIONED BY ({', '.join(table.partitioned_by)})"
     # single quotes in values escape as '' — the parser unescapes them
     opts = ", ".join(
-        f"'{k}'='{escape_sql_quotes(v)}'" for k, v in table.options.items()
+        f"'{escape_sql_quotes(k)}'='{escape_sql_quotes(v)}'"
+        for k, v in table.options.items()
     )
     return f"{ddl} WITH ({opts})"
 
@@ -338,9 +339,14 @@ def parse_create_table(sql: str) -> ConnectorTable:
         table.bucket_algorithm = (m.group("balgo") or "HASH").upper()
         table.bucket_count = int(m.group("bnum")) if m.group("bnum") else None
     for kv in _split_top(m.group("opts")):
-        km = re.match(r"(?s)^\s*'([^']*)'\s*=\s*'((?:[^']|'')*)'\s*$", kv)
+        # '' escapes a quote in KEY and value alike, mirroring
+        # synthesize_ddl's emission (review r10 pass 4: the key side
+        # was write-only — a quoted key never round-tripped)
+        km = re.match(r"(?s)^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", kv)
         if km:
-            table.options[km.group(1)] = km.group(2).replace("''", "'")
+            table.options[km.group(1).replace("''", "'")] = km.group(2).replace(
+                "''", "'"
+            )
 
     # comments strip BEFORE the split: a comma/quote/paren inside an
     # inline comment would otherwise corrupt the item boundaries

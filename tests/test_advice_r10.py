@@ -490,3 +490,70 @@ class TestReviewR10Pass3:
         # a rename colliding with a computed column's name is rejected
         with pytest.raises(ValueError, match="already exists"):
             run(sess, "ALTER TABLE rn_kinds RENAME raw TO c2")
+
+
+class TestReviewR10Pass4:
+    def test_keyword_positions_are_not_references(self, sess):
+        """A column named like an INTERVAL unit or cast-target type
+        must not collide with keyword positions (pass 4: the (?i)
+        scan rewrote INTERVAL '5' SECOND on renaming `second`)."""
+        sess.execute_statement(
+            "CREATE TABLE kw_t (ts TIMESTAMP(3), second INT, x STRING, "
+            "c AS CAST(x AS DATE), "
+            "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND) "
+            "WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE kw_t RENAME second TO s2")
+        wm = sess.connector_tables["kw_t"].watermark
+        assert wm.delay_expr.upper().endswith("INTERVAL '5' SECOND")
+        # a column named `date` is droppable despite CAST(x AS DATE)
+        run(sess, "ALTER TABLE kw_t ADD date STRING")
+        run(sess, "ALTER TABLE kw_t DROP date")
+
+    def test_backticked_reference_guards_and_follows(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE bt_t (ts TIMESTAMP(3), other TIMESTAMP(3), "
+            "c AS CAST(`ts` AS TIMESTAMP_LTZ(3)), "
+            "WATERMARK FOR other AS GREATEST(other, `ts`) - INTERVAL '1' SECOND) "
+            "WITH ('connector'='blackhole')"
+        )
+        # the backticked spelling is a reference: DROP must reject
+        with pytest.raises(ValueError, match="computed column 'c'"):
+            run(sess, "ALTER TABLE bt_t DROP ts")
+        # drop the computed dependency, then rename — the backticked
+        # watermark reference follows
+        run(sess, "ALTER TABLE bt_t DROP c")
+        run(sess, "ALTER TABLE bt_t RENAME ts TO event_ts")
+        wm = sess.connector_tables["bt_t"].watermark
+        assert "`event_ts`" in wm.delay_expr and "ts`" not in wm.delay_expr.replace("event_ts", "")
+
+    def test_rename_lookup_and_collisions_case_insensitive(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE cs_t (aa INT, bb INT) WITH ('connector'='blackhole')"
+        )
+        # uppercase spelling resolves (Spark-style)
+        run(sess, "ALTER TABLE cs_t RENAME AA TO cc")
+        names = [c.name for c in sess.connector_tables["cs_t"].columns]
+        assert names == ["cc", "bb"]
+        # collision check is case-insensitive
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "ALTER TABLE cs_t RENAME bb TO CC")
+        # a pure case-change rename of the same column stays legal
+        run(sess, "ALTER TABLE cs_t RENAME cc TO CC")
+        assert [c.name for c in sess.connector_tables["cs_t"].columns] == ["CC", "bb"]
+
+    def test_synthesize_escapes_option_keys(self):
+        from flink_sql_toolkit_spark.sources.ddl import (
+            Column,
+            ConnectorTable,
+            parse_create_table,
+            synthesize_ddl,
+        )
+
+        t = ConnectorTable(
+            "q", columns=[Column("a", "int")],
+            options={"connector": "blackhole", "o'k": "v'1"},
+        )
+        ddl = synthesize_ddl(t)
+        back = parse_create_table(ddl + ";")
+        assert back.options["o'k"] == "v'1"
