@@ -327,8 +327,11 @@ def _refresh_altered(session: "EngineSession", table) -> tuple[Cols, Rows]:
 
 
 def _find_column(table, col: str):
+    # case-insensitive like Spark's resolution (review r10 pass 5:
+    # MODIFY TS was falsely rejected while DROP/RENAME resolved it)
+    cl = col.lower()
     for c in table.columns:
-        if c.name == col:
+        if c.name.lower() == cl:
             return c
     raise LookupError(f"column '{col}' does not exist in table '{table.name}'")
 
@@ -352,20 +355,38 @@ def _find_any_column(table, col: str) -> tuple[str, object]:
 
 # a word match in one of these positions is NOT a column reference:
 # the word after AS inside an expression is a cast-target type (no
-# aliases occur in computed/watermark exprs), and the word after a
-# masked INTERVAL literal is a time unit — both are keyword positions
-# a column named `date` or `second` must not collide with (review r10
-# pass 4: the (?i) scan corrupted INTERVAL units on rename)
-_NONREF_PREFIX = re.compile(r"(?is)\b(?:AS|INTERVAL\s+\x00\d+\x00)\s+$")
+# aliases occur in computed/watermark exprs), the word after a masked
+# INTERVAL literal is a time unit, the first TIMESTAMPADD/DIFF
+# argument and the FLOOR/CEIL ... TO operand are units, and
+# `<unit> FROM` is EXTRACT's unit slot — all keyword positions a
+# column named `date` or `second` must not collide with (review r10
+# pass 4 INTERVAL; pass 5 the datetime-function slots)
+_NONREF_PREFIX = re.compile(
+    r"(?is)(?:\b(?:AS|TO|INTERVAL\s+\x00\d+\x00)\s+"
+    r"|\b(?:TIMESTAMPADD|TIMESTAMPDIFF)\s*\(\s*)$"
+)
+
+_UNIT_WORDS = frozenset(
+    "year quarter month week day hour minute second millisecond "
+    "microsecond nanosecond epoch dow doy isodow isoyear".split()
+)
 
 
 def _ref_matches(masked: str, col: str) -> list[re.Match]:
     pat = re.compile(rf"(?i)(?<!\w){re.escape(col)}(?!\w)")
-    return [
-        m
-        for m in pat.finditer(masked)
-        if not _NONREF_PREFIX.search(masked[: m.start()])
-    ]
+    out = []
+    for m in pat.finditer(masked):
+        if _NONREF_PREFIX.search(masked[: m.start()]):
+            continue
+        # EXTRACT(SECOND FROM ts): a unit word directly before FROM is
+        # the unit slot — but only for unit-spelled names, so
+        # SUBSTRING(col FROM 2) still counts its column reference
+        if col.lower() in _UNIT_WORDS and re.match(
+            r"(?is)\s+FROM\b", masked[m.end():]
+        ):
+            continue
+        out.append(m)
+    return out
 
 
 def _is_quoted_ref(lit: str, col: str) -> bool:
@@ -433,17 +454,20 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             props = m.group(2)
             session.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({props})")
             return _c(("result", "string")), [["OK"]]
-        # '' escapes a quote inside a value, mirroring the DDL parser
-        # and synthesize_ddl (review r9: the narrow regex silently
-        # truncated a value at the doubled quote)
-        for kv in re.findall(r"'([^']*)'\s*=\s*'((?:[^']|'')*)'", m.group(2)):
-            table.options[kv[0]] = kv[1].replace("''", "'")
+        # '' escapes a quote inside KEY and value alike, mirroring the
+        # DDL parser and synthesize_ddl (review r9 value side; r10
+        # pass 5 key side — an escaped key updated the wrong option)
+        for kv in re.findall(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", m.group(2)):
+            table.options[kv[0].replace("''", "'")] = kv[1].replace("''", "'")
         return _refresh_altered(session, table)
     m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RESET\s*\((.*)\)\s*;?\s*$", stmt)
     if m:
         name = m.group(1).strip("`")
         table = session.connector_tables.get(name)
-        keys = re.findall(r"'([^']*)'", m.group(2))
+        keys = [
+            k.replace("''", "'")
+            for k in re.findall(r"'((?:[^']|'')*)'", m.group(2))
+        ]
         if table is None:
             props = ", ".join(f"'{k}'" for k in keys)
             session.spark.sql(f"ALTER TABLE {name} UNSET TBLPROPERTIES ({props})")
@@ -495,12 +519,16 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
         cols = [c.strip().strip("`") for c in (m.group(3) or what).split(",")]
         for col in cols:
             kind, target = _find_any_column(table, col)
-            col = target.name  # canonical casing for the spec checks
+            col = target.name  # canonical casing for the messages
+            cl = col.lower()
+            # specs store names as-written — compare case-insensitively
+            # (review r10 pass 5: PRIMARY KEY (ID) let DROP id through,
+            # stranding a dangling spec)
             used = (
-                col in table.primary_key
-                or col in table.partitioned_by
-                or col in table.distributed_by
-                or (table.watermark and table.watermark.column == col)
+                cl in (k.lower() for k in table.primary_key)
+                or cl in (k.lower() for k in table.partitioned_by)
+                or cl in (k.lower() for k in table.distributed_by)
+                or (table.watermark and table.watermark.column.lower() == cl)
             )
             if used:
                 raise ValueError(
@@ -577,7 +605,9 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             c.name.lower()
             for group in (table.columns, table.computed, table.metadata)
             for c in group
-        } - {old.lower()}  # a pure case-change rename stays legal
+            if c is not target  # a pure case-change rename stays legal;
+            # other case-duplicate columns still collide (pass 5)
+        }
         if new.lower() in taken:
             raise ValueError(f"column '{new}' already exists in table '{name}'")
         # Flink-parity guard (FLIP-273): renaming a column referenced
@@ -666,7 +696,9 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             # table has (physical/computed/metadata) — MODIFY WATERMARK
             # validates the same way; a typo would otherwise return OK
             # and quarantine the table as unreadable (review r9)
-            if probe.watermark is not None and probe.watermark.column not in taken:
+            if probe.watermark is not None and probe.watermark.column.lower() not in {
+                t.lower() for t in taken
+            }:
                 raise LookupError(
                     f"watermark column '{probe.watermark.column}' does not "
                     f"exist in table '{name}'"

@@ -557,3 +557,53 @@ class TestReviewR10Pass4:
         ddl = synthesize_ddl(t)
         back = parse_create_table(ddl + ";")
         assert back.options["o'k"] == "v'1"
+
+
+class TestReviewR10Pass5:
+    def test_drop_spec_guard_case_insensitive(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE p5_pk (id INT NOT NULL, v STRING, "
+            "PRIMARY KEY (ID) NOT ENFORCED) WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(ValueError, match="referenced"):
+            run(sess, "ALTER TABLE p5_pk DROP id")
+
+    def test_alter_set_reset_escaped_keys(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE p5_opt (a INT) WITH ('connector'='blackhole', 'o''k'='v1')"
+        )
+        t = sess.connector_tables["p5_opt"]
+        assert t.options["o'k"] == "v1"
+        run(sess, "ALTER TABLE p5_opt SET ('o''k'='v2')")
+        assert t.options["o'k"] == "v2" and "k" not in t.options
+        run(sess, "ALTER TABLE p5_opt RESET ('o''k')")
+        assert "o'k" not in t.options
+
+    def test_rename_into_case_duplicate_rejected(self, sess):
+        # case-duplicate columns are legal in case-sensitive Flink;
+        # renaming must not create two identical names
+        sess.execute_statement(
+            "CREATE TABLE p5_dup (a INT, A2 INT) WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "ALTER TABLE p5_dup RENAME a TO a2")
+
+    def test_datetime_function_unit_slots_not_references(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE p5_units (ts TIMESTAMP(3), second INT, "
+            "WATERMARK FOR ts AS TIMESTAMPADD(SECOND, -5, ts)) "
+            "WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE p5_units RENAME second TO s2")
+        wm = sess.connector_tables["p5_units"].watermark
+        assert "TIMESTAMPADD(SECOND, -5, ts)" in wm.delay_expr
+        # and DROP of the unit-named column is not falsely blocked
+        run(sess, "ALTER TABLE p5_units DROP s2")
+
+    def test_add_and_modify_resolve_case_insensitively(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE p5_ci (ts TIMESTAMP(3)) WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE p5_ci MODIFY TS TIMESTAMP(6)")
+        run(sess, "ALTER TABLE p5_ci ADD WATERMARK FOR TS AS TS - INTERVAL '5' SECOND")
+        assert sess.connector_tables["p5_ci"].watermark is not None
