@@ -372,17 +372,38 @@ _UNIT_WORDS = frozenset(
 )
 
 
+def _enclosing_call_is(masked: str, pos: int, fn: str) -> bool:
+    """True when the nearest unmatched '(' left of ``pos`` is the
+    argument list of ``fn``."""
+    depth = 0
+    for i in range(pos - 1, -1, -1):
+        ch = masked[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                return bool(
+                    re.search(rf"(?is)\b{fn}\s*$", masked[:i])
+                )
+            depth -= 1
+    return False
+
+
 def _ref_matches(masked: str, col: str) -> list[re.Match]:
     pat = re.compile(rf"(?i)(?<!\w){re.escape(col)}(?!\w)")
     out = []
     for m in pat.finditer(masked):
         if _NONREF_PREFIX.search(masked[: m.start()]):
             continue
-        # EXTRACT(SECOND FROM ts): a unit word directly before FROM is
-        # the unit slot — but only for unit-spelled names, so
-        # SUBSTRING(col FROM 2) still counts its column reference
-        if col.lower() in _UNIT_WORDS and re.match(
-            r"(?is)\s+FROM\b", masked[m.end():]
+        # EXTRACT(SECOND FROM ts): a unit word directly before FROM,
+        # INSIDE an EXTRACT call, is the unit slot — the enclosing-call
+        # check keeps SUBSTRING(day FROM 2) / TRIM(day FROM s)
+        # counting their genuine references to a unit-named column
+        # (review r10 pass 6)
+        if (
+            col.lower() in _UNIT_WORDS
+            and re.match(r"(?is)\s+FROM\b", masked[m.end():])
+            and _enclosing_call_is(masked, m.start(), "EXTRACT")
         ):
             continue
         out.append(m)
@@ -454,11 +475,11 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             props = m.group(2)
             session.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({props})")
             return _c(("result", "string")), [["OK"]]
-        # '' escapes a quote inside KEY and value alike, mirroring the
-        # DDL parser and synthesize_ddl (review r9 value side; r10
-        # pass 5 key side — an escaped key updated the wrong option)
-        for kv in re.findall(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", m.group(2)):
-            table.options[kv[0].replace("''", "'")] = kv[1].replace("''", "'")
+        # the shared parser owns the '' rule for keys AND values
+        # (review r10 pass 6: three drifting copies)
+        from flink_sql_toolkit_spark.sources.ddl import parse_option_pairs  # noqa: PLC0415
+
+        table.options.update(parse_option_pairs(m.group(2)))
         return _refresh_altered(session, table)
     m = re.match(r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RESET\s*\((.*)\)\s*;?\s*$", stmt)
     if m:
@@ -469,7 +490,11 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             for k in re.findall(r"'((?:[^']|'')*)'", m.group(2))
         ]
         if table is None:
-            props = ", ".join(f"'{k}'" for k in keys)
+            from flink_sql_toolkit_spark.sources.ddl import (  # noqa: PLC0415
+                escape_sql_quotes,
+            )
+
+            props = ", ".join(f"'{escape_sql_quotes(k)}'" for k in keys)
             session.spark.sql(f"ALTER TABLE {name} UNSET TBLPROPERTIES ({props})")
             return _c(("result", "string")), [["OK"]]
         if "connector" in keys:
@@ -579,11 +604,20 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
             return _refresh_altered(session, table)
         col = m.group(4).strip("`")
         tm = re.match(r"(?is)^(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'([^']*)')?$", m.group(5))
-        target = _find_column(table, col)
+        kind, target = _find_any_column(table, col)
+        if kind == "computed":
+            # a computed column has no stored type to modify — its type
+            # is its expression's (review r10 pass 6: the physical-only
+            # lookup answered 'does not exist', a lie)
+            raise ValueError(
+                f"cannot MODIFY the type of computed column '{target.name}' "
+                f"— DROP it and ADD the new definition"
+            )
         target.spark_type = flink_type_to_spark(tm.group(1))
-        target.nullable = not tm.group(2)
-        if tm.group(4) is not None:
-            target.comment = tm.group(4)
+        if kind == "physical":
+            target.nullable = not tm.group(2)
+            if tm.group(4) is not None:
+                target.comment = tm.group(4)
         return _refresh_altered(session, table)
     m = re.match(
         r"(?is)^ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+(?!TO\s)([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*$",
@@ -687,7 +721,7 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                         "computed": probe.computed,
                         "metadata": probe.metadata,
                     }[kind][-1].name
-                    if added in taken:
+                    if added.lower() in {t.lower() for t in taken}:
                         raise ValueError(
                             f"column '{added}' already exists in table '{name}'"
                         )

@@ -266,6 +266,19 @@ def _rt_type(spark_type: str) -> str:
     return t.upper()
 
 
+_OPTION_PAIR_RE = re.compile(r"(?s)'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'")
+
+
+def parse_option_pairs(text: str) -> dict[str, str]:
+    """``'k'='v', …`` → dict with '' unescaped in key AND value — the
+    single parse-side counterpart of escape_sql_quotes (review r10
+    pass 6: three copies of the pattern had already drifted once)."""
+    return {
+        k.replace("''", "'"): v.replace("''", "'")
+        for k, v in _OPTION_PAIR_RE.findall(text)
+    }
+
+
 def escape_sql_quotes(value) -> str:
     """'' escaping for embedding a value in a single-quoted SQL
     literal — THE quoting rule for option values; shared so a future
@@ -338,15 +351,7 @@ def parse_create_table(sql: str) -> ConnectorTable:
         ]
         table.bucket_algorithm = (m.group("balgo") or "HASH").upper()
         table.bucket_count = int(m.group("bnum")) if m.group("bnum") else None
-    for kv in _split_top(m.group("opts")):
-        # '' escapes a quote in KEY and value alike, mirroring
-        # synthesize_ddl's emission (review r10 pass 4: the key side
-        # was write-only — a quoted key never round-tripped)
-        km = re.match(r"(?s)^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", kv)
-        if km:
-            table.options[km.group(1).replace("''", "'")] = km.group(2).replace(
-                "''", "'"
-            )
+    table.options.update(parse_option_pairs(m.group("opts")))
 
     # comments strip BEFORE the split: a comma/quote/paren inside an
     # inline comment would otherwise corrupt the item boundaries
@@ -354,6 +359,21 @@ def parse_create_table(sql: str) -> ConnectorTable:
     # apostrophe in a comment swallowed the following WATERMARK)
     for part in _split_top(_strip_comments(m.group("body"))):
         apply_body_part(table, part)
+    # reject case-duplicate declarations up front: Spark's
+    # case-insensitive resolver cannot serve them (AMBIGUOUS_REFERENCE
+    # at first read), and the engine's own column resolution is
+    # case-insensitive to match — a typed error here beats a
+    # quarantined table (review r10 pass 6)
+    seen: dict[str, str] = {}
+    for c in [*table.columns, *table.computed, *table.metadata]:
+        prev = seen.get(c.name.lower())
+        if prev is not None:
+            raise ValueError(
+                f"duplicate column name '{c.name}' in table "
+                f"'{table.name}' (Spark resolves identifiers "
+                f"case-insensitively — collides with '{prev}')"
+            )
+        seen[c.name.lower()] = c.name
     return table
 
 

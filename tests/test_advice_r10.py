@@ -607,3 +607,55 @@ class TestReviewR10Pass5:
         run(sess, "ALTER TABLE p5_ci MODIFY TS TIMESTAMP(6)")
         run(sess, "ALTER TABLE p5_ci ADD WATERMARK FOR TS AS TS - INTERVAL '5' SECOND")
         assert sess.connector_tables["p5_ci"].watermark is not None
+
+
+class TestReviewR10Pass6:
+    def test_create_rejects_case_duplicate_columns(self, sess):
+        with pytest.raises(ValueError, match="duplicate column"):
+            sess.execute_statement(
+                "CREATE TABLE p6_dup (a INT, A INT) WITH ('connector'='blackhole')"
+            )
+
+    def test_add_rejects_case_duplicate(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE p6_add (ts TIMESTAMP(3)) WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            run(sess, "ALTER TABLE p6_add ADD TS INT")
+
+    def test_reset_passthrough_escapes_key(self, sess, spark):
+        spark.sql("CREATE TABLE IF NOT EXISTS p6_spark (a INT) USING parquet")
+        try:
+            spark.sql("ALTER TABLE p6_spark SET TBLPROPERTIES ('o''k'='v')")
+            run(sess, "ALTER TABLE p6_spark RESET ('o''k')")
+            props = spark.sql("SHOW TBLPROPERTIES p6_spark").collect()
+            assert not any(r["key"] == "o'k" for r in props)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS p6_spark")
+
+    def test_substring_from_still_references(self, sess):
+        # a unit-named column before FROM outside EXTRACT is a real ref
+        sess.execute_statement(
+            "CREATE TABLE p6_sub (day STRING, d2 AS SUBSTRING(day FROM 2)) "
+            "WITH ('connector'='blackhole')"
+        )
+        with pytest.raises(ValueError, match="computed column 'd2'"):
+            run(sess, "ALTER TABLE p6_sub DROP day")
+        # while EXTRACT's unit slot stays a keyword position
+        sess.execute_statement(
+            "CREATE TABLE p6_ext (day STRING, ts TIMESTAMP(3), "
+            "e AS EXTRACT(DAY FROM ts)) WITH ('connector'='blackhole')"
+        )
+        run(sess, "ALTER TABLE p6_ext DROP day")  # not falsely blocked
+
+    def test_modify_metadata_column_and_computed_rejection(self, sess):
+        sess.execute_statement(
+            "CREATE TABLE p6_mod (v STRING, c AS UPPER(v), "
+            "hdrs STRING METADATA FROM 'topic') "
+            "WITH ('connector'='kafka','topic'='t','properties.bootstrap.servers'='x')"
+        )
+        run(sess, "ALTER TABLE p6_mod MODIFY hdrs VARCHAR(100)")
+        t = sess.connector_tables["p6_mod"]
+        assert next(m for m in t.metadata if m.name == "hdrs").spark_type == "string"
+        with pytest.raises(ValueError, match="computed column 'c'"):
+            run(sess, "ALTER TABLE p6_mod MODIFY c INT")
