@@ -52,7 +52,7 @@ import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
-from urllib.parse import urlparse
+from urllib.parse import parse_qs, urlparse
 
 from flink_sql_toolkit_spark.engine import Engine
 
@@ -109,9 +109,17 @@ class Gateway:
         host: str = "127.0.0.1",
         port: int = 0,
         session_idle_timeout_s: float | None = None,
+        request_timeout_s: float = 60.0,
     ):
         self.engine = Engine(spark)
-        handler = type("Handler", (_Handler,), {"gateway": self})
+        # per-connection socket timeout: a client that connects and then
+        # stalls (never sends a request line, or trickles headers) would
+        # otherwise pin a daemon handler thread for the process lifetime
+        # (review r10 hardening). BaseHTTPRequestHandler honors the
+        # `timeout` attribute; on expiry it closes the connection.
+        handler = type(
+            "Handler", (_Handler,), {"gateway": self, "timeout": request_timeout_s}
+        )
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
@@ -430,8 +438,21 @@ class _Handler(BaseHTTPRequestHandler):
             escape_sql_quotes as esc,
         )
 
-        for k, v in (body.get("properties") or {}).items():
-            sess.execute_statement(f"SET '{esc(k)}' = '{esc(v)}'")
+        try:
+            for k, v in (body.get("properties") or {}).items():
+                sess.execute_statement(f"SET '{esc(k)}' = '{esc(v)}'")
+        except Exception:
+            # a failing property SET must not leak a session: it is
+            # already registered, but the error reply carries no
+            # sessionHandle, so the client could never close it —
+            # under the default config (no reaper) that is a permanent
+            # leak (review r10 #1 / ADVICE r10). Close + forget, then
+            # surface the original error in the wire shape.
+            try:
+                self.gateway.engine.close_session(sess.handle)
+            finally:
+                self.gateway.forget(sess.handle)
+            raise
         self._reply({"sessionHandle": sess.handle})
 
     def get_session(self, handle: str, query: str = "") -> None:
@@ -441,8 +462,14 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def close_session(self, handle: str, query: str = "") -> None:
-        self.gateway._session(handle)  # 404 on stale handle
-        self.gateway.engine.close_session(handle)
+        # idempotent: DELETE of a handle the reaper (or a concurrent
+        # DELETE) already closed answers CLOSED, never 404/500 — the
+        # validate-then-close window is unlocked, so racing the reaper
+        # is legal and close-twice must be a no-op (review r10 #2).
+        # engine.close_session itself is pop-based and tolerates the
+        # handle vanishing between the check and the call.
+        if handle in self.gateway.engine.sessions:
+            self.gateway.engine.close_session(handle)
         self.gateway.forget(handle)
         self._reply({"status": "CLOSED"})
 
@@ -577,8 +604,16 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def job_cancel(self, job_id: str, query: str = "") -> None:
-        if "mode=cancel" not in (query or ""):
-            raise _HttpError(400, "PATCH /jobs/{id} requires ?mode=cancel")
+        # exact-parse the query string: a substring match would accept
+        # ?mode=cancellation-test, and would silently downgrade a future
+        # ?mode=cancel-with-savepoint to a plain cancel (review r10 #3).
+        # The reference only ever sends ?mode=cancel
+        # (src/flinkClient.ts:176).
+        mode = parse_qs(query or "").get("mode", [None])[-1]
+        if mode != "cancel":
+            raise _HttpError(
+                400, f"PATCH /jobs/{{id}} requires ?mode=cancel (got mode={mode!r})"
+            )
         sess, _ = self.gateway.find_job(job_id)
         sess.jobs.stop(job_id)
         self._reply({})

@@ -701,3 +701,82 @@ def test_stop_before_start_does_not_hang(spark):
     # and the port is released: a second bind on the same port works
     g2 = Gateway(spark, port=g.httpd.server_address[1]).start()
     g2.stop()
+
+class TestHardeningR11:
+    """Round-11 hardening regressions (VERDICT r10 "What's wrong" #1-#3
+    + the stalled-client socket timeout)."""
+
+    def test_failing_property_set_leaks_no_session(self, gw):
+        """A property whose SET raises (here: a static Spark conf) must
+        not leave a registered session behind — the error reply carries
+        no sessionHandle, so the client could never close it
+        (VERDICT r10 #1 / ADVICE r10)."""
+        before = set(gw.engine.sessions)
+        status, out = http(
+            gw, "POST", "/sessions",
+            {"sessionName": "leaky",
+             "properties": {"spark.sql.warehouse.dir": "/tmp/nope"}},
+        )
+        assert status == 500
+        assert "sessionHandle" not in out
+        assert out["errors"], out
+        assert set(gw.engine.sessions) == before, "orphan session leaked"
+        assert not any(
+            h not in before for h in gw._last_access
+        ), "orphan idleness record leaked"
+
+    def test_close_session_idempotent(self, gw):
+        """DELETE twice (and DELETE of a handle the reaper already
+        closed) answers CLOSED, never 404/500 — the validate-then-close
+        window is unlocked, so close-twice must be a no-op
+        (VERDICT r10 #2)."""
+        h = open_session(gw, "twice")
+        status, out = http(gw, "DELETE", f"/sessions/{h}")
+        assert (status, out["status"]) == (200, "CLOSED")
+        status, out = http(gw, "DELETE", f"/sessions/{h}")
+        assert (status, out["status"]) == (200, "CLOSED")
+        # simulate the reaper winning the race: engine-side close between
+        # the client's validate and its DELETE
+        h2 = open_session(gw, "raced")
+        gw.engine.close_session(h2)
+        status, out = http(gw, "DELETE", f"/sessions/{h2}")
+        assert (status, out["status"]) == (200, "CLOSED")
+        assert h2 not in gw._last_access  # forget() still ran
+
+    def test_job_cancel_mode_exact_match(self, gw):
+        """?mode is parsed, not substring-matched: mode values that merely
+        contain 'cancel' are rejected; the real mode reaches the job
+        lookup (404 for an unknown id) (VERDICT r10 #3)."""
+        for bad in ("mode=cancellation-test", "mode=cancel-with-savepoint",
+                    "xmode=cancel", ""):
+            status, out = http(gw, "PATCH", f"/jobs/nope?{bad}")
+            assert status == 400, (bad, out)
+            assert "mode=cancel" in out["errors"][0]
+        status, out = http(gw, "PATCH", "/jobs/nope?mode=cancel")
+        assert status == 404  # passed the mode gate, job doesn't exist
+
+    def test_stalled_client_cannot_pin_handler_thread(self, spark):
+        """A client that connects and never sends a request line is
+        dropped after request_timeout_s instead of pinning a daemon
+        thread forever (review r10 hardening)."""
+        import socket
+
+        g = Gateway(spark, request_timeout_s=0.5).start()
+        try:
+            host, port = g.httpd.server_address[:2]
+            s = socket.create_connection((host, port), timeout=10)
+            s.settimeout(10)
+            try:
+                data = s.recv(1)  # server should close, not wait on us
+            except (ConnectionResetError, socket.timeout) as e:
+                assert not isinstance(e, socket.timeout), (
+                    "connection still open after timeout window"
+                )
+                data = b""
+            assert data == b"", "server wrote instead of closing"
+            s.close()
+            # and the server still serves real requests afterward
+            status, _ = http(g, "GET", "/info")
+            assert status == 200
+        finally:
+            g.stop()
