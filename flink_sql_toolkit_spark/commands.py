@@ -613,6 +613,16 @@ def handle_alter(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] | Non
                 f"cannot MODIFY the type of computed column '{target.name}' "
                 f"— DROP it and ADD the new definition"
             )
+        if kind == "metadata" and (tm.group(2) or tm.group(4) is not None):
+            # a metadata column stores neither nullability nor a comment
+            # — silently applying only the type while dropping the rest
+            # of the statement would return OK for work not done
+            # (ADVICE r10)
+            clause = "NOT NULL" if tm.group(2) else "COMMENT"
+            raise ValueError(
+                f"cannot MODIFY {clause} on metadata column "
+                f"'{target.name}' — only its type can be modified"
+            )
         target.spark_type = flink_type_to_spark(tm.group(1))
         if kind == "physical":
             target.nullable = not tm.group(2)

@@ -398,11 +398,33 @@ def avro_decode_mapper(
     writer schema id resolves against the registry — Flink's
     avro-confluent deserialization contract: producers with evolved /
     reordered schemas decode correctly, projected onto the declared
-    ``out_fields``. A schema id the registry rejects is a hard error;
-    an unreachable registry falls back to the declared schema."""
+    ``out_fields``. A schema id the registry rejects is a hard error.
+    An UNREACHABLE registry is also a hard error for writer ids not
+    already in the per-worker cache — Flink's deserializer never falls
+    back to the reader schema, because decoding an evolved writer's
+    binary with the declared schema yields silently misaligned values
+    (ADVICE r10). ``'avro-confluent.reader-schema-fallback'='true'``
+    opts into the old lossy behavior; cached ids always keep
+    decoding through an outage either way."""
     import pandas as pd  # noqa: PLC0415
 
     sch = parse_schema(schema)
+
+    def registry_down(sid: int, url: str) -> dict:
+        if registry.get("reader_schema_fallback") == "true":
+            return sch
+        from flink_sql_toolkit_spark.sources.schema_registry import (  # noqa: PLC0415
+            SchemaRegistryError,
+        )
+
+        raise SchemaRegistryError(
+            f"schema registry {url} is unreachable and writer schema id "
+            f"{sid} is not cached on this worker — refusing to decode "
+            "with the declared reader schema (an evolved writer schema "
+            "would decode to misaligned values). Restore the registry, "
+            "or set 'avro-confluent.reader-schema-fallback' = 'true' to "
+            "opt into reader-schema decode during outages."
+        )
 
     def writer_schema(sid: int):
         import time as _time  # noqa: PLC0415
@@ -416,7 +438,7 @@ def avro_decode_mapper(
         died = _DEAD_REGISTRY.get(url)
         if died is not None:
             if _time.monotonic() - died < _DEAD_TTL_S:
-                return sch
+                return registry_down(sid, url)
             del _DEAD_REGISTRY[url]  # TTL elapsed: retry the registry
         from flink_sql_toolkit_spark.sources.schema_registry import (  # noqa: PLC0415
             SchemaRegistryClient,
@@ -437,7 +459,7 @@ def avro_decode_mapper(
             # unparsable payload must hard-error below, not silently
             # mis-decode with the declared schema (review r10, pass 4)
             _DEAD_REGISTRY[url] = _time.monotonic()
-            return sch
+            return registry_down(sid, url)
         ws = parse_schema(raw)  # a bad ANSWERED schema propagates
         _WRITER_CACHE[key] = ws
         return ws

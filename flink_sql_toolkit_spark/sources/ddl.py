@@ -364,6 +364,15 @@ def parse_create_table(sql: str) -> ConnectorTable:
     # at first read), and the engine's own column resolution is
     # case-insensitive to match — a typed error here beats a
     # quarantined table (review r10 pass 6)
+    _reject_case_duplicate_columns(table)
+    return table
+
+
+def _reject_case_duplicate_columns(table: ConnectorTable) -> None:
+    """Typed error on case-insensitively colliding column names across
+    physical/computed/metadata columns — tables that Spark would
+    quarantine with AMBIGUOUS_REFERENCE at first read. Run on every
+    path that assembles a column set (plain CREATE, LIKE merge)."""
     seen: dict[str, str] = {}
     for c in [*table.columns, *table.computed, *table.metadata]:
         prev = seen.get(c.name.lower())
@@ -374,7 +383,6 @@ def parse_create_table(sql: str) -> ConnectorTable:
                 f"case-insensitively — collides with '{prev}')"
             )
         seen[c.name.lower()] = c.name
-    return table
 
 
 def _strip_comments(text: str) -> str:
@@ -547,10 +555,15 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
             mode[cat] = verb
 
     out = _copy.deepcopy(new)
-    # physical columns: source first, new appended; duplicates error
-    src_names = {c.name for c in src.columns}
+    # physical columns: source first, new appended; duplicates error.
+    # Membership is case-insensitive throughout the merge — the engine
+    # resolves identifiers case-insensitively, so `A` redefines `a`
+    # (ADVICE r10: case-sensitive sets here merged both, producing the
+    # AMBIGUOUS_REFERENCE table parse_create_table's validation exists
+    # to prevent)
+    src_names = {c.name.lower() for c in src.columns}
     for c in new.columns:
-        if c.name in src_names:
+        if c.name.lower() in src_names:
             raise ValueError(
                 f"LIKE: column '{c.name}' is already defined by source "
                 f"table '{src.name}'"
@@ -587,11 +600,11 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
             out.bucket_algorithm = src.bucket_algorithm
             out.bucket_count = src.bucket_count
     if mode["GENERATED"] != "EXCLUDING":
-        new_gen = {c.name for c in new.computed}
+        new_gen = {c.name.lower() for c in new.computed}
         inherited = [
-            _copy.deepcopy(c) for c in src.computed if c.name not in new_gen
+            _copy.deepcopy(c) for c in src.computed if c.name.lower() not in new_gen
         ]
-        dup = [c.name for c in src.computed if c.name in new_gen]
+        dup = [c.name for c in src.computed if c.name.lower() in new_gen]
         if dup and mode["GENERATED"] != "OVERWRITING":
             raise ValueError(
                 f"LIKE: computed column(s) {dup} already defined by source "
@@ -599,11 +612,11 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
             )
         out.computed = inherited + new.computed
     if mode["METADATA"] != "EXCLUDING":
-        new_md = {c.name for c in new.metadata}
+        new_md = {c.name.lower() for c in new.metadata}
         inherited_md = [
-            _copy.deepcopy(c) for c in src.metadata if c.name not in new_md
+            _copy.deepcopy(c) for c in src.metadata if c.name.lower() not in new_md
         ]
-        dup = [c.name for c in src.metadata if c.name in new_md]
+        dup = [c.name for c in src.metadata if c.name.lower() in new_md]
         if dup and mode["METADATA"] != "OVERWRITING":
             raise ValueError(
                 f"LIKE: metadata column(s) {dup} already defined by source "
@@ -620,4 +633,9 @@ def merge_like_table(sql: str, src: ConnectorTable) -> ConnectorTable:
                 )
             merged[k] = v
         out.options = merged
+    # the merged column set crosses categories the per-category checks
+    # above can't see (e.g. a new physical column vs an inherited
+    # computed one) — run the same case-insensitive validation plain
+    # CREATE gets (ADVICE r10)
+    _reject_case_duplicate_columns(out)
     return out

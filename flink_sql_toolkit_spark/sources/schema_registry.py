@@ -126,6 +126,16 @@ def registry_options(options: dict[str, str]) -> dict[str, str] | None:
         info = options.get("avro-confluent.basic-auth.user-info", "")
         if info:
             out["user_info"] = info
+    # opt-in ONLY: decode unknown writer ids with the declared reader
+    # schema while the registry is unreachable. Flink's avro-confluent
+    # deserializer hard-fails on registry unavailability — silent
+    # reader-schema decode of an evolved writer's frames yields
+    # misaligned garbage values, so unavailability must be loud by
+    # default (ADVICE r10).
+    if options.get(
+        "avro-confluent.reader-schema-fallback", ""
+    ).strip().lower() in ("true", "1", "yes"):
+        out["reader_schema_fallback"] = "true"
     return out
 
 

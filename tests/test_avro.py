@@ -166,12 +166,19 @@ def test_avro_decode_e2e(spark):
 
 
 def test_avro_confluent_decode_e2e(spark):
-    """Confluent wire format: 5-byte header stripped before decode."""
+    """Confluent wire format: 5-byte header stripped before decode.
+    The url resolves nowhere, so this rides the opt-in reader-schema
+    fallback (the default hard-fails on an unreachable registry —
+    ADVICE r10; pinned in test_schema_registry.py)."""
     payloads = [
         ac.confluent_frame(ac.encode_record({"id": 10, "name": "reg"}, SCHEMA), 77),
     ]
     raw = _kafka_frame_binary(spark, payloads)
-    t = _avro_table("avro-confluent", ", 'avro-confluent.url'='http://sr:8081'")
+    t = _avro_table(
+        "avro-confluent",
+        ", 'avro-confluent.url'='http://sr:8081'"
+        ", 'avro-confluent.reader-schema-fallback'='true'",
+    )
     out = _decode_payload(raw, t).collect()
     assert [(r.id, r.name) for r in out] == [(10, "reg")]
 

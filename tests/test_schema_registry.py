@@ -238,12 +238,31 @@ class TestDecodeWithRegistry:
         out = _decode_payload(raw, _confluent_table(registry.url)).collect()
         assert [(r.id, r.name) for r in out] == [(1, "v1"), (2, "v2")]
 
-    def test_unreachable_registry_degrades_to_declared_schema(self, spark):
-        # covered E2E in test_avro.py::test_avro_confluent_decode_e2e
-        # (url 'http://sr:8081' resolves nowhere); pinned here at the
-        # mapper level with the negative cache observable
+    def test_unreachable_registry_uncached_id_is_hard_error(self, spark):
+        """Registry unreachable + writer id not in the worker cache →
+        hard error, matching Flink's avro-confluent deserializer: a
+        silent reader-schema decode of an evolved writer's frames
+        yields misaligned values (ADVICE r10). The error names the
+        opt-in option."""
         t = _confluent_table("http://127.0.0.1:9")  # closed port
-        declared = ac.avro_schema_for_columns(t.columns)  # the fallback
+        declared = ac.avro_schema_for_columns(t.columns)
+        payloads = [
+            ac.confluent_frame(
+                ac.encode_record({"id": 3, "name": "x"}, declared), 42
+            )
+        ]
+        raw = _kafka_frame_binary(spark, payloads)
+        with pytest.raises(Exception, match="reader-schema-fallback"):
+            _decode_payload(raw, t).collect()
+
+    def test_unreachable_registry_fallback_is_opt_in(self, spark):
+        """'avro-confluent.reader-schema-fallback'='true' restores the
+        lossy degrade-to-declared-schema behavior during outages."""
+        t = _confluent_table(
+            "http://127.0.0.1:9",
+            ", 'avro-confluent.reader-schema-fallback'='true'",
+        )
+        declared = ac.avro_schema_for_columns(t.columns)
         payloads = [
             ac.confluent_frame(
                 ac.encode_record({"id": 3, "name": "x"}, declared), 42
@@ -302,7 +321,10 @@ def test_dead_registry_negative_cache_expires(registry):
     frame = ac.confluent_frame(ac.encode_record({"id": 1, "name": "z"}, SCHEMA_V1), 9)
     pdf = pd.DataFrame({"value": [frame]})
     m = codec.avro_decode_mapper(
-        mapper_schema, ["id", "name"], True, {"url": registry.url}
+        mapper_schema, ["id", "name"], True,
+        # fallback opted in: this test pins the negative-cache TTL, not
+        # the (separately pinned) hard-error default
+        {"url": registry.url, "reader_schema_fallback": "true"},
     )
     # simulate a recent outage: fresh entry → declared-schema fallback,
     # no HTTP traffic
