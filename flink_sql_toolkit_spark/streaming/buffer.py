@@ -105,6 +105,12 @@ class StreamResultBuffer:
         self._finished = False
         self._error: Exception | None = None
         self._lock = threading.Lock()
+        # sequential-token tolerance (see fetch): the last requested
+        # token, the absolute start it was served from, and the
+        # absolute end of the last served page
+        self._last_token: int | None = None
+        self._last_start = 0
+        self._last_end = 0
 
     # -- producer side (foreachBatch) ---------------------------------
     def append_batch(self, rows: list[list[Any]], total: int | None = None) -> None:
@@ -153,13 +159,37 @@ class StreamResultBuffer:
         Tokens index the absolute row sequence; a token older than the
         ring start is answered from the ring start (the reference UI
         shows the same eviction behavior via ``offset``).
+
+        Sequential-token tolerance: the real Flink gateway numbers
+        pages 0, 1, 2, … and the reference's streaming poll loop
+        increments its token by one per poll instead of following
+        ``nextResultToken`` (src/notebookController.ts:221-246). Under
+        pure absolute semantics that loop would re-read nearly the
+        whole ring every second as duplicates. So a request for
+        exactly ``last_token + 1`` is served as "the next page" (rows
+        after the last served page), and a repeat of ``last_token`` is
+        served as a retry of that same page — both matching the real
+        gateway's contract. Token 0 always means "the current ring"
+        (a fresh reader), and any other token keeps the absolute
+        interpretation, which is what ``nextResultToken``-following
+        clients send (the two interpretations coincide for them:
+        ``nextResultToken`` IS the absolute end of the last page).
         """
         with self._lock:
             if self._error is not None:
                 raise self._error
-            start = max(token, self._offset) - self._offset
+            if token != 0 and self._last_token is not None and token == self._last_token + 1:
+                start_abs = self._last_end  # sequential client: next page
+            elif token != 0 and token == self._last_token:
+                start_abs = self._last_start  # retry of the same page
+            else:
+                start_abs = token  # absolute semantics
+            start = max(start_abs, self._offset) - self._offset
             rows = self._rows[start:]
             next_token = self._offset + len(self._rows)
+            self._last_token = token
+            self._last_start = start_abs
+            self._last_end = next_token
             if rows:
                 result_type = PAYLOAD
             elif self._finished:

@@ -281,6 +281,67 @@ def test_buffer_append_batch_total_accounting():
     assert page["totalRows"] == 5002
 
 
+def test_buffer_sequential_tokens_no_duplicates():
+    """The reference's streaming poll loop increments its token by one
+    per poll (src/notebookController.ts:221-246) instead of following
+    nextResultToken — the real gateway numbers pages sequentially. A
+    request for last_token+1 is served as 'the next page', never as a
+    near-full ring re-read of duplicates (r11 conformance fix)."""
+    from flink_sql_toolkit_spark.streaming.buffer import EOS, StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=1000)
+    buf.append_batch([[i] for i in range(100)])
+    seen = []
+    page = buf.fetch(0)
+    seen.extend(r[0] for r in page["data"])
+    # the client now polls 1, 2, 3, … as new batches arrive
+    buf.append_batch([[i] for i in range(100, 150)])
+    page = buf.fetch(1)
+    seen.extend(r[0] for r in page["data"])
+    assert page["data"] == [[i] for i in range(100, 150)]  # only the new rows
+    buf.append_batch([[150]])
+    page = buf.fetch(2)
+    seen.extend(r[0] for r in page["data"])
+    assert seen == list(range(151))  # every row exactly once
+    # an empty sequential poll, then EOS once finished
+    page = buf.fetch(3)
+    assert page["data"] == []
+    buf.finish()
+    assert buf.fetch(4)["resultType"] == EOS
+
+
+def test_buffer_same_token_retry_reserves_page():
+    from flink_sql_toolkit_spark.streaming.buffer import StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=1000)
+    buf.append_batch([[i] for i in range(10)])
+    buf.fetch(0)
+    buf.append_batch([[i] for i in range(10, 20)])
+    first = buf.fetch(1)["data"]
+    assert first == [[i] for i in range(10, 20)]
+    # a retry of the SAME token re-serves that page (plus anything newer)
+    retry = buf.fetch(1)["data"]
+    assert retry[: len(first)] == first
+
+
+def test_buffer_absolute_tokens_still_served():
+    """nextResultToken-following clients keep the absolute semantics:
+    token 0 is always the current ring, and explicit absolute positions
+    (not last+1) are honored."""
+    from flink_sql_toolkit_spark.streaming.buffer import StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=10)
+    buf.append_batch([[i] for i in range(5)])
+    t = buf.fetch(0)["nextResultToken"]
+    buf.append_batch([[i] for i in range(5, 8)])
+    page = buf.fetch(t)
+    assert page["data"] == [[5], [6], [7]]
+    # token 0 after other fetches: the whole ring again
+    assert [r[0] for r in buf.fetch(0)["data"]] == list(range(8))
+    # explicit absolute re-read from position 6
+    assert buf.fetch(6)["data"] == [[6], [7]]
+
+
 def test_foreach_batch_bounds_driver_materialization(spark, monkeypatch):
     """A catch-up micro-batch larger than the ring must never collect
     more than ``max_rows`` rows to the driver."""
