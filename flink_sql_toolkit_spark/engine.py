@@ -744,11 +744,19 @@ class EngineSession:
         op = Operation(self, statement)
         self.operations[op.handle] = op
         op.execute()
+        self._after_statement(statement)
+        return op
+
+    def _after_statement(self, statement: str) -> None:
         # switching batch/streaming re-registers connector views in
-        # the new mode (Flink re-plans per mode the same way)
+        # the new mode (Flink re-plans per mode the same way). Must
+        # run on BOTH execution paths: the async gateway path used to
+        # skip it, so a mode flip over the wire silently left every
+        # existing table registered in the old mode (found by the r11
+        # node conformance harness driving the reference client's
+        # statement sequence).
         if re.match(r"(?is)^\s*SET\s+'execution\.runtime-mode'", statement):
             self.refresh_connector_views()
-        return op
 
     def submit_statement(self, statement: str) -> Operation:
         """Async submit: returns the handle immediately; ``fetch``
@@ -764,6 +772,10 @@ class EngineSession:
         def run() -> None:
             try:
                 op._execute()
+                # before the client can observe completion: a client
+                # that saw this SET reach EOS must find the views
+                # already re-registered when its next statement runs
+                self._after_statement(statement)
                 if op.status == "RUNNING" and op._stream_buffer is None:
                     op.status = "FINISHED"
             except Exception as e:  # noqa: BLE001

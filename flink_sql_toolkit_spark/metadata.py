@@ -147,14 +147,23 @@ class CatalogMetadata:
         return self.cache.get("tables:current", fetch)
 
     def views(self) -> list[str]:
-        return self.cache.get(
-            "views:current",
-            lambda: sorted(
+        def fetch() -> list[str]:
+            # connector tables are *implemented* as temp views but are
+            # TABLEs to the user — SHOW VIEWS must not list them: the
+            # reference client classifies objects as "SHOW TABLES minus
+            # the SHOW VIEWS set" (src/flinkClient.ts:386-408), so a
+            # connector table leaking into SHOW VIEWS renders as a VIEW
+            # in its catalog tree (found by the r11 node conformance
+            # harness).
+            ct = {n.lower() for n in self.session.connector_tables}
+            return sorted(
                 t.name
                 for t in self.session.spark.catalog.listTables()
                 if t.tableType in ("TEMPORARY", "VIEW")
-            ),
-        )
+                and t.name.lower() not in ct
+            )
+
+        return self.cache.get("views:current", fetch)
 
     def functions(self) -> list[str]:
         return self.cache.get(

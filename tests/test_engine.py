@@ -559,3 +559,41 @@ def test_ctas_streaming_source_becomes_job(session):
         for j in session.jobs.list()
     )
     session.jobs.stop(op.job_id)
+
+
+def test_submit_statement_mode_flip_refreshes_views(session):
+    """The async submit path must re-register connector views after a
+    runtime-mode SET, exactly like the synchronous path — a
+    batch→streaming flip through the gateway otherwise leaves every
+    existing table batch-registered (found by the r11 node
+    conformance harness)."""
+    import time
+
+    session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
+    session.execute_statement(
+        "CREATE TABLE flip_ev (event_id BIGINT, user_id BIGINT) WITH ("
+        "'connector'='filesystem', "
+        "'path'='/root/testdata/sf0.001/events.parquet', "
+        "'format'='parquet')"
+    )
+    op_set = session.submit_statement("SET 'execution.runtime-mode' = 'streaming'")
+    deadline, tok = time.time() + 30, 0
+    while True:
+        page = op_set.fetch(tok)
+        if page["resultType"] == "EOS":
+            break
+        tok = page.get("nextResultToken", tok + 1)
+        assert time.time() < deadline, "SET never completed"
+        time.sleep(0.05)
+    op = session.submit_statement("SELECT event_id FROM flip_ev")
+    try:
+        deadline = time.time() + 60
+        page = op.fetch(0)
+        while page["resultType"] == "NOT_READY":
+            assert time.time() < deadline, "no page within 60s"
+            time.sleep(0.1)
+            page = op.fetch(0)
+        assert page["isStreaming"], "SELECT after async mode flip ran in batch mode"
+        assert page["jobID"] is not None
+    finally:
+        op.cancel()
