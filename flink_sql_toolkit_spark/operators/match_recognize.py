@@ -1303,6 +1303,13 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     #                      n//3 + (n%3=2), rows n - (n%3=1)
     #   A{2,3}? reluctant→ stops at 2 every time: n//2 pairs, rows 2*(n//2)
     #   A{2,}  greedy    → one match consuming the whole run iff n>=2
+    #
+    # WITHIN oracle (r11): PATTERN (A B) WITHIN INTERVAL '8' HOUR over
+    # disjoint symbol classes — matches are exactly the adjacent
+    # (non-purchase, purchase) row pairs with a strictly-sub-8h gap
+    # (the NFA rejects a row at ts >= first_ts + within), closed-form
+    # via LAG. ~half the 1550 candidate pairs at sf0.01 pass the gate,
+    # so both accept and reject paths are exercised.
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, ts, event_type, value,
@@ -1345,6 +1352,21 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY variant, user_id
       HAVING SUM(n_matches) > 0
+    ),
+    within_m AS (
+      SELECT user_id, MIN(prev_ts) AS start_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(2 * COUNT(*) AS BIGINT) AS rows_matched
+      FROM (
+        SELECT user_id, ts, event_type,
+               LAG(ts) OVER w AS prev_ts,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      WHERE event_type = 'purchase' AND prev_type <> 'purchase'
+        AND epoch_us(ts) - epoch_us(prev_ts) < 28800000000
+      GROUP BY user_id
     )
     SELECT 'df' AS variant, user_id, start_ts, purchase_ts, n_before,
            CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
@@ -1358,6 +1380,11 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT variant, user_id, start_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), n_matches, rows_matched
     FROM quant
+    UNION ALL
+    SELECT 'q_within', user_id, start_ts, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           n_matches, rows_matched
+    FROM within_m
     """,
 )
 def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1421,9 +1448,54 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_matched",
         )
 
+    def within_variant() -> DataFrame:
+        """PATTERN (A B) WITHIN INTERVAL '8' HOUR through the SQL
+        clause (dialect/mr_sql.py WITHIN parse → NFA per-attempt
+        clock) — disjoint symbol classes make the match set
+        closed-form (see the oracle's within_m CTE)."""
+        from flink_sql_toolkit_spark.dialect.mr_sql import (  # noqa: PLC0415
+            rewrite_match_recognize_sql,
+        )
+
+        ev.createOrReplaceTempView("events_mr_within")
+        stmt = rewrite_match_recognize_sql(
+            spark,
+            """
+            SELECT user_id, start_ts
+            FROM events_mr_within
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                MEASURES FIRST(A.ts) AS start_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B) WITHIN INTERVAL '8' HOUR
+                DEFINE
+                    A AS A.event_type <> 'purchase',
+                    B AS B.event_type = 'purchase'
+            )
+            """,
+        )
+        return spark.sql(stmt).groupBy("user_id").agg(
+            F.min("start_ts").alias("start_ts"),
+            F.count("*").cast("bigint").alias("n_matches"),
+            (F.count("*") * 2).cast("bigint").alias("rows_matched"),
+        ).select(
+            F.lit("q_within").alias("variant"),
+            "user_id",
+            "start_ts",
+            F.lit(None).cast("timestamp").alias("purchase_ts"),
+            F.lit(None).cast("bigint").alias("n_before"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+            "n_matches",
+            "rows_matched",
+        )
+
     return (
         df_path.unionByName(sql_path)
         .unionByName(quant_variant("q_bounded", "A{2,3}"))
         .unionByName(quant_variant("q_reluctant", "A{2,3}?"))
         .unionByName(quant_variant("q_atleast", "A{2,}"))
+        .unionByName(within_variant())
     )
