@@ -94,10 +94,27 @@ SHINGLES_SQL = f"""
 """
 
 
-def dedup_exact_on(docs: DataFrame) -> DataFrame:
+def _content_hasher(hash_fn: str):
+    """Column-expression hash factory for the dedup family.
+
+    ``md5`` (default) is DuckDB-reproducible, so the oracle-gated
+    entries use it. ``xxhash64`` is the production choice (~5× cheaper
+    per byte, JVM-intrinsic, no oracle) — rendered as zero-padded
+    fixed-width hex so lexicographic MIN stays numeric MIN and every
+    downstream consumer (groupBy keys, minhash slices, band keys)
+    works unchanged."""
+    if hash_fn == "md5":
+        return F.md5
+    if hash_fn == "xxhash64":
+        return lambda c: F.lpad(F.hex(F.xxhash64(c)), 16, "0")
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def dedup_exact_on(docs: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """Exact-dedup core over any documents frame (doc_id, text)."""
+    hasher = _content_hasher(hash_fn)
     return (
-        docs.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
+        docs.select("doc_id", hasher(normalized_text()).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_copies") > 1)
@@ -156,7 +173,9 @@ def dedup_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_on(docs.unionByName(copies))
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
     """doc_id → [minhash_0..minhash_{k-1}].
 
     The k hash functions are the k fixed-width hex slices of
@@ -168,12 +187,28 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     → map-side partial aggregation does the heavy lifting.
     """
     sh = shingles(load_fanout_table(spark, sf_dir, "documents"), distinct=False)
-    h1, h2 = F.md5(F.col("shingle")), F.md5(F.concat(F.lit("x"), F.col("shingle")))
-    width = 32 // (N_HASHES // 2)  # hex chars per slice over 2 digests
+    if hash_fn == "md5":
+        # 2 × 128-bit digests → 8 slices of 8 hex chars
+        digests = [
+            F.md5(F.col("shingle")),
+            F.md5(F.concat(F.lit("x"), F.col("shingle"))),
+        ]
+        hex_len = 32
+    else:
+        # production path: 4 prefixed 64-bit digests → 8 slices of
+        # 8 hex chars (same function count and slice width as md5)
+        _content_hasher(hash_fn)  # validates the name
+        digests = [
+            F.lpad(F.hex(F.xxhash64(F.concat(F.lit(p), F.col("shingle")))), 16, "0")
+            for p in ("", "x", "y", "z")
+        ]
+        hex_len = 16
+    per = N_HASHES // len(digests)
+    width = hex_len // per  # hex chars per slice
     slices = [
-        F.min(F.substring(h, i * width + 1, width)).alias(f"mh{d * (N_HASHES // 2) + i}")
-        for d, h in enumerate((h1, h2))
-        for i in range(N_HASHES // 2)
+        F.min(F.substring(h, i * width + 1, width)).alias(f"mh{d * per + i}")
+        for d, h in enumerate(digests)
+        for i in range(per)
     ]
     return (
         sh.groupBy("doc_id")
@@ -223,7 +258,9 @@ MINHASH_SQL = f"""
     SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
     """MinHash + LSH banding: near-duplicate candidate pairs.
 
     shingle→minhash→band→bucket-group: docs are grouped by
@@ -237,7 +274,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``LSH_BUCKET_CAP`` are excluded here and surfaced as flagged
     template clusters by `lsh_template_clusters`.
     """
-    ok, _flagged = _lsh_grouped_buckets(spark, sf_dir)
+    ok, _flagged = _lsh_grouped_buckets(spark, sf_dir, hash_fn=hash_fn)
     return (
         ok.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
         .select("doc_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"))
@@ -245,8 +282,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(spark, sf_dir)
+def _lsh_band_keys(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir, hash_fn=hash_fn)
     return sigs.select(
         "doc_id",
         "sig",
@@ -263,7 +302,7 @@ def _lsh_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_grouped_buckets(
-    spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP
+    spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP, hash_fn: str = "md5"
 ) -> tuple[DataFrame, DataFrame]:
     """(pair-expandable buckets, flagged template clusters).
 
@@ -282,7 +321,7 @@ def _lsh_grouped_buckets(
     flagged sample is row_number-capped at 10 ids pre-aggregation."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
-    bands = _lsh_band_keys(spark, sf_dir)
+    bands = _lsh_band_keys(spark, sf_dir, hash_fn=hash_fn)
     w = W.partitionBy("band", "band_key").orderBy("doc_id")
     sized = bands.select(
         "band",

@@ -591,3 +591,57 @@ def test_repetition_signals_groundtruth(spark):
     got = {r.doc_id: (r.top_bg_cnt, r.top_tg_cnt)
            for r in repetition_signals(docs).collect()}
     assert got == {1: (2, 1), 2: (2, 1)}  # doc 3: no grams, no row
+
+
+class TestXxhash64Option:
+    """VERDICT r10 ask #5 — the production hash width is a real option,
+    not a documented TODO: hash_fn='xxhash64' on exact dedup and the
+    MinHash/LSH pipeline produces the same duplicate sets as the
+    oracle-compatible md5 default on the fixtures."""
+
+    def test_exact_dedup_same_groups(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from flink_sql_toolkit_spark.operators.dedup import (
+            PLANT_DOC_MOD,
+            PLANT_DOC_OFFSET,
+            dedup_exact_on,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        copies = docs.filter(F.col("doc_id") % PLANT_DOC_MOD == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(PLANT_DOC_OFFSET)
+        )
+        planted = docs.unionByName(copies)
+        md5_groups = sorted(
+            (r.keeper_doc_id, r.n_copies) for r in dedup_exact_on(planted).collect()
+        )
+        xx = dedup_exact_on(planted, hash_fn="xxhash64").collect()
+        xx_groups = sorted((r.keeper_doc_id, r.n_copies) for r in xx)
+        assert md5_groups == xx_groups and len(xx_groups) > 0
+        # fixed-width zero-padded hex: lexicographic min == numeric min
+        assert all(len(r.content_hash) == 16 for r in xx)
+
+    def test_minhash_lsh_same_pairs(self, spark, sf_dir):
+        from flink_sql_toolkit_spark.operators.dedup import dedup_minhash_lsh
+
+        md5_pairs = {
+            (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        }
+        xx_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_lsh(spark, sf_dir, hash_fn="xxhash64").collect()
+        }
+        assert len(md5_pairs) > 0
+        assert md5_pairs == xx_pairs
+
+    def test_unknown_hash_fn_typed_error(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from flink_sql_toolkit_spark.operators.dedup import dedup_exact_on
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with _pytest.raises(ValueError, match="xxhash64"):
+            dedup_exact_on(docs, hash_fn="sha1")
