@@ -858,7 +858,11 @@ class EngineSession:
             self.unreadable_tables[table.name] = str(e)
 
     def refresh_connector_views(self) -> None:
-        for table in self.connector_tables.values():
+        # snapshot: this now also runs on async submit worker threads
+        # (_after_statement), where a concurrent CREATE TABLE on the
+        # same session would otherwise blow up the iteration
+        # (review r11)
+        for table in list(self.connector_tables.values()):
             self._register_view(table)
 
     # -- conf-derived behaviors --------------------------------------

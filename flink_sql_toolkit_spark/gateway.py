@@ -447,9 +447,12 @@ class _Handler(BaseHTTPRequestHandler):
             # sessionHandle, so the client could never close it —
             # under the default config (no reaper) that is a permanent
             # leak (review r10 #1 / ADVICE r10). Close + forget, then
-            # surface the original error in the wire shape.
+            # surface the ORIGINAL error in the wire shape — a raising
+            # close (e.g. job teardown) must not mask it (review r11).
             try:
                 self.gateway.engine.close_session(sess.handle)
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
             finally:
                 self.gateway.forget(sess.handle)
             raise

@@ -349,11 +349,15 @@ def _lsh_grouped_buckets(
 
 
 def lsh_template_clusters(
-    spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP
+    spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Flagged degenerate LSH buckets (template clusters) — the
-    side-output companion to `dedup_minhash_lsh`."""
-    return _lsh_grouped_buckets(spark, sf_dir, cap)[1]
+    side-output companion to `dedup_minhash_lsh`. Pass the SAME
+    ``hash_fn`` as the dedup run: bucket membership depends on the
+    hash, so an md5 flag report does not describe the buckets an
+    xxhash64 run excluded (review r11)."""
+    return _lsh_grouped_buckets(spark, sf_dir, cap, hash_fn=hash_fn)[1]
 
 
 @register(

@@ -1423,20 +1423,12 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
 
-    def quant_variant(tag: str, pattern: str) -> DataFrame:
-        out = match_recognize(
-            ev,
-            partition_by=["user_id"],
-            order_by=["ts", "event_id"],
-            pattern=pattern,
-            define={"A": "event_type <> 'purchase'"},
-            measures={"first_ts": "FIRST(A.ts)", "n": "COUNT(A.*)"},
-        )
-        return out.groupBy("user_id").agg(
-            F.min("first_ts").alias("start_ts"),
-            F.count("*").cast("bigint").alias("n_matches"),
-            F.sum("n").cast("bigint").alias("rows_matched"),
-        ).select(
+    def pad_quant(tag: str, agg) -> DataFrame:
+        """(user_id, start_ts, n_matches, rows_matched) → the family
+        entry's 9-column shape, funnel columns null-padded — shared by
+        every quantifier/WITHIN variant so the union schema has one
+        definition (review r11)."""
+        return agg.select(
             F.lit(tag).alias("variant"),
             "user_id",
             "start_ts",
@@ -1447,6 +1439,21 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matches",
             "rows_matched",
         )
+
+    def quant_variant(tag: str, pattern: str) -> DataFrame:
+        out = match_recognize(
+            ev,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            pattern=pattern,
+            define={"A": "event_type <> 'purchase'"},
+            measures={"first_ts": "FIRST(A.ts)", "n": "COUNT(A.*)"},
+        )
+        return pad_quant(tag, out.groupBy("user_id").agg(
+            F.min("first_ts").alias("start_ts"),
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.sum("n").cast("bigint").alias("rows_matched"),
+        ))
 
     def within_variant() -> DataFrame:
         """PATTERN (A B) WITHIN INTERVAL '8' HOUR through the SQL
@@ -1476,21 +1483,11 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             """,
         )
-        return spark.sql(stmt).groupBy("user_id").agg(
+        return pad_quant("q_within", spark.sql(stmt).groupBy("user_id").agg(
             F.min("start_ts").alias("start_ts"),
             F.count("*").cast("bigint").alias("n_matches"),
             (F.count("*") * 2).cast("bigint").alias("rows_matched"),
-        ).select(
-            F.lit("q_within").alias("variant"),
-            "user_id",
-            "start_ts",
-            F.lit(None).cast("timestamp").alias("purchase_ts"),
-            F.lit(None).cast("bigint").alias("n_before"),
-            F.lit(None).cast("double").alias("min_value"),
-            F.lit(None).cast("double").alias("max_value"),
-            "n_matches",
-            "rows_matched",
-        )
+        ))
 
     return (
         df_path.unionByName(sql_path)

@@ -780,3 +780,29 @@ class TestHardeningR11:
             assert status == 200
         finally:
             g.stop()
+
+    def test_failing_set_cleanup_does_not_mask_original_error(self, spark):
+        """If the post-failure session cleanup itself raises, the wire
+        error must still be the property-SET failure, not the cleanup's
+        (review r11)."""
+        g = Gateway(spark).start()
+        try:
+            orig = g.engine.close_session
+
+            def exploding_close(handle):
+                orig(handle)
+                raise RuntimeError("teardown boom")
+
+            g.engine.close_session = exploding_close
+            status, out = http(
+                g, "POST", "/sessions",
+                {"sessionName": "mask",
+                 "properties": {"spark.sql.warehouse.dir": "/tmp/nope"}},
+            )
+            assert status == 500
+            assert "teardown boom" not in out["errors"][0]
+            assert "CANNOT_MODIFY" in out["errors"][0] or "static" in out["errors"][0]
+            assert not g.engine.sessions
+            g.engine.close_session = orig
+        finally:
+            g.stop()

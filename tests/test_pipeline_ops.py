@@ -645,3 +645,29 @@ class TestXxhash64Option:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         with _pytest.raises(ValueError, match="xxhash64"):
             dedup_exact_on(docs, hash_fn="sha1")
+
+    def test_template_clusters_follow_hash_fn(self, spark, sf_dir):
+        """The flagged side-output must describe the same buckets as
+        the dedup run it accompanies (review r11): with a cap of 1,
+        every multi-doc bucket is flagged, so every doc the SAME-hash
+        pair expansion would emit must appear in the flag report.
+        (Exact bucket sizes legitimately differ between hash
+        functions, so cross-hash equality is not asserted.)"""
+        from flink_sql_toolkit_spark.operators.dedup import (
+            dedup_minhash_lsh,
+            lsh_template_clusters,
+        )
+
+        flagged = lsh_template_clusters(
+            spark, sf_dir, cap=1, hash_fn="xxhash64"
+        ).collect()
+        assert len(flagged) > 0
+        flagged_docs = {d for r in flagged for d in r.sample_ids}
+        paired_docs = {
+            d
+            for r in dedup_minhash_lsh(spark, sf_dir, hash_fn="xxhash64").collect()
+            for d in (r.doc_a, r.doc_b)
+        }
+        # sample_ids caps at 10 per bucket; fixture buckets are small,
+        # so the cover property holds exactly here
+        assert paired_docs <= flagged_docs

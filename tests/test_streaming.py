@@ -1342,3 +1342,20 @@ def test_filesystem_stream_session_window_time(session, sf_dir):
     assert rows, "streaming session agg with window_time emitted nothing"
     for _u, we, wt, _n in rows:
         assert (we - wt).total_seconds() == pytest.approx(0.001)
+
+
+def test_buffer_contiguous_absolute_token_not_reinterpreted():
+    """A token equal to the last served end (what nextResultToken
+    followers send) is served absolutely even when it also happens to
+    be last_token+1 — only tokens that would RE-serve rows take the
+    sequential reading (review r11)."""
+    from flink_sql_toolkit_spark.streaming.buffer import StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=1000)
+    buf.append_batch([[0]])
+    page = buf.fetch(0)
+    assert page["nextResultToken"] == 1
+    buf.append_batch([[1], [2]])
+    # token 1 == last_token+1 AND == last served end: same rows under
+    # either reading — must be the new rows, exactly once
+    assert buf.fetch(1)["data"] == [[1], [2]]
