@@ -174,14 +174,19 @@ class StreamResultBuffer:
         interpretation, which is what ``nextResultToken``-following
         clients send (the two interpretations coincide for them:
         ``nextResultToken`` IS the absolute end of the last page).
-        The sequential branch additionally requires the token to fall
-        SHORT of the last served end — a contiguous absolute request
-        (token == last end) behaves identically under either reading,
-        so only tokens that would re-serve already-served rows are
-        reinterpreted. Like the real gateway (whose fetch API errors
-        on any token other than current/next), the cursor state makes
-        a result stream effectively single-consumer; independent
-        concurrent readers should each open their own operation.
+        The sequential reading MUST also cover tokens beyond the data
+        end: the reference loop increments its token on every poll
+        including empty ones, so during a stream stall the token
+        outruns the served end — bounding the branch by ``last_end``
+        would silently drop the rows that arrive after the stall
+        (review r11 pass 2 caught exactly that regression). For an
+        absolute ``nextResultToken`` follower the branch is harmless:
+        its request equals the last served end, where both readings
+        serve the same rows. Like the real gateway (whose fetch API
+        errors on any token other than current/next), the cursor
+        state makes a result stream effectively single-consumer;
+        independent concurrent readers should each open their own
+        operation.
         """
         with self._lock:
             if self._error is not None:
@@ -190,7 +195,6 @@ class StreamResultBuffer:
                 token != 0
                 and self._last_token is not None
                 and token == self._last_token + 1
-                and token < self._last_end
             ):
                 start_abs = self._last_end  # sequential client: next page
             elif token != 0 and token == self._last_token:

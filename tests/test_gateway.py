@@ -803,6 +803,9 @@ class TestHardeningR11:
             assert "teardown boom" not in out["errors"][0]
             assert "CANNOT_MODIFY" in out["errors"][0] or "static" in out["errors"][0]
             assert not g.engine.sessions
-            g.engine.close_session = orig
         finally:
+            # restore BEFORE stop(): a failing assert above must not
+            # leave the exploding close installed for teardown
+            # (review r11 pass 2)
+            g.engine.close_session = orig
             g.stop()

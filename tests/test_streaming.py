@@ -1359,3 +1359,21 @@ def test_buffer_contiguous_absolute_token_not_reinterpreted():
     # token 1 == last_token+1 AND == last served end: same rows under
     # either reading — must be the new rows, exactly once
     assert buf.fetch(1)["data"] == [[1], [2]]
+
+
+def test_buffer_sequential_tokens_survive_stream_stall():
+    """The reference loop increments its token on EVERY poll, empty
+    ones included — during a stall the token outruns the data end, and
+    rows arriving afterward must still be served (review r11 pass 2:
+    a last_end bound on the sequential branch silently dropped them)."""
+    from flink_sql_toolkit_spark.streaming.buffer import StreamResultBuffer
+
+    buf = StreamResultBuffer(max_rows=1000)
+    buf.append_batch([[0], [1], [2]])
+    assert [r[0] for r in buf.fetch(0)["data"]] == [0, 1, 2]
+    # idle polls while the source stalls: all empty, token keeps rising
+    for t in (1, 2, 3, 4):
+        assert buf.fetch(t)["data"] == []
+    # the stall ends: two more rows arrive at absolute positions 3, 4
+    buf.append_batch([[3], [4]])
+    assert [r[0] for r in buf.fetch(5)["data"]] == [3, 4]
