@@ -809,3 +809,42 @@ class TestHardeningR11:
             # (review r11 pass 2)
             g.engine.close_session = orig
             g.stop()
+
+
+def test_sequential_token_streaming_no_duplicates_on_the_wire(gw):
+    """The reference's streaming loop polls token 0, then 1, 2, 3, …
+    (sequential pages, src/notebookController.ts:221-246). Over HTTP
+    each row must arrive exactly once — python-side pin of the node
+    conformance harness's streaming step (r11)."""
+    h = open_session(gw, "seqtok")
+    try:
+        run_to_eos(
+            gw, h,
+            "CREATE TABLE seq_ev (event_id BIGINT, user_id BIGINT) WITH ("
+            "'connector'='filesystem', "
+            "'path'='/root/testdata/sf0.01/events.parquet', "
+            "'format'='parquet')",
+        )
+        oh = execute(gw, h, "SELECT event_id FROM seq_ev")
+        deadline = time.time() + 60
+        page = fetch(gw, h, oh, 0)
+        while page["resultType"] == "NOT_READY" and time.time() < deadline:
+            time.sleep(0.2)
+            page = fetch(gw, h, oh, 0)
+        seen = [r["fields"][0] for r in page["results"]["data"]]
+        token, empty = 0, 0
+        while empty < 5 and time.time() < deadline:
+            token += 1  # the client's exact strategy: ++ per poll
+            page = fetch(gw, h, oh, token)
+            rows = [r["fields"][0] for r in page["results"]["data"]]
+            if rows:
+                empty = 0
+                seen.extend(rows)
+            else:
+                empty += 1
+            time.sleep(0.1)
+        assert len(seen) == len(set(seen)), "duplicate rows on sequential tokens"
+        assert len(seen) >= 1000  # at least the ring's worth arrived
+        http(gw, "POST", f"/sessions/{h}/operations/{oh}/cancel")
+    finally:
+        http(gw, "DELETE", f"/sessions/{h}")
