@@ -50,6 +50,7 @@ import math
 import re
 import threading
 import traceback
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 from urllib.parse import parse_qs, urlparse
@@ -125,6 +126,14 @@ class Gateway:
         self._thread: threading.Thread | None = None
         self.session_idle_timeout_s = session_idle_timeout_s
         self._last_access: dict[str, float] = {}
+        # tombstones of handles this gateway closed (reaper or DELETE):
+        # a repeat DELETE answers CLOSED (idempotent under the reaper
+        # race) while a handle that NEVER existed stays 404 — blanket
+        # CLOSED-for-anything would mask client-side handle bugs
+        # (review r11 pass 3). Bounded LRU: one uuid per closed
+        # session would otherwise grow for the process lifetime.
+        self._closed: "OrderedDict[str, None]" = OrderedDict()
+        self._closed_cap = 10_000
         self._access_lock = threading.Lock()
         self._reaper_stop = threading.Event()
         self._reaper: threading.Thread | None = None
@@ -170,9 +179,10 @@ class Gateway:
                     pass
                 # a request that raced past the membership check may
                 # have re-touched the now-closed handle — drop it so
-                # the map cannot leak entries for dead sessions
-                with self._access_lock:
-                    self._last_access.pop(handle, None)
+                # the map cannot leak entries for dead sessions; the
+                # forget() also tombstones the handle so a client
+                # DELETE racing this reap answers CLOSED, not 404
+                self.forget(handle)
 
     def touch(self, handle: str) -> None:
         import time as _time  # noqa: PLC0415
@@ -188,8 +198,18 @@ class Gateway:
         """Drop the idleness record of an explicitly-closed session —
         the reaper only pops what it reaps, so DELETE'd sessions would
         otherwise leak one dict entry each for the process lifetime
-        (review r10)."""
+        (review r10) — and tombstone the handle so a repeat DELETE
+        stays idempotent (CLOSED, not 404)."""
         self._last_access.pop(handle, None)
+        with self._access_lock:
+            self._closed[handle] = None
+            self._closed.move_to_end(handle)
+            while len(self._closed) > self._closed_cap:
+                self._closed.popitem(last=False)
+
+    def was_closed(self, handle: str) -> bool:
+        with self._access_lock:
+            return handle in self._closed
 
     def stop(self) -> None:
         self._reaper_stop.set()
@@ -263,10 +283,11 @@ class Gateway:
             )
         # streaming observability passthrough (offset/eviction counters
         # the embedded API exposes — additive, the client ignores them)
-        for k in (
-            "offset", "totalRows", "isComplete", "lateDropped",
-            "evictedKeys", "skippedRows", "invalidatedKeys",
-        ):
+        from flink_sql_toolkit_spark.streaming.buffer import (  # noqa: PLC0415
+            OBSERVABILITY_COUNTERS,
+        )
+
+        for k in ("offset", "isComplete", *OBSERVABILITY_COUNTERS):
             if k in page:
                 out[k] = page[k]
         return out
@@ -465,16 +486,23 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def close_session(self, handle: str, query: str = "") -> None:
-        # idempotent: DELETE of a handle the reaper (or a concurrent
-        # DELETE) already closed answers CLOSED, never 404/500 — the
-        # validate-then-close window is unlocked, so racing the reaper
-        # is legal and close-twice must be a no-op (review r10 #2).
-        # engine.close_session itself is pop-based and tolerates the
-        # handle vanishing between the check and the call.
+        # idempotent under the reaper race: DELETE of a handle this
+        # gateway already closed (reaper or a previous DELETE — the
+        # tombstone set) answers CLOSED, never 404/500, since the
+        # validate-then-close window is unlocked (review r10 #2). A
+        # handle that NEVER existed stays 404 — blanket CLOSED would
+        # mask client-side handle bugs while the real session leaks
+        # (review r11 pass 3). engine.close_session itself is
+        # pop-based and tolerates the handle vanishing between the
+        # check and the call.
         if handle in self.gateway.engine.sessions:
             self.gateway.engine.close_session(handle)
-        self.gateway.forget(handle)
-        self._reply({"status": "CLOSED"})
+            self.gateway.forget(handle)
+            self._reply({"status": "CLOSED"})
+        elif self.gateway.was_closed(handle):
+            self._reply({"status": "CLOSED"})
+        else:
+            raise _HttpError(404, f"Session '{handle}' does not exist.")
 
     def execute(self, handle: str, query: str = "") -> None:
         body = self._body()

@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from flink_sql_toolkit_spark.dialect.splitter import split_statements
+from flink_sql_toolkit_spark.streaming.buffer import OBSERVABILITY_COUNTERS
 
 MARKUP, CODE = 1, 2  # vscode.NotebookCellKind
 
@@ -179,10 +180,7 @@ def run_notebook(
                     sr.is_streaming = bool(page.get("isStreaming", sr.is_streaming))
                     if "isComplete" in page:
                         sr.is_complete = bool(page["isComplete"])
-                    for k in (
-                        "totalRows", "lateDropped", "evictedKeys",
-                        "skippedRows", "invalidatedKeys",
-                    ):
+                    for k in OBSERVABILITY_COUNTERS:
                         if k in page:
                             sr.counters[k] = page[k]
                     token = page.get("nextResultToken", token + 1)

@@ -94,19 +94,31 @@ SHINGLES_SQL = f"""
 """
 
 
+def _xx64_hex(col: Column, prefix: str = "") -> Column:
+    """xxhash64 rendered as zero-padded fixed-width (16-char) hex so
+    lexicographic MIN stays numeric MIN — the single definition of the
+    rendering shared by the exact-dedup and minhash paths (review
+    r11 pass 3). ``prefix`` derives an independent hash function."""
+    c = F.concat(F.lit(prefix), col) if prefix else col
+    return F.lpad(F.hex(F.xxhash64(c)), 16, "0")
+
+
 def _content_hasher(hash_fn: str):
-    """Column-expression hash factory for the dedup family.
+    """Column-expression content hash for EXACT dedup.
 
     ``md5`` (default) is DuckDB-reproducible, so the oracle-gated
     entries use it. ``xxhash64`` is the production choice (~5× cheaper
-    per byte, JVM-intrinsic, no oracle) — rendered as zero-padded
-    fixed-width hex so lexicographic MIN stays numeric MIN and every
-    downstream consumer (groupBy keys, minhash slices, band keys)
-    works unchanged."""
+    per byte, JVM-intrinsic, no oracle) — but exact dedup's contract
+    is collision-free-in-practice, and a single 64-bit lane reaches a
+    ~50% birthday collision around 5×10⁹ docs (a colliding unique doc
+    would silently be dropped as a 'duplicate'). So the xxhash64 path
+    concatenates TWO independent prefixed lanes = 128 bits, matching
+    md5's bound (review r11 pass 3); MinHash keeps single 64-bit
+    lanes — its contract is probabilistic anyway."""
     if hash_fn == "md5":
         return F.md5
     if hash_fn == "xxhash64":
-        return lambda c: F.lpad(F.hex(F.xxhash64(c)), 16, "0")
+        return lambda c: F.concat(_xx64_hex(c), _xx64_hex(c, "x"))
     raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
@@ -198,10 +210,7 @@ def minhash_signatures(
         # production path: 4 prefixed 64-bit digests → 8 slices of
         # 8 hex chars (same function count and slice width as md5)
         _content_hasher(hash_fn)  # validates the name
-        digests = [
-            F.lpad(F.hex(F.xxhash64(F.concat(F.lit(p), F.col("shingle")))), 16, "0")
-            for p in ("", "x", "y", "z")
-        ]
+        digests = [_xx64_hex(F.col("shingle"), p) for p in ("", "x", "y", "z")]
         hex_len = 16
     per = N_HASHES // len(digests)
     width = hex_len // per  # hex chars per slice

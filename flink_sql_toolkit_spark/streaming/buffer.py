@@ -26,6 +26,18 @@ NOT_READY = "NOT_READY"
 PAYLOAD = "PAYLOAD"
 EOS = "EOS"
 
+# Observability counters the buffers attach to pages — the single
+# source of truth for every surface that forwards them (the gateway's
+# wire passthrough, the notebook runner's StatementResult.counters);
+# hand-duplicated lists drift when a counter is added (review r11)
+OBSERVABILITY_COUNTERS = (
+    "totalRows",
+    "lateDropped",
+    "evictedKeys",
+    "skippedRows",
+    "invalidatedKeys",
+)
+
 
 def grouping_key_positions(df) -> list[int] | None:
     """Output positions of the outermost Aggregate's grouping columns.
@@ -174,6 +186,14 @@ class StreamResultBuffer:
         interpretation, which is what ``nextResultToken``-following
         clients send (the two interpretations coincide for them:
         ``nextResultToken`` IS the absolute end of the last page).
+        One deliberate exception to "absolute otherwise": an absolute
+        RE-read that happens to land on ``last_token + 1`` (e.g.
+        re-reading position 7 right after position 6) takes the
+        sequential reading — the cursor cannot distinguish the two,
+        and preferring sequential is what keeps the reference's
+        streaming loop duplicate-free. Flink's real gateway rejects
+        such tokens outright; re-readers here should restart from
+        token 0 (the current ring) instead.
         The sequential reading MUST also cover tokens beyond the data
         end: the reference loop increments its token on every poll
         including empty ones, so during a stream stall the token

@@ -729,19 +729,27 @@ class TestHardeningR11:
         """DELETE twice (and DELETE of a handle the reaper already
         closed) answers CLOSED, never 404/500 — the validate-then-close
         window is unlocked, so close-twice must be a no-op
-        (VERDICT r10 #2)."""
+        (VERDICT r10 #2). A handle that never existed stays 404
+        (review r11 pass 3: blanket CLOSED would mask client handle
+        bugs)."""
         h = open_session(gw, "twice")
         status, out = http(gw, "DELETE", f"/sessions/{h}")
         assert (status, out["status"]) == (200, "CLOSED")
         status, out = http(gw, "DELETE", f"/sessions/{h}")
         assert (status, out["status"]) == (200, "CLOSED")
-        # simulate the reaper winning the race: engine-side close between
-        # the client's validate and its DELETE
+        # simulate the reaper winning the race: close + tombstone
+        # (exactly what _reap_loop does) between the client's
+        # validate and its DELETE
         h2 = open_session(gw, "raced")
         gw.engine.close_session(h2)
+        gw.forget(h2)
         status, out = http(gw, "DELETE", f"/sessions/{h2}")
         assert (status, out["status"]) == (200, "CLOSED")
         assert h2 not in gw._last_access  # forget() still ran
+        # a handle this gateway never issued/closed is a 404
+        status, out = http(gw, "DELETE", "/sessions/never-existed")
+        assert status == 404
+        assert "does not exist" in out["errors"][0]
 
     def test_job_cancel_mode_exact_match(self, gw):
         """?mode is parsed, not substring-matched: mode values that merely

@@ -621,8 +621,9 @@ class TestXxhash64Option:
         xx = dedup_exact_on(planted, hash_fn="xxhash64").collect()
         xx_groups = sorted((r.keeper_doc_id, r.n_copies) for r in xx)
         assert md5_groups == xx_groups and len(xx_groups) > 0
-        # fixed-width zero-padded hex: lexicographic min == numeric min
-        assert all(len(r.content_hash) == 16 for r in xx)
+        # two independent 64-bit lanes = 128 bits of fixed-width hex:
+        # exact dedup keeps md5's collision bound (review r11 pass 3)
+        assert all(len(r.content_hash) == 32 for r in xx)
 
     def test_minhash_lsh_same_pairs(self, spark, sf_dir):
         from flink_sql_toolkit_spark.operators.dedup import dedup_minhash_lsh
