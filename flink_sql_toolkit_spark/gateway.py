@@ -56,6 +56,7 @@ from typing import Any
 from urllib.parse import parse_qs, urlparse
 
 from flink_sql_toolkit_spark.engine import Engine
+from flink_sql_toolkit_spark.streaming.buffer import OBSERVABILITY_COUNTERS
 
 _ROWKINDS = {
     "+I": "INSERT",
@@ -173,15 +174,19 @@ class Gateway:
                     if self._last_access.get(handle, cutoff + 1) > cutoff:
                         continue
                     self._last_access.pop(handle, None)
+                # tombstone BEFORE the close: engine.close_session pops
+                # the handle immediately but can spend seconds stopping
+                # streaming jobs — a client DELETE landing in that
+                # window must find the tombstone and answer CLOSED, not
+                # 404 (review r11 pass 4)
+                self.forget(handle)
                 try:
                     self.engine.close_session(handle)
                 except Exception:  # noqa: BLE001 — best-effort reap
                     pass
                 # a request that raced past the membership check may
                 # have re-touched the now-closed handle — drop it so
-                # the map cannot leak entries for dead sessions; the
-                # forget() also tombstones the handle so a client
-                # DELETE racing this reap answers CLOSED, not 404
+                # the map cannot leak entries for dead sessions
                 self.forget(handle)
 
     def touch(self, handle: str) -> None:
@@ -199,9 +204,13 @@ class Gateway:
         the reaper only pops what it reaps, so DELETE'd sessions would
         otherwise leak one dict entry each for the process lifetime
         (review r10) — and tombstone the handle so a repeat DELETE
-        stays idempotent (CLOSED, not 404)."""
-        self._last_access.pop(handle, None)
+        stays idempotent (CLOSED, not 404). The pop runs UNDER the
+        access lock: unlocked it can interleave between touch()'s
+        membership check and its write, stranding an idleness entry
+        for a dead session forever (review r11 pass 4 — the exact r10
+        leak this method exists to prevent)."""
         with self._access_lock:
+            self._last_access.pop(handle, None)
             self._closed[handle] = None
             self._closed.move_to_end(handle)
             while len(self._closed) > self._closed_cap:
@@ -283,10 +292,6 @@ class Gateway:
             )
         # streaming observability passthrough (offset/eviction counters
         # the embedded API exposes — additive, the client ignores them)
-        from flink_sql_toolkit_spark.streaming.buffer import (  # noqa: PLC0415
-            OBSERVABILITY_COUNTERS,
-        )
-
         for k in ("offset", "isComplete", *OBSERVABILITY_COUNTERS):
             if k in page:
                 out[k] = page[k]
@@ -496,8 +501,13 @@ class _Handler(BaseHTTPRequestHandler):
         # pop-based and tolerates the handle vanishing between the
         # check and the call.
         if handle in self.gateway.engine.sessions:
-            self.gateway.engine.close_session(handle)
+            # tombstone BEFORE the (possibly seconds-long) close so a
+            # concurrent DELETE answers CLOSED from the tombstone
+            # instead of 404ing in the window where the handle is in
+            # neither map (review r11 pass 4); a raising close also
+            # leaves the retry path CLOSED rather than 404
             self.gateway.forget(handle)
+            self.gateway.engine.close_session(handle)
             self._reply({"status": "CLOSED"})
         elif self.gateway.was_closed(handle):
             self._reply({"status": "CLOSED"})

@@ -856,3 +856,31 @@ def test_sequential_token_streaming_no_duplicates_on_the_wire(gw):
         http(gw, "POST", f"/sessions/{h}/operations/{oh}/cancel")
     finally:
         http(gw, "DELETE", f"/sessions/{h}")
+
+
+def test_concurrent_deletes_both_closed(spark):
+    """The tombstone is written BEFORE the (possibly slow) engine
+    close, so a DELETE racing another DELETE mid-close answers CLOSED
+    from the tombstone instead of 404ing in the window where the
+    handle is in neither map (review r11 pass 4)."""
+    import concurrent.futures as cf
+    import time as _time
+
+    g = Gateway(spark).start()
+    try:
+        h = open_session(g, "slowclose")
+        sess = g.engine.sessions[h]
+        orig_close = sess.close
+
+        def slow_close():
+            _time.sleep(1.0)  # emulate stopping streaming jobs
+            orig_close()
+
+        sess.close = slow_close
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(http, g, "DELETE", f"/sessions/{h}") for _ in range(2)]
+            results = [f.result() for f in futs]
+        for status, out in results:
+            assert (status, out["status"]) == (200, "CLOSED"), results
+    finally:
+        g.stop()
