@@ -173,7 +173,8 @@ class Gateway:
                 with self._access_lock:
                     if self._last_access.get(handle, cutoff + 1) > cutoff:
                         continue
-                    self._last_access.pop(handle, None)
+                # (the idleness pop happens inside forget() below,
+                # under the same lock — review r11 pass 5)
                 # tombstone BEFORE the close: engine.close_session pops
                 # the handle immediately but can spend seconds stopping
                 # streaming jobs — a client DELETE landing in that
@@ -508,6 +509,12 @@ class _Handler(BaseHTTPRequestHandler):
             # leaves the retry path CLOSED rather than 404
             self.gateway.forget(handle)
             self.gateway.engine.close_session(handle)
+            # forget AGAIN after the close: a session-scoped request
+            # landing in the tombstone-to-engine-pop window passes the
+            # membership check and touch() re-writes the idleness
+            # entry, which nothing else would ever remove (review r11
+            # pass 5 — same double-forget the reaper does)
+            self.gateway.forget(handle)
             self._reply({"status": "CLOSED"})
         elif self.gateway.was_closed(handle):
             self._reply({"status": "CLOSED"})
