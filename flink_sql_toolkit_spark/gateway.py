@@ -173,30 +173,35 @@ class Gateway:
                 with self._access_lock:
                     if self._last_access.get(handle, cutoff + 1) > cutoff:
                         continue
-                # (the idleness pop happens inside forget() below,
-                # under the same lock — review r11 pass 5)
-                # tombstone BEFORE the close: engine.close_session pops
-                # the handle immediately but can spend seconds stopping
-                # streaming jobs — a client DELETE landing in that
-                # window must find the tombstone and answer CLOSED, not
-                # 404 (review r11 pass 4)
+                # forget BEFORE the close: it pops the idleness entry
+                # and tombstones the handle under one lock, so (a) a
+                # client DELETE landing while close_session is still
+                # stopping streaming jobs answers CLOSED, not 404
+                # (review r11 pass 4), and (b) a request touching the
+                # session mid-close is a no-op in touch() — the
+                # tombstone check there makes a trailing re-forget
+                # unnecessary on every close path (review r11 pass 6)
                 self.forget(handle)
                 try:
                     self.engine.close_session(handle)
                 except Exception:  # noqa: BLE001 — best-effort reap
                     pass
-                # a request that raced past the membership check may
-                # have re-touched the now-closed handle — drop it so
-                # the map cannot leak entries for dead sessions
-                self.forget(handle)
 
     def touch(self, handle: str) -> None:
         import time as _time  # noqa: PLC0415
 
         with self._access_lock:
-            # only live sessions get idleness records — touching a
-            # handle the reaper just closed would strand an entry the
-            # reaper (which iterates engine.sessions) can never reach
+            # only live, never-closed sessions get idleness records.
+            # The tombstone check closes the forget-to-engine-pop
+            # window at the ROOT (review r11 pass 6): engine.
+            # close_session pops the handle only after forget() has
+            # tombstoned it, so a request touching the session
+            # mid-close is a no-op here rather than stranding an
+            # entry the reaper (which iterates engine.sessions) could
+            # never reach. Both maps are guarded by this lock, so the
+            # check-then-write is atomic against forget().
+            if handle in self._closed:
+                return
             if handle in self.engine.sessions:
                 self._last_access[handle] = _time.monotonic()
 
@@ -502,19 +507,16 @@ class _Handler(BaseHTTPRequestHandler):
         # pop-based and tolerates the handle vanishing between the
         # check and the call.
         if handle in self.gateway.engine.sessions:
-            # tombstone BEFORE the (possibly seconds-long) close so a
-            # concurrent DELETE answers CLOSED from the tombstone
-            # instead of 404ing in the window where the handle is in
-            # neither map (review r11 pass 4); a raising close also
-            # leaves the retry path CLOSED rather than 404
+            # forget (tombstone + idleness pop) BEFORE the possibly
+            # seconds-long close: a concurrent DELETE answers CLOSED
+            # from the tombstone instead of 404ing in the window where
+            # the handle is in neither map, a raising close leaves the
+            # retry path CLOSED rather than 404 (review r11 pass 4),
+            # and touch()'s tombstone check stops a mid-close request
+            # from resurrecting the idleness entry (pass 6 — no
+            # trailing re-forget needed on any close path)
             self.gateway.forget(handle)
             self.gateway.engine.close_session(handle)
-            # forget AGAIN after the close: a session-scoped request
-            # landing in the tombstone-to-engine-pop window passes the
-            # membership check and touch() re-writes the idleness
-            # entry, which nothing else would ever remove (review r11
-            # pass 5 — same double-forget the reaper does)
-            self.gateway.forget(handle)
             self._reply({"status": "CLOSED"})
         elif self.gateway.was_closed(handle):
             self._reply({"status": "CLOSED"})

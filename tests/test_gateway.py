@@ -884,3 +884,20 @@ def test_concurrent_deletes_both_closed(spark):
             assert (status, out["status"]) == (200, "CLOSED"), results
     finally:
         g.stop()
+
+
+def test_touch_refuses_tombstoned_handle(spark):
+    """Root-cause pin for the mid-close idleness leak (review r11
+    pass 6): once forget() has tombstoned a handle, touch() is a
+    no-op even while the session is still registered engine-side
+    (the forget-to-engine-pop window during a slow close)."""
+    g = Gateway(spark).start()
+    try:
+        h = open_session(g, "tomb")
+        g.forget(h)  # the mid-close state: tombstoned, not yet popped
+        assert h in g.engine.sessions
+        g.touch(h)
+        assert h not in g._last_access, "touch resurrected a tombstoned handle"
+        g.engine.close_session(h)
+    finally:
+        g.stop()
