@@ -220,7 +220,19 @@ class Gateway:
             self._closed[handle] = None
             self._closed.move_to_end(handle)
             while len(self._closed) > self._closed_cap:
-                self._closed.popitem(last=False)
+                # never evict a tombstone whose session is still
+                # engine-registered (mid-close): touch() relies on it
+                # to refuse the handle for the whole close duration
+                # (review r11 pass 6 — eviction there would downgrade
+                # the leak guarantee from unconditional to
+                # probabilistic). Oldest evictable entry wins; if
+                # every tombstone is load-bearing, let the set grow.
+                for old in self._closed:
+                    if old not in self.engine.sessions:
+                        del self._closed[old]
+                        break
+                else:
+                    break
 
     def was_closed(self, handle: str) -> bool:
         with self._access_lock:

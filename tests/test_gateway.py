@@ -901,3 +901,23 @@ def test_touch_refuses_tombstoned_handle(spark):
         g.engine.close_session(h)
     finally:
         g.stop()
+
+
+def test_tombstone_lru_spares_mid_close_handles(spark):
+    """LRU trimming must never evict the tombstone of a session still
+    engine-registered (mid-close) — touch() relies on it for the whole
+    close duration (review r11 pass 6)."""
+    g = Gateway(spark).start()
+    try:
+        h = open_session(g, "pinned")
+        g.forget(h)  # mid-close: tombstoned while still registered
+        g._closed_cap = 3
+        for i in range(10):  # churn far past the cap
+            g.forget(f"ephemeral-{i}")
+        assert g.was_closed(h), "mid-close tombstone was evicted"
+        assert len(g._closed) <= 4  # cap respected for evictable entries
+        g.touch(h)
+        assert h not in g._last_access
+        g.engine.close_session(h)
+    finally:
+        g.stop()
