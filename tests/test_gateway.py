@@ -921,3 +921,63 @@ def test_tombstone_lru_spares_mid_close_handles(spark):
         g.engine.close_session(h)
     finally:
         g.stop()
+
+
+def test_session_lifecycle_stress_no_strands_no_500s(spark):
+    """Race-hunting stress over the whole session state machine: many
+    threads doing open / DELETE / double-DELETE / heartbeat / GET
+    against a fast reaper for a few seconds. Invariants afterward:
+    no response was ever a 500, DELETE answered only CLOSED-or-404,
+    and no idleness entry is stranded for a dead session (the r10/r11
+    leak class)."""
+    import concurrent.futures as cf
+    import random
+
+    g = Gateway(spark, session_idle_timeout_s=0.6).start()
+    bad: list = []
+    try:
+        def worker(seed: int) -> None:
+            rng = random.Random(seed)
+            handles: list[str] = []
+            for _ in range(30):
+                op = rng.random()
+                if op < 0.35 or not handles:
+                    status, out = http(g, "POST", "/sessions", {"sessionName": f"s{seed}"})
+                    if status != 200:
+                        bad.append(("open", status, out))
+                        continue
+                    handles.append(out["sessionHandle"])
+                elif op < 0.6:
+                    h = rng.choice(handles)
+                    status, out = http(g, "DELETE", f"/sessions/{h}")
+                    if status == 200 and out.get("status") != "CLOSED":
+                        bad.append(("delete-body", status, out))
+                    if status not in (200, 404):
+                        bad.append(("delete", status, out))
+                elif op < 0.8:
+                    h = rng.choice(handles)
+                    status, _ = http(g, "POST", f"/sessions/{h}/heartbeat")
+                    if status not in (200, 404):
+                        bad.append(("heartbeat", status))
+                else:
+                    h = rng.choice(handles)
+                    status, _ = http(g, "GET", f"/sessions/{h}")
+                    if status not in (200, 404):
+                        bad.append(("get", status))
+                if rng.random() < 0.2:
+                    time.sleep(rng.uniform(0, 0.05))
+            for h in handles:  # some closed twice, some reaped — all legal
+                status, _ = http(g, "DELETE", f"/sessions/{h}")
+                if status not in (200, 404):
+                    bad.append(("final-delete", status))
+
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(worker, range(8)))
+        assert not bad, bad[:5]
+        # no idleness entry may outlive its session
+        time.sleep(0.1)
+        with g._access_lock:
+            stranded = [h for h in g._last_access if h not in g.engine.sessions]
+        assert not stranded, f"stranded idleness entries: {stranded}"
+    finally:
+        g.stop()
