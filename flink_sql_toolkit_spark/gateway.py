@@ -135,6 +135,12 @@ class Gateway:
         # session would otherwise grow for the process lifetime.
         self._closed: "OrderedDict[str, None]" = OrderedDict()
         self._closed_cap = 10_000
+        # handles whose engine close is in flight: their tombstones are
+        # pinned against LRU eviction for the WHOLE close duration —
+        # engine.close_session pops the handle from engine.sessions as
+        # its first statement, so membership alone stops pinning too
+        # early (review r11 pass 7)
+        self._closing: set[str] = set()
         self._access_lock = threading.Lock()
         self._reaper_stop = threading.Event()
         self._reaper: threading.Thread | None = None
@@ -173,19 +179,10 @@ class Gateway:
                 with self._access_lock:
                     if self._last_access.get(handle, cutoff + 1) > cutoff:
                         continue
-                # forget BEFORE the close: it pops the idleness entry
-                # and tombstones the handle under one lock, so (a) a
-                # client DELETE landing while close_session is still
-                # stopping streaming jobs answers CLOSED, not 404
-                # (review r11 pass 4), and (b) a request touching the
-                # session mid-close is a no-op in touch() — the
-                # tombstone check there makes a trailing re-forget
-                # unnecessary on every close path (review r11 pass 6)
-                self.forget(handle)
-                try:
-                    self.engine.close_session(handle)
-                except Exception:  # noqa: BLE001 — best-effort reap
-                    pass
+                # the shared close protocol: tombstone-then-close with
+                # the eviction pin held, close errors suppressed
+                # (best-effort reap) — see close_and_forget
+                self.close_and_forget(handle, suppress=True)
 
     def touch(self, handle: str) -> None:
         import time as _time  # noqa: PLC0415
@@ -220,15 +217,15 @@ class Gateway:
             self._closed[handle] = None
             self._closed.move_to_end(handle)
             while len(self._closed) > self._closed_cap:
-                # never evict a tombstone whose session is still
-                # engine-registered (mid-close): touch() relies on it
-                # to refuse the handle for the whole close duration
-                # (review r11 pass 6 — eviction there would downgrade
-                # the leak guarantee from unconditional to
-                # probabilistic). Oldest evictable entry wins; if
-                # every tombstone is load-bearing, let the set grow.
+                # never evict a load-bearing tombstone: one whose
+                # session is still engine-registered OR whose close is
+                # in flight (the engine pops the handle before the slow
+                # sess.close(), so membership alone releases the pin
+                # too early — review r11 passes 6+7). Oldest evictable
+                # entry wins; if every tombstone is load-bearing, let
+                # the set grow.
                 for old in self._closed:
-                    if old not in self.engine.sessions:
+                    if old not in self.engine.sessions and old not in self._closing:
                         del self._closed[old]
                         break
                 else:
@@ -237,6 +234,26 @@ class Gateway:
     def was_closed(self, handle: str) -> bool:
         with self._access_lock:
             return handle in self._closed
+
+    def close_and_forget(self, handle: str, suppress: bool) -> None:
+        """The single close protocol every close site uses (review r11
+        pass 6: duplicated forget/close sequences with divergent error
+        handling is how the earlier window bugs crept in): pin the
+        handle, forget it (tombstone + idleness pop, so concurrent
+        DELETEs answer CLOSED and touch() refuses it), then run the
+        possibly-seconds-long engine close with the pin held."""
+        with self._access_lock:
+            self._closing.add(handle)
+        try:
+            self.forget(handle)
+            try:
+                self.engine.close_session(handle)
+            except Exception:  # noqa: BLE001
+                if not suppress:
+                    raise
+        finally:
+            with self._access_lock:
+                self._closing.discard(handle)
 
     def stop(self) -> None:
         self._reaper_stop.set()
@@ -490,15 +507,11 @@ class _Handler(BaseHTTPRequestHandler):
             # already registered, but the error reply carries no
             # sessionHandle, so the client could never close it —
             # under the default config (no reaper) that is a permanent
-            # leak (review r10 #1 / ADVICE r10). Close + forget, then
-            # surface the ORIGINAL error in the wire shape — a raising
-            # close (e.g. job teardown) must not mask it (review r11).
-            try:
-                self.gateway.engine.close_session(sess.handle)
-            except Exception:  # noqa: BLE001 — best-effort cleanup
-                pass
-            finally:
-                self.gateway.forget(sess.handle)
+            # leak (review r10 #1 / ADVICE r10). The shared close
+            # protocol with close errors suppressed, then surface the
+            # ORIGINAL error in the wire shape — a raising close (e.g.
+            # job teardown) must not mask it (review r11).
+            self.gateway.close_and_forget(sess.handle, suppress=True)
             raise
         self._reply({"sessionHandle": sess.handle})
 
@@ -519,16 +532,13 @@ class _Handler(BaseHTTPRequestHandler):
         # pop-based and tolerates the handle vanishing between the
         # check and the call.
         if handle in self.gateway.engine.sessions:
-            # forget (tombstone + idleness pop) BEFORE the possibly
-            # seconds-long close: a concurrent DELETE answers CLOSED
-            # from the tombstone instead of 404ing in the window where
-            # the handle is in neither map, a raising close leaves the
-            # retry path CLOSED rather than 404 (review r11 pass 4),
-            # and touch()'s tombstone check stops a mid-close request
-            # from resurrecting the idleness entry (pass 6 — no
-            # trailing re-forget needed on any close path)
-            self.gateway.forget(handle)
-            self.gateway.engine.close_session(handle)
+            # the shared close protocol (tombstone-then-close with the
+            # eviction pin): a concurrent DELETE answers CLOSED from
+            # the tombstone instead of 404ing mid-close, a raising
+            # close leaves the retry path CLOSED rather than 404, and
+            # touch()'s tombstone check stops a mid-close request from
+            # resurrecting the idleness entry (review r11 passes 4-7)
+            self.gateway.close_and_forget(handle, suppress=False)
             self._reply({"status": "CLOSED"})
         elif self.gateway.was_closed(handle):
             self._reply({"status": "CLOSED"})

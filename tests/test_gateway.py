@@ -981,3 +981,44 @@ def test_session_lifecycle_stress_no_strands_no_500s(spark):
         assert not stranded, f"stranded idleness entries: {stranded}"
     finally:
         g.stop()
+
+
+def test_tombstone_pinned_through_slow_close(spark):
+    """The eviction pin must hold for the WHOLE close duration — the
+    engine pops the handle from engine.sessions before the slow
+    sess.close(), so membership alone would release the pin too early
+    and heavy forget churn mid-close could evict the tombstone,
+    turning a retry DELETE into a 404 (review r11 pass 7)."""
+    import threading as _threading
+    import time as _time
+
+    g = Gateway(spark).start()
+    try:
+        h = open_session(g, "pinslow")
+        sess = g.engine.sessions[h]
+        orig_close = sess.close
+        entered = _threading.Event()
+
+        def slow_close():
+            entered.set()
+            _time.sleep(1.0)
+            orig_close()
+
+        sess.close = slow_close
+        g._closed_cap = 3
+        t = _threading.Thread(
+            target=lambda: g.close_and_forget(h, suppress=True), daemon=True
+        )
+        t.start()
+        assert entered.wait(10)
+        # mid-close: handle already popped engine-side; churn the LRU
+        assert h not in g.engine.sessions
+        for i in range(10):
+            g.forget(f"churn-{i}")
+        assert g.was_closed(h), "tombstone evicted while close in flight"
+        status, out = http(g, "DELETE", f"/sessions/{h}")
+        assert (status, out["status"]) == (200, "CLOSED")
+        t.join(timeout=15)
+        assert not g._closing  # pin released after close completes
+    finally:
+        g.stop()
