@@ -139,8 +139,11 @@ class Gateway:
         # pinned against LRU eviction for the WHOLE close duration —
         # engine.close_session pops the handle from engine.sessions as
         # its first statement, so membership alone stops pinning too
-        # early (review r11 pass 7)
-        self._closing: set[str] = set()
+        # early (review r11 pass 7). REFCOUNTED: two concurrent closes
+        # of one handle (reaper + DELETE, or double-DELETE) must not
+        # let the fast second entrant release the first's pin
+        # (pass 8).
+        self._closing: dict[str, int] = {}
         self._access_lock = threading.Lock()
         self._reaper_stop = threading.Event()
         self._reaper: threading.Thread | None = None
@@ -213,23 +216,25 @@ class Gateway:
         for a dead session forever (review r11 pass 4 — the exact r10
         leak this method exists to prevent)."""
         with self._access_lock:
-            self._last_access.pop(handle, None)
-            self._closed[handle] = None
-            self._closed.move_to_end(handle)
-            while len(self._closed) > self._closed_cap:
-                # never evict a load-bearing tombstone: one whose
-                # session is still engine-registered OR whose close is
-                # in flight (the engine pops the handle before the slow
-                # sess.close(), so membership alone releases the pin
-                # too early — review r11 passes 6+7). Oldest evictable
-                # entry wins; if every tombstone is load-bearing, let
-                # the set grow.
-                for old in self._closed:
-                    if old not in self.engine.sessions and old not in self._closing:
-                        del self._closed[old]
-                        break
-                else:
+            self._forget_locked(handle)
+
+    def _forget_locked(self, handle: str) -> None:
+        self._last_access.pop(handle, None)
+        self._closed[handle] = None
+        self._closed.move_to_end(handle)
+        while len(self._closed) > self._closed_cap:
+            # never evict a load-bearing tombstone: one whose session
+            # is still engine-registered OR whose close is in flight
+            # (the engine pops the handle before the slow sess.close(),
+            # so membership alone releases the pin too early — review
+            # r11 passes 6+7). Oldest evictable entry wins; if every
+            # tombstone is load-bearing, let the set grow.
+            for old in self._closed:
+                if old not in self.engine.sessions and old not in self._closing:
+                    del self._closed[old]
                     break
+            else:
+                break
 
     def was_closed(self, handle: str) -> bool:
         with self._access_lock:
@@ -239,13 +244,16 @@ class Gateway:
         """The single close protocol every close site uses (review r11
         pass 6: duplicated forget/close sequences with divergent error
         handling is how the earlier window bugs crept in): pin the
-        handle, forget it (tombstone + idleness pop, so concurrent
-        DELETEs answer CLOSED and touch() refuses it), then run the
-        possibly-seconds-long engine close with the pin held."""
+        handle (refcounted — a fast concurrent second close of the
+        same handle must not release the first's pin, pass 8) and
+        forget it (tombstone + idleness pop, so concurrent DELETEs
+        answer CLOSED and touch() refuses it) in ONE critical section,
+        then run the possibly-seconds-long engine close with the pin
+        held."""
         with self._access_lock:
-            self._closing.add(handle)
+            self._closing[handle] = self._closing.get(handle, 0) + 1
+            self._forget_locked(handle)
         try:
-            self.forget(handle)
             try:
                 self.engine.close_session(handle)
             except Exception:  # noqa: BLE001
@@ -253,7 +261,11 @@ class Gateway:
                     raise
         finally:
             with self._access_lock:
-                self._closing.discard(handle)
+                n = self._closing.get(handle, 1) - 1
+                if n <= 0:
+                    self._closing.pop(handle, None)
+                else:
+                    self._closing[handle] = n
 
     def stop(self) -> None:
         self._reaper_stop.set()
@@ -267,10 +279,11 @@ class Gateway:
         if self._thread is not None:
             self._thread.join(timeout=5)
         for handle in list(self.engine.sessions):
-            try:
-                self.engine.close_session(handle)
-            except Exception:  # noqa: BLE001 — best-effort teardown
-                pass
+            # the shared close protocol here too (review r11 pass 8:
+            # "every close site" must mean every close site — an
+            # in-flight daemon handler can still race this teardown,
+            # since shutdown() does not wait for active handlers)
+            self.close_and_forget(handle, suppress=True)
         self._last_access.clear()
 
     # -- request-level operations (handler delegates here) ------------

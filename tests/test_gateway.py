@@ -1022,3 +1022,40 @@ def test_tombstone_pinned_through_slow_close(spark):
         assert not g._closing  # pin released after close completes
     finally:
         g.stop()
+
+
+def test_closing_pin_is_refcounted(spark):
+    """A fast second close of the same handle must not release the
+    first (slow) closer's eviction pin (review r11 pass 8)."""
+    import threading as _threading
+    import time as _time
+
+    g = Gateway(spark).start()
+    try:
+        h = open_session(g, "refc")
+        sess = g.engine.sessions[h]
+        orig_close = sess.close
+        entered = _threading.Event()
+
+        def slow_close():
+            entered.set()
+            _time.sleep(1.0)
+            orig_close()
+
+        sess.close = slow_close
+        g._closed_cap = 3
+        t = _threading.Thread(
+            target=lambda: g.close_and_forget(h, suppress=True), daemon=True
+        )
+        t.start()
+        assert entered.wait(10)
+        # the fast second closer: engine pop is a no-op, returns at once
+        g.close_and_forget(h, suppress=True)
+        assert g._closing.get(h) == 1, "second closer released the pin"
+        for i in range(10):  # churn the LRU while the slow close runs
+            g.forget(f"refc-churn-{i}")
+        assert g.was_closed(h), "tombstone evicted: pin was not held"
+        t.join(timeout=15)
+        assert h not in g._closing
+    finally:
+        g.stop()
