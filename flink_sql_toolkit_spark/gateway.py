@@ -278,13 +278,22 @@ class Gateway:
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
-        for handle in list(self.engine.sessions):
-            # the shared close protocol here too (review r11 pass 8:
-            # "every close site" must mean every close site — an
-            # in-flight daemon handler can still race this teardown,
-            # since shutdown() does not wait for active handlers)
-            self.close_and_forget(handle, suppress=True)
-        self._last_access.clear()
+        # the shared close protocol here too (review r11 pass 8:
+        # "every close site" must mean every close site). Loop until
+        # empty: shutdown() does not wait for active daemon handlers,
+        # so an in-flight keep-alive request can still open_session
+        # AFTER a single snapshot — re-snapshot until none appear
+        # (bounded: the socket is closed, so only the finite set of
+        # already-active handlers can add sessions — review r11
+        # pass 9).
+        for _ in range(50):
+            handles = list(self.engine.sessions)
+            if not handles:
+                break
+            for handle in handles:
+                self.close_and_forget(handle, suppress=True)
+        with self._access_lock:
+            self._last_access.clear()
 
     # -- request-level operations (handler delegates here) ------------
 

@@ -1036,10 +1036,11 @@ def test_closing_pin_is_refcounted(spark):
         sess = g.engine.sessions[h]
         orig_close = sess.close
         entered = _threading.Event()
+        release = _threading.Event()  # test-controlled, no timing race
 
         def slow_close():
             entered.set()
-            _time.sleep(1.0)
+            release.wait(30)
             orig_close()
 
         sess.close = slow_close
@@ -1055,6 +1056,7 @@ def test_closing_pin_is_refcounted(spark):
         for i in range(10):  # churn the LRU while the slow close runs
             g.forget(f"refc-churn-{i}")
         assert g.was_closed(h), "tombstone evicted: pin was not held"
+        release.set()
         t.join(timeout=15)
         assert h not in g._closing
     finally:
