@@ -754,8 +754,13 @@ class EngineSession:
         # skip it, so a mode flip over the wire silently left every
         # existing table registered in the old mode (found by the r11
         # node conformance harness driving the reference client's
-        # statement sequence).
-        if re.match(r"(?is)^\s*SET\s+'execution\.runtime-mode'", statement):
+        # statement sequence). RESET flips the mode too — bare RESET
+        # clears every key (mode falls back to the streaming default)
+        # and RESET 'execution.runtime-mode' clears just it (r11:
+        # views stayed batch-registered after a RESET).
+        if re.match(r"(?is)^\s*SET\s+'execution\.runtime-mode'", statement) or re.match(
+            r"(?is)^\s*RESET\s*(?:'execution\.runtime-mode'\s*)?;?\s*$", statement
+        ):
             self.refresh_connector_views()
 
     def submit_statement(self, statement: str) -> Operation:

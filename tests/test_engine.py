@@ -597,3 +597,34 @@ def test_submit_statement_mode_flip_refreshes_views(session):
         assert page["jobID"] is not None
     finally:
         op.cancel()
+
+
+def test_reset_mode_refreshes_views(session):
+    """RESET flips the effective runtime mode back to the streaming
+    default, so it must re-register connector views exactly like SET
+    does (r11: a batch session's tables stayed batch-registered after
+    RESET 'execution.runtime-mode')."""
+    import time
+
+    session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
+    session.execute_statement(
+        "CREATE TABLE reset_ev (event_id BIGINT, user_id BIGINT) WITH ("
+        "'connector'='filesystem', "
+        "'path'='/root/testdata/sf0.001/events.parquet', "
+        "'format'='parquet')"
+    )
+    session.execute_statement("RESET 'execution.runtime-mode'")
+    assert session.runtime_mode == "streaming"
+    op = session.submit_statement("SELECT event_id FROM reset_ev")
+    try:
+        deadline = time.time() + 60
+        page = op.fetch(0)
+        while page["resultType"] == "NOT_READY":
+            assert time.time() < deadline
+            time.sleep(0.1)
+            page = op.fetch(0)
+        assert page["isStreaming"], "SELECT after RESET ran in batch mode"
+    finally:
+        op.cancel()
+    # restore batch for neighboring tests in this session
+    session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
