@@ -743,24 +743,26 @@ class EngineSession:
     def execute_statement(self, statement: str) -> Operation:
         op = Operation(self, statement)
         self.operations[op.handle] = op
+        mode_before = self.runtime_mode
         op.execute()
-        self._after_statement(statement)
+        self._after_statement(mode_before)
         return op
 
-    def _after_statement(self, statement: str) -> None:
+    def _after_statement(self, mode_before: str) -> None:
         # switching batch/streaming re-registers connector views in
         # the new mode (Flink re-plans per mode the same way). Must
         # run on BOTH execution paths: the async gateway path used to
         # skip it, so a mode flip over the wire silently left every
         # existing table registered in the old mode (found by the r11
         # node conformance harness driving the reference client's
-        # statement sequence). RESET flips the mode too — bare RESET
-        # clears every key (mode falls back to the streaming default)
-        # and RESET 'execution.runtime-mode' clears just it (r11:
-        # views stayed batch-registered after a RESET).
-        if re.match(r"(?is)^\s*SET\s+'execution\.runtime-mode'", statement) or re.match(
-            r"(?is)^\s*RESET\s*(?:'execution\.runtime-mode'\s*)?;?\s*$", statement
-        ):
+        # statement sequence). Triggered by comparing the EFFECTIVE
+        # mode before/after execution rather than regex-matching the
+        # statement (review r11 pass 10: the regexes missed
+        # comment-prefixed and multi-semicolon spellings that the
+        # SET/RESET handlers themselves accept, and RESET flips the
+        # mode too — mode-change detection covers every spelling and
+        # never refreshes spuriously).
+        if self.runtime_mode != mode_before:
             self.refresh_connector_views()
 
     def submit_statement(self, statement: str) -> Operation:
@@ -776,11 +778,12 @@ class EngineSession:
 
         def run() -> None:
             try:
+                mode_before = self.runtime_mode
                 op._execute()
                 # before the client can observe completion: a client
                 # that saw this SET reach EOS must find the views
                 # already re-registered when its next statement runs
-                self._after_statement(statement)
+                self._after_statement(mode_before)
                 if op.status == "RUNNING" and op._stream_buffer is None:
                     op.status = "FINISHED"
             except Exception as e:  # noqa: BLE001

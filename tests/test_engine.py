@@ -604,8 +604,6 @@ def test_reset_mode_refreshes_views(session):
     default, so it must re-register connector views exactly like SET
     does (r11: a batch session's tables stayed batch-registered after
     RESET 'execution.runtime-mode')."""
-    import time
-
     session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
     session.execute_statement(
         "CREATE TABLE reset_ev (event_id BIGINT, user_id BIGINT) WITH ("
@@ -626,5 +624,13 @@ def test_reset_mode_refreshes_views(session):
         assert page["isStreaming"], "SELECT after RESET ran in batch mode"
     finally:
         op.cancel()
-    # restore batch for neighboring tests in this session
-    session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
+    # comment-prefixed spelling must flip views too (review r11 pass
+    # 10: the handlers strip comments, so the refresh trigger must not
+    # re-parse the raw text — it detects the effective mode change)
+    session.execute_statement(
+        "-- back to batch\nSET 'execution.runtime-mode' = 'batch'"
+    )
+    rows = session.execute_statement(
+        "SELECT COUNT(*) AS n FROM reset_ev"
+    ).fetch()["data"]
+    assert rows[0][0] > 0  # a batch read: the view was re-registered
