@@ -171,3 +171,29 @@ def test_tvf_wrapper_preserves_pushdown(spark, sf_dir):
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     # column pruning: only the two referenced source columns are read
     assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in scan_line
+
+
+def test_xxhash64_paths_keep_md5_topology(spark, sf_dir):
+    """The production hash option must not change the plan shape:
+    xxhash64 dedup keeps the single-scan / 3-shuffle MinHash topology
+    and exact dedup keeps its partial aggregation (r11 — the option
+    is a pure expression swap, proven here rather than assumed)."""
+    import re as _re
+
+    from flink_sql_toolkit_spark.operators.dedup import (
+        dedup_exact_on,
+        dedup_minhash_lsh,
+    )
+
+    plan = (
+        dedup_minhash_lsh(spark, sf_dir, hash_fn="xxhash64")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("documents.parquet") == 1
+    assert len(_re.findall(r"\bExchange hashpartitioning", plan)) == 3
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eplan = (
+        dedup_exact_on(docs, hash_fn="xxhash64")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in eplan or "partial" in eplan.lower()
