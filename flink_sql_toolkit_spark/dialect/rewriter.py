@@ -115,12 +115,15 @@ def _interval_seconds(masked: str, lits: list[str]) -> int | None:
 
 
 def _split_args(arglist: str) -> list[str]:
-    """Split a TVF argument list on top-level commas."""
+    """Split an argument list on top-level commas. Tracks square
+    brackets as well as parentheses: ``ARRAY[1, 2]`` / ``MAP['k', v]``
+    constructor literals must not split at their inner commas (review
+    r11 — UPDATE t SET a = ARRAY[1, 2] split mid-literal)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(arglist):
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(arglist[start:i].strip())

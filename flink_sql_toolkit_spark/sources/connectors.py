@@ -406,6 +406,22 @@ def csv_reader_options(opts: dict) -> dict:
     return out
 
 
+def csv_writer_options(opts: dict) -> dict:
+    """Writer-side subset of the ``csv.*`` vocabulary. COW rewrites
+    must write with the same dialect the reader parses — writing with
+    Spark's default quote/escape/nullValue while the table declares
+    custom ones silently corrupts the rewritten snapshot (NULLs come
+    back as empty strings, quoted fields shift columns) (review r11)."""
+    out = {"sep": opts.get("csv.field-delimiter", ",")}
+    if "csv.quote-character" in opts:
+        out["quote"] = opts["csv.quote-character"]
+    if "csv.escape-character" in opts:
+        out["escape"] = opts["csv.escape-character"]
+    if "csv.null-literal" in opts:
+        out["nullValue"] = opts["csv.null-literal"]
+    return out
+
+
 def kafka_writer_options(table: ConnectorTable) -> dict:
     """Flink kafka SINK options → Spark writer options, contract-
     testable without a broker (mirror of ``kafka_reader_options``).

@@ -43,12 +43,15 @@ from flink_sql_toolkit_spark.dialect.rewriter import (
 from flink_sql_toolkit_spark.sources.connectors import build_reader
 from flink_sql_toolkit_spark.sources.ddl import ConnectorTable
 
-_UPDATE_RE = re.compile(
-    r"(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$"
-)
-_DELETE_RE = re.compile(r"(?is)^DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*))?\s*$")
+# table-name positions admit \x00N\x00 placeholders: these regexes
+# run on the MASKED statement, where a backtick-quoted name has
+# already been replaced by a placeholder — a plain [\w.`] class made
+# `UPDATE `orders` SET …` unparseable (review r11)
+_NAME = r"[\w.`\x00]+"
+_UPDATE_RE = re.compile(rf"(?is)^UPDATE\s+({_NAME})\s+SET\s+(.*)$")
+_DELETE_RE = re.compile(rf"(?is)^DELETE\s+FROM\s+({_NAME})(?:\s+WHERE\s+(.*))?\s*$")
 _MERGE_HEAD_RE = re.compile(
-    r"(?is)^MERGE\s+INTO\s+([\w.`]+)\s+(?:(?:AS\s+)?(?!USING\b)(\w+)\s+)?USING\s+(.*)$"
+    rf"(?is)^MERGE\s+INTO\s+({_NAME})\s+(?:(?:AS\s+)?(?!USING\b)(\w+)\s+)?USING\s+(.*)$"
 )
 
 _REJECT_MSG = (
@@ -59,6 +62,27 @@ _REJECT_MSG = (
 )
 
 
+def _split_top_where(text: str) -> tuple[str, str | None]:
+    """Split ``<assignments> [WHERE <cond>]`` at the first TOP-LEVEL
+    WHERE keyword — a lazy regex split cut scalar subqueries in SET
+    expressions in half at their inner WHERE (review r11). Runs on
+    masked text, so literals cannot fake the keyword."""
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and text[i : i + 5].upper() == "WHERE":
+            prev = text[i - 1] if i else " "
+            nxt = text[i + 5 : i + 6] or " "
+            if not (prev.isalnum() or prev in "_`\x00") and not (
+                nxt.isalnum() or nxt in "_`"
+            ):
+                return text[:i].strip(), text[i + 5 :].strip()
+    return text.strip(), None
+
+
 def _bool(cond_sql: str) -> F.Column:
     """Rewritten condition → three-valued-safe boolean (NULL ⇒ false)."""
     return F.coalesce(F.expr(cond_sql).cast("boolean"), F.lit(False))
@@ -67,10 +91,12 @@ def _bool(cond_sql: str) -> F.Column:
 def _parse_assignments(text: str, lits: list[str]) -> dict[str, str]:
     assigns: dict[str, str] = {}
     for item in _split_args(text):
-        m = re.match(r"(?s)^\s*([\w`.]+)\s*=\s*(.*)$", item)
+        m = re.match(rf"(?s)^\s*({_NAME})\s*=\s*(.*)$", item)
         if not m:
             raise ValueError(f"SET item '{_unmask(item, lits).strip()}' must be '<col> = <expr>'")
-        col = m.group(1).strip("`").split(".")[-1]
+        # the column may be a masked backticked identifier — unmask
+        # before stripping quotes (review r11)
+        col = _unmask(m.group(1), lits).split(".")[-1].strip("`")
         assigns[col] = rewrite(_unmask(m.group(2).strip(), lits))
     return assigns
 
@@ -93,10 +119,21 @@ def _cow_swap(spark: SparkSession, table: ConnectorTable, new_df: DataFrame) -> 
     stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
     w = new_df.write.format(table.format).mode("overwrite")
     if table.format == "csv":
-        w = w.option("sep", table.options.get("csv.field-delimiter", ","))
+        from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
+            csv_writer_options,
+        )
+
+        w = w.options(**csv_writer_options(table.options))
     if table.partitioned_by:
         w = w.partitionBy(*table.partitioned_by)
-    w.save(stage)  # executes the read of the OLD snapshot
+    try:
+        w.save(stage)  # executes the read of the OLD snapshot
+    except BaseException:
+        # a failed rewrite job must not leak the partial staging dir
+        # (repeated failures would accumulate snapshot-sized orphans
+        # next to the table — review r11)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     old = f"{path}__cow_old_{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -159,8 +196,16 @@ def _cow_swap_partitions(
     stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
     w = new_df.write.format(table.format).mode("overwrite").partitionBy(*pcols)
     if table.format == "csv":
-        w = w.option("sep", table.options.get("csv.field-delimiter", ","))
-    w.save(stage)  # executes the (partition-pruned) read of the OLD snapshot
+        from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
+            csv_writer_options,
+        )
+
+        w = w.options(**csv_writer_options(table.options))
+    try:
+        w.save(stage)  # executes the (partition-pruned) read of the OLD snapshot
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)  # no orphan staging dirs
+        raise
     trash = f"{path}__cow_old_{uuid.uuid4().hex[:8]}"
     os.makedirs(trash)
     moved: list[tuple[str, str]] = []  # (trash location, original live dir)
@@ -236,6 +281,20 @@ def _target_table(sess, name: str) -> ConnectorTable:
     table = sess.connector_tables.get(name.strip("`"))
     if table is None or table.connector != "filesystem":
         raise NotImplementedError(_REJECT_MSG)
+    from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
+        _ENVELOPE_FORMATS,
+    )
+
+    if table.format in _ENVELOPE_FORMATS:
+        # the COW writer would either crash (Spark has no such write
+        # data source) or, worse, persist decoded rows that the
+        # envelope-decoding reader then mis-parses — typed rejection
+        # instead (review r11)
+        raise NotImplementedError(
+            f"row-level DML is not supported on '{table.format}' changelog "
+            "tables: the copy-on-write rewrite cannot re-encode the "
+            "envelope; materialize to a plain-format table first"
+        )
     # the rewrite always runs as a batch snapshot read, so it is
     # accepted even in a streaming-mode session (Flink itself insists
     # on batch mode here — a documented, more-permissive divergence)
@@ -249,8 +308,9 @@ def try_execute_dml(sess, stmt: str):
     masked, lits = _mask(stmt.strip().rstrip(";"))
     if m := _UPDATE_RE.match(masked):
         table = _target_table(sess, _unmask(m.group(1), lits))
-        assigns = _parse_assignments(m.group(2), lits)
-        where = rewrite(_unmask(m.group(3), lits)) if m.group(3) else "true"
+        set_txt, where_txt = _split_top_where(m.group(2))
+        assigns = _parse_assignments(set_txt, lits)
+        where = rewrite(_unmask(where_txt, lits)) if where_txt else "true"
         out = _execute_update(sess.spark, table, assigns, where)
     elif m := _DELETE_RE.match(masked):
         table = _target_table(sess, _unmask(m.group(1), lits))
@@ -268,13 +328,20 @@ def try_execute_dml(sess, stmt: str):
 def _execute_update(
     spark: SparkSession, table: ConnectorTable, assigns: dict[str, str], where: str
 ) -> tuple:
-    df = build_reader(spark, table, streaming=False)
+    # aliased so table-qualified references (WHERE orders.id = 5 —
+    # valid ANSI/Flink SQL) resolve, like MERGE's target (review r11)
+    df = build_reader(spark, table, streaming=False).alias(table.name)
     types = {c.name: c.spark_type for c in table.columns}
     for col in assigns:
         if col not in types:
             raise ValueError(f"UPDATE SET references unknown column '{col}'")
     hit = _bool(where)
     affected = df.filter(hit).count()
+    if affected == 0:
+        # semantic no-op on ANY table shape: never rewrite the
+        # snapshot just to change nothing (review r11 — the early
+        # return used to live only inside the partition-pruned branch)
+        return _result(0)
     proj = [
         F.when(hit, F.expr(assigns[c]).cast(types[c])).otherwise(F.col(c)).alias(c)
         if c in assigns
@@ -286,8 +353,6 @@ def _execute_update(
     # are re-read and re-written (unless a SET touches a partition
     # column, which can move rows across partitions)
     if pcols and where != "true" and not (set(assigns) & set(pcols)):
-        if affected == 0:
-            return _result(0)
         parts = [tuple(r) for r in df.filter(hit).select(*pcols).distinct().collect()]
         if _prunable(table, parts):
             sub = df.filter(_partition_filter(pcols, parts))
@@ -298,14 +363,14 @@ def _execute_update(
 
 
 def _execute_delete(spark: SparkSession, table: ConnectorTable, where: str) -> tuple:
-    df = build_reader(spark, table, streaming=False)
+    df = build_reader(spark, table, streaming=False).alias(table.name)
     hit = _bool(where)
     affected = df.filter(hit).count()
+    if affected == 0:
+        return _result(0)  # no rewrite for a semantic no-op (review r11)
     phys = [c.name for c in table.columns]
     pcols = table.partitioned_by
     if pcols and where != "true":
-        if affected == 0:
-            return _result(0)
         parts = [tuple(r) for r in df.filter(hit).select(*pcols).distinct().collect()]
         if _prunable(table, parts):
             sub = df.filter(_partition_filter(pcols, parts))
@@ -347,7 +412,7 @@ def _parse_using(using: str, lits: list[str]) -> tuple[str, str, str]:
             raise ValueError("unbalanced parentheses in MERGE USING")
         am = re.match(r"(?is)^\s*(?:AS\s+)?(?!ON\b)(\w+)\s+(?=ON\b)", rest)
     else:
-        nm = re.match(r"(?is)^([\w.`]+)\s+", using)
+        nm = re.match(rf"(?is)^({_NAME})\s+", using)
         if not nm:
             raise ValueError("MERGE USING must name a table or (subquery)")
         src = nm.group(1)
@@ -422,13 +487,34 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
                     c: f"{s_alias}.{c}" for c in types if c in src_df.columns
                 }
             else:
-                cols = [c.strip().strip("`").split(".")[-1] for c in _split_args(im.group(2))]
+                # unmask BEFORE stripping: a backticked column is a
+                # \x00N\x00 placeholder here, and the un-unmasked key
+                # would silently miss the projection lookup and write
+                # NULL (review r11)
+                cols = [
+                    _unmask(c, lits).strip().split(".")[-1].strip("`")
+                    for c in _split_args(im.group(2))
+                ]
                 vals = [rewrite(_unmask(v.strip(), lits)) for v in _split_args(im.group(3))]
                 if len(cols) != len(vals):
                     raise ValueError("MERGE INSERT column/value count mismatch")
                 ins_exprs = dict(zip(cols, vals))
         else:
             raise ValueError(f"cannot parse MERGE WHEN clause: WHEN {_unmask(clause, lits)[:80]}")
+
+    # typos must be typed errors, not silent no-ops/NULL inserts: an
+    # UPDATE SET key or INSERT column absent from the target schema
+    # would otherwise just miss the projection lookups (review r11 —
+    # same validation _execute_update applies)
+    for _, assigns in upd_applies:
+        for col in assigns:
+            if col not in types:
+                raise ValueError(
+                    f"MERGE UPDATE SET references unknown column '{col}'"
+                )
+    for col in ins_exprs or {}:
+        if col not in types:
+            raise ValueError(f"MERGE INSERT references unknown column '{col}'")
 
     proj = []
     for c, ty in types.items():
@@ -474,33 +560,45 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
     if ins_applies is not None:
         keep = keep | ins_applies
 
-    # SQL-standard cardinality check (also Delta/Iceberg behavior): a
-    # target row matched by more than one source row with an applicable
-    # UPDATE/DELETE clause is ambiguous — raise rather than emit one
-    # output row per duplicate match.
-    if upd_applies or del_applies:
-        dup = (
-            joined.filter(matched & (any_update | any_delete))
-            .groupBy("_cow_tid")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "MERGE INTO failed: a target row matched multiple source "
-                "rows with an applicable UPDATE/DELETE clause; deduplicate "
-                "the source or tighten the ON condition"
+    # the joined plan feeds three jobs (cardinality check, counts, the
+    # swap write) — persist it so the full-outer join runs once, not
+    # three times (review r11)
+    joined = joined.persist()
+    try:
+        # SQL-standard cardinality check (also Delta/Iceberg behavior):
+        # a target row matched by more than one source row with an
+        # applicable UPDATE/DELETE clause is ambiguous — raise rather
+        # than emit one output row per duplicate match.
+        if upd_applies or del_applies:
+            dup = (
+                joined.filter(matched & (any_update | any_delete))
+                .groupBy("_cow_tid")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
             )
+            if dup:
+                raise ValueError(
+                    "MERGE INTO failed: a target row matched multiple source "
+                    "rows with an applicable UPDATE/DELETE clause; deduplicate "
+                    "the source or tighten the ON condition"
+                )
 
-    counts = joined.select(
-        F.sum(any_update.cast("long")).alias("u"),
-        F.sum(any_delete.cast("long")).alias("d"),
-        F.sum((ins_applies if ins_applies is not None else F.lit(False)).cast("long")).alias("i"),
-    ).first()
-    _cow_swap(spark, table, joined.filter(keep).select(*proj))
-    return _result((counts.u or 0) + (counts.d or 0) + (counts.i or 0))
+        counts = joined.select(
+            F.sum(any_update.cast("long")).alias("u"),
+            F.sum(any_delete.cast("long")).alias("d"),
+            F.sum((ins_applies if ins_applies is not None else F.lit(False)).cast("long")).alias("i"),
+        ).first()
+        affected = (counts.u or 0) + (counts.d or 0) + (counts.i or 0)
+        if affected == 0:
+            # no clause applied to any row: the output equals the
+            # target — skip the snapshot rewrite (review r11)
+            return _result(0)
+        _cow_swap(spark, table, joined.filter(keep).select(*proj))
+    finally:
+        joined.unpersist()
+    return _result(affected)
 
 
 # -- ALTER TABLE ... COMPACT -------------------------------------------
@@ -544,6 +642,15 @@ def compact_table(sess, name: str, partition_text: str | None):
             "ALTER TABLE ... COMPACT targets filesystem connector tables "
             "(Flink scopes compaction to the filesystem connector the same way)"
         )
+    from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
+        _ENVELOPE_FORMATS,
+    )
+
+    if table.format in _ENVELOPE_FORMATS:
+        raise NotImplementedError(
+            f"COMPACT is not supported on '{table.format}' changelog tables: "
+            "the rewrite cannot re-encode the envelope"
+        )
     spark = sess.spark
     df = build_reader(spark, table, streaming=False).select(
         *[c.name for c in table.columns]
@@ -570,13 +677,20 @@ def compact_table(sess, name: str, partition_text: str | None):
         parts = [tuple(r) for r in sub.select(*pcols).distinct().collect()]
         if not parts:  # empty partition: nothing to compact
             return [{"name": "result", "logicalType": "string"}], [["OK"]]
-        if not table.distributed_by and table.bucket_count is None:
-            # the swap re-buckets DISTRIBUTED BY tables itself; only
-            # plain tables need the one-file-per-partition merge here
-            sub = sub.repartition(*[F.col(c) for c in pcols])
-        _cow_swap_partitions(spark, table, sub, parts)
-        sess.refresh_connector_views()
-        return [{"name": "result", "logicalType": "string"}], [["OK"]]
+        if _prunable(table, parts):
+            if not table.distributed_by and table.bucket_count is None:
+                # the swap re-buckets DISTRIBUTED BY tables itself;
+                # only plain tables need the one-file-per-partition
+                # merge here
+                sub = sub.repartition(*[F.col(c) for c in pcols])
+            _cow_swap_partitions(spark, table, sub, parts)
+            sess.refresh_connector_views()
+            return [{"name": "result", "logicalType": "string"}], [["OK"]]
+        # partition value whose hive directory name cannot be derived
+        # exactly (timestamps, floats, escaped strings): fall back to
+        # the full-table compact — correct, just not partition-scoped
+        # (the same fallback UPDATE/DELETE take; review r11 — the
+        # unguarded swap raised the formatting-diverged RuntimeError)
 
     if table.distributed_by or table.bucket_count is not None:
         pass  # _cow_swap re-applies the bucket spec before the write
