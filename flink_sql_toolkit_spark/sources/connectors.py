@@ -407,18 +407,17 @@ def csv_reader_options(opts: dict) -> dict:
 
 
 def csv_writer_options(opts: dict) -> dict:
-    """Writer-side subset of the ``csv.*`` vocabulary. COW rewrites
-    must write with the same dialect the reader parses — writing with
-    Spark's default quote/escape/nullValue while the table declares
-    custom ones silently corrupts the rewritten snapshot (NULLs come
-    back as empty strings, quoted fields shift columns) (review r11)."""
-    out = {"sep": opts.get("csv.field-delimiter", ",")}
-    if "csv.quote-character" in opts:
-        out["quote"] = opts["csv.quote-character"]
-    if "csv.escape-character" in opts:
-        out["escape"] = opts["csv.escape-character"]
-    if "csv.null-literal" in opts:
-        out["nullValue"] = opts["csv.null-literal"]
+    """Writer-side subset of the ``csv.*`` vocabulary, DERIVED from
+    ``csv_reader_options`` so the two dialects cannot drift (review
+    r11 — the writer used Spark defaults while the reader honored
+    custom quote/escape/null-literal, silently corrupting rewritten
+    snapshots). With ``csv.allow-comments`` the writer quotes every
+    field: an unquoted value starting with ``#`` would be re-read as
+    a comment line and the row silently lost."""
+    ro = csv_reader_options(opts)
+    out = {k: ro[k] for k in ("sep", "quote", "escape", "nullValue") if k in ro}
+    if "comment" in ro:
+        out["quoteAll"] = "true"
     return out
 
 

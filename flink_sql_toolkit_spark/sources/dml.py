@@ -40,7 +40,11 @@ from flink_sql_toolkit_spark.dialect.rewriter import (
     _unmask,
     rewrite,
 )
-from flink_sql_toolkit_spark.sources.connectors import build_reader
+from flink_sql_toolkit_spark.sources.connectors import (
+    _ENVELOPE_FORMATS,
+    build_reader,
+    csv_writer_options,
+)
 from flink_sql_toolkit_spark.sources.ddl import ConnectorTable
 
 # table-name positions admit \x00N\x00 placeholders: these regexes
@@ -96,9 +100,31 @@ def _parse_assignments(text: str, lits: list[str]) -> dict[str, str]:
             raise ValueError(f"SET item '{_unmask(item, lits).strip()}' must be '<col> = <expr>'")
         # the column may be a masked backticked identifier — unmask
         # before stripping quotes (review r11)
-        col = _unmask(m.group(1), lits).split(".")[-1].strip("`")
+        col = _col_name(_unmask(m.group(1), lits))
         assigns[col] = rewrite(_unmask(m.group(2).strip(), lits))
     return assigns
+
+
+def _col_name(raw: str) -> str:
+    """Unqualified column name from a possibly-qualified, possibly
+    backtick-quoted reference. Quote-aware: a backticked name
+    containing a dot is a single column, not a qualification (review
+    r11 — a split-then-strip order mangled dotted quoted names)."""
+    m = re.match(r"(?s)^\s*(?:[\w]+\s*\.\s*)*(?:`([^`]+)`|([\w]+))\s*$", raw)
+    if not m:
+        raise ValueError(f"cannot parse column reference {raw.strip()!r}")
+    return m.group(1) or m.group(2)
+
+
+def _snapshot_writer(new_df: DataFrame, table: ConnectorTable):
+    """One definition of the snapshot writer's format dialect — every
+    COW path (full swap, partition swap) writes with the SAME options
+    or writer-fidelity fixes silently apply to only one of them
+    (review r11)."""
+    w = new_df.write.format(table.format).mode("overwrite")
+    if table.format == "csv":
+        w = w.options(**csv_writer_options(table.options))
+    return w
 
 
 def _cow_swap(spark: SparkSession, table: ConnectorTable, new_df: DataFrame) -> None:
@@ -117,13 +143,7 @@ def _cow_swap(spark: SparkSession, table: ConnectorTable, new_df: DataFrame) -> 
             "(single-file paths cannot be atomically swapped)"
         )
     stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
-    w = new_df.write.format(table.format).mode("overwrite")
-    if table.format == "csv":
-        from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
-            csv_writer_options,
-        )
-
-        w = w.options(**csv_writer_options(table.options))
+    w = _snapshot_writer(new_df, table)
     if table.partitioned_by:
         w = w.partitionBy(*table.partitioned_by)
     try:
@@ -194,13 +214,7 @@ def _cow_swap_partitions(
     pcols = table.partitioned_by
     path = table.options["path"].rstrip("/")
     stage = f"{path}__cow_{uuid.uuid4().hex[:8]}"
-    w = new_df.write.format(table.format).mode("overwrite").partitionBy(*pcols)
-    if table.format == "csv":
-        from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
-            csv_writer_options,
-        )
-
-        w = w.options(**csv_writer_options(table.options))
+    w = _snapshot_writer(new_df, table).partitionBy(*pcols)
     try:
         w.save(stage)  # executes the (partition-pruned) read of the OLD snapshot
     except BaseException:
@@ -281,10 +295,6 @@ def _target_table(sess, name: str) -> ConnectorTable:
     table = sess.connector_tables.get(name.strip("`"))
     if table is None or table.connector != "filesystem":
         raise NotImplementedError(_REJECT_MSG)
-    from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
-        _ENVELOPE_FORMATS,
-    )
-
     if table.format in _ENVELOPE_FORMATS:
         # the COW writer would either crash (Spark has no such write
         # data source) or, worse, persist decoded rows that the
@@ -309,6 +319,10 @@ def try_execute_dml(sess, stmt: str):
     if m := _UPDATE_RE.match(masked):
         table = _target_table(sess, _unmask(m.group(1), lits))
         set_txt, where_txt = _split_top_where(m.group(2))
+        if where_txt is not None and not where_txt:
+            # a bare trailing WHERE (condition lost to truncation) must
+            # NOT silently degrade to a full-table update (review r11)
+            raise ValueError("UPDATE has a WHERE keyword with no condition")
         assigns = _parse_assignments(set_txt, lits)
         where = rewrite(_unmask(where_txt, lits)) if where_txt else "true"
         out = _execute_update(sess.spark, table, assigns, where)
@@ -337,17 +351,21 @@ def _execute_update(
             raise ValueError(f"UPDATE SET references unknown column '{col}'")
     hit = _bool(where)
     affected = df.filter(hit).count()
-    if affected == 0:
-        # semantic no-op on ANY table shape: never rewrite the
-        # snapshot just to change nothing (review r11 — the early
-        # return used to live only inside the partition-pruned branch)
-        return _result(0)
     proj = [
         F.when(hit, F.expr(assigns[c]).cast(types[c])).otherwise(F.col(c)).alias(c)
         if c in assigns
         else F.col(c)
         for c in types
     ]
+    if affected == 0:
+        # semantic no-op on ANY table shape: never rewrite the
+        # snapshot just to change nothing (review r11 — the early
+        # return used to live only inside the partition-pruned
+        # branch). Still ANALYZE the projection so an invalid SET
+        # expression stays a diagnosed error, not a silent no-op
+        # (review r11 follow-up) — .schema runs analysis only.
+        df.select(*proj).schema
+        return _result(0)
     pcols = table.partitioned_by
     # partition-pruned rewrite: only partitions holding matching rows
     # are re-read and re-written (unless a SET touches a partition
@@ -492,8 +510,7 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
                 # would silently miss the projection lookup and write
                 # NULL (review r11)
                 cols = [
-                    _unmask(c, lits).strip().split(".")[-1].strip("`")
-                    for c in _split_args(im.group(2))
+                    _col_name(_unmask(c, lits)) for c in _split_args(im.group(2))
                 ]
                 vals = [rewrite(_unmask(v.strip(), lits)) for v in _split_args(im.group(3))]
                 if len(cols) != len(vals):
@@ -593,7 +610,10 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
         affected = (counts.u or 0) + (counts.d or 0) + (counts.i or 0)
         if affected == 0:
             # no clause applied to any row: the output equals the
-            # target — skip the snapshot rewrite (review r11)
+            # target — skip the snapshot rewrite (review r11), but
+            # analyze the projection so bad assignment/insert
+            # expressions stay diagnosed errors (follow-up)
+            joined.filter(keep).select(*proj).schema
             return _result(0)
         _cow_swap(spark, table, joined.filter(keep).select(*proj))
     finally:
@@ -642,10 +662,6 @@ def compact_table(sess, name: str, partition_text: str | None):
             "ALTER TABLE ... COMPACT targets filesystem connector tables "
             "(Flink scopes compaction to the filesystem connector the same way)"
         )
-    from flink_sql_toolkit_spark.sources.connectors import (  # noqa: PLC0415
-        _ENVELOPE_FORMATS,
-    )
-
     if table.format in _ENVELOPE_FORMATS:
         raise NotImplementedError(
             f"COMPACT is not supported on '{table.format}' changelog tables: "

@@ -189,3 +189,56 @@ class TestTypedRejections:
         ).fetch()
         assert out["data"] == [["OK"]]  # full-table fallback, not RuntimeError
         assert _rows(sess, "SELECT id FROM ts_part") == [[1]]
+
+
+class TestFollowUps:
+    """Second-pass findings on the hardening itself (review r11)."""
+
+    def test_bare_trailing_where_is_typed_error(self, sess, tmp_path):
+        _mk_parquet(sess, tmp_path, "bw_t", [(1, 1)], "id long, v long",
+                    "id BIGINT, v BIGINT")
+        with pytest.raises(ValueError, match="WHERE keyword with no condition"):
+            sess.execute_statement("UPDATE bw_t SET v = 9 WHERE")
+        # nothing was updated
+        assert _rows(sess, "SELECT v FROM bw_t") == [[1]]
+
+    def test_col_name_quote_aware(self):
+        """A backticked name containing a dot is ONE column, not a
+        qualification (the DDL layer does not yet accept such columns,
+        so this is pinned at the parser level)."""
+        from flink_sql_toolkit_spark.sources.dml import _col_name
+
+        assert _col_name("`a.b`") == "a.b"
+        assert _col_name("t.`x`") == "x"
+        assert _col_name("t.c") == "c"
+        assert _col_name(" c ") == "c"
+        with pytest.raises(ValueError, match="column reference"):
+            _col_name("`unterminated")
+
+    def test_zero_affected_still_analyzes_set_expr(self, sess, tmp_path):
+        _mk_parquet(sess, tmp_path, "an_t", [(1, 1)], "id long, v long",
+                    "id BIGINT, v BIGINT")
+        with pytest.raises(Exception, match="(?i)no_such_func|unresolved|cannot"):
+            sess.execute_statement(
+                "UPDATE an_t SET v = no_such_func(id) WHERE id = -1"
+            )
+
+    def test_csv_comments_rows_survive_rewrite(self, sess, tmp_path):
+        path = tmp_path / "csv_cm"
+        sess.spark.createDataFrame(
+            [(1, "#notacomment"), (2, "y")], "id long, v string"
+        ).selectExpr("v", "id").write.mode("overwrite").option(
+            "quoteAll", "true"
+        ).csv(str(path))
+        sess.execute_statement(
+            f"CREATE TABLE csv_cm (v STRING, id BIGINT) WITH ("
+            f"'connector'='filesystem', 'path'='{path}', 'format'='csv', "
+            f"'csv.allow-comments'='true')"
+        )
+        assert len(_rows(sess, "SELECT v FROM csv_cm")) == 2
+        # the rewrite quotes every field so '#…' rows are not re-read
+        # as comment lines (permanent row loss otherwise)
+        sess.execute_statement("UPDATE csv_cm SET id = 9 WHERE id = 2")
+        assert sorted(_rows(sess, "SELECT v, id FROM csv_cm")) == [
+            ["#notacomment", 1], ["y", 9],
+        ]
