@@ -788,12 +788,17 @@ def build_writer(df: DataFrame, table: ConnectorTable, *, query_name: str, check
     if conn == "filesystem":
         fmt, path = table.format, opts["path"]
         df = _apply_distribution(df, table, streaming)
+        # the csv WRITE dialect must match the declared READ dialect on
+        # every writer (INSERT INTO here, the COW rewrites in dml.py) —
+        # Spark-default quote/escape/nullValue against a table declaring
+        # custom ones corrupts the data at the next read (review r11)
+        fmt_opts = csv_writer_options(opts) if fmt == "csv" else {}
         if streaming:
-            w = df.writeStream.format(fmt).option("path", path)
+            w = df.writeStream.format(fmt).option("path", path).options(**fmt_opts)
             if table.partitioned_by:
                 w = w.partitionBy(*table.partitioned_by)
             return _start(w, query_name, checkpoint, trigger_interval)
-        w = df.write.format(fmt).mode("append")
+        w = df.write.format(fmt).mode("append").options(**fmt_opts)
         if table.partitioned_by:
             w = w.partitionBy(*table.partitioned_by)
         w.save(path)

@@ -110,7 +110,9 @@ def _col_name(raw: str) -> str:
     backtick-quoted reference. Quote-aware: a backticked name
     containing a dot is a single column, not a qualification (review
     r11 — a split-then-strip order mangled dotted quoted names)."""
-    m = re.match(r"(?s)^\s*(?:[\w]+\s*\.\s*)*(?:`([^`]+)`|([\w]+))\s*$", raw)
+    m = re.match(
+        r"(?s)^\s*(?:(?:[\w]+|`[^`]+`)\s*\.\s*)*(?:`([^`]+)`|([\w]+))\s*$", raw
+    )
     if not m:
         raise ValueError(f"cannot parse column reference {raw.strip()!r}")
     return m.group(1) or m.group(2)
@@ -328,8 +330,15 @@ def try_execute_dml(sess, stmt: str):
         out = _execute_update(sess.spark, table, assigns, where)
     elif m := _DELETE_RE.match(masked):
         table = _target_table(sess, _unmask(m.group(1), lits))
-        where = rewrite(_unmask(m.group(2), lits)) if m.group(2) else "true"
-        out = _execute_delete(sess.spark, table, where)
+        if m.group(2) is not None and not m.group(2).strip():
+            # truncation must not degrade to a full-table DELETE
+            # (review r11 — same guard as UPDATE's bare WHERE)
+            raise ValueError("DELETE has a WHERE keyword with no condition")
+        out = _execute_delete(
+            sess.spark,
+            table,
+            rewrite(_unmask(m.group(2), lits)) if m.group(2) else "true",
+        )
     elif m := _MERGE_HEAD_RE.match(masked):
         table = _target_table(sess, _unmask(m.group(1), lits))
         out = _execute_merge(sess, table, m.group(2), m.group(3), lits)
@@ -478,6 +487,17 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
     s_only = F.col("_cow_t").isNull()
     matched = ~t_only & ~s_only
 
+    def clause_cond(g) -> F.Column:
+        """WHEN ... AND <cond>: absent → unconditional; EMPTY (lost to
+        truncation) → typed error, never a silent unconditional
+        UPDATE/DELETE/INSERT (review r11 — same empty-vs-absent class
+        as the bare-WHERE guards)."""
+        if g is None:
+            return F.lit(True)
+        if not g.strip():
+            raise ValueError("MERGE WHEN clause has an AND with no condition")
+        return _bool(rewrite(_unmask(g, lits)))
+
     types = {c.name: c.spark_type for c in table.columns}
     # matched clauses apply first-match-wins in declared order
     upd_applies: list[tuple[F.Column, dict[str, str]]] = []
@@ -488,17 +508,17 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
     for clause in parts[1:]:
         clause = clause.strip()
         if um := _M_UPDATE_RE.match(clause):
-            cond = _bool(rewrite(_unmask(um.group(1), lits))) if um.group(1) else F.lit(True)
+            cond = clause_cond(um.group(1))
             upd_applies.append((matched & ~prior & cond, _parse_assignments(um.group(2), lits)))
             prior = prior | cond
         elif dm := _M_DELETE_RE.match(clause):
-            cond = _bool(rewrite(_unmask(dm.group(1), lits))) if dm.group(1) else F.lit(True)
+            cond = clause_cond(dm.group(1))
             del_applies.append(matched & ~prior & cond)
             prior = prior | cond
         elif im := _M_INSERT_RE.match(clause):
             if ins_applies is not None:
                 raise NotImplementedError("MERGE supports one WHEN NOT MATCHED clause")
-            cond = _bool(rewrite(_unmask(im.group(1), lits))) if im.group(1) else F.lit(True)
+            cond = clause_cond(im.group(1))
             ins_applies = s_only & cond
             if im.group(2) is None:  # INSERT * → by-name from the source
                 ins_exprs = {

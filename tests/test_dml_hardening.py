@@ -242,3 +242,46 @@ class TestFollowUps:
         assert sorted(_rows(sess, "SELECT v, id FROM csv_cm")) == [
             ["#notacomment", 1], ["y", 9],
         ]
+
+    def test_delete_bare_where_is_typed_error(self, sess, tmp_path):
+        _mk_parquet(sess, tmp_path, "bwd_t", [(1, 1)], "id long, v long",
+                    "id BIGINT, v BIGINT")
+        # statement normalization strips trailing whitespace, so the
+        # regex itself rejects a bare trailing WHERE (the explicit
+        # empty-condition guard is defense-in-depth behind it); either
+        # way: a typed error, never a full-table delete
+        with pytest.raises(ValueError, match="no condition|cannot parse DML"):
+            sess.execute_statement("DELETE FROM bwd_t WHERE ;")
+        assert _rows(sess, "SELECT id FROM bwd_t") == [[1]]  # nothing deleted
+
+    def test_merge_empty_and_condition_is_typed_error(self, sess, tmp_path):
+        _mk_parquet(sess, tmp_path, "mand_t", [(1, "a")], "k long, v string",
+                    "k BIGINT, v STRING")
+        sess.spark.createDataFrame([(1, "z")], "k long, v string").createOrReplaceTempView("mand_src")
+        with pytest.raises(ValueError, match="AND with no condition"):
+            sess.execute_statement(
+                "MERGE INTO mand_t t USING mand_src s ON t.k = s.k "
+                "WHEN MATCHED AND  THEN DELETE"
+            )
+        assert _rows(sess, "SELECT k FROM mand_t") == [[1]]  # nothing deleted
+
+    def test_qualified_backticked_set_column(self, sess, tmp_path):
+        _mk_parquet(sess, tmp_path, "qb_t", [(1, 1)], "id long, v long",
+                    "id BIGINT, v BIGINT")
+        sess.execute_statement("UPDATE qb_t SET `qb_t`.`v` = 5 WHERE id = 1")
+        assert _rows(sess, "SELECT v FROM qb_t") == [[5]]
+
+    def test_insert_into_csv_respects_declared_dialect(self, sess, tmp_path):
+        """INSERT INTO (the third csv writer besides the two COW swaps)
+        must honor the declared null-literal too (review r11)."""
+        path = tmp_path / "csv_ins"
+        path.mkdir()
+        sess.execute_statement(
+            f"CREATE TABLE csv_ins (id BIGINT, v STRING) WITH ("
+            f"'connector'='filesystem', 'path'='{path}', 'format'='csv', "
+            f"'csv.null-literal'='NULL')"
+        )
+        sess.execute_statement(
+            "INSERT INTO csv_ins SELECT 1 AS id, CAST(NULL AS STRING) AS v"
+        )
+        assert _rows(sess, "SELECT id, v FROM csv_ins") == [[1, None]]
