@@ -501,9 +501,12 @@ def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     elif fmt == "csv":
         # to_csv (not concat_ws): NULL fields must stay as empty slots
         # — concat_ws silently skips NULLs and shifts later columns
-        # left — and delimiter-containing values need quoting
-        sep = table.options.get("csv.field-delimiter", ",")
-        value = F.to_csv(F.struct(*cols), {"sep": sep})
+        # left — and delimiter-containing values need quoting. The
+        # FULL declared write dialect applies, same as the filesystem
+        # writers: re-reading the topic through this table's own
+        # from_csv honors quote/escape/null-literal, so encoding with
+        # Spark defaults would corrupt the round-trip (review r11)
+        value = F.to_csv(F.struct(*cols), csv_writer_options(table.options))
     elif fmt == "raw":
         if len(cols) != 1:
             raise ValueError("format 'raw' requires exactly one physical column")

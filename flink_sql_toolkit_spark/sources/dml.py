@@ -92,7 +92,9 @@ def _bool(cond_sql: str) -> F.Column:
     return F.coalesce(F.expr(cond_sql).cast("boolean"), F.lit(False))
 
 
-def _parse_assignments(text: str, lits: list[str]) -> dict[str, str]:
+def _parse_assignments(
+    text: str, lits: list[str], allowed_quals: set[str] | None = None
+) -> dict[str, str]:
     assigns: dict[str, str] = {}
     for item in _split_args(text):
         m = re.match(rf"(?s)^\s*({_NAME})\s*=\s*(.*)$", item)
@@ -100,22 +102,38 @@ def _parse_assignments(text: str, lits: list[str]) -> dict[str, str]:
             raise ValueError(f"SET item '{_unmask(item, lits).strip()}' must be '<col> = <expr>'")
         # the column may be a masked backticked identifier — unmask
         # before stripping quotes (review r11)
-        col = _col_name(_unmask(m.group(1), lits))
+        col = _col_name(_unmask(m.group(1), lits), allowed_quals)
         assigns[col] = rewrite(_unmask(m.group(2).strip(), lits))
     return assigns
 
 
-def _col_name(raw: str) -> str:
+def _col_name(raw: str, allowed_quals: set[str] | None = None) -> str:
     """Unqualified column name from a possibly-qualified, possibly
     backtick-quoted reference. Quote-aware: a backticked name
     containing a dot is a single column, not a qualification (review
-    r11 — a split-then-strip order mangled dotted quoted names)."""
+    r11 — a split-then-strip order mangled dotted quoted names).
+
+    With ``allowed_quals``, a present qualifier must name the update
+    target (table name or its MERGE alias) — silently discarding a
+    wrong-table or source-alias qualifier would assign the TARGET's
+    column instead of raising (review r11 follow-up)."""
     m = re.match(
-        r"(?s)^\s*(?:(?:[\w]+|`[^`]+`)\s*\.\s*)*(?:`([^`]+)`|([\w]+))\s*$", raw
+        r"(?s)^\s*((?:(?:[\w]+|`[^`]+`)\s*\.\s*)*)(?:`([^`]+)`|([\w]+))\s*$",
+        raw,
     )
     if not m:
         raise ValueError(f"cannot parse column reference {raw.strip()!r}")
-    return m.group(1) or m.group(2)
+    if m.group(1) and allowed_quals is not None:
+        quals = [
+            q.strip("`") for q in re.findall(r"`[^`]+`|[\w]+", m.group(1))
+        ]
+        ok = {a.lower() for a in allowed_quals}
+        if quals[-1].lower() not in ok:
+            raise ValueError(
+                f"column reference '{raw.strip()}' is qualified by "
+                f"'{quals[-1]}', which is not the statement's target"
+            )
+    return m.group(2) or m.group(3)
 
 
 def _snapshot_writer(new_df: DataFrame, table: ConnectorTable):
@@ -325,7 +343,7 @@ def try_execute_dml(sess, stmt: str):
             # a bare trailing WHERE (condition lost to truncation) must
             # NOT silently degrade to a full-table update (review r11)
             raise ValueError("UPDATE has a WHERE keyword with no condition")
-        assigns = _parse_assignments(set_txt, lits)
+        assigns = _parse_assignments(set_txt, lits, {table.name})
         where = rewrite(_unmask(where_txt, lits)) if where_txt else "true"
         out = _execute_update(sess.spark, table, assigns, where)
     elif m := _DELETE_RE.match(masked):
@@ -509,7 +527,10 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
         clause = clause.strip()
         if um := _M_UPDATE_RE.match(clause):
             cond = clause_cond(um.group(1))
-            upd_applies.append((matched & ~prior & cond, _parse_assignments(um.group(2), lits)))
+            upd_applies.append((
+                matched & ~prior & cond,
+                _parse_assignments(um.group(2), lits, {t_alias, table.name}),
+            ))
             prior = prior | cond
         elif dm := _M_DELETE_RE.match(clause):
             cond = clause_cond(dm.group(1))
@@ -530,7 +551,8 @@ def _execute_merge(sess, table: ConnectorTable, t_alias: str | None, using: str,
                 # would silently miss the projection lookup and write
                 # NULL (review r11)
                 cols = [
-                    _col_name(_unmask(c, lits)) for c in _split_args(im.group(2))
+                    _col_name(_unmask(c, lits), {t_alias, table.name})
+                    for c in _split_args(im.group(2))
                 ]
                 vals = [rewrite(_unmask(v.strip(), lits)) for v in _split_args(im.group(3))]
                 if len(cols) != len(vals):

@@ -285,3 +285,43 @@ class TestFollowUps:
             "INSERT INTO csv_ins SELECT 1 AS id, CAST(NULL AS STRING) AS v"
         )
         assert _rows(sess, "SELECT id, v FROM csv_ins") == [[1, None]]
+
+    def test_wrong_qualifier_is_typed_error(self, sess, tmp_path):
+        """A qualifier that names something other than the statement's
+        target must raise, not silently assign the target's column
+        (review r11)."""
+        _mk_parquet(sess, tmp_path, "wq_t", [(1, 1)], "id long, v long",
+                    "id BIGINT, v BIGINT")
+        with pytest.raises(ValueError, match="not the statement's target"):
+            sess.execute_statement("UPDATE wq_t SET other_table.v = 0 WHERE id = 1")
+        sess.spark.createDataFrame([(1, 9)], "k long, v long").createOrReplaceTempView("wq_src")
+        _mk_parquet(sess, tmp_path, "wq_m", [(1, 1)], "k long, v long",
+                    "k BIGINT, v BIGINT")
+        with pytest.raises(ValueError, match="not the statement's target"):
+            sess.execute_statement(
+                "MERGE INTO wq_m t USING wq_src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET s.v = 0"
+            )
+        # the target's own alias and name both remain legal
+        sess.execute_statement(
+            "MERGE INTO wq_m t USING wq_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v"
+        )
+        assert _rows(sess, "SELECT v FROM wq_m") == [[9]]
+
+    def test_kafka_csv_payload_uses_declared_dialect(self, sess):
+        """The kafka csv sink encodes with the declared dialect so the
+        topic round-trips through this table's own reader (review
+        r11)."""
+        from flink_sql_toolkit_spark.sources.connectors import kafka_writer_payload
+        from flink_sql_toolkit_spark.sources.ddl import parse_create_table
+
+        t = parse_create_table(
+            "CREATE TABLE kcsv (id BIGINT, v STRING) WITH ("
+            "'connector'='kafka', 'topic'='t', 'format'='csv', "
+            "'csv.null-literal'='NULL');"
+        )
+        df = sess.spark.createDataFrame([(1, None)], "id long, v string")
+        row = kafka_writer_payload(df, t).collect()[0]
+        value = row.value if isinstance(row.value, str) else bytes(row.value).decode()
+        assert value == "1,NULL"
