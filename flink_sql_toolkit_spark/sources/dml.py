@@ -127,7 +127,17 @@ def _col_name(raw: str, allowed_quals: set[str] | None = None) -> str:
         quals = [
             q.strip("`") for q in re.findall(r"`[^`]+`|[\w]+", m.group(1))
         ]
-        ok = {a.lower() for a in allowed_quals}
+        ok = {a.lower() for a in allowed_quals if a}  # None-tolerant
+        if len(quals) > 1:
+            # session table names are flat: a multi-part qualifier
+            # (db.t.col) cannot be verified against the target, and
+            # checking only the tail would let 'other_db.target.col'
+            # through (review r11) — reject rather than guess
+            raise ValueError(
+                f"column reference '{raw.strip()}' has a multi-part "
+                "qualifier; qualify with the target table or its alias "
+                "only"
+            )
         if quals[-1].lower() not in ok:
             raise ValueError(
                 f"column reference '{raw.strip()}' is qualified by "

@@ -325,3 +325,12 @@ class TestFollowUps:
         row = kafka_writer_payload(df, t).collect()[0]
         value = row.value if isinstance(row.value, str) else bytes(row.value).decode()
         assert value == "1,NULL"
+
+    def test_multipart_qualifier_is_typed_error(self, sess, tmp_path):
+        _mk_parquet(sess, tmp_path, "mpq_t", [(1, 1)], "id long, v long",
+                    "id BIGINT, v BIGINT")
+        with pytest.raises(ValueError, match="multi-part qualifier"):
+            sess.execute_statement(
+                "UPDATE mpq_t SET other_db.mpq_t.v = 0 WHERE id = 1"
+            )
+        assert _rows(sess, "SELECT v FROM mpq_t") == [[1]]
