@@ -61,10 +61,17 @@ _OK: tuple[Cols, Rows] = ([{"name": "result", "logicalType": "string"}], [["OK"]
 
 
 def _parse_options(text: str) -> dict[str, str]:
-    opts: dict[str, str] = {}
-    for m in re.finditer(r"'([^']*)'\s*=\s*'((?:[^']|'')*)'", text):
-        opts[m.group(1)] = m.group(2).replace("''", "'")
-    return opts
+    """Delegates to the SINGLE option-pair parser — this module's old
+    local copy had already drifted (keys with escaped quotes were
+    mangled: 'o''k' parsed as 'k') (review r11)."""
+    from flink_sql_toolkit_spark.sources.ddl import parse_option_pairs  # noqa: PLC0415
+
+    return parse_option_pairs(text)
+
+
+def _comment(raw: str | None) -> str | None:
+    """Unescape a parsed COMMENT literal ('' → ')."""
+    return raw.replace("''", "'") if raw is not None else None
 
 
 @dataclass
@@ -127,7 +134,7 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
 
     m = re.match(
         r"(?is)^CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s*"
-        r"(?:COMMENT\s+'([^']*)'\s*)?WITH\s*\((.*)\)$",
+        r"(?:COMMENT\s+'((?:[^']|'')*)'\s*)?WITH\s*\((.*)\)$",
         s,
     )
     if m:
@@ -142,7 +149,7 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                 "Catalog options do not contain an option key 'type' "
                 "for discovering a catalog"
             )
-        reg.catalogs[name] = EmulatedCatalog(name, opts, comment=m.group(3))
+        reg.catalogs[name] = EmulatedCatalog(name, opts, comment=_comment(m.group(3)))
         session.metadata.invalidate("catalogs")
         return _OK
 
@@ -152,16 +159,33 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
         if name == (reg.current or session.spark.catalog.currentCatalog()):
             raise ValueError(f"cannot drop catalog '{name}': it is currently in use")
         if name not in reg.catalogs:
+            if name in _spark_catalog_names(session):
+                # it exists (SHOW CATALOGS lists it) but is a startup-
+                # configured Spark catalog — a different error than
+                # "does not exist" (review r11)
+                raise ValueError(
+                    f"catalog '{name}' is a Spark catalog plugin and "
+                    "cannot be dropped via DDL"
+                )
             if m.group(1):
                 return _OK
             raise LookupError(f"catalog '{name}' does not exist")
+        # dropping a catalog implicitly drops its databases: clean up
+        # their tables exactly like DROP DATABASE CASCADE does, or the
+        # tables keep resolving against a catalog that no longer
+        # exists (review r11)
+        for edb in reg.catalogs[name].databases.values():
+            for t in edb.tables:
+                session.connector_tables.pop(t, None)
+                session.connector_ddl.pop(t, None)
+                session.spark.catalog.dropTempView(t)
         del reg.catalogs[name]
-        session.metadata.invalidate("catalogs")
+        session.metadata.invalidate()
         return _OK
 
     m = re.match(
         r"(?is)^ALTER\s+CATALOG\s+([\w`]+)\s+"
-        r"(SET\s*\((.*)\)|RESET\s*\((.*)\)|COMMENT\s+'([^']*)')$",
+        r"(SET\s*\((.*)\)|RESET\s*\((.*)\)|COMMENT\s+'((?:[^']|'')*)')$",
         s,
     )
     if m:
@@ -170,14 +194,28 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
             raise LookupError(f"catalog '{m.group(1).strip('`')}' does not exist")
         action = m.group(2).upper()
         if action.startswith("SET"):
-            cat.properties.update(_parse_options(m.group(3)))
+            new_opts = _parse_options(m.group(3))
+            if "type" in new_opts and new_opts["type"] != cat.properties.get("type"):
+                # RESET of 'type' is already rejected; SET must not be
+                # the loophole for the same invariant (review r11)
+                raise ValueError("ALTER CATALOG SET does not support changing 'type'")
+            if (
+                "default-database" in new_opts
+                and new_opts["default-database"] not in cat.databases
+            ):
+                raise LookupError(
+                    f"cannot set default-database to "
+                    f"'{new_opts['default-database']}': no such database in "
+                    f"catalog '{cat.name}'"
+                )
+            cat.properties.update(new_opts)
         elif action.startswith("RESET"):
             for key in re.findall(r"'([^']*)'", m.group(4)):
                 if key == "type":
                     raise ValueError("ALTER CATALOG RESET does not support changing 'type'")
                 cat.properties.pop(key, None)
         else:
-            cat.comment = m.group(5)
+            cat.comment = _comment(m.group(5))
         return _OK
 
     m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+CATALOG\s+(EXTENDED\s+)?([\w`]+)$", s)
@@ -204,7 +242,7 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
 
     m = re.match(
         r"(?is)^CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
-        r"(?:COMMENT\s+'([^']*)'\s*)?(?:WITH\s*\((.*)\))?$",
+        r"(?:COMMENT\s+'((?:[^']|'')*)'\s*)?(?:WITH\s*\((.*)\))?$",
         s,
     )
     if m:
@@ -215,14 +253,16 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                     return _OK
                 raise ValueError(f"database '{cat.name}.{db}' already exists")
             cat.databases[db] = EmulatedDatabase(
-                db, comment=m.group(3), properties=_parse_options(m.group(4) or "")
+                db,
+                comment=_comment(m.group(3)),
+                properties=_parse_options(m.group(4) or ""),
             )
             session.metadata.invalidate("dbs")
             return _OK
         # Spark catalog: translate Flink's WITH (...) → DBPROPERTIES
         ddl = f"CREATE DATABASE {'IF NOT EXISTS ' if m.group(1) else ''}{db}"
         if m.group(3) is not None:
-            ddl += f" COMMENT '{m.group(3)}'"
+            ddl += f" COMMENT '{m.group(3)}'"  # still ''-escaped: embed verbatim
         if m.group(4):
             ddl += f" WITH DBPROPERTIES ({_props_sql(_parse_options(m.group(4)))})"
         session.spark.sql(ddl)
@@ -246,11 +286,27 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                 )
             if db == (reg.current_db or cat.default_database) and reg.current == cat.name:
                 raise ValueError(f"cannot drop database '{db}': it is currently in use")
-            for t in target.tables:
+            if db == cat.default_database:
+                # a catalog whose default database is gone has no
+                # resolvable context after the next USE CATALOG —
+                # Flink rejects this too (review r11)
+                raise ValueError(
+                    f"cannot drop database '{db}': it is the default "
+                    f"database of catalog '{cat.name}'"
+                )
+            for t in list(target.tables):  # snapshot: the discard below
+                # hits target.tables itself too
                 session.connector_tables.pop(t, None)
                 session.connector_ddl.pop(t, None)
                 session.spark.catalog.dropTempView(t)
-            del cat.databases[db]
+                # the same name may be listed in other browse sets
+                # (re-CREATE under another current db) — its backing
+                # table is gone, so every listing must drop it, like
+                # the engine's DROP TABLE path (review r11)
+                for other_cat in reg.catalogs.values():
+                    for other_db in other_cat.databases.values():
+                        other_db.tables.discard(t)
+            cat.databases.pop(db, None)
             session.metadata.invalidate()
             return _OK
         ddl = f"DROP DATABASE {'IF EXISTS ' if m.group(1) else ''}{db} {m.group(3) or 'RESTRICT'}"
@@ -289,7 +345,20 @@ def _props_sql(opts: dict[str, str]) -> str:
 
 
 def _spark_catalog_names(session: "EngineSession") -> set[str]:
-    return {c.name for c in session.spark.catalog.listCatalogs()}
+    """Loaded catalogs (listCatalogs) PLUS startup-configured plugin
+    catalogs (spark.sql.catalog.<name> conf keys) — listCatalogs only
+    reports catalogs already touched, so a configured-but-unaccessed
+    catalog would otherwise flip from 'does not exist' to existing the
+    first time someone USEs it (review r11)."""
+    names = {c.name for c in session.spark.catalog.listCatalogs()}
+    try:
+        for key, _v in session.spark.sparkContext.getConf().getAll():
+            m = re.match(r"^spark\.sql\.catalog\.([^.]+)$", key)
+            if m:
+                names.add(m.group(1))
+    except Exception:  # noqa: BLE001 — conf access is best-effort
+        pass
+    return names
 
 
 def _split_db_ref(
@@ -305,6 +374,13 @@ def _split_db_ref(
     """
     reg = session.emulated_catalogs
     parts = [p.strip("`") for p in ref.split(".")]
+    if len(parts) > 2:
+        # silently binding a.b.c to database 'a' of the current
+        # catalog could CASCADE-drop the wrong database (review r11)
+        raise ValueError(
+            f"cannot resolve database reference '{ref}': "
+            "expected [catalog.]database"
+        )
     if len(parts) == 2:
         cat = reg.catalogs.get(parts[0])
         if cat is not None:

@@ -330,3 +330,88 @@ def test_completions_include_emulated_catalogs(sess):
             if i["kind"] == "table"}
     assert tabs == {"comp_t"}
     run(sess, "USE CATALOG spark_catalog")
+
+
+class TestCatalogHardeningR11:
+    """Fresh-eyes review findings on the emulated-catalog layer."""
+
+    def test_multipart_db_ref_is_typed_error(self, sess):
+        sess.execute_statement(
+            "CREATE CATALOG mp_cat WITH ('type'='generic_in_memory')"
+        )
+        with pytest.raises(ValueError, match="catalog.*database|resolve"):
+            sess.execute_statement("DROP DATABASE a.b.c CASCADE")
+
+    def test_escaped_quote_in_comments_and_option_keys(self, sess):
+        sess.execute_statement(
+            "CREATE CATALOG esc_cat COMMENT 'it''s fine' "
+            "WITH ('type'='generic_in_memory', 'o''k'='v''1')"
+        )
+        rows = sess.execute_statement(
+            "DESCRIBE CATALOG EXTENDED esc_cat"
+        ).fetch()["data"]
+        by = dict((r[0], r[1]) for r in rows)
+        assert by["comment"] == "it's fine"
+        assert by["option:o'k"] == "v'1"
+
+    def test_drop_catalog_cleans_up_tables(self, sess):
+        sess.execute_statement(
+            "CREATE CATALOG gc_cat WITH ('type'='generic_in_memory')"
+        )
+        sess.execute_statement("USE CATALOG gc_cat")
+        sess.execute_statement(
+            "CREATE TABLE gc_t (a INT) WITH ('connector'='blackhole')"
+        )
+        sess.execute_statement("USE CATALOG spark_catalog")
+        sess.execute_statement("DROP CATALOG gc_cat")
+        assert "gc_t" not in sess.connector_tables
+        names = [r[0] for r in sess.execute_statement("SHOW TABLES").fetch()["data"]]
+        assert "gc_t" not in names
+
+    def test_default_database_is_protected(self, sess):
+        sess.execute_statement(
+            "CREATE CATALOG dd_cat WITH ('type'='generic_in_memory')"
+        )
+        sess.execute_statement("CREATE DATABASE dd_cat.other")
+        with pytest.raises(ValueError, match="default database"):
+            sess.execute_statement("DROP DATABASE dd_cat.`default`")
+        with pytest.raises(LookupError, match="no such database"):
+            sess.execute_statement(
+                "ALTER CATALOG dd_cat SET ('default-database'='ghost')"
+            )
+        # repointing to an EXISTING database is fine
+        sess.execute_statement(
+            "ALTER CATALOG dd_cat SET ('default-database'='other')"
+        )
+
+    def test_alter_catalog_set_type_rejected(self, sess):
+        sess.execute_statement(
+            "CREATE CATALOG ty_cat WITH ('type'='generic_in_memory')"
+        )
+        with pytest.raises(ValueError, match="changing 'type'"):
+            sess.execute_statement("ALTER CATALOG ty_cat SET ('type'='jdbc')")
+
+    def test_drop_spark_catalog_distinct_error(self, sess):
+        """A Spark catalog that EXISTS (listed by SHOW CATALOGS) but is
+        a startup plugin answers 'cannot be dropped', not 'does not
+        exist' — while a truly unknown name stays a LookupError."""
+        sess.spark.sparkContext._conf.set(
+            "spark.sql.catalog.plugin_cat", "com.example.Cat"
+        )
+        with pytest.raises(ValueError, match="cannot be dropped"):
+            sess.execute_statement("DROP CATALOG plugin_cat")
+        with pytest.raises(LookupError, match="does not exist"):
+            sess.execute_statement("DROP CATALOG truly_unknown_cat")
+
+    def test_configured_catalog_visible_before_first_use(self, sess):
+        """spark.sql.catalog.<name> startup confs count as existing
+        catalogs even before Spark loads them."""
+        from flink_sql_toolkit_spark.catalogs import _spark_catalog_names
+
+        sess.spark.sparkContext._conf.set(
+            "spark.sql.catalog.preconf_cat", "com.example.Cat"
+        )
+        try:
+            assert "preconf_cat" in _spark_catalog_names(sess)
+        finally:
+            pass  # conf removal is not supported; name is inert
