@@ -175,10 +175,16 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
         # tables keep resolving against a catalog that no longer
         # exists (review r11)
         for edb in reg.catalogs[name].databases.values():
-            for t in edb.tables:
+            for t in list(edb.tables):
                 session.connector_tables.pop(t, None)
                 session.connector_ddl.pop(t, None)
                 session.spark.catalog.dropTempView(t)
+                # and every OTHER catalog's browse sets, like DROP
+                # DATABASE CASCADE / engine DROP TABLE (review r11
+                # follow-up): the backing table is gone everywhere
+                for other_cat in reg.catalogs.values():
+                    for other_db in other_cat.databases.values():
+                        other_db.tables.discard(t)
         del reg.catalogs[name]
         session.metadata.invalidate()
         return _OK
@@ -210,9 +216,22 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                 )
             cat.properties.update(new_opts)
         elif action.startswith("RESET"):
-            for key in re.findall(r"'([^']*)'", m.group(4)):
+            for raw in re.findall(r"'((?:[^']|'')*)'", m.group(4)):
+                key = raw.replace("''", "'")  # same escape rule as SET
                 if key == "type":
                     raise ValueError("ALTER CATALOG RESET does not support changing 'type'")
+                if (
+                    key == "default-database"
+                    and "default" not in cat.databases
+                ):
+                    # RESET falls back to 'default', which must exist —
+                    # otherwise the catalog has no resolvable context
+                    # (review r11 follow-up: RESET was the loophole
+                    # around SET's existence check)
+                    raise LookupError(
+                        "cannot RESET 'default-database': catalog "
+                        f"'{cat.name}' has no database named 'default'"
+                    )
                 cat.properties.pop(key, None)
         else:
             cat.comment = _comment(m.group(5))
@@ -352,7 +371,11 @@ def _spark_catalog_names(session: "EngineSession") -> set[str]:
     first time someone USEs it (review r11)."""
     names = {c.name for c in session.spark.catalog.listCatalogs()}
     try:
-        for key, _v in session.spark.sparkContext.getConf().getAll():
+        conf_items = list(session.spark.sparkContext.getConf().getAll())
+        # runtime spark.conf.set(...) writes the SQLConf, not the
+        # SparkContext conf — scan both (review r11 follow-up)
+        conf_items += list(session.spark.conf.getAll.items())
+        for key, _v in conf_items:
             m = re.match(r"^spark\.sql\.catalog\.([^.]+)$", key)
             if m:
                 names.add(m.group(1))

@@ -395,23 +395,25 @@ class TestCatalogHardeningR11:
         """A Spark catalog that EXISTS (listed by SHOW CATALOGS) but is
         a startup plugin answers 'cannot be dropped', not 'does not
         exist' — while a truly unknown name stays a LookupError."""
-        sess.spark.sparkContext._conf.set(
-            "spark.sql.catalog.plugin_cat", "com.example.Cat"
-        )
-        with pytest.raises(ValueError, match="cannot be dropped"):
-            sess.execute_statement("DROP CATALOG plugin_cat")
-        with pytest.raises(LookupError, match="does not exist"):
-            sess.execute_statement("DROP CATALOG truly_unknown_cat")
+        sess.spark.conf.set("spark.sql.catalog.plugin_cat", "com.example.Cat")
+        try:
+            with pytest.raises(ValueError, match="cannot be dropped"):
+                sess.execute_statement("DROP CATALOG plugin_cat")
+            with pytest.raises(LookupError, match="does not exist"):
+                sess.execute_statement("DROP CATALOG truly_unknown_cat")
+        finally:
+            sess.spark.conf.unset("spark.sql.catalog.plugin_cat")
 
     def test_configured_catalog_visible_before_first_use(self, sess):
         """spark.sql.catalog.<name> startup confs count as existing
         catalogs even before Spark loads them."""
         from flink_sql_toolkit_spark.catalogs import _spark_catalog_names
 
-        sess.spark.sparkContext._conf.set(
-            "spark.sql.catalog.preconf_cat", "com.example.Cat"
-        )
+        sess.spark.conf.set("spark.sql.catalog.preconf_cat", "com.example.Cat")
         try:
             assert "preconf_cat" in _spark_catalog_names(sess)
         finally:
-            pass  # conf removal is not supported; name is inert
+            # clean up so the shared session's catalog listings stay
+            # order-independent for later tests (review r11)
+            sess.spark.conf.unset("spark.sql.catalog.preconf_cat")
+        assert "preconf_cat" not in _spark_catalog_names(sess)
