@@ -120,6 +120,21 @@ class CatalogRegistry:
         return cat.databases.get(self.current_db or cat.default_database)
 
 
+def _purge_table(session: "EngineSession", name: str) -> None:
+    """Remove a connector table everywhere a drop must reach: the
+    registry, its temp view, and EVERY catalog's browse sets (the same
+    name may be listed under several databases after re-CREATEs) —
+    one definition shared by DROP CATALOG and DROP DATABASE CASCADE,
+    mirroring the engine's DROP TABLE (review r11: two hand-synced
+    copies had already diverged once)."""
+    session.connector_tables.pop(name, None)
+    session.connector_ddl.pop(name, None)
+    session.spark.catalog.dropTempView(name)
+    for cat in session.emulated_catalogs.catalogs.values():
+        for db in cat.databases.values():
+            db.tables.discard(name)
+
+
 # -- statement handlers ------------------------------------------------
 
 
@@ -176,15 +191,7 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
         # exists (review r11)
         for edb in reg.catalogs[name].databases.values():
             for t in list(edb.tables):
-                session.connector_tables.pop(t, None)
-                session.connector_ddl.pop(t, None)
-                session.spark.catalog.dropTempView(t)
-                # and every OTHER catalog's browse sets, like DROP
-                # DATABASE CASCADE / engine DROP TABLE (review r11
-                # follow-up): the backing table is gone everywhere
-                for other_cat in reg.catalogs.values():
-                    for other_db in other_cat.databases.values():
-                        other_db.tables.discard(t)
+                _purge_table(session, t)
         del reg.catalogs[name]
         session.metadata.invalidate()
         return _OK
@@ -216,22 +223,37 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                 )
             cat.properties.update(new_opts)
         elif action.startswith("RESET"):
-            for raw in re.findall(r"'((?:[^']|'')*)'", m.group(4)):
-                key = raw.replace("''", "'")  # same escape rule as SET
+            # anchored comma-separated key list — a bare findall over
+            # quoted literals would treat the VALUE of a malformed
+            # 'k'='v' item as another key to pop (review r11 pass 2)
+            if not re.match(
+                r"(?s)^\s*'(?:[^']|'')*'(?:\s*,\s*'(?:[^']|'')*')*\s*$",
+                m.group(4),
+            ):
+                raise ValueError(
+                    "ALTER CATALOG RESET expects a list of quoted keys: "
+                    "RESET ('k1', 'k2')"
+                )
+            keys = [
+                raw.replace("''", "'")
+                for raw in re.findall(r"'((?:[^']|'')*)'", m.group(4))
+            ]
+            # validate ALL keys before popping ANY — a failing later
+            # key must not leave the properties half-mutated
+            # (review r11 pass 2)
+            for key in keys:
                 if key == "type":
                     raise ValueError("ALTER CATALOG RESET does not support changing 'type'")
-                if (
-                    key == "default-database"
-                    and "default" not in cat.databases
-                ):
+                if key == "default-database" and "default" not in cat.databases:
                     # RESET falls back to 'default', which must exist —
                     # otherwise the catalog has no resolvable context
-                    # (review r11 follow-up: RESET was the loophole
-                    # around SET's existence check)
+                    # (review r11: RESET was the loophole around SET's
+                    # existence check)
                     raise LookupError(
                         "cannot RESET 'default-database': catalog "
                         f"'{cat.name}' has no database named 'default'"
                     )
+            for key in keys:
                 cat.properties.pop(key, None)
         else:
             cat.comment = _comment(m.group(5))
@@ -313,18 +335,9 @@ def handle_catalog_ddl(session: "EngineSession", stmt: str) -> tuple[Cols, Rows]
                     f"cannot drop database '{db}': it is the default "
                     f"database of catalog '{cat.name}'"
                 )
-            for t in list(target.tables):  # snapshot: the discard below
-                # hits target.tables itself too
-                session.connector_tables.pop(t, None)
-                session.connector_ddl.pop(t, None)
-                session.spark.catalog.dropTempView(t)
-                # the same name may be listed in other browse sets
-                # (re-CREATE under another current db) — its backing
-                # table is gone, so every listing must drop it, like
-                # the engine's DROP TABLE path (review r11)
-                for other_cat in reg.catalogs.values():
-                    for other_db in other_cat.databases.values():
-                        other_db.tables.discard(t)
+            for t in list(target.tables):  # snapshot: _purge_table
+                # discards from target.tables itself too
+                _purge_table(session, t)
             cat.databases.pop(db, None)
             session.metadata.invalidate()
             return _OK
@@ -370,16 +383,25 @@ def _spark_catalog_names(session: "EngineSession") -> set[str]:
     catalog would otherwise flip from 'does not exist' to existing the
     first time someone USEs it (review r11)."""
     names = {c.name for c in session.spark.catalog.listCatalogs()}
+
+    def scan(items) -> None:
+        for key, _v in items:
+            km = re.match(r"^spark\.sql\.catalog\.([^.]+)$", key)
+            if km:
+                names.add(km.group(1))
+
+    # each conf source in its OWN try: runtime spark.conf.set(...)
+    # writes the SQLConf, not the SparkContext conf, so both are
+    # scanned — and a failure in one (RuntimeConfig.getAll is
+    # PySpark 4.0+) must not discard the other's results
+    # (review r11 pass 2)
     try:
-        conf_items = list(session.spark.sparkContext.getConf().getAll())
-        # runtime spark.conf.set(...) writes the SQLConf, not the
-        # SparkContext conf — scan both (review r11 follow-up)
-        conf_items += list(session.spark.conf.getAll.items())
-        for key, _v in conf_items:
-            m = re.match(r"^spark\.sql\.catalog\.([^.]+)$", key)
-            if m:
-                names.add(m.group(1))
+        scan(session.spark.sparkContext.getConf().getAll())
     except Exception:  # noqa: BLE001 — conf access is best-effort
+        pass
+    try:
+        scan(session.spark.conf.getAll.items())
+    except Exception:  # noqa: BLE001
         pass
     return names
 

@@ -417,3 +417,27 @@ class TestCatalogHardeningR11:
             # order-independent for later tests (review r11)
             sess.spark.conf.unset("spark.sql.catalog.preconf_cat")
         assert "preconf_cat" not in _spark_catalog_names(sess)
+
+    def test_reset_is_atomic_and_rejects_kv_forms(self, sess):
+        sess.execute_statement(
+            "CREATE CATALOG rs_cat WITH ('type'='t', 'k1'='a', 'k2'='b')"
+        )
+        # a later invalid key must not leave earlier keys popped
+        with pytest.raises(ValueError, match="changing 'type'"):
+            sess.execute_statement("ALTER CATALOG rs_cat RESET ('k1', 'type')")
+        props = sess.emulated_catalogs.catalogs["rs_cat"].properties
+        assert props.get("k1") == "a", "RESET half-applied before failing"
+        # malformed k=v items are rejected, not treated as two keys
+        with pytest.raises(ValueError, match="quoted keys"):
+            sess.execute_statement("ALTER CATALOG rs_cat RESET ('k1'='k2')")
+        assert props.get("k1") == "a" and props.get("k2") == "b"
+
+    def test_startup_conf_catalog_detected(self, sess):
+        """The SparkContext (startup) conf scan stays covered — the
+        runtime SQLConf path is exercised by the plugin tests above."""
+        from flink_sql_toolkit_spark.catalogs import _spark_catalog_names
+
+        sess.spark.sparkContext._conf.set(
+            "spark.sql.catalog.startup_cat_r11", "com.example.Cat"
+        )
+        assert "startup_cat_r11" in _spark_catalog_names(sess)
