@@ -619,6 +619,11 @@ def match_recognize(
                 "MIN/MAX(sym.col), CLASSIFIER(), MATCH_NUMBER())"
             )
         fn, sym, col = m.group(1).upper(), m.group(2), m.group(3)
+        if col == "*" and fn != "COUNT":
+            raise ValueError(
+                f"unsupported MEASURE '{mexpr}': '{sym}.*' is only valid "
+                "inside COUNT()"
+            )
         if all_rows and out_name in in_schema:
             raise ValueError(
                 f"measure '{out_name}' collides with an input column "
@@ -639,7 +644,12 @@ def match_recognize(
     sort_cols = list(order_by)
     key_cols = list(partition_by)
 
-    measure_cols = {col for _, fn, _, col in plans if col is not None and fn != "COUNT"}
+    # every measure's value column, including COUNT(sym.col) — SQL
+    # COUNT over a column counts only non-NULL values, so the NFA
+    # needs the data to test (COUNT(sym.*) counts rows; no column)
+    measure_cols = {
+        col for _, _fn, _, col in plans if col is not None and col != "*"
+    }
 
     # Vectorized fast path for PATTERN (A+ B): a match is a maximal
     # run of A-rows immediately followed by a B-row — computable with
@@ -715,23 +725,33 @@ def match_recognize(
                     return None  # non-numeric A-agg → generic NFA
 
         cum_cache: dict = {}
+        notna = {c: ~pd.isna(col_vals[c]) for c in measure_cols}
 
         def a_run_agg(fn: str, col: str) -> "np.ndarray":
             """Aggregate of col over each match's A-run, one value
             per kept B-row. Cumulative agg grouped by last_reset:
             within a group, rows before the run contribute the
-            identity, so the value at b_pos-1 is the run aggregate."""
+            identity, so the value at b_pos-1 is the run aggregate.
+            NULL slots contribute the identity too (SQL aggregates
+            skip NULLs); 'CNT' is the per-run NON-NULL count that
+            COUNT(A.col) and the AVG denominator need."""
             key = (fn, col)
             if key not in cum_cache:
                 vals = col_vals[col]
-                if fn in ("SUM", "AVG"):
-                    contrib = np.where(a, vals if fn == "SUM" else vals.astype("float64"), 0)
+                ann = a & notna[col]  # NaN slots never selected below
+                if fn == "CNT":
+                    contrib = ann.astype("int64")
+                    cum = pd.Series(contrib).groupby(last_reset).cumsum().to_numpy()
+                elif fn in ("SUM", "AVG"):
+                    contrib = np.where(
+                        ann, vals if fn == "SUM" else vals.astype("float64"), 0
+                    )
                     cum = pd.Series(contrib).groupby(last_reset).cumsum().to_numpy()
                 elif fn == "MIN":
-                    contrib = np.where(a, vals.astype("float64"), np.inf)
+                    contrib = np.where(ann, vals.astype("float64"), np.inf)
                     cum = pd.Series(contrib).groupby(last_reset).cummin().to_numpy()
                 else:
-                    contrib = np.where(a, vals.astype("float64"), -np.inf)
+                    contrib = np.where(ann, vals.astype("float64"), -np.inf)
                     cum = pd.Series(contrib).groupby(last_reset).cummax().to_numpy()
                 cum_cache[key] = cum
             return cum_cache[key][b_pos - 1]
@@ -745,7 +765,14 @@ def match_recognize(
                 gid = np.cumsum(group_start)[b_pos]
                 out[out_name] = pd.Series(gid).groupby(gid).cumcount().to_numpy() + 1
             elif fn == "COUNT":
-                out[out_name] = run if sym == a_sym else np.ones_like(run)
+                # COUNT(sym.*) counts mapped rows; COUNT(sym.col)
+                # counts the non-NULL values among them (SQL)
+                if col == "*":
+                    out[out_name] = run if sym == a_sym else np.ones_like(run)
+                elif sym == a_sym:
+                    out[out_name] = a_run_agg("CNT", col)
+                else:
+                    out[out_name] = notna[col][b_pos].astype("int64")
             elif sym == b_sym:
                 v = col_vals[col][b_pos]
                 out[out_name] = v.astype("float64") if fn == "AVG" else v
@@ -753,15 +780,21 @@ def match_recognize(
                 out[out_name] = col_vals[col][b_pos - run]
             elif fn == "LAST":
                 out[out_name] = col_vals[col][b_pos - 1]
-            elif fn == "AVG":
-                out[out_name] = a_run_agg("AVG", col) / run
-            else:  # SUM/MIN/MAX over the A-run
+            else:  # AVG/SUM/MIN/MAX over the A-run, NULLs skipped;
+                # an all-NULL run aggregates to NULL (NaN here — an
+                # integer column can't reach it: no NULLs → cnt == run)
                 v = a_run_agg(fn, col)
-                if fn in ("MIN", "MAX") and np.issubdtype(
-                    col_vals[col].dtype, np.integer
-                ):
-                    v = v.astype(col_vals[col].dtype)
-                out[out_name] = v
+                cnt = a_run_agg("CNT", col)
+                if fn == "AVG":
+                    out[out_name] = np.where(
+                        cnt > 0, v / np.maximum(cnt, 1), np.nan
+                    )
+                elif np.issubdtype(col_vals[col].dtype, np.integer):
+                    if fn in ("MIN", "MAX"):
+                        v = v.astype(col_vals[col].dtype)
+                    out[out_name] = v
+                else:
+                    out[out_name] = np.where(cnt > 0, v, np.nan)
         return pd.DataFrame(out, columns=out_cols)
 
     def _has_quantified_group(node) -> bool:
@@ -1016,21 +1049,35 @@ def match_recognize(
                     continue
                 idxs = [i for i, s in use if s == sym]
                 if fn == "COUNT":
-                    row[out_name] = len(idxs)
+                    # SQL COUNT: sym.* counts mapped rows; sym.col
+                    # counts non-NULL values among them
+                    if col == "*":
+                        row[out_name] = len(idxs)
+                    else:
+                        vals = col_vals[col][idxs]
+                        row[out_name] = int((~pd.isna(vals)).sum())
                 elif not idxs:
                     row[out_name] = None
                 elif fn == "FIRST":
+                    # FIRST/LAST are SQL:2016 row-pattern NAVIGATION
+                    # (the value of that row, NULL and all) — only the
+                    # aggregates below skip NULLs
                     row[out_name] = col_vals[col][idxs[0]]
                 elif fn == "LAST":
                     row[out_name] = col_vals[col][idxs[-1]]
-                elif fn == "AVG":
-                    row[out_name] = float(col_vals[col][idxs].mean())
-                elif fn == "SUM":
-                    row[out_name] = col_vals[col][idxs].sum()
-                elif fn == "MIN":
-                    row[out_name] = col_vals[col][idxs].min()
                 else:
-                    row[out_name] = col_vals[col][idxs].max()
+                    vals = col_vals[col][idxs]
+                    vals = vals[~pd.isna(vals)]  # aggregates skip NULLs
+                    if not len(vals):
+                        row[out_name] = None
+                    elif fn == "AVG":
+                        row[out_name] = float(vals.mean())
+                    elif fn == "SUM":
+                        row[out_name] = vals.sum()
+                    elif fn == "MIN":
+                        row[out_name] = vals.min()
+                    else:
+                        row[out_name] = vals.max()
 
         in_vals = {c: pdf[c].to_numpy() for c in emit_cols} if all_rows else {}
         out_rows = []
@@ -1313,6 +1360,7 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN value > 75 THEN NULL ELSE value END AS v2,
              COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
@@ -1353,6 +1401,23 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY variant, user_id
       HAVING SUM(n_matches) > 0
     ),
+    segn AS (
+      -- per-A-run COUNT/MIN/MAX over the NULLABLE v2 (SQL aggregate
+      -- NULL skipping — the q_nullagg variant's oracle)
+      SELECT user_id, p_before AS seg_id,
+             COUNT(v2) AS cnt_v2, MIN(v2) AS min_v2, MAX(v2) AS max_v2
+      FROM base WHERE event_type <> 'purchase'
+      GROUP BY user_id, p_before
+    ),
+    nullagg AS (
+      SELECT b.user_id AS user_id,
+             CAST(SUM(s.cnt_v2) AS BIGINT) AS n_matches,
+             CAST(COUNT(*) AS BIGINT) AS rows_matched,
+             MIN(s.min_v2) AS min_value, MAX(s.max_v2) AS max_value
+      FROM base b JOIN segn s ON s.user_id = b.user_id AND s.seg_id = b.p_before
+      WHERE b.event_type = 'purchase'
+      GROUP BY b.user_id
+    ),
     within_m AS (
       SELECT user_id, MIN(prev_ts) AS start_ts,
              CAST(COUNT(*) AS BIGINT) AS n_matches,
@@ -1385,6 +1450,10 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            n_matches, rows_matched
     FROM within_m
+    UNION ALL
+    SELECT 'q_nullagg', user_id, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS BIGINT), min_value, max_value, n_matches, rows_matched
+    FROM nullagg
     """,
 )
 def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,10 +1558,60 @@ def match_recognize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") * 2).cast("bigint").alias("rows_matched"),
         ))
 
+    def nullagg_variant() -> DataFrame:
+        """MEASURES aggregates over a NULLABLE column (r11: SQL NULL
+        semantics — COUNT(A.col) counts only non-NULL values, MIN/MAX
+        skip NULLs and are NULL over an all-NULL symbol set). ``value``
+        is NULLed above 75 identically on both sides, so mixed and
+        all-NULL A-runs both occur; the oracle mirrors the same
+        per-segment COUNT/MIN/MAX in the segn/nullagg CTEs."""
+        ev2 = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.col("value") > 75, F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("v2"),
+        )
+        out = match_recognize(
+            ev2,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            pattern="A+ B",
+            define={
+                "A": "event_type <> 'purchase'",
+                "B": "event_type = 'purchase'",
+            },
+            measures={
+                "cnt_v2": "COUNT(A.v2)",
+                "min_v2": "MIN(A.v2)",
+                "max_v2": "MAX(A.v2)",
+            },
+        )
+        agg = out.groupBy("user_id").agg(
+            F.sum("cnt_v2").cast("bigint").alias("n_matches"),
+            F.count("*").cast("bigint").alias("rows_matched"),
+            F.min("min_v2").alias("min_value"),
+            F.max("max_v2").alias("max_value"),
+        )
+        return agg.select(
+            F.lit("q_nullagg").alias("variant"),
+            "user_id",
+            F.lit(None).cast("timestamp").alias("start_ts"),
+            F.lit(None).cast("timestamp").alias("purchase_ts"),
+            F.lit(None).cast("bigint").alias("n_before"),
+            "min_value",
+            "max_value",
+            "n_matches",
+            "rows_matched",
+        )
+
     return (
         df_path.unionByName(sql_path)
         .unionByName(quant_variant("q_bounded", "A{2,3}"))
         .unionByName(quant_variant("q_reluctant", "A{2,3}?"))
         .unionByName(quant_variant("q_atleast", "A{2,}"))
         .unionByName(within_variant())
+        .unionByName(nullagg_variant())
     )

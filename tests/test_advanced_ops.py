@@ -1280,3 +1280,71 @@ def test_match_recognize_within_sql_path(spark):
             )
             """,
         )
+
+
+def test_measures_aggregates_skip_nulls(spark):
+    """SQL NULL semantics in MEASURES (r11 differential find): COUNT
+    of a column counts only non-NULL values, SUM/AVG/MIN/MAX skip
+    NULLs (NULL over an all-null symbol set), AVG divides by the
+    NON-NULL count — on BOTH the vectorized (A+ B) fast path and the
+    generic NFA. FIRST/LAST stay navigation (a NULL row's value is
+    NULL, not skipped). Before the fix, COUNT(A.v) counted NULL rows,
+    the NFA's aggregates NaN-poisoned to NULL whenever any row was
+    NULL, and the fast path's AVG divided by the row count."""
+    rows = [
+        (1, 1, "a", 10),
+        (1, 2, "a", None),  # A-run ENDS with NULL (fast-path cum slot)
+        (1, 3, "b", None),
+        (2, 1, "a", None),  # all-NULL A-run
+        (2, 2, "b", 5),
+        (3, 1, "a", 7),
+        (3, 2, "a", 3),
+        (3, 3, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, t string, v long")
+    measures = {
+        "cnt_star": "COUNT(A.*)",
+        "cnt_av": "COUNT(A.v)",
+        "sum_av": "SUM(A.v)",
+        "avg_av": "AVG(A.v)",
+        "min_av": "MIN(A.v)",
+        "max_av": "MAX(A.v)",
+        "last_av": "LAST(A.v)",
+        "cnt_bv": "COUNT(B.v)",
+        "sum_bv": "SUM(B.v)",
+    }
+    expected = {
+        1: (2, 1, 10, 10.0, 10, 10, None, 0, None),
+        2: (1, 0, None, None, None, None, None, 1, 5),
+        3: (2, 2, 10, 5.0, 3, 7, 3, 1, 1),
+    }
+    for pat in ("A+ B", "A{1,} B"):  # fast path vs generic NFA
+        out = match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern=pat,
+            define={"A": "t = 'a'", "B": "t = 'b'"},
+            measures=dict(measures),
+        ).collect()
+        got = {
+            r.k: (r.cnt_star, r.cnt_av, r.sum_av, r.avg_av, r.min_av,
+                  r.max_av, r.last_av, r.cnt_bv, r.sum_bv)
+            for r in out
+        }
+        assert got == expected, pat
+
+
+def test_measures_star_outside_count_rejected(spark):
+    """FIRST(A.*) has no SQL meaning — typed rejection instead of a
+    KeyError('*') from the NFA's column extraction."""
+    df = spark.createDataFrame([(1, 1, "a")], "k long, seq long, t string")
+    with pytest.raises(ValueError, match=r"only valid inside COUNT"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B",
+            define={"A": "t = 'a'", "B": "t = 'b'"},
+            measures={"x": "FIRST(A.*)"},
+        )

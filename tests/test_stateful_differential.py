@@ -1,0 +1,199 @@
+"""Randomized end-to-end differential tests: the streaming stateful
+operators (applyInPandasWithState, state crossing micro-batch
+boundaries) must agree with Spark's BATCH window engine on the same
+rows. Seeded (no ambient randomness — reproducible), rows arrive in
+ORDER BY order across micro-batches (the operators' documented
+arrival-order contract), interleaved across keys so per-key state is
+exercised by every split.
+
+This is the streaming analogue of the oracle gate: the batch plan is
+the oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _write_ordered_batches(spark, path, rows, schema, n_batches: int):
+    """Split rows (already in global arrival order) into n contiguous
+    files — one micro-batch each with maxFilesPerTrigger=1."""
+    per = max(1, (len(rows) + n_batches - 1) // n_batches)
+    for i in range(n_batches):
+        chunk = rows[i * per:(i + 1) * per]
+        if not chunk:
+            break
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/in/b{i:02d}")
+
+
+def _run_stream(spark, tmp_path, schema, make_op, name: str):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = (
+        make_op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def _gen_rows(seed: int, n: int, n_keys: int, null_rate: float = 0.15):
+    """(k, seq, v) rows in global seq order; v has NULL slots and
+    magnitudes that matter for exactness."""
+    rng = random.Random(seed)
+    rows = []
+    for seq in range(n):
+        k = rng.randrange(n_keys)
+        v = None if rng.random() < null_rate else rng.randint(-1000, 1000)
+        rows.append((k, seq, v))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_over_rows_agrees_with_batch_window(spark, tmp_path, seed):
+    """Bounded + unbounded ROWS frames, sum/cnt/avg/min/max/first/last
+    over randomized keys/NULLs, state crossing 5 micro-batches, vs the
+    batch window plan (ignorenulls first/last = the Flink aggregate
+    semantics the operator implements)."""
+    from flink_sql_toolkit_spark.streaming.stateful import (
+        UNBOUNDED,
+        streaming_over_rows,
+    )
+
+    rows = _gen_rows(seed, 400, 5)
+    schema = "k long, seq long, v long"
+    _write_ordered_batches(spark, tmp_path, rows, schema, 5)
+    specs = [
+        ("sum", "v", 3), ("cnt", "v", 3), ("avg", "v", 3),
+        ("min", "v", 3), ("max", "v", 3),
+        ("first", "v", 3), ("last", "v", 3),
+        ("cnt", None, 3),
+        ("sum", "v", UNBOUNDED), ("min", "v", UNBOUNDED),
+        ("first", "v", UNBOUNDED), ("cnt", None, UNBOUNDED),
+    ]
+    got_df = _run_stream(
+        spark, tmp_path, schema,
+        lambda s: streaming_over_rows(
+            s, partition_by=["k"], order_by=["seq"], value_col=None,
+            n_preceding=3, agg_specs=specs,
+        ),
+        f"diff_rows_{seed}",
+    )
+    got = {(r.k, r.seq): r.asDict() for r in got_df.collect()}
+
+    batch = spark.createDataFrame(rows, schema)
+    w3 = Window.partitionBy("k").orderBy("seq").rowsBetween(-3, 0)
+    wu = Window.partitionBy("k").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    exp_df = batch.select(
+        "k", "seq",
+        # names follow resolve_spec_names: width-qualified ONLY when
+        # the same (agg, col) appears with several widths
+        F.sum("v").over(w3).alias("v_sum_3p"),
+        F.count("v").over(w3).alias("v_cnt"),
+        F.avg("v").over(w3).alias("v_avg"),
+        F.min("v").over(w3).alias("v_min_3p"),
+        F.max("v").over(w3).alias("v_max"),
+        F.first("v", ignorenulls=True).over(w3).alias("v_first_3p"),
+        F.last("v", ignorenulls=True).over(w3).alias("v_last"),
+        F.count(F.lit(1)).over(w3).alias("star_cnt_3p"),
+        F.sum("v").over(wu).alias("v_sum_unb"),
+        F.min("v").over(wu).alias("v_min_unb"),
+        F.first("v", ignorenulls=True).over(wu).alias("v_first_unb"),
+        F.count(F.lit(1)).over(wu).alias("star_cnt_unb"),
+    )
+    exp = {(r.k, r.seq): r.asDict() for r in exp_df.collect()}
+    assert set(got) == set(exp)
+    for key in exp:
+        for col, ev in exp[key].items():
+            gv = got[key][col]
+            if isinstance(ev, float):
+                assert gv == pytest.approx(ev), (key, col, gv, ev)
+            else:
+                assert gv == ev, (key, col, gv, ev)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_rank_lag_nth_agree_with_batch_window(spark, tmp_path, seed):
+    """ROW_NUMBER/RANK/DENSE_RANK (tie-heavy order values), LAG(v, 2)
+    and NTH_VALUE(v, 3) across 4 micro-batches vs the batch plan.
+    Order values repeat heavily so the rank-family tie handling (peer
+    groups spanning batch boundaries) is actually exercised."""
+    from flink_sql_toolkit_spark.streaming.stateful import (
+        streaming_lag,
+        streaming_nth_value,
+        streaming_rank,
+    )
+
+    rng = random.Random(seed)
+    rows, ov = [], 0
+    for seq in range(300):
+        k = rng.randrange(4)
+        # non-decreasing per arrival with many ties (valid rank input)
+        if rng.random() < 0.4:
+            ov += rng.randint(1, 3)
+        v = None if rng.random() < 0.2 else rng.randint(0, 99)
+        rows.append((k, seq, ov, v))
+    schema = "k long, seq long, ov long, v long"
+    _write_ordered_batches(spark, tmp_path, rows, schema, 4)
+
+    got_rank = {
+        (r.k, r.seq): (r.ov_rownum, r.ov_rnk, r.ov_drnk)
+        for r in _run_stream(
+            spark, tmp_path, schema,
+            lambda s: streaming_rank(s, ["k"], ["ov"]),
+            f"diff_rank_{seed}",
+        ).collect()
+    }
+    got_lag = {
+        (r.k, r.seq): r.v_lag
+        for r in _run_stream(
+            spark, tmp_path, schema,
+            lambda s: streaming_lag(s, ["k"], ["seq"], "v", offset=2),
+            f"diff_lag_{seed}",
+        ).collect()
+    }
+    got_nth = {
+        (r.k, r.seq): r.v_nth3
+        for r in _run_stream(
+            spark, tmp_path, schema,
+            lambda s: streaming_nth_value(s, ["k"], ["seq"], "v", n=3),
+            f"diff_nth_{seed}",
+        ).collect()
+    }
+
+    batch = spark.createDataFrame(rows, schema)
+    # the streaming operator ranks in arrival order; seq is the
+    # arrival tiebreak, so the batch oracle orders by (ov, seq)
+    wr = Window.partitionBy("k").orderBy("ov", "seq")
+    wo = Window.partitionBy("k").orderBy("ov")
+    ws = Window.partitionBy("k").orderBy("seq")
+    exp_df = batch.select(
+        "k", "seq",
+        F.row_number().over(wr).alias("rn"),
+        F.rank().over(wo).alias("rnk"),
+        F.dense_rank().over(wo).alias("drnk"),
+        F.lag("v", 2).over(ws).alias("lag2"),
+        F.nth_value("v", 3).over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("nth3"),
+    )
+    for r in exp_df.collect():
+        key = (r.k, r.seq)
+        assert got_rank[key] == (r.rn, r.rnk, r.drnk), key
+        assert got_lag[key] == r.lag2, key
+        assert got_nth[key] == r.nth3, key
