@@ -197,3 +197,60 @@ def test_rank_lag_nth_agree_with_batch_window(spark, tmp_path, seed):
         assert got_rank[key] == (r.rn, r.rnk, r.drnk), key
         assert got_lag[key] == r.lag2, key
         assert got_nth[key] == r.nth3, key
+
+
+@pytest.mark.parametrize("seed,n", [(13, 1), (31, 3)])
+def test_keep_last_changelog_collapses_to_batch_topn(spark, tmp_path, seed, n):
+    """Randomized keep-last/Top-N changelog differential: applying the
+    emitted +I/-U/+U/-D stream (order-insensitive multiset collapse)
+    must yield exactly the batch ROW_NUMBER() OVER (ORDER BY ts DESC)
+    <= n rows. Unique order values per key keep the oracle
+    tie-unambiguous; 4 micro-batches churn the top set repeatedly."""
+    import datetime as dt
+    from collections import Counter
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_keep_last
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    # unique global ts in shuffled arrival order → constant churn
+    offsets = list(range(120))
+    rng.shuffle(offsets)
+    rows = [
+        (rng.randrange(3), t0 + dt.timedelta(seconds=o), f"tag{o}")
+        for o in offsets
+    ]
+    schema = "k long, ts timestamp, tag string"
+    _write_ordered_batches(spark, tmp_path, rows, schema, 4)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = (
+        streaming_keep_last(stream, ["k"], "ts", n=n)
+        .writeStream.format("memory")
+        .queryName(f"kl_diff_{seed}")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    state: Counter = Counter()
+    for r in spark.table(f"kl_diff_{seed}").collect():
+        key = tuple(r)[1:]
+        state[key] += 1 if r[0] in ("+I", "+U") else -1
+    assert all(c in (0, 1) for c in state.values())
+    got = sorted(k for k, c in state.items() if c == 1)
+
+    win = Window.partitionBy("k").orderBy(F.desc("ts"))
+    exp = sorted(
+        (r.k, r.ts, r.tag)
+        for r in spark.createDataFrame(rows, schema)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(f"rn <= {n}")
+        .drop("rn")
+        .collect()
+    )
+    assert got == exp
