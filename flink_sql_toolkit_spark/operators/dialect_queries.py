@@ -92,6 +92,26 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], flink_sql: s
       )
     )
     GROUP BY window_start
+    UNION ALL
+    SELECT 'hop', CAST(NULL AS BIGINT),
+           make_timestamp(CAST((floor((epoch(ts) - i * 60) / 300) * 300) + i * 60 AS BIGINT) * 1000000),
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events CROSS JOIN (SELECT UNNEST(range(0, 5)) AS i) hk
+    WHERE epoch(ts) >= (floor((epoch(ts) - i * 60) / 300) * 300) + i * 60
+    GROUP BY 3
+    UNION ALL
+    -- CUMULATE windows share a window_start across their growing
+    -- ends; the entry schema has no window_end column, so the end's
+    -- epoch seconds ride in k (BIGINT)
+    SELECT 'cumulate',
+           CAST(floor(epoch(ts) / 3600) * 3600 + i * 900 AS BIGINT),
+           make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000),
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events CROSS JOIN (SELECT UNNEST(range(1, 5)) AS i) ck
+    WHERE floor(epoch(ts) / 3600) * 3600 + i * 900 > epoch(ts)
+    GROUP BY 2, 3
     """,
 )
 def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +191,44 @@ def dialect_tumble_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("k"),
         "window_start", "n", "total_value",
     )
-    return t.unionByName(s).unionByName(sr).unionByName(ss)
+    # HOP and CUMULATE through the SQL-dialect TVF rewrite (the corpus
+    # executes these shapes, syntax-test.fsql:210-239; this gates
+    # their VALUES too — r11). CUMULATE's growing window_end rides in
+    # k as epoch seconds (the entry schema has no end column).
+    h = _sql(
+        spark,
+        sf_dir,
+        ("events",),
+        """
+        SELECT window_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        GROUP BY window_start
+        """,
+    ).select(
+        F.lit("hop").alias("variant"),
+        F.lit(None).cast("bigint").alias("k"),
+        "window_start", "n", "total_value",
+    )
+    c = _sql(
+        spark,
+        sf_dir,
+        ("events",),
+        """
+        SELECT CAST(unix_timestamp(window_end) AS BIGINT) AS k, window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+        """,
+    ).select(
+        F.lit("cumulate").alias("variant"), "k", "window_start", "n",
+        "total_value",
+    )
+    return (
+        t.unionByName(s).unionByName(sr).unionByName(ss)
+        .unionByName(h).unionByName(c)
+    )
 
 
 @register(

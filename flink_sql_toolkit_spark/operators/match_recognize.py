@@ -624,6 +624,13 @@ def match_recognize(
                 f"unsupported MEASURE '{mexpr}': '{sym}.*' is only valid "
                 "inside COUNT()"
             )
+        if col != "*" and col not in in_schema:
+            # validate at plan time for every function — COUNT's
+            # output type never consults in_schema, so a typo would
+            # otherwise surface as an executor-side KeyError (r11)
+            raise ValueError(
+                f"MEASURE '{mexpr}' references unknown column '{col}'"
+            )
         if all_rows and out_name in in_schema:
             raise ValueError(
                 f"measure '{out_name}' collides with an input column "
@@ -670,6 +677,16 @@ def match_recognize(
         and all(isinstance(t, PatternToken) for t in tree.branches[0])
         and tree.branches[0][0].quantifier == "+"
         and tree.branches[0][1].quantifier == ""
+        # every measure symbol must BE one of the two pattern symbols:
+        # the emission loop below attributes everything not-A to the
+        # B-row, so a measure over a defined-but-unmatched third
+        # symbol (COUNT(C.*) = 0 in the NFA) would silently read
+        # B/A-run values (review r11)
+        and all(
+            sym in (tree.branches[0][0].symbol, tree.branches[0][1].symbol)
+            for _, _fn, sym, _col in plans
+            if sym is not None
+        )
     )
     fast_tokens = tree.branches[0] if two_sym_plus else None
 
@@ -725,7 +742,14 @@ def match_recognize(
                     return None  # non-numeric A-agg → generic NFA
 
         cum_cache: dict = {}
-        notna = {c: ~pd.isna(col_vals[c]) for c in measure_cols}
+        _notna_cache: dict = {}
+
+        def notna(col: str) -> "np.ndarray":
+            # lazy per-column non-null mask — FIRST/LAST/CLASSIFIER
+            # workloads never pay the isna pass (review r11)
+            if col not in _notna_cache:
+                _notna_cache[col] = ~pd.isna(col_vals[col])
+            return _notna_cache[col]
 
         def a_run_agg(fn: str, col: str) -> "np.ndarray":
             """Aggregate of col over each match's A-run, one value
@@ -738,7 +762,7 @@ def match_recognize(
             key = (fn, col)
             if key not in cum_cache:
                 vals = col_vals[col]
-                ann = a & notna[col]  # NaN slots never selected below
+                ann = a & notna(col)  # NaN slots never selected below
                 if fn == "CNT":
                     contrib = ann.astype("int64")
                     cum = pd.Series(contrib).groupby(last_reset).cumsum().to_numpy()
@@ -772,7 +796,7 @@ def match_recognize(
                 elif sym == a_sym:
                     out[out_name] = a_run_agg("CNT", col)
                 else:
-                    out[out_name] = notna[col][b_pos].astype("int64")
+                    out[out_name] = notna(col)[b_pos].astype("int64")
             elif sym == b_sym:
                 v = col_vals[col][b_pos]
                 out[out_name] = v.astype("float64") if fn == "AVG" else v
@@ -784,16 +808,19 @@ def match_recognize(
                 # an all-NULL run aggregates to NULL (NaN here — an
                 # integer column can't reach it: no NULLs → cnt == run)
                 v = a_run_agg(fn, col)
-                cnt = a_run_agg("CNT", col)
                 if fn == "AVG":
+                    cnt = a_run_agg("CNT", col)
                     out[out_name] = np.where(
                         cnt > 0, v / np.maximum(cnt, 1), np.nan
                     )
                 elif np.issubdtype(col_vals[col].dtype, np.integer):
+                    # no NULLs possible (else the dtype were float):
+                    # cnt == run > 0, skip the CNT cumulative entirely
                     if fn in ("MIN", "MAX"):
                         v = v.astype(col_vals[col].dtype)
                     out[out_name] = v
                 else:
+                    cnt = a_run_agg("CNT", col)
                     out[out_name] = np.where(cnt > 0, v, np.nan)
         return pd.DataFrame(out, columns=out_cols)
 

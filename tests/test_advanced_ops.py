@@ -1348,3 +1348,45 @@ def test_measures_star_outside_count_rejected(spark):
             define={"A": "t = 'a'", "B": "t = 'b'"},
             measures={"x": "FIRST(A.*)"},
         )
+
+
+def test_measures_over_unmatched_third_symbol(spark):
+    """A measure over a DEFINEd symbol the two-token pattern never
+    maps (COUNT(C.*) under PATTERN (A+ B)) must fall back to the
+    generic NFA: COUNT = 0 and navigation/aggregates NULL — the
+    vectorized fast path used to attribute everything not-A to the
+    B-row (review r11)."""
+    rows = [(1, 1, "a", 10), (1, 2, "b", 5)]
+    df = spark.createDataFrame(rows, "k long, seq long, t string, v long")
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern="A+ B",
+        define={"A": "t = 'a'", "B": "t = 'b'", "C": "t = 'c'"},
+        measures={
+            "n_c": "COUNT(C.*)",
+            "n_cv": "COUNT(C.v)",
+            "first_cv": "FIRST(C.v)",
+            "max_cv": "MAX(C.v)",
+            "n_a": "COUNT(A.*)",
+        },
+    ).collect()
+    assert [(r.n_c, r.n_cv, r.first_cv, r.max_cv, r.n_a) for r in out] == [
+        (0, 0, None, None, 1)
+    ]
+
+
+def test_measures_unknown_column_rejected_at_plan_time(spark):
+    """COUNT(A.typo) is a typed plan-time error, not an executor-side
+    KeyError from the pandas stage (review r11)."""
+    df = spark.createDataFrame([(1, 1, "a")], "k long, seq long, t string")
+    with pytest.raises(ValueError, match=r"unknown column 'typo'"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern="A B",
+            define={"A": "t = 'a'", "B": "t = 'b'"},
+            measures={"n": "COUNT(A.typo)"},
+        )

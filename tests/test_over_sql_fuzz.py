@@ -85,6 +85,12 @@ def test_streaming_over_route_agrees_with_batch_sql(spark, tmp_path, seed):
                 token = page["nextResultToken"]
                 got.extend(tuple(r) for r in page["data"])
                 time.sleep(0.3)
+            # drain one more page: an over-emitting route (dupes or
+            # spurious rows past the expected count) must FAIL the
+            # length assert, not hide behind the early loop exit
+            time.sleep(1.0)
+            page = op.fetch(token)
+            got.extend(tuple(r) for r in page["data"])
             op.cancel()
             got = sorted(got)
             assert len(got) == len(exp), (seed, trial, specs, len(got), len(exp))
