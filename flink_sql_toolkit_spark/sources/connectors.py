@@ -264,8 +264,25 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
             "timestamp", "partition", "offset", "topic",
         ).select("_row.*", "timestamp", "partition", "offset", "topic")
     if fmt == "raw":
-        first = table.columns[0].name
-        return raw.select(value.alias(first), "timestamp", "partition", "offset", "topic")
+        c0 = table.columns[0]
+        # Flink's raw format maps the bytes by the declared type:
+        # STRING = utf-8, BYTES = as-is. The numeric variants are
+        # big-endian BINARY encodings (not text) — a string cast
+        # would silently text-parse them, so they are a typed
+        # rejection until needed (r11; Flink docs "Raw Format").
+        if c0.spark_type == "binary":
+            decoded0 = F.col("value")
+        elif c0.spark_type == "string":
+            decoded0 = value
+        else:
+            raise NotImplementedError(
+                f"format 'raw' decodes a {c0.spark_type} column from "
+                "big-endian bytes, which is not implemented — declare "
+                "the column as STRING or BYTES and CAST downstream"
+            )
+        return raw.select(
+            decoded0.alias(c0.name), "timestamp", "partition", "offset", "topic"
+        )
     if fmt in ("avro", "avro-confluent"):
         import json as _json  # noqa: PLC0415
 
@@ -622,7 +639,15 @@ def _datagen_columns(spark_value_col, table: ConnectorTable):
             else:
                 expr = v.cast(t)
         elif t in ("double", "float"):
-            expr = (F.pmod(F.xxhash64(v), F.lit(10000)) / 100.0).cast(t)
+            # deterministic spread; fields.<col>.min/max honored like
+            # the integer types (Flink datagen contract — r11)
+            unit = F.pmod(F.xxhash64(v), F.lit(10000)) / 10000.0
+            if lo is not None and hi is not None:
+                expr = (
+                    unit * (float(hi) - float(lo)) + float(lo)
+                ).cast(t)
+            else:
+                expr = (unit * 100.0).cast(t)
         elif t == "string":
             expr = F.concat(F.lit(c.name[:length] + "_"), v.cast("string"))
         elif t in ("timestamp", "timestamp_ntz"):
@@ -710,13 +735,11 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
         reader = (spark.readStream if streaming else spark.read).format("kafka")
         for k, v in kafka_reader_options(table).items():
             reader = reader.option(k, v)
-        df = _decode_payload(reader.load(), table)
+        raw = reader.load()
         if conn == "upsert-kafka" and table.primary_key and not streaming:
-            # batch upsert view: latest record per key
-            from pyspark.sql import Window as W  # noqa: PLC0415
-
-            w = W.partitionBy(*table.primary_key).orderBy(F.desc("offset"))
-            df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+            df = upsert_batch_view(raw, table)
+        else:
+            df = _decode_payload(raw, table)
         return _apply_extensions(df, table, streaming)
 
     if conn == "jdbc":
@@ -731,6 +754,50 @@ def build_reader(spark: SparkSession, table: ConnectorTable, streaming: bool | N
         f"connector '{conn}' is not bundled (kafka/filesystem/jdbc/datagen/"
         f"print/blackhole/values are); see SURVEY.md §2.2 for the mapping"
     )
+
+
+def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
+    """Batch view of an upsert-kafka topic: the latest record per
+    PRIMARY KEY — with Kafka TOMBSTONES honored (a NULL-value record
+    is a DELETE for its key, the upsert-kafka contract; Flink's
+    connector docs "Upsert Kafka § Key and Value Formats"). Before
+    r11 tombstones were silently ignored: their PK decoded as NULL
+    (the value is what carries the columns), so the deleted key kept
+    serving its stale last record.
+
+    The tombstone's key parses from the JSON kafka key this
+    connector's own sink writes (``kafka_writer_payload``); per-key
+    history orders by offset (keyed writes place a key's records in
+    one partition, so its offsets are totalizing). A key whose
+    LATEST record is a tombstone leaves the view; a re-insert after
+    a tombstone wins again. Scale: the anti-join's build side holds
+    only currently-tombstoned keys — dim-sized, broadcastable."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    pk = table.primary_key
+    decoded = _decode_payload(raw.filter(F.col("value").isNotNull()), table)
+    w = W.partitionBy(*pk).orderBy(F.desc("offset"))
+    latest = (
+        decoded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    key_schema = ", ".join(
+        f"{c.name} {c.spark_type}" for c in table.columns if c.name in pk
+    )
+    hist = raw.select(
+        F.from_json(F.col("key").cast("string"), f"struct<{key_schema}>").alias("_k"),
+        F.col("value").isNull().alias("_tomb"),
+        "offset",
+    ).filter(F.col("_k").isNotNull())
+    wk = W.partitionBy("_k").orderBy(F.desc("offset"))
+    dead = (
+        hist.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_tomb"))
+        .select("_k.*")
+    )
+    return latest.join(F.broadcast(dead), on=list(pk), how="left_anti")
 
 
 def _jdbc_props(opts: dict[str, str]) -> dict[str, str]:

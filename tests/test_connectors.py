@@ -472,3 +472,90 @@ def test_csv_filesystem_null_literal_and_quotes(spark, tmp_path):
         (r.id, r.s, r.v) for r in build_reader(spark, t, streaming=False).collect()
     )
     assert rows == [(1, "x;y", None), (2, "b", "ok")]
+
+
+def _kafka_keyed_frame(spark, records: list[tuple[str | None, str | None]]):
+    """(key_json, value_json_or_None) pairs — None value = tombstone."""
+    rows = [
+        (
+            bytearray(k.encode()) if k is not None else None,
+            bytearray(v.encode()) if v is not None else None,
+            "t",
+            0,
+            i,
+            dt.datetime(2024, 1, 1, 0, 0, i),
+            0,
+        )
+        for i, (k, v) in enumerate(records)
+    ]
+    return spark.createDataFrame(rows, KAFKA_COLS)
+
+
+def test_upsert_tombstone_deletes_key(spark):
+    """upsert-kafka batch view honors tombstones (NULL value = DELETE,
+    the upsert-kafka contract): a key whose latest record is a
+    tombstone leaves the view; a re-insert after a tombstone wins
+    again (r11 — tombstones used to be silently ignored, serving the
+    deleted key's stale record)."""
+    from flink_sql_toolkit_spark.sources.connectors import upsert_batch_view
+
+    raw = _kafka_keyed_frame(
+        spark,
+        [
+            ('{"id": 1}', '{"id": 1, "name": "v1"}'),
+            ('{"id": 2}', '{"id": 2, "name": "x"}'),
+            ('{"id": 1}', None),                       # delete id=1
+            ('{"id": 3}', '{"id": 3, "name": "y"}'),
+            ('{"id": 3}', None),                       # delete id=3 ...
+            ('{"id": 3}', '{"id": 3, "name": "y2"}'),  # ... then re-insert
+        ],
+    )
+    out = upsert_batch_view(raw, table_for("json"))
+    assert {(r.id, r.name) for r in out.collect()} == {(2, "x"), (3, "y2")}
+
+
+def test_upsert_tombstone_only_key_absent(spark):
+    """A key whose ONLY record is a tombstone never appears."""
+    from flink_sql_toolkit_spark.sources.connectors import upsert_batch_view
+
+    raw = _kafka_keyed_frame(
+        spark,
+        [('{"id": 9}', None), ('{"id": 5}', '{"id": 5, "name": "ok"}')],
+    )
+    out = upsert_batch_view(raw, table_for("json"))
+    assert {(r.id, r.name) for r in out.collect()} == {(5, "ok")}
+
+
+def test_raw_decode_bytes_and_typed_rejection(spark):
+    """raw format: BYTES column passes the payload through unchanged;
+    a numeric raw column (big-endian byte decode in Flink) is a typed
+    rejection instead of a silent utf-8 text parse (r11)."""
+    raw = kafka_frame(spark, ["payload-a"])
+    t_bytes = parse_create_table(
+        "CREATE TABLE kb (b BYTES) WITH ('connector'='kafka', "
+        "'topic'='t', 'format'='raw');"
+    )
+    out = _decode_payload(raw, t_bytes).collect()
+    assert bytes(out[0].b) == b"payload-a"
+    t_num = parse_create_table(
+        "CREATE TABLE kn (n BIGINT) WITH ('connector'='kafka', "
+        "'topic'='t', 'format'='raw');"
+    )
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        _decode_payload(raw, t_num)
+
+
+def test_datagen_double_min_max(spark):
+    """fields.<col>.min/max bound DOUBLE/FLOAT datagen columns like
+    the integer types (Flink datagen contract — r11)."""
+    from flink_sql_toolkit_spark.sources.connectors import build_reader
+
+    t = parse_create_table(
+        "CREATE TABLE dg (x DOUBLE, y DOUBLE) WITH ("
+        "'connector'='datagen', 'number-of-rows'='200', "
+        "'fields.x.min'='5', 'fields.x.max'='7');"
+    )
+    rows = build_reader(spark, t, streaming=False).collect()
+    assert len(rows) == 200
+    assert all(5.0 <= r.x <= 7.0 for r in rows)
+    assert len({round(r.x, 6) for r in rows}) > 50  # actually spread
