@@ -254,3 +254,59 @@ def test_keep_last_changelog_collapses_to_batch_topn(spark, tmp_path, seed, n):
         .collect()
     )
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_over_range_agrees_with_batch_window(spark, tmp_path, seed):
+    """Event-time RANGE frame (10-second horizon, NULL-bearing values,
+    in-order arrival so nothing is late) across 4 micro-batches vs the
+    batch rangeBetween plan."""
+    import datetime as dt
+
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_over_range
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, off = [], 0
+    for _ in range(300):
+        off += rng.randint(1, 6)
+        k = rng.randrange(3)
+        v = None if rng.random() < 0.2 else rng.randint(-100, 100)
+        rows.append((k, t0 + dt.timedelta(seconds=off), v))
+    schema = "k long, ts timestamp, v long"
+    _write_ordered_batches(spark, tmp_path, rows, schema, 4)
+
+    got = {
+        (r.k, r.ts): (r.v_sum, r.v_cnt, r.v_avg, r.v_min, r.v_max)
+        for r in _run_stream(
+            spark, tmp_path, schema,
+            lambda s: streaming_over_range(
+                s, partition_by=["k"], order_by="ts", value_col="v",
+                preceding="10 seconds",
+            ),
+            f"diff_range_{seed}",
+        ).collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-10, 0)
+    )
+    exp_df = batch.select(
+        "k", "ts",
+        F.sum("v").over(w).alias("s"),
+        F.count("v").over(w).alias("c"),
+        F.avg("v").over(w).alias("a"),
+        F.min("v").over(w).alias("mn"),
+        F.max("v").over(w).alias("mx"),
+    )
+    exp = {(r.k, r.ts): (r.s, r.c, r.a, r.mn, r.mx) for r in exp_df.collect()}
+    assert set(got) == set(exp)
+    for key, (s, c, a, mn, mx) in exp.items():
+        gs, gc, ga, gmn, gmx = got[key]
+        assert (gs, gc, gmn, gmx) == (s, c, mn, mx), key
+        if a is None:
+            assert ga is None, key
+        else:
+            assert ga == pytest.approx(a), key
