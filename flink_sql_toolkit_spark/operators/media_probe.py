@@ -194,9 +194,11 @@ def probe_media(payload: bytes) -> MediaInfo:
     for probe in _PROBES:
         try:
             info = probe(payload)
-        except (struct.error, IndexError, ValueError):
+        except (struct.error, IndexError, ValueError, RecursionError):
             # A malformed header must degrade to 'unknown', never crash
             # the mapInPandas job (the documented contract).
+            # RecursionError: a crafted chain of nested moov boxes
+            # drives _probe_mp4's walk() one frame per level (r11).
             continue
         if info is not None:
             return info

@@ -1390,3 +1390,45 @@ def test_measures_unknown_column_rejected_at_plan_time(spark):
             define={"A": "t = 'a'", "B": "t = 'b'"},
             measures={"n": "COUNT(A.typo)"},
         )
+
+
+def test_probe_media_never_crashes():
+    """probe_media's contract: malformed bytes degrade to 'unknown',
+    never an exception (it runs inside mapInPandas). Random bytes,
+    truncations of valid headers, and the nested-moov recursion bomb
+    (one walk() frame per nesting level — r11: RecursionError was not
+    in the degrade set) all must return a MediaInfo."""
+    import random as _random
+    import struct as _struct
+
+    from flink_sql_toolkit_spark.operators.media_probe import probe_media
+
+    rng = _random.Random(77)
+    valid_prefixes = [
+        b"\x89PNG\r\n\x1a\n" + bytes(20),
+        b"GIF89a" + bytes(8),
+        b"BM" + bytes(30),
+        b"RIFF" + bytes(4) + b"WAVE" + bytes(30),
+        bytes(4) + b"ftyp" + bytes(30),
+        b"\xff\xd8\xff\xe0" + bytes(30),
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 64)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        assert probe_media(payload) is not None
+    for base in valid_prefixes:
+        for cut in range(len(base)):
+            assert probe_media(base[:cut]) is not None
+        for _ in range(50):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            assert probe_media(bytes(b)) is not None
+    # nested-moov bomb: depth beyond any recursion limit
+    depth = 60_000
+    bomb = bytearray(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
+    for lvl in range(depth):
+        remaining = 8 * (depth - lvl)
+        bomb += _struct.pack(">I", remaining) + b"moov"
+    info = probe_media(bytes(bomb))
+    assert info is not None  # degraded, not crashed
