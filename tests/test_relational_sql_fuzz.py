@@ -180,3 +180,70 @@ def test_random_relational_sql_agrees_with_duckdb(spark, sf_dir, seed):
         )
         assert got == exp, (seed, trial, q, got[:3], exp[:3],
                             len(got), len(exp))
+
+
+def _dialect_pred(rng: random.Random) -> tuple[str, str]:
+    """(engine_pred, oracle_pred) pairs: Flink-dialect shapes through
+    the rewriter vs their DuckDB equivalents — exercises the
+    ILIKE/SIMILAR TO/||/TRY_CAST/LENGTH translations under random
+    composition, not just the battery's fixed rows. SIMILAR TO needs
+    its own oracle spelling: SQL/Flink/Calcite give %/_ wildcard
+    meaning inside the pattern (the rewriter translates % -> .*,
+    _ -> .), while DuckDB's SIMILAR TO is a plain anchored regex with
+    a LITERAL percent — regexp_full_match over the same translation
+    states the standard semantics in DuckDB terms."""
+    r = rng.random()
+    col = rng.choice(STR_COLS)
+    if r < 0.25:
+        pat = rng.choice(["o%", "%uRgEnT", "%-%", "f"])
+        p = f"{col} ILIKE '{pat}'"
+        return p, p
+    if r < 0.5:
+        neg = "NOT " if rng.random() < 0.3 else ""
+        pat = rng.choice(["(O|F)", "[0-9]-%", "%HIGH", "_-%", "O|P"])
+        rx = pat.replace("%", ".*").replace("_", ".")
+        return (
+            f"{col} {neg}SIMILAR TO '{pat}'",
+            f"{neg}regexp_full_match({col}, '{rx}')",
+        )
+    if r < 0.7:
+        p = (
+            f"LENGTH({col} || '{rng.choice(['x', '-suffix', ''])}')"
+            f" > {rng.randint(1, 12)}"
+        )
+        return p, p
+    if r < 0.85:
+        p = (
+            f"TRY_CAST(SUBSTRING({col}, 1, 1) AS BIGINT) IS "
+            f"{rng.choice(['NULL', 'NOT NULL'])}"
+        )
+        return p, p
+    p = f"POSITION('{rng.choice(['O', '-', 'URGENT'])}' IN {col}) > 0"
+    return p, p
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_dialect_constructs_fuzz_agrees_with_duckdb(spark, sf_dir, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    for trial in range(15):
+        pairs = [_dialect_pred(rng) for _ in range(rng.randint(1, 2))]
+        preds_e = " AND ".join(p[0] for p in pairs)
+        preds_o = " AND ".join(p[1] for p in pairs)
+        item = rng.choice([
+            "o_orderstatus || '-' || o_orderpriority AS c0",
+            "TRY_CAST(o_orderpriority AS BIGINT) AS c0",
+            "SUBSTRING(o_orderpriority FROM 1 FOR 3) AS c0",
+            "LENGTH(o_orderpriority) AS c0",
+        ])
+        sel = f"SELECT o_orderkey AS k, {item} FROM orders WHERE "
+        exp = _normalize(con.execute(sel + preds_o).fetchall())
+        got = _normalize(
+            tuple(r) for r in spark.sql(rewrite(sel + preds_e)).collect()
+        )
+        assert got == exp, (seed, trial, preds_e, len(got), len(exp))
