@@ -98,7 +98,10 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], flink_sql: s
            COUNT(*),
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
     FROM events CROSS JOIN (SELECT UNNEST(range(0, 5)) AS i) hk
+    -- full containment check (start <= ts < start + size); the lower
+    -- half holds by the floor identity, stated for symmetry
     WHERE epoch(ts) >= (floor((epoch(ts) - i * 60) / 300) * 300) + i * 60
+      AND epoch(ts) <  (floor((epoch(ts) - i * 60) / 300) * 300) + i * 60 + 300
     GROUP BY 3
     UNION ALL
     -- CUMULATE windows share a window_start across their growing

@@ -140,7 +140,12 @@ def _probe_mp4(p: bytes) -> MediaInfo | None:
     if len(p) < 12 or p[4:8] != b"ftyp":
         return None
 
-    def walk(lo: int, hi: int) -> MediaInfo | None:
+    def walk(lo: int, hi: int, depth: int = 0) -> MediaInfo | None:
+        if depth > 32:
+            # real containers nest moov a level or two deep; a crafted
+            # chain of nested moov headers would otherwise recurse one
+            # frame per level (r11) — degrade to the bare container id
+            return None
         i = lo
         while i + 8 <= hi:
             size = struct.unpack(">I", p[i : i + 4])[0]
@@ -159,7 +164,7 @@ def _probe_mp4(p: bytes) -> MediaInfo | None:
             if size < hdr:
                 return None
             if btype == b"moov":
-                inner = walk(i + hdr, min(i + size, hi))
+                inner = walk(i + hdr, min(i + size, hi), depth + 1)
                 if inner:
                     return inner
             elif btype == b"mvhd" and i + hdr + 24 <= hi:

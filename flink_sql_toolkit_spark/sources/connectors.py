@@ -23,6 +23,7 @@ read; watermarks become ``withWatermark`` on streaming reads.
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -264,6 +265,10 @@ def _decode_payload(raw: DataFrame, table: ConnectorTable) -> DataFrame:
             "timestamp", "partition", "offset", "topic",
         ).select("_row.*", "timestamp", "partition", "offset", "topic")
     if fmt == "raw":
+        if len(table.columns) != 1:
+            # the sink raises the same error — a multi-column raw read
+            # silently dropped every column past the first (r11)
+            raise ValueError("format 'raw' requires exactly one physical column")
         c0 = table.columns[0]
         # Flink's raw format maps the bytes by the declared type:
         # STRING = utf-8, BYTES = as-is. The numeric variants are
@@ -527,7 +532,20 @@ def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     elif fmt == "raw":
         if len(cols) != 1:
             raise ValueError("format 'raw' requires exactly one physical column")
-        value = F.col(cols[0]).cast("string")
+        # mirror the reader's typing (r11): BYTES passes through,
+        # STRING casts, numerics are big-endian BINARY in Flink's raw
+        # format — a string cast would write text the reader rejects
+        c0 = table.columns[0]
+        if c0.spark_type == "binary":
+            value = F.col(cols[0])
+        elif c0.spark_type == "string":
+            value = F.col(cols[0]).cast("string")
+        else:
+            raise NotImplementedError(
+                f"format 'raw' encodes a {c0.spark_type} column as "
+                "big-endian bytes, which is not implemented — declare "
+                "the column as STRING or BYTES and CAST upstream"
+            )
     else:
         raise NotImplementedError(
             f"kafka sink format {fmt!r} is not supported for writes — "
@@ -630,6 +648,14 @@ def _datagen_columns(spark_value_col, table: ConnectorTable):
         opts = table.options
         lo = opts.get(f"fields.{c.name}.min")
         hi = opts.get(f"fields.{c.name}.max")
+        if (lo is None) != (hi is None):
+            # a lone bound was silently ignored before (the generated
+            # values violated it) — typed guidance instead (r11)
+            raise ValueError(
+                f"datagen field '{c.name}' sets only one of "
+                "fields.<col>.min/max — set both (this generator has "
+                "no per-type default for the other side)"
+            )
         length = int(opts.get(f"fields.{c.name}.length", "10"))
         v = spark_value_col + i
         t = c.spark_type
@@ -766,12 +792,23 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     serving its stale last record.
 
     The tombstone's key parses from the JSON kafka key this
-    connector's own sink writes (``kafka_writer_payload``); per-key
+    connector's own sink writes (``kafka_writer_payload``); the
+    handling therefore applies only when ``key.format`` is json or
+    unset — a declared non-json key format logs a warning and falls
+    back to the plain latest-per-key view (tombstones unhandled for
+    that encoding, observably rather than silently). Rows whose key
+    is missing or whose JSON lacks the PK fields are excluded from
+    tombstone history (a PK field is non-null by definition, so a
+    malformed key parses to a null-field struct — from_json never
+    returns a null struct in PERMISSIVE mode, review r11). Per-key
     history orders by offset (keyed writes place a key's records in
     one partition, so its offsets are totalizing). A key whose
     LATEST record is a tombstone leaves the view; a re-insert after
     a tombstone wins again. Scale: the anti-join's build side holds
-    only currently-tombstoned keys — dim-sized, broadcastable."""
+    only currently-tombstoned keys — dim-sized, broadcastable; the
+    tombstone history is a second scan of the bounded batch read
+    (one scan would need the key struct threaded through every
+    format decoder — documented tradeoff)."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     pk = table.primary_key
@@ -782,6 +819,15 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    key_fmt = table.options.get("key.format", "json")
+    if key_fmt != "json":
+        logging.getLogger(__name__).warning(
+            "upsert-kafka table with key.format=%r: tombstone deletes "
+            "are only decoded for json keys — the batch view keeps "
+            "deleted keys' last records",
+            key_fmt,
+        )
+        return latest
     key_schema = ", ".join(
         f"{c.name} {c.spark_type}" for c in table.columns if c.name in pk
     )
@@ -789,7 +835,11 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         F.from_json(F.col("key").cast("string"), f"struct<{key_schema}>").alias("_k"),
         F.col("value").isNull().alias("_tomb"),
         "offset",
-    ).filter(F.col("_k").isNotNull())
+    )
+    for c in pk:
+        # PERMISSIVE from_json yields a null-FIELD struct for missing/
+        # malformed keys, never a null struct — filter per PK field
+        hist = hist.filter(F.col(f"_k.{c}").isNotNull())
     wk = W.partitionBy("_k").orderBy(F.desc("offset"))
     dead = (
         hist.withColumn("_rn", F.row_number().over(wk))

@@ -559,3 +559,81 @@ def test_datagen_double_min_max(spark):
     assert len(rows) == 200
     assert all(5.0 <= r.x <= 7.0 for r in rows)
     assert len({round(r.x, 6) for r in rows}) > 50  # actually spread
+
+
+def test_raw_sink_mirrors_reader_typing(spark):
+    """raw sink: BYTES passes through unchanged (no lossy string
+    cast), numeric raw columns are the same typed rejection the
+    reader gives, and a multi-column raw READ is rejected like the
+    sink (it silently dropped the extra columns before) — r11."""
+    from flink_sql_toolkit_spark.sources.connectors import kafka_writer_payload
+
+    t_bytes = parse_create_table(
+        "CREATE TABLE kb (b BYTES) WITH ('connector'='kafka', "
+        "'topic'='t', 'format'='raw');"
+    )
+    payload = bytes([0x92, 0xFF, 0x00, 0x41])  # not valid utf-8
+    df = spark.createDataFrame([(bytearray(payload),)], "b binary")
+    out = kafka_writer_payload(df, t_bytes).collect()
+    assert bytes(out[0].value) == payload
+    t_num = parse_create_table(
+        "CREATE TABLE kn (n BIGINT) WITH ('connector'='kafka', "
+        "'topic'='t', 'format'='raw');"
+    )
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        kafka_writer_payload(spark.createDataFrame([(1,)], "n bigint"), t_num)
+    t_multi = parse_create_table(
+        "CREATE TABLE km (a STRING, b BIGINT) WITH ('connector'='kafka', "
+        "'topic'='t', 'format'='raw');"
+    )
+    with pytest.raises(ValueError, match="exactly one physical column"):
+        _decode_payload(kafka_frame(spark, ["x"]), t_multi)
+
+
+def test_upsert_non_json_key_format_skips_tombstones(spark):
+    """A declared non-json key.format can't decode tombstone keys —
+    the view falls back to plain latest-per-key (warned, not silent
+    wrong deletes) instead of collapsing all records into one
+    null-key group (r11)."""
+    from flink_sql_toolkit_spark.sources.connectors import upsert_batch_view
+
+    raw = _kafka_keyed_frame(
+        spark,
+        [("1", '{"id": 1, "name": "v1"}'), ("1", None), ("2", '{"id": 2, "name": "x"}')],
+    )
+    t = table_for("json", extra=", 'key.format'='raw'")
+    out = upsert_batch_view(raw, t)
+    # tombstone unhandled for raw keys: id=1 keeps its last record
+    assert {(r.id, r.name) for r in out.collect()} == {(1, "v1"), (2, "x")}
+
+
+def test_upsert_malformed_json_key_is_not_a_tombstone_group(spark):
+    """Malformed/missing JSON keys parse to null-FIELD structs in
+    PERMISSIVE mode; they must be excluded from tombstone history
+    (not collapsed into one null-key group whose tombstone never
+    anti-joins) — r11."""
+    from flink_sql_toolkit_spark.sources.connectors import upsert_batch_view
+
+    raw = _kafka_keyed_frame(
+        spark,
+        [
+            ("garbage", '{"id": 1, "name": "v1"}'),
+            (None, '{"id": 2, "name": "x"}'),
+            ('{"id": 2}', None),  # real tombstone for id=2
+        ],
+    )
+    out = upsert_batch_view(raw, table_for("json"))
+    assert {(r.id, r.name) for r in out.collect()} == {(1, "v1")}
+
+
+def test_datagen_single_sided_bound_rejected(spark):
+    """A lone fields.<col>.min or .max was silently ignored (values
+    violated it) — typed rejection now (r11)."""
+    from flink_sql_toolkit_spark.sources.connectors import build_reader
+
+    t = parse_create_table(
+        "CREATE TABLE dg1 (x DOUBLE) WITH ('connector'='datagen', "
+        "'number-of-rows'='5', 'fields.x.max'='3');"
+    )
+    with pytest.raises(ValueError, match="only one of"):
+        build_reader(spark, t, streaming=False)
