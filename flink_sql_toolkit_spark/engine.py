@@ -205,9 +205,15 @@ class Operation:
         dm = re.match(r"(?is)^DROP\s+(TABLE|TEMPORARY\s+TABLE|VIEW|TEMPORARY\s+VIEW)\s+(IF\s+EXISTS\s+)?([\w`]+)\s*$", stmt)
         if dm and "." not in dm.group(3):
             name = dm.group(3).strip("`")
-            existed = sess.spark.catalog.dropTempView(name)
+            # an UNREADABLE connector table (e.g. filesystem path not
+            # yet written) has no temp view, so dropTempView alone
+            # answered False and the drop both removed the registry
+            # entry AND raised "not found" (r11 lifecycle fuzz)
+            was_connector = name in sess.connector_tables
+            existed = sess.spark.catalog.dropTempView(name) or was_connector
             sess.connector_tables.pop(name, None)
             sess.connector_ddl.pop(name, None)
+            sess.unreadable_tables.pop(name, None)
             for cat in sess.emulated_catalogs.catalogs.values():
                 for db in cat.databases.values():
                     db.tables.discard(name)
