@@ -79,10 +79,26 @@ def test_random_statement_interleavings(spark, tmp_path, seed):
                             f"FROM range(5)",
                         )
                 elif r < 0.65 and live:  # SELECT from a live object
+                    # default runtime-mode is streaming (Flink parity),
+                    # so this may start a CONTINUOUS query over a
+                    # datagen/filesystem stream: poll briefly, then
+                    # cancel — never leave it running
+                    import time as _time  # noqa: PLC0415
+
                     t = rng.choice(list(live))
                     op = _run(sess, f"SELECT COUNT(*) AS n FROM {t}")
-                    page = op.fetch(0)
-                    assert page["data"][0][0] >= 0
+                    deadline, token, val = _time.time() + 20, 0, None
+                    while _time.time() < deadline:
+                        page = op.fetch(token)
+                        token = page["nextResultToken"]
+                        if page["data"]:
+                            val = page["data"][0][0]
+                            break
+                        if page["resultType"] == "EOS":
+                            break
+                        _time.sleep(0.2)
+                    op.cancel()
+                    assert val is None or val >= 0
                 elif r < 0.75 and live:  # DESCRIBE a live table
                     t = rng.choice(list(live))
                     op = _run(sess, f"DESCRIBE {t}")
