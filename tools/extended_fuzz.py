@@ -1,0 +1,223 @@
+"""Extended fuzz sweeps — the long-running versions of the seeded CI
+fuzz suites, for interactive bug hunts between rounds.
+
+The CI files (tests/test_mr_regex_oracle.py,
+tests/test_relational_sql_fuzz.py, tests/test_engine_lifecycle_fuzz.py)
+pin a few seeds to keep the suite fast; this driver reruns their
+generators over arbitrary seed ranges. Usage:
+
+    python tools/extended_fuzz.py rel  3000 3025   # relational vs DuckDB
+    python tools/extended_fuzz.py mr   4242 1      # MR spans vs regex (seed, n_patterns//60)
+    python tools/extended_fuzz.py life 500 508     # engine lifecycle
+
+Exit code 1 on any divergence; details on stdout.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import duckdb  # noqa: E402
+
+from flink_sql_toolkit_spark.session import build_spark  # noqa: E402
+from flink_sql_toolkit_spark.tables import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def sweep_rel(lo: int, hi: int) -> int:
+    from flink_sql_toolkit_spark.dialect.rewriter import rewrite
+    from test_relational_sql_fuzz import _gen_query, _normalize
+
+    spark = build_spark("extfuzz-rel", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        load_table(spark, SF, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    bad = 0
+    for seed in range(lo, hi):
+        rng = random.Random(seed)
+        for trial in range(12):
+            q = _gen_query(rng)
+            try:
+                exp = _normalize(con.execute(q).fetchall())
+                got = _normalize(tuple(r) for r in spark.sql(rewrite(q)).collect())
+            except Exception as e:  # noqa: BLE001
+                print("REL ERROR", seed, trial, repr(q)[:200],
+                      type(e).__name__, str(e)[:120], flush=True)
+                bad += 1
+                continue
+            if got != exp:
+                print("REL MISMATCH", seed, trial, repr(q)[:250], flush=True)
+                bad += 1
+    print(f"REL DONE {(hi - lo) * 12} queries, {bad} bad", flush=True)
+    return bad
+
+
+def sweep_mr(seed: int, rounds: int) -> int:
+    from flink_sql_toolkit_spark.operators.match_recognize import (
+        _nullable,
+        _parse_pattern,
+        match_recognize,
+    )
+    from test_mr_regex_oracle import CHARS, SYMS, _gen_pattern, _oracle_spans
+
+    spark = build_spark("extfuzz-mr", shuffle_partitions=8)
+    rng = random.Random(seed)
+    rows, strings = [], {}
+    for k in range(25):
+        s = "".join(rng.choice("abcxx") for _ in range(rng.randint(5, 30)))
+        strings[k] = s
+        rows.extend((k, i, ch) for i, ch in enumerate(s))
+    df = spark.createDataFrame(rows, "k long, seq long, t string").cache()
+    df.count()
+    tried = bad = 0
+    while tried < 60 * rounds:
+        pat_sql, pat_rx = _gen_pattern(rng)
+        if _nullable(_parse_pattern(pat_sql)):
+            continue
+        tried += 1
+        rx = re.compile(pat_rx)
+        skip_past = tried % 2 == 0
+        out = match_recognize(
+            df, partition_by=["k"], order_by=["seq"], pattern=pat_sql,
+            define={s2: f"t = '{CHARS[s2]}'" for s2 in SYMS},
+            measures={"mn": "MATCH_NUMBER()"},
+            after_match="past_last_row" if skip_past else "to_next_row",
+            all_rows=True,
+        ).collect()
+        got: dict = {}
+        for r in out:
+            got.setdefault(r.k, {}).setdefault(r.mn, []).append(r.seq)
+        for k, s in strings.items():
+            exp = _oracle_spans(rx, s, skip_past)
+            spans = [(min(v), max(v)) for _, v in sorted(got.get(k, {}).items())]
+            if spans != exp:
+                print("MR MISMATCH", repr(pat_sql), skip_past, k, s,
+                      spans, exp, flush=True)
+                bad += 1
+    print(f"MR DONE {tried} patterns, {bad} bad", flush=True)
+    return bad
+
+
+def sweep_life(lo: int, hi: int) -> int:
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from flink_sql_toolkit_spark.engine import Engine
+
+    typed = (ValueError, NotImplementedError, LookupError, AnalysisException)
+    spark = build_spark("extfuzz-life", shuffle_partitions=4)
+    engine = Engine(spark)
+    bad = 0
+    for seed in range(lo, hi):
+        tmp = tempfile.mkdtemp()
+        rng = random.Random(seed)
+        sess = engine.open_session(f"extfuzz-{seed}")
+        live: dict[str, str] = {}
+        counter = 0
+        try:
+            for step in range(70):
+                r = rng.random()
+                try:
+                    if r < 0.15:
+                        counter += 1
+                        name = f"x{seed}_dg{counter}"
+                        sess.execute_statement(
+                            f"CREATE TABLE {name} (id BIGINT, v DOUBLE) WITH "
+                            "('connector'='datagen', 'number-of-rows'='20')"
+                        )
+                        live[name] = "dg"
+                    elif r < 0.3:
+                        counter += 1
+                        name = f"x{seed}_fs{counter}"
+                        sess.execute_statement(
+                            f"CREATE TABLE {name} (id BIGINT, v DOUBLE) WITH "
+                            f"('connector'='filesystem', 'path'='{tmp}/{name}', "
+                            f"'format'='parquet')"
+                        )
+                        live[name] = "fs"
+                    elif r < 0.38 and live:
+                        counter += 1
+                        src = rng.choice(list(live))
+                        name = f"x{seed}_v{counter}"
+                        sess.execute_statement(
+                            f"CREATE VIEW {name} AS SELECT id FROM {src}"
+                        )
+                        live[name] = "view"
+                    elif r < 0.46:
+                        counter += 1
+                        name = f"x{seed}_ct{counter}"
+                        sess.execute_statement(
+                            f"CREATE TABLE {name} WITH ('connector'='filesystem', "
+                            f"'path'='{tmp}/{name}', 'format'='parquet') AS "
+                            "SELECT id, CAST(id AS DOUBLE) AS v FROM range(4)"
+                        )
+                        live[name] = "fs"
+                    elif r < 0.54:
+                        fs = [n for n, k in live.items() if k == "fs"]
+                        if fs:
+                            sess.execute_statement(
+                                f"INSERT INTO {rng.choice(fs)} SELECT id, "
+                                "CAST(id AS DOUBLE) FROM range(5)"
+                            )
+                    elif r < 0.62:
+                        tables = [n for n, k in live.items() if k != "view"]
+                        if tables:
+                            sess.execute_statement(
+                                f"ALTER TABLE {rng.choice(tables)} ADD e{step} STRING"
+                            )
+                    elif r < 0.7 and live:
+                        t = rng.choice(list(live))
+                        sess.execute_statement(f"DESCRIBE {t}").fetch(0)
+                    elif r < 0.78 and live:
+                        tables = [n for n, k in live.items() if k != "view"]
+                        if tables:
+                            out = sess.execute_statement(
+                                f"SHOW CREATE TABLE {rng.choice(tables)}"
+                            ).fetch(0)
+                            assert "CREATE" in out["data"][0][0]
+                    elif r < 0.88 and live:
+                        t = rng.choice(list(live))
+                        kw = "VIEW" if live[t] == "view" else "TABLE"
+                        sess.execute_statement(f"DROP {kw} {t}")
+                        del live[t]
+                    else:
+                        sess.execute_statement(f"SET 'pipeline.name'='x{step}'")
+                        if rng.random() < 0.3:
+                            sess.execute_statement("RESET")
+                except typed:
+                    pass
+                shown = {
+                    r2[0]
+                    for r2 in sess.execute_statement("SHOW TABLES").fetch(0)["data"]
+                }
+                missing = set(live) - shown
+                if missing:
+                    print(f"LIFE BAD seed={seed} step={step} "
+                          f"missing={sorted(missing)}", flush=True)
+                    bad += 1
+                    break
+        except Exception as e:  # noqa: BLE001 — untyped = engine bug
+            print(f"LIFE CRASH seed={seed}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            bad += 1
+        finally:
+            sess.close()
+    print(f"LIFE DONE seeds {lo}..{hi}, {bad} bad", flush=True)
+    return bad
+
+
+if __name__ == "__main__":
+    mode, a, b = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    bad = {"rel": sweep_rel, "mr": sweep_mr, "life": sweep_life}[mode](a, b)
+    sys.exit(1 if bad else 0)
