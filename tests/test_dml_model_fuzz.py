@@ -118,11 +118,51 @@ def test_random_dml_sequence_matches_model(spark, tmp_path, seed, partitioned):
             sess.execute_statement(f"INSERT INTO {name} VALUES {values}")
             model.extend(rows)
 
+        def merge(step: int):
+            """MERGE with delete/update/insert arms against a VALUES
+            subquery source (unique join keys — standard SQL rejects
+            multi-match cardinality, which dml.py checks separately).
+            next_id jumps past any inserted id so insert() never
+            creates a duplicate target key (the model's by_id map and
+            SQL MERGE both assume unique target ids here)."""
+            nonlocal next_id
+            ids = rng.sample(range(max(next_id, 1) + 10), rng.randint(1, 5))
+            next_id = max(next_id, max(ids) + 1)
+            src = [(i, float(rng.randint(-20, 99))) for i in ids]
+            gate = rng.randint(0, 30)
+            values = " UNION ALL ".join(
+                f"SELECT {i} AS id, CAST({a} AS DOUBLE) AS amt"
+                for i, a in src
+            )
+            op = sess.execute_statement(f"""
+                MERGE INTO {name} tgt USING ({values}) s ON tgt.id = s.id
+                WHEN MATCHED AND s.amt < {gate} THEN DELETE
+                WHEN MATCHED THEN UPDATE SET amt = s.amt
+                WHEN NOT MATCHED THEN INSERT (id, tag, amt)
+                    VALUES (s.id, 'm', s.amt)
+            """)
+            by_id = {row["id"]: row for row in model}
+            n = 0
+            for i, a in src:
+                row = by_id.get(i)
+                if row is not None:
+                    n += 1
+                    if a < gate:
+                        model.remove(row)
+                    else:
+                        row["amt"] = a
+                else:
+                    n += 1
+                    model.append({"id": i, "tag": "m", "amt": a})
+            assert op.fetch()["data"] == [[n]], (step, src, gate)
+
         insert(20)
         for _step in range(14):
             r = rng.random()
-            if r < 0.25:
+            if r < 0.2:
                 insert(rng.randint(1, 6))
+            elif r < 0.35:
+                merge(_step)
             elif r < 0.65:
                 pred_sql, pred = _gen_pred(rng)
                 set_sql, sets = _gen_sets(rng)
