@@ -210,6 +210,23 @@ class Operation:
             # answered False and the drop both removed the registry
             # entry AND raised "not found" (r11 lifecycle fuzz)
             was_connector = name in sess.connector_tables
+            is_view_kw = "VIEW" in dm.group(1).upper()
+            # kind mismatch is an error, as in Flink: DROP VIEW must
+            # not destroy a TABLE and vice versa (review r11 — the
+            # keyword was captured but never consulted). Check BEFORE
+            # any mutation; session views are the temp views NOT in
+            # the connector registry.
+            if was_connector and is_view_kw:
+                raise ValueError(
+                    f"'{name}' is a table, not a view — use DROP TABLE"
+                )
+            if not was_connector and not is_view_kw and any(
+                t.name == name and t.tableType in ("TEMPORARY", "VIEW")
+                for t in sess.spark.catalog.listTables()
+            ):
+                raise ValueError(
+                    f"'{name}' is a view, not a table — use DROP VIEW"
+                )
             existed = sess.spark.catalog.dropTempView(name) or was_connector
             sess.connector_tables.pop(name, None)
             sess.connector_ddl.pop(name, None)

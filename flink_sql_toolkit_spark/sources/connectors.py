@@ -514,6 +514,18 @@ def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
     schema with the configured registry (schema_registry.py, r10) or
     uses an explicit ``avro-confluent.schema-id``."""
     fmt = table.format or "json"
+    key_fmt = table.options.get("key.format", "json")
+    if key_fmt != "json":
+        # the sink's key is always JSON of the PK columns; writing
+        # that under a declared raw/csv key contract would put
+        # wrong-encoding keys on the wire (and the reader's tombstone
+        # gate would then skip handling data this sink produced) —
+        # reject to match the reader's gating (review r11)
+        raise NotImplementedError(
+            f"kafka sink key.format {key_fmt!r} is not supported — the "
+            "sink encodes keys as JSON of the PRIMARY KEY columns "
+            "(omit key.format or set 'json')"
+        )
     cols = [c.name for c in table.columns]
     key_cols = table.primary_key or [cols[0]]
     if fmt in ("avro", "avro-confluent"):
@@ -655,6 +667,17 @@ def _datagen_columns(spark_value_col, table: ConnectorTable):
                 f"datagen field '{c.name}' sets only one of "
                 "fields.<col>.min/max — set both (this generator has "
                 "no per-type default for the other side)"
+            )
+        if lo is not None and not (
+            c.spark_type in ("int", "bigint", "smallint", "tinyint",
+                             "double", "float")
+            or c.spark_type.startswith("decimal")
+        ):
+            # bounds on a non-numeric column would be silently ignored
+            # — the same declared-bound-violated failure mode (r11)
+            raise ValueError(
+                f"datagen fields.<col>.min/max apply to numeric columns "
+                f"only; '{c.name}' is {c.spark_type}"
             )
         length = int(opts.get(f"fields.{c.name}.length", "10"))
         v = spark_value_col + i

@@ -637,3 +637,29 @@ def test_datagen_single_sided_bound_rejected(spark):
     )
     with pytest.raises(ValueError, match="only one of"):
         build_reader(spark, t, streaming=False)
+
+
+def test_kafka_sink_non_json_key_format_rejected():
+    """The sink always writes JSON keys of the PK columns; a declared
+    non-json key.format would put wrong-encoding keys on the wire (and
+    the reader's tombstone gate would skip handling this sink's own
+    data) — typed rejection, mirroring the reader's gating (r11)."""
+    from flink_sql_toolkit_spark.sources.connectors import kafka_writer_payload
+
+    t = table_for("json", extra=", 'key.format'='raw'")
+    with pytest.raises(NotImplementedError, match="key.format"):
+        kafka_writer_payload(None, t)
+
+
+def test_datagen_bounds_on_non_numeric_rejected(spark):
+    """fields.<col>.min/max on a STRING column were silently ignored
+    (the generated values violated the declared bound) — typed
+    rejection now (r11)."""
+    from flink_sql_toolkit_spark.sources.connectors import build_reader
+
+    t = parse_create_table(
+        "CREATE TABLE dgs (s STRING) WITH ('connector'='datagen', "
+        "'number-of-rows'='5', 'fields.s.min'='a', 'fields.s.max'='b');"
+    )
+    with pytest.raises(ValueError, match="numeric columns only"):
+        build_reader(spark, t, streaming=False)

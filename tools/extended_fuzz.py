@@ -1,7 +1,8 @@
 """Extended fuzz sweeps — the long-running versions of the seeded CI
 fuzz suites, for interactive bug hunts between rounds.
 
-The CI files (tests/test_mr_regex_oracle.py,
+The CI files (tests/test_mr_regex_oracle.py, whose generators and
+step-runners this driver imports —
 tests/test_relational_sql_fuzz.py, tests/test_engine_lifecycle_fuzz.py)
 pin a few seeds to keep the suite fast; this driver reruns their
 generators over arbitrary seed ranges. Usage:
@@ -109,110 +110,31 @@ def sweep_mr(seed: int, rounds: int) -> int:
 
 
 def sweep_life(lo: int, hi: int) -> int:
+    import shutil
     import tempfile
 
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from test_engine_lifecycle_fuzz import is_typed_error, run_lifecycle_steps
 
+    _ = is_typed_error  # re-exported for interactive use
     from flink_sql_toolkit_spark.engine import Engine
 
-    typed = (ValueError, NotImplementedError, LookupError, AnalysisException)
     spark = build_spark("extfuzz-life", shuffle_partitions=4)
     engine = Engine(spark)
     bad = 0
     for seed in range(lo, hi):
         tmp = tempfile.mkdtemp()
-        rng = random.Random(seed)
         sess = engine.open_session(f"extfuzz-{seed}")
-        live: dict[str, str] = {}
-        counter = 0
         try:
-            for step in range(70):
-                r = rng.random()
-                try:
-                    if r < 0.15:
-                        counter += 1
-                        name = f"x{seed}_dg{counter}"
-                        sess.execute_statement(
-                            f"CREATE TABLE {name} (id BIGINT, v DOUBLE) WITH "
-                            "('connector'='datagen', 'number-of-rows'='20')"
-                        )
-                        live[name] = "dg"
-                    elif r < 0.3:
-                        counter += 1
-                        name = f"x{seed}_fs{counter}"
-                        sess.execute_statement(
-                            f"CREATE TABLE {name} (id BIGINT, v DOUBLE) WITH "
-                            f"('connector'='filesystem', 'path'='{tmp}/{name}', "
-                            f"'format'='parquet')"
-                        )
-                        live[name] = "fs"
-                    elif r < 0.38 and live:
-                        counter += 1
-                        src = rng.choice(list(live))
-                        name = f"x{seed}_v{counter}"
-                        sess.execute_statement(
-                            f"CREATE VIEW {name} AS SELECT id FROM {src}"
-                        )
-                        live[name] = "view"
-                    elif r < 0.46:
-                        counter += 1
-                        name = f"x{seed}_ct{counter}"
-                        sess.execute_statement(
-                            f"CREATE TABLE {name} WITH ('connector'='filesystem', "
-                            f"'path'='{tmp}/{name}', 'format'='parquet') AS "
-                            "SELECT id, CAST(id AS DOUBLE) AS v FROM range(4)"
-                        )
-                        live[name] = "fs"
-                    elif r < 0.54:
-                        fs = [n for n, k in live.items() if k == "fs"]
-                        if fs:
-                            sess.execute_statement(
-                                f"INSERT INTO {rng.choice(fs)} SELECT id, "
-                                "CAST(id AS DOUBLE) FROM range(5)"
-                            )
-                    elif r < 0.62:
-                        tables = [n for n, k in live.items() if k != "view"]
-                        if tables:
-                            sess.execute_statement(
-                                f"ALTER TABLE {rng.choice(tables)} ADD e{step} STRING"
-                            )
-                    elif r < 0.7 and live:
-                        t = rng.choice(list(live))
-                        sess.execute_statement(f"DESCRIBE {t}").fetch(0)
-                    elif r < 0.78 and live:
-                        tables = [n for n, k in live.items() if k != "view"]
-                        if tables:
-                            out = sess.execute_statement(
-                                f"SHOW CREATE TABLE {rng.choice(tables)}"
-                            ).fetch(0)
-                            assert "CREATE" in out["data"][0][0]
-                    elif r < 0.88 and live:
-                        t = rng.choice(list(live))
-                        kw = "VIEW" if live[t] == "view" else "TABLE"
-                        sess.execute_statement(f"DROP {kw} {t}")
-                        del live[t]
-                    else:
-                        sess.execute_statement(f"SET 'pipeline.name'='x{step}'")
-                        if rng.random() < 0.3:
-                            sess.execute_statement("RESET")
-                except typed:
-                    pass
-                shown = {
-                    r2[0]
-                    for r2 in sess.execute_statement("SHOW TABLES").fetch(0)["data"]
-                }
-                missing = set(live) - shown
-                if missing:
-                    print(f"LIFE BAD seed={seed} step={step} "
-                          f"missing={sorted(missing)}", flush=True)
-                    bad += 1
-                    break
-        except Exception as e:  # noqa: BLE001 — untyped = engine bug
-            print(f"LIFE CRASH seed={seed}: {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            run_lifecycle_steps(
+                sess, random.Random(seed), tmp, f"x{seed}", n_steps=70
+            )
+        except Exception as e:  # noqa: BLE001 — assertion or engine bug
+            print(f"LIFE BAD seed={seed}: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
             bad += 1
         finally:
             sess.close()
+            shutil.rmtree(tmp, ignore_errors=True)
     print(f"LIFE DONE seeds {lo}..{hi}, {bad} bad", flush=True)
     return bad
 
