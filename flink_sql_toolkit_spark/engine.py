@@ -220,13 +220,18 @@ class Operation:
                 raise ValueError(
                     f"'{name}' is a table, not a view — use DROP TABLE"
                 )
-            if not was_connector and not is_view_kw and any(
-                t.name == name and t.tableType in ("TEMPORARY", "VIEW")
-                for t in sess.spark.catalog.listTables()
-            ):
-                raise ValueError(
-                    f"'{name}' is a view, not a table — use DROP VIEW"
-                )
+            if not was_connector and not is_view_kw:
+                # targeted lookup, not listTables(): the kind check
+                # must not pay an O(catalog) metastore scan per DROP
+                # (ADVICE r11)
+                try:
+                    kind = sess.spark.catalog.getTable(name).tableType
+                except Exception:
+                    kind = None  # absent → the not-found path below decides
+                if kind in ("TEMPORARY", "VIEW"):
+                    raise ValueError(
+                        f"'{name}' is a view, not a table — use DROP VIEW"
+                    )
             existed = sess.spark.catalog.dropTempView(name) or was_connector
             sess.connector_tables.pop(name, None)
             sess.connector_ddl.pop(name, None)
@@ -238,8 +243,22 @@ class Operation:
             if not existed and not dm.group(2):
                 try:
                     sess.spark.sql(rewrite(stmt)).collect()
-                except Exception:
-                    raise LookupError(f"table or view '{name}' not found") from None
+                except Exception as e:
+                    # map only genuine not-found errors to LookupError;
+                    # anything else (e.g. Spark's own kind-mismatch on
+                    # a persistent table: WRONG_COMMAND_FOR_OBJECT_TYPE
+                    # / "is a view. ... Please use DROP VIEW") must
+                    # surface its real cause (ADVICE r11)
+                    msg = str(e)
+                    if re.search(
+                        r"TABLE_OR_VIEW_NOT_FOUND|cannot be found|not found",
+                        msg,
+                        re.I,
+                    ):
+                        raise LookupError(
+                            f"table or view '{name}' not found"
+                        ) from None
+                    raise
             self._columns, self._rows = [{"name": "result", "logicalType": "string"}], [["OK"]]
             return
         # MATCH_RECOGNIZE: no Spark SQL equivalent — the CEP operator
@@ -827,6 +846,24 @@ class EngineSession:
         table = parse_create_table(stmt + ";")
         if table.name in self.connector_tables and table.if_not_exists:
             return [{"name": "result", "logicalType": "string"}], [["OK"]]
+        key_fmt = table.options.get("key.format", "json")
+        if table.connector in ("kafka", "upsert-kafka") and key_fmt != "json":
+            # surface the limitation at CREATE TABLE, not first write
+            # (ADVICE r11): Flink legitimately supports raw/csv/avro
+            # keys on the plain kafka connector, but this engine's
+            # sink always encodes keys as JSON of the PK columns and
+            # the upsert reader only decodes json-keyed tombstones.
+            # Reads still work (the key stays available as metadata),
+            # so this warns rather than rejects read-only DDL; INSERT
+            # INTO the table raises a typed error (kafka_writer_payload).
+            logging.getLogger(__name__).warning(
+                "table '%s' declares key.format=%r: this engine only "
+                "implements JSON keys — INSERT INTO this table will be "
+                "rejected, and upsert-kafka tombstone deletes will not "
+                "be decoded. Reads are unaffected.",
+                table.name,
+                key_fmt,
+            )
         self.connector_tables[table.name] = table
         self.connector_ddl[table.name] = stmt
         db = self.emulated_catalogs.current_database()

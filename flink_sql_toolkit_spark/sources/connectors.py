@@ -524,7 +524,9 @@ def kafka_writer_payload(df: DataFrame, table: ConnectorTable) -> DataFrame:
         raise NotImplementedError(
             f"kafka sink key.format {key_fmt!r} is not supported — the "
             "sink encodes keys as JSON of the PRIMARY KEY columns "
-            "(omit key.format or set 'json')"
+            "(omit key.format or set 'json'). Flink's plain kafka "
+            "connector does accept raw/csv keys; that encoding is not "
+            "implemented here. CREATE TABLE warned about this option."
         )
     cols = [c.name for c in table.columns]
     key_cols = table.primary_key or [cols[0]]
@@ -819,24 +821,46 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     handling therefore applies only when ``key.format`` is json or
     unset — a declared non-json key format logs a warning and falls
     back to the plain latest-per-key view (tombstones unhandled for
-    that encoding, observably rather than silently). Rows whose key
-    is missing or whose JSON lacks the PK fields are excluded from
-    tombstone history (a PK field is non-null by definition, so a
-    malformed key parses to a null-field struct — from_json never
-    returns a null struct in PERMISSIVE mode, review r11). Per-key
-    history orders by offset (keyed writes place a key's records in
-    one partition, so its offsets are totalizing). A key whose
-    LATEST record is a tombstone leaves the view; a re-insert after
-    a tombstone wins again. Scale: the anti-join's build side holds
-    only currently-tombstoned keys — dim-sized, broadcastable; the
-    tombstone history is a second scan of the bounded batch read
-    (one scan would need the key struct threaded through every
-    format decoder — documented tradeoff)."""
+    that encoding, observably rather than silently).
+
+    Record ordering (ADVICE r11): per-key history orders by
+    (timestamp DESC, partition DESC, offset DESC). Offset alone is
+    only comparable within one topic partition; a topic written by
+    an external producer without keyed partitioning can spread one
+    key across partitions, where the broker timestamp is the best
+    available cross-partition order (log-append time is monotonic
+    per partition and wall-clock-comparable across them; partition
+    and offset break timestamp ties deterministically). For the
+    keyed-producer common case the ordering is unchanged: one
+    partition ⇒ timestamps are non-decreasing in offset under
+    log-append time, and the offset tiebreak decides equal stamps.
+
+    Tombstone resolution is POSITIONAL, not existence-based (ADVICE
+    r11 fail-open fix): the latest TOMBSTONE per key is left-joined
+    to the latest live record and the row is deleted only when the
+    tombstone's (timestamp, partition, offset) position is NEWER
+    than the live record's. This makes malformed keys fail open —
+    a live record whose kafka key is missing or unparseable (it
+    cannot be attributed to a key in tombstone history, but its
+    columns still decode from the value) survives an OLDER
+    tombstone instead of being anti-joined away; a re-insert after
+    a tombstone wins again; a key whose newest record is the
+    tombstone leaves the view. Scale: the join's build side holds
+    only tombstoned keys — dim-sized, broadcastable; the tombstone
+    history is a second scan of the bounded batch read (one scan
+    would need the key struct threaded through every format decoder
+    — documented tradeoff)."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     pk = table.primary_key
+    order = [F.desc("timestamp"), F.desc("partition"), F.desc("offset")]
+    pos = F.struct(
+        F.col("timestamp").alias("ts"),
+        F.col("partition").alias("part"),
+        F.col("offset").alias("off"),
+    )
     decoded = _decode_payload(raw.filter(F.col("value").isNotNull()), table)
-    w = W.partitionBy(*pk).orderBy(F.desc("offset"))
+    w = W.partitionBy(*pk).orderBy(*order)
     latest = (
         decoded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -857,20 +881,25 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     hist = raw.select(
         F.from_json(F.col("key").cast("string"), f"struct<{key_schema}>").alias("_k"),
         F.col("value").isNull().alias("_tomb"),
-        "offset",
-    )
+        "timestamp", "partition", "offset",
+    ).filter(F.col("_tomb"))
     for c in pk:
         # PERMISSIVE from_json yields a null-FIELD struct for missing/
         # malformed keys, never a null struct — filter per PK field
         hist = hist.filter(F.col(f"_k.{c}").isNotNull())
-    wk = W.partitionBy("_k").orderBy(F.desc("offset"))
+    wk = W.partitionBy("_k").orderBy(*order)
     dead = (
         hist.withColumn("_rn", F.row_number().over(wk))
         .filter(F.col("_rn") == 1)
-        .filter(F.col("_tomb"))
-        .select("_k.*")
+        .select("_k.*", pos.alias("_tomb_pos"))
     )
-    return latest.join(F.broadcast(dead), on=list(pk), how="left_anti")
+    return (
+        latest.join(F.broadcast(dead), on=list(pk), how="left")
+        # struct comparison is lexicographic: delete only when the
+        # tombstone post-dates the surviving live record's position
+        .filter(F.col("_tomb_pos").isNull() | (pos > F.col("_tomb_pos")))
+        .drop("_tomb_pos")
+    )
 
 
 def _jdbc_props(opts: dict[str, str]) -> dict[str, str]:

@@ -1,3 +1,9 @@
+// Portions derived from flink-sql-toolkit (c) DafaWiratama,
+// licensed under the MIT License (reference LICENSE.md) — the
+// request/error-parse/poll logic below intentionally mirrors the
+// client's own source (cited per block) so this harness is a
+// faithful conformance oracle, not original engine code.
+//
 // Conformance harness: drives the gateway with the exact request
 // sequences the reference VS Code client issues, re-expressed as a
 // standalone Node script (Node 20+, global fetch; no dependencies).
