@@ -17,6 +17,9 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The package is pip-installable (pyproject.toml; `pip install -e .`)
+# — this insert only keeps the driver contract self-contained when the
+# repo runs from a bare checkout without installation.
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Importing the operator modules populates the registry.
