@@ -278,8 +278,14 @@ def handle_jobs_admin(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] 
     m = re.match(r"(?is)^STOP\s+JOB\s+'([^']+)'(\s+WITH\s+SAVEPOINT)?(\s+WITH\s+DRAIN)?\s*;?\s*$", stmt)
     if m:
         session.jobs.stop(m.group(1))
-        # the Spark checkpoint directory IS the savepoint (SURVEY §2.1)
-        return _c(("savepoint path", "string")), [[session.checkpoint_root]]
+        # the job's Spark checkpoint directory IS the savepoint
+        # (SURVEY §2.1): feed it back through SET
+        # 'execution.savepoint.path' to resume the statement from
+        # this state (engine INSERT path; Flink stop-with-savepoint →
+        # resume contract, test/syntax-test.fsql:559-560)
+        job = session.jobs.get(m.group(1))
+        path = (job.checkpoint if job else None) or session.checkpoint_root
+        return _c(("savepoint path", "string")), [[path]]
     m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+JOB\s+'([^']+)'\s*;?\s*$", stmt)
     if m:
         # Flink 1.19 DESCRIBE JOB 'id' — one SHOW JOBS-shaped row

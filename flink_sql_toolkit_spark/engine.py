@@ -396,15 +396,27 @@ class Operation:
                 ]
             )
         name = sess.flink_conf.get("pipeline.name", f"insert-{target}")
+        # SET 'execution.savepoint.path' = <path from STOP JOB … WITH
+        # SAVEPOINT> resumes the job from that checkpoint — Flink's
+        # own resume mechanism ("Resuming from Savepoints"): the file
+        # source's seen-files log and every stateful operator's state
+        # store recover, so restarted jobs are exactly-once instead of
+        # re-reading the world. Like Flink, the option applies to
+        # every subsequent job until RESET — resuming two DIFFERENT
+        # statements from one path is user error there and here.
+        ckpt = (
+            sess.flink_conf.get("execution.savepoint.path")
+            or sess.new_checkpoint(name)
+        )
         q = build_writer(
             df,
             table,
             query_name=name,
-            checkpoint=sess.new_checkpoint(name),
+            checkpoint=ckpt,
             trigger_interval=sess.trigger_interval(),
         )
         if q is not None:
-            info = sess.jobs.register(q, name)
+            info = sess.jobs.register(q, name, checkpoint=ckpt)
             self.job_id = info.job_id
             self._columns = [{"name": "job id", "logicalType": "string"}]
             self._rows = [[info.job_id]]

@@ -19,6 +19,12 @@ class JobInfo:
     name: str
     query: object  # StreamingQuery
     start_time: dt.datetime = field(default_factory=lambda: dt.datetime.now(dt.timezone.utc))
+    # the Spark checkpointLocation IS the job's savepoint (SURVEY
+    # §2.1): STOP JOB … WITH SAVEPOINT returns it, and SET
+    # 'execution.savepoint.path' = <it> resumes the statement from
+    # that state (Flink's own resume mechanism, docs "Savepoints §
+    # Resuming from Savepoints" / FLIP-147 stop-with-savepoint)
+    checkpoint: str | None = None
 
     @property
     def status(self) -> str:
@@ -34,13 +40,18 @@ class JobRegistry:
     def __init__(self) -> None:
         self._jobs: dict[str, JobInfo] = {}
 
-    def register(self, query, name: str) -> JobInfo:
-        info = JobInfo(job_id=str(query.id), name=name, query=query)
+    def register(self, query, name: str, checkpoint: str | None = None) -> JobInfo:
+        info = JobInfo(
+            job_id=str(query.id), name=name, query=query, checkpoint=checkpoint
+        )
         self._jobs[info.job_id] = info
         return info
 
     def list(self) -> list[JobInfo]:
         return list(self._jobs.values())
+
+    def get(self, job_id: str) -> JobInfo | None:
+        return self._jobs.get(job_id)
 
     def detail(self, job_id: str) -> dict:
         """Job detail — the reference's GET /jobs/{id} fetch

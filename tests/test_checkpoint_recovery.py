@@ -1,0 +1,234 @@
+"""Streaming checkpoint-recovery E2E (VERDICT r11 ask #2): STOP JOB
+WITH SAVEPOINT must return resumable state, and re-running the same
+statement with SET 'execution.savepoint.path' = <that path> must
+resume it exactly-once — the thing a Flink user means by savepoint
+(reference: test/syntax-test.fsql:559-560; Flink docs "Resuming from
+Savepoints").
+
+Two layers:
+- source-progress recovery: a filesystem→filesystem INSERT stopped
+  after file1 and resumed must NOT re-read file1 (the file source's
+  seen-files log lives in the checkpoint) — the sink holds exactly
+  source rows, no dupes, no loss.
+- stateful-operator recovery: a watermarked TUMBLE aggregation whose
+  windows are still OPEN at stop time must emit counts that include
+  the pre-stop rows after resume — those partial counts exist only
+  in the recovered state store.
+
+All prior streaming tests ran within one query lifetime; these are
+the first restart-crossing ones.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from flink_sql_toolkit_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture()
+def session(engine):
+    s = engine.open_session("ckpt-recovery")
+    yield s
+    s.close()
+
+
+def _wait_sink_count(spark, path: str, want: int, timeout: float = 120.0) -> int:
+    """Poll the sink until it holds `want` rows (or more — dupes must
+    be visible, not masked) or the deadline passes."""
+    deadline = time.time() + timeout
+    n = -1
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(path).count()
+        except Exception:  # sink not yet created / no committed batch
+            n = -1
+        if n >= want:
+            return n
+        time.sleep(1.0)
+    return n
+
+
+def _stop_with_savepoint(session, job_id: str) -> str:
+    op = session.execute_statement(f"STOP JOB '{job_id}' WITH SAVEPOINT")
+    page = op.fetch(0)
+    return page["data"][0][0]
+
+
+def test_insert_resume_from_savepoint_exactly_once(session, tmp_path):
+    spark = session.spark
+    src, sink = f"{tmp_path}/src", f"{tmp_path}/sink"
+    rows1 = [(1, "a"), (2, "b"), (3, "c")]
+    spark.createDataFrame(rows1, "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    session.execute_statement(
+        f"""CREATE TABLE rec_src (id BIGINT, v STRING) WITH (
+        'connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+    )
+    session.execute_statement(
+        f"""CREATE TABLE rec_sink (id BIGINT, v STRING) WITH (
+        'connector'='filesystem', 'path'='{sink}', 'format'='parquet')"""
+    )
+
+    stmt = "INSERT INTO rec_sink SELECT id, v FROM rec_src"
+    op1 = session.execute_statement(stmt)
+    assert op1.job_id, "streaming INSERT must register a job"
+    assert _wait_sink_count(spark, sink, 3) == 3
+
+    savepoint = _stop_with_savepoint(session, op1.job_id)
+    assert savepoint and savepoint != session.checkpoint_root, (
+        "STOP JOB WITH SAVEPOINT must return the JOB's checkpoint, "
+        "not the session root"
+    )
+
+    # new data lands while the job is down
+    rows2 = [(4, "d"), (5, "e")]
+    spark.createDataFrame(rows2, "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    session.execute_statement(
+        f"SET 'execution.savepoint.path' = '{savepoint}'"
+    )
+    try:
+        op2 = session.execute_statement(stmt)
+        # Spark persists the query id IN the checkpoint metadata, so a
+        # resumed job keeps its id — evidence the restart really did
+        # attach to the savepoint rather than starting fresh
+        assert op2.job_id == op1.job_id
+        assert _wait_sink_count(spark, sink, 5) == 5
+        # settle one extra trigger: a re-read of file1 would now be
+        # landing — exactly-once means the count STAYS 5
+        time.sleep(3)
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(sink).collect()
+        )
+        assert got == sorted(rows1 + rows2), got
+        session.execute_statement(f"STOP JOB '{op2.job_id}'")
+    finally:
+        session.execute_statement("RESET 'execution.savepoint.path'")
+
+
+def test_stateful_window_agg_state_recovers(session, tmp_path):
+    """Windows OPEN at stop time close after resume with counts that
+    include pre-stop rows — provable state-store recovery: a fresh
+    checkpoint would emit count=1 for w0, the recovered one emits 4."""
+    spark = session.spark
+    src, sink = f"{tmp_path}/wsrc", f"{tmp_path}/wsink"
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    # all in window [00:00, 00:10); max event time 8s ⇒ watermark 7s,
+    # window still open when the job stops
+    batch1 = [(ts(2), 1), (ts(5), 1), (ts(8), 1)]
+    spark.createDataFrame(batch1, "ts timestamp, n int").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    session.execute_statement(
+        f"""CREATE TABLE w_src (ts TIMESTAMP(3), n INT,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+        WITH ('connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+    )
+    session.execute_statement(
+        f"""CREATE TABLE w_sink (wstart TIMESTAMP(3), cnt BIGINT) WITH (
+        'connector'='filesystem', 'path'='{sink}', 'format'='parquet')"""
+    )
+    # legacy group-window form: the rewrite keeps the window() struct
+    # in GROUP BY, which Spark's append-mode checker requires (the TVF
+    # rewrite's extracted window_start column only supports update
+    # mode — fine for interactive SELECT, not for an append sink)
+    stmt = (
+        "INSERT INTO w_sink SELECT "
+        "TUMBLE_START(ts, INTERVAL '10' SECOND) AS wstart, COUNT(*) AS cnt "
+        "FROM w_src GROUP BY TUMBLE(ts, INTERVAL '10' SECOND)"
+    )
+    op1 = session.execute_statement(stmt)
+    assert op1.job_id
+
+    # wait until batch1 is COMMITTED (checkpoint offsets advance), not
+    # just until the sink has rows — append mode emits nothing yet
+    ckdir = None
+    job = session.jobs.get(op1.job_id)
+    ckdir = job.checkpoint
+    deadline = time.time() + 120
+    import os
+
+    while time.time() < deadline:
+        commits = (
+            os.listdir(f"{ckdir}/commits") if os.path.isdir(f"{ckdir}/commits") else []
+        )
+        if any(c.isdigit() for c in commits):
+            break
+        time.sleep(0.5)
+    else:
+        pytest.fail("batch1 never committed")
+
+    savepoint = _stop_with_savepoint(session, op1.job_id)
+
+    # one more row in w0 + one far beyond it to push the watermark
+    # past the window end so w0 finally EMITS
+    batch2 = [(ts(9), 1), (dt.datetime(2024, 1, 1, 0, 2, 0), 1)]
+    spark.createDataFrame(batch2, "ts timestamp, n int").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    session.execute_statement(
+        f"SET 'execution.savepoint.path' = '{savepoint}'"
+    )
+    try:
+        op2 = session.execute_statement(stmt)
+        deadline = time.time() + 120
+        emitted = []
+        while time.time() < deadline:
+            try:
+                emitted = spark.read.parquet(sink).collect()
+            except Exception:
+                emitted = []
+            if any(r.wstart == ts(0) for r in emitted):
+                break
+            time.sleep(1.0)
+        session.execute_statement(f"STOP JOB '{op2.job_id}'")
+        w0 = [r for r in emitted if r.wstart == ts(0)]
+        assert w0, f"window [0,10) never emitted; sink={emitted}"
+        assert w0[0].cnt == 4, (
+            f"state lost across restart: window [0,10) counted {w0[0].cnt}, "
+            "expected 4 (3 pre-stop rows live only in the recovered state)"
+        )
+    finally:
+        session.execute_statement("RESET 'execution.savepoint.path'")
+
+
+def test_stop_job_with_savepoint_returns_job_checkpoint(session, tmp_path):
+    """Unit-ish: the savepoint path is per-job and distinct across two
+    jobs in one session (r11 returned the shared session root)."""
+    spark = session.spark
+    src = f"{tmp_path}/s2"
+    spark.createDataFrame([(1,)], "id long").write.parquet(src)
+    session.execute_statement(
+        f"""CREATE TABLE sp_src (id BIGINT) WITH (
+        'connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+    )
+    for i in (1, 2):
+        session.execute_statement(
+            f"""CREATE TABLE sp_sink{i} (id BIGINT) WITH (
+            'connector'='filesystem', 'path'='{tmp_path}/k{i}',
+            'format'='parquet')"""
+        )
+    op_a = session.execute_statement("INSERT INTO sp_sink1 SELECT id FROM sp_src")
+    op_b = session.execute_statement("INSERT INTO sp_sink2 SELECT id FROM sp_src")
+    sp_a = _stop_with_savepoint(session, op_a.job_id)
+    sp_b = _stop_with_savepoint(session, op_b.job_id)
+    assert sp_a != sp_b
+    assert sp_a.startswith(session.checkpoint_root)
