@@ -29,6 +29,10 @@ import random
 import time
 
 import pytest
+
+# randomized adversarial layer: excluded from the fast gate via
+# `-m 'not fuzz'` (pyproject [tool.pytest.ini_options]); run nightly/full
+pytestmark = pytest.mark.fuzz
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from flink_sql_toolkit_spark.engine import Engine

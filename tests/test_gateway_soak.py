@@ -1,0 +1,176 @@
+"""Gateway multi-session concurrency soak (VERDICT r11 ask #6).
+
+The r11 stress test (test_gateway.py::test_session_lifecycle_stress)
+races the session STATE MACHINE (open/delete/heartbeat) on one axis;
+this soak runs the FULL workload concurrently — N threads × (open
+session → DDL → streaming SELECT → fetch pages → cancel → close) —
+against the reaper at an aggressive timeout, so real engine work
+(Spark statement execution, streaming query start/stop) interleaves
+with reaping and closing. The refcounted tombstone protocol
+(gateway.py) is new and subtle; this is its sustained-load gate.
+
+Invariants at the end:
+- no INTERNAL 500: statement errors legally surface as 500 + a
+  well-formed errors[] payload (that is the wire contract the
+  reference client's handleErrorResponse parses — e.g. the reaper
+  closing a session mid-SELECT drops its temp views and the fetch
+  reports the AnalysisException); what must NEVER appear is a 500
+  whose body betrays a server-side race (KeyError/AttributeError/
+  NoneType/RuntimeError) or carries no errors[] at all,
+- DELETE answered only CLOSED-or-404,
+- zero stranded sessions: engine.sessions empty, `_last_access` holds
+  no entry for a dead session, and no streaming query is left active
+  on the shared SparkSession.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+import random
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+# long-running concurrency layer: excluded from the fast gate via
+# `-m 'not fuzz and not soak'` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.soak
+
+from flink_sql_toolkit_spark.gateway import Gateway
+
+
+def http(gw, method: str, path: str, body: dict | None = None):
+    req = urllib.request.Request(
+        gw.url + path,
+        method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+# exception CLASSES that mean "server-side race/bug", as the FINAL
+# raised type — the stack element itself legally contains a full
+# Python traceback (the reference's "<Exception on server side:…>"
+# wire format, flinkClient.ts:51-125), so matching raw substrings
+# like "Traceback" would flag every contract-correct statement error
+INTERNAL_TYPES = (
+    "KeyError",
+    "AttributeError",
+    "TypeError",
+    "IndexError",
+    "RuntimeError",
+    "UnboundLocalError",
+    "NameError",
+    "AssertionError",
+)
+
+
+def internal_500(status: int, out: dict) -> bool:
+    """A 500 is legal iff it is a well-formed statement-error payload:
+    non-empty errors[], and the final raised exception is a statement-
+    level error (AnalysisException, ValueError, LookupError, …) — not
+    a Python-internal type betraying a handler race."""
+    if status < 500:
+        return False
+    errs = out.get("errors")
+    if not isinstance(errs, list) or not errs:
+        return True
+    for e in errs:
+        lines = [ln.strip() for ln in str(e).splitlines() if ln.strip(" >")]
+        final = lines[-1] if lines else ""
+        if any(final.startswith(t + ":") or f".{t}:" in final for t in INTERNAL_TYPES):
+            return True
+    return False
+
+
+def test_full_workload_soak_no_500s_no_strands(spark):
+    g = Gateway(spark, session_idle_timeout_s=2.5).start()
+    bad: list = []
+
+    def worker(seed: int) -> None:
+        rng = random.Random(seed)
+        for it in range(4):
+            status, out = http(g, "POST", "/sessions", {"sessionName": f"soak{seed}-{it}"})
+            if status != 200:
+                bad.append(("open", status, out))
+                continue
+            h = out["sessionHandle"]
+
+            def stmt(sql: str):
+                s, o = http(g, "POST", f"/sessions/{h}/statements", {"statement": sql})
+                # the reaper may legally kill the session mid-workload
+                # (timeout 2.5 s vs multi-second Spark statements) —
+                # that surfaces as a 4xx "session does not exist",
+                # never a 500
+                if internal_500(s, o):
+                    bad.append(("stmt-500", sql, s, o))
+                return s, o
+
+            s, o = stmt(
+                f"CREATE TABLE dg_{seed}_{it} (x BIGINT, s STRING) WITH "
+                "('connector'='datagen', 'rows-per-second'='100')"
+            )
+            if s != 200:
+                continue
+            s, o = stmt(f"SELECT x, s FROM dg_{seed}_{it}")
+            if s != 200:
+                continue
+            oh = o["operationHandle"]
+            # page the streaming result a little
+            token, deadline = 0, time.time() + 20
+            while time.time() < deadline:
+                s, page = http(
+                    g, "GET", f"/sessions/{h}/operations/{oh}/result/{token}"
+                )
+                if internal_500(s, page):
+                    bad.append(("fetch-500", s, page))
+                    break
+                if s != 200:
+                    break  # reaped mid-poll / statement error — legal
+                if page.get("resultType") == "PAYLOAD" and page["results"]["data"]:
+                    break
+                token = page.get("nextResultToken", token) or token
+                time.sleep(0.2)
+            # cancel (possibly after reap: 404/4xx fine, 500 not)
+            s, o = http(g, "POST", f"/sessions/{h}/operations/{oh}/cancel")
+            if internal_500(s, o):
+                bad.append(("cancel-500", s, o))
+            if rng.random() < 0.3:
+                time.sleep(rng.uniform(0.0, 3.0))  # let the reaper win some
+            s, o = http(g, "DELETE", f"/sessions/{h}")
+            if s == 200 and o.get("status") != "CLOSED":
+                bad.append(("delete-body", s, o))
+            if s not in (200, 404):
+                bad.append(("delete", s, o))
+
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(worker, range(6)))
+
+    try:
+        if bad:  # full payloads — pytest's repr truncation splices them
+            import pathlib
+
+            pathlib.Path("/tmp/soak_bad.json").write_text(
+                json.dumps(bad, indent=1, default=str)
+            )
+        assert not bad, bad[:8]
+        time.sleep(0.5)
+        assert not g.engine.sessions, (
+            f"stranded sessions: {list(g.engine.sessions)}"
+        )
+        with g._access_lock:
+            stranded = [h for h in g._last_access if h not in g.engine.sessions]
+        assert not stranded, f"stranded idleness entries: {stranded}"
+        # no streaming query may outlive its session on the shared spark
+        live = [q.name for q in spark.streams.active if q.name and q.name.startswith("select-")]
+        # queries owned by other fixtures would not be named select-*
+        assert not live, f"leaked streaming queries: {live}"
+    finally:
+        g.stop()

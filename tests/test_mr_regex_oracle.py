@@ -25,6 +25,10 @@ import re
 
 import pytest
 
+# randomized adversarial layer: excluded from the fast gate via
+# `-m 'not fuzz'` (pyproject [tool.pytest.ini_options]); run nightly/full
+pytestmark = pytest.mark.fuzz
+
 from flink_sql_toolkit_spark.operators.match_recognize import (
     _nullable,
     _parse_pattern,

@@ -18,6 +18,10 @@ import time
 
 import pytest
 
+# randomized adversarial layer: excluded from the fast gate via
+# `-m 'not fuzz'` (pyproject [tool.pytest.ini_options]); run nightly/full
+pytestmark = pytest.mark.fuzz
+
 AGGS = ["SUM", "COUNT", "AVG", "MIN", "MAX"]
 WIDTHS = [0, 1, 3, "UNBOUNDED"]
 

@@ -22,6 +22,10 @@ import random
 import duckdb
 import pytest
 
+# randomized adversarial layer: excluded from the fast gate via
+# `-m 'not fuzz'` (pyproject [tool.pytest.ini_options]); run nightly/full
+pytestmark = pytest.mark.fuzz
+
 from flink_sql_toolkit_spark.dialect.rewriter import rewrite
 from flink_sql_toolkit_spark.tables import load_table
 

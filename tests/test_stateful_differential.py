@@ -15,6 +15,10 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# randomized adversarial layer: excluded from the fast gate via
+# `-m 'not fuzz'` (pyproject [tool.pytest.ini_options]); run nightly/full
+pytestmark = pytest.mark.fuzz
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 

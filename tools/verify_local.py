@@ -11,6 +11,7 @@ row-count, column names, and an order-insensitive value hash the way
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,6 +25,14 @@ from flink_sql_toolkit_spark.session import build_spark  # noqa: E402
 from flink_sql_toolkit_spark.tables import TPCH_TABLES  # noqa: E402
 
 
+# --approx (scale rehearsal): double sums over 10^6+ rows diverge
+# from DuckDB by 1 ulp from accumulation ORDER alone, so exact-repr
+# float hashing is the wrong bar above the driver's sf0.01 gate;
+# 12 significant digits ignores ulp noise while still catching any
+# real semantic difference. Default stays driver-strict.
+APPROX_FLOATS = False
+
+
 def normalize_cell(v):
     if v is None:
         return "NULL"
@@ -32,6 +41,8 @@ def normalize_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if APPROX_FLOATS:
+            return f"{v:.12g}"
         # Deliberately NOT collapsing 437.0 -> "437": the driver's
         # pandas-based hasher distinguishes int from float columns,
         # and round 1's func_math red row was exactly this (Spark
@@ -53,14 +64,20 @@ def row_hashes(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    global APPROX_FLOATS
+    argv = [a for a in sys.argv[1:] if a != "--approx"]
+    APPROX_FLOATS = "--approx" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    name_filter = argv[1] if len(argv) > 1 else ""
     spark = build_spark("verify_local")
     con = duckdb.connect()
     for t in TPCH_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Spark-written tables are DIRECTORIES of part files (the
+        # scale-rehearsal fixtures); the driver's are single files —
+        # DuckDB needs a glob for the former
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
