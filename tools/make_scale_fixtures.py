@@ -27,6 +27,7 @@ Writes to <repo>/.scale/<sf>/ (gitignored).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -108,6 +109,26 @@ def scale_table(spark: SparkSession, name: str, k: int, out_dir: Path) -> int:
                         F.col("text"),
                     )
                 ),
+            )
+            # …and ONE giant boilerplate template cluster: 1/3 of the
+            # replica rows become the same fixed text — ~15k docs at
+            # sf1, ~30k at sf2, both past LSH_BUCKET_CAP (10,000) —
+            # so the template-cluster side output actually ENGAGES at
+            # scale (the 100-TB hazard is exactly this: nav pages /
+            # cookie banners forming quadratic buckets). Identical
+            # text ⇒ identical signatures ⇒ one flagged bucket per
+            # band, zero pair expansion.
+            template = (
+                "this website uses cookies to improve your experience "
+                "please accept our terms of service and privacy policy "
+                "to continue browsing all rights reserved contact us"
+            )
+            rep = rep.withColumn(
+                "text",
+                F.when(
+                    (F.col("_r") > 0) & (F.col("doc_id") % 3 == 0),
+                    F.lit(template),
+                ).otherwise(F.col("text")),
             ).withColumn("n_chars", F.length("text").cast("long"))
         if name == "embeddings":
             # position-dependent perturbation: replicas stay close in
@@ -153,7 +174,11 @@ def main() -> None:
         out_dir = repo / ".scale" / sf_name
         out_dir.mkdir(parents=True, exist_ok=True)
         print(f"== {sf_name}: k={k} -> {out_dir}")
-        for t in COPY_AS_IS + SCALED:
+        only = os.environ.get("SCALE_TABLES", "")
+        tables = (
+            tuple(only.split(",")) if only else COPY_AS_IS + SCALED
+        )
+        for t in tables:
             t0 = time.time()
             n = scale_table(spark, t, k, out_dir)
             print(f"  {t:<12} {n:>12,} rows  {time.time()-t0:5.1f}s")
