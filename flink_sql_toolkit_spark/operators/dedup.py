@@ -531,9 +531,96 @@ def near_dup_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         logging.getLogger(__name__).warning(
             "near_dup_components did not converge within max_iter=%d "
             "rounds — components with diameter > max_iter are split; "
-            "raise max_iter or switch to large-star/small-star",
+            "raise max_iter or use near_dup_components_star (round "
+            "count bound by log n, not diameter)",
             max_iter,
         )
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select("doc_id", "comp", "cluster_size")
+
+
+def near_dup_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the adversarial-diameter scale path
+    SCALE.md promises: min-label propagation needs DIAMETER rounds
+    (a 10^6-node chain = 10^6 shuffles), star contraction converges
+    in O(log n) rounds regardless of topology.
+
+    One round = large-star ∘ small-star, each a single hash
+    partitioning of the edge list by node with a window MIN — two
+    shuffles per round, no driver-side state beyond an O(1)
+    convergence checksum. Same output contract as
+    ``near_dup_components``: (doc_id, comp=min doc_id of the
+    component, cluster_size).
+
+    - large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+      (strictly-larger nodes hop toward the minimum; keeps the graph
+      connected while halving long chains),
+    - small-star: edges pointed at the larger endpoint; all smaller
+      neighbors AND u itself link to the minimum (contracts local
+      stars onto their root).
+    Fixpoint: the edge set is exactly {(node, root)} — stable under
+    both operations; detected by an order-insensitive xxhash64
+    checksum (count + hash-sum), one tiny collect per round.
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    u, v = F.col("u"), F.col("v")
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(u != v)
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig, converged = None, False
+    for _ in range(max_iter):
+        # large-star over the symmetrized adjacency
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        wu = W.partitionBy("u")
+        m = F.least(F.min("v").over(wu), u)
+        e = (
+            sym.select("u", "v", m.alias("m"))
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over edges directed at the larger endpoint
+        directed = e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        )
+        wb = W.partitionBy("u")
+        mb = F.min("v").over(wb)  # all neighbors < u ⇒ min(N ∪ {u})
+        halves = directed.select("u", "v", mb.alias("m"))
+        e = (
+            halves.select(v.alias("u"), F.col("m").alias("v"))
+            .union(halves.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count(F.lit(1)),
+            # decimal accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI arithmetic
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+        ).collect()[0]
+        if tuple(sig) == prev_sig:
+            converged = True
+            break
+        prev_sig = tuple(sig)
+    if not converged:
+        import logging  # noqa: PLC0415
+
+        logging.getLogger(__name__).warning(
+            "near_dup_components_star did not converge within "
+            "max_iter=%d rounds",
+            max_iter,
+        )
+    # fixpoint edges are (node, root); roots carry themselves
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("comp")).union(
+        e.select(F.col("v").alias("doc_id"), F.col("v").alias("comp")).distinct()
+    )
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "comp").select("doc_id", "comp", "cluster_size")
 
