@@ -369,9 +369,11 @@ def lsh_template_clusters(
     return _lsh_grouped_buckets(spark, sf_dir, cap, hash_fn=hash_fn)[1]
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# shared CTE chain: minhash → LSH buckets → candidate pairs → exact
+# jaccard ≥ 0.5 → recursive-CTE transitive closure — used by BOTH the
+# pair-level entry (dedup_ngram_jaccard) and the component-level one
+# (dedup_components_star)
+_JACCARD_COMPS_ORACLE_PREFIX = f"""
     {MINHASH_SQL},
     bands AS (
       SELECT doc_id, b.i AS band,
@@ -418,7 +420,12 @@ def lsh_template_clusters(
     ),
     comps AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
     csize AS (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp)
-    SELECT p.doc_a, p.doc_b, p.jaccard, c.comp, z.cluster_size
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_COMPS_ORACLE_PREFIX + """    SELECT p.doc_a, p.doc_b, p.jaccard, c.comp, z.cluster_size
     FROM pairs p
     JOIN comps c ON c.doc_id = p.doc_a
     JOIN csize z USING (comp)
@@ -435,6 +442,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`near_dup_components`) so each pair carries its component's
     canonical id and size (oracle: DuckDB recursive closure).
     """
+    pairs = _verified_jaccard_pairs(spark, sf_dir)
+    # transitive clustering of the verified pairs (the canonical-doc
+    # step): comp is identical for both pair sides by construction, so
+    # one join on doc_a proves full connected-component correctness
+    # plain shuffle join: comps is one row per participating doc —
+    # corpus-proportional, NOT broadcast-safe at scale
+    comps = near_dup_components(pairs).withColumnRenamed("doc_id", "doc_a")
+    return pairs.join(comps, "doc_a").select(
+        "doc_a", "doc_b", "jaccard", "comp", "cluster_size"
+    )
+
+
+@register(
+    "dedup_components_star",
+    oracle=_JACCARD_COMPS_ORACLE_PREFIX
+    + """    SELECT c.doc_id, c.comp, z.cluster_size
+    FROM comps c JOIN csize z USING (comp)
+    ORDER BY doc_id
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the verified near-dup pairs via
+    large-star/small-star contraction (`near_dup_components_star`) —
+    the adversarial-diameter scale path, oracle-gated against the
+    same DuckDB recursive-CTE closure as the label-propagation route
+    (both must produce identical (doc_id, comp, cluster_size))."""
+    pairs = _verified_jaccard_pairs(spark, sf_dir)
+    return near_dup_components_star(pairs).orderBy("doc_id")
+
+
+def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared verify-stage pipeline: LSH candidates → exact
+    n-gram Jaccard ≥ 0.5, localCheckpoint'ed once (the result feeds
+    BOTH the component propagation and any final join — re-deriving
+    would re-run the whole shingle/LSH/jaccard pipeline)."""
     cand = dedup_minhash_lsh(spark, sf_dir)
     sh = shingles(load_fanout_table(spark, sf_dir, "documents"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -459,19 +501,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
-    # transitive clustering of the verified pairs (the canonical-doc
-    # step): comp is identical for both pair sides by construction, so
-    # one join on doc_a proves full connected-component correctness
-    # materialize the verified pairs once — they feed BOTH the
-    # component propagation and the final join (re-deriving them would
-    # re-run the whole shingle/LSH/jaccard pipeline a second time)
-    pairs = pairs.localCheckpoint()
-    # plain shuffle join: comps is one row per participating doc —
-    # corpus-proportional, NOT broadcast-safe at scale
-    comps = near_dup_components(pairs).withColumnRenamed("doc_id", "doc_a")
-    return pairs.join(comps, "doc_a").select(
-        "doc_a", "doc_b", "jaccard", "comp", "cluster_size"
-    )
+    return pairs.localCheckpoint()
 
 
 def near_dup_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
