@@ -91,6 +91,10 @@ def internal_500(status: int, out: dict) -> bool:
 
 
 def test_full_workload_soak_no_500s_no_strands(spark):
+    # snapshot pre-existing streams: the module-scoped spark fixture
+    # may carry another file's still-terminating query; only streams
+    # BORN here count as leaks
+    pre_existing = {q.id for q in spark.streams.active}
     g = Gateway(spark, session_idle_timeout_s=2.5).start()
     bad: list = []
 
@@ -168,9 +172,14 @@ def test_full_workload_soak_no_500s_no_strands(spark):
         with g._access_lock:
             stranded = [h for h in g._last_access if h not in g.engine.sessions]
         assert not stranded, f"stranded idleness entries: {stranded}"
-        # no streaming query may outlive its session on the shared spark
-        live = [q.name for q in spark.streams.active if q.name and q.name.startswith("select-")]
-        # queries owned by other fixtures would not be named select-*
+        # no streaming query born in this soak may outlive its session
+        live = [
+            q.name
+            for q in spark.streams.active
+            if q.id not in pre_existing
+            and q.name
+            and q.name.startswith("select-")
+        ]
         assert not live, f"leaked streaming queries: {live}"
     finally:
         g.stop()
