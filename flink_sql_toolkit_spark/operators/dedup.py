@@ -369,10 +369,9 @@ def lsh_template_clusters(
     return _lsh_grouped_buckets(spark, sf_dir, cap, hash_fn=hash_fn)[1]
 
 
-# shared CTE chain: minhash → LSH buckets → candidate pairs → exact
-# jaccard ≥ 0.5 → recursive-CTE transitive closure — used by BOTH the
-# pair-level entry (dedup_ngram_jaccard) and the component-level one
-# (dedup_components_star)
+# CTE chain: minhash → LSH buckets → candidate pairs → exact
+# jaccard ≥ 0.5 → recursive-CTE transitive closure (the components
+# oracle for dedup_ngram_jaccard's star-clustered output)
 _JACCARD_COMPS_ORACLE_PREFIX = f"""
     {MINHASH_SQL},
     bands AS (
@@ -438,9 +437,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join candidates back to the shingle table (shuffle on doc_id /
     shingle — both bounded), count intersections, compute exact
     jaccard, keep >= 0.5 — the verify stage after dedup_minhash_lsh's
-    recall stage — then transitively cluster the surviving pairs
-    (`near_dup_components`) so each pair carries its component's
-    canonical id and size (oracle: DuckDB recursive closure).
+    recall stage — then transitively cluster the surviving pairs so
+    each pair carries its component's canonical id and size (oracle:
+    DuckDB recursive closure).
+
+    Clustering here runs the large-star/small-star route
+    (`near_dup_components_star`, r12) so the driver's oracle gate
+    exercises it every round; the min-label-propagation route
+    (`near_dup_components`) stays oracle-gated through
+    sim_embedding_neardup's entry — BOTH algorithms are checked
+    against DuckDB recursive-CTE closures without growing the
+    registry past the driver's ~50-entry sample
+    (test_registry_fits_driver_sample). test_components_star pins
+    their equivalence directly.
     """
     pairs = _verified_jaccard_pairs(spark, sf_dir)
     # transitive clustering of the verified pairs (the canonical-doc
@@ -448,28 +457,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one join on doc_a proves full connected-component correctness
     # plain shuffle join: comps is one row per participating doc —
     # corpus-proportional, NOT broadcast-safe at scale
-    comps = near_dup_components(pairs).withColumnRenamed("doc_id", "doc_a")
+    comps = near_dup_components_star(pairs).withColumnRenamed("doc_id", "doc_a")
     return pairs.join(comps, "doc_a").select(
         "doc_a", "doc_b", "jaccard", "comp", "cluster_size"
     )
-
-
-@register(
-    "dedup_components_star",
-    oracle=_JACCARD_COMPS_ORACLE_PREFIX
-    + """    SELECT c.doc_id, c.comp, z.cluster_size
-    FROM comps c JOIN csize z USING (comp)
-    ORDER BY doc_id
-    """,
-)
-def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the verified near-dup pairs via
-    large-star/small-star contraction (`near_dup_components_star`) —
-    the adversarial-diameter scale path, oracle-gated against the
-    same DuckDB recursive-CTE closure as the label-propagation route
-    (both must produce identical (doc_id, comp, cluster_size))."""
-    pairs = _verified_jaccard_pairs(spark, sf_dir)
-    return near_dup_components_star(pairs).orderBy("doc_id")
 
 
 def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
