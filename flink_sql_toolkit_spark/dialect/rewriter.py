@@ -265,10 +265,13 @@ def _fold_session_agg(
     )
 
 
-def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
+def _rewrite_tvfs(masked: str, lits: list[str], group_struct: bool = False) -> str:
+    kept_struct = False
     while True:
         found = _find_tvf(masked)
         if found is None:
+            if kept_struct:
+                masked = _append_struct_to_group_by(masked)
             return masked
         start, end, name, argstr = found
         args = _split_args(argstr)
@@ -373,11 +376,72 @@ def _rewrite_tvfs(masked: str, lits: list[str]) -> str:
         # window_time = window_end - 1ms (the window's event-time
         # attribute per FLIP-145). Catalyst collapses the extra
         # projection — no runtime cost.
-        sub = (
-            f"(SELECT * EXCEPT({helpers}), "
-            f"window_end - INTERVAL '1' MILLISECOND AS window_time FROM {sub}) "
-        )
+        #
+        # group_struct (r12): Spark's append-mode streaming checker
+        # only recognizes a windowed aggregation when the GROUPING
+        # expressions contain the window() STRUCT itself — grouping by
+        # the extracted window_start column is update-mode-only. For a
+        # streaming INSERT into an append sink the engine retries the
+        # rewrite with group_struct=True: TUMBLE/HOP keep `_w` in the
+        # relation and `, _w` is appended to the enclosing GROUP BY
+        # (window_start/_end are functionally determined by _w, so
+        # groups — and results — are identical). SESSION folds into a
+        # grouped session_window elsewhere; CUMULATE's windows are
+        # arithmetic, not TimeWindow structs — not eligible.
+        if group_struct and name in ("TUMBLE", "HOP"):
+            kept_struct = True
+            sub = (
+                f"(SELECT *, "
+                f"window_end - INTERVAL '1' MILLISECOND AS window_time FROM {sub}) "
+            )
+        else:
+            sub = (
+                f"(SELECT * EXCEPT({helpers}), "
+                f"window_end - INTERVAL '1' MILLISECOND AS window_time FROM {sub}) "
+            )
         masked = masked[:start] + sub + masked[end:]
+
+
+def _append_struct_to_group_by(masked: str) -> str:
+    """Append ``, _w`` to the first GROUP BY list that references a
+    window TVF output column at top level (group_struct retry path).
+    Appending (not prepending) keeps GROUP BY ordinals valid."""
+    m = re.search(r"(?is)\bGROUP\s+BY\b", masked)
+    if m is None:
+        return masked
+    i, depth, end = m.end(), 0, len(masked)
+    terminator = re.compile(
+        r"(?is)^(HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|EXCEPT|INTERSECT)\b"
+    )
+    while i < end:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break  # closing an enclosing subquery
+            depth -= 1
+        elif c == ";" and depth == 0:
+            break
+        elif (
+            depth == 0
+            and c.isalpha()
+            and (i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"))
+            and terminator.match(masked[i:])
+        ):
+            break
+        i += 1
+    grouping = masked[m.end():i]
+    # window_* by name, or a bare ordinal (GROUP BY 1 referencing a
+    # window_start select item — this rewrite only runs on the
+    # engine's retry after an append-mode failure, where the
+    # statement is known to be a window-TVF aggregation; a wrong
+    # guess fails analysis exactly like the un-retried statement)
+    if not re.search(
+        r"(?i)\bwindow_(start|end|time)\b|(?<![\w.])\d+(?![\w.])", grouping
+    ):
+        return masked
+    return masked[:i].rstrip() + ", _w " + masked[i:]
 
 
 def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:
@@ -855,11 +919,16 @@ def _rewrite_one_arg_ltz(masked: str) -> str:
     return "".join(out)
 
 
-def rewrite(sql: str) -> str:
-    """Rewrite one Flink-SQL statement into Spark SQL."""
+def rewrite(sql: str, *, tvf_group_struct: bool = False) -> str:
+    """Rewrite one Flink-SQL statement into Spark SQL.
+
+    ``tvf_group_struct``: retry variant for streaming INSERTs into
+    append sinks — window TVF aggregations keep the window() struct
+    in the relation and GROUP BY so Spark's append-mode checker
+    recognizes the windowed aggregation (see _rewrite_tvfs)."""
     masked, lits = _mask(sql)
     _rewrite_hints(lits)
-    masked = _rewrite_tvfs(masked, lits)
+    masked = _rewrite_tvfs(masked, lits, group_struct=tvf_group_struct)
     masked = _rewrite_legacy_group_windows(masked, lits)
     masked = _rewrite_temporal_join(masked)
     masked = _rewrite_lateral_unnest(masked)

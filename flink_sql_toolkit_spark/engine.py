@@ -362,10 +362,10 @@ class Operation:
     ) -> None:
         sess = self.session
         table = sess.connector_tables[target]
-        # CTAS already analyzed the query for schema derivation — reuse
-        # that DataFrame instead of paying rewrite+analysis twice
-        df = query_df if query_df is not None else sess.spark.sql(rewrite(query))
-        if columns:
+
+        def _map_columns(frame: "DataFrame") -> "DataFrame":
+            if not columns:
+                return frame
             # explicit column list: map SELECT output positionally onto
             # the declared columns, NULL-fill the rest — Flink/ANSI
             # INSERT INTO t (b, a) semantics (previously the list was
@@ -381,20 +381,26 @@ class Operation:
                 )
             if len(set(columns)) != len(columns):
                 raise ValueError("INSERT column list has duplicate columns")
-            if len(columns) != len(df.columns):
+            if len(columns) != len(frame.columns):
                 raise ValueError(
                     f"INSERT column list has {len(columns)} column(s) but the "
-                    f"query produces {len(df.columns)}"
+                    f"query produces {len(frame.columns)}"
                 )
-            by_name = df.select(
-                *[df[df.columns[i]].alias(c) for i, c in enumerate(columns)]
+            by_name = frame.select(
+                *[frame[frame.columns[i]].alias(c) for i, c in enumerate(columns)]
             )
-            df = by_name.select(
+            return by_name.select(
                 *[
                     (F.col(c) if c in columns else F.lit(None)).cast(ty).alias(c)
                     for c, ty in declared.items()
                 ]
             )
+
+        # CTAS already analyzed the query for schema derivation — reuse
+        # that DataFrame instead of paying rewrite+analysis twice
+        df = _map_columns(
+            query_df if query_df is not None else sess.spark.sql(rewrite(query))
+        )
         name = sess.flink_conf.get("pipeline.name", f"insert-{target}")
         # SET 'execution.savepoint.path' = <path from STOP JOB … WITH
         # SAVEPOINT> resumes the job from that checkpoint — Flink's
@@ -408,13 +414,44 @@ class Operation:
             sess.flink_conf.get("execution.savepoint.path")
             or sess.new_checkpoint(name)
         )
-        q = build_writer(
-            df,
-            table,
-            query_name=name,
-            checkpoint=ckpt,
-            trigger_interval=sess.trigger_interval(),
-        )
+        try:
+            q = build_writer(
+                df,
+                table,
+                query_name=name,
+                checkpoint=ckpt,
+                trigger_interval=sess.trigger_interval(),
+            )
+        except AnalysisException as e:
+            # Streaming window-TVF aggregation into an APPEND sink:
+            # the default TVF rewrite groups by the extracted
+            # window_start column, which Spark's append-mode checker
+            # does not recognize as a windowed aggregation ("append …
+            # not supported … without watermark"). Retry once with the
+            # struct-keeping rewrite (GROUP BY gains the window()
+            # struct — identical groups, append-legal). Only for the
+            # raw-query path: CTAS frames were already analyzed.
+            cond = _error_condition(e)
+            retriable = (
+                cond.startswith("STREAMING_OUTPUT_MODE")
+                or "without watermark" in str(e)
+            )
+            if not (
+                retriable
+                and query_df is None
+                and re.search(r"(?is)TABLE\s*\(\s*(TUMBLE|HOP)\s*\(", query)
+            ):
+                raise
+            df = _map_columns(
+                sess.spark.sql(rewrite(query, tvf_group_struct=True))
+            )
+            q = build_writer(
+                df,
+                table,
+                query_name=name,
+                checkpoint=ckpt,
+                trigger_interval=sess.trigger_interval(),
+            )
         if q is not None:
             info = sess.jobs.register(q, name, checkpoint=ckpt)
             self.job_id = info.job_id
