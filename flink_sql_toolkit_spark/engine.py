@@ -410,10 +410,23 @@ class Operation:
         # re-reading the world. Like Flink, the option applies to
         # every subsequent job until RESET — resuming two DIFFERENT
         # statements from one path is user error there and here.
-        ckpt = (
-            sess.flink_conf.get("execution.savepoint.path")
-            or sess.new_checkpoint(name)
-        )
+        sp = sess.flink_conf.get("execution.savepoint.path")
+        if sp:
+            # two ACTIVE queries sharing one checkpoint dir corrupt
+            # each other's offset/commit logs (Spark doesn't lock
+            # checkpoint locations). Flink's statement set is ONE job
+            # per savepoint; here every INSERT is its own job, so a
+            # second submission while the resumed job still runs is a
+            # typed error, not silent state corruption.
+            for j in sess.jobs.list():
+                if j.checkpoint == sp and j.status == "RUNNING":
+                    raise ValueError(
+                        f"execution.savepoint.path {sp!r} is already in "
+                        f"use by running job {j.job_id} — RESET "
+                        "'execution.savepoint.path' before submitting "
+                        "further jobs"
+                    )
+        ckpt = sp or sess.new_checkpoint(name)
         try:
             q = build_writer(
                 df,

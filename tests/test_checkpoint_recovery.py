@@ -232,3 +232,38 @@ def test_stop_job_with_savepoint_returns_job_checkpoint(session, tmp_path):
     sp_b = _stop_with_savepoint(session, op_b.job_id)
     assert sp_a != sp_b
     assert sp_a.startswith(session.checkpoint_root)
+
+
+def test_savepoint_path_in_use_is_typed_error(session, tmp_path):
+    """With execution.savepoint.path set, a second streaming INSERT
+    while the resumed job is still RUNNING must be a typed error —
+    two active queries sharing one checkpoint dir would corrupt each
+    other's offset/commit logs (Spark doesn't lock checkpoint
+    locations; Flink's statement set is one job per savepoint)."""
+    spark = session.spark
+    src = f"{tmp_path}/busy_src"
+    spark.createDataFrame([(1,)], "id long").write.parquet(src)
+    session.execute_statement(
+        f"""CREATE TABLE busy_src (id BIGINT) WITH (
+        'connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+    )
+    for i in (1, 2):
+        session.execute_statement(
+            f"""CREATE TABLE busy_sink{i} (id BIGINT) WITH (
+            'connector'='filesystem', 'path'='{tmp_path}/bs{i}',
+            'format'='parquet')"""
+        )
+    op = session.execute_statement("INSERT INTO busy_sink1 SELECT id FROM busy_src")
+    sp = _stop_with_savepoint(session, op.job_id)
+    session.execute_statement(f"SET 'execution.savepoint.path' = '{sp}'")
+    try:
+        op2 = session.execute_statement(
+            "INSERT INTO busy_sink1 SELECT id FROM busy_src"
+        )  # legal: resumes the stopped job
+        with pytest.raises(ValueError, match="already in use"):
+            session.execute_statement(
+                "INSERT INTO busy_sink2 SELECT id FROM busy_src"
+            )
+        session.execute_statement(f"STOP JOB '{op2.job_id}'")
+    finally:
+        session.execute_statement("RESET 'execution.savepoint.path'")
