@@ -282,9 +282,24 @@ def handle_jobs_admin(session: "EngineSession", stmt: str) -> tuple[Cols, Rows] 
         # (SURVEY §2.1): feed it back through SET
         # 'execution.savepoint.path' to resume the statement from
         # this state (engine INSERT path; Flink stop-with-savepoint →
-        # resume contract, test/syntax-test.fsql:559-560)
+        # resume contract, test/syntax-test.fsql:559-560). Never fall
+        # back to checkpoint_root — it is the shared PARENT of all
+        # job checkpoints, not any job's state, and the running-job
+        # collision guard cannot protect it (ADVICE r12): a job with
+        # no recorded checkpoint gets a typed error under
+        # WITH SAVEPOINT and a NULL path otherwise.
         job = session.jobs.get(m.group(1))
-        path = (job.checkpoint if job else None) or session.checkpoint_root
+        path = job.checkpoint if job else None
+        if m.group(2) and job is not None and path is None:
+            # a KNOWN job with no recorded checkpoint: typed error, not
+            # a directory that is no job's state. An unknown job id
+            # stays accept-and-NULL (idempotent cancel, corpus parity:
+            # the reference client accepts the statement shape).
+            raise RuntimeError(
+                f"job '{m.group(1)}' has no resumable savepoint: it was "
+                "registered without a checkpoint location (the job is "
+                "stopped, but there is no state to resume from)"
+            )
         return _c(("savepoint path", "string")), [[path]]
     m = re.match(r"(?is)^(?:DESCRIBE|DESC)\s+JOB\s+'([^']+)'\s*;?\s*$", stmt)
     if m:

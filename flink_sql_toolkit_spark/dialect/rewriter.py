@@ -432,16 +432,55 @@ def _append_struct_to_group_by(masked: str) -> str:
             break
         i += 1
     grouping = masked[m.end():i]
-    # window_* by name, or a bare ordinal (GROUP BY 1 referencing a
-    # window_start select item — this rewrite only runs on the
-    # engine's retry after an append-mode failure, where the
-    # statement is known to be a window-TVF aggregation; a wrong
-    # guess fails analysis exactly like the un-retried statement)
-    if not re.search(
-        r"(?i)\bwindow_(start|end|time)\b|(?<![\w.])\d+(?![\w.])", grouping
-    ):
-        return masked
-    return masked[:i].rstrip() + ", _w " + masked[i:]
+    # window_* by name, or a bare ordinal that RESOLVES to a
+    # window_start/_end/_time select item. A bare ordinal alone is
+    # not evidence of window grouping (ADVICE r12): for
+    # `GROUP BY substr(k,1,3), 2` or `GROUP BY 1` over a non-window
+    # item, appending `, _w` would RESOLVE (the struct is in scope)
+    # and silently turn an update-mode aggregation Flink rejects
+    # into a per-window aggregation with different results — so
+    # ordinals are checked against the SELECT list.
+    if re.search(r"(?i)\bwindow_(start|end|time)\b", grouping):
+        return masked[:i].rstrip() + ", _w " + masked[i:]
+    items = _select_items_before(masked, m.start())
+    for om in re.finditer(r"(?<![\w.])(\d+)(?![\w.])", grouping):
+        n = int(om.group(1))
+        if 1 <= n <= len(items) and re.search(
+            r"(?i)\bwindow_(start|end|time)\b", items[n - 1]
+        ):
+            return masked[:i].rstrip() + ", _w " + masked[i:]
+    return masked
+
+
+def _select_items_before(masked: str, pos: int) -> list[str]:
+    """The SELECT list of the query block whose GROUP BY starts at
+    ``pos``: the last top-level ``SELECT`` before ``pos`` up to its
+    matching top-level ``FROM`` (used to resolve GROUP BY ordinals
+    in the group_struct retry)."""
+    best = None
+    for sm in re.finditer(r"(?is)\bSELECT\b", masked[:pos]):
+        # same paren depth as the GROUP BY ⇒ same query block
+        if masked.count("(", sm.end(), pos) == masked.count(")", sm.end(), pos):
+            best = sm
+    if best is None:
+        return []
+    seg = masked[best.end():pos]
+    fm = None
+    depth = 0
+    for j, ch in enumerate(seg):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and seg[j : j + 4].upper() == "FROM" and (
+            j == 0 or not (seg[j - 1].isalnum() or seg[j - 1] == "_")
+        ) and not (len(seg) > j + 4 and (seg[j + 4].isalnum() or seg[j + 4] == "_")):
+            fm = j
+            break
+    if fm is None:
+        return []
+    sel = re.sub(r"(?is)^\s*(ALL|DISTINCT)\b", "", seg[:fm])
+    return _split_args(sel)
 
 
 def _rewrite_legacy_group_windows(masked: str, lits: list[str]) -> str:

@@ -104,6 +104,22 @@ def _error_condition(e: Exception) -> str:
     return ""
 
 
+def _is_table_not_found(e: Exception) -> bool:
+    """True only for Spark's table/view-not-found error — anchored on
+    the TABLE_OR_VIEW_NOT_FOUND condition and the legacy "Table or
+    view not found" / "The table or view … cannot be found" phrases.
+    A bare "not found" substring match also caught unrelated failures
+    (function/catalog resolution errors raised while executing a
+    rewritten DROP) and masked their real cause (ADVICE r12)."""
+    return _error_condition(e) == "TABLE_OR_VIEW_NOT_FOUND" or bool(
+        re.search(
+            r"(?i)(?:the )?table or view (?:[`'\"].{0,200}?[`'\"]\s*)?"
+            r"(?:cannot be found|not found)",
+            str(e),
+        )
+    )
+
+
 class Operation:
     """A submitted statement: status + token-paged result fetch."""
 
@@ -248,13 +264,14 @@ class Operation:
                     # anything else (e.g. Spark's own kind-mismatch on
                     # a persistent table: WRONG_COMMAND_FOR_OBJECT_TYPE
                     # / "is a view. ... Please use DROP VIEW") must
-                    # surface its real cause (ADVICE r11)
-                    msg = str(e)
-                    if re.search(
-                        r"TABLE_OR_VIEW_NOT_FOUND|cannot be found|not found",
-                        msg,
-                        re.I,
-                    ):
+                    # surface its real cause (ADVICE r11). Anchored on
+                    # the TABLE_OR_VIEW_NOT_FOUND error condition and
+                    # the legacy "Table or view not found" phrase — a
+                    # bare "not found" substring also matched unrelated
+                    # failures (function/catalog resolution errors
+                    # raised while executing the rewritten DROP) and
+                    # remapped them to the wrong cause (ADVICE r12)
+                    if _is_table_not_found(e):
                         raise LookupError(
                             f"table or view '{name}' not found"
                         ) from None
@@ -539,12 +556,19 @@ class Operation:
 
         _bind_result(df)
         name = f"select-{self.handle[:8]}"
+        # the checkpoint the successful start() actually used — jobs
+        # must register with THEIR checkpoint, not None: STOP JOB …
+        # WITH SAVEPOINT would otherwise fall back to the shared
+        # checkpoint_root, which is no job's state (ADVICE r12)
+        ckpt_used: list[str] = []
 
         def _start(mode: str, frame: DataFrame = df):
+            ckpt = sess.new_checkpoint(name)
+            ckpt_used.append(ckpt)
             return (
                 frame.writeStream.foreachBatch(self._stream_buffer.foreach_batch)
                 .queryName(name)
-                .option("checkpointLocation", sess.new_checkpoint(name))
+                .option("checkpointLocation", ckpt)
                 .trigger(processingTime=sess.trigger_interval() or "1 second")
                 .outputMode(mode)
                 .start()
@@ -632,7 +656,9 @@ class Operation:
             _bind_result(df, getattr(routed, "op_passthrough", False))
             q = _start_any(df)
         self._stream_query = q
-        info = sess.jobs.register(q, name)
+        info = sess.jobs.register(
+            q, name, checkpoint=ckpt_used[-1] if ckpt_used else None
+        )
         self.job_id = info.job_id
         self.status = "RUNNING"
 

@@ -823,17 +823,19 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     back to the plain latest-per-key view (tombstones unhandled for
     that encoding, observably rather than silently).
 
-    Record ordering (ADVICE r11): per-key history orders by
-    (timestamp DESC, partition DESC, offset DESC). Offset alone is
-    only comparable within one topic partition; a topic written by
-    an external producer without keyed partitioning can spread one
-    key across partitions, where the broker timestamp is the best
-    available cross-partition order (log-append time is monotonic
-    per partition and wall-clock-comparable across them; partition
-    and offset break timestamp ties deterministically). For the
-    keyed-producer common case the ordering is unchanged: one
-    partition ⇒ timestamps are non-decreasing in offset under
-    log-append time, and the offset tiebreak decides equal stamps.
+    Record ordering (ADVICE r11, refined per ADVICE r12): a key
+    whose records all live in ONE partition orders by offset alone —
+    the only ordering Kafka guarantees, and correct under the
+    default ``message.timestamp.type=CreateTime`` where
+    producer-supplied timestamps may be out of order within a
+    partition (a timestamp-first order could pick an older-by-offset
+    record as latest, or resurrect a deleted key). Only a key spread
+    across partitions (external producer without keyed partitioning)
+    falls back to (timestamp, partition, offset), the best available
+    cross-partition order — exact under LogAppendTime, best-effort
+    under CreateTime (offsets from different partitions are simply
+    not comparable). The tombstone-vs-live comparison follows the
+    same rule: same partition ⇒ compare offsets, else positions.
 
     Tombstone resolution is POSITIONAL, not existence-based (ADVICE
     r11 fail-open fix): the latest TOMBSTONE per key is left-joined
@@ -853,18 +855,35 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     pk = table.primary_key
-    order = [F.desc("timestamp"), F.desc("partition"), F.desc("offset")]
     pos = F.struct(
         F.col("timestamp").alias("ts"),
         F.col("partition").alias("part"),
         F.col("offset").alias("off"),
     )
+    # per-key ordering position: offset-only when the key's history
+    # sits in one partition (CreateTime-safe), else (ts, part, off).
+    # The single-partition variant pins ts/part to constants so the
+    # struct comparison reduces to the offset.
+    _zero_pos = F.struct(
+        F.lit(0).cast("timestamp").alias("ts"),
+        F.lit(0).cast("int").alias("part"),
+        F.col("offset").alias("off"),
+    )
+
+    def _ord_pos(nparts):
+        return F.when(nparts == 1, _zero_pos).otherwise(pos)
+
     decoded = _decode_payload(raw.filter(F.col("value").isNotNull()), table)
-    w = W.partitionBy(*pk).orderBy(*order)
+    wall = W.partitionBy(*pk)
+    decoded = decoded.withColumn(
+        "_pos", _ord_pos(F.size(F.collect_set("partition").over(wall)))
+    )
     latest = (
-        decoded.withColumn("_rn", F.row_number().over(w))
+        decoded.withColumn(
+            "_rn", F.row_number().over(wall.orderBy(F.desc("_pos")))
+        )
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_pos")
     )
     key_fmt = table.options.get("key.format", "json")
     if key_fmt != "json":
@@ -887,17 +906,28 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         # PERMISSIVE from_json yields a null-FIELD struct for missing/
         # malformed keys, never a null struct — filter per PK field
         hist = hist.filter(F.col(f"_k.{c}").isNotNull())
-    wk = W.partitionBy("_k").orderBy(*order)
+    wkall = W.partitionBy("_k")
+    hist = hist.withColumn(
+        "_pos", _ord_pos(F.size(F.collect_set("partition").over(wkall)))
+    )
     dead = (
-        hist.withColumn("_rn", F.row_number().over(wk))
+        hist.withColumn(
+            "_rn", F.row_number().over(wkall.orderBy(F.desc("_pos")))
+        )
         .filter(F.col("_rn") == 1)
         .select("_k.*", pos.alias("_tomb_pos"))
     )
+    # delete only when the tombstone post-dates the surviving live
+    # record: same partition ⇒ the offset decides (the only order
+    # Kafka guarantees, CreateTime-safe); different partitions ⇒
+    # lexicographic (ts, part, off) position, the best available
+    tomb_newer = F.when(
+        F.col("partition") == F.col("_tomb_pos.part"),
+        F.col("_tomb_pos.off") > F.col("offset"),
+    ).otherwise(F.col("_tomb_pos") > pos)
     return (
         latest.join(F.broadcast(dead), on=list(pk), how="left")
-        # struct comparison is lexicographic: delete only when the
-        # tombstone post-dates the surviving live record's position
-        .filter(F.col("_tomb_pos").isNull() | (pos > F.col("_tomb_pos")))
+        .filter(F.col("_tomb_pos").isNull() | ~tomb_newer)
         .drop("_tomb_pos")
     )
 

@@ -248,8 +248,18 @@ def main() -> int:
     )
     from flink_sql_toolkit_spark.streaming.jobs import JobInfo  # noqa: PLC0415
 
+    # every real job path registers its checkpoint (INSERT: engine's
+    # ckpt; SELECT: ckpt_used — ADVICE r12), so the fixture job
+    # carries one too: STOP JOB … WITH SAVEPOINT on a checkpointless
+    # KNOWN job is a typed error by design.
     session.jobs._jobs.setdefault(  # noqa: SLF001 — fixture injection
-        "job-id", JobInfo(job_id="job-id", name="corpus-fixture", query=None)
+        "job-id",
+        JobInfo(
+            job_id="job-id",
+            name="corpus-fixture",
+            query=None,
+            checkpoint=session.new_checkpoint("corpus-fixture"),
+        ),
     )
 
     script = Path(CORPUS).read_text()
