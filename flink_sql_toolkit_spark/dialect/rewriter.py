@@ -259,7 +259,17 @@ def _fold_session_agg(
     # keep the relation alias: the query may qualify columns with it
     # (review r9: FROM t with a dangling s.v reference)
     rel = f"{table} AS {tm.group('alias')} " if tm.group("alias") else f"{table} "
-    group_by = ", ".join([*others, swfn])
+    # keyless (global) sessions: Spark's streaming planner rejects a
+    # session_window aggregation with no other grouping key ("Global
+    # aggregation with session window in streaming query is not
+    # supported", AggUtils.planStreamingAggregationForSession), while
+    # Flink supports global session windows. A non-foldable constant
+    # key — pmod(hash(ts), 1) ≡ 0 on every row, but opaque to constant
+    # folding — turns it into a single-key aggregation with identical
+    # groups. Global sessions are inherently single-key state anyway;
+    # batch results are unchanged (r13).
+    keys_out = [*others] if others else [f"pmod(hash({col}), 1)"]
+    group_by = ", ".join([*keys_out, swfn])
     return (
         f"SELECT {', '.join(items)} FROM {rel}{where}GROUP BY {group_by}{rest}"
     )
@@ -364,12 +374,33 @@ def _rewrite_tvfs(masked: str, lits: list[str], group_struct: bool = False) -> s
             if step is None or max_s is None or max_s % step != 0:
                 raise ValueError("CUMULATE requires integer step/max with max % step == 0")
             nk = max_s // step
-            sub = (
-                f"(SELECT *, timestamp_seconds(_ws) AS window_start, "
-                f"timestamp_seconds(_ws + _k * {step}) AS window_end FROM "
-                f"(SELECT *, CAST(floor(unix_timestamp({col}) / {max_s}) * {max_s} AS LONG) AS _ws FROM {table}) "
-                f"LATERAL VIEW explode(sequence(CAST(floor((unix_timestamp({col}) - _ws) / {step}) + 1 AS INT), {nk})) AS _k ) "
-            )
+            if group_struct:
+                # Append-sink form (r13): CUMULATE(step, max) is a
+                # HOP(slide=step, size=max) restricted to assignments
+                # whose max-aligned window contains the hop start —
+                # hop window [a, a+max) filtered to events t with
+                # floor(t/max)*max >= a holds exactly the events of
+                # the cumulate window [ceil(a/max)*max, a+max).
+                # Grouping keeps the hop window() STRUCT, which
+                # Spark's append-mode checker recognizes as a
+                # watermark-closed windowed aggregation — the explode
+                # rewrite's arithmetic _ws/_k columns are not
+                # window-typed and stay update-mode-only.
+                size_d = _interval_to_duration(args[3], lits)
+                slide_d = _interval_to_duration(args[2], lits)
+                sub = (
+                    f"(SELECT *, timestamp_seconds(CAST(ceil(unix_timestamp(_w.start) / {max_s}) AS LONG) * {max_s}) AS window_start, "
+                    f"_w.end AS window_end FROM "
+                    f"(SELECT *, window({col}, {size_d}, {slide_d}) AS _w FROM {table}) "
+                    f"WHERE CAST(floor(unix_timestamp({col}) / {max_s}) AS LONG) * {max_s} >= unix_timestamp(_w.start)) "
+                )
+            else:
+                sub = (
+                    f"(SELECT *, timestamp_seconds(_ws) AS window_start, "
+                    f"timestamp_seconds(_ws + _k * {step}) AS window_end FROM "
+                    f"(SELECT *, CAST(floor(unix_timestamp({col}) / {max_s}) * {max_s} AS LONG) AS _ws FROM {table}) "
+                    f"LATERAL VIEW explode(sequence(CAST(floor((unix_timestamp({col}) - _ws) / {step}) + 1 AS INT), {nk})) AS _k ) "
+                )
         # Flink's window TVF relation = input columns + window_start /
         # window_end / window_time, and ONLY those: project the helper
         # columns away (ADVICE r9: SELECT * leaked _new/_sess) and add
@@ -385,10 +416,11 @@ def _rewrite_tvfs(masked: str, lits: list[str], group_struct: bool = False) -> s
         # rewrite with group_struct=True: TUMBLE/HOP keep `_w` in the
         # relation and `, _w` is appended to the enclosing GROUP BY
         # (window_start/_end are functionally determined by _w, so
-        # groups — and results — are identical). SESSION folds into a
-        # grouped session_window elsewhere; CUMULATE's windows are
-        # arithmetic, not TimeWindow structs — not eligible.
-        if group_struct and name in ("TUMBLE", "HOP"):
+        # groups — and results — are identical). CUMULATE joins them
+        # in r13 via the filtered-HOP form above (its `_w` is a real
+        # TimeWindow struct). SESSION folds into a grouped
+        # session_window elsewhere, which is already append-legal.
+        if group_struct and name in ("TUMBLE", "HOP", "CUMULATE"):
             kept_struct = True
             sub = (
                 f"(SELECT *, "

@@ -469,7 +469,7 @@ class Operation:
             if not (
                 retriable
                 and query_df is None
-                and re.search(r"(?is)TABLE\s*\(\s*(TUMBLE|HOP)\s*\(", query)
+                and re.search(r"(?is)TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(", query)
             ):
                 raise
             df = _map_columns(
