@@ -497,14 +497,39 @@ class Operation:
             self._rows = [["OK"]]
 
     def _execute_statement_set(self, stmt: str) -> None:
+        """Flink executes a STATEMENT SET as ONE job with one
+        savepoint; here every INSERT is its own Spark query, so the
+        set lays its statements' checkpoints out DETERMINISTICALLY
+        under one root — ``<root>/set-<i>`` in textual order. With
+        ``execution.savepoint.path`` set, the same derivation resumes
+        statement i from ``<path>/set-<i>``: SET the savepoint path to
+        the PARENT directory any set job's STOP JOB … WITH SAVEPOINT
+        returned, resubmit the identical set, and every member
+        resumes exactly-once (r13; Flink stop-with-savepoint → resume
+        contract for sets). A single flat path can't resume a
+        multi-job set — two active queries must never share one
+        checkpoint dir."""
+        sess = self.session
         inner = re.sub(r"(?is)^BEGIN\s+STATEMENT\s+SET\s*;", "", stmt)
         inner = re.sub(r"(?is)^EXECUTE\s+STATEMENT\s+SET\s*", "", inner)
         inner = re.sub(r"(?is)\bEND\s*;?\s*$", "", inner).strip()
         job_ids = []
-        for sub in split_statements(inner):
-            op = Operation(self.session, sub).execute()
-            if op.job_id:
-                job_ids.append(op.job_id)
+        outer_sp = sess.flink_conf.get("execution.savepoint.path")
+        root = outer_sp or sess.new_checkpoint("stmt-set")
+        try:
+            for i, sub in enumerate(split_statements(inner)):
+                if re.match(r"(?is)^\s*INSERT\s", sub):
+                    sess.flink_conf["execution.savepoint.path"] = (
+                        f"{root}/set-{i}"
+                    )
+                op = Operation(self.session, sub).execute()
+                if op.job_id:
+                    job_ids.append(op.job_id)
+        finally:
+            if outer_sp is None:
+                sess.flink_conf.pop("execution.savepoint.path", None)
+            else:
+                sess.flink_conf["execution.savepoint.path"] = outer_sp
         self._columns = [{"name": "job id", "logicalType": "string"}]
         self._rows = [[j] for j in job_ids] or [["OK"]]
 

