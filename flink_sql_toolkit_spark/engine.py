@@ -413,6 +413,24 @@ class Operation:
                 ]
             )
 
+        # MATCH_RECOGNIZE inside an INSERT query: same routing as the
+        # SELECT path (no Spark SQL equivalent — the CEP operator runs
+        # as a DataFrame op behind a temp view). Flink writes MR
+        # results into sinks (INSERT INTO s SELECT … FROM t
+        # MATCH_RECOGNIZE(…)); previously only interactive SELECTs
+        # routed (r13). The view must outlive this operation — the
+        # continuous job reads through it — so it is session-scoped,
+        # not tracked for cancel-time drop like interactive ones.
+        if query_df is None and re.search(r"(?is)\bMATCH_RECOGNIZE\s*\(", query):
+            from flink_sql_toolkit_spark.dialect.mr_sql import (  # noqa: PLC0415
+                rewrite_match_recognize_sql,
+            )
+
+            query = str(
+                rewrite_match_recognize_sql(
+                    sess.spark, query, ttl_ms=sess.state_ttl_ms()
+                )
+            )
         # CTAS already analyzed the query for schema derivation — reuse
         # that DataFrame instead of paying rewrite+analysis twice
         df = _map_columns(

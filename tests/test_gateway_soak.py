@@ -96,6 +96,10 @@ def internal_500(status: int, out: dict) -> bool:
 #   FSTK_SOAK_SECONDS=600 python -m pytest -m soak tests/test_gateway_soak.py
 # The default (0) keeps the CI-friendly 4 iterations per worker.
 SOAK_SECONDS = float(os.environ.get("FSTK_SOAK_SECONDS", "0"))
+# FSTK_SOAK_MIX=0 restricts the long soak to the original streaming-
+# SELECT workload (a control for isolating load regressions to the
+# TVF/DML scenarios).
+SOAK_MIX = os.environ.get("FSTK_SOAK_MIX", "1") != "0"
 
 
 def _tvf_workload(stmt, http, g, h, seed: int, it: int, src: str, tmp: str):
@@ -122,11 +126,22 @@ def _tvf_workload(stmt, http, g, h, seed: int, it: int, src: str, tmp: str):
     )
     if s != 200:
         return
-    # fetch the job id row, then stop it (tolerating a reaped session)
+    # fetch the job id row (poll past NOT_READY), then ALWAYS stop it
+    # — a leaked 1 s-trigger job compounds across hundreds of long-
+    # soak iterations into host saturation (session close also stops
+    # jobs, but the reaper may not win for seconds under load)
     oh = o["operationHandle"]
-    s, page = http(g, "GET", f"/sessions/{h}/operations/{oh}/result/0")
-    if s == 200 and page.get("results", {}).get("data"):
-        job_id = page["results"]["data"][0]["fields"][0]
+    job_id, deadline = None, time.time() + 10
+    while time.time() < deadline:
+        s, page = http(g, "GET", f"/sessions/{h}/operations/{oh}/result/0")
+        if s != 200:
+            break
+        data = page.get("results", {}).get("data")
+        if data:
+            job_id = data[0]["fields"][0]
+            break
+        time.sleep(0.3)
+    if job_id:
         stmt(f"STOP JOB '{job_id}'")
 
 
@@ -192,13 +207,23 @@ def test_full_workload_soak_no_500s_no_strands(spark, tmp_path_factory):
                     bad.append(("stmt-500", sql, s, o))
                 return s, o
 
-            # seeded statement-mix: streaming SELECT (always), plus
-            # TVF INSERT / batch DML scenarios in the long soak
-            scenario = rng.random()
+            # seeded statement-mix, EXCLUSIVE per iteration (additive
+            # scenarios compounded load until iterations overran the
+            # deadline by minutes): TVF INSERT / batch DML / the
+            # original streaming-SELECT workload
+            scenario = rng.random() if SOAK_MIX else 1.0
             if scenario < 0.25:
                 _tvf_workload(stmt, http, g, h, seed, it, tvf_src, tmp)
-            elif scenario < 0.5:
+                s, o = http(g, "DELETE", f"/sessions/{h}")
+                if s not in (200, 404):
+                    bad.append(("delete", s, o))
+                continue
+            if scenario < 0.5:
                 _dml_workload(stmt, seed, it, tmp)
+                s, o = http(g, "DELETE", f"/sessions/{h}")
+                if s not in (200, 404):
+                    bad.append(("delete", s, o))
+                continue
             s, o = stmt(
                 f"CREATE TABLE dg_{seed}_{it} (x BIGINT, s STRING) WITH "
                 "('connector'='datagen', 'rows-per-second'='100')"
@@ -209,9 +234,13 @@ def test_full_workload_soak_no_500s_no_strands(spark, tmp_path_factory):
             if s != 200:
                 continue
             oh = o["operationHandle"]
-            # page the streaming result a little
-            token, deadline = 0, time.time() + 20
-            while time.time() < deadline:
+            # page the streaming result a little. NB: its deadline must
+            # NOT reuse the worker's `deadline` — rebinding it pushed
+            # the soak deadline 20 s forward on every iteration, so a
+            # duration-mode run could never exit (found via the r13
+            # long-run recording: 45 s soaks ran for 40+ min).
+            token, page_deadline = 0, time.time() + 20
+            while time.time() < page_deadline:
                 s, page = http(
                     g, "GET", f"/sessions/{h}/operations/{oh}/result/{token}"
                 )

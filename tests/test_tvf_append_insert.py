@@ -261,3 +261,81 @@ def test_session_tvf_insert_into_append_sink(session, tmp_path):
         assert by_start.get(ts(30)) == 1, by_start  # isolated event
     finally:
         session.execute_statement(f"STOP JOB '{op.job_id}'")
+
+
+def test_match_recognize_insert_into_sink_batch(session, tmp_path):
+    """INSERT INTO sink SELECT … FROM t MATCH_RECOGNIZE(…) — Flink
+    writes CEP results into sinks; the MR routing previously applied
+    only to interactive SELECTs (r13)."""
+    spark = session.spark
+    src, sink = f"{tmp_path}/mr_src", f"{tmp_path}/mr_sink"
+    rows = [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0)]
+    spark.createDataFrame(rows, "k int, seq long, price double").coalesce(1).write.parquet(src)
+    session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
+    try:
+        session.execute_statement(
+            f"""CREATE TABLE mr_src (k INT, seq BIGINT, price DOUBLE) WITH (
+            'connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+        )
+        session.execute_statement(
+            f"""CREATE TABLE mr_sink (s BIGINT, e BIGINT) WITH (
+            'connector'='filesystem', 'path'='{sink}', 'format'='parquet')"""
+        )
+        session.execute_statement(
+            "INSERT INTO mr_sink SELECT s, e FROM mr_src MATCH_RECOGNIZE ("
+            " PARTITION BY k ORDER BY seq"
+            " MEASURES FIRST(DOWN.seq) AS s, LAST(DOWN.seq) AS e"
+            " ONE ROW PER MATCH"
+            " AFTER MATCH SKIP PAST LAST ROW"
+            " PATTERN (DOWN{2,})"
+            " DEFINE DOWN AS price < PREV(price)"
+            ")"
+        )
+        got = [(r.s, r.e) for r in spark.read.parquet(sink).collect()]
+        # prices fall 10→8→6 (rows 2,3 are the DOWN run)
+        assert got == [(2, 3)], got
+    finally:
+        session.execute_statement("RESET 'execution.runtime-mode'")
+
+
+def test_match_recognize_insert_streaming(session, tmp_path):
+    """Streaming CEP → sink: the NFA operator
+    (applyInPandasWithState) feeds a filesystem APPEND sink as a
+    continuous job; the far-future row advances the watermark so the
+    completed match emits."""
+    spark = session.spark
+    src, sink = f"{tmp_path}/mrs_src", f"{tmp_path}/mrs_sink"
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [(1, ts(1), 10.0), (1, ts(2), 8.0), (1, ts(3), 6.0),
+            (1, ts(4), 9.0), (1, dt.datetime(2024, 1, 1, 0, 2, 0), 20.0)]
+    spark.createDataFrame(
+        rows, "k int, ts timestamp, price double"
+    ).coalesce(1).write.parquet(src)
+    session.execute_statement(
+        f"""CREATE TABLE mrs_src (k INT, ts TIMESTAMP(3), price DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+        WITH ('connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
+    )
+    session.execute_statement(
+        f"""CREATE TABLE mrs_sink (s TIMESTAMP(3), e TIMESTAMP(3)) WITH (
+        'connector'='filesystem', 'path'='{sink}', 'format'='parquet')"""
+    )
+    op = session.execute_statement(
+        "INSERT INTO mrs_sink SELECT s, e FROM mrs_src MATCH_RECOGNIZE ("
+        " PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(DOWN.ts) AS s, LAST(DOWN.ts) AS e"
+        " ONE ROW PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (DOWN{2,})"
+        " DEFINE DOWN AS price < PREV(price)"
+        ")"
+    )
+    assert op.job_id, "streaming MR INSERT must start a job"
+    try:
+        got = _poll_sink(spark, sink, 1)
+        assert [(r.s, r.e) for r in got] == [(ts(2), ts(3))], got
+    finally:
+        session.execute_statement(f"STOP JOB '{op.job_id}'")
