@@ -123,10 +123,25 @@ def _is_table_not_found(e: Exception) -> bool:
 class Operation:
     """A submitted statement: status + token-paged result fetch."""
 
-    def __init__(self, session: "EngineSession", statement: str):
+    def __init__(
+        self,
+        session: "EngineSession",
+        statement: str,
+        savepoint_path: str | None = None,
+    ):
         self.handle = str(uuid.uuid4())
         self.session = session
         self.statement = statement.strip()
+        # operation-scoped savepoint override (statement sets): the
+        # set used to publish each member's derived <root>/set-<i>
+        # through the SHARED sess.flink_conf for the child Operation
+        # to read back — but statements execute on their own threads,
+        # so a concurrently submitted INSERT could observe the
+        # transient path and adopt another job's checkpoint dir
+        # (ADVICE r13 #1: the collision guard only sees jobs already
+        # RUNNING, not one racing through the same window). Threading
+        # the path explicitly makes it invisible to other operations.
+        self._savepoint_override = savepoint_path
         self.status = "PENDING"
         self.is_query_result = False
         self.job_id: str | None = None
@@ -445,7 +460,11 @@ class Operation:
         # re-reading the world. Like Flink, the option applies to
         # every subsequent job until RESET — resuming two DIFFERENT
         # statements from one path is user error there and here.
-        sp = sess.flink_conf.get("execution.savepoint.path")
+        # A statement set threads each member's derived path in as an
+        # operation-scoped override instead (never via session conf).
+        sp = self._savepoint_override or sess.flink_conf.get(
+            "execution.savepoint.path"
+        )
         if sp:
             # two ACTIVE queries sharing one checkpoint dir corrupt
             # each other's offset/commit logs (Spark doesn't lock
@@ -534,20 +553,19 @@ class Operation:
         job_ids = []
         outer_sp = sess.flink_conf.get("execution.savepoint.path")
         root = outer_sp or sess.new_checkpoint("stmt-set")
-        try:
-            for i, sub in enumerate(split_statements(inner)):
-                if re.match(r"(?is)^\s*INSERT\s", sub):
-                    sess.flink_conf["execution.savepoint.path"] = (
-                        f"{root}/set-{i}"
-                    )
-                op = Operation(self.session, sub).execute()
-                if op.job_id:
-                    job_ids.append(op.job_id)
-        finally:
-            if outer_sp is None:
-                sess.flink_conf.pop("execution.savepoint.path", None)
-            else:
-                sess.flink_conf["execution.savepoint.path"] = outer_sp
+        # each member's derived path rides its Operation as an
+        # explicit override — the session conf is never mutated, so a
+        # concurrent INSERT on another thread can't adopt a set
+        # member's checkpoint dir mid-set (ADVICE r13 #1)
+        for i, sub in enumerate(split_statements(inner)):
+            member_sp = (
+                f"{root}/set-{i}"
+                if re.match(r"(?is)^\s*INSERT\s", sub)
+                else None
+            )
+            op = Operation(self.session, sub, savepoint_path=member_sp).execute()
+            if op.job_id:
+                job_ids.append(op.job_id)
         self._columns = [{"name": "job id", "logicalType": "string"}]
         self._rows = [[j] for j in job_ids] or [["OK"]]
 

@@ -350,7 +350,9 @@ def pack_sequences(
         "total_tokens long, truncate_needed boolean"
     )
 
-    def pack(key, pdf: "pd.Series") -> "pd.DataFrame":
+    # no inline hints: partial/deferred-string annotations make
+    # applyInPandas warn "Cannot infer the eval type" on every call
+    def pack(key, pdf):
         pid = key[0]
         rows = sorted(
             zip(pdf[id_col], pdf[token_col]), key=lambda r: (-r[1], r[0])

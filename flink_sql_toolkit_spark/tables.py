@@ -106,6 +106,29 @@ def load_fanout_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def invalidate_table(sf_dir: str, name: str) -> None:
+    """Drop every session's cached plan / persisted copy of one
+    fixture table — for callers that detect the underlying parquet
+    changed (similarity's corpus fingerprint, the engine's DML paths).
+    A cached scan plan pins the file listing (InMemoryFileIndex) at
+    build time, so a grown table would otherwise serve stale rows for
+    the session's lifetime. The persist budget is not refunded — the
+    replacement table re-persists within the already-spent budget
+    (slight over-count, never under-caching of a NEW table)."""
+    keys = (
+        (os.path.abspath(sf_dir), name),
+        (os.path.abspath(sf_dir), name, "__fanout__"),
+    )
+    for per_session in list(_PLAN_CACHE.values()):
+        for k in keys:
+            df = per_session.pop(k, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:  # session already stopped
+                    pass
+
+
 def _table_bytes(path: str) -> int:
     if os.path.isdir(path):
         return sum(

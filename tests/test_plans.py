@@ -127,10 +127,22 @@ def test_ann_single_shuffle(spark, sf_dir, name):
     is the per-query top-k window. A second Exchange here means a
     redundant candidate-set shuffle crept back in.
 
+    sim_ivf_topk is checked via the pure serve path (the REGISTERED
+    entry is the r14 np2∪np4 variant family — two branches, two
+    windows by design; the benched operator is the single branch).
+
     Assumes the query side broadcasts (fixture query count under
     similarity.BROADCAST_QUERY_LIMIT); past the limit the join
     legitimately shuffles both sides and this gate doesn't apply."""
-    plan = plan_of(spark, sf_dir, name)
+    if name == "sim_ivf_topk":
+        from flink_sql_toolkit_spark.operators.similarity import sim_ivf_topk
+
+        plan = (
+            sim_ivf_topk(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    else:
+        plan = plan_of(spark, sf_dir, name)
     import re as _re
 
     exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))

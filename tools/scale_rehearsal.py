@@ -125,6 +125,35 @@ def lsh_cap_engagement(spark, sf_dir: str) -> dict:
     }
 
 
+def ivf_recall_vs_nprobe(spark, sf_dir: str) -> dict:
+    """The r14 probe-depth panel: recall@k vs brute-force truth at
+    nprobe ∈ {1,2,4,8}, with wall time and the scanned corpus
+    fraction (~nprobe/k). This is the recall/speed trade the k≈√N
+    sizing (r13) left without a measured point — recall must rise
+    monotonically with nprobe (candidates are prefix-supersets) while
+    cost grows ~linearly in the scanned fraction."""
+    from flink_sql_toolkit_spark.operators import similarity as sim
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    k = sim._ivf_k(spark, sf_dir)  # noqa: SLF001
+    out: dict = {"k": k}
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.sim_ivf_topk(spark, sf_dir, nprobe=nprobe).collect()
+        }
+        out[f"nprobe{nprobe}"] = {
+            "recall": round(len(truth & approx) / len(truth), 3),
+            "secs": round(time.perf_counter() - t0, 2),
+            "scanned_frac": round(min(nprobe, k) / k, 3),
+        }
+    return out
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     name_filter = next(
@@ -169,8 +198,12 @@ def main() -> int:
             report["aux"].setdefault("lsh_caps", {})[sf_name] = (
                 lsh_cap_engagement(spark, sf_dir)
             )
+            report["aux"].setdefault("ivf_recall", {})[sf_name] = (
+                ivf_recall_vs_nprobe(spark, sf_dir)
+            )
             print(f"{sf_name:6s} aux: {report['aux']['components'][sf_name]} "
-                  f"{report['aux']['lsh_caps'][sf_name]}")
+                  f"{report['aux']['lsh_caps'][sf_name]} "
+                  f"ivf_recall={report['aux']['ivf_recall'][sf_name]}")
         spark._jvm.java.lang.System.gc()  # noqa: SLF001
         report["heap_mb"][sf_name] = {"start": h0, "end": heap_used_mb(spark)}
 
@@ -235,6 +268,14 @@ def main() -> int:
         rounds = {sf: c["rounds"] for sf, c in comp.items()}
         if max(rounds.values()) > min(rounds.values()) + 1:
             problems.append(f"components rounds diverge with scale: {rounds}")
+    for sf, rec in report["aux"].get("ivf_recall", {}).items():
+        seq = [rec[f"nprobe{p}"]["recall"] for p in (1, 2, 4, 8)]
+        if any(b < a for a, b in zip(seq, seq[1:])):
+            problems.append(
+                f"ivf recall not monotone in nprobe at {sf}: {seq} — "
+                "the probe lists are prefix-supersets, so this means "
+                "the assignment kernel and serve path disagree"
+            )
     caps = report["aux"].get("lsh_caps", {})
     if caps and caps.get("sf1", {}).get("flagged_buckets", 0) == 0:
         problems.append(
