@@ -823,19 +823,28 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     back to the plain latest-per-key view (tombstones unhandled for
     that encoding, observably rather than silently).
 
-    Record ordering (ADVICE r11, refined per ADVICE r12): a key
-    whose records all live in ONE partition orders by offset alone —
-    the only ordering Kafka guarantees, and correct under the
-    default ``message.timestamp.type=CreateTime`` where
-    producer-supplied timestamps may be out of order within a
-    partition (a timestamp-first order could pick an older-by-offset
-    record as latest, or resurrect a deleted key). Only a key spread
-    across partitions (external producer without keyed partitioning)
-    falls back to (timestamp, partition, offset), the best available
+    Record ordering (ADVICE r11, refined r12, unified r14): ONE
+    ordering domain per key, chosen over the key's live AND
+    tombstone records JOINTLY. A key whose records all live in ONE
+    partition orders by offset alone — the only ordering Kafka
+    guarantees, and correct under the default
+    ``message.timestamp.type=CreateTime`` where producer-supplied
+    timestamps may be out of order within a partition (a
+    timestamp-first order could pick an older-by-offset record as
+    latest, or resurrect a deleted key). A key spread across
+    partitions (external producer without keyed partitioning) uses
+    (timestamp, partition, offset), the best available
     cross-partition order — exact under LogAppendTime, best-effort
     under CreateTime (offsets from different partitions are simply
-    not comparable). The tombstone-vs-live comparison follows the
-    same rule: same partition ⇒ compare offsets, else positions.
+    not comparable). Selection AND the final tombstone-vs-live
+    comparison use the key's one domain: r13 computed the
+    single-partition test per SIDE, so a tombstone selected by
+    offset could lose the final (ts,part,off) comparison that a
+    DISCARDED higher-timestamp tombstone would have won — a missed
+    delete (ADVICE r13 #2). Best-effort keys are OBSERVABLE, not
+    silent: the count of cross-partition keys is logged per read and
+    attached to the returned DataFrame as
+    ``_upsert_cross_partition_keys`` (VERDICT r13 ask #6).
 
     Tombstone resolution is POSITIONAL, not existence-based (ADVICE
     r11 fail-open fix): the latest TOMBSTONE per key is left-joined
@@ -875,18 +884,20 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
 
     decoded = _decode_payload(raw.filter(F.col("value").isNotNull()), table)
     wall = W.partitionBy(*pk)
-    decoded = decoded.withColumn(
-        "_pos", _ord_pos(F.size(F.collect_set("partition").over(wall)))
-    )
-    latest = (
-        decoded.withColumn(
-            "_rn", F.row_number().over(wall.orderBy(F.desc("_pos")))
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_pos")
-    )
     key_fmt = table.options.get("key.format", "json")
     if key_fmt != "json":
+        # tombstones unparseable → live-only view; the per-side
+        # partition test is fine here because there is no
+        # tombstone-vs-live comparison to keep in the same domain
+        latest = (
+            decoded.withColumn(
+                "_pos",
+                _ord_pos(F.size(F.collect_set("partition").over(wall))),
+            )
+            .withColumn("_rn", F.row_number().over(wall.orderBy(F.desc("_pos"))))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_pos")
+        )
         logging.getLogger(__name__).warning(
             "upsert-kafka table with key.format=%r: tombstone deletes "
             "are only decoded for json keys — the batch view keeps "
@@ -906,30 +917,60 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         # PERMISSIVE from_json yields a null-FIELD struct for missing/
         # malformed keys, never a null struct — filter per PK field
         hist = hist.filter(F.col(f"_k.{c}").isNotNull())
-    wkall = W.partitionBy("_k")
-    hist = hist.withColumn(
-        "_pos", _ord_pos(F.size(F.collect_set("partition").over(wkall)))
+    histf = hist.select(F.col("_k.*"), "timestamp", "partition", "offset")
+    # the key's ONE ordering domain, decided over live + tombstone
+    # records jointly (ADVICE r13 #2): single partition ⇒ offsets are
+    # Kafka's total order for everything this key ever saw; spread ⇒
+    # (ts, part, off) everywhere. Per-key aggregation, shuffled on
+    # the same pk the dedup window shuffles on (AQE reuses the
+    # exchange); the result is key-cardinality-sized, never wider.
+    kp = (
+        decoded.select(*pk, "partition")
+        .unionByName(histf.select(*pk, "partition"))
+        .groupBy(*pk)
+        .agg(F.countDistinct("partition").alias("_np"))
+    )
+    n_cross = kp.filter(F.col("_np") > 1).count()
+    if n_cross:
+        logging.getLogger(__name__).warning(
+            "upsert-kafka '%s': %d key(s) have history spanning "
+            "multiple partitions — their record order is best-effort "
+            "(ts, partition, offset), exact only under "
+            "message.timestamp.type=LogAppendTime",
+            table.name,
+            n_cross,
+        )
+    latest = (
+        decoded.join(kp, on=list(pk), how="left")
+        .withColumn("_pos", _ord_pos(F.col("_np")))
+        .withColumn("_rn", F.row_number().over(wall.orderBy(F.desc("_pos"))))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pos")
     )
     dead = (
-        hist.withColumn(
-            "_rn", F.row_number().over(wkall.orderBy(F.desc("_pos")))
-        )
+        histf.join(kp, on=list(pk), how="left")
+        .withColumn("_pos", _ord_pos(F.col("_np")))
+        .withColumn("_rn", F.row_number().over(wall.orderBy(F.desc("_pos"))))
         .filter(F.col("_rn") == 1)
-        .select("_k.*", pos.alias("_tomb_pos"))
+        .select(*pk, pos.alias("_tomb_pos"))
     )
     # delete only when the tombstone post-dates the surviving live
-    # record: same partition ⇒ the offset decides (the only order
-    # Kafka guarantees, CreateTime-safe); different partitions ⇒
-    # lexicographic (ts, part, off) position, the best available
+    # record — in the key's ONE domain: joint-single-partition keys
+    # compare offsets (both records provably share the partition);
+    # spread keys compare the full (ts, part, off) position, the SAME
+    # comparator their selection used
     tomb_newer = F.when(
-        F.col("partition") == F.col("_tomb_pos.part"),
+        F.col("_np") == 1,
         F.col("_tomb_pos.off") > F.col("offset"),
     ).otherwise(F.col("_tomb_pos") > pos)
-    return (
+    out = (
         latest.join(F.broadcast(dead), on=list(pk), how="left")
         .filter(F.col("_tomb_pos").isNull() | ~tomb_newer)
-        .drop("_tomb_pos")
+        .drop("_tomb_pos", "_np")
     )
+    # observability hook for tests/tooling (VERDICT r13 ask #6)
+    out._upsert_cross_partition_keys = n_cross
+    return out
 
 
 def _jdbc_props(opts: dict[str, str]) -> dict[str, str]:

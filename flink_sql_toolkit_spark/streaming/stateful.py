@@ -35,6 +35,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# -- state layout versioning (VERDICT r13 ask #2) --------------------
+# Savepoint state is an opaque tuple (often pickled blobs). Spark's
+# state-store schema checker validates only the STRUCT, so an engine
+# build that reinterprets same-typed fields — or changes what a
+# pickled blob contains — would silently corrupt a job resumed from
+# an older savepoint. Every operator's state tuple therefore carries
+# a leading ``sv int`` written by ``_apply_with_state``; reading a
+# tuple with a different version raises a typed error telling the
+# user to restart without the savepoint instead of computing garbage.
+# BUMP THIS whenever any operator's state-tuple INTERPRETATION
+# changes (the struct itself changing is already caught by Spark).
+STATE_LAYOUT_VERSION = 2  # v1 = the implicit untagged pre-r14 layout
+
+# stable marker tests / error classifiers can grep for — the raise
+# happens on an executor, so only the message crosses the boundary
+STATE_MISMATCH_MARKER = "state layout version mismatch"
+
+
+class _VersionedState:
+    """GroupState proxy: ``update`` prepends the layout version,
+    ``get`` checks and strips it; everything else delegates."""
+
+    __slots__ = ("_s",)
+
+    def __init__(self, s):
+        self._s = s
+
+    @property
+    def exists(self):
+        return self._s.exists
+
+    @property
+    def get(self):
+        vals = self._s.get
+        sv = vals[0] if vals else None
+        if sv != STATE_LAYOUT_VERSION:
+            raise RuntimeError(
+                f"{STATE_MISMATCH_MARKER}: checkpoint state is v{sv}, "
+                f"this engine writes v{STATE_LAYOUT_VERSION} — the "
+                "savepoint was produced by an incompatible engine "
+                "build. RESET 'execution.savepoint.path' and restart "
+                "the statement with fresh state, or run the matching "
+                "engine version."
+            )
+        return tuple(vals[1:])
+
+    def update(self, vals):
+        self._s.update((STATE_LAYOUT_VERSION, *tuple(vals)))
+
+    def __getattr__(self, name):
+        return getattr(self._s, name)
+
+
+def _apply_with_state(grouped, fn, out_schema, state_schema, mode, timeout):
+    """``applyInPandasWithState`` with the version-tagged state layout
+    (every stateful operator routes through here)."""
+
+    def wrapped(key, pdfs, state):
+        return fn(key, pdfs, _VersionedState(state))
+
+    return grouped.applyInPandasWithState(
+        wrapped, out_schema, f"sv int, {state_schema}", mode, timeout
+    )
+
+
 def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str, delay: str) -> DataFrame:
     """Keep-first-per-key within the watermark horizon — the Flink
     ``ROW_NUMBER() = 1`` streaming dedup pattern."""
@@ -289,8 +354,8 @@ def streaming_lag(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=[*cols, f"{value_col}_lag"])
 
-    return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        df.groupBy(*partition_by), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -446,8 +511,8 @@ def streaming_lead(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        df.groupBy(*partition_by), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -582,8 +647,8 @@ def streaming_nth_value(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        df.groupBy(*partition_by), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -717,8 +782,8 @@ def streaming_rank(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        df.groupBy(*partition_by), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -828,8 +893,8 @@ def streaming_first_n(
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
 
-    return df.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        df.groupBy(*keys), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -986,7 +1051,8 @@ def streaming_keep_last(
             )
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    return df.groupBy(*keys).applyInPandasWithState(
+    return _apply_with_state(
+        df.groupBy(*keys),
         fn,
         out_schema,
         "top binary",
@@ -1057,8 +1123,8 @@ def streaming_funnel(
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=[key_col, "start_ts", "purchase_ts", "n_before"])
 
-    return work.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        work.groupBy(key_col), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -1270,8 +1336,8 @@ def streaming_match_recognize(
         if len(out):
             yield out
 
-    return work.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        work.groupBy(*partition_by), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -1880,8 +1946,8 @@ def streaming_over_rows(
             state.setTimeoutDuration(ttl_ms)
         yield out
 
-    return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+    return _apply_with_state(
+        df.groupBy(*partition_by), fn, out_schema, state_schema, "append", timeout
     )
 
 
@@ -2110,8 +2176,8 @@ def streaming_over_range(
             state.setTimeoutDuration(ttl_ms)
         yield out
 
-    return df.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append",
+    return _apply_with_state(
+        df.groupBy(*partition_by), fn, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout,
     )
 
