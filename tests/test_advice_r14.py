@@ -241,3 +241,100 @@ class TestQuantizerParity:
         assert spark_side == duck_side, list(
             zip(edges, spark_side, duck_side)
         )
+
+
+class TestTopPKernelTieBreak:
+    """The one case the fixture gate can't be trusted to exercise:
+    EXACT quantized-dot ties. The kernel's stable argsort and the
+    oracle's list-sort over {d: -dot, cid} structs must both order
+    tied clusters by ascending cluster id."""
+
+    def test_planted_tie_matches_list_sort_oracle(self, spark):
+        import duckdb
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from flink_sql_toolkit_spark.operators.similarity import (
+            _assign_topp_kernel,
+            _qdot_sql,
+            _quantize,
+        )
+
+        # centroids 10 and 20 are identical → every vector ties them
+        cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+        ids = [10, 20, 30]
+        kernel = _assign_topp_kernel(cents, ids, 3)
+        emb = [[0.5, 0.1], [0.0, 0.9], [-0.3, -0.2]]
+        df = spark.createDataFrame([(e,) for e in emb], "embedding array<double>")
+        spark_probes = [
+            r[0] for r in df.select(kernel(F.col("embedding"))).collect()
+        ]
+
+        con = duckdb.connect()
+        duck_probes = []
+        for e in emb:
+            dots = [
+                con.execute(
+                    f"SELECT {_qdot_sql('a', 'b')} FROM (SELECT "
+                    f"{list(map(float, e))}::DOUBLE[] AS a, "
+                    f"{list(map(float, c))}::DOUBLE[] AS b)"
+                ).fetchone()[0]
+                for c in cents
+            ]
+            row = con.execute(
+                "SELECT list_transform(list_sort([{'d': -l[i], 'cid': ids[i]} "
+                "FOR i IN range(1, len(l)+1)]), s -> s.cid) "
+                f"FROM (SELECT {dots}::BIGINT[] AS l, {ids}::BIGINT[] AS ids)"
+            ).fetchone()[0]
+            duck_probes.append(row)
+        con.close()
+        assert spark_probes == duck_probes, (spark_probes, duck_probes)
+        # the tie orders by ascending cluster id on both sides
+        for p in spark_probes:
+            i10, i20 = p.index(10), p.index(20)
+            assert i10 < i20, p
+        # and numpy's own argmax (first max) agrees with probes[0]
+        d = _quantize(np.array(emb)) @ _quantize(np.array(cents)).T
+        assert [p[0] for p in spark_probes] == [
+            ids[i] for i in d.argmax(axis=1)
+        ]
+
+    def test_quantizer_parity_random_sweep(self):
+        """Randomized quantizer parity (complements the fixed edge
+        list): numpy _quantize and the DuckDB _q_sql expression agree
+        on embedding-scale doubles, including values manufactured to
+        sit near .5 quantization boundaries."""
+        import duckdb
+        import numpy as np
+
+        from flink_sql_toolkit_spark.operators.similarity import (
+            _q_sql,
+            _quantize,
+        )
+
+        rng = np.random.default_rng(42)
+        xs = np.concatenate([
+            rng.uniform(-1, 1, 200),
+            # values at and around k + 0.5 quanta (the tie boundary)
+            (rng.integers(-1000, 1000, 100) + 0.5) / 1_000_000.0,
+            np.nextafter(
+                (rng.integers(-1000, 1000, 100) + 0.5) / 1_000_000.0, -np.inf
+            ),
+        ])
+        spark_side = _quantize(xs).astype(int).tolist()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(float(x),) for x in xs])
+        duck_side = [
+            r[0] for r in con.execute(
+                f"SELECT {_q_sql('x')} FROM t"
+            ).fetchall()
+        ]
+        con.close()
+        mism = [
+            (float(x), a, b)
+            for x, a, b in zip(xs, spark_side, duck_side)
+            if a != b
+        ]
+        assert not mism, mism[:10]
