@@ -632,3 +632,75 @@ def test_match_recognize_insert_resumes_open_match(session, tmp_path):
         session.execute_statement(f"STOP JOB '{op2.job_id}'")
     finally:
         session.execute_statement("RESET 'execution.savepoint.path'")
+
+
+def test_first_n_counter_recovers_across_restart(spark, tmp_path):
+    """Savepoint-resume breadth (r14): the first-N operator's ONE
+    per-key counter — now carried in the version-tagged state layout —
+    must survive a stop → same-checkpoint restart. A fresh counter
+    would re-emit up to n rows after restart; the recovered counter
+    emits exactly (n - pre-stop emissions)."""
+    from flink_sql_toolkit_spark.streaming.stateful import streaming_first_n
+
+    src, sink, ck = f"{tmp_path}/src", f"{tmp_path}/sink", f"{tmp_path}/ck"
+    schema = "k string, seq long"
+    spark.createDataFrame([("a", 1), ("a", 2)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def _start():
+        out = streaming_first_n(
+            spark.readStream.schema(schema).parquet(src),
+            keys=["k"],
+            order_by=["seq"],
+            n=3,
+            rn_col="rn",
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = _start()
+    deadline = time.time() + 120
+    n = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(sink).count()
+        except Exception:
+            n = 0
+        if n >= 2:
+            break
+        time.sleep(0.5)
+    assert n == 2  # seq 1,2 emitted (counter = 2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # three more rows land while the job is down; only ONE may emit
+    spark.createDataFrame(
+        [("a", 3), ("a", 4), ("a", 5)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = _start()
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+        time.sleep(3)  # settle: a fresh counter would emit 3 more now
+        rows = spark.read.parquet(sink).collect()
+        got = sorted((r.seq, r.rn) for r in rows)
+        assert got == [(1, 1), (2, 2), (3, 3)], (
+            f"counter lost across restart: {got} (a fresh counter "
+            "re-emits seq 3,4,5 as ranks 1,2,3)"
+        )
+    finally:
+        q2.stop()

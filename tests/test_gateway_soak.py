@@ -145,6 +145,49 @@ def _tvf_workload(stmt, http, g, h, seed: int, it: int, src: str, tmp: str):
         stmt(f"STOP JOB '{job_id}'")
 
 
+def _stmt_set_workload(stmt, http, g, h, seed: int, it: int, tmp: str):
+    """STATEMENT SET through the wire (r14): two continuous INSERTs
+    submitted as one set — exercises the operation-scoped savepoint
+    override under the same concurrent-session load that made the
+    old shared-conf publication a race (ADVICE r13 #1). Jobs are
+    fetched from the set's result rows and always stopped."""
+    s, o = stmt(
+        f"CREATE TABLE ss_src_{seed}_{it} (id BIGINT) WITH "
+        f"('connector'='datagen', 'rows-per-second'='50')"
+    )
+    if s != 200:
+        return
+    for i in (1, 2):
+        s, o = stmt(
+            f"CREATE TABLE ss_sink{i}_{seed}_{it} (id BIGINT) WITH "
+            f"('connector'='filesystem', "
+            f"'path'='{tmp}/ss{i}_{seed}_{it}', 'format'='parquet')"
+        )
+        if s != 200:
+            return
+    s, o = stmt(
+        "BEGIN STATEMENT SET; "
+        f"INSERT INTO ss_sink1_{seed}_{it} SELECT id FROM ss_src_{seed}_{it}; "
+        f"INSERT INTO ss_sink2_{seed}_{it} SELECT id FROM ss_src_{seed}_{it}; "
+        "END;"
+    )
+    if s != 200:
+        return
+    oh = o["operationHandle"]
+    job_ids, deadline = [], time.time() + 10
+    while time.time() < deadline:
+        s, page = http(g, "GET", f"/sessions/{h}/operations/{oh}/result/0")
+        if s != 200:
+            break
+        data = page.get("results", {}).get("data")
+        if data:
+            job_ids = [r["fields"][0] for r in data if r["fields"][0] != "OK"]
+            break
+        time.sleep(0.3)
+    for j in job_ids:
+        stmt(f"STOP JOB '{j}'")
+
+
 def _dml_workload(stmt, seed: int, it: int, tmp: str):
     """Batch COW DML through the wire: create → insert → update →
     delete → read back; errors classify like any statement."""
@@ -212,8 +255,14 @@ def test_full_workload_soak_no_500s_no_strands(spark, tmp_path_factory):
             # deadline by minutes): TVF INSERT / batch DML / the
             # original streaming-SELECT workload
             scenario = rng.random() if SOAK_MIX else 1.0
-            if scenario < 0.25:
+            if scenario < 0.2:
                 _tvf_workload(stmt, http, g, h, seed, it, tvf_src, tmp)
+                s, o = http(g, "DELETE", f"/sessions/{h}")
+                if s not in (200, 404):
+                    bad.append(("delete", s, o))
+                continue
+            if scenario < 0.35:
+                _stmt_set_workload(stmt, http, g, h, seed, it, tmp)
                 s, o = http(g, "DELETE", f"/sessions/{h}")
                 if s not in (200, 404):
                     bad.append(("delete", s, o))
