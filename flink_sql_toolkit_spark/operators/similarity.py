@@ -686,12 +686,18 @@ def ivf_assignments(
     # Replaces k literal-fold expressions whose driver-side
     # construction was O(k·d) py4j calls (25 s at k=45, r13).
     assign = _assign_topp_kernel(cents, ids, nprobe)
+    # cluster_id wears a coalesce with an impossible sentinel: probes
+    # is never null, but a nullable cluster_id invites Catalyst to
+    # push the join's inferred isnotnull(cluster_id) BELOW this
+    # projection, duplicating the Arrow kernel into a second
+    # full-corpus ArrowEvalPython stage (r14 plan audit: arrowPy 4→2).
+    # coalesce is provably non-null, so the constraint folds away.
     return emb.select(
         "vec_id", "embedding", assign(F.col("embedding")).alias("probes")
     ).select(
         "vec_id",
         "embedding",
-        F.col("probes").getItem(0).alias("cluster_id"),
+        F.coalesce(F.col("probes").getItem(0), F.lit(-1)).alias("cluster_id"),
         "probes",
     )
 
@@ -722,10 +728,15 @@ def sim_ivf_topk(
     # so (query_id, neighbor_id) is unique without a post-join
     # distinct — same argument as sim_lsh_bucketed, one less
     # candidate-set shuffle.
+    # explode_outer, not explode: probes is never empty, but plain
+    # explode plants a (size > 0 AND isnotnull) guard that Catalyst
+    # pushes below the assignment projection — re-evaluating the
+    # Arrow kernel in a second stage (same hazard as the cluster_id
+    # coalesce in ivf_assignments). Semantically identical here.
     q = ivf.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.explode("probes").alias("cluster_id"),
+        F.explode_outer("probes").alias("cluster_id"),
     )
     q_probe = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % QUERY_MOD == 0

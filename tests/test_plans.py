@@ -147,6 +147,15 @@ def test_ann_single_shuffle(spark, sf_dir, name):
 
     exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
     assert exchanges == 1, f"{name}: expected 1 shuffle, plan has {exchanges}"
+    if name == "sim_ivf_topk":
+        # the Arrow assignment kernel runs EXACTLY once per branch
+        # (corpus + query side). Catalyst pushing a derived null-guard
+        # (join-key isnotnull / explode's size filter) below the
+        # kernel projection silently doubles it into a second
+        # full-corpus Arrow stage — caught in r14 (arrowPy 4→2, see
+        # the coalesce/explode_outer notes in similarity.py).
+        arrow = plan.count("ArrowEvalPython")
+        assert arrow == 2, f"kernel duplicated: {arrow} Arrow stages"
 
 
 def test_asof_self_is_window_not_join(spark, sf_dir):
