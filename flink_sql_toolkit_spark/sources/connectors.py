@@ -842,9 +842,12 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
     offset could lose the final (ts,part,off) comparison that a
     DISCARDED higher-timestamp tombstone would have won — a missed
     delete (ADVICE r13 #2). Best-effort keys are OBSERVABLE, not
-    silent: the count of cross-partition keys is logged per read and
-    attached to the returned DataFrame as
-    ``_upsert_cross_partition_keys`` (VERDICT r13 ask #6).
+    silent: ``_upsert_cross_partition_keys`` on the returned frame is
+    a MEMOIZED ZERO-ARG CALLABLE yielding the count of
+    cross-partition keys (logged on first evaluation). Lazy by
+    design — the engine re-registers connector views after every
+    statement, so an eager count would rescan the topic each time
+    (VERDICT r13 ask #6).
 
     Tombstone resolution is POSITIONAL, not existence-based (ADVICE
     r11 fail-open fix): the latest TOMBSTONE per key is left-joined
@@ -930,16 +933,30 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         .groupBy(*pk)
         .agg(F.countDistinct("partition").alias("_np"))
     )
-    n_cross = kp.filter(F.col("_np") > 1).count()
-    if n_cross:
-        logging.getLogger(__name__).warning(
-            "upsert-kafka '%s': %d key(s) have history spanning "
-            "multiple partitions — their record order is best-effort "
-            "(ts, partition, offset), exact only under "
-            "message.timestamp.type=LogAppendTime",
-            table.name,
-            n_cross,
-        )
+
+    # LAZY observability (VERDICT r13 ask #6): the count of
+    # best-effort-ordered keys is a memoized thunk, not an eager
+    # count — the engine re-registers connector views after EVERY
+    # statement (engine._register_view), so an eager job here would
+    # rescan the topic per statement (and try to contact the broker
+    # at DDL time). Tooling/tests call it; it logs on first
+    # evaluation.
+    memo: list[int] = []
+
+    def _cross_partition_keys() -> int:
+        if not memo:
+            n = kp.filter(F.col("_np") > 1).count()
+            memo.append(n)
+            if n:
+                logging.getLogger(__name__).warning(
+                    "upsert-kafka '%s': %d key(s) have history spanning "
+                    "multiple partitions — their record order is "
+                    "best-effort (ts, partition, offset), exact only "
+                    "under message.timestamp.type=LogAppendTime",
+                    table.name,
+                    n,
+                )
+        return memo[0]
     latest = (
         decoded.join(kp, on=list(pk), how="left")
         .withColumn("_pos", _ord_pos(F.col("_np")))
@@ -968,8 +985,10 @@ def upsert_batch_view(raw: DataFrame, table: ConnectorTable) -> DataFrame:
         .filter(F.col("_tomb_pos").isNull() | ~tomb_newer)
         .drop("_tomb_pos", "_np")
     )
-    # observability hook for tests/tooling (VERDICT r13 ask #6)
-    out._upsert_cross_partition_keys = n_cross
+    # observability hook for tests/tooling (VERDICT r13 ask #6):
+    # a zero-arg memoized callable — evaluate on demand, never at
+    # view-registration time
+    out._upsert_cross_partition_keys = _cross_partition_keys
     return out
 
 

@@ -135,7 +135,11 @@ class TestUpsertJointOrderingDomain:
             ],
         )
         out = upsert_batch_view(spread, _table())
-        assert out._upsert_cross_partition_keys == 1
+        # a memoized CALLABLE, never an eager count: the engine
+        # re-registers connector views after every statement, so an
+        # eager job would rescan the topic per statement
+        assert out._upsert_cross_partition_keys() == 1
+        assert out._upsert_cross_partition_keys() == 1  # memoized
 
         keyed = _frame(
             spark,
@@ -145,7 +149,7 @@ class TestUpsertJointOrderingDomain:
             ],
         )
         out2 = upsert_batch_view(keyed, _table())
-        assert out2._upsert_cross_partition_keys == 0
+        assert out2._upsert_cross_partition_keys() == 0
 
 
 class TestStatementSetSavepointIsolation:
