@@ -65,6 +65,15 @@ def main() -> int:
             *args,
         ]
         env = dict(os.environ)
+        # Spark's executor-side Python workers resolve module-referenced
+        # functions (applyInPandas kernels etc.) through PYTHONPATH, not
+        # the driver's sys.path — with the subprocess cwd moved to the
+        # isolation tmpdir the repo package vanishes from the workers
+        # unless it is pip-installed. Export it explicitly so the gate
+        # is green on a bare checkout too.
+        env["PYTHONPATH"] = str(REPO) + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+        )
         # keep pytest's rootdir/ini discovery on the repo even though
         # the subprocess cwd is the isolation tmpdir
         cmd[3:3] = ["-c", str(REPO / "pyproject.toml"), "--rootdir", str(REPO)]
