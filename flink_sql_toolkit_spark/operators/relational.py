@@ -52,6 +52,37 @@ def _sql_dsum(expr: str, alias: str) -> str:
 # the sum's scale low enough that decimal→double conversion is a
 # single correctly-rounded step in both engines (a scale-8 sum's
 # scaled integer exceeds 2^53 at sf≥0.01 and DuckDB then rounds twice).
+#
+# Operand widths (r14, guide §2.3 "narrower types"): what moves the
+# needle is the SUM BUFFER width, not the multiply operands. Honest
+# r14 measurement (200M-row synthetic, paired interleave, noop sink):
+# narrowing MULTIPLY operands so the product stays ≤18 digits
+# ((11,4)×(5,4)→(17,8) long-backed vs (18,4)×(18,4)→(37,8)
+# BigDecimal) measured NEUTRAL-to-NEGATIVE (0.96× isolated; a paired
+# q1 A/B read the narrowed form consistently ~15% SLOWER end-to-end),
+# so multiply operands KEEP the r13 (18,4) forms. Where the SUM
+# buffer itself stays long-backed the win is large and real:
+# sum(decimal(7,4)) has a (17,4) buffer and measured 2.16× vs
+# sum(decimal(18,4))'s (28,4) BigDecimal buffer — applied to the
+# l_quantity / l_discount / event-value sums here, in q18 and the
+# window TVFs. All variants are BIT-IDENTICAL — only declared widths
+# narrow, values are exact either way (pinned by
+# test_decimal_width_equivalence). Domain bounds bought into:
+# l_quantity < 10^3, rates in [0,1], event value < 10^4 (see
+# VAL_DEC). Out-of-domain values overflow the cast and fail loudly
+# under ANSI mode (Spark 4 default), not silently. Revenue/money
+# sums keep their (28,4) accumulator: money×corpus-row-count
+# genuinely needs the headroom at 100 TB.
+RATE_DEC = "decimal(5,4)"  # rates in [0,1]; sum buffer (15,4) long-backed
+QTY_DEC = "decimal(7,4)"  # |qty| < 10^3; sum buffer (17,4) stays long-backed
+# event metric values: observed max ~560 at sf0.1 and the fixture
+# max creeps with SF (327→490→560 across sf0.001→0.1), so use the
+# FULL long-backed headroom rather than a tight fit: (8,4) caps at
+# 9999.9999 (≈18× the observed max) and its sum buffer (18,4) is the
+# widest that still stays long-backed.
+VAL_DEC = "decimal(8,4)"
+
+
 def revenue_col() -> Column:
     return (dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))).cast(
         "decimal(18,4)"
@@ -102,13 +133,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
+            # (7,4) input → (17,4) long-backed sum buffer, 2.16× on the
+            # partial agg vs (18,4)'s (28,4) BigDecimal buffer (see the
+            # width notes above revenue_col). Buffer cap 10^13: a
+            # 100 TB corpus sums ≤ 6×10^11 rows × qty ≤ 50 per GROUP
+            # (4 groups) ≈ 7.5×10^12 worst-case — fits, and ANSI mode
+            # raises loudly past it instead of wrapping.
+            F.sum(F.col("l_quantity").cast(QTY_DEC)).cast("double").alias("sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
             F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
             # triple product in narrow decimals: (14,4)×(7,4)×(7,4) →
             # scale stays exact under precision 38 in both engines (a
             # (18,4)-based triple product overflows and rounds
-            # differently per engine)
+            # differently per engine). Kept in the r13 form: an r14
+            # paired A/B of a factor-regrouped long-backed variant
+            # read NEUTRAL-to-slower (see the width notes above
+            # revenue_col).
             F.sum(
                 (
                     F.col("l_extendedprice").cast("decimal(14,4)")
@@ -118,9 +158,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            # avg_qty / avg_disc: same long-backed-buffer narrowing
+            # (discount ≤ 0.1 → (5,4); sum ≤ 6×10^10 ≪ the (15,4)
+            # buffer's 10^11 cap at 100 TB). avg_price CANNOT narrow:
+            # money needs 6 integer digits, so its sum buffer can
+            # never fit 18 digits — it keeps the exact (28,4) path.
+            (F.sum(F.col("l_quantity").cast(QTY_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
             (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            (F.sum(F.col("l_discount").cast(RATE_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -445,7 +494,7 @@ def join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle once on the (window, key) join key — bounded by window
     size at any scale, the property that makes window joins the
     scale-safe alternative to unbounded stream joins."""
-    from flink_sql_toolkit_spark.operators.tvf import tumble  # noqa: PLC0415 — tvf imports dec from here
+    from flink_sql_toolkit_spark.operators.tvf import tumble  # noqa: PLC0415 — tvf imports VAL_DEC from here
 
     ev = load_table(spark, sf_dir, "events")
     p = tumble(ev.filter(F.col("event_type") == "purchase"), "ts", "1 hour").select(
@@ -463,7 +512,11 @@ def join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p.window_start == v.v_ws) & (p.window_end == v.v_we) & (p.user_id == v.v_user),
         )
         .groupBy("window_start", "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("v"))
+        # (8,4) input → long-backed (18,4) sum buffer (see VAL_DEC note)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("v"),
+        )
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_sql_toolkit_spark.operators.registry import register
-from flink_sql_toolkit_spark.operators.relational import dec
+from flink_sql_toolkit_spark.operators.relational import VAL_DEC
 from flink_sql_toolkit_spark.tables import load_table
 
 
@@ -101,7 +101,11 @@ def tvf_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "window_end", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            # (8,4) input → (18,4) long-backed sum buffer (2.16× on
+            # the isolated sum stage vs the (28,4) BigDecimal path;
+            # see the width notes above relational.revenue_col —
+            # bit-identical, cap 18× the observed value max)
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("total_value"),
         )
     )
 
@@ -186,7 +190,7 @@ def tvf_hop_cumulate_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "window_end")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("v"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("v"),
         )
         .select(
             F.lit("cumulate").alias("variant"), nul.alias("k"),
@@ -216,7 +220,7 @@ def tvf_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("total_value"),
         )
         .select(
             "user_id",
