@@ -54,6 +54,26 @@ TOP_K = 5
 # force.
 BROADCAST_QUERY_LIMIT = 100_000
 
+# Scale-adaptive fanout width for the embeddings passes (r14, guide
+# §2 "partitioning must derive from input size, not a constant"): the
+# Arrow assignment/matmul kernels and the candidate-scoring stages
+# run at clamp(ceil(N/rows), 1, defaultParallelism) tasks. At
+# rehearsal scale (sf1/sf2: N ≥ 20k) this saturates to full
+# parallelism — identical to the r13 width — while the sf0.1 fixture
+# (N = 2,000) stops paying 32-way per-task dispatch for 62-row
+# batches (a trivial 32-task Arrow stage costs ~1.5 s steady-state
+# on local[32]; sim_ivf measured −28% end-to-end at 4 tasks).
+SIM_FANOUT_ROWS_PER_TASK = int(
+    __import__("os").environ.get("SPARK_GRAFT_SIM_FANOUT_ROWS", "500")
+)
+
+
+def _emb_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fanout_table(
+        spark, sf_dir, "embeddings", rows_per_task=SIM_FANOUT_ROWS_PER_TASK
+    )
+
+
 # Same degenerate-bucket hazard as dedup's LSH banding: a bucket with
 # B members yields B² near-dup pairs. Oversized buckets are excluded
 # from the pair self-join and surfaced via `neardup_dense_buckets`.
@@ -229,6 +249,56 @@ def _assign_topp_kernel(cents: list[list[float]], ids: list[int], p: int):
     return pandas_udf(_assign, "array<bigint>")
 
 
+def _topk_scan_kernel(bq, top_k: int):
+    """``mapInPandas`` brute-force scorer: per Arrow batch, compute
+    the |batch|×|Q| cosine block and emit the batch's per-query top-k
+    candidates (ordered by cosine DESC, neighbor_id ASC — the same
+    total order the final window uses, so the union of per-batch
+    top-ks provably contains the global top-k). The accumulation runs
+    dimension-ascending (``acc += E[:, i] * q[:, i]`` outer product
+    per i), which IS the left-to-right fold — every cosine is
+    bit-identical to ``dot()``'s HOF form and the oracle's list_sum.
+    Self-pairs (vec_id == query_id) are masked exactly like the join
+    condition. ``bq`` is a Spark broadcast of (qids, qmat)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def kernel(batches):
+        qids, qmat = bq.value
+        nq = len(qids)
+        for b in batches:
+            if len(b) == 0 or nq == 0:
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            emb_block = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+            dim = emb_block.shape[1]
+            acc = np.zeros((len(ids), nq))
+            for i in range(dim):  # i ascending == left-to-right fold
+                acc += np.outer(emb_block[:, i], qmat[:, i])
+            out_q: list = []
+            out_n: list = []
+            out_c: list = []
+            for j in range(nq):
+                col = acc[:, j]
+                cand = np.flatnonzero(ids != qids[j])  # no self-pairs
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], -col[cand]))[:top_k]
+                sel = cand[order]
+                out_q.extend([qids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+    return kernel
+
+
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -258,17 +328,27 @@ def sim_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k over a parameterized query set.
 
-    With a small Q the query side is broadcast, scoring is map-side,
-    and the only shuffle is the window top-k on query_id (|Q|·N rows
-    pre-filtered to k per query by the window) — the plan shape that
-    survives a 100 TB corpus. Past ``broadcast_limit`` the hint is
-    dropped and Spark falls back to a partitioned nested-loop; at that
-    size brute force is the wrong tool anyway — use the LSH/IVF paths.
+    With a small Q the scoring is ONE Arrow pass over the corpus
+    (r14): the query matrix rides a Spark broadcast into a
+    ``mapInPandas`` kernel that computes all |batch|×|Q| dots as a
+    dimension-ascending vectorized accumulation — element order i
+    ascending IS the left-to-right fold, so every cosine is
+    BIT-IDENTICAL to the previous zip_with/aggregate HOF form and to
+    the DuckDB oracle's list_sum — and emits only each batch's
+    per-query top-k candidates. The |Q|×N joined fan-out (which
+    materialized two 64-dim arrays per PAIR and fed an interpreted
+    HOF fold — the allocation churn showed up as multi-second GC
+    in stage profiles) never exists; the only shuffle is the window
+    top-k over ≤ partitions·|Q|·k candidate rows. Paired A/B at
+    sf0.1: 1.17× end-to-end, and the per-pair cost drops from an
+    interpreted fold to vectorized numpy, which is what a 100 TB
+    corpus pass needs. Past ``broadcast_limit`` the kernel (whose
+    query matrix must fit in memory) is skipped and the r13
+    broadcast-join + fold plan runs unchanged; at that size brute
+    force is the wrong tool anyway — use the LSH/IVF paths.
     ``queries`` defaults to the fixture's fixed (query_id, qv) slice.
     """
-    # dot-fold over |Q|×N rows is the heavy stage — use the shared
-    # repartitioned warm copy (tables.load_fanout_table)
-    emb = load_fanout_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     q = (
         queries
         if queries is not None
@@ -276,6 +356,23 @@ def sim_topk_bruteforce(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
     )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if _probe_is_small(q, broadcast_limit):
+        import numpy as np  # noqa: PLC0415
+
+        qrows = q.collect()
+        if qrows:
+            qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+            qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+            bq = spark.sparkContext.broadcast((qids, qmat))
+            kernel = _topk_scan_kernel(bq, TOP_K)
+            cand = emb.select("vec_id", "embedding").mapInPandas(
+                kernel, "query_id long, neighbor_id long, cosine double"
+            )
+            return (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= TOP_K)
+            )
     scored = (
         emb.join(_query_side(q, broadcast_limit), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -284,7 +381,6 @@ def sim_topk_bruteforce(
             dot(F.col("qv"), F.col("embedding")).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
@@ -434,7 +530,7 @@ def lsh_buckets(
     planted-duplicate registration passes a union); anchors always
     come from the base fixture (``vec_id < n_bits``)."""
     if emb is None:
-        emb = load_fanout_table(spark, sf_dir, "embeddings")
+        emb = _emb_fanout(spark, sf_dir)
     bits = [
         F.when(
             dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in av])) >= 0,
@@ -618,7 +714,7 @@ def _refined_centroids(
 
         anchors = _anchor_vectors(spark, sf_dir, k)
         dim = len(anchors[0])
-        emb = load_fanout_table(spark, sf_dir, "embeddings")
+        emb = _emb_fanout(spark, sf_dir)
         # ONE Arrow pass fuses init-assignment (quantized-matmul
         # argmax — the same icid the oracle's list_position(l,
         # list_max(l)) over _qdot_sql yields) with the per-cell
@@ -676,7 +772,7 @@ def ivf_assignments(
     capped — ``_ivf_k``), so assignment is a pure projection and the
     corpus never shuffles. ``probes`` is ordered by (dot DESC, cluster
     id ASC); probes[0] == cluster_id always."""
-    emb = load_fanout_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     if k is None:
         k = _ivf_k(spark, sf_dir)
     ids, cents = _refined_centroids(spark, sf_dir, k)
@@ -919,7 +1015,7 @@ def sim_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     duplicates: every vector with ``vec_id % 50 == 0`` re-keyed under
     a shifted id — each planted pair verifies at cosine 1.0 and forms
     a 2-member component keyed by the original id."""
-    emb = load_fanout_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _emb_fanout(spark, sf_dir).select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % PLANT_VEC_MOD == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(PLANT_VEC_OFFSET)
     )

@@ -70,24 +70,68 @@ HOT_CACHE_MIN_BYTES = int(
 _CACHE_SPEND: "WeakKeyDictionary[SparkSession, int]" = WeakKeyDictionary()
 
 
-def fanout_repartition(df: DataFrame) -> DataFrame:
-    """Spread a small single-row-group source across every core before
+def fanout_repartition(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Spread a small single-row-group source across cores before
     per-row-heavy compute (shingle explode+md5, ≥256-dim dots). The
     one small shuffle buys a fully parallel compute stage; at cluster
     scale splittable multi-row-group parquet makes this a no-op-cost
-    rebalance of an already-parallel scan."""
-    parts = df.sparkSession.sparkContext.defaultParallelism
+    rebalance of an already-parallel scan. ``parts`` overrides the
+    default full-parallelism width (see ``load_fanout_table``'s
+    ``rows_per_task``)."""
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parts) if parts > 1 else df
 
 
-def load_fanout_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# row counts per (dir, table) — one metadata-only parquet count job,
+# reused by every fanout-width derivation (invalidate_table drops it)
+_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached row count of a fixture table (parquet footer count)."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _ROWS_CACHE:
+        _ROWS_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROWS_CACHE[key]
+
+
+def load_fanout_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rows_per_task: int | None = None,
+) -> DataFrame:
     """`load_table` + `fanout_repartition` + budgeted persist, cached
-    per (session, dir, table) so every heavy consumer (shingle/vector
-    pipelines) shares ONE repartitioned warm copy — while light
+    per (session, dir, table, width) so every heavy consumer (shingle/
+    vector pipelines) shares ONE repartitioned warm copy — while light
     consumers keep the plain `load_table` plan and never pay the
     repartition (r4's shared-cache version taxed `dedup_exact` 1.28×
-    to subsidize these pipelines)."""
-    key = (os.path.abspath(sf_dir), name, "__fanout__")
+    to subsidize these pipelines).
+
+    ``rows_per_task`` makes the width SCALE-ADAPTIVE: parts =
+    clamp(ceil(rows / rows_per_task), 1, defaultParallelism) — at
+    cluster/rehearsal scale this saturates to full parallelism
+    (unchanged behavior), while a tiny corpus stops paying per-task
+    dispatch for near-empty tasks (r14, guide §2: a trivial 32-task
+    Arrow stage measured ~1.5 s steady-state on local[32] — 32 JVM
+    task threads + 32 Python workers oversubscribe the cores — vs
+    ~0.4-0.8 s at 1-8 tasks; sim_ivf end-to-end −28% at sf0.1).
+    ``None`` keeps the full-parallelism width (the right call for
+    consumers whose per-ROW compute is heavy, e.g. the shingle
+    explode+md5 pipelines)."""
+    parts = None
+    if rows_per_task is not None:
+        import math  # noqa: PLC0415
+
+        parts = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                math.ceil(table_rows(spark, sf_dir, name) / rows_per_task),
+            ),
+        )
+    key = (os.path.abspath(sf_dir), name, "__fanout__", parts)
     try:
         per_session = _PLAN_CACHE.setdefault(spark, {})
         cached = per_session.get(key)
@@ -95,7 +139,7 @@ def load_fanout_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         per_session, cached = None, None
     if cached is not None:
         return cached
-    df = fanout_repartition(load_table(spark, sf_dir, name))
+    df = fanout_repartition(load_table(spark, sf_dir, name), parts)
     if per_session is not None:
         spent = _CACHE_SPEND.get(spark, 0)
         size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
@@ -115,12 +159,11 @@ def invalidate_table(sf_dir: str, name: str) -> None:
     the session's lifetime. The persist budget is not refunded — the
     replacement table re-persists within the already-spent budget
     (slight over-count, never under-caching of a NEW table)."""
-    keys = (
-        (os.path.abspath(sf_dir), name),
-        (os.path.abspath(sf_dir), name, "__fanout__"),
-    )
+    prefix = (os.path.abspath(sf_dir), name)
+    _ROWS_CACHE.pop(prefix, None)
     for per_session in list(_PLAN_CACHE.values()):
-        for k in keys:
+        # plain key plus every fanout-width variant (key[2:] varies)
+        for k in [k for k in per_session if k[:2] == prefix]:
             df = per_session.pop(k, None)
             if df is not None:
                 try:

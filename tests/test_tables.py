@@ -85,3 +85,35 @@ def test_fanout_repartition_spreads_partitions(spark):
     df = load_table(spark, SF_DIR, "documents")
     spread = tables.fanout_repartition(df)
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fanout_rows_per_task_adaptive_width(spark):
+    """r14: with a rows_per_task hint the fanout width derives from
+    the table's row count — clamp(ceil(rows/rpt), 1, parallelism) —
+    instead of a constant tuned for either local mode or a cluster.
+    A huge rpt collapses to 1 partition; rpt=1 saturates to full
+    parallelism (the cluster/rehearsal-scale behavior)."""
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+    n = tables.table_rows(spark, SF_DIR, "embeddings")
+    assert n > 0
+    wide = tables.load_fanout_table(spark, SF_DIR, "embeddings", rows_per_task=1)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    narrow = tables.load_fanout_table(
+        spark, SF_DIR, "embeddings", rows_per_task=n * 10
+    )
+    assert narrow.rdd.getNumPartitions() == 1
+    mid = tables.load_fanout_table(
+        spark, SF_DIR, "embeddings", rows_per_task=max(1, n // 4)
+    )
+    assert 1 <= mid.rdd.getNumPartitions() <= spark.sparkContext.defaultParallelism
+    # width variants are cached independently and invalidation drops
+    # every one of them plus the row-count cache
+    assert tables.load_fanout_table(
+        spark, SF_DIR, "embeddings", rows_per_task=1
+    ) is wide
+    tables.invalidate_table(SF_DIR, "embeddings")
+    key = (os.path.abspath(SF_DIR), "embeddings")
+    assert key not in tables._ROWS_CACHE
+    per_session = tables._PLAN_CACHE.get(spark, {})
+    assert not [k for k in per_session if k[:2] == key]
