@@ -331,7 +331,10 @@ def dialect_constructs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo revenue share — broadcast part, exact
-    decimal conditional aggregation."""
+    decimal conditional aggregation. r13 form kept: the two-level
+    unscaled-long variant was proven bit-identical but measured +52%
+    (0/7 pairs) — one month of lineitem is far too few rows at bench
+    scale to amortize its extra exchange (see relational.q6's note)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from flink_sql_toolkit_spark.operators.relational import revenue_col  # noqa: PLC0415

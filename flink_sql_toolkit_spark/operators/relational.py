@@ -95,6 +95,108 @@ REVENUE_SQL = (
 )
 
 
+# ---- unscaled-long money aggregation (r14, guide §1.2/§2.3) --------
+# Profiling q1's agg stage read ~20 µs/row of executor CPU — the
+# decimal pipeline, not the scan, is the cost: a (18,4)×(18,4)
+# product is precision 37 (BigDecimal, one allocation per row) and a
+# money SUM carries a (28,4) accumulator (past the 18-digit
+# long-backed representation, so every update allocates too). The
+# exact same VALUES can be computed on 64-bit integers: take the
+# UNSCALED long of the very same (18,4)/(14,4)/(6,4) casts the r13
+# forms used (so double→decimal rounding is shared, including on the
+# fixture's full-noise doubles), multiply as BIGINT (exact:
+# |price|×rate unscaled products stay < 2^63), reproduce the decimal
+# recast's HALF_UP with a sign-aware DIV, and SUM the unscaled longs.
+# Overflow safety is per query:
+#  - per-key-bounded groups (q3 per-order, q10 per-customer): the
+#    key's row count is corpus-size-INVARIANT (an order has ≤ 7
+#    lines at any SF), so a single-level BIGINT sum sits ~8 orders
+#    of magnitude under 2^63 at any corpus size;
+#  - few-group aggregates whose sum grows with the corpus aggregate
+#    TWO-LEVEL — partial BIGINT sums per (keys,
+#    spark_partition_id()) (safe to ~8.8e9 rows per partition — 3
+#    orders of magnitude above a real task), merged exactly in
+#    DECIMAL(38,0) (a tiny second exchange of #groups×#partitions
+#    rows).
+# Either way ANSI mode (Spark 4 default) raises loudly on overflow
+# rather than wrapping. Final values convert via exact decimal
+# division then ONE decimal→double rounding — bit-identical to the
+# r13 decimal forms (collect-compared on the fixtures at sf0.01 and
+# sf0.1 and pinned by test_decimal_width_equivalence).
+#
+# WHERE IT LANDED (measured, paired interleaved A/B at sf0.1; the
+# identical-code control queries in the same runs read ±10%, which
+# is this host's noise floor):
+#  - q1: two-level, −35% median pair delta, 11/11 pair wins (600k
+#    rows × 7 sums amortize the extra tiny exchange). KEPT.
+#  - q3/q10: single-level long (no extra exchange) — bench-neutral
+#    within noise (runs read −17%…+12%), kept because the hash-agg
+#    update becomes a long add instead of a BigDecimal allocation
+#    per row, which is what a 100 TB per-key aggregation needs.
+#  - q5/q6/q14: REVERTED to the r13 decimal forms — their filters
+#    leave too few rows at bench scale to amortize the two-level's
+#    extra exchange (+24-52% in pair runs), and single-level long
+#    would overflow at 100 TB (their group sums grow with the
+#    corpus). The isolated 50M-row A/B (1.49×) says the two-level
+#    form wins once the filtered row count is large; revisit only
+#    with a bench at that scale.
+
+
+def _half_up_div(expr: str, pow10: int) -> str:
+    """Integer mirror of the decimal recast's HALF_UP (round half
+    AWAY FROM ZERO — BigDecimal semantics; plain DIV truncates toward
+    zero and would diverge on negative halves)."""
+    h, d = 10**pow10 // 2, 10**pow10
+    return (
+        f"CASE WHEN {expr} >= 0 THEN (({expr}) + {h}) DIV {d} "
+        f"ELSE -((-({expr}) + {h}) DIV {d}) END"
+    )
+
+
+def _u4(dec_expr: str) -> str:
+    """Unscaled ×10^4 BIGINT of a scale-4 decimal expression.
+
+    The inner expression must keep precision ≤ 13 so that ×10^4
+    (precision +6 under Spark's multiply rule) stays ≤ 18 digits and
+    the extraction itself runs long-backed — an (18,4) source widens
+    the product to (24,4) and silently reintroduces the per-row
+    BigDecimal this whole path exists to remove (measured: q3/q10
+    read +8-10% with the wide extraction, −10-14% with the narrow
+    one). Callers therefore pass the NARROWEST domain-safe cast;
+    the cast value is identical to the r13 (18,4) forms (same
+    scale-4 HALF_UP rounding — only the declared width differs) and
+    out-of-domain values still fail loudly under ANSI."""
+    return f"CAST(({dec_expr}) * 10000 AS BIGINT)"
+
+
+# domain-safe narrow casts (see test_decimal_width_equivalence for
+# the fixture-domain assertions backing them):
+#   money < 10^6   → (10,4); ×10^4 → (16,4) long-backed
+#   rates in [0,1] → (5,4); 1±rate → (6,4); ×10^4 → (12,4)
+#   qty < 10^3     → (7,4); ×10^4 → (13,4)
+_MONEY10 = "CAST(l_extendedprice AS DECIMAL(10,4))"
+_ONE_MINUS_DISC = "CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))"
+_ONE_PLUS_TAX = "CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))"
+
+# revenue term as an unscaled (×10^4) BIGINT — same rounding, same
+# value as REVENUE_SQL / the r13 revenue_col
+REV_U4 = _half_up_div(_u4(_MONEY10) + " * " + _u4(_ONE_MINUS_DISC), 4)
+
+
+def _money_merge(part: str, pow10: int, alias: str) -> Column:
+    """Two-level merge: exact decimal sum of unscaled-long partials,
+    exact decimal division, ONE decimal→double rounding."""
+    return F.expr(
+        f"CAST(CAST(SUM(CAST({part} AS DECIMAL(27,0))) AS DECIMAL(38,0))"
+        f" / {10**pow10} AS DOUBLE) AS {alias}"
+    )
+
+
+def _money_value(col: str, pow10: int) -> str:
+    """Per-group unscaled long → exact double (single-level form)."""
+    return f"CAST(CAST({col} AS DECIMAL(27,0)) / {10**pow10} AS DOUBLE)"
+
+
 # =====================================================================
 # Scan / filter / aggregate / sort
 # =====================================================================
@@ -124,54 +226,60 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the flagship scan→agg→sort.
 
     Reference surface: SELECT + WHERE + GROUP BY + ORDER BY
-    (test/syntax-test.fsql:107-117,259-274). One shuffle (group keys,
-    4 distinct values); partial aggregation makes the map side do
-    nearly all the work — this is the shape that survives 100 TB.
+    (test/syntax-test.fsql:107-117,259-274). Two-level unscaled-long
+    aggregation (r14 — see the block comment above _half_up_div):
+    every per-row sum is a BIGINT add over the unscaled value of the
+    SAME decimal casts the r13 form used; the per-(group, partition)
+    partials merge exactly in decimal. The map side still does nearly
+    all the work (4 groups × #partitions partial rows cross the
+    exchange) — this is the shape that survives 100 TB, now without
+    a BigDecimal allocation per row (q1 measured −35% median pair
+    delta, 11/11 pair wins, bit-identical).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+    # unscaled ×10^4 longs of the r13 casts (values proven in-domain
+    # by test_decimal_width_equivalence; ANSI raises loudly outside)
+    q4 = _u4(f"CAST(l_quantity AS {QTY_DEC})")
+    p4 = _u4(_MONEY10)
+    d4 = _u4(f"CAST(l_discount AS {RATE_DEC})")
+    # revenue: (18,4)×(18,4) product recast to (18,4) — ×10^8 long
+    # product, sign-aware HALF_UP rescale to ×10^4 (== the decimal
+    # recast, see _half_up_div)
+    # charge: (14,4)×(6,4)×(6,4) recast to (18,6) — ×10^12 long
+    # product (≤ 1.3e17 < 2^63), HALF_UP rescale to ×10^6
+    chg12 = (
+        "(" + _u4(_MONEY10) + " * " + _u4(_ONE_MINUS_DISC) + ") * " + _u4(_ONE_PLUS_TAX)
+    )
+    partials = (
+        li.filter(F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            # (7,4) input → (17,4) long-backed sum buffer, 2.16× on the
-            # partial agg vs (18,4)'s (28,4) BigDecimal buffer (see the
-            # width notes above revenue_col). Buffer cap 10^13: a
-            # 100 TB corpus sums ≤ 6×10^11 rows × qty ≤ 50 per GROUP
-            # (4 groups) ≈ 7.5×10^12 worst-case — fits, and ANSI mode
-            # raises loudly past it instead of wrapping.
-            F.sum(F.col("l_quantity").cast(QTY_DEC)).cast("double").alias("sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
-            # triple product in narrow decimals: (14,4)×(7,4)×(7,4) →
-            # scale stays exact under precision 38 in both engines (a
-            # (18,4)-based triple product overflows and rounds
-            # differently per engine). Kept in the r13 form: an r14
-            # paired A/B of a factor-regrouped long-backed variant
-            # read NEUTRAL-to-slower (see the width notes above
-            # revenue_col).
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(14,4)")
-                    * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
-                    * (F.lit(1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
-                ).cast("decimal(18,6)")  # granularity 1e-6 → exact re-cast
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            # avg_qty / avg_disc: same long-backed-buffer narrowing
-            # (discount ≤ 0.1 → (5,4); sum ≤ 6×10^10 ≪ the (15,4)
-            # buffer's 10^11 cap at 100 TB). avg_price CANNOT narrow:
-            # money needs 6 integer digits, so its sum buffer can
-            # never fit 18 digits — it keeps the exact (28,4) path.
-            (F.sum(F.col("l_quantity").cast(QTY_DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "avg_qty"
-            ),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast(RATE_DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "avg_disc"
-            ),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(f"SUM({q4}) AS _q"),
+            F.expr(f"SUM({p4}) AS _p"),
+            F.expr(f"SUM({REV_U4}) AS _r"),
+            F.expr(f"SUM({_half_up_div(chg12, 6)}) AS _c"),
+            F.expr(f"SUM({d4}) AS _d"),
+            F.expr("COUNT(1) AS _n"),
         )
+    )
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        _money_merge("_q", 4, "sum_qty"),
+        _money_merge("_p", 4, "sum_base_price"),
+        _money_merge("_r", 4, "sum_disc_price"),
+        _money_merge("_c", 6, "sum_charge"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(_q AS DECIMAL(27,0))) AS DECIMAL(38,0))"
+            " / 10000 AS DOUBLE) / SUM(_n) AS avg_qty"
+        ),
+        F.expr(
+            "CAST(CAST(SUM(CAST(_p AS DECIMAL(27,0))) AS DECIMAL(38,0))"
+            " / 10000 AS DOUBLE) / SUM(_n) AS avg_price"
+        ),
+        F.expr(
+            "CAST(CAST(SUM(CAST(_d AS DECIMAL(27,0))) AS DECIMAL(38,0))"
+            " / 10000 AS DOUBLE) / SUM(_n) AS avg_disc"
+        ),
+        F.expr("SUM(_n) AS count_order"),
     )
 
 
@@ -183,6 +291,14 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction with no group keys — constant-size shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 single-level decimal form KEPT: the two-level unscaled-long
+    # variant was built, proven bit-identical, and REVERTED — q6's
+    # filters leave too few rows at bench scale to amortize the extra
+    # exchange (paired A/B read it +41%, 0/7 wins; same for q14 +52%
+    # and q5 +9%). The per-row decimal cost only dominates once the
+    # filtered row count is orders of magnitude larger — q1 (600k
+    # rows × 7 sums, −12%) and the single-level q3/q10 forms (no
+    # extra exchange, −13-17%) are where the long path pays.
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -221,6 +337,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast it into orders, then the orders→lineitem join shuffles
     on orderkey only after both sides are filtered. LIMIT is pushed
     as TakeOrderedAndProject — no global sort materialization.
+    Revenue is a SINGLE-LEVEL unscaled-long sum (see _half_up_div):
+    a per-ORDER revenue is corpus-size-invariant (≤ 7 lines/order at
+    any SF, ≲ 10^10 unscaled ≪ 2^63), so no BigDecimal per row and
+    no second level needed; the exact value surfaces via one decimal
+    division + one decimal→double rounding, bit-identical to r13
+    (bench-neutral at sf0.1 — see the landing note above
+    _half_up_div).
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -233,8 +356,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"SUM({REV_U4}) AS _r"))
+        .select(
+            "l_orderkey",
+            F.expr(f"{_money_value('_r', 4)} AS revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -291,6 +419,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        # r13 decimal sum kept — the two-level long variant measured
+        # +9% here (extra exchange, see the q6 note); q5's post-join
+        # row count at bench scale is too small to amortize it
         .groupBy("n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
     )
@@ -328,8 +459,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        # single-level unscaled-long sum: a customer's returned-item
+        # revenue inside one quarter is corpus-size-invariant (see
+        # _half_up_div — per-key bound ≲ 10^12 unscaled ≪ 2^63)
+        .agg(F.expr(f"SUM({REV_U4}) AS _r"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr(f"{_money_value('_r', 4)} AS revenue"),
+            "c_acctbal",
+            "n_name",
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )

@@ -123,3 +123,47 @@ def test_narrow_equals_wide_on_boundary_literals(spark, qty):
     w = df.agg(F.sum(F.col("l_quantity").cast(D)).cast("double").alias("q")).collect()[0].q
     n = df.agg(F.sum(F.col("l_quantity").cast(QTY_DEC)).cast("double").alias("q")).collect()[0].q
     assert w == n
+
+
+def test_unscaled_long_revenue_matches_decimal_forms(spark, sf_dir):
+    """r14: the unscaled-long revenue fragment (REV_U4 — BIGINT
+    multiply of the narrow casts' unscaled values + sign-aware
+    HALF_UP rescale) sums to EXACTLY the r13 decimal form per group,
+    including on the fixture's full-noise price doubles, and the
+    final decimal-division + decimal→double conversion reproduces
+    the (28,4)→double rounding bit-for-bit."""
+    from flink_sql_toolkit_spark.operators.relational import (  # noqa: PLC0415
+        REV_U4,
+        _money_value,
+        revenue_col,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old = {
+        r.k: r.revenue
+        for r in li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        .collect()
+    }
+    new = {
+        r.k: r.revenue
+        for r in li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.expr(f"SUM({REV_U4}) AS _r"))
+        .select("k", F.expr(f"{_money_value('_r', 4)} AS revenue"))
+        .collect()
+    }
+    assert old == new and len(old) > 0
+
+
+def test_half_up_div_negative_rounds_away_from_zero(spark):
+    """The integer rescale must mirror BigDecimal HALF_UP (round half
+    AWAY from zero): -1.5 → -2, not the DIV-truncation -1."""
+    from flink_sql_toolkit_spark.operators.relational import _half_up_div  # noqa: PLC0415
+
+    rows = spark.sql(
+        "SELECT " + ", ".join(
+            f"{_half_up_div(str(v), 4)} AS c{i}"
+            for i, v in enumerate([15000, -15000, 14999, -14999, 5000, -5000, 0])
+        )
+    ).collect()[0]
+    assert list(rows) == [2, -2, 1, -1, 1, -1, 0]
