@@ -16,6 +16,31 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch directory.
+
+    ``SPARK_GRAFT_LOCAL_DIR`` overrides (empty string = keep Spark's
+    platform default). Otherwise prefer ``/dev/shm`` when present and
+    writable: shuffle files are short-lived scratch whose cost is
+    dominated by write+close latency, and on this class of host the
+    default ``/tmp`` sits on a virtio ext4 disk (measured r14:
+    ~2.1 ms per 350 KB write+close vs 0.20 ms on tmpfs; the map-side
+    "shuffle write time" metric halved and q3/q5/q18 wall dropped
+    20-40% — see OPTIMIZATION_r14.md). On a production cluster this
+    is the standard "point spark.local.dir at the fastest local
+    medium (NVMe)" deployment setting, sized to the real shuffle
+    volume; tmpfs is only the right answer where shuffle bytes are
+    small relative to RAM, which the env knob leaves to the operator.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "spark-graft-local")
+    return None
+
+
 def build_spark(
     app_name: str = "flink_sql_toolkit_spark",
     master: str | None = None,
@@ -46,6 +71,9 @@ def build_spark(
         .config("spark.sql.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -67,6 +67,17 @@ HOT_CACHE_BUDGET_BYTES = int(
 HOT_CACHE_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_HOT_CACHE_MIN", str(8 << 20))
 )
+# Tables under the floor ARE cached, but at their NATURAL partitioning
+# (r14). The r6 floor A/B rejected small-table caching when the cached
+# copy carried a defaultParallelism repartition — 32 near-empty tasks
+# per scan of a 300 KB dim was the measured loss, not the caching.
+# Kept single-partition, the cached copy wins twice: broadcast builds
+# collect from the block manager instead of running a cold one-task
+# parquet job (measured 100-500 ms per build per execution on the
+# relational queries — see OPTIMIZATION_r14.md), and repeated scans
+# skip parquet decode. Set SPARK_GRAFT_HOT_CACHE_SMALL=0 to restore
+# the r6-r13 behavior (small tables always re-scan parquet).
+CACHE_SMALL_TABLES = os.environ.get("SPARK_GRAFT_HOT_CACHE_SMALL", "1") != "0"
 _CACHE_SPEND: "WeakKeyDictionary[SparkSession, int]" = WeakKeyDictionary()
 
 
@@ -222,27 +233,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
         if (
             HOT_CACHE_BUDGET_BYTES > 0
-            and size >= HOT_CACHE_MIN_BYTES
+            and (size >= HOT_CACHE_MIN_BYTES or CACHE_SMALL_TABLES)
             and spent + size <= HOT_CACHE_BUDGET_BYTES
         ):
-            # the fixtures are single-row-group files → a cold scan is
-            # one partition; spread the cached copy across every core.
-            # Sizing by bytes-on-disk (tried in r3: ~512 KB/partition)
-            # under-parallelized snappy-compressed fact tables — at
-            # sf0.1 `orders` (2.7 MB) got 5 partitions and `events`
-            # (2.0 MB) got 3, serializing every window sort over them
-            # for a measured 3-3.7× regression on the TVF/window
-            # bench queries. Compressed bytes underestimate rows by
-            # ~5-10×, and the one-time repartition shuffle is paid at
-            # cache build, not per query — so the floor is simply the
-            # session's parallelism for every cached table. At real
-            # cluster scale the cache budget rejects the fact tables
-            # entirely and splittable multi-row-group parquet makes
-            # scan parallelism a non-issue; this floor is a
-            # local-mode/fixture concern only.
-            parts = spark.sparkContext.defaultParallelism
-            if parts > 1:
-                df = df.repartition(parts)
+            if size >= HOT_CACHE_MIN_BYTES:
+                # the fixtures are single-row-group files → a cold scan
+                # is one partition; spread the cached copy across every
+                # core. Sizing by bytes-on-disk (tried in r3: ~512
+                # KB/partition) under-parallelized snappy-compressed
+                # fact tables — at sf0.1 `orders` (2.7 MB) got 5
+                # partitions and `events` (2.0 MB) got 3, serializing
+                # every window sort over them for a measured 3-3.7×
+                # regression on the TVF/window bench queries.
+                # Compressed bytes underestimate rows by ~5-10×, and
+                # the one-time repartition shuffle is paid at cache
+                # build, not per query — so the floor is simply the
+                # session's parallelism for every cached table. At real
+                # cluster scale the cache budget rejects the fact
+                # tables entirely and splittable multi-row-group
+                # parquet makes scan parallelism a non-issue; this
+                # floor is a local-mode/fixture concern only.
+                parts = spark.sparkContext.defaultParallelism
+                if parts > 1:
+                    df = df.repartition(parts)
+            # Under the floor: persist at NATURAL partitioning — the
+            # r6 loss was the 32-task scan shape, not the caching (see
+            # CACHE_SMALL_TABLES above).
             df = df.persist()
             _CACHE_SPEND[spark] = spent + size
         per_session[key] = df

@@ -1,0 +1,43 @@
+"""Shuffle-scratch directory selection (r14, guide §2/§9).
+
+`spark.local.dir` points at the fastest writable local medium:
+`/dev/shm` when present (this host's `/tmp` is a virtio ext4 disk —
+measured ~2.1 ms per 350 KB write+close vs 0.20 ms on tmpfs, and the
+map-side "shuffle write time" metric halved when shuffle files moved
+to tmpfs). `SPARK_GRAFT_LOCAL_DIR` overrides; empty string keeps
+Spark's platform default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from flink_sql_toolkit_spark.session import _default_local_dir
+
+
+def test_env_override_wins(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/mnt/fast-nvme")
+    assert _default_local_dir() == "/mnt/fast-nvme"
+
+
+def test_empty_env_disables_override(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "")
+    assert _default_local_dir() is None
+
+
+def test_prefers_shm_when_available(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+    got = _default_local_dir()
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert got == "/dev/shm/spark-graft-local"
+    else:  # pragma: no cover — non-Linux host
+        assert got is None
+
+
+def test_active_session_uses_selected_dir(spark):
+    """The shared test session must actually carry the setting (it is
+    static conf — set at builder time, visible in the runtime conf)."""
+    expected = _default_local_dir()
+    if expected is None:  # pragma: no cover — non-Linux host
+        return
+    assert spark.conf.get("spark.local.dir", None) == expected

@@ -62,14 +62,38 @@ def test_hot_cache_persists_within_budget(spark, monkeypatch):
     tables._CACHE_SPEND.pop(spark, None)
 
 
-def test_hot_cache_size_floor_skips_tiny_tables(spark, monkeypatch):
-    """Tables under HOT_CACHE_MIN_BYTES re-scan faster than they read
-    back from a columnar cache — they must NOT persist. Fan-out
-    compute parallelism is a use-site concern now
-    (tables.fanout_repartition), not a shared-cache one, so
-    documents/embeddings follow the same floor."""
+def test_hot_cache_small_tables_persist_at_natural_width(spark, monkeypatch):
+    """r14: tables under HOT_CACHE_MIN_BYTES persist at their NATURAL
+    partitioning (no defaultParallelism repartition) — the r6 loss
+    that justified skipping them was the 32-near-empty-task scan
+    shape, not the caching. A cached dim makes every broadcast build
+    collect from the block manager instead of running a cold one-task
+    parquet job per query execution."""
     monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1 << 30)
     monkeypatch.setattr(tables, "HOT_CACHE_MIN_BYTES", 8 << 20)
+    monkeypatch.setattr(tables, "CACHE_SMALL_TABLES", True)
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+    spark.catalog.clearCache()
+    tiny = load_table(spark, SF_DIR, "supplier")
+    assert tiny.storageLevel.useMemory is True
+    # natural (single-row-group fixture) partitioning, NOT fanned out
+    assert tiny.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    # results identical to an uncached read
+    raw = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    assert tiny.count() == raw.count()
+    tiny.unpersist()
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
+
+
+def test_hot_cache_small_tables_opt_out(spark, monkeypatch):
+    """SPARK_GRAFT_HOT_CACHE_SMALL=0 (CACHE_SMALL_TABLES=False)
+    restores the r6-r13 floor behavior: under-floor tables never
+    persist."""
+    monkeypatch.setattr(tables, "HOT_CACHE_BUDGET_BYTES", 1 << 30)
+    monkeypatch.setattr(tables, "HOT_CACHE_MIN_BYTES", 8 << 20)
+    monkeypatch.setattr(tables, "CACHE_SMALL_TABLES", False)
     tables._PLAN_CACHE.pop(spark, None)
     tables._CACHE_SPEND.pop(spark, None)
     spark.catalog.clearCache()
@@ -77,6 +101,8 @@ def test_hot_cache_size_floor_skips_tiny_tables(spark, monkeypatch):
     assert tiny.storageLevel.useMemory is False
     fanout = load_table(spark, SF_DIR, "documents")
     assert fanout.storageLevel.useMemory is False
+    tables._PLAN_CACHE.pop(spark, None)
+    tables._CACHE_SPEND.pop(spark, None)
 
 
 def test_fanout_repartition_spreads_partitions(spark):
