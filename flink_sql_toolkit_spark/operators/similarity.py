@@ -214,16 +214,31 @@ def _qdot_sql(a: str, b: str) -> str:
     )
 
 
+def _topp_ids(emb_mat, cq, id_vec, p: int):
+    """The ONE top-p assignment implementation (r14): quantized-integer
+    matmul + stable argsort. Every consumer — the Arrow assignment
+    kernel, the fused IVF scan kernel's per-batch cell assignment, and
+    the driver-side query-probe computation — calls THIS function, so
+    their probe lists are bit-identical by construction, not by
+    parallel re-implementation. ``id_vec`` is ascending, so a stable
+    argsort over the negated dots is exactly (dot DESC, cluster id
+    ASC) — the SQL list-sort over {d: -dot, cid} structs mirrors it
+    (``_ivf_assign_sql``). Exactness of the matmul: see ``_ASSIGN_Q``.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    d = _quantize(emb_mat) @ cq  # exact: integer-valued float64 < 2^53
+    order = np.argsort(-d, axis=1, kind="stable")[:, :p]
+    return id_vec[order]
+
+
 def _assign_topp_kernel(cents: list[list[float]], ids: list[int], p: int):
     """Arrow-batched top-p cluster assignment (the IVF probe list):
     one quantized-integer matmul per batch against the (≤ IVF_K_MAX)·
     dim centroid matrix (closure-captured — the same broadcast-small-
     model shape as the LSH anchors). Returns the p nearest cluster ids
-    ordered by (dot DESC, cluster id ASC) — ``ids`` is ascending, so a
-    stable argsort over the negated dots IS that tiebreak, and the SQL
-    list-sort over {d: -dot, cid} structs mirrors it exactly
-    (``_ivf_assign_sql``). probes[0] is always the plain argmax
-    (first position of the max). Exactness: see ``_ASSIGN_Q``.
+    ordered by (dot DESC, cluster id ASC) — see ``_topp_ids``.
+    probes[0] is always the plain argmax (first position of the max).
     Generalizes r13's fixed top-2 struct (VERDICT r13 ask #1 — probe
     depth is the recall dial; a fixed top-2 left none to turn)."""
     import numpy as np  # noqa: PLC0415
@@ -237,12 +252,8 @@ def _assign_topp_kernel(cents: list[list[float]], ids: list[int], p: int):
     def _assign(emb):
         if len(emb) == 0:
             return pd.Series([], dtype="object")
-        e = _quantize(np.vstack(emb.to_numpy()).astype(np.float64))
-        d = e @ cq  # exact: integer-valued float64, sums < 2^53
-        # stable sort on -d == order by (dot DESC, position ASC); ids
-        # ascend with position, so position ASC == cluster id ASC
-        order = np.argsort(-d, axis=1, kind="stable")[:, :p]
-        return pd.Series(list(id_vec[order]))
+        e = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(list(_topp_ids(e, cq, id_vec, p)))
 
     # object annotations, not inline hints — see _dot_pandas_kernel
     _assign.__annotations__ = {"emb": pd.Series, "return": pd.Series}
@@ -288,6 +299,74 @@ def _topk_scan_kernel(bq, top_k: int):
                 out_q.extend([qids[j]] * len(sel))
                 out_n.extend(ids[sel])
                 out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+    return kernel
+
+
+def _ivf_scan_kernel(bq, cents: list[list[float]], ids: list[int], top_k: int):
+    """Fused IVF serve pass (r14, guide §4.2/§8 — the same shape that
+    won brute force): ONE ``mapInPandas`` over the corpus replaces the
+    {query-side assignment Arrow stage + broadcast + equi-join +
+    interpreted HOF fold}. Per batch: assign each row's coarse cell
+    (``_topp_ids`` p=1 — identical math to ``_assign_topp_kernel``),
+    then for each cell present score ONLY that cell-group against the
+    queries probing the cell (``bq`` carries cell → query indices, so
+    per-batch compute keeps IVF's ~nprobe/k corpus fraction — this is
+    NOT a masked brute force). Cosines accumulate dimension-ascending
+    (``acc += E[:, i] * q[:, i]`` outer product per i) — the
+    left-to-right fold, bit-identical to ``dot()``'s HOF form and the
+    oracle's list_sum; subgroup selection cannot change a kept pair's
+    value because each acc element accumulates its own scalars in the
+    same i order. Per-(batch, cell, query) top-k is emitted under the
+    final window's total order (cosine DESC, neighbor_id ASC): any
+    global top-k pair lives in some group and fewer than k candidates
+    beat it anywhere, so the union provably contains the global
+    top-k. Self-pairs masked exactly like the join condition."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    cq = _quantize(np.asarray(cents, dtype=np.float64)).T  # dim × k
+    id_vec = np.asarray(ids, dtype=np.int64)
+
+    def kernel(batches):
+        qids, qmat, cell_to_q = bq.value
+        for b in batches:
+            if len(b) == 0 or len(qids) == 0:
+                continue
+            vids = b["vec_id"].to_numpy(dtype=np.int64)
+            emb_block = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+            dim = emb_block.shape[1]
+            cells = _topp_ids(emb_block, cq, id_vec, 1)[:, 0]
+            out_q: list = []
+            out_n: list = []
+            out_c: list = []
+            for cell in np.unique(cells):
+                qs = cell_to_q.get(int(cell))
+                if qs is None:
+                    continue
+                rows = np.flatnonzero(cells == cell)
+                sub = emb_block[rows]
+                sub_ids = vids[rows]
+                acc = np.zeros((len(rows), len(qs)))
+                for i in range(dim):  # i ascending == left-to-right fold
+                    acc += np.outer(sub[:, i], qmat[qs, i])
+                for jj, j in enumerate(qs):
+                    col = acc[:, jj]
+                    cand = np.flatnonzero(sub_ids != qids[j])  # no self
+                    if len(cand) == 0:
+                        continue
+                    order = np.lexsort((sub_ids[cand], -col[cand]))[:top_k]
+                    sel = cand[order]
+                    out_q.extend([qids[j]] * len(sel))
+                    out_n.extend(sub_ids[sel])
+                    out_c.extend(col[sel])
             yield pd.DataFrame(
                 {
                     "query_id": np.asarray(out_q, dtype=np.int64),
@@ -815,9 +894,61 @@ def sim_ivf_topk(
     ``nprobe`` is the recall dial (VERDICT r13 ask #1): the scanned
     corpus fraction is ~nprobe/k, so as k grows with √N a production
     deployment raises nprobe to hold recall — the kernel is top-p, so
-    the dial actually turns. A small Q is broadcast; past
-    ``broadcast_limit`` the join shuffles both sides on cluster_id
-    instead."""
+    the dial actually turns.
+
+    With a small Q the serve pass is FUSED (r14): the query probes
+    are derived on the driver from the collected query matrix (the
+    same matrix the broadcast would carry — ``_topp_ids``, the ONE
+    assignment implementation, so probes are bit-identical to the
+    Arrow kernel's), and ONE ``mapInPandas`` corpus pass assigns each
+    batch's cells and scores cell-groups against exactly the queries
+    probing them (``_ivf_scan_kernel``). This removes a second
+    full-fixed-cost Arrow stage (the query-side assignment — measured
+    ~0.2 s of per-stage Python-runner overhead at ANY row count, see
+    OPTIMIZATION_r14.md), the broadcast exchange, the equi-join, and
+    the interpreted per-pair HOF fold, while keeping IVF's ~nprobe/k
+    per-batch compute fraction. Past ``broadcast_limit`` (where a
+    driver-held query matrix stops being the right tool) the r13
+    plan runs unchanged: distributed assignment, equi-join on
+    cluster_id, both sides shuffling once Q outgrows the broadcast.
+    """
+    if k is None:
+        k = _ivf_k(spark, sf_dir)
+    q_small = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0
+    )
+    if _probe_is_small(q_small, broadcast_limit):
+        import numpy as np  # noqa: PLC0415
+
+        ids, cents = _refined_centroids(spark, sf_dir, k)
+        qrows = q_small.select("vec_id", "embedding").collect()
+        if qrows:
+            emb = _emb_fanout(spark, sf_dir)
+            qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+            qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+            cq = _quantize(np.asarray(cents, dtype=np.float64)).T
+            id_vec = np.asarray(ids, dtype=np.int64)
+            probes = _topp_ids(qmat, cq, id_vec, min(nprobe, len(ids)))
+            cell_to_q: dict[int, list[int]] = {}
+            for j, row in enumerate(probes):
+                for cell in row:
+                    cell_to_q.setdefault(int(cell), []).append(j)
+            cell_map = {
+                c: np.asarray(js, dtype=np.int64)
+                for c, js in cell_to_q.items()
+            }
+            bq = spark.sparkContext.broadcast((qids, qmat, cell_map))
+            kernel = _ivf_scan_kernel(bq, cents, ids, top_k)
+            cand = emb.select("vec_id", "embedding").mapInPandas(
+                kernel, "query_id long, neighbor_id long, cosine double"
+            )
+            w_f = W.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+            return (
+                cand.withColumn("rn", F.row_number().over(w_f))
+                .filter(F.col("rn") <= top_k)
+            )
     ivf = ivf_assignments(spark, sf_dir, k, nprobe=nprobe)
     # probes are pairwise-distinct cluster ids by construction (stable
     # argsort positions), and each corpus vector has ONE cluster_id,

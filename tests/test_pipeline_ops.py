@@ -137,6 +137,31 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recalls["sim_ivf_np4"] >= recalls["sim_ivf_topk"], recalls
 
 
+def test_ivf_fused_scan_matches_join_plan_bit_for_bit(spark, sf_dir):
+    """r14: the fused IVF serve pass (driver-derived query probes +
+    one mapInPandas cell-group scorer) must reproduce the distributed
+    join plan EXACTLY — same (query_id, neighbor_id, rn) and the same
+    cosine DOUBLE BITS (the kernel's dimension-ascending accumulation
+    is the left-to-right fold). broadcast_limit=0 forces the r13
+    join path; the default takes the fused path."""
+    from flink_sql_toolkit_spark.operators.similarity import sim_ivf_topk
+
+    for nprobe in (2, 4):
+        fused = sim_ivf_topk(spark, sf_dir, nprobe=nprobe)
+        joined = sim_ivf_topk(spark, sf_dir, broadcast_limit=0, nprobe=nprobe)
+        key = lambda r: (r.query_id, r.rn)  # noqa: E731
+        a = sorted(fused.collect(), key=key)
+        b = sorted(joined.collect(), key=key)
+        assert len(a) == len(b) and len(a) > 0
+        for x, y in zip(a, b):
+            assert (x.query_id, x.neighbor_id, x.rn) == (
+                y.query_id,
+                y.neighbor_id,
+                y.rn,
+            )
+            assert x.cosine == y.cosine  # exact, not approx
+
+
 def test_topk_is_k_per_query(spark, sf_dir):
     out = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
     per_query = {}

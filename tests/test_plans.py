@@ -148,14 +148,19 @@ def test_ann_single_shuffle(spark, sf_dir, name):
     exchanges = len(_re.findall(r"\bExchange hashpartitioning", plan))
     assert exchanges == 1, f"{name}: expected 1 shuffle, plan has {exchanges}"
     if name == "sim_ivf_topk":
-        # the Arrow assignment kernel runs EXACTLY once per branch
-        # (corpus + query side). Catalyst pushing a derived null-guard
-        # (join-key isnotnull / explode's size filter) below the
-        # kernel projection silently doubles it into a second
-        # full-corpus Arrow stage — caught in r14 (arrowPy 4→2, see
-        # the coalesce/explode_outer notes in similarity.py).
+        # r14 fused serve pass: ONE MapInPandas corpus scan (assign +
+        # cell-group score + per-group top-k), ZERO ArrowEvalPython
+        # stages — the query-side assignment moved to the driver
+        # (bit-identity pinned by
+        # test_ivf_fused_scan_matches_join_plan_bit_for_bit) and the
+        # equi-join disappeared with it. A reappearing ArrowEvalPython
+        # means the fused path stopped being taken (or the kernel
+        # duplication hazard from the r13 plan returned — see the
+        # coalesce/explode_outer notes in similarity.py, which still
+        # guard the past-broadcast-limit fallback plan).
+        assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
         arrow = plan.count("ArrowEvalPython")
-        assert arrow == 2, f"kernel duplicated: {arrow} Arrow stages"
+        assert arrow == 0, f"fused path not taken: {arrow} Arrow stages"
 
 
 def test_asof_self_is_window_not_join(spark, sf_dir):
