@@ -108,6 +108,63 @@ def _query_side(
 # iterations, paged re-execution) skip the extra count job.
 _PROBE_CACHE: dict[tuple[str, int], bool] = {}
 
+# Collected fixture query matrix per corpus key — the ANN serve
+# paths' driver-held model input, the same derived-model shape as
+# _ANCHOR_CACHE / _CENTROID_CACHE (r15, ADVICE r14 #3: the fused
+# paths re-collected |Q| embeddings on EVERY build). Invalidation
+# rides _corpus_key's fingerprint.
+_QUERY_MAT_CACHE: dict[tuple, tuple] = {}
+
+
+def _query_matrix(spark: SparkSession, sf_dir: str):
+    """(qids int64[|Q|], qmat float64[|Q|, dim]) of the fixture query
+    slice (vec_id % QUERY_MOD == 0), collected once per corpus."""
+    key = _corpus_key(sf_dir)
+    if key not in _QUERY_MAT_CACHE:
+        import numpy as np  # noqa: PLC0415
+
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % QUERY_MOD == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        qids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        qmat = (
+            np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, 0), dtype=np.float64)
+        )
+        _QUERY_MAT_CACHE[key] = (qids, qmat)
+    return _QUERY_MAT_CACHE[key]
+
+
+# One broadcast per (Spark context, corpus key, kind, params) — ADVICE
+# r14 #2: the fused serve paths created a fresh
+# sparkContext.broadcast on every build and never destroyed it, so a
+# bench loop leaked broadcast blocks in driver and executors for the
+# session lifetime. A slot whose corpus fingerprint changed destroys
+# the stale broadcast before rebuilding.
+_BQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _shared_broadcast(spark: SparkSession, sf_dir: str, kind: str,
+                      params: tuple, build):
+    sc = spark.sparkContext
+    key = _corpus_key(sf_dir)
+    slot = (sc.applicationId, key[0], kind, params)
+    hit = _BQ_CACHE.get(slot)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    if hit is not None:
+        try:
+            hit[1].destroy()
+        except Exception:  # context already stopped
+            pass
+    bq = sc.broadcast(build())
+    _BQ_CACHE[slot] = (key, bq)
+    return bq
+
 
 def _probe_is_small(counted: DataFrame, limit: int) -> bool:
     key = (counted._jdf.queryExecution().logical().semanticHash(), limit)
@@ -439,11 +496,28 @@ def sim_topk_bruteforce(
     if _probe_is_small(q, broadcast_limit):
         import numpy as np  # noqa: PLC0415
 
-        qrows = q.collect()
+        if queries is None:
+            # fixture slice: memoized collect + ONE shared broadcast
+            # per corpus (ADVICE r14 #2/#3 — was a fresh collect job
+            # and a leaked broadcast per build)
+            qids, qmat = _query_matrix(spark, sf_dir)
+            qrows = len(qids) > 0
+            bq = (
+                _shared_broadcast(
+                    spark, sf_dir, "topk_q", (), lambda: (qids, qmat)
+                )
+                if qrows
+                else None
+            )
+        else:
+            qrows = q.collect()
+            if qrows:
+                qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+                qmat = np.asarray(
+                    [list(r[1]) for r in qrows], dtype=np.float64
+                )
+                bq = spark.sparkContext.broadcast((qids, qmat))
         if qrows:
-            qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-            qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
-            bq = spark.sparkContext.broadcast((qids, qmat))
             kernel = _topk_scan_kernel(bq, TOP_K)
             cand = emb.select("vec_id", "embedding").mapInPandas(
                 kernel, "query_id long, neighbor_id long, cosine double"
@@ -921,23 +995,30 @@ def sim_ivf_topk(
         import numpy as np  # noqa: PLC0415
 
         ids, cents = _refined_centroids(spark, sf_dir, k)
-        qrows = q_small.select("vec_id", "embedding").collect()
-        if qrows:
+        qids, qmat = _query_matrix(spark, sf_dir)
+        if len(qids) > 0:
             emb = _emb_fanout(spark, sf_dir)
-            qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-            qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
-            cq = _quantize(np.asarray(cents, dtype=np.float64)).T
-            id_vec = np.asarray(ids, dtype=np.int64)
-            probes = _topp_ids(qmat, cq, id_vec, min(nprobe, len(ids)))
-            cell_to_q: dict[int, list[int]] = {}
-            for j, row in enumerate(probes):
-                for cell in row:
-                    cell_to_q.setdefault(int(cell), []).append(j)
-            cell_map = {
-                c: np.asarray(js, dtype=np.int64)
-                for c, js in cell_to_q.items()
-            }
-            bq = spark.sparkContext.broadcast((qids, qmat, cell_map))
+
+            def _build_payload():
+                cq = _quantize(np.asarray(cents, dtype=np.float64)).T
+                id_vec = np.asarray(ids, dtype=np.int64)
+                probes = _topp_ids(qmat, cq, id_vec, min(nprobe, len(ids)))
+                cell_to_q: dict[int, list[int]] = {}
+                for j, row in enumerate(probes):
+                    for cell in row:
+                        cell_to_q.setdefault(int(cell), []).append(j)
+                cell_map = {
+                    c: np.asarray(js, dtype=np.int64)
+                    for c, js in cell_to_q.items()
+                }
+                return (qids, qmat, cell_map)
+
+            # one shared broadcast per (corpus, k, nprobe) — ADVICE
+            # r14 #2: was a fresh (and never-destroyed) broadcast per
+            # build, two per sim_ivf_family call
+            bq = _shared_broadcast(
+                spark, sf_dir, "ivf_q", (k, nprobe), _build_payload
+            )
             kernel = _ivf_scan_kernel(bq, cents, ids, top_k)
             cand = emb.select("vec_id", "embedding").mapInPandas(
                 kernel, "query_id long, neighbor_id long, cosine double"
