@@ -199,6 +199,67 @@ def main() -> None:
         calib[name] = calibrate(2)
         load[name] = loadavg1()
 
+    # ---- production-path measurement (VERDICT r14 ask #8) ----------
+    # The REGISTERED/benched dedup_minhash_lsh double-md5 exists only
+    # so the DuckDB oracle reproduces the signatures; the production
+    # hash is xxhash64 (same topology, one line). Measure it so the
+    # repo's 100 TB claims rest on the path a deployment would run.
+    # Reported in a SEPARATE key — "queries" and "value" keep the
+    # exact r1-r14 query set and totals, so rounds stay comparable.
+    production: dict[str, float] = {}
+    prod_iters = int(os.environ.get("SPARK_GRAFT_BENCH_PROD_ITERS", "3"))
+    if prod_iters > 0:
+
+        def prod_minhash(s, d):
+            return dedup.dedup_minhash_lsh(s, d, hash_fn="xxhash64")
+
+        runs = []
+        prod_minhash(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # uncounted warm-up
+        for _ in range(prod_iters):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            prod_minhash(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        production["dedup_minhash_xxhash64"] = round(
+            statistics.median(runs), 3
+        )
+
+    # ---- cold-cache pass (VERDICT r14 ask #2) ----------------------
+    # Same queries, hot-table cache DISABLED (budget forced to 0, all
+    # persisted copies dropped), so a reader can attribute warm-vs-
+    # cold deltas to plans vs cache by construction. The JVM stays
+    # warm (codegen/JIT are not what the cache policy changes); each
+    # query gets one uncounted build run (file listing, fresh plan)
+    # then COLD_ITERS timed runs that re-scan parquet every time.
+    cold: dict[str, float] = {}
+    cold_iters = int(os.environ.get("SPARK_GRAFT_BENCH_COLD_ITERS", "3"))
+    if cold_iters > 0:
+        from flink_sql_toolkit_spark import tables as _tables  # noqa: PLC0415
+
+        _tables.HOT_CACHE_BUDGET_BYTES = 0
+        _tables._PLAN_CACHE.clear()
+        _tables._CACHE_SPEND.clear()
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # uncounted: file listing + codegen of the fresh plan
+            runs = []
+            for _ in range(cold_iters):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            cold[name] = round(statistics.median(runs), 3)
+
     calib_end, load_end = calibrate(), loadavg1()
     # calibration-normalized medians: raw * (ref / adjacent-calib).
     # If the host ran 1.2× slow while q1 measured, q1's calibration
@@ -245,6 +306,15 @@ def main() -> None:
             "hot_cache_budget": os.environ.get(
                 "SPARK_GRAFT_HOT_CACHE_BUDGET", str(1 << 30)
             ),
+            # cold-cache co-report (VERDICT r14 ask #2): same queries,
+            # hot-table cache off, warm JVM — cache wins and plan wins
+            # are separable without a second bench invocation
+            "queries_cold": cold,
+            "value_cold": round(sum(cold.values()), 3),
+            "cold_iters": cold_iters,
+            # production-hash paths not gated by the DuckDB oracle
+            # (VERDICT r14 ask #8): NOT part of "queries"/"value"
+            "queries_production": production,
         }
     )
     # stdout scraping can truncate (BENCH_r05.json lost the head + four
