@@ -367,6 +367,81 @@ def _topk_scan_kernel(bq, top_k: int):
     return kernel
 
 
+def _lsh_scan_kernel(bq, anchors: list[list[float]], top_k: int):
+    """Fused LSH serve pass (r15, VERDICT r14 ask #6 — the same shape
+    that won brute force and IVF in r14): ONE ``mapInPandas`` over the
+    corpus replaces {the bucketing projection (n_bits interpreted HOF
+    fold dots per corpus row), the probe-side explode + broadcast +
+    equi-join on the bucket string, and the per-pair interpreted HOF
+    fold}. Per batch: compute each row's anchor dots by
+    dimension-ascending accumulation (``acc += E[:, i] * A[:, i]``
+    outer product per i — the left-to-right fold, so every dot is
+    bit-identical to ``lsh_buckets``'s ``dot() >= 0`` test and the
+    oracle's list_sum), reduce the sign bits to an integer bucket key
+    (bit j == anchor j, the same ordering as the bucket string), then
+    score each bucket-group present against exactly the queries
+    probing that bucket (``bq`` carries bucket-key → query indices:
+    each query probes its own bucket plus the n_bits Hamming-1 flips,
+    so per-batch compute keeps LSH's expected N/2^bits fraction).
+    Cosines accumulate dimension-ascending too — bit-identical to the
+    join path's ``dot()``. Per-(batch, bucket, query) top-k is emitted
+    under the final window's total order (cosine DESC, neighbor_id
+    ASC), so the union provably contains the global top-k (any kept
+    pair lives in some group with fewer than k better candidates
+    anywhere). Self-pairs masked exactly like the join condition."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    amat = np.asarray(anchors, dtype=np.float64)  # n_bits × dim
+    nbits = len(anchors)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def kernel(batches):
+        qids, qmat, bucket_map = bq.value
+        for b in batches:
+            if len(b) == 0 or len(qids) == 0:
+                continue
+            vids = b["vec_id"].to_numpy(dtype=np.int64)
+            emb_block = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+            dim = emb_block.shape[1]
+            acc = np.zeros((len(vids), nbits))
+            for i in range(dim):  # i ascending == left-to-right fold
+                acc += np.outer(emb_block[:, i], amat[:, i])
+            keys = (acc >= 0) @ weights
+            out_q: list = []
+            out_n: list = []
+            out_c: list = []
+            for kk in np.unique(keys):
+                qs = bucket_map.get(int(kk))
+                if qs is None:
+                    continue
+                rows = np.flatnonzero(keys == kk)
+                sub = emb_block[rows]
+                sub_ids = vids[rows]
+                sacc = np.zeros((len(rows), len(qs)))
+                for i in range(dim):  # left-to-right fold again
+                    sacc += np.outer(sub[:, i], qmat[qs, i])
+                for jj, j in enumerate(qs):
+                    col = sacc[:, jj]
+                    cand = np.flatnonzero(sub_ids != qids[j])  # no self
+                    if len(cand) == 0:
+                        continue
+                    order = np.lexsort((sub_ids[cand], -col[cand]))[:top_k]
+                    sel = cand[order]
+                    out_q.extend([qids[j]] * len(sel))
+                    out_n.extend(sub_ids[sel])
+                    out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+    return kernel
+
+
 def _ivf_scan_kernel(bq, cents: list[list[float]], ids: list[int], top_k: int):
     """Fused IVF serve pass (r14, guide §4.2/§8 — the same shape that
     won brute force): ONE ``mapInPandas`` over the corpus replaces the
@@ -737,10 +812,68 @@ def sim_lsh_bucketed(
     An equi-join on the bucket key — the corpus is hashed once; only
     the query side explodes by bits+1. Multi-probe is the standard
     recall lever that avoids duplicating the corpus into multiple hash
-    tables. A small Q is broadcast; past ``broadcast_limit`` the join
-    runs as a shuffle equi-join on the bucket key (both sides
+    tables.
+
+    With a small Q the serve pass is FUSED (r15, the shape that won
+    brute force and IVF in r14): the query buckets and their
+    Hamming-1 probes are derived on the driver from the memoized
+    query matrix using the SAME dimension-ascending fold the kernel
+    runs, and ONE ``mapInPandas`` corpus pass assigns each batch's
+    buckets and scores bucket-groups against exactly the queries
+    probing them (``_lsh_scan_kernel`` — bit-identical dots, see its
+    docstring). This removes the n_bits-interpreted-HOF bucketing
+    projection, the probe explode, the broadcast equi-join, and the
+    per-pair HOF fold, while keeping LSH's expected N/2^bits per-query
+    scan fraction. Past ``broadcast_limit`` the r13/r14 join plan runs
+    unchanged: shuffle equi-join on the bucket key (both sides
     partition by bucket — no corpus-sized broadcast ever).
     """
+    q_probe0 = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0
+    )
+    if _probe_is_small(q_probe0, broadcast_limit):
+        import numpy as np  # noqa: PLC0415
+
+        anchors = _anchor_vectors(spark, sf_dir, n_bits)
+        qids, qmat = _query_matrix(spark, sf_dir)
+        if len(qids) > 0:
+
+            def _build_payload():
+                amat = np.asarray(anchors, dtype=np.float64)
+                acc = np.zeros((len(qids), len(anchors)))
+                for i in range(qmat.shape[1]):  # left-to-right fold
+                    acc += np.outer(qmat[:, i], amat[:, i])
+                weights = 1 << np.arange(len(anchors), dtype=np.int64)
+                qkeys = (acc >= 0) @ weights
+                bucket_to_q: dict[int, list[int]] = {}
+                for j, k0 in enumerate(qkeys):
+                    probes = [int(k0)] + [
+                        int(k0) ^ (1 << b) for b in range(len(anchors))
+                    ]
+                    for kk in probes:  # pairwise-distinct by construction
+                        bucket_to_q.setdefault(kk, []).append(j)
+                bucket_map = {
+                    c: np.asarray(js, dtype=np.int64)
+                    for c, js in bucket_to_q.items()
+                }
+                return (qids, qmat, bucket_map)
+
+            bq = _shared_broadcast(
+                spark, sf_dir, "lsh_q", (n_bits,), _build_payload
+            )
+            kernel = _lsh_scan_kernel(bq, anchors, top_k)
+            cand = _emb_fanout(spark, sf_dir).select(
+                "vec_id", "embedding"
+            ).mapInPandas(
+                kernel, "query_id long, neighbor_id long, cosine double"
+            )
+            w_f = W.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+            return (
+                cand.withColumn("rn", F.row_number().over(w_f))
+                .filter(F.col("rn") <= top_k)
+            )
     buckets = lsh_buckets(spark, sf_dir, n_bits)
     qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
     flips = F.array(
