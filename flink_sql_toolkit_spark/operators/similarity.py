@@ -173,6 +173,41 @@ def _probe_is_small(counted: DataFrame, limit: int) -> bool:
     return _PROBE_CACHE[key]
 
 
+# Byte budget for the fused serve paths' driver-held query matrix
+# (r15, ADVICE r14 #3): BROADCAST_QUERY_LIMIT is a ROW cap, but the
+# collected matrix is rows×dim×8 bytes — at dim 64 the 100k-row cap
+# is ~51 MB, at dim 4096 it would be 3.2 GB of driver Python plus the
+# pickled broadcast. The effective row cap is therefore
+# min(row limit, byte budget / row bytes), with the dim probed by one
+# pushed-limit scan and cached per corpus.
+FUSED_QUERY_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_FUSED_QUERY_MAX_BYTES", str(256 << 20)
+    )
+)
+_DIM_CACHE: dict[tuple, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    key = _corpus_key(sf_dir)
+    if key not in _DIM_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(F.size("embedding").alias("d"))
+            .limit(1)
+            .collect()
+        )
+        _DIM_CACHE[key] = int(row[0].d) if row else 0
+    return _DIM_CACHE[key]
+
+
+def _fused_row_limit(spark: SparkSession, sf_dir: str, row_limit: int) -> int:
+    dim = _emb_dim(spark, sf_dir)
+    if dim <= 0:
+        return row_limit
+    return min(row_limit, FUSED_QUERY_MAX_BYTES // (dim * 8))
+
+
 # Kernel crossover: at the fixture's dim 64 the JVM F.aggregate fold
 # beats Arrow+numpy (no serialization); past this dim the per-element
 # fold's expression-tree cost loses to one BLAS dot per row, so the
@@ -568,7 +603,7 @@ def sim_topk_bruteforce(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    if _probe_is_small(q, broadcast_limit):
+    if _probe_is_small(q, _fused_row_limit(spark, sf_dir, broadcast_limit)):
         import numpy as np  # noqa: PLC0415
 
         if queries is None:
@@ -831,7 +866,9 @@ def sim_lsh_bucketed(
     q_probe0 = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % QUERY_MOD == 0
     )
-    if _probe_is_small(q_probe0, broadcast_limit):
+    if _probe_is_small(
+        q_probe0, _fused_row_limit(spark, sf_dir, broadcast_limit)
+    ):
         import numpy as np  # noqa: PLC0415
 
         anchors = _anchor_vectors(spark, sf_dir, n_bits)
@@ -1124,7 +1161,9 @@ def sim_ivf_topk(
     q_small = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % QUERY_MOD == 0
     )
-    if _probe_is_small(q_small, broadcast_limit):
+    if _probe_is_small(
+        q_small, _fused_row_limit(spark, sf_dir, broadcast_limit)
+    ):
         import numpy as np  # noqa: PLC0415
 
         ids, cents = _refined_centroids(spark, sf_dir, k)
