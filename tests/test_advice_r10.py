@@ -19,6 +19,8 @@ ADVICE r9 items covered here:
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import pytest
 
 from flink_sql_toolkit_spark.engine import Engine
@@ -302,9 +304,7 @@ def _t10(s: int):
 
 
 def _stream_view10(spark, tmp_path, name, schema, rows):
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp_path}/{name}")
+    write_rows(f"{tmp_path}/{name}", rows, schema)
     (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

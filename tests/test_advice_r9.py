@@ -16,6 +16,8 @@ ADVICE r8 items covered here:
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import datetime as dt
 
 import pytest
@@ -32,9 +34,7 @@ def _stream_view(spark, tmp_path, name, schema, files, wm_delay=None):
     """Write each row-list as one parquet file (= one micro-batch via
     maxFilesPerTrigger=1), register the stream as a temp view."""
     for i, rows in enumerate(files):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/{name}/b{i}")
+        write_rows(f"{tmp_path}/{name}/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -476,9 +476,7 @@ def test_streaming_lead_ttl_flush_emits_default(spark, tmp_path):
     from flink_sql_toolkit_spark.streaming.stateful import streaming_lead
 
     schema = "k long, ts timestamp, v long"
-    spark.createDataFrame(
-        [(1, _t(1), 10), (1, _t(2), 20)], schema
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lttl/b0")
+    write_rows(f"{tmp_path}/lttl/b0", [(1, _t(1), 10), (1, _t(2), 20)], schema)
     stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/lttl/*")
     out = streaming_lead(stream, ["k"], ["ts"], "v", offset=1, ttl_ms=2000,
                          default=-1)
@@ -994,9 +992,7 @@ def test_late_dropped_surfaces_on_result_pages(spark, tmp_path):
     from flink_sql_toolkit_spark.engine import Engine
 
     schema = "k long, ts timestamp, v long"
-    spark.createDataFrame([(1, _t(100), 1)], schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp_path}/latesql")
+    write_rows(f"{tmp_path}/latesql", [(1, _t(100), 1)], schema)
     engine = Engine(spark)
     sess = engine.open_session("late-sql")
     try:
@@ -1027,9 +1023,7 @@ def test_late_dropped_surfaces_on_result_pages(spark, tmp_path):
         token = page["nextResultToken"]
         assert page.get("lateDropped") == 0  # gate armed, nothing late yet
         # now a beyond-watermark row (t10 << wm t95) arrives
-        spark.createDataFrame(
-            [(1, _t(10), 2), (2, _t(300), 3)], schema
-        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/latesql")
+        write_rows(f"{tmp_path}/latesql", [(1, _t(10), 2), (2, _t(300), 3)], schema, mode="append")
         while time.time() < deadline:
             page = op.fetch(token)
             token = page["nextResultToken"]

@@ -21,6 +21,8 @@ the first restart-crossing ones.
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import datetime as dt
 import time
 
@@ -67,9 +69,7 @@ def test_insert_resume_from_savepoint_exactly_once(session, tmp_path):
     spark = session.spark
     src, sink = f"{tmp_path}/src", f"{tmp_path}/sink"
     rows1 = [(1, "a"), (2, "b"), (3, "c")]
-    spark.createDataFrame(rows1, "id long, v string").coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    write_rows(src, rows1, "id long, v string", mode="append")
 
     session.execute_statement(
         f"""CREATE TABLE rec_src (id BIGINT, v STRING) WITH (
@@ -93,9 +93,7 @@ def test_insert_resume_from_savepoint_exactly_once(session, tmp_path):
 
     # new data lands while the job is down
     rows2 = [(4, "d"), (5, "e")]
-    spark.createDataFrame(rows2, "id long, v string").coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    write_rows(src, rows2, "id long, v string", mode="append")
 
     session.execute_statement(
         f"SET 'execution.savepoint.path' = '{savepoint}'"
@@ -132,9 +130,7 @@ def test_stateful_window_agg_state_recovers(session, tmp_path):
     # all in window [00:00, 00:10); max event time 8s ⇒ watermark 7s,
     # window still open when the job stops
     batch1 = [(ts(2), 1), (ts(5), 1), (ts(8), 1)]
-    spark.createDataFrame(batch1, "ts timestamp, n int").coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    write_rows(src, batch1, "ts timestamp, n int", mode="append")
 
     session.execute_statement(
         f"""CREATE TABLE w_src (ts TIMESTAMP(3), n INT,
@@ -180,9 +176,7 @@ def test_stateful_window_agg_state_recovers(session, tmp_path):
     # one more row in w0 + one far beyond it to push the watermark
     # past the window end so w0 finally EMITS
     batch2 = [(ts(9), 1), (dt.datetime(2024, 1, 1, 0, 2, 0), 1)]
-    spark.createDataFrame(batch2, "ts timestamp, n int").coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    write_rows(src, batch2, "ts timestamp, n int", mode="append")
 
     session.execute_statement(
         f"SET 'execution.savepoint.path' = '{savepoint}'"
@@ -285,9 +279,7 @@ def test_stateful_over_state_recovers_across_restart(spark, tmp_path):
 
     src, sink, ck = f"{tmp_path}/src", f"{tmp_path}/sink", f"{tmp_path}/ck"
     schema = "k string, seq long, v long"
-    spark.createDataFrame(
-        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3)], schema
-    ).coalesce(1).write.mode("append").parquet(src)
+    write_rows(src, [("a", 1, 1), ("a", 2, 2), ("a", 3, 3)], schema, mode="append")
 
     def _start():
         stream = spark.readStream.schema(schema).parquet(src)
@@ -322,9 +314,7 @@ def test_stateful_over_state_recovers_across_restart(spark, tmp_path):
     q1.stop()
     q1.awaitTermination(60)
 
-    spark.createDataFrame([("a", 4, 4)], schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    write_rows(src, [("a", 4, 4)], schema, mode="append")
     q2 = _start()
     try:
         deadline = time.time() + 120
@@ -358,9 +348,7 @@ def test_statement_set_savepoint_resume(session, tmp_path):
 
     spark = session.spark
     src = f"{tmp_path}/set_src"
-    spark.createDataFrame(
-        [(1, "a"), (2, "b")], "id long, v string"
-    ).coalesce(1).write.mode("append").parquet(src)
+    write_rows(src, [(1, "a"), (2, "b")], "id long, v string", mode="append")
     session.execute_statement(
         f"""CREATE TABLE set_src (id BIGINT, v STRING) WITH (
         'connector'='filesystem', 'path'='{src}', 'format'='parquet')"""
@@ -390,9 +378,7 @@ def test_statement_set_savepoint_resume(session, tmp_path):
         "set-0", "set-1",
     ], sps
 
-    spark.createDataFrame(
-        [(3, "c")], "id long, v string"
-    ).coalesce(1).write.mode("append").parquet(src)
+    write_rows(src, [(3, "c")], "id long, v string", mode="append")
 
     session.execute_statement(
         f"SET 'execution.savepoint.path' = '{roots.pop()}'"
@@ -492,9 +478,7 @@ def test_state_layout_mismatch_is_typed_error(spark, tmp_path):
     q1.awaitTermination(60)
 
     # new data for the same key forces a state.get on resume
-    spark.createDataFrame([("a", 3, 3)], schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    write_rows(src, [("a", 3, 3)], schema, mode="append")
     q2 = _sink(
         streaming_lag(
             spark.readStream.schema(schema).parquet(src),
@@ -574,10 +558,7 @@ def test_match_recognize_insert_resumes_open_match(session, tmp_path):
     def ts(s):
         return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
 
-    spark.createDataFrame(
-        [(1, ts(1), 1), (1, ts(2), 2), (2, ts(10), 0)],
-        "k int, ts timestamp, v int",
-    ).coalesce(1).write.mode("append").parquet(src)
+    write_rows(src, [(1, ts(1), 1), (1, ts(2), 2), (2, ts(10), 0)], "k int, ts timestamp, v int", mode="append")
 
     session.execute_statement(
         f"""CREATE TABLE mrr_src (k INT, ts TIMESTAMP(3), v INT,
@@ -612,9 +593,7 @@ def test_match_recognize_insert_resumes_open_match(session, tmp_path):
     # C lands while the job is down (ts 12 is AHEAD of the recovered
     # watermark ~ts 9, so the reorder gate must not drop it); another
     # k=2 row advances the watermark past it after resume
-    spark.createDataFrame(
-        [(1, ts(12), 3), (2, ts(60), 0)], "k int, ts timestamp, v int"
-    ).coalesce(1).write.mode("append").parquet(src)
+    write_rows(src, [(1, ts(12), 3), (2, ts(60), 0)], "k int, ts timestamp, v int", mode="append")
 
     session.execute_statement(
         f"SET 'execution.savepoint.path' = '{savepoint}'"
@@ -680,9 +659,7 @@ def test_first_n_counter_recovers_across_restart(spark, tmp_path):
     q1.awaitTermination(60)
 
     # three more rows land while the job is down; only ONE may emit
-    spark.createDataFrame(
-        [("a", 3), ("a", 4), ("a", 5)], schema
-    ).coalesce(1).write.mode("append").parquet(src)
+    write_rows(src, [("a", 3), ("a", 4), ("a", 5)], schema, mode="append")
     q2 = _start()
     try:
         deadline = time.time() + 120

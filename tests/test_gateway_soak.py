@@ -25,6 +25,8 @@ Invariants at the end:
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import concurrent.futures as cf
 import json
 import os
@@ -217,11 +219,8 @@ def test_full_workload_soak_no_500s_no_strands(spark, tmp_path_factory):
     import datetime as dt
 
     tvf_src = f"{tmp}/tvf_src"
-    spark.createDataFrame(
-        [(dt.datetime(2024, 1, 1, 0, 0, s_), 1) for s_ in (1, 2, 11)]
-        + [(dt.datetime(2024, 1, 1, 0, 2, 0), 1)],
-        "ts timestamp, n int",
-    ).coalesce(1).write.parquet(tvf_src)
+    write_rows(tvf_src, [(dt.datetime(2024, 1, 1, 0, 0, s_), 1) for s_ in (1, 2, 11)]
+        + [(dt.datetime(2024, 1, 1, 0, 2, 0), 1)], "ts timestamp, n int",)
 
     def worker(seed: int) -> None:
         rng = random.Random(seed)

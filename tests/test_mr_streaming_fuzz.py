@@ -15,6 +15,8 @@ against the regex oracle too. Seeded — reproducible.
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import random
 
 import pytest
@@ -54,9 +56,7 @@ def test_streaming_mr_prefix_of_batch_on_random_patterns(
     rows, files = _mk_batches(rng, n_keys=12, n_files=4)
     schema = "k long, seq long, t string"
     for i, chunk in enumerate(files):
-        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", chunk, schema)
 
     while True:
         pat_sql, _rx = _gen_pattern(rng)

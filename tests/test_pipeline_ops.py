@@ -234,23 +234,29 @@ def test_neardup_planted_registration(spark, sf_dir):
     assert sim_embedding_neardup(spark, sf_dir).count() == 0
 
 
-def test_large_query_set_not_broadcast(spark, sf_dir):
+def test_large_query_set_not_broadcast(spark, sf_dir, monkeypatch):
     """Past the broadcast limit, the ANN joins must not hint a
     broadcast of the corpus-derived query side (the anchors broadcast
-    — a bounded dim — is the only one allowed)."""
-    from flink_sql_toolkit_spark.operators.similarity import sim_lsh_bucketed
+    — a bounded dim — is the only one allowed). The r15 fused serve
+    path takes over below the limit, so the JOIN shapes under test
+    are forced by zeroing the fused byte budget (join + broadcast)
+    vs zeroing the row limit (join, unhinted)."""
+    from flink_sql_toolkit_spark.operators import similarity as S
 
     def n_broadcast_hints(df):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         return plan.count("strategy=broadcast")
 
-    hinted = sim_lsh_bucketed(spark, sf_dir)
-    unhinted = sim_lsh_bucketed(spark, sf_dir, broadcast_limit=0)
+    fused = S.sim_lsh_bucketed(spark, sf_dir)
+    monkeypatch.setattr(S, "FUSED_QUERY_MAX_BYTES", 0)
+    hinted = S.sim_lsh_bucketed(spark, sf_dir)
+    unhinted = S.sim_lsh_bucketed(spark, sf_dir, broadcast_limit=0)
     assert n_broadcast_hints(unhinted) < n_broadcast_hints(hinted)
-    # and the fallback plan computes the identical result
+    # and every plan computes the identical result
     a = {tuple(r) for r in hinted.collect()}
     b = {tuple(r) for r in unhinted.collect()}
-    assert a == b
+    c = {tuple(r) for r in fused.collect()}
+    assert a == b == c
 
 
 def test_dot_pandas_kernel_matches_fold(spark):

@@ -3,6 +3,8 @@ boundaries (forced with maxFilesPerTrigger=1 over a file source)."""
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -24,8 +26,8 @@ def _write_batches(spark, path):
         (9, dt.datetime(2024, 1, 1, 0, 1, 1), "purchase"),  # no A → no match
     ]
     schema = "user_id long, ts timestamp, event_type string"
-    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(f"{path}/in/b1")
-    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(f"{path}/in/b2")
+    write_rows(f"{path}/in/b1", b1, schema)
+    write_rows(f"{path}/in/b2", b2, schema)
 
 
 def test_funnel_state_crosses_microbatches(spark, tmp_path):
@@ -62,9 +64,7 @@ def test_streaming_dedup_keep_first(spark, tmp_path):
         (2, dt.datetime(2024, 1, 1, 0, 0, 2), "only"),
     ]
     schema = "k long, ts timestamp, tag string"
-    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(
-        f"{tmp_path}/in"
-    )
+    write_rows(f"{tmp_path}/in", data, schema)
     stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/in")
     out = streaming_dedup(stream, ["k"], "ts", "10 seconds")
     q = (
@@ -88,9 +88,7 @@ def _run_stream_mr(spark, tmp_path, files, name, **mr_kwargs):
 
     schema = "user_id long, seq long, event_type string"
     for i, rows in enumerate(files):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -207,9 +205,7 @@ def test_streaming_over_rows_frame_crosses_batches(spark, tmp_path):
     b0 = [(1, 1, 10), (1, 2, 20)]
     b1 = [(1, 3, 30), (2, 1, 5)]
     for i, rows in enumerate([b0, b1]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -393,9 +389,7 @@ def test_streaming_over_rows_null_values(spark, tmp_path):
 
     schema = "k long, seq long, v long"
     rows = [(1, 1, 10), (1, 2, None), (1, 3, 30), (2, 1, None)]
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
-        f"{tmp_path}/in/b0"
-    )
+    write_rows(f"{tmp_path}/in/b0", rows, schema)
     stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/in/*")
     out = streaming_over_rows(
         stream, partition_by=["k"], order_by=["seq"], value_col="v", n_preceding=1
@@ -454,9 +448,7 @@ def test_streaming_over_range_crosses_batches(spark, tmp_path):
     b1 = [(1, ts(12), 30)]
     b2 = [(1, ts(8), 25), (1, ts(13), None), (1, ts(30), 40), (2, ts(0), 5)]
     for i, rows in enumerate([b0, b1, b2]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -762,9 +754,7 @@ def test_streaming_over_range_calendar_month(spark, tmp_path):
     schema = "k long, ts timestamp, v long"
     b0, b1 = rows[:3], rows[3:]
     for i, rs in enumerate([b0, b1]):
-        spark.createDataFrame(rs, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rs, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -847,9 +837,7 @@ def test_streaming_over_rows_bigint_exact(spark, tmp_path):
     big = 10_000_000_000_000_003  # > 2^53; float64 rounds to ...004
     rows = [(1, 1, big), (1, 2, big + 2)]
     schema = "k long, seq long, v long"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp_path}/bigint/in")
+    write_rows(f"{tmp_path}/bigint/in", rows, schema)
     stream = spark.readStream.schema(schema).parquet(f"{tmp_path}/bigint/in")
     out = streaming_over_rows(
         stream, partition_by=["k"], order_by=["seq"], value_col="v", n_preceding=1
@@ -990,9 +978,7 @@ def test_streaming_mr_prev_spans_batches(spark, tmp_path):
 
     def run_stream():
         for i, rows in enumerate([b0, b1, b2]):
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{tmp_path}/in/b{i}")
+            write_rows(f"{tmp_path}/in/b{i}", rows, schema)
         from flink_sql_toolkit_spark.streaming.stateful import (
             streaming_match_recognize,
         )
@@ -1202,9 +1188,7 @@ def _run_keep_last(spark, tmp_path, files, name, keys, order_col, n=1):
 
     schema = "k long, ts timestamp, tag string"
     for i, rows in enumerate(files):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1354,9 +1338,7 @@ def test_streaming_over_rows_multi_specs(spark, tmp_path):
     b0 = [(1, 1, 10, 1.5), (1, 2, None, 2.5)]
     b1 = [(1, 3, 30, None), (2, 1, 7, 0.5)]
     for i, rows in enumerate([b0, b1]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1391,9 +1373,7 @@ def test_streaming_over_sql_multi_agg_routed(spark, tmp_path):
 
     rows = [(1, 1, 10, 1.0), (1, 2, 20, 4.0), (1, 3, 30, 2.0), (2, 1, 5, 9.0)]
     schema = "k long, seq long, a long, b double"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp_path}/multisql")
+    write_rows(f"{tmp_path}/multisql", rows, schema)
     engine = Engine(spark)
     sess = engine.open_session("over-multi-sql")
     try:
@@ -1448,9 +1428,7 @@ def test_streaming_over_rows_per_spec_widths(spark, tmp_path):
     b0 = [(1, 1, 10), (1, 2, 20)]
     b1 = [(1, 3, 30), (1, 4, 40)]
     for i, rows in enumerate([b0, b1]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/inw/b{i}")
+        write_rows(f"{tmp_path}/inw/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1485,9 +1463,7 @@ def test_streaming_over_sql_multi_width_routed(spark, tmp_path):
 
     rows = [(1, 1, 10), (1, 2, 20), (1, 3, 30), (1, 4, 40), (2, 1, 5)]
     schema = "k long, seq long, a long"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp_path}/widthsql")
+    write_rows(f"{tmp_path}/widthsql", rows, schema)
     engine = Engine(spark)
     sess = engine.open_session("over-width-sql")
     try:
@@ -1546,9 +1522,7 @@ def test_streaming_over_rows_unbounded_running(spark, tmp_path):
     b0 = [(1, 1, 10), (1, 2, None)]
     b1 = [(1, 3, 30), (2, 1, None)]
     for i, rows in enumerate([b0, b1]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/inu/b{i}")
+        write_rows(f"{tmp_path}/inu/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1585,9 +1559,7 @@ def test_streaming_over_sql_unbounded_routed(spark, tmp_path):
 
     rows = [(1, 1, 10), (1, 2, 20), (1, 3, 30), (2, 1, 5), (2, 2, 7)]
     schema = "k long, seq long, a long"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp_path}/unbsql")
+    write_rows(f"{tmp_path}/unbsql", rows, schema)
     engine = Engine(spark)
     sess = engine.open_session("over-unb-sql")
     try:
@@ -1646,9 +1618,7 @@ def test_streaming_mr_within_cross_batch(spark, tmp_path):
           (2, t(30), "b"),    # out of window -> key 2 never matches
           (1, t(40), "a")]    # trailing row decides key 1's suffix
     for i, rows in enumerate([b0, b1]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/inmw/b{i}")
+        write_rows(f"{tmp_path}/inmw/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1680,9 +1650,7 @@ def test_streaming_over_first_last_value(spark, tmp_path):
     b0 = [(1, 1, None), (1, 2, 20)]
     b1 = [(1, 3, 30), (1, 4, None)]
     for i, rows in enumerate([b0, b1]):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/infl/b{i}")
+        write_rows(f"{tmp_path}/infl/b{i}", rows, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1753,9 +1721,7 @@ def test_streaming_over_sql_first_value_routed(spark, tmp_path):
 
 def _reorder_stream(spark, tmp_path, files, schema, delay="30 seconds"):
     for i, rows in enumerate(files):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp_path}/in/b{i}")
+        write_rows(f"{tmp_path}/in/b{i}", rows, schema)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

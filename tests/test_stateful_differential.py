@@ -12,6 +12,8 @@ the oracle.
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import random
 
 import pytest
@@ -31,9 +33,7 @@ def _write_ordered_batches(spark, path, rows, schema, n_batches: int):
         chunk = rows[i * per:(i + 1) * per]
         if not chunk:
             break
-        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/in/b{i:02d}")
+        write_rows(f"{path}/in/b{i:02d}", chunk, schema)
 
 
 def _run_stream(spark, tmp_path, schema, make_op, name: str):

@@ -3,6 +3,8 @@ through the engine, watermark wiring (SURVEY.md §5.4)."""
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import time
 
 import pytest
@@ -163,9 +165,7 @@ def test_late_data_side_output(spark, tmp_path):
 
     def drop_file(rows, name, mtime):
         stage = tmp_path / f"stage_{name}"
-        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
+        write_rows(str(stage), rows, "id long, ts timestamp")
         part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
         dest = src / f"{name}.parquet"
         shutil.copy(part, dest)
@@ -388,9 +388,7 @@ def test_streaming_match_recognize_sql(session, tmp_path, spark):
         (1, 4, "view"), (1, 5, "purchase"),
         (2, 1, "purchase"),  # no A before → no match
     ]
-    spark.createDataFrame(
-        rows, "user_id long, seq long, event_type string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/mrstream")
+    write_rows(f"{tmp_path}/mrstream", rows, "user_id long, seq long, event_type string")
     session.execute_statement(
         f"""
         CREATE TABLE mr_stream (
@@ -583,9 +581,7 @@ def test_streaming_match_recognize_sql_all_rows(session, tmp_path, spark):
     rejection) — every matched input row pages out with its RUNNING
     measures."""
     rows = [(1, 1, "view"), (1, 2, "view"), (1, 3, "purchase")]
-    spark.createDataFrame(
-        rows, "user_id long, seq long, event_type string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/mrall")
+    write_rows(f"{tmp_path}/mrall", rows, "user_id long, seq long, event_type string")
     session.execute_statement(
         f"""
         CREATE TABLE mr_all_stream (
@@ -741,9 +737,7 @@ def test_streaming_dedup_sql_recipe(session, tmp_path, spark):
         (1, dt_ts(0), "a"), (1, dt_ts(1), "dup-a"),
         (2, dt_ts(2), "b"), (1, dt_ts(3), "dup-a2"),
     ]
-    spark.createDataFrame(
-        rows, "k long, ts timestamp, v string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/dsql")
+    write_rows(f"{tmp_path}/dsql", rows, "k long, ts timestamp, v string")
     session.execute_statement(
         f"""CREATE TABLE dsql_src (k BIGINT, ts TIMESTAMP, v STRING)
         WITH ('connector'='filesystem', 'path'='{tmp_path}/dsql',
@@ -984,9 +978,7 @@ def _write_join_side(spark, tmp_path, name, schema, rows):
     d = tmp_path / name
     d.mkdir()
     stage = tmp_path / f"stage_{name}"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(stage))
+    write_rows(str(stage), rows, schema)
     import shutil
 
     part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))

@@ -12,6 +12,8 @@ SELECTs keep the update-mode route unchanged.
 
 from __future__ import annotations
 
+from fastwrite import write_rows
+
 import datetime as dt
 import time
 
@@ -68,7 +70,7 @@ def test_tumble_tvf_insert_into_append_sink(session, tmp_path):
     # pushes it far beyond both)
     rows = [(ts(1), 1), (ts(2), 1), (ts(11), 1),
             (dt.datetime(2024, 1, 1, 0, 2, 0), 1)]
-    spark.createDataFrame(rows, "ts timestamp, n int").coalesce(1).write.parquet(src)
+    write_rows(src, rows, "ts timestamp, n int")
 
     session.execute_statement(
         f"""CREATE TABLE ta_src (ts TIMESTAMP(3), n INT,
@@ -103,7 +105,7 @@ def test_tumble_tvf_insert_into_append_sink(session, tmp_path):
 
 
 def _write_src(spark, path, rows):
-    spark.createDataFrame(rows, "ts timestamp, n int").coalesce(1).write.parquet(path)
+    write_rows(path, rows, "ts timestamp, n int")
 
 
 def _poll_sink(spark, sink, want):
@@ -270,7 +272,7 @@ def test_match_recognize_insert_into_sink_batch(session, tmp_path):
     spark = session.spark
     src, sink = f"{tmp_path}/mr_src", f"{tmp_path}/mr_sink"
     rows = [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0)]
-    spark.createDataFrame(rows, "k int, seq long, price double").coalesce(1).write.parquet(src)
+    write_rows(src, rows, "k int, seq long, price double")
     session.execute_statement("SET 'execution.runtime-mode' = 'batch'")
     try:
         session.execute_statement(
@@ -311,9 +313,7 @@ def test_match_recognize_insert_streaming(session, tmp_path):
 
     rows = [(1, ts(1), 10.0), (1, ts(2), 8.0), (1, ts(3), 6.0),
             (1, ts(4), 9.0), (1, dt.datetime(2024, 1, 1, 0, 2, 0), 20.0)]
-    spark.createDataFrame(
-        rows, "k int, ts timestamp, price double"
-    ).coalesce(1).write.parquet(src)
+    write_rows(src, rows, "k int, ts timestamp, price double")
     session.execute_statement(
         f"""CREATE TABLE mrs_src (k INT, ts TIMESTAMP(3), price DOUBLE,
             WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
